@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * Tuned for local[N] testing but the knobs are the ones that matter on a
+  * real cluster too: AQE (runtime re-planning, skew-join splitting),
+  * shuffle partition count sized to the parallelism actually available,
+  * UTC session time zone (oracle parity + sanity at 100 TB where data
+  * spans regions).
+  */
+object GraftSession {
+
+  /** Apply graft defaults to an arbitrary builder (so Verify/Bench can
+    * keep their own master/memory settings).
+    */
+  def tuned(builder: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    builder
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val spark = tuned(SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Op
+import graft.sources.Tables
+
+/** Batch relational core: the verification-query surface of the reference's
+  * batch readers plus the standard analytics shapes any consumer of the
+  * engine runs.
+  *
+  * Re-expresses (Spark-first, not a port):
+  *  - count / groupBy-count / distinct-count / HAVING: S3ParquetBatchReader.scala:40-70,
+  *    DiskBasedTransformJob.scala:44-50 (reference runs these to validate
+  *    every sink format).
+  *  - date/time battery: DiskBasedTransformJob.scala:51-67.
+  *  - The join / window / rollup shapes complete the analytics surface a
+  *    lakehouse consumer needs over the ingested tables.
+  *
+  * Scale notes: all aggregations are partial-agg friendly (sum/count over
+  * decimal), dim joins are explicitly `broadcast`, and every filter is a
+  * plain column predicate so it reaches the parquet scan (`PushedFilters`).
+  */
+object Relational {
+
+  /** Exact money arithmetic: DECIMAL(18,4) is wide enough for TPC-H-style
+    * prices and makes SUM order-independent (FP sum is not associative;
+    * a 1000-executor sum would otherwise differ run-to-run and engine-to-
+    * engine). Final values are cast back to DOUBLE for a stable schema.
+    */
+  private val Money = DecimalType(18, 4)
+  private def dec(c: Column): Column = c.cast(Money)
+  private def one: Column = lit(1).cast(Money)
+
+  def scanCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("n_rows"))
+
+  def groupCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_partkey"))
+
+  def distinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_partkey")).as("n_distinct"))
+
+  def havingFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 40)
+      .orderBy(col("l_partkey"))
+
+  /** TPC-H Q1-shaped pricing summary (multi-aggregate + filter + sort). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) * (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q6-shaped filter → global agg; predicates all push to parquet. */
+  def filterAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"))
+
+  /** Star join: fact + two broadcast dims, grouped rollup per region/nation. */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Fact⋈fact shuffle join + agg + deterministic top-N. */
+  def revenueTopN(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Window rank: top-3 customers by balance per nation (deterministic
+    * tiebreak on key). One shuffle on the partition key.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_nationkey"), col("rk"))
+  }
+
+  /** Date/time battery over the event stream table
+    * (DiskBasedTransformJob.scala:51-67's function set, normalized).
+    */
+  def dateTimeBattery(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        year(col("ts")).as("yy"),
+        month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("dd"),
+        hour(col("ts")).as("hh"),
+        minute(col("ts")).as("mi"),
+        date_trunc("month", col("ts")).cast("date").as("month_start"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"))
+      .orderBy(col("event_id"))
+
+  /** Anti join: customers with no finalized ('F') order. The filter lands
+    * on the build side BEFORE the anti join, so the probe scan streams; at
+    * fact scale Catalyst picks shuffled hash anti join, AQE de-skews.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Rollup (grouping sets) over flag/status; NULL grouping levels are
+    * COALESCEd to a sentinel so ordering is total and engine-portable.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val ops: Seq[Op] = Seq(
+    Op("q_count", scanCount,
+      Some("SELECT COUNT(*) AS n_rows FROM lineitem")),
+    Op("q_group_count", groupCount,
+      Some("SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey ORDER BY l_partkey")),
+    Op("q_distinct", distinctCount,
+      Some("SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct FROM lineitem")),
+    Op("q_having", havingFilter,
+      Some("SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40 ORDER BY l_partkey")),
+    Op("q1_agg", pricingSummary,
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+    Op("q_filter_agg", filterAgg,
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_quantity < 24""")),
+    Op("q_join_star", starJoin,
+      Some("""
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+    Op("q_join_topn", revenueTopN,
+      Some("""
+        SELECT o_orderkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10""")),
+    Op("q_window", windowRank,
+      Some("""
+        SELECT c_nationkey, rk, c_custkey, c_name, c_acctbal FROM (
+          SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+            CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk
+          FROM customer) t
+        WHERE rk <= 3
+        ORDER BY c_nationkey, rk""")),
+    Op("q_datetime", dateTimeBattery,
+      Some("""
+        SELECT event_id,
+          CAST(EXTRACT(YEAR FROM ts) AS INT) AS yy,
+          CAST(EXTRACT(MONTH FROM ts) AS INT) AS mo,
+          CAST(EXTRACT(DAY FROM ts) AS INT) AS dd,
+          CAST(EXTRACT(HOUR FROM ts) AS INT) AS hh,
+          CAST(EXTRACT(MINUTE FROM ts) AS INT) AS mi,
+          CAST(date_trunc('month', ts) AS DATE) AS month_start,
+          CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS epoch_s,
+          strftime(ts, '%Y-%m-%d %H') AS hour_bucket
+        FROM events
+        ORDER BY event_id""")),
+    Op("q_anti_join", antiJoin,
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        ORDER BY c_custkey""")),
+    Op("q_rollup", rollupAgg,
+      Some("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus"""))
+  )
+}

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's correctness gate.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+
+Mirrors the driver: for each entry in oracle_sql.json, run the SQL in
+DuckDB over the sf parquet tables, read the Spark result parquet, sort
+columns by name then rows, and compare.
+"""
+import duckdb, json, os, sys
+import pandas as pd
+
+TABLES = ['region','nation','customer','supplier','part','orders',
+          'lineitem','events','documents','embeddings']
+
+def main(sf, out):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f'{sf}/{t}.parquet'
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f'{out}/oracle_sql.json'))
+    ok = fail = 0
+    # rows-only checks for queries without oracle SQL
+    for name in sorted(os.listdir(out)):
+        pdir = os.path.join(out, name)
+        if not os.path.isdir(pdir) or name in oracle:
+            continue
+        n = len(con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df())
+        print(f"{name}: rows-only, {n} rows" + ("" if n > 0 else "  <-- EMPTY"))
+        if n > 0: ok += 1
+        else: fail += 1
+    for name, sql in sorted(oracle.items()):
+        pdir = f'{out}/{name}'
+        if not os.path.isdir(pdir):
+            print(f"{name}: MISSING spark output"); fail += 1; continue
+        s = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
+        d = con.execute(sql).df()
+        s = s[sorted(s.columns)]
+        d = d[sorted(d.columns)]
+        if list(s.columns) != list(d.columns):
+            print(f"{name}: COLUMN MISMATCH spark={list(s.columns)} duck={list(d.columns)}")
+            fail += 1; continue
+        s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+        d = d.sort_values(by=list(d.columns)).reset_index(drop=True)
+        if len(s) != len(d):
+            print(f"{name}: ROWCOUNT spark={len(s)} duck={len(d)}"); fail += 1; continue
+        try:
+            pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=False, rtol=1e-9)
+            ok += 1
+        except AssertionError as e:
+            print(f"{name}: VALUE MISMATCH {str(e)[:300]}"); fail += 1
+    print(f"OK={ok} FAIL={fail}")
+    return 1 if fail else 0
+
+if __name__ == '__main__':
+    sys.exit(main(sys.argv[1], sys.argv[2]))
