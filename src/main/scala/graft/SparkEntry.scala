@@ -9,7 +9,9 @@ object SparkEntry {
     * derived views so names can never drift apart.
     */
   def ops: Seq[Op] =
-    graft.operators.Relational.ops
+    graft.operators.Relational.ops ++
+      graft.operators.TextOps.ops ++
+      graft.operators.Dedup.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * content fingerprinting.
+  *
+  * Everything is built from codegen'd `sql.functions` (split /
+  * regexp_extract_all / higher-order `aggregate`/`filter`) — zero UDFs, so
+  * the whole pipeline stays inside WholeStageCodegen and scales linearly:
+  * one narrow map stage, no shuffle at all until a downstream consumer
+  * aggregates.
+  *
+  * The reference has no text analytics (it is an ingest POC); these extend
+  * its enrichment stage (`jobs/S3ToParquetStreamJob.scala:66-76` adds
+  * derived columns during ingest) with the derived columns an LLM-data
+  * pipeline needs.
+  */
+object TextOps {
+
+  /** Whitespace tokens, with trim so engines agree on boundary empties. */
+  private def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish lexer: runs of alphanumerics, or single non-space symbols. */
+  private val BpePattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Tiny per-language stopword lists (top function words). Public-domain
+    * common knowledge; enough signal for an n-gram/stopword heuristic.
+    */
+  private val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "por", "para"))
+
+  private def stopHits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Token counts: whitespace tokens and BPE-ish lexer tokens. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(wsTokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, token stats, punctuation/stopword ratios.
+    * All ratios are single double divisions of exact integer counts, so
+    * they are bitwise identical across engines.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nChars = length(col("text"))
+    val nToks = size(toks)
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nStop = stopHits(toks, Stopwords("en"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nChars.cast("long").as("n_chars"),
+        nToks.cast("long").as("n_tokens"),
+        (nChars.cast("double") / nToks.cast("double")).as("avg_token_len"),
+        (nPunct.cast("double") / nChars.cast("double")).as("punct_ratio"),
+        (nStop.cast("double") / nToks.cast("double")).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID heuristic: stopword hits per candidate language (CJK
+    * character ratio decides zh), deterministic alphabetical tiebreak.
+    * Pure column expressions → a single codegen'd map; on 100 TB this is
+    * a scan-speed pass.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val cjk = size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0)))
+    val scored = Tables.documents(spark, dir)
+      .withColumn("s_en", stopHits(toks, Stopwords("en")))
+      .withColumn("s_de", stopHits(toks, Stopwords("de")))
+      .withColumn("s_fr", stopHits(toks, Stopwords("fr")))
+      .withColumn("s_es", stopHits(toks, Stopwords("es")))
+      .withColumn("s_zh", cjk)
+    val best = greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es"), col("s_zh"))
+    scored
+      .select(
+        col("doc_id"),
+        when(best === 0, lit("und"))
+          .when(col("s_de") === best, lit("de"))  // alphabetical among winners
+          .when(col("s_en") === best, lit("en"))
+          .when(col("s_es") === best, lit("es"))
+          .when(col("s_fr") === best, lit("fr"))
+          .otherwise(lit("zh")).as("lang_pred"),
+        best.cast("long").as("lang_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Polynomial rolling hash over the document's characters,
+    * acc = (acc*31 + codepoint) mod 1e9+7. Order-dependent (a true
+    * rolling fingerprint, not a bag-of-chars), exact 64-bit integer
+    * arithmetic → engine-portable, and cheap: one codegen'd pass.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        aggregate(
+          split(col("text"), ""),
+          lit(0L),
+          (acc, c) => (acc * 31L + ascii(c).cast("long")) % 1000000007L).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val ops: Seq[Op] = Seq(
+    Op("q_text_tokens", tokenCounts,
+      Some("""
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+    Op("q_text_quality", qualityScore,
+      Some("""
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          CAST(length(text) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_len,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+            / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio
+        FROM documents ORDER BY doc_id""")),
+    Op("q_text_langid", langId, None), // heuristic: rows-only + ScalaTest spec
+    Op("q_text_fingerprint", fingerprint,
+      Some("""
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+                         [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+            (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        FROM documents ORDER BY doc_id"""))
+  )
+}

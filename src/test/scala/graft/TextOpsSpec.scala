@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Dedup, TextOps}
+
+class TextOpsSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  private lazy val planted = SparkSpec.plantedDir(
+    "documents" -> Seq(
+      (0L, "the cat sat on the mat and it is happy", "en", "s", 38L),
+      (1L, "der Hund ist nicht mit der Katze auf dem Sofa", "de", "s", 45L),
+      (2L, "le chat est dans la maison pour la nuit", "fr", "s", 39L),
+      (3L, "el perro es un animal y la casa es grande", "es", "s", 41L),
+      (4L, "你好世界这是中文", "zh", "s", 8L),
+      (5L, "qqq zzz xxx", "und", "s", 11L),
+      (6L, "the cat sat on the mat and it is happy", "en", "s2", 38L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("langId identifies planted languages, und for no signal") {
+    val got = TextOps.langId(spark, planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(got(0L) == "en")
+    assert(got(1L) == "de")
+    assert(got(2L) == "fr")
+    assert(got(3L) == "es")
+    assert(got(4L) == "zh")
+    assert(got(5L) == "und")
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish on punctuation") {
+    val dir = SparkSpec.plantedDir(
+      "documents" -> Seq((0L, "hello, world! it's 42", "en", "s", 21L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = TextOps.tokenCounts(spark, dir).collect()(0)
+    assert(r.getAs[Int]("n_ws_tokens") == 4)
+    // hello , world ! it ' s 42
+    assert(r.getAs[Int]("n_bpe_tokens") == 8)
+  }
+
+  test("fingerprint: rolling hash is order-sensitive and deterministic") {
+    val dir = SparkSpec.plantedDir(
+      "documents" -> Seq(
+        (0L, "abc", "en", "s", 3L),
+        (1L, "cba", "en", "s", 3L),
+        (2L, "abc", "en", "s", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val fp = TextOps.fingerprint(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    // ((0*31+97)*31+98)*31+99 = 97*961 + 98*31 + 99
+    assert(fp(0L) == 97L * 961 + 98L * 31 + 99)
+    assert(fp(0L) != fp(1L))
+    assert(fp(0L) == fp(2L))
+  }
+
+  test("qualityScore ratios on a known document") {
+    val dir = SparkSpec.plantedDir(
+      "documents" -> Seq((0L, "the cat, the dog.", "en", "s", 17L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = TextOps.qualityScore(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_chars") == 17)
+    assert(r.getAs[Long]("n_tokens") == 4)
+    assert(r.getAs[Double]("punct_ratio") == 2.0 / 17.0)
+    assert(r.getAs[Double]("stopword_ratio") == 0.5) // "the" twice in 4 tokens
+  }
+
+  test("exact dedup keeps lowest doc_id and counts copies") {
+    val rows = Dedup.exact(spark, planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(rows(0L) == 2) // doc 6 is an exact copy of doc 0
+    assert(!rows.contains(6L))
+    assert(rows(1L) == 1)
+  }
+}
