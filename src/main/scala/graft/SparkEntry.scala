@@ -11,7 +11,12 @@ object SparkEntry {
   def ops: Seq[Op] =
     graft.operators.Relational.ops ++
       graft.operators.TextOps.ops ++
-      graft.operators.Dedup.ops
+      graft.operators.Dedup.ops ++
+      graft.operators.Enrich.ops ++
+      graft.operators.JsonOps.ops ++
+      graft.streaming.IngestPipeline.ops ++
+      graft.streaming.EventRollup.ops ++
+      graft.streaming.Sessionize.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

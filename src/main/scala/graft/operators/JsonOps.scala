@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Semi-structured JSON operators.
+  *
+  * Reference: `jobs/S3CloudTrailDeltaWriterWithExplodeCT.scala:133-160`
+  * (explode the Records array, flatten `record.*`, parse the event-time
+  * string) and `jobs/StringTransformJob.scala:44-57` (infer a schema from
+  * the JSON strings themselves, `from_json`, flatten `value.*`).
+  *
+  * Scale notes: schema inference reads a bounded SAMPLE (not the full
+  * 100 TB); the inferred schema is then applied as a constant to the
+  * codegen'd `from_json`, so the scan itself is single-pass. Explode is a
+  * narrow transform — no shuffle; the only shuffle in the round-trip demo
+  * below is the groupBy that builds the nested input.
+  */
+object JsonOps {
+
+  /** CloudTrail-shaped round trip: pack events into per-user JSON
+    * documents `{"Records":[...]}` (sorted for determinism), then do
+    * exactly what the reference does — `explode($"Records")`, flatten
+    * `record.*`, parse the ISO event time — and return the flat rows.
+    * Output equals the flat base table, which is the oracle.
+    */
+  def explodeRecords(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    // Build the nested "raw file" shape (one JSON doc per user).
+    val rawDocs = events
+      .select(col("user_id"), struct(
+        col("event_id").as("eventId"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("eventTime"),
+        col("event_type").as("eventType")).as("record"))
+      .groupBy(col("user_id"))
+      .agg(to_json(struct(sort_array(collect_list(col("record"))).as("Records"))).as("raw"))
+    // Reference pipeline: infer/declare schema, explode, flatten, parse ts.
+    val recordsSchema = "STRUCT<Records: ARRAY<STRUCT<eventId: BIGINT, eventTime: STRING, eventType: STRING>>>"
+    rawDocs
+      .select(col("user_id"), explode(from_json(col("raw"), lit(recordsSchema)).getField("Records")).as("record"))
+      .select(
+        col("record.eventId").as("event_id"),
+        col("user_id"),
+        col("record.eventType").as("event_type"),
+        to_timestamp(col("record.eventTime"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("event_second"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Dynamic-schema JSON extraction: infer the schema of the `props`
+    * string column from a sample, `from_json` with that schema, flatten
+    * every field (StringTransformJob's `select("*", "value.*")`).
+    */
+  def parseJsonCol(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val inferred = spark.read
+      .json(events.select("props").limit(1000).as[String])
+      .schema
+    val parsed = events
+      .withColumn("props_parsed", from_json(col("props"), inferred))
+    inferred.fieldNames.sorted.foldLeft(parsed) { (df, f) =>
+      df.withColumn(f, col(s"props_parsed.$f"))
+    }
+      .drop("props", "props_parsed")
+      .select(col("event_id") +: inferred.fieldNames.sorted.map(col): _*)
+      .orderBy(col("event_id"))
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("q_json_explode", explodeRecords,
+      Some("""
+        SELECT event_id, user_id, event_type,
+               date_trunc('second', ts) AS event_second
+        FROM events ORDER BY event_id""")),
+    Op("q_json_extract", parseJsonCol,
+      Some("""
+        SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        FROM events ORDER BY event_id"""))
+  )
+}

@@ -1,0 +1,53 @@
+package org.apache.spark.sql.graft.queue
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
+
+/** Transport abstraction for file-created notifications: the SQS concept
+  * of the reference (`sqs/SqsClient.scala`) with the AWS specifics behind
+  * an interface. At-least-once delivery is assumed; consumers dedup via
+  * [[FileNotificationCache]]. `ack` removes a delivered message (SQS
+  * DeleteMessageBatch).
+  */
+trait QueueClient {
+  def poll(): Seq[FileNotification]
+  def ack(handles: Seq[String]): Unit
+}
+
+/** Directory-backed queue: each message is a JSON file
+  * `{"path": "<data file>", "timestamp": <ms>}` in the queue directory
+  * (the shape of an S3 event notification, minus the AWS envelope). The
+  * ack handle is the message file itself; acking deletes it. Any system
+  * that can drop a file can produce into this queue, which is exactly the
+  * coupling S3→SNS→SQS gave the reference.
+  */
+class DirectoryQueueClient(queueDir: String) extends QueueClient {
+  private val PathRe: Regex = "\"path\"\\s*:\\s*\"([^\"]+)\"".r.unanchored
+  private val TsRe: Regex = "\"timestamp\"\\s*:\\s*(\\d+)".r.unanchored
+
+  override def poll(): Seq[FileNotification] = {
+    val dir = Paths.get(queueDir)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".json"))
+      .flatMap(parse)
+      .toSeq
+      .sortBy(n => (n.timestamp, n.path))
+  }
+
+  private def parse(msg: Path): Option[FileNotification] = {
+    val body =
+      try new String(Files.readAllBytes(msg), StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => return None } // acked mid-poll
+    for {
+      m <- PathRe.findFirstMatchIn(body)
+      t <- TsRe.findFirstMatchIn(body)
+    } yield FileNotification(m.group(1), t.group(1).toLong, msg.toString)
+  }
+
+  override def ack(handles: Seq[String]): Unit =
+    handles.foreach(h => Files.deleteIfExists(Paths.get(h)))
+}

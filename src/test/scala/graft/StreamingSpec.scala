@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.queue.{DirectoryQueueClient, FileNotification, FileNotificationCache}
+
+import graft.streaming.{EventRollup, IngestPipeline, Sessionize}
+import graft.sources.Tables
+
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("FileNotificationCache: dedup, ordered batching, age purge, redelivery") {
+    val c = new FileNotificationCache(maxAgeMs = 100)
+    c.add(FileNotification("f1", 10, "h1"))
+    c.add(FileNotification("f2", 20, "h2"))
+    c.add(FileNotification("f3", 5, "h3"))
+    assert(!c.isNewFile("f1") && c.isNewFile("f4"))
+    // oldest-first, bounded
+    assert(c.getUncommitted(2).map(_._1) == Seq("f3", "f1"))
+    c.markCommitted("f3"); c.markCommitted("f1")
+    assert(c.getUncommitted(0).map(_._1) == Seq("f2"))
+    // redelivery of a committed file is NOT new (exactly-once guard)
+    assert(!c.isNewFile("f1"))
+    // age purge: latest=200 → horizon 100, drops f1(10) f2(20) f3(5)
+    c.add(FileNotification("f5", 200, "h5"))
+    assert(c.purge() == 3)
+    assert(c.size == 1 && !c.isNewFile("f5"))
+  }
+
+  test("DirectoryQueueClient: poll parses messages, ack deletes them") {
+    val q = tmp("graft-queue")
+    Files.write(Paths.get(s"$q/m1.json"),
+      """{"path": "/data/a.parquet", "timestamp": 111}""".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(s"$q/m2.json"),
+      """{"timestamp": 222, "path": "/data/b.parquet"}""".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(s"$q/junk.txt"), "nope".getBytes(StandardCharsets.UTF_8))
+    val client = new DirectoryQueueClient(q)
+    val polled = client.poll()
+    assert(polled.map(_.path) == Seq("/data/a.parquet", "/data/b.parquet"))
+    client.ack(polled.map(_.ackHandle))
+    assert(client.poll().isEmpty)
+  }
+
+  test("graft-queue source: ingests exactly the notified files, acks, checkpoints") {
+    val work = tmp("graft-queue-e2e")
+    val events = Tables.events(spark, sf)
+      .withColumn("ts", unix_micros(col("ts"))) // raw long feed shape
+    // two data files, only one notified initially
+    events.filter(col("event_id") < 500).coalesce(1).write.parquet(s"$work/data/part1")
+    events.filter(col("event_id") >= 500).coalesce(1).write.parquet(s"$work/data/part2")
+    def dataFiles(sub: String): Seq[String] =
+      Files.list(Paths.get(s"$work/data/$sub")).iterator().asScala.toSeq
+        .map(_.toString).filter(_.endsWith(".parquet"))
+    Files.createDirectories(Paths.get(s"$work/q"))
+    def notify(id: String, path: String, ts: Long): Unit =
+      Files.write(Paths.get(s"$work/q/$id.json"),
+        s"""{"path": "$path", "timestamp": $ts}""".getBytes(StandardCharsets.UTF_8))
+    dataFiles("part1").zipWithIndex.foreach { case (f, i) => notify(s"a$i", f, 100 + i) }
+
+    val schema = org.apache.spark.sql.types.StructType(
+      IngestPipeline.rawEventSchema.filterNot(_.name == "ts") :+
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType))
+    def startQuery() = spark.readStream
+      .format("graft-queue")
+      .schema(schema)
+      .option("queue.dir", s"$work/q")
+      .option("fileFormat", "parquet")
+      .option("maxFilesPerTrigger", "4")
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/sink")
+      .start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(s"$work/sink").count() == 500)
+    // messages are acked after the batch is logged
+    assert(Files.list(Paths.get(s"$work/q")).iterator().asScala.isEmpty)
+
+    // second wave + a REDELIVERY of part1's notification: restart from
+    // checkpoint, must ingest only part2 (no duplicates)
+    dataFiles("part2").zipWithIndex.foreach { case (f, i) => notify(s"b$i", f, 200 + i) }
+    dataFiles("part1").zipWithIndex.foreach { case (f, i) => notify(s"dup$i", f, 201 + i) }
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val sunk = spark.read.parquet(s"$work/sink")
+    assert(sunk.count() == events.count(), "redelivered file must not duplicate rows")
+    assert(sunk.select("event_id").distinct().count() == events.count())
+  }
+
+  test("streaming dedup guard drops duplicate ingest_ids") {
+    val work = tmp("graft-dedup")
+    val ev = Tables.events(spark, sf)
+    // land the same file twice (the reference's Hudi duplicate scenario)
+    Files.createDirectories(Paths.get(s"$work/in"))
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$work/in/a.parquet"))
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$work/in/b.parquet"))
+    val q = IngestPipeline.start(spark, s"$work/in", s"$work/sink", s"$work/ckpt",
+      dedup = true, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    val sunk = spark.read.parquet(s"$work/sink")
+    assert(sunk.count() == ev.count(), "dedup must collapse the doubled file")
+  }
+
+  test("streaming windowed rollup equals batch rollup (complete mode)") {
+    val work = tmp("graft-rollup")
+    Files.createDirectories(Paths.get(s"$work/in"))
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$work/in/events.parquet"))
+    val stream = EventRollup.rollupStream(IngestPipeline.transform(
+      IngestPipeline.source(spark, s"$work/in")).select("ts", "event_type", "value"))
+    val q = stream.writeStream
+      .format("memory").queryName("rollup_mem").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("rollup_mem")
+      .orderBy("window_start", "event_type").collect()
+    val batch = EventRollup.batch(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+
+  test("streaming sessionization closes the same sessions as batch") {
+    import org.apache.spark.sql.{Encoders => E}
+    val work = tmp("graft-sess")
+    Files.createDirectories(Paths.get(s"$work/in"))
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$work/in/events.parquet"))
+    val evs = IngestPipeline.transform(IngestPipeline.source(spark, s"$work/in"))
+      .select(col("user_id"), col("ts"), col("value"))
+      .as(E.product[Sessionize.Ev])
+    val q = Sessionize.stream(evs).writeStream
+      .format("memory").queryName("sess_mem").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sess_mem")
+      .select("user_id", "session_start", "n_events")
+      .orderBy("user_id", "session_start").collect()
+    val batch = Sessionize.batch(Tables.events(spark, sf))
+      .select("user_id", "session_start", "n_events")
+      .orderBy("user_id", "session_start").collect()
+    // Streaming emits the prefix of sessions the watermark closed; every
+    // emitted session must exactly match its batch twin.
+    assert(streamed.nonEmpty, "watermark should close most sessions on this data")
+    val batchByKey = batch.map(r => (r.getLong(0), r.getTimestamp(1)) -> r).toMap
+    streamed.foreach { s =>
+      val twin = batchByKey.get((s.getLong(0), s.getTimestamp(1)))
+      assert(twin.isDefined, s"streamed session $s missing from batch")
+      assert(twin.get.getLong(2) == s.getLong(2), s"n_events mismatch for $s")
+    }
+  }
+}
