@@ -12,6 +12,7 @@ object SparkEntry {
     graft.operators.Relational.ops ++
       graft.operators.TextOps.ops ++
       graft.operators.Dedup.ops ++
+      graft.operators.Similarity.ops ++
       graft.operators.Enrich.ops ++
       graft.operators.JsonOps.ops ++
       graft.streaming.IngestPipeline.ops ++

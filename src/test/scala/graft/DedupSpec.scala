@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  // Planted corpus: 0/1 near-dups (one word changed), 2 unrelated,
+  // 3/4 identical, 5 a shuffled-word variant of 0 (low shingle overlap).
+  private val base = "spark streaming engine processes large volumes of event data with watermarks and stateful operators every day"
+  private lazy val planted = SparkSpec.plantedDir(
+    "documents" -> Seq(
+      (0L, base, "en", "s", 1L),
+      (1L, base.replace("large", "huge"), "en", "s", 1L),
+      (2L, "completely different text about cooking pasta with tomatoes and basil in a small kitchen pot tonight", "en", "s", 1L),
+      (3L, "identical row twin one two three four five six seven eight nine ten eleven twelve", "en", "s", 1L),
+      (4L, "identical row twin one two three four five six seven eight nine ten eleven twelve", "en", "s", 1L),
+      (5L, base.split(" ").reverse.mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("minhash LSH finds planted near-dups, not unrelated docs") {
+    val got = Dedup.minHashLsh(spark, planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_candidates")).toMap
+    assert(got(3L) >= 1 && got(4L) >= 1, "identical docs must collide in every band")
+    assert(got(0L) >= 1 && got(1L) >= 1, "one-word-changed docs should share bands")
+    assert(got(2L) == 0, "unrelated doc must have no candidates")
+  }
+
+  test("minhash signature estimates jaccard ≈ exact on near-dup pair") {
+    val rows = spark.read.parquet(s"$planted/documents.parquet")
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"),
+        Dedup.minhashSignature(Dedup.shingleHashes(col("text"))).as("sig"))
+      .collect()
+    val sh = rows.map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    val sig = rows.map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](2)).toMap
+    val (shA, sigA) = (sh(0L), sig(0L)); val (shB, sigB) = (sh(1L), sig(1L))
+    val exact = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    val est = sigA.zip(sigB).count { case (a, b) => a == b }.toDouble / sigA.length
+    assert(math.abs(exact - est) < 0.2, s"exact=$exact est=$est")
+  }
+
+  test("simhash: identical docs hamming 0; near-dups small; unrelated large") {
+    val sh = spark.read.parquet(s"$planted/documents.parquet")
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(3L), sh(4L)) == 0)
+    assert(ham(sh(0L), sh(1L)) <= 6, s"near-dup hamming ${ham(sh(0L), sh(1L))}")
+    // word order doesn't matter for bag-of-words simhash
+    assert(ham(sh(0L), sh(5L)) == 0)
+    assert(ham(sh(0L), sh(2L)) > 10, s"unrelated hamming ${ham(sh(0L), sh(2L))}")
+  }
+
+  test("jaccard verify separates near-dup from band-collision noise") {
+    val got = Dedup.ngramJaccard(spark, planted, threshold = 0.3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_verified"), r.getAs[Double]("best_jaccard"))).toMap
+    assert(got(3L)._2 == 1.0 && got(4L)._2 == 1.0)
+    assert(got(0L)._2 > 0.3 && got(0L)._2 < 1.0)
+    assert(got(2L)._1 == 0)
+  }
+
+  test("embedding cosine near-dup finds planted duplicate vectors") {
+    val dim = 64
+    val rnd = new scala.util.Random(3)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val v0 = vec()
+    val v0close = v0.clone(); v0close(0) = v0close(0) + 0.01f
+    val rows = Seq(
+      (0L, v0.toSeq, 0), (1L, v0close.toSeq, 0), (2L, v0.toSeq, 0)) ++
+      (3L to 40L).map(i => (i, vec().toSeq, 1))
+    val dir = SparkSpec.plantedDir("embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+    val got = Dedup.embeddingCosine(spark, dir, threshold = 0.95).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_candidates")).toMap
+    assert(got(0L) == 2 && got(1L) == 2 && got(2L) == 2,
+      s"planted trio must find each other: $got")
+    assert(got.filter(_._1 >= 3L).values.forall(_ == 0), "random vectors are not near-dups")
+  }
+
+  test("LSH ANN recall vs brute force is reasonable on real embeddings") {
+    val brute = Similarity.bruteForceTopK(spark, sf, k = 10, nQueries = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val lsh = Similarity.lshTopK(spark, sf, k = 10, nQueries = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      lsh.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 16 hyperplanes / 4-bit bands on random gaussian data: candidates
+    // share a 4-bit prefix with p≈(1/2)^4 per band per point; top-10 of
+    // 500 random vecs are weakly correlated, so recall is modest but must
+    // beat the ~27% random-candidate floor.
+    assert(mean >= 0.3, s"mean recall $mean too low: $recalls")
+    assert(lsh.values.forall(_.size <= 10))
+  }
+}
