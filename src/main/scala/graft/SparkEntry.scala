@@ -13,6 +13,7 @@ object SparkEntry {
       graft.operators.TextOps.ops ++
       graft.operators.Dedup.ops ++
       graft.operators.Similarity.ops ++
+      graft.operators.Multimodal.ops ++
       graft.operators.Enrich.ops ++
       graft.operators.JsonOps.ops ++
       graft.streaming.IngestPipeline.ops ++

@@ -73,7 +73,8 @@ object Dedup {
 
   /** (band_id, band_hash) rows for LSH bucketing. */
   private[graft] def bandedSignature(df: DataFrame): DataFrame =
-    df.withColumn("sig", minhashSignature(shingleHashes(col("text"))))
+    Tables.spread(df)
+      .withColumn("sig", minhashSignature(shingleHashes(col("text"))))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(NumBands - 1)),
           b => xxhash64(b, call_function("slice", col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
@@ -137,13 +138,16 @@ object Dedup {
     * pair at hamming ≤ 3 shares a block); verified with bit_count(xor)≤3.
     */
   private[graft] def simhash64(text: Column): Column = {
-    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
+    // Hash each token ONCE, then fold bit columns — hashing inside the
+    // per-bit lambda would recompute xxhash 64× per token.
+    val tokHashes = transform(
+      array_distinct(split(trim(lower(text)), "\\s+")), t => xxhash64(t))
     val counts = aggregate(
-      toks,
+      tokHashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
+          i => when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
         (a, b) => a + b))
     aggregate(
       zip_with(counts, sequence(lit(0), lit(63)),
@@ -152,7 +156,8 @@ object Dedup {
   }
 
   def simHash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).withColumn("sh", simhash64(col("text")))
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .withColumn("sh", simhash64(col("text")))
     val blocks = docs.select(col("doc_id"), col("sh"), posexplode(
       transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)))))
@@ -207,7 +212,7 @@ object Dedup {
     * of signature × band — O(n·bands); cosine only on candidates.
     */
   def embeddingCosine(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id").as("doc_id"), Similarity.normalized(col("embedding")).as("v"))
     val sig = Similarity.hyperplaneSignature(col("v"))
     val banded = vecs.withColumn("sig", sig)

@@ -1,0 +1,94 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and per-partition BATCHED
+  * feature extraction.
+  *
+  * The real pattern at 100 TB: media bytes travel as parquet binary
+  * columns next to their metadata; decode/feature-extract runs once per
+  * partition with an expensively-initialized "model" reused across the
+  * partition's rows (the Spark-side shape of batched inference). No
+  * media codecs exist in this container, so the decoder is a
+  * DETERMINISTIC STUB — `Sha256Featurizer` stands where a JNI/ONNX
+  * decoder would — but everything Spark-level is real: schema, encoder,
+  * partition batching, per-partition init, column pruning of the heavy
+  * binary column when only metadata is queried.
+  *
+  * The stub features are engine-portable on purpose (byte length, SHA-256
+  * hex, mean byte), so even the mapPartitions path is oracle-checked.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
+      width: Int, height: Int, fmt: String)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      sha256: String, mean_byte: Double, width: Int, height: Int)
+
+  /** Deterministic media table derived from `documents`: the text bytes
+    * stand in for the payload; metadata is a pure function of the id.
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    val kinds = Seq("image", "audio", "video")
+    Tables.spread(Tables.documents(spark, dir))
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(typedlit(kinds), (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("content"),
+        ((col("doc_id") % 16) * 64 + 64).cast("int").as("width"),
+        ((col("doc_id") % 9) * 64 + 64).cast("int").as("height"),
+        lit("raw").as("fmt"))
+      .as(Encoders.product[MediaRow])
+  }
+
+  /** The "model": initialized once per partition, applied to every row in
+    * the partition's batch. Stub = SHA-256; real life = decoder + feature
+    * network. Stateless across rows, so partition retry is safe.
+    */
+  private final class Sha256Featurizer {
+    private val digest = MessageDigest.getInstance("SHA-256")
+    def features(r: MediaRow): MediaFeatures = {
+      digest.reset()
+      val hex = digest.digest(r.content).map("%02x".format(_)).mkString
+      val bytes = r.content
+      val mean = if (bytes.isEmpty) 0.0
+        else bytes.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / bytes.length
+      MediaFeatures(r.media_id, r.kind, bytes.length.toLong, hex, mean, r.width, r.height)
+    }
+  }
+
+  /** Batched extraction: one featurizer per partition, streamed over the
+    * iterator (no materialization of the whole partition in memory).
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    media.mapPartitions { rows =>
+      val model = new Sha256Featurizer
+      rows.map(model.features)
+    }(Encoders.product[MediaFeatures])
+
+  def featuresOp(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  val ops: Seq[Op] = Seq(
+    Op("q_multimodal", featuresOp,
+      Some("""
+        SELECT doc_id AS media_id,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          octet_length(encode(text)) AS n_bytes,
+          lower(sha256(text)) AS sha256,
+          list_avg([CAST(unicode(c) AS DOUBLE) for c in string_split(text, '')]) AS mean_byte,
+          CAST((doc_id % 16) * 64 + 64 AS INT) AS width,
+          CAST((doc_id % 9) * 64 + 64 AS INT) AS height
+        FROM documents
+        ORDER BY media_id"""))
+  )
+}

@@ -60,7 +60,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), normalized(col("embedding")).as("v"))
 
   /** Exact top-k: broadcast the query set, one pass over the corpus,

@@ -79,7 +79,7 @@ object TextOps {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val toks = wsTokens(lower(col("text")))
     val cjk = size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0)))
-    val scored = Tables.documents(spark, dir)
+    val scored = Tables.spread(Tables.documents(spark, dir))
       .withColumn("s_en", stopHits(toks, Stopwords("en")))
       .withColumn("s_de", stopHits(toks, Stopwords("de")))
       .withColumn("s_fr", stopHits(toks, Stopwords("fr")))
@@ -105,7 +105,7 @@ object TextOps {
     * arithmetic → engine-portable, and cheap: one codegen'd pass.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(
         col("doc_id"),
         aggregate(

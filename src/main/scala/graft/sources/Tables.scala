@@ -40,4 +40,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Ensure a frame headed into CPU-heavy per-row compute (signatures,
+    * hashes) uses every core: small local tables arrive as ONE parquet
+    * split, which would serialize an interpreted-expression stage. At
+    * production scale inputs come in thousands of splits and this is a
+    * no-op; the round-robin shuffle is only paid when the scan is narrower
+    * than the cluster.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }
