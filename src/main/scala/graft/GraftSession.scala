@@ -17,6 +17,7 @@ object GraftSession {
     */
   def tuned(builder: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     builder
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels invoked from generated code (one virtual call per row; the
+  * loops inside are JIT-compiled Scala, not interpreted Catalyst).
+  */
+object TextKernels extends Serializable {
+
+  private val Mask32 = 0xFFFFFFFFL
+  private val Seed = 42L // Spark's xxhash64 default seed — value parity
+
+  private def xx32(s: String): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, Seed) & Mask32
+  }
+
+  /** Distinct 32-bit hashes of the word 3-shingles, first-occurrence
+    * order; docs shorter than 3 tokens contribute one whole-text shingle.
+    * Value-identical to the declarative form
+    * `array_distinct(transform(3-grams, xxhash64 & 0xFFFFFFFF))`.
+    */
+  def shingleHashes(text: UTF8String): ArrayData = {
+    val trimmed = text.toString.trim
+    val toks = trimmed.split("\\s+")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    if (toks.length >= 3) {
+      var i = 0
+      while (i + 2 < toks.length) {
+        seen.add(xx32(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)))
+        i += 1
+      }
+    } else {
+      seen.add(xx32(trimmed))
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}

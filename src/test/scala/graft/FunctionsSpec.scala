@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, VectorExpressions}
+
+class FunctionsSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  test("graft_shingles matches the declarative HOF formulation") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "two words",
+      "  padded   whitespace \t everywhere  ",
+      "repeat repeat repeat repeat repeat").toDF("text")
+    val toks = split(trim(col("text")), "\\s+")
+    val declarative = array_distinct(transform(
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+        .otherwise(array(trim(col("text")))),
+      s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))))
+    val rows = docs.select(
+      GraftFunctions.shingles(col("text")).as("fast"), declarative.as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
+  test("graft_cosine matches normalized HOF dot; zero vectors give 0") {
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.5f, 2.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val slow = graft.operators.Similarity.dot(
+      graft.operators.Similarity.normalized(col("a")),
+      graft.operators.Similarity.normalized(col("b")))
+    val rows = vecs.select(GraftFunctions.cosine(col("a"), col("b")).as("fast"),
+      slow.as("slow")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9, r.toString))
+    assert(rows(1).getDouble(0) == 0.0)
+    assert(math.abs(rows(2).getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("hyperplane signature is scale-invariant and matches a JVM recompute") {
+    val v = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val scaled = v.map(_ * 37.5f)
+    val rows = Seq((v, scaled)).toDF("v", "scaled").select(
+      GraftFunctions.hyperplaneSig(col("v"), 32).as("s1"),
+      GraftFunctions.hyperplaneSig(col("scaled"), 32).as("s2")).collect()
+    assert(rows(0).getLong(0) == rows(0).getLong(1), "sign(v·p) must ignore positive scaling")
+    var expected = 0L
+    for (i <- 0 until 32) {
+      val dot = (0 until 64).map(j => v(j) * VectorExpressions.PlanesFlat(i * 64 + j)).sum
+      if (dot >= 0.0) expected |= 1L << i
+    }
+    assert(rows(0).getLong(0) == expected)
+  }
+
+  test("functions are callable from SQL (extensions registration)") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+        "graft_hyperplane_sig(array(1.0D), 8) AS s, " +
+        "size(graft_shingles('a b c d')) AS n").collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getInt(2) == 2)
+  }
+}
