@@ -47,15 +47,28 @@ object IngestPipeline {
     Enrich.enrichFrame(
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
 
-  /** Open the streaming source (parquet file stream, bounded files per
-    * micro-batch like the reference's maxFilesPerTrigger).
+  /** File-source config: format + explicit schema + reader options, with
+    * the reference's maxFilesPerTrigger batching (`S3ToParquetStreamJob
+    * .scala:55-63` reads csv with header+schema the same way).
     */
+  final case class FileSourceConfig(
+      schema: StructType,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      maxFilesPerTrigger: Int = 4)
+
+  def source(spark: SparkSession, path: String, cfg: FileSourceConfig): DataFrame =
+    spark.readStream
+      .format(cfg.format)
+      .schema(cfg.schema)
+      .options(cfg.options)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger.toString)
+      .load(path)
+
+  /** Parquet events feed (nanos-as-long, see [[rawEventSchema]]). */
   def source(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 4): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawEventSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(path)
+    source(spark, path, FileSourceConfig(rawEventSchema, maxFilesPerTrigger = maxFilesPerTrigger))
   }
 
   /** Enriched stream with the exactly-once dedup guard: drop events whose
@@ -69,7 +82,9 @@ object IngestPipeline {
       .dropDuplicates("ingest_id")
 
   /** Start the full pipeline; AvailableNow processes the backlog in
-    * maxFilesPerTrigger-bounded batches then stops.
+    * maxFilesPerTrigger-bounded batches then stops. The sink goes through
+    * [[graft.sinks.TableSink]] so format/partitioning/upsert config is the
+    * same surface batch writers use.
     */
   def start(
       spark: SparkSession,
@@ -77,18 +92,24 @@ object IngestPipeline {
       sinkPath: String,
       checkpointPath: String,
       dedup: Boolean = false,
-      maxFilesPerTrigger: Int = 4): StreamingQuery = {
+      maxFilesPerTrigger: Int = 4,
+      partitionBy: Seq[String] = Seq("event_date")): StreamingQuery = {
     val enriched = transform(source(spark, sourcePath, maxFilesPerTrigger))
     val out = if (dedup) withDedup(enriched) else enriched
-    out.writeStream
-      .format("parquet")
-      .partitionBy("event_date")
-      .option("checkpointLocation", checkpointPath)
-      .option("path", sinkPath)
-      .outputMode("append")
+    startSink(out, sinkPath, checkpointPath, partitionBy)
+  }
+
+  private def startSink(
+      out: DataFrame, sinkPath: String, checkpointPath: String,
+      partitionBy: Seq[String]): StreamingQuery =
+    graft.sinks.TableSink.streamWriter(
+        out.writeStream,
+        graft.sinks.TableSink.SinkConfig(
+          format = "parquet", path = sinkPath, partitionBy = partitionBy,
+          mode = "append"),
+        checkpointPath)
       .trigger(Trigger.AvailableNow())
       .start()
-  }
 
   /** Driver-checkable op: run the real streaming pipeline over the events
     * parquet, then read the partitioned sink back. Deterministic columns
@@ -111,7 +132,59 @@ object IngestPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** CSV ingest round-trip — the reference's primary pipeline shape
+    * (retail CSV with header + explicit schema → string-timestamp parse →
+    * two-level hive partitioning (Date, Country) ≙ (event_date,
+    * event_type)). The op stages the events table as CSV with a string
+    * timestamp, streams it through the csv file source in
+    * maxFilesPerTrigger batches, enriches (multi-format parse,
+    * deterministic uuid), writes the partitioned sink, reads it back.
+    */
+  val csvEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_str", StringType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  def csvIngestRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft-csv-ingest").toFile.getAbsolutePath
+    graft.sources.Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.option("header", "true").csv(s"$work/in")
+    val raw = source(spark, s"$work/in",
+      FileSourceConfig(csvEventSchema, format = "csv", options = Map("header" -> "true")))
+    val enriched = Enrich.enrichFrame(
+      raw.withColumn("ts", Enrich.parseEventTime(col("ts_str"))))
+    val q = startSink(enriched, s"$work/sink", s"$work/ckpt",
+      Seq("event_date", "event_type"))
+    q.awaitTermination()
+    spark.read.parquet(s"$work/sink")
+      .select(
+        col("event_id"), col("event_date"), col("event_hour"),
+        col("event_type"), col("ingest_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_stream_csv", csvIngestRoundTrip,
+      Some("""
+        SELECT event_id,
+          CAST(ts AS DATE) AS event_date,
+          CAST(EXTRACT(HOUR FROM ts) AS INT) AS event_hour,
+          event_type,
+          concat_ws('-',
+            substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+            substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS ingest_id,
+          value
+        FROM events
+        ORDER BY event_id""")),
     Op("q_stream_ingest", ingestRoundTrip,
       Some("""
         SELECT event_id,
