@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** IVF coarse quantizer: fixed centroid matrix + nearest-list lookup,
+  * shared between the expression (below) and driver-side training.
+  *
+  * Vectors are L2-normalized before the distance computation so that
+  * nearest-by-L2 ordering matches cosine ordering (the re-rank metric);
+  * centroids are trained on normalized samples for the same reason.
+  */
+final class CentroidKernel(val centroids: Array[Double], val dim: Int)
+    extends Serializable {
+  require(centroids.length % dim == 0, "centroid matrix shape mismatch")
+  val nLists: Int = centroids.length / dim
+
+  /** Indices of the `nProbe` nearest centroids (ascending distance,
+    * deterministic index tiebreak), as an int array.
+    */
+  def nearest(v: ArrayData, elemFloat: Boolean, nProbe: Int): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    // normalize input
+    var norm = 0.0
+    var j = 0
+    while (j < n) {
+      val x = if (v.isNullAt(j)) 0.0 else if (elemFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      norm += x * x; j += 1
+    }
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    val p = math.min(nProbe, nLists)
+    val bestIdx = new Array[Int](p)
+    val bestDist = Array.fill(p)(Double.MaxValue)
+    var c = 0
+    while (c < nLists) {
+      var d = 0.0
+      var k = 0
+      val base = c * dim
+      while (k < n) {
+        val x = (if (v.isNullAt(k)) 0.0 else if (elemFloat) v.getFloat(k).toDouble else v.getDouble(k)) * inv
+        val diff = x - centroids(base + k)
+        d += diff * diff; k += 1
+      }
+      // insertion into the small top-p buffer
+      if (d < bestDist(p - 1)) {
+        var i = p - 1
+        while (i > 0 && bestDist(i - 1) > d) {
+          bestDist(i) = bestDist(i - 1); bestIdx(i) = bestIdx(i - 1); i -= 1
+        }
+        bestDist(i) = d; bestIdx(i) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(bestIdx)
+  }
+}
+
+object CentroidKernel {
+
+  /** Deterministic Lloyd's k-means on a driver-side sample of normalized
+    * vectors: init = first k distinct points, fixed iteration count.
+    * The sample is bounded (caller passes ≤ a few thousand rows), so this
+    * is O(sample × k × iters) driver work — independent of corpus size.
+    */
+  def train(sample: Array[Array[Float]], k: Int, dim: Int, iters: Int = 10): CentroidKernel = {
+    val pts = sample.map { v =>
+      val d = new Array[Double](dim)
+      val n = math.min(v.length, dim)
+      var norm = 0.0
+      for (j <- 0 until n) norm += v(j).toDouble * v(j)
+      val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+      for (j <- 0 until n) d(j) = v(j) * inv
+      d
+    }
+    require(pts.nonEmpty, "empty centroid training sample")
+    val cents = Array.tabulate(k)(i => pts(i % pts.length).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- 0 until k) {
+          var d = 0.0
+          for (j <- 0 until dim) { val t = p(j) - cents(c)(j); d += t * t }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        counts(best) += 1
+        for (j <- 0 until dim) sums(best)(j) += p(j)
+      }
+      for (c <- 0 until k if counts(c) > 0; j <- 0 until dim)
+        cents(c)(j) = sums(c)(j) / counts(c)
+    }
+    new CentroidKernel(cents.flatten, dim)
+  }
+}
+
+/** `nearest_centroids(v)` → array<int> of the kernel's nProbe nearest
+  * coarse-quantizer lists for the vector. Codegen emits one virtual call
+  * into the JIT-compiled kernel loop.
+  */
+case class NearestCentroids(child: Expression, kernel: CentroidKernel, nProbe: Int)
+    extends UnaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVector(child.dataType, prettyName)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  private lazy val elemFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.nearest(input.asInstanceOf[ArrayData], elemFloat, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val k = ctx.addReferenceObj("centroidKernel", kernel,
+        "graft.functions.CentroidKernel")
+      s"${ev.value} = $k.nearest($arr, $elemFloat, $nProbe);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}

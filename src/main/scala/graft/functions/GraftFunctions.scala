@@ -54,6 +54,8 @@ object GraftFunctions {
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
   def shingles(text: Column): Column =
     GraftShim.column(ShingleHash(GraftShim.expression(text)))
+  def nearestCentroids(v: Column, kernel: CentroidKernel, nProbe: Int): Column =
+    GraftShim.column(NearestCentroids(GraftShim.expression(v), kernel, nProbe))
 }
 
 /** `spark.sql.extensions` entry point: injects the graft function family

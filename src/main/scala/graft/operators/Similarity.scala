@@ -111,7 +111,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-style ANN: a coarse quantizer (k-means centroids trained on a
+    * BOUNDED driver-side sample — O(sample·k·iters) regardless of corpus
+    * size) partitions the corpus into nLists inverted lists; each query
+    * probes its nProbe nearest lists and re-ranks candidates by exact
+    * cosine. Unlike the hash-based LSH path, the probe fraction is an
+    * explicit knob (~nProbe/nLists of the corpus), which is the operating
+    * control a 100 TB ANN deployment actually tunes.
+    *
+    * Scale shape: list assignment is one codegen'd pass (no shuffle);
+    * candidate generation is a broadcast join on list_id; one shuffle on
+    * query_id for the ranking window.
+    */
+  def ivfTopK(
+      spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      nLists: Int = 16, nProbe: Int = 4, sampleSize: Int = 4096): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+    val dim = graft.functions.VectorExpressions.Dim
+    val sample = emb.select(col("embedding")).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val kernel = graft.functions.CentroidKernel.train(sample, nLists, dim)
+    def lists(v: Column, p: Int): Column = GraftFunctions.nearestCentroids(v, kernel, p)
+
+    val c = emb.select(col("vec_id"), col("embedding").as("v"),
+      element_at(lists(col("embedding"), 1), 1).as("list_id"))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(lists(col("v"), nProbe)).as("list_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(q),
+        q("list_id") === c("list_id") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", GraftFunctions.cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_sim_ivf", (s, d) => ivfTopK(s, d), None), // recall measured in spec
     Op("q_sim_topk", (s, d) => bruteForceTopK(s, d),
       Some("""
         SELECT query_id, rank, vec_id FROM (

@@ -98,4 +98,24 @@ class DedupSpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall $mean too low: $recalls")
     assert(lsh.values.forall(_.size <= 10))
   }
+
+  test("IVF ANN recall beats the probe-fraction floor; deterministic") {
+    val brute = Similarity.bruteForceTopK(spark, sf, k = 10, nQueries = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    def run() = Similarity.ivfTopK(spark, sf, k = 10, nQueries = 5).collect()
+    val a = run(); val b = run()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "ivf must be deterministic")
+    val ivf = a.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // probing 4/16 lists scans ~25% of the corpus at random; true
+    // neighbors concentrate in the query's own lists, so recall must
+    // clearly beat that floor.
+    assert(mean >= 0.4, s"mean ivf recall $mean too low: $recalls")
+    assert(ivf.values.forall(_.size <= 10))
+  }
 }
