@@ -25,7 +25,8 @@ object GraftFunctions {
       HyperplaneSig(args.head, n)
     },
     "graft_cosine" -> { args => CosineSim(args(0), args(1)) },
-    "graft_shingles" -> { args => ShingleHash(args.head) })
+    "graft_shingles" -> { args => ShingleHash(args.head) },
+    "graft_fingerprint" -> { args => RollingFingerprint(args.head) })
 
   private[functions] def registrations = fns.map { case (name, builder) =>
     (new FunctionIdentifier(name),
@@ -56,6 +57,8 @@ object GraftFunctions {
     GraftShim.column(ShingleHash(GraftShim.expression(text)))
   def nearestCentroids(v: Column, kernel: CentroidKernel, nProbe: Int): Column =
     GraftShim.column(NearestCentroids(GraftShim.expression(v), kernel, nProbe))
+  def fingerprint(text: Column): Column =
+    GraftShim.column(RollingFingerprint(GraftShim.expression(text)))
 }
 
 /** `spark.sql.extensions` entry point: injects the graft function family

@@ -41,4 +41,20 @@ object TextKernels extends Serializable {
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Polynomial rolling hash over code points:
+    * acc = (acc·31 + codepoint) mod 1e9+7. Value-identical to the
+    * declarative `aggregate(split(text, ''), 0, (acc,c) -> ...)` form.
+    */
+  def rollingFingerprint(text: UTF8String): Long = {
+    val s = text.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 }

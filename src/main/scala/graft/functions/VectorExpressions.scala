@@ -138,6 +138,33 @@ case class ShingleHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Rolling polynomial fingerprint of a string (order-sensitive content
+  * hash) — see [[TextKernels.rollingFingerprint]].
+  */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+  override def prettyName: String = "graft_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.rollingFingerprint(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+        "graft.functions.TextKernels$")
+      s"${ev.value} = $kernel.rollingFingerprint($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
 /** cos(a, b) = a·b / (|a||b|), 0.0 when either norm is 0 (never NaN).
   * One fused loop over min(len(a), len(b)) elements.
   */

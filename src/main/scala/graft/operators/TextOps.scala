@@ -99,19 +99,18 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Polynomial rolling hash over the document's characters,
+  /** Polynomial rolling hash over the document's code points,
     * acc = (acc*31 + codepoint) mod 1e9+7. Order-dependent (a true
     * rolling fingerprint, not a bag-of-chars), exact 64-bit integer
-    * arithmetic → engine-portable, and cheap: one codegen'd pass.
+    * arithmetic → engine-portable. Runs in the native
+    * `graft_fingerprint` kernel: one codegen'd pass, no per-character
+    * interpreted lambda.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(spark, dir))
       .select(
         col("doc_id"),
-        aggregate(
-          split(col("text"), ""),
-          lit(0L),
-          (acc, c) => (acc * 31L + ascii(c).cast("long")) % 1000000007L).as("fp"))
+        graft.functions.GraftFunctions.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
   val ops: Seq[Op] = Seq(

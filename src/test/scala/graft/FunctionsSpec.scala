@@ -58,6 +58,20 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(0).getLong(0) == expected)
   }
 
+  test("graft_fingerprint matches the declarative rolling-hash formulation") {
+    val docs = Seq("abc", "", "hello world!", "héllo wörld", "a" * 500).toDF("text")
+    val declarative = aggregate(
+      split(col("text"), ""), lit(0L),
+      (acc, c) => (acc * 31L + ascii(c).cast("long")) % 1000000007L)
+    val rows = docs.select(
+      GraftFunctions.fingerprint(col("text")).as("fast"), declarative.as("slow")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // order sensitivity
+    val Seq(ab, ba) = Seq("ab", "ba").map(s =>
+      Seq(s).toDF("text").select(GraftFunctions.fingerprint(col("text"))).collect()(0).getLong(0))
+    assert(ab != ba)
+  }
+
   test("functions are callable from SQL (extensions registration)") {
     GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(
