@@ -2,7 +2,7 @@ package graft.operators
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Op
@@ -78,7 +78,71 @@ object Multimodal {
       .toDF()
       .orderBy(col("media_id"))
 
+  /** Aspect-preserving downscale into a 256-box: pure per-row projection
+    * (no shuffle) over metadata plus a stub payload slice — the byte
+    * surgery a real resampler would do sits behind the same columns.
+    * Integer arithmetic only, so the oracle is exact.
+    */
+  def resizeOp(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir).toDF()
+    val maxSide = greatest(col("width"), col("height"))
+    def scaled(side: Column): Column =
+      when(maxSide <= 256, side)
+        .otherwise((side.cast("long") * 256 / maxSide).cast("int"))
+    m.select(
+        col("media_id"), col("kind"),
+        scaled(col("width")).cast("int").as("new_w"),
+        scaled(col("height")).cast("int").as("new_h"),
+        least(length(col("content")),
+          (scaled(col("width")).cast("long") * scaled(col("height")))).as("n_bytes_out"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Frame sampling for video payloads: deterministic 1→N row expansion
+    * (`posexplode(sequence(...))` — the generator form a video pipeline
+    * uses to emit frames), each row carrying its byte-range metadata.
+    * Narrow transform, no shuffle; N is bounded per row.
+    */
+  def frameSampleOp(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir).toDF().filter(col("kind") === "video")
+    val nFrames = (col("media_id") % 8 + 2).cast("int")
+    m.select(col("media_id"), length(col("content")).cast("long").as("nb"),
+        nFrames.as("nf"),
+        posexplode(sequence(lit(0), nFrames - 1)))
+      .withColumn("frame_len", floor(col("nb") / col("nf")).cast("long"))
+      .select(
+        col("media_id"),
+        col("col").cast("long").as("frame_id"),
+        (col("col") * col("frame_len")).cast("long").as("frame_off"),
+        col("frame_len"))
+      .orderBy(col("media_id"), col("frame_id"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_mm_resize", resizeOp,
+      Some("""
+        SELECT doc_id AS media_id,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          CAST(CASE WHEN greatest(w, h) <= 256 THEN w ELSE w * 256 // greatest(w, h) END AS INT) AS new_w,
+          CAST(CASE WHEN greatest(w, h) <= 256 THEN h ELSE h * 256 // greatest(w, h) END AS INT) AS new_h,
+          least(octet_length(encode(text)),
+            (CASE WHEN greatest(w, h) <= 256 THEN w ELSE w * 256 // greatest(w, h) END)
+            * (CASE WHEN greatest(w, h) <= 256 THEN h ELSE h * 256 // greatest(w, h) END)) AS n_bytes_out
+        FROM (SELECT doc_id, text,
+                CAST((doc_id % 16) * 64 + 64 AS BIGINT) AS w,
+                CAST((doc_id % 9) * 64 + 64 AS BIGINT) AS h
+              FROM documents)
+        ORDER BY media_id""")),
+    Op("q_mm_frames", frameSampleOp,
+      Some("""
+        SELECT media_id, frame_id, frame_id * (nb // nf) AS frame_off, nb // nf AS frame_len
+        FROM (
+          SELECT media_id, nb, nf, unnest(generate_series(0, nf - 1)) AS frame_id
+          FROM (
+            SELECT doc_id AS media_id, octet_length(encode(text)) AS nb,
+                   CAST(doc_id % 8 + 2 AS BIGINT) AS nf
+            FROM documents WHERE doc_id % 3 = 2))
+        ORDER BY media_id, frame_id""")),
     Op("q_multimodal", featuresOp,
       Some("""
         SELECT doc_id AS media_id,
