@@ -48,6 +48,15 @@ object Relational {
     Tables.lineitem(spark, dir)
       .agg(countDistinct(col("l_partkey")).as("n_distinct"))
 
+  /** HLL++ approximate distinct — at 100 TB the exact distinct's
+    * full shuffle of every key is rarely worth it; the sketch merges
+    * map-side in constant memory. Checked in spec against the exact
+    * count (≤2% relative error at the default rsd=0.01... spec allows 5%).
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_distinct_approx"))
+
   def havingFilter(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
@@ -170,6 +179,9 @@ object Relational {
       Some("SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey ORDER BY l_partkey")),
     Op("q_distinct", distinctCount,
       Some("SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct FROM lineitem")),
+    // sketch-based: engines' HLL implementations differ → spec-checked
+    // error bound instead of a hash oracle
+    Op("q_distinct_approx", approxDistinct, None),
     Op("q_having", havingFilter,
       Some("SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40 ORDER BY l_partkey")),
     Op("q1_agg", pricingSummary,

@@ -96,4 +96,39 @@ object TableSink {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a partitioned parquet table in place: streaming ingest with
+    * small triggers leaves one file per partition per micro-batch (the
+    * small-file problem the reference's README wrestles with across its
+    * sink formats); rewrite each hive partition into
+    * ceil(bytes / targetFileBytes) files.
+    *
+    * The rewrite repartitions BY THE PARTITION COLUMNS so each output
+    * task owns whole partitions (one shuffle, no cross-partition merge),
+    * then `maxRecordsPerFile` splits oversized partitions. Rewrite goes
+    * to a temp dir first and is swapped in only after success — a crash
+    * mid-compact leaves the original table intact.
+    */
+  def compact(
+      spark: SparkSession, path: String,
+      partitionCols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = read(spark, path)
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rows = df.count()
+    val avgRow = if (rows == 0) 1L else (totalBytes / rows).toLong.max(1L)
+    val recordsPerFile = (targetFileBytes / avgRow).max(1L)
+    val tmp = path + ".compact-tmp"
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", recordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    fs.rename(dst, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(bak, true)
+  }
 }

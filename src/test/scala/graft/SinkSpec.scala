@@ -29,6 +29,35 @@ class SinkSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("compact merges per-batch small files and preserves every row") {
+    val out = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath + "/t"
+    val ev = Tables.events(spark, sf).withColumn("event_date", col("ts").cast("date"))
+    // simulate many tiny ingest batches: 8 files per partition
+    ev.repartition(8).write.partitionBy("event_date").parquet(out)
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = dataFiles().size
+    val expected = ev.count()
+    TableSink.compact(spark, out, Seq("event_date"))
+    val after = dataFiles().size
+    assert(after < before, s"$before -> $after")
+    val back = TableSink.read(spark, out)
+    assert(back.count() == expected)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(after <= dirs.length, "at most one file per (small) partition")
+  }
+
+  test("approx distinct is within 5% of exact") {
+    val approx = graft.operators.Relational.approxDistinct(spark, sf)
+      .collect()(0).getLong(0).toDouble
+    val exact = graft.operators.Relational.distinctCount(spark, sf)
+      .collect()(0).getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("hudi config maps upsert keys and partitioning to hudi options") {
     val opts = TableSink.options(SinkConfig(
       format = "hudi", path = "/x", partitionBy = Seq("date", "country"),
