@@ -10,6 +10,7 @@ object SparkEntry {
     */
   def ops: Seq[Op] =
     graft.operators.Relational.ops ++
+      graft.operators.AsOf.ops ++
       graft.operators.TextOps.ops ++
       graft.operators.Dedup.ops ++
       graft.operators.Similarity.ops ++
