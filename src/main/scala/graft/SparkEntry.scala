@@ -18,6 +18,7 @@ object SparkEntry {
       graft.operators.Enrich.ops ++
       graft.operators.JsonOps.ops ++
       graft.streaming.IngestPipeline.ops ++
+      graft.streaming.StreamJoin.ops ++
       graft.streaming.EventRollup.ops ++
       graft.streaming.Sessionize.ops
 

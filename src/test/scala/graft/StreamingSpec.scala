@@ -160,4 +160,19 @@ class StreamingSpec extends SparkSpec {
       assert(twin.get.getLong(2) == s.getLong(2), s"n_events mismatch for $s")
     }
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = graft.streaming.StreamJoin.roundTrip(spark, sf).collect()
+    val ev = Tables.events(spark, sf).select("user_id", "ts", "event_id", "event_type")
+    val batch = ev.alias("e").join(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_event_id"))
+          .alias("c"),
+        expr("e.user_id = c.user_id AND e.ts >= c.cts AND e.ts < c.cts + interval 1 hour"))
+      .select(col("e.event_id"), col("c.click_event_id"))
+      .orderBy("event_id", "click_event_id").collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length,
+      s"${streamed.length} vs ${batch.length}")
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
 }
