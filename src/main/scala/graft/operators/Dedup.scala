@@ -315,7 +315,55 @@ object Dedup {
     neighborSummary(vecs, pairs)
   }
 
+  /** Connected components over a pair set by iterative min-label
+    * propagation (the Hash-to-Min idea specialized to min-id labels):
+    * every doc starts labeled with itself; each round joins labels across
+    * edges and keeps the minimum seen. Converges in O(component diameter)
+    * rounds — near-dup clusters are shallow (template families link
+    * through shared neighbors), so the loop is bounded and each round is
+    * one shuffle join + one aggregation. The driver-side loop only checks
+    * a CHANGE COUNT per round (a scalar), never collects data.
+    */
+  private[graft] def components(
+      docs: DataFrame, pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val edges = symmetrized(pairs, "neighbor")
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "neighbor"), "neighbor")
+        .select(col("doc_id"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+      // localCheckpoint: cut the lineage so round N's plan doesn't
+      // re-execute rounds 1..N-1 (and the convergence count reuses the
+      // materialized result instead of a second full pass)
+      val materialized = next.localCheckpoint()
+      val changed = materialized.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      converged = changed == 0
+      labels = materialized
+      round += 1
+    }
+    labels
+  }
+
+  /** The deduplicated corpus: one survivor (lowest doc_id) per
+    * MinHash-near-dup component, with the member count it absorbed.
+    * Composes the full ladder: LSH candidates → components → survivors.
+    */
+  def survivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    components(docs, candidatePairs(docs))
+      .groupBy(col("label").as("doc_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_dedup_survivors", survivors, None), // iterative: spec-checked
     Op("q_dedup_exact", exact,
       Some("""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies

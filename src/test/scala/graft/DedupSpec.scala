@@ -99,6 +99,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh.values.forall(_.size <= 10))
   }
 
+  test("components link transitive chains; survivors keep the min id") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // chain 0-1-2 (0-2 never paired directly), pair 3-4, isolated 5
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.components(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L), got)
+  }
+
+  test("survivors absorb the planted duplicate pairs") {
+    val got = Dedup.survivors(spark, planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 and 4 are identical → one survivor (3) with 2 members;
+    // 0/1 near-dup → survivor 0; 2 alone
+    assert(got(3L) == 2L && !got.contains(4L), got)
+    assert(got(0L) >= 2L && !got.contains(1L), got)
+    assert(got(2L) == 1L, got)
+  }
+
   test("IVF ANN recall beats the probe-fraction floor; deterministic") {
     val brute = Similarity.bruteForceTopK(spark, sf, k = 10, nQueries = 5).collect()
       .groupBy(_.getAs[Long]("query_id"))
