@@ -97,6 +97,22 @@ object TableSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Subscribe to a parquet table as a stream: every file that lands in
+    * the table after the checkpoint is processed exactly once
+    * (`jobs/S3ParquetStreamReader.scala:58-70` tails the parquet sink the
+    * same way). Explicit schema keeps the stream start O(1) instead of a
+    * full listing+infer.
+    */
+  def readStream(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .format("parquet")
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(path)
+
   /** Compact a partitioned parquet table in place: streaming ingest with
     * small triggers leaves one file per partition per micro-batch (the
     * small-file problem the reference's README wrestles with across its

@@ -50,6 +50,27 @@ class SinkSpec extends SparkSpec {
     assert(after <= dirs.length, "at most one file per (small) partition")
   }
 
+  test("table stream picks up newly landed files exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-tail").toFile.getAbsolutePath
+    val (tbl, ckpt, out) = (s"$base/t", s"$base/ckpt", s"$base/out")
+    val r = Tables.region(spark, sf)
+    r.write.parquet(tbl)
+    def drain(): Long = {
+      val q = TableSink.readStream(spark, tbl, r.schema)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    assert(drain() == r.count())
+    // second landing: only the new files flow through the same checkpoint
+    r.write.mode("append").parquet(tbl)
+    assert(drain() == 2 * r.count(), "exactly the newly landed rows must be appended")
+  }
+
   test("approx distinct is within 5% of exact") {
     val approx = graft.operators.Relational.approxDistinct(spark, sf)
       .collect()(0).getLong(0).toDouble
