@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large⋈large equi-joins on hot keys.
+  *
+  * AQE's skew-join splitting handles most cases at runtime; this explicit
+  * salted join is for the cases it can't reach (stream-static joins,
+  * AQE-off deployments, or when the skew is known up front): the skewed
+  * side spreads each key over `buckets` salt values, the other side
+  * replicates each row `buckets`× with one salt each, and the join keys on
+  * (key, salt) — a hot key's rows now land on `buckets` reducers instead
+  * of one. Result multiplicity is exactly that of the plain join: each
+  * skewed-side row matches precisely the one replica carrying its salt.
+  *
+  * Cost: `buckets`× blow-up of the replicated side's shuffle volume — use
+  * single-digit bucket counts and put the SMALLER side on `replicated`.
+  */
+object Skew {
+
+  def saltedJoin(
+      skewed: DataFrame, replicated: DataFrame,
+      key: String, buckets: Int = 8): DataFrame = {
+    require(buckets >= 1, "buckets >= 1")
+    // any per-row assignment works; unique ids spread a hot key uniformly
+    val l = skewed.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
+    val r = replicated.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -41,6 +41,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Register every table of a scale dir as a temp view so the whole
+    * engine is reachable from `spark.sql` (including graft's native
+    * functions once registered — see `GraftFunctions`).
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach { name =>
+      val df = name match {
+        case "events" => events(spark, dir)
+        case _ => table(spark, dir, name)
+      }
+      df.createOrReplaceTempView(name)
+    }
+
   /** Ensure a frame headed into CPU-heavy per-row compute (signatures,
     * hashes) uses every core: small local tables arrive as ONE parquet
     * split, which would serialize an interpreted-expression stage. At

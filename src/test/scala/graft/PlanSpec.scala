@@ -46,6 +46,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("bucketed fact tables join with ZERO shuffle (co-location)") {
+    val ss = spark
+    import org.apache.spark.sql.functions.col
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+      val j = ss.table("lineitem_b")
+        .join(ss.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val p = physical(j)
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      assert(!p.contains("Exchange"),
+        "bucketed-by-join-key tables must not shuffle:\n" + p.take(2000))
+      assert(j.count() > 0)
+    } finally {
+      ss.sql("DROP TABLE IF EXISTS orders_b")
+      ss.sql("DROP TABLE IF EXISTS lineitem_b")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    }
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    val ss2 = SparkSpec.spark
+    import ss2.implicits._
+    import org.apache.spark.sql.functions.col
+    // hot key 1 (2000 rows) + uniform tail
+    val skewed = ((1 to 2000).map(i => (1L, i.toLong)) ++
+      (1 to 500).map(i => ((i % 50).toLong, i.toLong))).toDF("k", "payload")
+    val dim = (0L to 49L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = skewed.join(dim, "k")
+      .orderBy("k", "payload").collect()
+    val salted = graft.operators.Skew.saltedJoin(skewed, dim, "k", buckets = 8)
+      .select("k", "payload", "name").orderBy("k", "payload").collect()
+    assert(salted.length == plain.length, s"${salted.length} vs ${plain.length}")
+    assert(salted.zip(plain).forall { case (a, b) => a == b })
+  }
+
+  test("registered views expose the engine through spark.sql") {
+    Tables.registerViews(spark, sf)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql("""
+      SELECT count(*) AS n,
+             max(graft_cosine(e.embedding, e.embedding)) AS self_cos
+      FROM embeddings e""").collect()(0)
+    assert(r.getLong(0) > 0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(spark.sql("SELECT count(*) FROM lineitem").collect()(0).getLong(0) > 0)
+  }
+
   test("document scans prune to the referenced columns") {
     val p = physical(graft.operators.TextOps.tokenCounts(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
