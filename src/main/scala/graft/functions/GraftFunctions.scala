@@ -26,7 +26,8 @@ object GraftFunctions {
     },
     "graft_cosine" -> { args => CosineSim(args(0), args(1)) },
     "graft_shingles" -> { args => ShingleHash(args.head) },
-    "graft_fingerprint" -> { args => RollingFingerprint(args.head) })
+    "graft_fingerprint" -> { args => RollingFingerprint(args.head) },
+    "graft_stopword_hits" -> { args => StopwordHits(args.head) })
 
   private[functions] def registrations = fns.map { case (name, builder) =>
     (new FunctionIdentifier(name),
@@ -59,6 +60,8 @@ object GraftFunctions {
     GraftShim.column(NearestCentroids(GraftShim.expression(v), kernel, nProbe))
   def fingerprint(text: Column): Column =
     GraftShim.column(RollingFingerprint(GraftShim.expression(text)))
+  def stopwordHits(text: Column): Column =
+    GraftShim.column(StopwordHits(GraftShim.expression(text)))
 }
 
 /** `spark.sql.extensions` entry point: injects the graft function family

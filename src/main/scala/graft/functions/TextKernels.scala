@@ -42,6 +42,39 @@ object TextKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** Per-language stopword lists for the language-ID heuristic (top
+    * function words; public-domain common knowledge). Order fixes the
+    * output struct field order: en, de, fr, es.
+    */
+  val StopwordLangs: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "un", "una", "por", "para"))
+
+  /** One pass over the lowercased whitespace tokens counting hits per
+    * language. Value-identical to four
+    * `size(filter(tokens, isin(words)))` columns, ~4× less token work
+    * and zero interpreted lambdas.
+    */
+  def stopwordHits(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val counts = new Array[Int](StopwordLangs.length)
+    // toLowerCase on the UTF8String for locale-independent case mapping
+    // (Java's String.toLowerCase is locale-sensitive — Turkish dotless i)
+    val toks = text.toLowerCase.toString.trim.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < StopwordLangs.length) {
+        if (StopwordLangs(l)._2.contains(toks(i))) counts(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      counts.map(c => c: Any))
+  }
+
   /** Polynomial rolling hash over code points:
     * acc = (acc·31 + codepoint) mod 1e9+7. Value-identical to the
     * declarative `aggregate(split(text, ''), 0, (acc,c) -> ...)` form.

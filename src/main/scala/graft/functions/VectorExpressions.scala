@@ -138,6 +138,36 @@ case class ShingleHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-pass stopword-hit counts per language, as a struct
+  * (s_en, s_de, s_fr, s_es) — see [[TextKernels.stopwordHits]].
+  */
+case class StopwordHits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(
+    TextKernels.StopwordLangs.map { case (lang, _) =>
+      StructField(s"s_$lang", IntegerType, nullable = false)
+    })
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+  override def prettyName: String = "graft_stopword_hits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.stopwordHits(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+        "graft.functions.TextKernels$")
+      s"${ev.value} = $kernel.stopwordHits($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
 /** Rolling polynomial fingerprint of a string (order-sensitive content
   * hash) — see [[TextKernels.rollingFingerprint]].
   */

@@ -59,6 +59,8 @@ object TextOps {
     val nChars = length(col("text"))
     val nToks = size(toks)
     val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    // case-SENSITIVE by contract (and by the DuckDB oracle) — the
+    // lowercasing stopwordHits kernel is not a drop-in here
     val nStop = stopHits(toks, Stopwords("en"))
     Tables.documents(spark, dir)
       .select(
@@ -77,13 +79,15 @@ object TextOps {
     * a scan-speed pass.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = wsTokens(lower(col("text")))
     val cjk = size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0)))
+    // one kernel pass for all four stopword counters (see TextKernels);
+    // the struct is referenced 4x so CollapseProject leaves it alone
     val scored = Tables.spread(Tables.documents(spark, dir))
-      .withColumn("s_en", stopHits(toks, Stopwords("en")))
-      .withColumn("s_de", stopHits(toks, Stopwords("de")))
-      .withColumn("s_fr", stopHits(toks, Stopwords("fr")))
-      .withColumn("s_es", stopHits(toks, Stopwords("es")))
+      .withColumn("sw", graft.functions.GraftFunctions.stopwordHits(col("text")))
+      .withColumn("s_en", col("sw.s_en"))
+      .withColumn("s_de", col("sw.s_de"))
+      .withColumn("s_fr", col("sw.s_fr"))
+      .withColumn("s_es", col("sw.s_es"))
       .withColumn("s_zh", cjk)
     val best = greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es"), col("s_zh"))
     scored

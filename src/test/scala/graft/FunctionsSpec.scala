@@ -72,6 +72,27 @@ class FunctionsSpec extends SparkSpec {
     assert(ab != ba)
   }
 
+  test("graft_stopword_hits matches the per-language declarative filters") {
+    val docs = Seq(
+      "The cat and THE dog in the house",
+      "der hund und die katze ist nicht da",
+      "no stopwords here whatsoever",
+      "").toDF("text")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    def declarative(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    val langs = graft.functions.TextKernels.StopwordLangs
+    val rows = docs.select(
+      GraftFunctions.stopwordHits(col("text")).as("sw") +:
+        langs.map { case (l, w) => declarative(w.toSeq).as(s"d_$l") }: _*).collect()
+    rows.foreach { r =>
+      val sw = r.getStruct(0)
+      langs.zipWithIndex.foreach { case ((l, _), i) =>
+        assert(sw.getInt(i) == r.getInt(i + 1), s"$l mismatch in $r")
+      }
+    }
+  }
+
   test("functions are callable from SQL (extensions registration)") {
     GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(
