@@ -9,12 +9,13 @@ import org.apache.spark.sql.SparkSession
   *    Catalyst prune the projections being measured (a map-only query
   *    collapses to a metadata count); noop materializes every output
   *    column.
-  *  - Each query runs twice; the reported time is the second (steady
-  *    state) run. The first run pays one-time driver costs — janino
-  *    compilation of the generated code, parquet footer reads, JIT — that
-  *    are a fixed few seconds per plan regardless of data volume, i.e.
-  *    noise at the scale this engine targets and 30-50% of wall-clock at
-  *    sf0.1. The cold total is also reported (`cold_sec`).
+  *  - Each query runs three times: one cold pass (janino compilation of
+  *    the generated code, parquet footer reads, JIT — fixed per-plan
+  *    driver costs, reported in aggregate as `cold_sec`) and two measured
+  *    passes of which the MINIMUM is reported. The host this runs on
+  *    shows 2-3× background-load swings between identical runs;
+  *    min-of-N is the standard estimator for the code's actual cost
+  *    under interference (cf. timeit).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,7 +38,9 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val cold = ordered.map { case (name, fn) => name -> once(name, fn) }
-    val warm = ordered.map { case (name, fn) => name -> once(name, fn) }
+    val warm = ordered.map { case (name, fn) =>
+      name -> math.min(once(name, fn), once(name, fn))
+    }
 
     val qs = warm.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
