@@ -81,6 +81,37 @@ class PropertySpec extends SparkSpec {
     Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "", "  "))
       .map(_.mkString(" "))
 
+  test("aggregate minhash signatures equal the per-row HOF formulation") {
+    forAllSeeded(Gen.listOfN(12, genDoc), n = 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .filter(_._2.trim.nonEmpty) // empty docs have no shingle rows either way
+        .toDF("doc_id", "text")
+      if (docs.count() > 0) {
+        val agg = Dedup.signatures(docs).collect()
+          .map(r => r.getLong(0) -> (1 to 64).map(i => r.getLong(i)).toList).toMap
+        val hof = docs.select(col("doc_id"),
+            Dedup.minhashSignature(Dedup.shingleHashes(col("text"))).as("sig"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+        assert(agg == hof, s"texts=$texts")
+      }
+    }
+  }
+
+  test("aggregate simhash signatures equal the per-row HOF formulation") {
+    forAllSeeded(Gen.listOfN(12, genDoc), n = 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val agg = Dedup.simhashSignatures(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hof = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // agg path drops docs whose token explode is empty; every doc it
+      // does emit must match the HOF value exactly
+      assert(agg.forall { case (id, sh) => hof(id) == sh }, s"texts=$texts")
+      assert(agg.nonEmpty || texts.forall(_.trim.isEmpty))
+    }
+  }
+
   test("shingle kernel equals a scala reimplementation on random strings") {
     forAllSeeded(Gen.listOfN(20, genDoc)) { texts =>
       val got = texts.toDF("text")
