@@ -57,6 +57,28 @@ object Relational {
     Tables.lineitem(spark, dir)
       .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_distinct_approx"))
 
+  /** Exact per-group percentiles (linear interpolation — same definition
+    * as DuckDB's quantile_cont, which is the oracle). The exact form
+    * shuffles every value; at 100 TB use [[approxQuantiles]].
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  /** Sketch-based quantiles (Greenwald-Khanna style, mergeable map-side):
+    * the constant-memory scale path; spec bounds rank error vs exact.
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"))
+      .orderBy(col("l_returnflag"))
+
   def havingFilter(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
@@ -179,9 +201,17 @@ object Relational {
       Some("SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey ORDER BY l_partkey")),
     Op("q_distinct", distinctCount,
       Some("SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct FROM lineitem")),
-    // sketch-based: engines' HLL implementations differ → spec-checked
-    // error bound instead of a hash oracle
+    // sketch-based: engines' HLL/GK implementations differ → spec-checked
+    // error bounds instead of hash oracles
     Op("q_distinct_approx", approxDistinct, None),
+    Op("q_quantile_approx", approxQuantiles, None),
+    Op("q_percentile", percentiles,
+      Some("""
+        SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.5) AS p50,
+          quantile_cont(l_extendedprice, 0.95) AS p95,
+          quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     Op("q_having", havingFilter,
       Some("SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40 ORDER BY l_partkey")),
     Op("q1_agg", pricingSummary,

@@ -71,6 +71,16 @@ class SinkSpec extends SparkSpec {
     assert(drain() == 2 * r.count(), "exactly the newly landed rows must be appended")
   }
 
+  test("approx quantile is within 1% of the exact percentile") {
+    val approx = graft.operators.Relational.approxQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.operators.Relational.percentiles(spark, sf).collect().foreach { r =>
+      val exact = r.getDouble(1) // p50
+      val a = approx(r.getString(0))
+      assert(math.abs(a - exact) / exact <= 0.01, s"${r.getString(0)}: $a vs $exact")
+    }
+  }
+
   test("approx distinct is within 5% of exact") {
     val approx = graft.operators.Relational.approxDistinct(spark, sf)
       .collect()(0).getLong(0).toDouble
