@@ -64,10 +64,15 @@ object Relational {
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
-        percentile(col("l_extendedprice"), lit(0.99)).as("p99"))
+      // ONE value buffer serving all three cut points — three separate
+      // percentile() aggs would each hold a full copy of the group
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99))).as("ps"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p95"),
+        element_at(col("ps"), 3).as("p99"))
       .orderBy(col("l_returnflag"))
 
   /** Sketch-based quantiles (Greenwald-Khanna style, mergeable map-side):
