@@ -41,6 +41,9 @@ class StreamingSpec extends SparkSpec {
     Files.write(Paths.get(s"$q/m2.json"),
       """{"timestamp": 222, "path": "/data/b.parquet"}""".getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(s"$q/junk.txt"), "nope".getBytes(StandardCharsets.UTF_8))
+    // malformed .json message: skipped, never crashes the poll loop
+    Files.write(Paths.get(s"$q/m3.json"),
+      """{"timestamp": "not-a-number"}""".getBytes(StandardCharsets.UTF_8))
     val client = new DirectoryQueueClient(q)
     val polled = client.poll()
     assert(polled.map(_.path) == Seq("/data/a.parquet", "/data/b.parquet"))
