@@ -65,7 +65,10 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", GraftFunctions.cosine(col("v"), col("qv")))
+      // project vectors away BEFORE the ranking shuffle: the window keys
+      // on (query_id, cos, vec_id) — 24B rows instead of 2×512B vectors
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine(col("v"), col("qv")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"))
@@ -102,9 +105,12 @@ object Similarity {
     cb.join(broadcast(qb),
         qb("band_id") === cb("band_id") && qb("bucket") === cb("bucket") &&
           col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("v"), col("qv"))
+      // score BEFORE the pair-dedup: cosine is deterministic per pair, so
+      // distinct on (query_id, vec_id, cos) is exact — and the dedup +
+      // ranking shuffles carry 24B rows, not two 512B vectors
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine(col("v"), col("qv")).as("cos"))
       .distinct() // a pair can share several bands
-      .withColumn("cos", GraftFunctions.cosine(col("v"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"))
@@ -141,7 +147,9 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     c.join(broadcast(q),
         q("list_id") === c("list_id") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", GraftFunctions.cosine(col("v"), col("qv")))
+      // vectors projected away before the ranking shuffle (see lshTopK)
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine(col("v"), col("qv")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"))
