@@ -299,19 +299,25 @@ object Dedup {
       xxhash64(lit(b), call_function("shiftright", col("sig"), lit(b * EmbedBandBits))
         .bitwiseAND(lit((1L << EmbedBandBits) - 1)))
     }
+    // SLIM band rows (doc_id, band_id, bucket — 24B) ride the cap window
+    // and the self-join; the 512B vectors attach only to the distinct
+    // candidate PAIRS afterwards — same candidates-then-payload shape as
+    // ngramJaccardPairs, and the band shuffles never carry vectors.
     val banded = capBuckets(
-      vecs.select(col("doc_id"), col("v"), posexplode(array(bucketCols: _*)))
+      vecs.select(col("doc_id"), posexplode(array(bucketCols: _*)))
         .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "bucket"),
       Seq("band_id", "bucket"))
-    val pairs = banded.alias("l").join(banded.alias("r"),
+    val candidates = banded.alias("l").join(banded.alias("r"),
         col("l.band_id") === col("r.band_id") &&
         col("l.bucket") === col("r.bucket") &&
         col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        graft.functions.GraftFunctions.cosine(col("l.v"), col("r.v")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+    val pairs = candidates
+      .join(vecs.select(col("doc_id").as("doc_a"), col("v").as("va")), "doc_a")
+      .join(vecs.select(col("doc_id").as("doc_b"), col("v").as("vb")), "doc_b")
+      .filter(graft.functions.GraftFunctions.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
     neighborSummary(vecs, pairs)
   }
 
