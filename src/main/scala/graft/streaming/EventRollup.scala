@@ -44,6 +44,25 @@ object EventRollup {
     rollup(Tables.events(spark, dir))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sliding-window variant: 1-hour windows every 30 minutes, so each
+    * event lands in exactly two windows. Streaming-incremental like the
+    * tumbling form (state = windows-in-horizon × types); the oracle
+    * explodes each event into its two window starts.
+    */
+  def slidingRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Money)).cast("double").as("sum_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  def slidingBatch(spark: SparkSession, dir: String): DataFrame =
+    slidingRollup(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
   val ops: Seq[Op] = Seq(
     Op("q_stream_window", batch,
       Some("""
@@ -51,6 +70,21 @@ object EventRollup {
                count(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type""")),
+    Op("q_stream_window_sliding", slidingBatch,
+      Some("""
+        SELECT window_start, event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM (
+          SELECT unnest([wf, wf - INTERVAL 30 MINUTE]) AS window_start,
+                 event_type, value
+          FROM (
+            SELECT date_trunc('hour', ts) + CASE WHEN EXTRACT(MINUTE FROM ts) >= 30
+                     THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS wf,
+                   event_type, value
+            FROM events))
         GROUP BY 1, 2
         ORDER BY window_start, event_type"""))
   )

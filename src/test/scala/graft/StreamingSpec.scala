@@ -164,6 +164,13 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sliding rollup places every event in exactly two windows") {
+    val total = Tables.events(spark, sf).count()
+    val windowed = EventRollup.slidingBatch(spark, sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(windowed == 2 * total, s"$windowed vs 2x$total")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = graft.streaming.StreamJoin.roundTrip(spark, sf).collect()
     val ev = Tables.events(spark, sf).select("user_id", "ts", "event_id", "event_type")
