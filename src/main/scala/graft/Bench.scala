@@ -1,4 +1,9 @@
 package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.GraftSparkShim
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: every registered query, timed end-to-end at the
@@ -16,8 +21,44 @@ import org.apache.spark.sql.SparkSession
   *    shows 2-3× background-load swings between identical runs;
   *    min-of-N is the standard estimator for the code's actual cost
   *    under interference (cf. timeit).
+  *  - A failing pass is reported as -1 (never its fast failure latency)
+  *    and the error lands in the `errors` map — a thrown plan must not
+  *    masquerade as a fast success.
+  *  - `details` carries per-query scheduler metrics from the pass that
+  *    achieved the min (jobs, tasks, summed executor run/GC time, shuffle
+  *    write, disk spill): wall-clock alone cannot distinguish "the query
+  *    does too much work" from "the host stalled the JVM", and the gap
+  *    (wall ≫ task_sec at low task counts) is the host-noise signature.
   */
 object Bench {
+
+  /** Accumulates scheduler-level metrics between `reset()` calls. */
+  private final class MetricsListener extends SparkListener {
+    val jobs = new AtomicLong
+    val tasks = new AtomicLong
+    val runMs = new AtomicLong
+    val gcMs = new AtomicLong
+    val shuffleWriteBytes = new AtomicLong
+    val spillBytes = new AtomicLong
+    override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val m = t.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillBytes.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit =
+      Seq(jobs, tasks, runMs, gcMs, shuffleWriteBytes, spillBytes).foreach(_.set(0))
+    def json: String =
+      s"""{"jobs":${jobs.get},"tasks":${tasks.get},""" +
+        s""""task_sec":${runMs.get / 1e3},"gc_sec":${gcMs.get / 1e3},""" +
+        s""""shuffle_mb":${shuffleWriteBytes.get / 1e6},"spill_mb":${spillBytes.get / 1e6}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
@@ -26,27 +67,48 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
 
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val errors = scala.collection.mutable.Map[String, String]()
+
+    // One timed pass; None on failure (recorded in `errors`, reported -1).
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Option[Double], String) = {
+      GraftSparkShim.waitListenerBusEmpty(spark.sparkContext)
+      listener.reset()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      GraftSparkShim.waitListenerBusEmpty(spark.sparkContext)
+      (if (ok) Some(sec) else None, listener.json)
     }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val cold = ordered.map { case (name, fn) => name -> once(name, fn) }
+    val cold = ordered.map { case (name, fn) => name -> once(name, fn)._1 }
     val warm = ordered.map { case (name, fn) =>
-      name -> math.min(once(name, fn), once(name, fn))
+      val (aSec, aDet) = once(name, fn)
+      val (bSec, bDet) = once(name, fn)
+      val best = (aSec.map(_ -> aDet).toSeq ++ bSec.map(_ -> bDet).toSeq)
+        .sortBy(_._1).headOption
+      name -> (best.map(_._1).getOrElse(-1.0), best.map(_._2).getOrElse("{}"))
     }
 
-    val qs = warm.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = warm.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_sec":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    def jsonMap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonMap(warm.map { case (k, (v, _)) => k -> v.toString })
+    val details = jsonMap(warm.map { case (k, (_, d)) => k -> d })
+    val errJson = jsonMap(errors.toSeq.sortBy(_._1).map { case (k, v) =>
+      k -> ("\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\"")
+    })
+    val total = warm.map(_._2._1).filter(_ >= 0).sum
+    val coldTotal = cold.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_sec":$coldTotal,"queries":$qs,"errors":$errJson,"details":$details,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -353,6 +353,14 @@ object Dedup {
       labels = materialized
       round += 1
     }
+    if (!converged) {
+      // Silent truncation here would split >maxRounds-diameter components
+      // into several survivors downstream — surface it loudly instead.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components: min-label propagation did NOT converge within $maxRounds rounds; " +
+          "labels for components with diameter > maxRounds are split. " +
+          "Raise maxRounds (rounds are cheap once the pair set is small).")
+    }
     labels
   }
 

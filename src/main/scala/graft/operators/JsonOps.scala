@@ -53,12 +53,22 @@ object JsonOps {
     * string column from a sample, `from_json` with that schema, flatten
     * every field (StringTransformJob's `select("*", "value.*")`).
     */
+  /** Inferred-schema cache: at any scale the schema is inferred ONCE from
+    * a bounded sample and then PINNED — re-running inference per query
+    * would re-scan the sample (extra jobs) and, worse, let the schema
+    * drift between runs of the same pipeline. Keyed by dataset dir.
+    */
+  private val inferredSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def parseJsonCol(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, dir)
-    val inferred = spark.read
-      .json(events.select("props").limit(1000).as[String])
-      .schema
+    val inferred = inferredSchemas.computeIfAbsent(dir, { _ =>
+      spark.read
+        .json(events.select("props").limit(1000).as[String])
+        .schema
+    })
     val parsed = events
       .withColumn("props_parsed", from_json(col("props"), inferred))
     inferred.fieldNames.sorted.foldLeft(parsed) { (df, f) =>

@@ -61,8 +61,11 @@ object Similarity {
     */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
     val c = corpus(spark, dir)
-    val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // Query side reads its own pruned scan (PushedFilters: vec_id < n) —
+    // building the broadcast from `c` would re-execute the corpus-wide
+    // spread shuffle just to keep 5 rows.
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       // project vectors away BEFORE the ranking shuffle: the window keys
@@ -96,8 +99,10 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
     val c = signedCorpus(Tables.spread(Tables.embeddings(spark, dir)))
+    // Query signatures from a pruned scan (see bruteForceTopK): 5 rows
+    // never justify re-running the corpus spread shuffle.
     val qb = bandedBuckets(
-      c.filter(col("vec_id") < nQueries)
+      signedCorpus(Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries))
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("sig")),
       "query_id", "qv")
     val cb = bandedBuckets(c, "vec_id", "v")
@@ -141,9 +146,11 @@ object Similarity {
 
     val c = emb.select(col("vec_id"), col("embedding").as("v"),
       element_at(lists(col("embedding"), 1), 1).as("list_id"))
-    val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        explode(lists(col("v"), nProbe)).as("list_id"))
+    // Probe lists from a pruned scan (see bruteForceTopK): the broadcast
+    // build must not re-run the corpus spread shuffle for 5 rows.
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(lists(col("embedding"), nProbe)).as("list_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     c.join(broadcast(q),
         q("list_id") === c("list_id") && col("vec_id") =!= col("query_id"))

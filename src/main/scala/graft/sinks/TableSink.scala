@@ -128,23 +128,38 @@ object TableSink {
   def compact(
       spark: SparkSession, path: String,
       partitionCols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    // Recover from a prior crash before touching anything: a leftover
+    // backup with no live table means the crash hit between the two
+    // renames — restore it; stale tmp/backup alongside a live table are
+    // abandoned rewrites — drop them so the renames below can't no-op.
+    if (fs.exists(bak) && !fs.exists(dst)) {
+      require(fs.rename(bak, dst), s"compact: failed to restore $bak -> $dst")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
+
     val df = read(spark, path)
     val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val rows = df.count()
     val avgRow = if (rows == 0) 1L else (totalBytes / rows).toLong.max(1L)
     val recordsPerFile = (targetFileBytes / avgRow).max(1L)
-    val tmp = path + ".compact-tmp"
     df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", recordsPerFile)
       .partitionBy(partitionCols: _*)
-      .parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
-    fs.rename(dst, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      .parquet(tmp.toString)
+    require(fs.rename(dst, bak), s"compact: failed to move $dst aside to $bak")
+    if (!fs.rename(tmp, dst)) {
+      // Put the original back so a failed swap never leaves no table.
+      fs.rename(bak, dst)
+      throw new java.io.IOException(s"compact: failed to swap $tmp into $dst")
+    }
+    require(fs.exists(dst), s"compact: $dst missing after swap")
     fs.delete(bak, true)
   }
 }

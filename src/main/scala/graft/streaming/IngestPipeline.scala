@@ -101,15 +101,26 @@ object IngestPipeline {
 
   private def startSink(
       out: DataFrame, sinkPath: String, checkpointPath: String,
-      partitionBy: Seq[String]): StreamingQuery =
+      partitionBy: Seq[String]): StreamingQuery = {
+    // Repartition on the hive partition columns before the sink: each
+    // output directory is then written by exactly one task (1 file per
+    // dir per micro-batch — the layout compact() targets), and the
+    // per-directory creates run in PARALLEL across tasks. Without this a
+    // single-split source writes all |dates×categories| directories
+    // sequentially from one task — on a slow-create filesystem that
+    // serial chain IS the pipeline's wall clock.
+    val shaped =
+      if (partitionBy.isEmpty) out
+      else out.repartition(partitionBy.map(col): _*)
     graft.sinks.TableSink.streamWriter(
-        out.writeStream,
+        shaped.writeStream,
         graft.sinks.TableSink.SinkConfig(
           format = "parquet", path = sinkPath, partitionBy = partitionBy,
           mode = "append"),
         checkpointPath)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Staged INPUT directories are cached per source dir — they are test
     * harness setup (a file stream reads landed-file DIRECTORIES, the
@@ -148,7 +159,9 @@ object IngestPipeline {
     */
   def ingestRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val work = Files.createTempDirectory("graft-ingest").toFile.getAbsolutePath
-    val q = start(spark, stagedEventsDir(dir), s"$work/sink", s"$work/ckpt")
+    val q = StreamTuning.withStatePartitions(spark) {
+      start(spark, stagedEventsDir(dir), s"$work/sink", s"$work/ckpt")
+    }
     q.awaitTermination()
     spark.read.parquet(s"$work/sink")
       .select(
@@ -178,8 +191,10 @@ object IngestPipeline {
       FileSourceConfig(csvEventSchema, format = "csv", options = Map("header" -> "true")))
     val enriched = Enrich.enrichFrame(
       raw.withColumn("ts", Enrich.parseEventTime(col("ts_str"))))
-    val q = startSink(enriched, s"$work/sink", s"$work/ckpt",
-      Seq("event_date", "event_type"))
+    val q = StreamTuning.withStatePartitions(spark) {
+      startSink(enriched, s"$work/sink", s"$work/ckpt",
+        Seq("event_date", "event_type"))
+    }
     q.awaitTermination()
     spark.read.parquet(s"$work/sink")
       .select(

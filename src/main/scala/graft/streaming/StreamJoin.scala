@@ -49,13 +49,18 @@ object StreamJoin {
     val clicks = IngestPipeline.transform(src())
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_event_id"))
-    val q = intervalJoin(events, clicks).writeStream
-      .format("parquet")
-      .option("checkpointLocation", s"$work/ckpt")
-      .option("path", s"$work/sink")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // Dual-side join state = 4 stores per partition, each paying a
+    // delta-file commit per micro-batch — see [[StreamTuning]] for why
+    // the state partition count is sized to horizon state, not cores.
+    val q = StreamTuning.withStatePartitions(spark) {
+      intervalJoin(events, clicks).writeStream
+        .format("parquet")
+        .option("checkpointLocation", s"$work/ckpt")
+        .option("path", s"$work/sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.read.parquet(s"$work/sink")
       .orderBy(col("event_id"), col("click_event_id"))

@@ -50,6 +50,31 @@ class SinkSpec extends SparkSpec {
     assert(after <= dirs.length, "at most one file per (small) partition")
   }
 
+  test("compact recovers from crash leftovers (stale tmp/backup, missing table)") {
+    val base = Files.createTempDirectory("graft-compact-crash").toFile.getAbsolutePath
+    val out = s"$base/t"
+    val ev = Tables.events(spark, sf).withColumn("event_date", col("ts").cast("date"))
+      .limit(1000)
+    ev.repartition(4).write.partitionBy("event_date").parquet(out)
+    val expected = spark.read.parquet(out).count()
+
+    // Crash scenario 1: abandoned rewrite left stale tmp + backup next to
+    // a live table — compact must drop both and still succeed.
+    spark.range(3).write.parquet(out + ".compact-tmp")
+    spark.range(3).write.parquet(out + ".compact-old")
+    TableSink.compact(spark, out, Seq("event_date"))
+    assert(spark.read.parquet(out).count() == expected)
+    assert(!new java.io.File(out + ".compact-tmp").exists())
+    assert(!new java.io.File(out + ".compact-old").exists())
+
+    // Crash scenario 2: died between the two renames (backup exists, no
+    // live table) — compact must restore the backup before rewriting.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(out), new org.apache.hadoop.fs.Path(out + ".compact-old")))
+    TableSink.compact(spark, out, Seq("event_date"))
+    assert(spark.read.parquet(out).count() == expected)
+  }
+
   test("table stream picks up newly landed files exactly once") {
     import org.apache.spark.sql.streaming.Trigger
     val base = Files.createTempDirectory("graft-tail").toFile.getAbsolutePath
