@@ -89,7 +89,11 @@ object Bench {
       (if (ok) Some(sec) else None, listener.json)
     }
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional args filter ("runMain graft.Bench q_sim_lsh q_stream_csv")
+    // for focused measurement loops; the driver invokes with no args.
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered =
+      if (args.isEmpty) ordered0 else ordered0.filter(q => args.contains(q._1))
     val cold = ordered.map { case (name, fn) => name -> once(name, fn)._1 }
     val warm = ordered.map { case (name, fn) =>
       val (aSec, aDet) = once(name, fn)

@@ -321,14 +321,19 @@ object Dedup {
     neighborSummary(vecs, pairs)
   }
 
-  /** Connected components over a pair set by iterative min-label
-    * propagation (the Hash-to-Min idea specialized to min-id labels):
-    * every doc starts labeled with itself; each round joins labels across
-    * edges and keeps the minimum seen. Converges in O(component diameter)
-    * rounds — near-dup clusters are shallow (template families link
-    * through shared neighbors), so the loop is bounded and each round is
-    * one shuffle join + one aggregation. The driver-side loop only checks
-    * a CHANGE COUNT per round (a scalar), never collects data.
+  /** Connected components over a pair set by min-label propagation WITH
+    * pointer doubling: every doc starts labeled with itself; each round
+    * takes the min over (its label, its neighbors' labels, and its
+    * LABEL'S label — the shortcut). The neighbor step alone advances one
+    * hop per round (O(diameter) rounds); the label(label(u)) shortcut
+    * halves every pointer chain each round, so convergence is
+    * O(log diameter) — the same doubling that drives large-star/
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014). A 1000-link chain of near-dups converges in
+    * ~10 rounds instead of 1000. Labels are always existing doc_ids
+    * (mins of seen labels), so the shortcut self-join is total. The
+    * driver-side loop only checks a CHANGE COUNT per round (a scalar),
+    * never collects data.
     */
   private[graft] def components(
       docs: DataFrame, pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
@@ -340,7 +345,11 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "neighbor"), "neighbor")
         .select(col("doc_id"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
+      // Pointer doubling: u's label jumps straight to label(label(u)).
+      val viaShortcut = labels.alias("a")
+        .join(labels.alias("b"), col("a.label") === col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.label").as("label"))
+      val next = labels.unionByName(viaNeighbors).unionByName(viaShortcut)
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
       // localCheckpoint: cut the lineage so round N's plan doesn't
@@ -354,12 +363,13 @@ object Dedup {
       round += 1
     }
     if (!converged) {
-      // Silent truncation here would split >maxRounds-diameter components
-      // into several survivors downstream — surface it loudly instead.
+      // Silent truncation here would split oversized components into
+      // several survivors downstream — surface it loudly instead. With
+      // pointer doubling this means diameter > ~2^maxRounds.
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"components: min-label propagation did NOT converge within $maxRounds rounds; " +
-          "labels for components with diameter > maxRounds are split. " +
-          "Raise maxRounds (rounds are cheap once the pair set is small).")
+        s"components: label propagation did NOT converge within $maxRounds rounds " +
+          s"(covers component diameter ~2^$maxRounds via pointer doubling); " +
+          "labels for larger components are split. Raise maxRounds.")
     }
     labels
   }

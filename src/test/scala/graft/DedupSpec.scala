@@ -108,6 +108,17 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L), got)
   }
 
+  test("components converge on a 60-link chain within 10 rounds (pointer doubling)") {
+    // One-hop-per-round propagation needs 60 rounds for this chain; the
+    // label(label(u)) shortcut must collapse it within the default 10.
+    val n = 60L
+    val docs = (0L to n).toDF("doc_id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.components(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n + 1 && got.values.forall(_ == 0L), got)
+  }
+
   test("survivors absorb the planted duplicate pairs") {
     val got = Dedup.survivors(spark, planted).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
