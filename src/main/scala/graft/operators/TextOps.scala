@@ -134,7 +134,33 @@ object TextOps {
           CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
             / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio
         FROM documents ORDER BY doc_id""")),
-    Op("q_text_langid", langId, None), // heuristic: rows-only + ScalaTest spec
+    // The heuristic is deterministic per-row arithmetic, so it IS
+    // SQL-expressible: same stopword lists, same CJK char count, same
+    // tie-break order (und; then alphabetical among winners; zh last).
+    Op("q_text_langid", langId,
+      Some("""
+        WITH counts AS (
+          SELECT doc_id,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> t IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS s_fr,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> t IN ('el','la','los','las','y','es','un','una','por','para'))) AS s_es,
+            len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN best = 0 THEN 'und'
+               WHEN s_de = best THEN 'de'
+               WHEN s_en = best THEN 'en'
+               WHEN s_es = best THEN 'es'
+               WHEN s_fr = best THEN 'fr'
+               ELSE 'zh' END AS lang_pred,
+          CAST(best AS BIGINT) AS lang_score
+        FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best FROM counts)
+        ORDER BY doc_id""")),
     Op("q_text_fingerprint", fingerprint,
       Some("""
         SELECT doc_id,
