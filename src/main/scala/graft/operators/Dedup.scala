@@ -337,29 +337,38 @@ object Dedup {
     */
   private[graft] def components(
       docs: DataFrame, pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
-    val edges = symmetrized(pairs, "neighbor")
+    // Materialize the edge set ONCE: each round's join is a separate
+    // action, and without this every round would re-execute the whole
+    // upstream candidate pipeline (LSH signatures, banding, self-join)
+    // just to re-derive the same edges.
+    val edges = symmetrized(pairs, "neighbor").localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "neighbor"), "neighbor")
-        .select(col("doc_id"), col("label"))
+        .select(col("doc_id"), col("label"), lit(Long.MaxValue).as("prev"))
       // Pointer doubling: u's label jumps straight to label(label(u)).
       val viaShortcut = labels.alias("a")
         .join(labels.alias("b"), col("a.label") === col("b.doc_id"))
-        .select(col("a.doc_id"), col("b.label").as("label"))
-      val next = labels.unionByName(viaNeighbors).unionByName(viaShortcut)
+        .select(col("a.doc_id"), col("b.label").as("label"), lit(Long.MaxValue).as("prev"))
+      // The labels relation has exactly one row per doc (groupBy
+      // invariant), so min(prev) recovers each doc's previous label and
+      // the convergence check below is a scan of the materialized
+      // result — no join against the old generation.
+      val next = labels.withColumn("prev", col("label"))
+        .unionByName(viaNeighbors).unionByName(viaShortcut)
         .groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label"))
+        .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
       // localCheckpoint: cut the lineage so round N's plan doesn't
       // re-execute rounds 1..N-1 (and the convergence count reuses the
       // materialized result instead of a second full pass)
       val materialized = next.localCheckpoint()
-      val changed = materialized.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val changed = materialized
+        .filter(col("label") =!= col("prev")).limit(1).count()
       converged = changed == 0
-      labels = materialized
+      labels = materialized.select(col("doc_id"), col("label"))
       round += 1
     }
     if (!converged) {

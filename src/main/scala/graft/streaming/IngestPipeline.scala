@@ -160,7 +160,8 @@ object IngestPipeline {
   def ingestRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val work = Files.createTempDirectory("graft-ingest").toFile.getAbsolutePath
     val q = StreamTuning.withStatePartitions(spark) {
-      start(spark, stagedEventsDir(dir), s"$work/sink", s"$work/ckpt")
+      start(spark, stagedEventsDir(dir), s"$work/sink",
+        StreamTuning.scratchDir("graft-ingest-ckpt"))
     }
     q.awaitTermination()
     spark.read.parquet(s"$work/sink")
@@ -192,7 +193,8 @@ object IngestPipeline {
     val enriched = Enrich.enrichFrame(
       raw.withColumn("ts", Enrich.parseEventTime(col("ts_str"))))
     val q = StreamTuning.withStatePartitions(spark) {
-      startSink(enriched, s"$work/sink", s"$work/ckpt",
+      startSink(enriched, s"$work/sink",
+        StreamTuning.scratchDir("graft-csv-ckpt"),
         Seq("event_date", "event_type"))
     }
     q.awaitTermination()

