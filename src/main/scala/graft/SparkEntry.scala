@@ -18,6 +18,7 @@ object SparkEntry {
       graft.operators.Multimodal.ops ++
       graft.operators.Enrich.ops ++
       graft.operators.JsonOps.ops ++
+      graft.sinks.TableSink.ops ++
       graft.streaming.IngestPipeline.ops ++
       graft.streaming.StreamJoin.ops ++
       graft.streaming.EventRollup.ops ++
