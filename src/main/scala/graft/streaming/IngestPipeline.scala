@@ -205,7 +205,57 @@ object IngestPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** The exactly-once guard, driver-checked: the SAME events file landed
+    * TWICE (the duplicate-delivery scenario behind the reference's Hudi
+    * dup repro, README.md:115-122), streamed through the watermarked
+    * dropDuplicates on the deterministic ingest_id. Output must equal ONE
+    * copy — the oracle is the plain events table. The watermark spans the
+    * data's full horizon so the guarantee holds however the files split
+    * across micro-batches.
+    */
+  private[streaming] def stagedDupEventsDir(dir: String): String =
+    stagedInputs.computeIfAbsent("dup:" + dir, { _ =>
+      val work = Files.createTempDirectory("graft-dup-in").toFile.getAbsolutePath
+      Seq("a", "b").foreach { tag =>
+        Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(s"$work/events_$tag.parquet"))
+      }
+      work
+    })
+
+  def dedupRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft-dedup-ingest").toFile.getAbsolutePath
+    // ~5 MB of ingest_id state at sf0.1 → the state-volume sizing rule
+    // (see StreamJoin) puts the dedup store at the partition floor.
+    val q = StreamTuning.withStatePartitions(spark, 4) {
+      val enriched = transform(source(spark, stagedDupEventsDir(dir)))
+      startSink(withDedup(enriched, watermarkDelay = "768 hours"),
+        s"$work/sink", StreamTuning.scratchDir("graft-dedup-ckpt"), Seq("event_date"))
+    }
+    q.awaitTermination()
+    spark.read.parquet(s"$work/sink")
+      .select(
+        col("event_id"), col("event_date"), col("event_hour"),
+        col("ingest_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_stream_dedup", dedupRoundTrip,
+      Some("""
+        SELECT event_id,
+          CAST(ts AS DATE) AS event_date,
+          CAST(EXTRACT(HOUR FROM ts) AS INT) AS event_hour,
+          concat_ws('-',
+            substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+            substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS ingest_id,
+          event_type, value
+        FROM events
+        ORDER BY event_id""")),
     Op("q_stream_csv", csvIngestRoundTrip,
       Some("""
         SELECT event_id,
