@@ -218,6 +218,42 @@ object TableSink {
     } finally spark.conf.set(overwriteKey, prev)
   }
 
+  /** Incremental small-file compaction: rewrite ONLY the partitions whose
+    * data-file count exceeds `maxFilesPerPartition`, leaving healthy
+    * partitions byte-identical. At 100 TB fragmentation concentrates in
+    * the recently-ingested partitions (one file per partition per
+    * micro-batch), so the full-table [[compact]] is the wrong tool there
+    * — this variant lists file counts per partition directory (a driver
+    * listing, no data read), reads back just the fragmented directories
+    * (`basePath` keeps the partition columns), and swaps them in with
+    * dynamic partition overwrite. Returns the rewritten partition dirs.
+    */
+  def compactPartitions(
+      spark: SparkSession, path: String, partitionCols: Seq[String],
+      maxFilesPerPartition: Int = 4,
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    val table = read(spark, path)
+    val byDir = table.inputFiles.toSeq
+      .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    val fragmented = byDir.filter(_._2.size > maxFilesPerPartition).keys.toSeq.sorted
+    if (fragmented.isEmpty) return Nil
+    val df = spark.read.option("basePath", path).parquet(fragmented: _*)
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rows = df.count()
+    val avgRow = if (rows == 0) 1L else (totalBytes / rows).toLong.max(1L)
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(overwriteKey)
+    spark.conf.set(overwriteKey, "dynamic")
+    try {
+      df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", (targetFileBytes / avgRow).max(1L))
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    } finally spark.conf.set(overwriteKey, prev)
+    fragmented
+  }
+
   /** Compact a partitioned parquet table in place: streaming ingest with
     * small triggers leaves one file per partition per micro-batch (the
     * small-file problem the reference's README wrestles with across its

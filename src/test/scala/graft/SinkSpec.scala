@@ -53,6 +53,28 @@ class SinkSpec extends SparkSpec {
     assert(after <= dirs.length, "at most one file per (small) partition")
   }
 
+  test("incremental compaction rewrites only fragmented partitions") {
+    val out = Files.createTempDirectory("graft-compact-inc").toFile.getAbsolutePath + "/t"
+    // partition a: 8 tiny files (fragmented); partition b: 1 file (healthy)
+    Seq.tabulate(40)(i => (i.toLong, "a")).toDF("k", "p")
+      .repartition(8).write.partitionBy("p").parquet(out)
+    Seq.tabulate(5)(i => (100L + i, "b")).toDF("k", "p")
+      .coalesce(1).write.mode("append").partitionBy("p").parquet(out)
+    def files(part: String) =
+      new java.io.File(s"$out/p=$part").listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val bBefore = files("b")
+    assert(files("a").size == 8)
+
+    val done = TableSink.compactPartitions(spark, out, Seq("p"), maxFilesPerPartition = 4)
+    assert(done.size == 1 && done.head.endsWith("p=a"), done)
+    assert(files("a").size < 8, files("a"))
+    assert(files("b") == bBefore, "healthy partition must keep its files")
+    val back = TableSink.read(spark, out).select("k").collect().map(_.getLong(0)).toSet
+    assert(back == (Seq.tabulate(40)(_.toLong) ++ Seq.tabulate(5)(100L + _)).toSet)
+    // second run: nothing left to do
+    assert(TableSink.compactPartitions(spark, out, Seq("p"), maxFilesPerPartition = 4).isEmpty)
+  }
+
   test("compact recovers from crash leftovers (stale tmp/backup, missing table)") {
     val base = Files.createTempDirectory("graft-compact-crash").toFile.getAbsolutePath
     val out = s"$base/t"

@@ -102,6 +102,48 @@ class StreamingSpec extends SparkSpec {
     assert(sunk.select("event_id").distinct().count() == events.count())
   }
 
+  test("graft-queue source under burst load: bounded batches, measured throughput") {
+    val work = tmp("graft-queue-load")
+    val events = Tables.events(spark, sf)
+      .withColumn("ts", unix_micros(col("ts")))
+    events.repartition(12).write.parquet(s"$work/data")
+    val files = Files.list(Paths.get(s"$work/data")).iterator().asScala.toSeq
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+    assert(files.size == 12)
+    Files.createDirectories(Paths.get(s"$work/q"))
+    files.zipWithIndex.foreach { case (f, i) =>
+      Files.write(Paths.get(s"$work/q/m$i.json"),
+        s"""{"path": "$f", "timestamp": ${100 + i}}""".getBytes(StandardCharsets.UTF_8))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      IngestPipeline.rawEventSchema.filterNot(_.name == "ts") :+
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType))
+    val t0 = System.nanoTime()
+    val q = spark.readStream
+      .format("graft-queue")
+      .schema(schema)
+      .option("queue.dir", s"$work/q")
+      .option("fileFormat", "parquet")
+      .option("maxFilesPerTrigger", "4")
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/sink")
+      .start()
+    q.processAllAvailable()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val n = events.count()
+    assert(spark.read.parquet(s"$work/sink").count() == n,
+      "burst must ingest every notified file exactly once")
+    // 12 files at maxFilesPerTrigger=4 → at least 3 data batches
+    assert(dataBatches >= 3, s"expected bounded batches, got $dataBatches")
+    info(f"queue burst: $n rows / 12 files in $sec%.1f s " +
+      f"(${n / sec}%.0f rows/s, $dataBatches data batches)")
+  }
+
   test("streaming dedup guard drops duplicate ingest_ids") {
     val work = tmp("graft-dedup")
     val ev = Tables.events(spark, sf)
