@@ -19,6 +19,7 @@ object SparkEntry {
       graft.operators.Enrich.ops ++
       graft.operators.JsonOps.ops ++
       graft.sinks.TableSink.ops ++
+      graft.sinks.VersionedTable.ops ++
       graft.streaming.IngestPipeline.ops ++
       graft.streaming.StreamJoin.ops ++
       graft.streaming.EventRollup.ops ++
