@@ -107,6 +107,88 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("changes() yields keyed row-level insert/update/delete between versions") {
+    val t = table()
+    VersionedTable.write(spark, t,
+      df((1L, "a", 1L), (2L, "a", 1L), (3L, "b", 1L)), Seq("p"))
+    // v2: update k=1, insert k=4 (partition a); partition b untouched
+    VersionedTable.upsert(spark, t, df((1L, "a", 2L), (4L, "a", 1L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    // v3: delete k=2
+    VersionedTable.delete(spark, t, col("k") === 2L, Seq("p"))
+
+    val cdf12 = VersionedTable.changes(spark, t, 1, 2, key = "k", partitionCols = Seq("p"))
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(cdf12 == Set((1L, "update"), (4L, "insert")),
+      s"rewrite copies of unchanged rows must be dropped: $cdf12")
+
+    val cdf23 = VersionedTable.changes(spark, t, 2, 3, key = "k", partitionCols = Seq("p"))
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(cdf23 == Set((2L, "delete")))
+
+    val cdf13 = VersionedTable.changes(spark, t, 1, 3, key = "k", partitionCols = Seq("p"))
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(cdf13 == Set((1L, "update"), (4L, "insert"), (2L, "delete")))
+
+    // no-change window → empty frame with the _change_type column
+    val none = VersionedTable.changes(spark, t, 3, 3, key = "k")
+    assert(none.count() == 0 && none.columns.contains("_change_type"))
+  }
+
+  test("delete rewrites only hit partitions; delete-to-empty partition stages no file") {
+    val t = table()
+    VersionedTable.write(spark, t,
+      df((1L, "a", 1L), (2L, "a", 1L), (3L, "b", 1L)), Seq("p"))
+    val before = VersionedTable.read(spark, t).inputFiles.toSet
+    VersionedTable.delete(spark, t, col("k") === 1L, Seq("p"))
+    val after = VersionedTable.read(spark, t)
+    assert(after.select("k").as[Long].collect().toSet == Set(2L, 3L))
+    assert(before.filter(_.contains("p=b/")).subsetOf(after.inputFiles.toSet),
+      "partition b had no matches — its files must be untouched")
+    // empty the whole of partition b: its dir contributes no live file
+    VersionedTable.delete(spark, t, col("p") === "b", Seq("p"))
+    assert(VersionedTable.read(spark, t).select("k").as[Long].collect().toSet == Set(2L))
+    // predicate matching nothing is a no-op version-wise
+    val v = VersionedTable.latestVersion(spark, t)
+    assert(VersionedTable.delete(spark, t, col("k") === 99L, Seq("p")) == v)
+  }
+
+  test("streamWriter commits one txn per micro-batch; replayed batch is a no-op") {
+    val t = table()
+    val src = Files.createTempDirectory("graft-vt-src").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-vt-ckpt").toFile.getAbsolutePath
+    df((1L, "a", 1L), (2L, "b", 1L)).coalesce(1).write.parquet(s"$src/f1")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("k LONG, p STRING, v LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*")
+      val q = VersionedTable.streamWriter(stream, t, key = "k",
+        precombine = "v", partitionCols = Seq("p"), checkpoint = ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(VersionedTable.read(spark, t).select("k").as[Long].collect().toSet == Set(1L, 2L))
+    val v1 = VersionedTable.latestVersion(spark, t)
+
+    // land a second file with an update + an insert; restart from the
+    // same checkpoint — only the NEW batch may commit
+    df((1L, "a", 2L), (3L, "a", 1L)).coalesce(1).write.parquet(s"$src/f2")
+    runOnce()
+    val got = VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 1L), (3L, 1L)))
+    assert(VersionedTable.latestVersion(spark, t) == v1 + 1, "exactly one new commit")
+
+    // simulate a foreachBatch replay of an already-committed batchId
+    val vNow = VersionedTable.latestVersion(spark, t)
+    val replayed = VersionedTable.upsert(spark, t, df((9L, "a", 9L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"),
+      txn = Some(("graft-stream", 1L)))
+    assert(replayed <= vNow, "replayed txn must not produce a new version")
+    assert(!VersionedTable.read(spark, t).select("k").as[Long].collect().contains(9L))
+  }
+
   test("q_time_travel round trip sees the pre-upsert snapshot") {
     val out = VersionedTable.timeTravelRoundTrip(spark, sf)
     val base = graft.sources.Tables.orders(spark, sf)
