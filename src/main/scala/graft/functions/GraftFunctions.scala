@@ -35,39 +35,59 @@ object GraftFunctions {
       builder)
   }
 
-  /** SQL table function `graft_near_dup('<scale-dir>', threshold)`:
-    * near-dup pairs of the dir's `documents` table as a relation —
-    * `SELECT * FROM graft_near_dup('/data/sf1', 0.5)`. Declares a
-    * [[graft.plans.NearDupJoin]] node; the injected resolution rule
-    * expands it into the LSH pipeline.
+  private def str(fn: String, e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a string literal, got $other")
+  }
+  private def dbl(fn: String, e: Expression): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a numeric literal, got $other")
+  }
+  private def lng(fn: String, e: Expression): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal, got $other")
+  }
+
+  /** SQL table functions:
+    *  - `graft_near_dup('<scale-dir>', threshold)` — near-dup pairs of
+    *    the dir's `documents` table as a relation; declares a
+    *    [[graft.plans.NearDupJoin]] node which the injected resolution
+    *    rule expands into the LSH pipeline.
+    *  - `graft_snapshot('<table-path>'[, version])` — a
+    *    [[graft.sinks.VersionedTable]] snapshot as a relation: latest by
+    *    default, or time travel AS OF the given version —
+    *    `SELECT * FROM graft_snapshot('/tables/orders', 3)`.
     */
-  private[functions] def tableFunction
-      : (FunctionIdentifier, ExpressionInfo,
-         Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
-    def str(e: Expression): String = e match {
-      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
-      case other => throw new IllegalArgumentException(
-        s"graft_near_dup(dir, threshold): dir must be a string literal, got $other")
-    }
-    def dbl(e: Expression): Double = e match {
-      case Literal(v: Double, _) => v
-      case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
-      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
-      case Literal(v: Int, _) => v.toDouble
-      case other => throw new IllegalArgumentException(
-        s"graft_near_dup(dir, threshold): threshold must be a numeric literal, got $other")
-    }
+  private[functions] def tableFunctions
+      : Seq[(FunctionIdentifier, ExpressionInfo,
+         Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     (new FunctionIdentifier("graft_near_dup"),
       new ExpressionInfo("graft.plans.NearDupJoin", "graft_near_dup"),
       { args =>
-        val dir = str(args.head)
-        val threshold = if (args.length > 1) dbl(args(1)) else 0.5
+        val dir = str("graft_near_dup(dir, threshold)", args.head)
+        val threshold =
+          if (args.length > 1) dbl("graft_near_dup(dir, threshold)", args(1)) else 0.5
         val docs = SparkSession.active.read
           .parquet(graft.sources.Tables.path(dir, "documents"))
         graft.plans.NearDupJoin(
           GraftShim.analyzed(docs), "doc_id", "text", threshold)
-      })
-  }
+      }),
+    (new FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo("graft.sinks.VersionedTable", "graft_snapshot"),
+      { args =>
+        val path = str("graft_snapshot(path, version)", args.head)
+        val version =
+          if (args.length > 1) Some(lng("graft_snapshot(path, version)", args(1))) else None
+        GraftShim.analyzed(
+          graft.sinks.VersionedTable.read(SparkSession.active, path, asOfVersion = version))
+      }))
 
   /** Register into an existing session's function registry (idempotent).
     * `sessionState` lives on the classic session only — fine for this
@@ -81,9 +101,10 @@ object GraftFunctions {
         registry.registerFunction(ident, info, builder)
       }
     }
-    val (tfIdent, tfInfo, tfBuilder) = tableFunction
-    if (!state.tableFunctionRegistry.functionExists(tfIdent)) {
-      state.tableFunctionRegistry.registerFunction(tfIdent, tfInfo, tfBuilder)
+    tableFunctions.foreach { case (tfIdent, tfInfo, tfBuilder) =>
+      if (!state.tableFunctionRegistry.functionExists(tfIdent)) {
+        state.tableFunctionRegistry.registerFunction(tfIdent, tfInfo, tfBuilder)
+      }
     }
   }
 
@@ -109,7 +130,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach(ext.injectFunction)
-    ext.injectTableFunction(GraftFunctions.tableFunction)
+    GraftFunctions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectResolutionRule(graft.plans.ResolveNearDupJoin(_))
   }
 }

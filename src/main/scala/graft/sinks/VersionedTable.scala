@@ -46,7 +46,12 @@ object VersionedTable {
     * the pre-upsert table byte-for-byte, so the oracle is the plain
     * base projection.
     */
-  def timeTravelRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+  /** v1 = base orders load, v2 = the same deterministic upsert as
+    * [[TableSink.ops]]' `q_upsert` (every 100th key updated, every
+    * (100k+50)th re-inserted negated). Shared by the time-travel and CDF
+    * driver checks.
+    */
+  private def versionedOrders(spark: SparkSession, dir: String): String = {
     val path = java.nio.file.Files.createTempDirectory("graft-vt")
       .toFile.getAbsolutePath + "/orders_vt"
     val orders = graft.sources.Tables.orders(spark, dir)
@@ -61,16 +66,41 @@ object VersionedTable {
       .withColumn("version", lit(2L))
     upsert(spark, path, changed.unionByName(inserted),
       key = "o_orderkey", precombine = "version", partitionCols = Seq("o_orderstatus"))
-    read(spark, path, asOfVersion = Some(1L))
+    path
+  }
+
+  def timeTravelRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    read(spark, versionedOrders(spark, dir), asOfVersion = Some(1L))
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("version"))
       .orderBy(col("o_orderkey"))
-  }
+
+  /** Driver-checkable CDF: the row-level diff v1→v2 must be EXACTLY the
+    * update set (post-images) plus the inserts — every rewrite copy of an
+    * unchanged row dropped. Oracle reconstructs the same set in SQL.
+    */
+  def cdfRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    changes(spark, versionedOrders(spark, dir), 1L, 2L,
+      key = "o_orderkey", partitionCols = Seq("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("version"), col("_change_type"))
+      .orderBy(col("o_orderkey"))
 
   val ops: Seq[graft.Op] = Seq(
     graft.Op("q_time_travel", timeTravelRoundTrip,
       Some("""
         SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
-        FROM orders ORDER BY o_orderkey""")))
+        FROM orders ORDER BY o_orderkey""")),
+    graft.Op("q_cdf", cdfRoundTrip,
+      Some("""
+        SELECT * FROM (
+          SELECT o_orderkey, o_orderstatus, o_totalprice + 100000 AS o_totalprice,
+                 2 AS version, 'update' AS _change_type
+          FROM orders WHERE o_orderkey % 100 = 0
+          UNION ALL
+          SELECT -o_orderkey, o_orderstatus, o_totalprice,
+                 2 AS version, 'insert' AS _change_type
+          FROM orders WHERE o_orderkey % 100 = 50)
+        ORDER BY o_orderkey""")))
 
   private val LogDir = "_graft_log"
   private val StageDir = "_graft_stage"

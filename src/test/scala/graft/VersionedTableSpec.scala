@@ -189,6 +189,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(!VersionedTable.read(spark, t).select("k").as[Long].collect().contains(9L))
   }
 
+  test("graft_snapshot SQL table function reads latest and AS OF versions") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    VersionedTable.write(spark, t, df((2L, "a", 2L)), Seq("p"), mode = "append")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    assert(spark.sql(s"SELECT k FROM graft_snapshot('$t')")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.sql(s"SELECT k FROM graft_snapshot('$t', 1)")
+      .as[Long].collect().toSet == Set(1L))
+    assert(spark.sql(
+      s"SELECT p, count(*) AS n FROM graft_snapshot('$t') GROUP BY p")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 2L)))
+  }
+
+  test("q_cdf round trip equals the reconstructed change set") {
+    val out = VersionedTable.cdfRoundTrip(spark, sf).cache()
+    val types = out.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(types.keySet == Set("update", "insert"), types)
+    val base = graft.sources.Tables.orders(spark, sf)
+    assert(types("update") == base.filter(col("o_orderkey") % 100 === 0).count())
+    assert(types("insert") == base.filter(col("o_orderkey") % 100 === 50).count())
+    out.unpersist()
+  }
+
   test("q_time_travel round trip sees the pre-upsert snapshot") {
     val out = VersionedTable.timeTravelRoundTrip(spark, sf)
     val base = graft.sources.Tables.orders(spark, sf)
