@@ -109,7 +109,8 @@ object VersionedTable {
       version: Long, tsMs: Long, op: String,
       adds: Seq[String], removes: Seq[String],
       checkpoint: Option[Seq[String]],
-      txn: Option[Txn] = None)
+      txn: Option[Txn] = None,
+      schemaJson: Option[String] = None)
 
   /** Idempotence token for streaming writers: (appId, batchId). A commit
     * carrying a txn the log has already recorded is a replay — skipped.
@@ -199,9 +200,40 @@ object VersionedTable {
   def read(spark: SparkSession, path: String,
       asOfVersion: Option[Long] = None, asOfTimestampMs: Option[Long] = None): DataFrame = {
     val fs = fsFor(spark, path)
-    val (_, files) = snapshot(fs, path, asOfVersion, asOfTimestampMs)
+    val (upTo, files) = snapshot(fs, path, asOfVersion, asOfTimestampMs)
     require(files.nonEmpty, s"snapshot of $path is empty")
-    spark.read.option("basePath", path).parquet(files.map(f => s"$path/$f"): _*)
+    // The snapshot's schema comes from the LOG, not from file footers:
+    // no footer reads at planning time, old snapshots keep the schema
+    // they were written with, and files predating an added column
+    // surface it as null (parquet by-name resolution).
+    val reader = snapshotSchema(upTo) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read
+    }
+    reader.option("basePath", path).parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  private def snapshotSchema(upTo: Seq[Commit]): Option[org.apache.spark.sql.types.StructType] =
+    upTo.reverse.collectFirst { case c if c.schemaJson.isDefined =>
+      org.apache.spark.sql.types.DataType.fromJson(c.schemaJson.get)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** Additive schema merge: `prev`'s fields in order, then `next`'s new
+    * fields. A field present in both must keep its type — type CHANGES
+    * are rejected (rewrites, not evolution).
+    */
+  private def mergeSchemas(prev: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val prevByName = prev.fields.map(f => f.name -> f).toMap
+    next.fields.foreach { f =>
+      prevByName.get(f.name).foreach { p =>
+        require(p.dataType == f.dataType,
+          s"schema evolution cannot change column '${f.name}' from ${p.dataType} to ${f.dataType}")
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      prev.fields ++ next.fields.filterNot(f => prevByName.contains(f.name)))
   }
 
   /** Commit history: (version, ts_ms, op, n_added, n_removed). */
@@ -253,14 +285,16 @@ object VersionedTable {
   val checkpointEvery = 10
 
   private def nextCommit(fs: FileSystem, path: String, op: String,
-      adds: Seq[String], removes: Seq[String], txn: Option[Txn] = None): Commit = {
+      adds: Seq[String], removes: Seq[String], txn: Option[Txn] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Commit = {
     val all = commits(fs, path)
     val version = (if (all.isEmpty) 0L else all.last.version) + 1L
     val ckpt = if (version % checkpointEvery == 0) {
       val prevLive = liveFiles(all)
       Some((prevLive.filterNot(removes.contains) ++ adds).distinct)
     } else None
-    Commit(version, System.currentTimeMillis(), op, adds, removes, ckpt, txn)
+    Commit(version, System.currentTimeMillis(), op, adds, removes, ckpt, txn,
+      schema.map(_.json))
   }
 
   /** Batch write: `overwrite` logically removes the previous snapshot
@@ -271,12 +305,19 @@ object VersionedTable {
       partitionCols: Seq[String], mode: String = "overwrite"): Long = {
     require(mode == "overwrite" || mode == "append", s"unsupported mode: $mode")
     val fs = fsFor(spark, path)
+    val exists = fs.exists(new Path(s"$path/$LogDir"))
+    // Overwrite REPLACES the schema; append EVOLVES it additively (new
+    // columns allowed, type changes rejected).
+    val schema =
+      if (mode == "append" && exists)
+        snapshotSchema(commits(fs, path)).map(mergeSchemas(_, df.schema))
+          .getOrElse(df.schema)
+      else df.schema
     val adds = stage(spark, path, df, partitionCols)
     val removes =
-      if (mode == "overwrite" && fs.exists(new Path(s"$path/$LogDir")))
-        snapshot(fs, path, None, None)._2
+      if (mode == "overwrite" && exists) snapshot(fs, path, None, None)._2
       else Nil
-    val c = nextCommit(fs, path, mode, adds, removes)
+    val c = nextCommit(fs, path, mode, adds, removes, schema = Some(schema))
     publish(fs, path, c)
     c.version
   }
@@ -315,20 +356,26 @@ object VersionedTable {
     require(parts.nonEmpty, "upsert: empty update set")
     val affectedDirs = partitionDirs(parts, partitionCols)
     val affected = live.filter(f => affectedDirs.exists(d => f.startsWith(d + "/")))
+    val prevSchema = snapshotSchema(all)
     val base =
       if (affected.isEmpty) updates.filter(lit(false))
-      else spark.read.option("basePath", path)
-        .parquet(affected.map(f => s"$path/$f"): _*)
+      else {
+        val reader = prevSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+        reader.option("basePath", path).parquet(affected.map(f => s"$path/$f"): _*)
+      }
+    // Additive evolution: an update set may carry NEW columns (old rows
+    // get null); it may also omit existing ones (its rows get null).
+    val evolved = prevSchema.map(mergeSchemas(_, updates.schema)).getOrElse(updates.schema)
     val w = Window.partitionBy((partitionCols :+ key).map(col): _*)
       .orderBy(col(precombine).desc, col("__src").desc)
     val resolved = base.withColumn("__src", lit(0))
-      .unionByName(updates.withColumn("__src", lit(1)))
+      .unionByName(updates.withColumn("__src", lit(1)), allowMissingColumns = true)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
       .repartition(partitionCols.map(col): _*)
     val adds = stage(spark, path, resolved, partitionCols)
-    val c = nextCommit(fs, path, "upsert", adds, affected, token)
+    val c = nextCommit(fs, path, "upsert", adds, affected, token, schema = Some(evolved))
     publish(fs, path, c)
     c.version
   }

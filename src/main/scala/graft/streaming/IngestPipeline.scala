@@ -101,7 +101,8 @@ object IngestPipeline {
 
   private def startSink(
       out: DataFrame, sinkPath: String, checkpointPath: String,
-      partitionBy: Seq[String]): StreamingQuery = {
+      partitionBy: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // Repartition on the hive partition columns before the sink: each
     // output directory is then written by exactly one task (1 file per
     // dir per micro-batch — the layout compact() targets), and the
@@ -118,7 +119,7 @@ object IngestPipeline {
           format = "parquet", path = sinkPath, partitionBy = partitionBy,
           mode = "append"),
         checkpointPath)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
   }
 
@@ -152,6 +153,65 @@ object IngestPipeline {
         .write.mode("overwrite").option("header", "true").csv(work)
       work
     })
+
+  /** Events staged as N parquet files with ts as an int64-nanos column —
+    * the feed shape [[rawEventSchema]]/[[transform]] expect — so the
+    * queue round trip exercises real maxFilesPerTrigger batching.
+    */
+  private[streaming] def stagedEventsMultiDir(spark: SparkSession, dir: String): String =
+    stagedInputs.computeIfAbsent("multi:" + dir, { _ =>
+      val work = Files.createTempDirectory("graft-queue-in").toFile.getAbsolutePath
+      graft.sources.Tables.events(spark, dir)
+        .withColumn("ts", unix_micros(col("ts")) * 1000L)
+        .repartition(8)
+        .write.mode("overwrite").parquet(work)
+      work
+    })
+
+  /** Driver-checkable op for the queue-notification Source (the
+    * reference's SqsSource pipeline, `jobs/S3SQSToParquetStreamJob.scala`
+    * + `sqs/SqsSource.scala:42-116`): land one file-created notification
+    * per staged events file in a fresh queue dir, stream through
+    * `graft-queue` (dedup cache, batching, ack-after-commit) → enrich →
+    * partitioned sink, read the sink back. Same oracle as
+    * `q_stream_ingest` — the transport must not change the data.
+    */
+  def queueIngestRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val data = stagedEventsMultiDir(spark, dir)
+    val files = new java.io.File(data).listFiles()
+      .map(_.getAbsolutePath).filter(_.endsWith(".parquet")).sorted
+    // Queue + checkpoint are fresh per run: messages are acked (deleted)
+    // on commit, so a reused queue dir would replay nothing.
+    val work = Files.createTempDirectory("graft-queue-rt").toFile.getAbsolutePath
+    Files.createDirectories(java.nio.file.Paths.get(s"$work/q"))
+    files.zipWithIndex.foreach { case (f, i) =>
+      Files.write(java.nio.file.Paths.get(s"$work/q/m$i.json"),
+        s"""{"path": "$f", "timestamp": ${100 + i}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val raw = spark.readStream
+      .format("graft-queue")
+      .schema(rawEventSchema)
+      .option("queue.dir", s"$work/q")
+      .option("fileFormat", "parquet")
+      .option("maxFilesPerTrigger", "4")
+      .load()
+    // The custom Source is driven by the default micro-batch trigger
+    // (its admission control is the queue itself + maxFilesPerTrigger);
+    // processAllAvailable drains the queue, then the query stops.
+    val q = StreamTuning.withStatePartitions(spark) {
+      startSink(transform(raw), s"$work/sink",
+        StreamTuning.scratchDir("graft-queue-rt-ckpt"), Seq("event_date"),
+        trigger = Trigger.ProcessingTime(0L))
+    }
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(s"$work/sink")
+      .select(
+        col("event_id"), col("event_date"), col("event_hour"),
+        col("ingest_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
 
   /** Driver-checkable op: run the real streaming pipeline over the events
     * parquet, then read the partitioned sink back. Deterministic columns
@@ -242,6 +302,20 @@ object IngestPipeline {
   }
 
   val ops: Seq[Op] = Seq(
+    Op("q_stream_queue", queueIngestRoundTrip,
+      Some("""
+        SELECT event_id,
+          CAST(ts AS DATE) AS event_date,
+          CAST(EXTRACT(HOUR FROM ts) AS INT) AS event_hour,
+          concat_ws('-',
+            substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+            substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS ingest_id,
+          event_type, value
+        FROM events
+        ORDER BY event_id""")),
     Op("q_stream_dedup", dedupRoundTrip,
       Some("""
         SELECT event_id,

@@ -189,6 +189,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(!VersionedTable.read(spark, t).select("k").as[Long].collect().contains(9L))
   }
 
+  test("append evolves schema additively; old snapshots keep their schema; type change rejected") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    // v2: append rows carrying a NEW column w
+    VersionedTable.write(spark, t,
+      Seq((2L, "a", 1L, "x")).toDF("k", "p", "v", "w"), Seq("p"), mode = "append")
+    val latest = VersionedTable.read(spark, t)
+    assert(latest.columns.toSeq == Seq("k", "v", "w", "p"),
+      s"log-declared order, new column appended: ${latest.columns.toSeq}")
+    assert(latest.select("k", "w").as[(Long, Option[String])].collect().toSet ==
+      Set((1L, None), (2L, Some("x"))), "pre-evolution rows read w as null")
+    // v1 snapshot: w did not exist yet
+    assert(!VersionedTable.read(spark, t, asOfVersion = Some(1)).columns.contains("w"))
+    // upsert may also evolve: new column u
+    VersionedTable.upsert(spark, t, Seq((1L, "a", 2L, 7L)).toDF("k", "p", "v", "u"),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    val afterUpsert = VersionedTable.read(spark, t)
+    assert(afterUpsert.columns.contains("u") && afterUpsert.columns.contains("w"))
+    assert(afterUpsert.filter(col("k") === 1L).select("u").as[Option[Long]].head() == Some(7L))
+    // type change is a rewrite, not evolution
+    intercept[IllegalArgumentException] {
+      VersionedTable.write(spark, t,
+        Seq((9L, "a", "not-a-long")).toDF("k", "p", "v"), Seq("p"), mode = "append")
+    }
+  }
+
   test("graft_snapshot SQL table function reads latest and AS OF versions") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
