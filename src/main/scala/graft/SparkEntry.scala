@@ -12,6 +12,7 @@ object SparkEntry {
     graft.operators.Relational.ops ++
       graft.operators.AsOf.ops ++
       graft.operators.TextOps.ops ++
+      graft.operators.Corpus.ops ++
       graft.operators.Dedup.ops ++
       graft.plans.NearDupJoin.ops ++
       graft.operators.Similarity.ops ++
