@@ -284,17 +284,64 @@ object VersionedTable {
     */
   val checkpointEvery = 10
 
-  private def nextCommit(fs: FileSystem, path: String, op: String,
-      adds: Seq[String], removes: Seq[String], txn: Option[Txn] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Commit = {
-    val all = commits(fs, path)
-    val version = (if (all.isEmpty) 0L else all.last.version) + 1L
-    val ckpt = if (version % checkpointEvery == 0) {
-      val prevLive = liveFiles(all)
-      Some((prevLive.filterNot(removes.contains) ++ adds).distinct)
-    } else None
-    Commit(version, System.currentTimeMillis(), op, adds, removes, ckpt, txn,
-      schema.map(_.json))
+  /** Test-only injection point: runs once before the first publish
+    * attempt, after data files are staged — lets specs interleave a
+    * concurrent writer deterministically.
+    */
+  private[graft] var testRaceHook: () => Unit = () => ()
+
+  /** Optimistic-concurrency commit loop. Losing a version race (rename
+    * onto an existing commit file) triggers a REBASE when the commits
+    * that beat us are logically disjoint: every file this commit removes
+    * must still be live — i.e. nobody rewrote the partitions we read.
+    * Then the commit is retried at the next version; `schemaOf` is
+    * re-evaluated against the fresh log so concurrent schema evolution
+    * merges instead of being clobbered. A true overlap (or
+    * `allowRebase=false`, the overwrite case — it logically removes the
+    * WHOLE snapshot it saw, so any concurrent commit invalidates it)
+    * surfaces as ConcurrentModificationException. Same protocol shape as
+    * Delta's logical conflict detection.
+    */
+  private def publishWithRebase(fs: FileSystem, path: String, op: String,
+      adds: Seq[String], removes: Seq[String], txn: Option[Txn],
+      schemaOf: Seq[Commit] => Option[org.apache.spark.sql.types.StructType],
+      allowRebase: Boolean, maxRetries: Int = 5): Commit = {
+    testRaceHook()
+    var attempt = 0
+    while (true) {
+      val all = commits(fs, path)
+      txn.foreach { t =>
+        val replay = all.find(_.txn.contains(t))
+        if (replay.isDefined) return replay.get
+      }
+      // Commit-time validation against the CURRENT log (every attempt —
+      // staleness can predate the first publish, not just a lost rename
+      // race): every file this commit logically removes must still be
+      // live. Snapshot-replacing ops (overwrite) additionally require
+      // that NOTHING was committed since the snapshot they replace —
+      // live must equal their remove set exactly.
+      val live = liveFiles(all).toSet
+      if (!removes.forall(live.contains))
+        throw new java.util.ConcurrentModificationException(
+          s"$op on $path conflicts with a concurrent commit to the same files")
+      if (!allowRebase && live != removes.toSet)
+        throw new java.util.ConcurrentModificationException(
+          s"$op on $path would clobber a concurrent commit (snapshot-replacing op)")
+      val version = (if (all.isEmpty) 0L else all.last.version) + 1L
+      val ckpt = if (version % checkpointEvery == 0) {
+        val prevLive = liveFiles(all)
+        Some((prevLive.filterNot(removes.contains) ++ adds).distinct)
+      } else None
+      val c = Commit(version, System.currentTimeMillis(), op, adds, removes,
+        ckpt, txn, schemaOf(all).map(_.json))
+      try { publish(fs, path, c); return c }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Batch write: `overwrite` logically removes the previous snapshot
@@ -306,19 +353,19 @@ object VersionedTable {
     require(mode == "overwrite" || mode == "append", s"unsupported mode: $mode")
     val fs = fsFor(spark, path)
     val exists = fs.exists(new Path(s"$path/$LogDir"))
-    // Overwrite REPLACES the schema; append EVOLVES it additively (new
-    // columns allowed, type changes rejected).
-    val schema =
-      if (mode == "append" && exists)
-        snapshotSchema(commits(fs, path)).map(mergeSchemas(_, df.schema))
-          .getOrElse(df.schema)
-      else df.schema
     val adds = stage(spark, path, df, partitionCols)
     val removes =
       if (mode == "overwrite" && exists) snapshot(fs, path, None, None)._2
       else Nil
-    val c = nextCommit(fs, path, mode, adds, removes, schema = Some(schema))
-    publish(fs, path, c)
+    // Overwrite REPLACES the schema; append EVOLVES it additively (new
+    // columns allowed, type changes rejected). Appends may rebase over
+    // concurrent commits (they remove nothing); overwrite may not.
+    val c = publishWithRebase(fs, path, mode, adds, removes, txn = None,
+      schemaOf = all =>
+        if (mode == "append" && all.nonEmpty)
+          Some(snapshotSchema(all).map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
+        else Some(df.schema),
+      allowRebase = mode == "append")
     c.version
   }
 
@@ -375,8 +422,10 @@ object VersionedTable {
       .drop("__src", "__rn")
       .repartition(partitionCols.map(col): _*)
     val adds = stage(spark, path, resolved, partitionCols)
-    val c = nextCommit(fs, path, "upsert", adds, affected, token, schema = Some(evolved))
-    publish(fs, path, c)
+    val c = publishWithRebase(fs, path, "upsert", adds, affected, token,
+      schemaOf = all => Some(snapshotSchema(all)
+        .map(mergeSchemas(_, updates.schema)).getOrElse(evolved)),
+      allowRebase = true)
     c.version
   }
 
@@ -472,8 +521,8 @@ object VersionedTable {
       .filter(!coalesce(predicate, lit(false)))
       .repartition(partitionCols.map(col): _*)
     val adds = stage(spark, path, kept, partitionCols, allowEmpty = true)
-    val c = nextCommit(fs, path, "delete", adds, affected)
-    publish(fs, path, c)
+    val c = publishWithRebase(fs, path, "delete", adds, affected, txn = None,
+      schemaOf = _ => None, allowRebase = true)
     c.version
   }
 

@@ -107,6 +107,38 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("concurrent writers on disjoint partitions rebase; same-partition conflict rejected") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 1L)), Seq("p"))
+    // A concurrent append to partition b lands between our staging and
+    // our commit: the upsert to partition a must rebase and win v3.
+    VersionedTable.testRaceHook = () => {
+      VersionedTable.testRaceHook = () => ()
+      VersionedTable.write(spark, t, df((5L, "b", 1L)), Seq("p"), mode = "append")
+    }
+    try {
+      val v = VersionedTable.upsert(spark, t, df((1L, "a", 2L)),
+        key = "k", precombine = "v", partitionCols = Seq("p"))
+      assert(v == 3L, "rebased over the concurrent append")
+    } finally VersionedTable.testRaceHook = () => ()
+    assert(VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 1L), (5L, 1L)), "both writers' effects visible")
+
+    // A concurrent rewrite of the SAME partition must be a real conflict.
+    VersionedTable.testRaceHook = () => {
+      VersionedTable.testRaceHook = () => ()
+      VersionedTable.upsert(spark, t, df((2L, "b", 9L)),
+        key = "k", precombine = "v", partitionCols = Seq("p"))
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        VersionedTable.delete(spark, t, col("k") === 5L, Seq("p"))
+      }
+    } finally VersionedTable.testRaceHook = () => ()
+    assert(VersionedTable.read(spark, t).filter(col("k") === 2L)
+      .select("v").as[Long].head() == 9L, "the winning writer's commit stands")
+  }
+
   test("changes() yields keyed row-level insert/update/delete between versions") {
     val t = table()
     VersionedTable.write(spark, t,
