@@ -110,13 +110,23 @@ object VersionedTable {
       adds: Seq[String], removes: Seq[String],
       checkpoint: Option[Seq[String]],
       txn: Option[Txn] = None,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      stats: Option[Map[String, FileStat]] = None)
 
   /** Idempotence token for streaming writers: (appId, batchId). A commit
     * carrying a txn the log has already recorded is a replay — skipped.
     * Same mechanism as Delta's txnAppId/txnVersion option pair.
     */
   private final case class Txn(appId: String, batchId: Long)
+
+  /** Per-file column statistics for data skipping, split by type so the
+    * JSON round trip stays typed (numerics compared as Double, strings
+    * lexicographically — parquet's own ordering for both).
+    */
+  private final case class FileStat(
+      rows: Long,
+      minNum: Map[String, Double], maxNum: Map[String, Double],
+      minStr: Map[String, String], maxStr: Map[String, String])
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -305,7 +315,8 @@ object VersionedTable {
   private def publishWithRebase(fs: FileSystem, path: String, op: String,
       adds: Seq[String], removes: Seq[String], txn: Option[Txn],
       schemaOf: Seq[Commit] => Option[org.apache.spark.sql.types.StructType],
-      allowRebase: Boolean, maxRetries: Int = 5): Commit = {
+      allowRebase: Boolean, maxRetries: Int = 5,
+      stats: Option[Map[String, FileStat]] = None): Commit = {
     testRaceHook()
     var attempt = 0
     while (true) {
@@ -333,7 +344,7 @@ object VersionedTable {
         Some((prevLive.filterNot(removes.contains) ++ adds).distinct)
       } else None
       val c = Commit(version, System.currentTimeMillis(), op, adds, removes,
-        ckpt, txn, schemaOf(all).map(_.json))
+        ckpt, txn, schemaOf(all).map(_.json), stats)
       try { publish(fs, path, c); return c }
       catch {
         case e: java.util.ConcurrentModificationException =>
@@ -349,11 +360,13 @@ object VersionedTable {
     * adds.
     */
   def write(spark: SparkSession, path: String, df: DataFrame,
-      partitionCols: Seq[String], mode: String = "overwrite"): Long = {
+      partitionCols: Seq[String], mode: String = "overwrite",
+      statsCols: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"unsupported mode: $mode")
     val fs = fsFor(spark, path)
     val exists = fs.exists(new Path(s"$path/$LogDir"))
     val adds = stage(spark, path, df, partitionCols)
+    val stats = collectStats(spark, path, adds, statsCols)
     val removes =
       if (mode == "overwrite" && exists) snapshot(fs, path, None, None)._2
       else Nil
@@ -365,7 +378,7 @@ object VersionedTable {
         if (mode == "append" && all.nonEmpty)
           Some(snapshotSchema(all).map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
         else Some(df.schema),
-      allowRebase = mode == "append")
+      allowRebase = mode == "append", stats = stats)
     c.version
   }
 
@@ -387,7 +400,7 @@ object VersionedTable {
 
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       key: String, precombine: String, partitionCols: Seq[String],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None, statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.expressions.Window
     val fs = fsFor(spark, path)
     val token = txn.map { case (app, batch) => Txn(app, batch) }
@@ -425,7 +438,7 @@ object VersionedTable {
     val c = publishWithRebase(fs, path, "upsert", adds, affected, token,
       schemaOf = all => Some(snapshotSchema(all)
         .map(mergeSchemas(_, updates.schema)).getOrElse(evolved)),
-      allowRebase = true)
+      allowRebase = true, stats = collectStats(spark, path, adds, statsCols))
     c.version
   }
 
@@ -523,6 +536,162 @@ object VersionedTable {
     val adds = stage(spark, path, kept, partitionCols, allowEmpty = true)
     val c = publishWithRebase(fs, path, "delete", adds, affected, txn = None,
       schemaOf = _ => None, allowRebase = true)
+    c.version
+  }
+
+  /** Collect per-file min/max/rowcount for `statsCols` over the freshly
+    * staged files — ONE scan of just the new data (never the table), the
+    * same moment Delta computes its add-file stats.
+    */
+  private def collectStats(spark: SparkSession, path: String,
+      rels: Seq[String], statsCols: Seq[String]): Option[Map[String, FileStat]] = {
+    if (statsCols.isEmpty || rels.isEmpty) return None
+    // Parquet part filenames carry a per-task UUID — globally unique, so
+    // basename is a safe join key regardless of URI qualification.
+    val relByName = rels.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+    val df = spark.read.option("basePath", path).parquet(rels.map(r => s"$path/$r"): _*)
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val (numCols, strCols) = statsCols.filter(fields.contains).partition(c =>
+      fields(c).isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val aggs =
+      Seq(count(lit(1)).as("__rows")) ++
+        numCols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"__minN_$c"), max(col(c)).cast("double").as(s"__maxN_$c"))) ++
+        strCols.flatMap(c => Seq(
+          min(col(c)).as(s"__minS_$c"), max(col(c)).as(s"__maxS_$c")))
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    Some(rows.map { r =>
+      val base = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+      val rel = relByName.getOrElse(base,
+        throw new IllegalStateException(s"stats scan saw unexpected file $base"))
+      def numMap(pre: String) = numCols.flatMap(c =>
+        Option(r.getAs[Any](s"__$pre" + "_" + c)).map(v => c -> v.asInstanceOf[Double])).toMap
+      def strMap(pre: String) = strCols.flatMap(c =>
+        Option(r.getAs[String](s"__$pre" + "_" + c)).map(c -> _)).toMap
+      rel -> FileStat(r.getAs[Long]("__rows"),
+        numMap("minN"), numMap("maxN"), strMap("minS"), strMap("maxS"))
+    }.toMap)
+  }
+
+  /** Cumulative file→stats index at a snapshot (later commits win). */
+  private def statsIndex(upTo: Seq[Commit]): Map[String, FileStat] =
+    upTo.flatMap(_.stats.getOrElse(Map.empty)).toMap
+
+  /** Conservative file-level predicate check: may this file contain a
+    * matching row, given its min/max? Supports comparisons between a
+    * stats column and a literal under And/Or; anything else — unknown
+    * columns, casts, functions — returns true (scan it). Nulls inside a
+    * file are invisible to min/max, so IsNull-style predicates are NOT
+    * prunable and fall into the conservative branch.
+    */
+  private def mayMatch(fstat: FileStat, e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def name(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case c: Cast => name(c.child) // analyzer-inserted literal/col casts
+      case _ => None
+    }
+    def litNum(x: Expression): Option[Double] = x match {
+      case Literal(v: Number, _) => Some(v.doubleValue())
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => Some(v.toDouble)
+      case _ => None
+    }
+    def litStr(x: Expression): Option[String] = x match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => Some(v.toString)
+      case _ => None
+    }
+    // interval test for col ? lit, in both argument orders
+    def cmp(colE: Expression, v: Expression,
+        num: (Double, Double, Double) => Boolean,
+        str: (String, String, String) => Boolean): Boolean =
+      name(colE).map { c =>
+        (litNum(v), litStr(v)) match {
+          case (Some(n), _) if fstat.minNum.contains(c) =>
+            num(fstat.minNum(c), fstat.maxNum(c), n)
+          case (_, Some(s)) if fstat.minStr.contains(c) =>
+            str(fstat.minStr(c), fstat.maxStr(c), s)
+          case _ => true
+        }
+      }.getOrElse(true)
+    e match {
+      case And(l, r) => mayMatch(fstat, l) && mayMatch(fstat, r)
+      case Or(l, r) => mayMatch(fstat, l) || mayMatch(fstat, r)
+      case EqualTo(a, b) =>
+        cmp(a, b, (lo, hi, v) => lo <= v && v <= hi, (lo, hi, v) => lo <= v && v <= hi) &&
+          cmp(b, a, (lo, hi, v) => lo <= v && v <= hi, (lo, hi, v) => lo <= v && v <= hi)
+      case GreaterThan(a, b) =>
+        cmp(a, b, (_, hi, v) => hi > v, (_, hi, v) => hi > v) &&
+          cmp(b, a, (lo, _, v) => lo < v, (lo, _, v) => lo < v)
+      case GreaterThanOrEqual(a, b) =>
+        cmp(a, b, (_, hi, v) => hi >= v, (_, hi, v) => hi >= v) &&
+          cmp(b, a, (lo, _, v) => lo <= v, (lo, _, v) => lo <= v)
+      case LessThan(a, b) =>
+        cmp(a, b, (lo, _, v) => lo < v, (lo, _, v) => lo < v) &&
+          cmp(b, a, (_, hi, v) => hi > v, (_, hi, v) => hi > v)
+      case LessThanOrEqual(a, b) =>
+        cmp(a, b, (lo, _, v) => lo <= v, (lo, _, v) => lo <= v) &&
+          cmp(b, a, (_, hi, v) => hi >= v, (_, hi, v) => hi >= v)
+      case _ => true
+    }
+  }
+
+  /** Data-skipping read: resolve the snapshot's live files, drop every
+    * file whose log-recorded min/max prove it cannot match `predicate`,
+    * scan the survivors, and apply the predicate exactly. At 100 TB the
+    * planner never lists directories OR opens footers for skipped files —
+    * the decision is made entirely from the log. Returns the filtered
+    * frame plus (scanned, total) file counts for observability.
+    */
+  def readPruned(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      asOfVersion: Option[Long] = None): (DataFrame, Int, Int) = {
+    val fs = fsFor(spark, path)
+    val (upTo, files) = snapshot(fs, path, asOfVersion, None)
+    val idx = statsIndex(upTo)
+    // Resolve the predicate against an empty frame carrying the log
+    // schema: a raw Column is an unresolved node tree in Spark 4 — the
+    // analyzer rewrites it into comparable Catalyst comparisons (and
+    // inserts the casts `mayMatch` unwraps). No data is touched.
+    val schema = snapshotSchema(upTo).getOrElse(
+      spark.read.option("basePath", path)
+        .parquet(files.map(f => s"$path/$f"): _*).schema)
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val cond = probe.filter(predicate).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+    val kept = files.filter(f => idx.get(f).forall(mayMatch(_, cond)))
+    val reader = spark.read.schema(schema)
+    val df =
+      if (kept.isEmpty)
+        read(spark, path, asOfVersion).filter(lit(false))
+      else reader.option("basePath", path)
+        .parquet(kept.map(f => s"$path/$f"): _*)
+    (df.filter(predicate), kept.size, files.size)
+  }
+
+  /** Cluster the table for data skipping: range-repartition + sort by
+    * `sortCols` within each output task, so every rewritten file covers a
+    * narrow, non-overlapping range and the recorded min/max become tight.
+    * One full COW rewrite (the same trade Delta's OPTIMIZE ZORDER makes)
+    * — after it, range predicates on `sortCols` skip all but O(1) files
+    * via [[readPruned]].
+    */
+  def cluster(spark: SparkSession, path: String, sortCols: Seq[String],
+      partitionCols: Seq[String], filesPerPartition: Int = 8): Long = {
+    val fs = fsFor(spark, path)
+    val (all, live) = snapshot(fs, path, None, None)
+    val df = read(spark, path)
+    val sorted = df
+      .repartitionByRange(filesPerPartition, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val adds = stage(spark, path, sorted, partitionCols)
+    val stats = collectStats(spark, path, adds, sortCols)
+    val c = publishWithRebase(fs, path, "cluster", adds, live, txn = None,
+      schemaOf = a => snapshotSchema(a), allowRebase = true, stats = stats)
     c.version
   }
 

@@ -261,6 +261,31 @@ class VersionedTableSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq == Seq(("a", 2L)))
   }
 
+  test("cluster + readPruned: range predicates skip files via log stats") {
+    val t = table()
+    val rows = (0L until 1000L).map(k => (k, "a", k * 2))
+    VersionedTable.write(spark, t, rows.toDF("k", "p", "v"), Seq("p"))
+    VersionedTable.cluster(spark, t, sortCols = Seq("k"), partitionCols = Seq("p"),
+      filesPerPartition = 8)
+    val (df, scanned, total) = VersionedTable.readPruned(spark, t,
+      col("k") >= 100L && col("k") < 200L)
+    assert(total >= 8, s"cluster must have split into ranged files (got $total)")
+    assert(scanned < total, s"stats must prune files: $scanned of $total")
+    assert(df.select("k").as[Long].collect().sorted.toSeq == (100L until 200L))
+    // point lookup: at most 1-2 files
+    val (one, s1, _) = VersionedTable.readPruned(spark, t, col("k") === 500L)
+    assert(s1 <= 2 && one.count() == 1)
+    // predicate proving emptiness scans nothing
+    val (none, s0, _) = VersionedTable.readPruned(spark, t, col("k") > 99999L)
+    assert(s0 == 0 && none.count() == 0)
+    // unsupported predicate shape degrades to a full scan, still correct
+    val (all, sAll, tAll) = VersionedTable.readPruned(spark, t, col("k") % 7 === 0)
+    assert(sAll == tAll && all.count() == rows.count(_._1 % 7 == 0))
+    // string stats: cluster by p works too (single partition value here)
+    val (strDf, _, _) = VersionedTable.readPruned(spark, t, col("p") === "a")
+    assert(strDf.count() == 1000)
+  }
+
   test("q_cdf round trip equals the reconstructed change set") {
     val out = VersionedTable.cdfRoundTrip(spark, sf).cache()
     val types = out.groupBy("_change_type").count()
