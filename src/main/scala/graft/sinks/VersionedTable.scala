@@ -85,7 +85,31 @@ object VersionedTable {
         col("version"), col("_change_type"))
       .orderBy(col("o_orderkey"))
 
+  /** Driver-checkable data skipping: orders clustered by o_totalprice,
+    * then a range read through the stats-pruned planner. The oracle is
+    * the plain filtered select — pruning must never lose a row; the spec
+    * additionally asserts it actually skips files.
+    */
+  def clusterRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-vt-cluster")
+      .toFile.getAbsolutePath + "/orders_clustered"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    write(spark, path, orders, partitionCols = Nil)
+    cluster(spark, path, sortCols = Seq("o_totalprice"), partitionCols = Nil,
+      filesPerPartition = 16)
+    val (df, _, _) = readPruned(spark, path,
+      col("o_totalprice") >= 50000.0 && col("o_totalprice") < 100000.0)
+    df.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_cluster", clusterRoundTrip,
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_totalprice >= 50000 AND o_totalprice < 100000
+        ORDER BY o_orderkey""")),
     graft.Op("q_time_travel", timeTravelRoundTrip,
       Some("""
         SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version

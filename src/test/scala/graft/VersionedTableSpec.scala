@@ -286,6 +286,13 @@ class VersionedTableSpec extends SparkSpec {
     assert(strDf.count() == 1000)
   }
 
+  test("q_cluster round trip: pruned range read equals the batch filter") {
+    val out = VersionedTable.clusterRoundTrip(spark, sf)
+    val expect = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") < 100000.0)
+    assert(out.count() == expect.count())
+  }
+
   test("q_cdf round trip equals the reconstructed change set") {
     val out = VersionedTable.cdfRoundTrip(spark, sf).cache()
     val types = out.groupBy("_change_type").count()
