@@ -293,6 +293,14 @@ object VersionedTable {
     val fs = fsFor(spark, path)
     val stagePath = new Path(s"$path/$StageDir/${java.util.UUID.randomUUID}")
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stagePath.toString)
+    collectStaged(fs, path, stagePath, allowEmpty)
+  }
+
+  /** Move the stage dir's data files into the table tree (preserving the
+    * hive subpaths) and return their table-relative paths.
+    */
+  private def collectStaged(fs: FileSystem, path: String, stagePath: Path,
+      allowEmpty: Boolean): Seq[String] = {
     val stageRoot = fs.makeQualified(stagePath).toString
     val staged = scala.collection.mutable.ArrayBuffer[String]()
     val it = fs.listFiles(stagePath, true)
@@ -717,6 +725,54 @@ object VersionedTable {
     val c = publishWithRebase(fs, path, "cluster", adds, live, txn = None,
       schemaOf = a => snapshotSchema(a), allowRebase = true, stats = stats)
     c.version
+  }
+
+  /** History-preserving small-file compaction (Delta OPTIMIZE shape):
+    * coalesce the files of every partition holding more than
+    * `maxFilesPerPartition` live files into ~`targetFileBytes` outputs,
+    * commit the swap as one log version (old files logically removed —
+    * prior snapshots stay readable until [[vacuum]]). Data is unchanged,
+    * so [[changes]] across an optimize commit reports nothing: the
+    * rewritten rows compare equal and drop out of the diff. Healthy
+    * partitions are not read or touched.
+    */
+  def optimize(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int = 4,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val fs = fsFor(spark, path)
+    val (_, live) = snapshot(fs, path, None, None)
+    val byDir = live.groupBy(f =>
+      f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
+    val victims = byDir.filter(_._2.size > maxFilesPerPartition)
+      .values.flatten.toSeq.sorted
+    if (victims.isEmpty) return latestVersion(spark, path)
+    val df = spark.read.option("basePath", path)
+      .parquet(victims.map(f => s"$path/$f"): _*)
+    val bytes = victims.map(f => fs.getFileStatus(new Path(s"$path/$f")).getLen).sum
+    val rows = df.count()
+    val avgRow = if (rows == 0) 1L else (bytes / rows).max(1L)
+    // Partition columns come from the read's hive dirs; group whole
+    // partitions per task so each directory is written by one writer.
+    val partCols = df.schema.fieldNames.toSeq
+      .filter(n => victims.head.contains(s"$n="))
+    val shaped =
+      if (partCols.isEmpty) df.coalesce(math.max(1, (bytes / targetFileBytes).toInt))
+      else df.repartition(partCols.map(col): _*)
+    val adds = stageWithMaxRecords(spark, path, shaped, partCols,
+      (targetFileBytes / avgRow).max(1L))
+    val c = publishWithRebase(fs, path, "optimize", adds, victims, txn = None,
+      schemaOf = a => snapshotSchema(a), allowRebase = true)
+    c.version
+  }
+
+  private def stageWithMaxRecords(spark: SparkSession, path: String, df: DataFrame,
+      partitionCols: Seq[String], maxRecordsPerFile: Long): Seq[String] = {
+    val fs = fsFor(spark, path)
+    val stagePath = new Path(s"$path/$StageDir/${java.util.UUID.randomUUID}")
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*).parquet(stagePath.toString)
+    collectStaged(fs, path, stagePath, allowEmpty = false)
   }
 
   /** Physically delete data files that are not live in ANY retained

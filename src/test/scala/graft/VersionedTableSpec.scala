@@ -286,6 +286,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(strDf.count() == 1000)
   }
 
+  test("optimize coalesces fragmented partitions, preserves history and CDF silence") {
+    val t = table()
+    VersionedTable.write(spark, t, df((0L, "a", 0L), (100L, "b", 0L)), Seq("p"))
+    (1 to 6).foreach(i =>
+      VersionedTable.write(spark, t, df((i.toLong, "a", 0L)), Seq("p"), mode = "append"))
+    val vBefore = VersionedTable.latestVersion(spark, t)
+    val before = VersionedTable.read(spark, t)
+    val aFilesBefore = before.inputFiles.count(_.contains("p=a/"))
+    val bFilesBefore = before.inputFiles.filter(_.contains("p=b/")).toSet
+    assert(aFilesBefore == 7)
+
+    val v = VersionedTable.optimize(spark, t, maxFilesPerPartition = 4)
+    assert(v == vBefore + 1)
+    val after = VersionedTable.read(spark, t)
+    assert(after.inputFiles.count(_.contains("p=a/")) < 7, "partition a coalesced")
+    assert(after.inputFiles.filter(_.contains("p=b/")).toSet == bFilesBefore,
+      "healthy partition b untouched")
+    assert(after.select("k").as[Long].collect().toSet == (0L to 6L).toSet + 100L)
+    // prior snapshot readable; optimize is invisible to the change feed
+    assert(VersionedTable.read(spark, t, asOfVersion = Some(vBefore)).count() == 8)
+    assert(VersionedTable.changes(spark, t, vBefore, v, key = "k",
+      partitionCols = Seq("p")).count() == 0)
+    // idempotent: nothing left to do
+    assert(VersionedTable.optimize(spark, t, maxFilesPerPartition = 4) == v)
+  }
+
   test("q_cluster round trip: pruned range read equals the batch filter") {
     val out = VersionedTable.clusterRoundTrip(spark, sf)
     val expect = graft.sources.Tables.orders(spark, sf)
