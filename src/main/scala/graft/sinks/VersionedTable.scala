@@ -727,6 +727,35 @@ object VersionedTable {
     c.version
   }
 
+  /** Multi-dimensional clustering: sort by the bit-interleaved Z-order
+    * key of `zCols` so every rewritten file covers a small
+    * hyper-rectangle — range predicates on ANY z-column (not just a
+    * leading sort column) then prune through [[readPruned]]'s stats.
+    * Quantile bucketing (one sketch pass per column) makes the
+    * interleave robust to skewed value ranges. The Delta OPTIMIZE
+    * ZORDER trade: one COW rewrite buys every later scan's skipping.
+    */
+  def clusterZOrder(spark: SparkSession, path: String, zCols: Seq[String],
+      partitionCols: Seq[String], filesPerPartition: Int = 16,
+      buckets: Int = 256): Long = {
+    import graft.functions.ZOrder
+    val fs = fsFor(spark, path)
+    val (_, live) = snapshot(fs, path, None, None)
+    val df = read(spark, path)
+    val bounds = zCols.map(c => ZOrder.quantileBoundaries(df, c, buckets))
+    val zkey = ZOrder.zorderKey(zCols.map(col),
+      bounds, bits = math.min(8, 63 / zCols.size))
+    val sorted = df.withColumn("__z", zkey)
+      .repartitionByRange(filesPerPartition, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val adds = stage(spark, path, sorted, partitionCols)
+    val stats = collectStats(spark, path, adds, zCols)
+    val c = publishWithRebase(fs, path, "cluster-zorder", adds, live, txn = None,
+      schemaOf = a => snapshotSchema(a), allowRebase = true, stats = stats)
+    c.version
+  }
+
   /** History-preserving small-file compaction (Delta OPTIMIZE shape):
     * coalesce the files of every partition holding more than
     * `maxFilesPerPartition` live files into ~`targetFileBytes` outputs,

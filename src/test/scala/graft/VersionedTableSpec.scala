@@ -312,6 +312,42 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.optimize(spark, t, maxFilesPerPartition = 4) == v)
   }
 
+  test("clusterZOrder prunes range queries on BOTH dimensions; 1-d sort only on one") {
+    // two decorrelated pseudo-uniform dims over [0, 1000)
+    val rows = (0L until 20000L).map(k => (k, (k * 7919) % 1000, (k * 104729) % 1000))
+    def build(zorder: Boolean): String = {
+      val t = table()
+      VersionedTable.write(spark, t, rows.toDF("k", "x", "y"), partitionCols = Nil)
+      if (zorder)
+        VersionedTable.clusterZOrder(spark, t, Seq("x", "y"), Nil, filesPerPartition = 16)
+      else
+        VersionedTable.cluster(spark, t, Seq("x"), Nil, filesPerPartition = 16)
+      t
+    }
+    def scannedFrac(t: String, pred: org.apache.spark.sql.Column): (Double, Long) = {
+      val (df, scanned, total) = VersionedTable.readPruned(spark, t, pred)
+      (scanned.toDouble / total, df.count())
+    }
+    val zt = build(zorder = true)
+    val lt = build(zorder = false)
+    val xPred = col("x") >= 100L && col("x") < 150L
+    val yPred = col("y") >= 100L && col("y") < 150L
+    val expectX = rows.count(r => r._2 >= 100 && r._2 < 150)
+    val expectY = rows.count(r => r._3 >= 100 && r._3 < 150)
+
+    val (zx, zxRows) = scannedFrac(zt, xPred)
+    val (zy, zyRows) = scannedFrac(zt, yPred)
+    assert(zxRows == expectX && zyRows == expectY, "pruning must not lose rows")
+    assert(zx < 0.8 && zy < 0.8, f"z-order must prune both dims: x=$zx%.2f y=$zy%.2f")
+
+    val (lx, lxRows) = scannedFrac(lt, xPred)
+    val (ly, lyRows) = scannedFrac(lt, yPred)
+    assert(lxRows == expectX && lyRows == expectY)
+    assert(lx < 0.3, f"1-d sort prunes its own column hard: $lx%.2f")
+    assert(ly == 1.0, "1-d sort cannot prune the other column")
+    assert(zx + zy < lx + ly, "z-order wins on combined workloads")
+  }
+
   test("q_cluster round trip: pruned range read equals the batch filter") {
     val out = VersionedTable.clusterRoundTrip(spark, sf)
     val expect = graft.sources.Tables.orders(spark, sf)
