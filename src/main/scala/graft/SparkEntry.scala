@@ -21,6 +21,7 @@ object SparkEntry {
       graft.operators.JsonOps.ops ++
       graft.sinks.TableSink.ops ++
       graft.sinks.VersionedTable.ops ++
+      graft.sinks.PartitionTransforms.ops ++
       graft.streaming.IngestPipeline.ops ++
       graft.streaming.StreamJoin.ops ++
       graft.streaming.EventRollup.ops ++

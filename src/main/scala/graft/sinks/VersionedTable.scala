@@ -104,7 +104,31 @@ object VersionedTable {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Driver-checkable Z-order: orders clustered on (o_totalprice,
+    * o_custkey), then a 2-D range read through the stats-pruned planner —
+    * correctness oracle is the plain conjunctive filter (the spec
+    * separately proves files are actually skipped on both dimensions).
+    */
+  def zorderRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-vt-zorder")
+      .toFile.getAbsolutePath + "/orders_z"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    write(spark, path, orders, partitionCols = Nil)
+    clusterZOrder(spark, path, zCols = Seq("o_totalprice", "o_custkey"),
+      partitionCols = Nil, filesPerPartition = 16)
+    val (df, _, _) = readPruned(spark, path,
+      col("o_totalprice") >= 100000.0 && col("o_custkey") < 500L)
+    df.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_zorder", zorderRoundTrip,
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice >= 100000 AND o_custkey < 500
+        ORDER BY o_orderkey""")),
     graft.Op("q_cluster", clusterRoundTrip,
       Some("""
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
