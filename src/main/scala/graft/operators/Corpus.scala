@@ -68,18 +68,40 @@ object Corpus {
     * parallelizes — at 100 TB you raise the shard count, never the
     * per-task state.
     */
-  def packSequences(spark: SparkSession, dir: String, budget: Long = 4096L): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 4096L): DataFrame =
+    packFrame(Tables.documents(spark, dir), budget).orderBy(col("doc_id"))
+
+  private def packFrame(docs: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    docs
       .withColumn("shard", (col("doc_id") % 16).cast("int"))
       .withColumn("start_off", sum(col("n_chars")).over(w) - col("n_chars"))
       .select(col("doc_id"), col("lang"), col("shard"),
         floor(col("start_off") / budget).as("bin"),
         (col("start_off") % budget).as("bin_off"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** The composed corpus pipeline, end to end in ONE declarative plan:
+    * exact dedup (keep-first per text) → quality gate (token floor) →
+    * deterministic 50% sample → sequence packing. Catalyst fuses the
+    * stages: dedup's window and packing's window are the only shuffles,
+    * the filters run map-side between them, nothing materializes. This
+    * is the shape a real training-data run takes at 100 TB — and the
+    * whole composition is hash-checked against one nested SQL oracle.
+    */
+  def pipeline(spark: SparkSession, dir: String, budget: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dedupW = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val survivors = Tables.documents(spark, dir)
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter(col("__rn") === 1).drop("__rn")
+    val gated = survivors
+      .filter(size(split(trim(col("text")), "\\s+")) >= 20)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) <= "7")
+    packFrame(gated, budget).orderBy(col("doc_id"))
   }
 
   val ops: Seq[Op] = Seq(
@@ -106,6 +128,25 @@ object Corpus {
           THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'
           ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7' END
         ORDER BY doc_id""")),
+    Op("q_pipeline", (s, d) => pipeline(s, d),
+      Some("""
+        WITH surv AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1),
+        gated AS (
+          SELECT doc_id, lang, n_chars FROM surv
+          WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+            AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7'),
+        packed AS (
+          SELECT doc_id, lang, CAST(doc_id % 16 AS INT) AS shard,
+            SUM(n_chars) OVER (PARTITION BY lang, doc_id % 16 ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+          FROM gated)
+        SELECT doc_id, lang, shard,
+          CAST(FLOOR(start_off / 4096.0) AS BIGINT) AS bin,
+          start_off % 4096 AS bin_off
+        FROM packed ORDER BY doc_id""")),
     Op("q_pack_sequences", (s, d) => packSequences(s, d),
       Some("""
         SELECT doc_id, lang, shard,

@@ -40,6 +40,28 @@ class CorpusSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pipeline composes dedup, gate, sample, pack in one plan with two window shuffles") {
+    val out = Corpus.pipeline(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() > 0 && out.count() < docs.count(), "gates must drop something")
+    // sampled ids are exactly the md5-bucket survivors among token-gated docs
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    val expected = docs
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 20)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) <= "7")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == expected)
+    // plan shape: exactly the dedup window + the packing window shuffle
+    // (AQE prints initial+final plans — count distinct exchange nodes)
+    val finalPlan = out.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"pipeline must not add shuffles beyond its two windows: $exchanges")
+    out.unpersist()
+  }
+
   test("packSequences: bins respect the budget boundary within each (lang, shard)") {
     val budget = 512L
     val out = Corpus.packSequences(spark, sf, budget).cache()
