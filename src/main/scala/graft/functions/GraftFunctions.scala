@@ -87,6 +87,24 @@ object GraftFunctions {
           if (args.length > 1) Some(lng("graft_snapshot(path, version)", args(1))) else None
         GraftShim.analyzed(
           graft.sinks.VersionedTable.read(SparkSession.active, path, asOfVersion = version))
+      }),
+    (new FunctionIdentifier("graft_history"),
+      new ExpressionInfo("graft.sinks.VersionedTable", "graft_history"),
+      { args =>
+        val path = str("graft_history(path)", args.head)
+        GraftShim.analyzed(
+          graft.sinks.VersionedTable.history(SparkSession.active, path))
+      }),
+    (new FunctionIdentifier("graft_changes"),
+      new ExpressionInfo("graft.sinks.VersionedTable", "graft_changes"),
+      { args =>
+        require(args.length >= 4,
+          "graft_changes(path, fromVersion, toVersion, key[, partitionCols...])")
+        val fn = "graft_changes(path, from, to, key, parts...)"
+        GraftShim.analyzed(graft.sinks.VersionedTable.changes(
+          SparkSession.active, str(fn, args(0)), lng(fn, args(1)), lng(fn, args(2)),
+          key = str(fn, args(3)),
+          partitionCols = args.drop(4).map(str(fn, _)).toSeq))
       }))
 
   /** Register into an existing session's function registry (idempotent).

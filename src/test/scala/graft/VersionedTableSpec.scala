@@ -355,6 +355,20 @@ class VersionedTableSpec extends SparkSpec {
     assert(out.count() == expect.count())
   }
 
+  test("graft_history and graft_changes SQL table functions") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    VersionedTable.upsert(spark, t, df((1L, "a", 2L), (2L, "a", 1L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    assert(spark.sql(s"SELECT version, op FROM graft_history('$t') ORDER BY version")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "overwrite"), (2L, "upsert")))
+    val cdf = spark.sql(
+      s"SELECT k, _change_type FROM graft_changes('$t', 1, 2, 'k', 'p') ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(cdf == Seq((1L, "update"), (2L, "insert")))
+  }
+
   test("q_cdf round trip equals the reconstructed change set") {
     val out = VersionedTable.cdfRoundTrip(spark, sf).cache()
     val types = out.groupBy("_change_type").count()
