@@ -302,6 +302,15 @@ object VersionedTable {
       .toDF("version", "ts_ms", "op", "n_added", "n_removed")
   }
 
+  /** The current snapshot's schema, from the log when recorded (no file
+    * reads), else inferred from the live files.
+    */
+  def tableSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val all = commits(fsFor(spark, path), path)
+    require(all.nonEmpty, s"not a versioned table: $path")
+    snapshotSchema(all).getOrElse(read(spark, path).schema)
+  }
+
   def latestVersion(spark: SparkSession, path: String): Long = {
     val all = commits(fsFor(spark, path), path)
     if (all.isEmpty) 0L else all.last.version

@@ -355,6 +355,46 @@ class VersionedTableSpec extends SparkSpec {
     assert(out.count() == expect.count())
   }
 
+  test("graft-table-changes streams row-level CDC per commit, resumes from checkpoint") {
+    val t = table()
+    val work = Files.createTempDirectory("graft-cdc").toFile.getAbsolutePath
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 1L)), Seq("p"))
+
+    def runStream(): Unit = {
+      val q = spark.readStream
+        .format("graft-table-changes")
+        .option("table.path", t)
+        .option("key", "k")
+        .option("partitionCols", "p")
+        .option("startingVersion", "1")
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("checkpointLocation", s"$work/ckpt")
+        .option("path", s"$work/sink")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    VersionedTable.upsert(spark, t, df((1L, "a", 2L), (3L, "a", 1L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))            // v2
+    runStream()
+    val first = spark.read.parquet(s"$work/sink")
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(first == Set((1L, "update", 2L), (3L, "insert", 2L)), first)
+
+    // two more commits land while the stream is down; restart catches up
+    VersionedTable.delete(spark, t, col("k") === 2L, Seq("p"))           // v3
+    VersionedTable.upsert(spark, t, df((4L, "b", 1L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))            // v4
+    runStream()
+    val all = spark.read.parquet(s"$work/sink")
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(all == first ++ Set((2L, "delete", 3L), (4L, "insert", 4L)), all)
+  }
+
   test("graft_history and graft_changes SQL table functions") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
