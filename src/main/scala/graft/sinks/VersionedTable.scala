@@ -541,7 +541,8 @@ object VersionedTable {
     * copies of unchanged rows are dropped by whole-row comparison.
     */
   def changes(spark: SparkSession, path: String, fromVersion: Long,
-      toVersion: Long, key: String, partitionCols: Seq[String] = Nil): DataFrame = {
+      toVersion: Long, key: String, partitionCols: Seq[String] = Nil,
+      includePreimage: Boolean = false): DataFrame = {
     val fs = fsFor(spark, path)
     val oldFiles = snapshot(fs, path, Some(fromVersion), None)._2.toSet
     val newFiles = snapshot(fs, path, Some(toVersion), None)._2.toSet
@@ -566,14 +567,22 @@ object VersionedTable {
         val newS = n.select(struct(joinCols.map(col): _*).as("__k"),
           struct(cols.map(col): _*).as("__new"))
         val j = oldS.join(newS, Seq("__k"), "full_outer")
-        val pick = (src: String) => cols.map(c => col(s"$src.$c"))
-        j.select(
-          when(col("__old").isNull, struct((pick("__new") :+ lit("insert").as("_change_type")): _*))
-            .when(col("__new").isNull, struct((pick("__old") :+ lit("delete").as("_change_type")): _*))
+        def tag(src: String, t: String) =
+          struct((cols.map(c => col(s"$src.$c")) :+ lit(t).as("_change_type")): _*)
+        // Updates emit pre+post images when asked (Delta CDF's
+        // update_preimage/update_postimage) — downstream incremental
+        // aggregation needs the retracted value, not just the new one.
+        val updateRows =
+          if (includePreimage)
+            array(tag("__old", "update_preimage"), tag("__new", "update_postimage"))
+          else array(tag("__new", "update"))
+        val j2 = j.select(
+          when(col("__old").isNull, array(tag("__new", "insert")))
+            .when(col("__new").isNull, array(tag("__old", "delete")))
             .when(dataCols.map(c => !(col(s"__old.$c") <=> col(s"__new.$c"))).reduce(_ || _),
-              struct((pick("__new") :+ lit("update").as("_change_type")): _*))
-            .otherwise(lit(null)).as("__row"))
-          .filter(col("__row").isNotNull)
+              updateRows)
+            .otherwise(lit(null)).as("__rows"))
+        j2.select(explode(col("__rows")).as("__row"))
           .select((cols :+ "_change_type").map(c => col(s"__row.$c")): _*)
     }
   }

@@ -48,6 +48,7 @@ class TableChangesSource(
     throw new IllegalArgumentException("option 'key' is required"))
   private val partitionCols = options.get("partitionCols")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  private val includePreimage = options.get("includePreimage").exists(_.toBoolean)
 
   private val startVersion: Long = options.get("startingVersion").map(_.toLong)
     .getOrElse(graft.sinks.VersionedTable.latestVersion(sparkSession, tablePath))
@@ -63,7 +64,7 @@ class TableChangesSource(
     val cols = schema.fields.map(f => col(f.name)).toSeq
     val perVersion = (from + 1 to to).map { v =>
       graft.sinks.VersionedTable
-        .changes(sparkSession, tablePath, v - 1, v, key, partitionCols)
+        .changes(sparkSession, tablePath, v - 1, v, key, partitionCols, includePreimage)
         .withColumn("_commit_version", lit(v))
         .select(cols: _*)
     }

@@ -395,6 +395,51 @@ class VersionedTableSpec extends SparkSpec {
     assert(all == first ++ Set((2L, "delete", 3L), (4L, "insert", 4L)), all)
   }
 
+  test("CDC with preimages maintains an incremental aggregate exactly") {
+    val t = table()
+    val work = Files.createTempDirectory("graft-cdc-agg").toFile.getAbsolutePath
+    VersionedTable.write(spark, t,
+      df((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)), Seq("p"))
+    // the materialized view state: per-partition (sum, count), seeded v1
+    val agg = scala.collection.mutable.Map[String, (Long, Long)](
+      "a" -> (30L, 2L), "b" -> (5L, 1L))
+
+    VersionedTable.upsert(spark, t, df((1L, "a", 17L), (4L, "b", 9L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))     // v2
+    VersionedTable.delete(spark, t, col("k") === 2L, Seq("p"))   // v3
+
+    val q = spark.readStream
+      .format("graft-table-changes")
+      .option("table.path", t).option("key", "k")
+      .option("partitionCols", "p").option("includePreimage", "true")
+      .option("startingVersion", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.groupBy("p").agg(
+            sum(when(col("_change_type").isin("insert", "update_postimage"), col("v"))
+              .when(col("_change_type").isin("delete", "update_preimage"), -col("v"))
+              .otherwise(0L)).as("dSum"),
+            sum(when(col("_change_type").isin("insert"), 1L)
+              .when(col("_change_type").isin("delete"), -1L)
+              .otherwise(0L)).as("dCnt"))
+          .collect().foreach { r =>
+            val (s0, c0) = agg.getOrElse(r.getString(0), (0L, 0L))
+            agg(r.getString(0)) = (s0 + r.getLong(1), c0 + r.getLong(2))
+          }
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // the incrementally-maintained aggregate equals a full recompute
+    val direct = VersionedTable.read(spark, t).groupBy("p")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(agg.toMap == direct, s"incremental $agg vs recompute $direct")
+  }
+
   test("graft_history and graft_changes SQL table functions") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
