@@ -851,7 +851,8 @@ object VersionedTable {
     * the horizon stops working — the point of vacuum. Returns the deleted
     * relative paths.
     */
-  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 2): Seq[String] = {
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 2,
+      orphanMinAgeMs: Long = 3600_000L): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val fs = fsFor(spark, path)
     val all = commits(fs, path)
@@ -860,9 +861,28 @@ object VersionedTable {
     val retainedLive = all.filter(_.version >= horizon)
       .flatMap(c => liveFiles(all.filter(_.version <= c.version)))
       .toSet
-    val everReferenced = all.flatMap(c => c.adds ++ c.checkpoint.getOrElse(Nil)).distinct
-    val dead = everReferenced.filterNot(retainedLive.contains)
+    val everReferenced = all.flatMap(c => c.adds ++ c.checkpoint.getOrElse(Nil)).toSet
+    val dead = everReferenced.filterNot(retainedLive.contains).toSeq.sorted
     dead.foreach(f => fs.delete(new Path(s"$path/$f"), false))
-    dead
+    // Orphans: data files in the table tree that NO commit ever
+    // referenced — debris of writes that crashed between staging and
+    // publish. Age-gate the delete so a concurrent writer's
+    // staged-but-not-yet-committed files survive (Delta's vacuum makes
+    // the same retention-window bet).
+    val now = System.currentTimeMillis()
+    val root = fs.makeQualified(new Path(path)).toString
+    val orphans = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(new Path(path), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = fs.makeQualified(st.getPath).toString.stripPrefix(root + "/")
+      if (rel.endsWith(".parquet") && !rel.startsWith(LogDir) && !rel.startsWith(StageDir) &&
+          !everReferenced.contains(rel) &&
+          now - st.getModificationTime > orphanMinAgeMs) {
+        fs.delete(st.getPath, false)
+        orphans += rel
+      }
+    }
+    dead ++ orphans
   }
 }

@@ -68,6 +68,22 @@ class VersionedTableSpec extends SparkSpec {
     assert(dead.forall(f => !new java.io.File(s"$t/$f").exists()))
   }
 
+  test("vacuum reclaims orphans from crashed writes, age-gated") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    // simulate a write that crashed after staging into the partition dir
+    val orphan = new java.io.File(s"$t/p=a/part-99999-dead-beef.c000.snappy.parquet")
+    Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // fresh orphan survives (could be a concurrent writer mid-commit)
+    VersionedTable.vacuum(spark, t, retainVersions = 1)
+    assert(orphan.exists())
+    // aged orphan is reclaimed; the table is untouched
+    val cleaned = VersionedTable.vacuum(spark, t, retainVersions = 1, orphanMinAgeMs = 0L)
+    assert(cleaned.exists(_.endsWith("part-99999-dead-beef.c000.snappy.parquet")))
+    assert(!orphan.exists())
+    assert(VersionedTable.read(spark, t).count() == 1)
+  }
+
   test("timestamp travel resolves the last commit at or before the timestamp") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
