@@ -123,7 +123,46 @@ object VersionedTable {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Driver-checkable MERGE: ONE statement against the versioned orders
+    * table updates every 100th key (+100000 price), deletes every
+    * (100k+50)th, and inserts a negated copy of every (100k+25)th; the
+    * oracle reconstructs the same end state relationally.
+    */
+  def mergeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-vt-merge")
+      .toFile.getAbsolutePath + "/orders_m"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    write(spark, path, orders, Seq("o_orderstatus"))
+    val src = orders.filter(col("o_orderkey") % 100 === 0).withColumn("op", lit("U"))
+      .unionByName(orders.filter(col("o_orderkey") % 100 === 50).withColumn("op", lit("D")))
+      .unionByName(orders.filter(col("o_orderkey") % 100 === 25)
+        .withColumn("o_orderkey", -col("o_orderkey")).withColumn("op", lit("I")))
+    merge(spark, path, src, key = "o_orderkey", partitionCols = Seq("o_orderstatus"),
+      clauses = Seq(
+        MatchedDelete(Some(col("s.op") === "D")),
+        MatchedUpdate(Map("o_totalprice" -> (col("s.o_totalprice") + lit(100000.0))),
+          Some(col("s.op") === "U")),
+        NotMatchedInsert(cond = Some(col("s.op") === "I"))))
+    read(spark, path)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_merge", mergeRoundTrip,
+      Some("""
+        SELECT * FROM (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 100000
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 100 <> 50
+          UNION ALL
+          SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 100 = 25)
+        ORDER BY o_orderkey""")),
     graft.Op("q_zorder", zorderRoundTrip,
       Some("""
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -610,6 +649,143 @@ object VersionedTable {
     val adds = stage(spark, path, kept, partitionCols, allowEmpty = true)
     val c = publishWithRebase(fs, path, "delete", adds, affected, txn = None,
       schemaOf = _ => None, allowRebase = true)
+    c.version
+  }
+
+  /** One MERGE INTO clause; evaluated in the order given, first match
+    * wins (Delta's clause semantics). Conditions and update/insert value
+    * expressions may reference the target row as `t.<col>` and the
+    * source row as `s.<col>`.
+    */
+  sealed trait MergeClause
+  /** UPDATE SET: `set` maps target column → new value; unlisted columns
+    * keep their target value.
+    */
+  final case class MatchedUpdate(set: Map[String, org.apache.spark.sql.Column],
+      cond: Option[org.apache.spark.sql.Column] = None) extends MergeClause
+  final case class MatchedDelete(
+      cond: Option[org.apache.spark.sql.Column] = None) extends MergeClause
+  /** INSERT: `values` maps target column → expression; `None` inserts the
+    * source's same-named columns (missing ones become null).
+    */
+  final case class NotMatchedInsert(
+      values: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      cond: Option[org.apache.spark.sql.Column] = None) extends MergeClause
+
+  /** MERGE INTO the versioned table: the general conditional-upsert the
+    * reference reaches to Hudi/Delta for (`jobs/S3ToHudiOptStreamJob
+    * .scala:80-105` configures exactly a keyed upsert; MERGE is its
+    * superset). Target rows join source rows on (partitionCols, key) —
+    * partition-scoped keys, same contract as [[upsert]] — then each
+    * clause applies in order: matched rows take the first holding
+    * MatchedUpdate/MatchedDelete (none holding → row kept unchanged),
+    * source-only rows take the first holding NotMatchedInsert (none →
+    * dropped), target-only rows are always kept. More than one source
+    * row matching the same target row is an error (Delta's
+    * multiple-source-rows-matched semantics), detected IN the plan via
+    * a windowed count + raise_error — no extra validation job.
+    *
+    * Scale shape: one declarative plan — COW over affected partitions
+    * only (source partition values collected, bounded driver set), the
+    * source shuffles twice (dup-count window + join) but the table side
+    * shuffles once on the join keys; untouched partitions share files
+    * across versions without being read.
+    */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+      key: String, partitionCols: Seq[String], clauses: Seq[MergeClause],
+      txn: Option[(String, Long)] = None, statsCols: Seq[String] = Nil,
+      evolveSchema: Boolean = false): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StructType
+    require(clauses.nonEmpty, "merge: no clauses")
+    val fs = fsFor(spark, path)
+    val token = txn.map { case (app, batch) => Txn(app, batch) }
+    val all = commits(fs, path)
+    token.foreach { t =>
+      val replay = all.find(_.txn.contains(t))
+      if (replay.isDefined) return replay.get.version // idempotent retry
+    }
+    require(all.nonEmpty, s"merge: no versioned table at $path")
+    val live = liveFiles(all)
+    val affected =
+      if (partitionCols.isEmpty) live
+      else {
+        val parts = source.select(partitionCols.map(col): _*).distinct().collect()
+        val dirs = partitionDirs(parts, partitionCols)
+        live.filter(f => dirs.exists(d => f.startsWith(d + "/")))
+      }
+    val targetSchema = snapshotSchema(all).getOrElse(
+      spark.read.option("basePath", path)
+        .parquet(live.map(f => s"$path/$f"): _*).schema)
+    val outSchema: StructType =
+      if (evolveSchema) mergeSchemas(targetSchema, source.schema) else targetSchema
+    val outType = StructType(outSchema.fields)
+    val targetCols = targetSchema.fieldNames.toSet
+    val sourceCols = source.columns.toSet
+    val base =
+      if (affected.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), targetSchema)
+      else spark.read.schema(targetSchema).option("basePath", path)
+        .parquet(affected.map(f => s"$path/$f"): _*)
+    val joinKeys = (partitionCols :+ key).distinct
+    // Presence markers distinguish "no row on this side" from null data;
+    // the windowed count catches multiple source rows per join key.
+    val t = base.withColumn("__te", lit(1)).alias("t")
+    val s = source
+      .withColumn("__scnt", count(lit(1)).over(
+        Window.partitionBy(joinKeys.map(col): _*)))
+      .withColumn("__se", lit(1)).alias("s")
+    val j = t.join(s,
+      joinKeys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+      "full_outer")
+    def fromTarget: org.apache.spark.sql.Column = struct(outSchema.fields.toSeq.map { f =>
+      (if (targetCols(f.name)) col(s"t.${f.name}")
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+    def fromMap(m: Map[String, org.apache.spark.sql.Column],
+        default: String => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val unknown = m.keySet.filterNot(outSchema.fieldNames.contains)
+      require(unknown.isEmpty, s"merge: unknown target columns $unknown")
+      struct(outSchema.fields.toSeq.map { f =>
+        m.getOrElse(f.name, default(f.name)).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    def fromSource(name: String): org.apache.spark.sql.Column =
+      if (sourceCols(name)) col(s"s.$name") else lit(null)
+    val dropRow = lit(null).cast(outType)
+    val matchedResult = clauses.foldRight(fromTarget) {
+      case (MatchedUpdate(set, cond), acc) =>
+        when(cond.getOrElse(lit(true)),
+          fromMap(set, c => if (targetCols(c)) col(s"t.$c") else lit(null))).otherwise(acc)
+      case (MatchedDelete(cond), acc) =>
+        when(cond.getOrElse(lit(true)), dropRow).otherwise(acc)
+      case (_, acc) => acc
+    }
+    val notMatchedResult = clauses.foldRight(dropRow) {
+      case (NotMatchedInsert(values, cond), acc) =>
+        when(cond.getOrElse(lit(true)),
+          fromMap(values.getOrElse(Map.empty), fromSource)).otherwise(acc)
+      case (_, acc) => acc
+    }
+    val matched = col("t.__te").isNotNull && col("s.__se").isNotNull
+    val picked =
+      when(matched && col("s.__scnt") > 1,
+        raise_error(concat(lit("merge: multiple source rows match target key "),
+          col(s"s.$key").cast("string"))).cast(outType))
+        .when(matched, matchedResult)
+        .when(col("t.__te").isNotNull, fromTarget)
+        .otherwise(notMatchedResult)
+    var resolved = j.select(picked.as("__r"))
+      .filter(col("__r").isNotNull).select("__r.*")
+    if (partitionCols.nonEmpty)
+      resolved = resolved.repartition(partitionCols.map(col): _*)
+    val adds = stage(spark, path, resolved, partitionCols, allowEmpty = true)
+    val c = publishWithRebase(fs, path, "merge", adds, affected, token,
+      schemaOf = all =>
+        if (evolveSchema)
+          Some(snapshotSchema(all).map(mergeSchemas(_, source.schema)).getOrElse(outSchema))
+        else None,
+      allowRebase = true, stats = collectStats(spark, path, adds, statsCols))
     c.version
   }
 

@@ -84,6 +84,80 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).count() == 1)
   }
 
+  test("merge applies clauses in order: delete, conditional update, gated insert") {
+    val t = table()
+    VersionedTable.write(spark, t,
+      df((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L)), Seq("p"))
+    val src = Seq((1L, "a", "U"), (2L, "a", "D"), (5L, "a", "I"), (6L, "b", "X"))
+      .toDF("k", "p", "op")
+    VersionedTable.merge(spark, t, src, key = "k", partitionCols = Seq("p"),
+      clauses = Seq(
+        VersionedTable.MatchedDelete(Some(col("s.op") === "D")),
+        VersionedTable.MatchedUpdate(Map("v" -> (col("t.v") + 100L)),
+          Some(col("s.op") === "U")),
+        VersionedTable.NotMatchedInsert(
+          values = Some(Map("k" -> col("s.k"), "p" -> col("s.p"), "v" -> lit(0L))),
+          cond = Some(col("s.op") === "I"))))
+    // 1 updated, 2 deleted, 3/4 untouched, 5 inserted, 6 (op=X) dropped
+    assert(VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 110L), (3L, 30L), (4L, 40L), (5L, 0L)))
+    // prior snapshot untouched; untouched partition b shares files
+    assert(VersionedTable.read(spark, t, asOfVersion = Some(1))
+      .count() == 4)
+  }
+
+  test("merge keeps matched rows no clause selects; first matching clause wins") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "a", 2L)), Seq("p"))
+    val src = Seq((1L, "a", "skip"), (2L, "a", "both")).toDF("k", "p", "op")
+    VersionedTable.merge(spark, t, src, key = "k", partitionCols = Seq("p"),
+      clauses = Seq(
+        VersionedTable.MatchedUpdate(Map("v" -> lit(99L)), Some(col("s.op") === "both")),
+        VersionedTable.MatchedDelete(Some(col("s.op") === "both"))))
+    assert(VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 1L), (2L, 99L)))
+  }
+
+  test("merge errors when multiple source rows match one target row") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    val src = Seq((1L, "a", 5L), (1L, "a", 6L)).toDF("k", "p", "v")
+    val e = intercept[Exception] {
+      VersionedTable.merge(spark, t, src, key = "k", partitionCols = Seq("p"),
+        clauses = Seq(VersionedTable.MatchedUpdate(Map("v" -> col("s.v")))))
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+    // failed merge must not commit
+    assert(VersionedTable.read(spark, t).select("v").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("merge COW: only source-affected partitions are rewritten") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 2L)), Seq("p"))
+    val src = Seq((1L, "a", 9L)).toDF("k", "p", "v")
+    VersionedTable.merge(spark, t, src, key = "k", partitionCols = Seq("p"),
+      clauses = Seq(VersionedTable.MatchedUpdate(Map("v" -> col("s.v")))))
+    val f1 = VersionedTable.read(spark, t, asOfVersion = Some(1)).inputFiles.toSet
+    val f2 = VersionedTable.read(spark, t).inputFiles.toSet
+    assert(f1.filter(_.contains("p=b/")).subsetOf(f2),
+      "partition b untouched by merge must keep its files")
+    assert(VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 9L), (2L, 2L)))
+  }
+
+  test("merge is idempotent under a txn token (streaming replay)") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    val src = Seq((1L, "a", 2L)).toDF("k", "p", "v")
+    val clauses = Seq(VersionedTable.MatchedUpdate(Map("v" -> (col("t.v") + col("s.v")))))
+    val v1 = VersionedTable.merge(spark, t, src, "k", Seq("p"), clauses,
+      txn = Some(("app", 7L)))
+    val v2 = VersionedTable.merge(spark, t, src, "k", Seq("p"), clauses,
+      txn = Some(("app", 7L)))
+    assert(v1 == v2, "replayed batch must be a no-op returning the same version")
+    assert(VersionedTable.read(spark, t).select("v").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("timestamp travel resolves the last commit at or before the timestamp") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
