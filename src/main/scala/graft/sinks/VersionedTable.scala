@@ -151,7 +151,51 @@ object VersionedTable {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Driver-checkable merge-on-read: the same deterministic upsert as
+    * the time-travel fixture (every 100th key repriced, every (100k+50)th
+    * re-inserted negated) but written as DELTA files, read back through
+    * the merge-on-read collapse, then compacted and read AGAIN — the two
+    * reads must agree with each other and with the relational oracle, so
+    * one query checks both the merged-read path and the compactor.
+    */
+  def morRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-vt-mor")
+      .toFile.getAbsolutePath + "/orders_mor"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    write(spark, path, orders.withColumn("version", lit(1L)), Seq("o_orderstatus"))
+    val changed = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+      .withColumn("version", lit(2L))
+    val inserted = orders.filter(col("o_orderkey") % 100 === 50)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+      .withColumn("version", lit(2L))
+    upsertMOR(spark, path, changed.unionByName(inserted),
+      key = "o_orderkey", precombine = "version", partitionCols = Seq("o_orderstatus"))
+    val merged = read(spark, path)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("version"))
+    compactDeltas(spark, path)
+    val compacted = read(spark, path)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("version"))
+    // INTERSECT is an equality check that stays a DataFrame: if the
+    // merged-read and post-compaction snapshots differ at all, rows drop
+    // out and the driver's row-count/hash comparison fails loudly.
+    merged.intersect(compacted).orderBy(col("o_orderkey"))
+  }
+
   val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_mor", morRoundTrip,
+      Some("""
+        SELECT * FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 100000
+                      ELSE o_totalprice END AS o_totalprice,
+                 CASE WHEN o_orderkey % 100 = 0 THEN 2 ELSE 1 END AS version
+          FROM orders
+          UNION ALL
+          SELECT -o_orderkey, o_orderstatus, o_totalprice, 2 AS version
+          FROM orders WHERE o_orderkey % 100 = 50)
+        ORDER BY o_orderkey""")),
     graft.Op("q_merge", mergeRoundTrip,
       Some("""
         SELECT * FROM (
@@ -198,7 +242,16 @@ object VersionedTable {
       checkpoint: Option[Seq[String]],
       txn: Option[Txn] = None,
       schemaJson: Option[String] = None,
-      stats: Option[Map[String, FileStat]] = None)
+      stats: Option[Map[String, FileStat]] = None,
+      deltaAdds: Option[Seq[String]] = None,
+      mor: Option[MorSpec] = None)
+
+  /** Merge-on-read metadata a delta commit carries: how readers collapse
+    * base + delta rows (partition-scoped `key`, highest `precombine`
+    * wins, later delta commits win ties).
+    */
+  private final case class MorSpec(key: String, precombine: String,
+      partitionCols: Seq[String])
 
   /** Idempotence token for streaming writers: (appId, batchId). A commit
     * carrying a txn the log has already recorded is a replay — skipped.
@@ -271,6 +324,23 @@ object VersionedTable {
     live.toSeq
   }
 
+  /** Live merge-on-read delta files at a snapshot. No checkpoint
+    * shortcut — delta sets stay small by construction (compaction is the
+    * MOR contract) and the replay is a driver-side list walk.
+    */
+  private def liveDeltaFiles(upTo: Seq[Commit]): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    upTo.foreach { c => live ++= c.deltaAdds.getOrElse(Nil); live --= c.removes }
+    live.toSeq
+  }
+
+  /** Guard for copy-on-write ops whose base-file arithmetic would
+    * silently ignore (or resurrect rows shadowed by) live delta files.
+    */
+  private def requireNoDeltas(upTo: Seq[Commit], op: String): Unit =
+    require(liveDeltaFiles(upTo).isEmpty,
+      s"$op: table has live merge-on-read delta files — run compactDeltas first")
+
   private def snapshot(fs: FileSystem, path: String,
       asOfVersion: Option[Long], asOfTimestampMs: Option[Long]): (Seq[Commit], Seq[String]) = {
     val all = commits(fs, path)
@@ -298,16 +368,126 @@ object VersionedTable {
       asOfVersion: Option[Long] = None, asOfTimestampMs: Option[Long] = None): DataFrame = {
     val fs = fsFor(spark, path)
     val (upTo, files) = snapshot(fs, path, asOfVersion, asOfTimestampMs)
-    require(files.nonEmpty, s"snapshot of $path is empty")
+    val deltas = liveDeltaFiles(upTo)
+    require(files.nonEmpty || deltas.nonEmpty, s"snapshot of $path is empty")
     // The snapshot's schema comes from the LOG, not from file footers:
     // no footer reads at planning time, old snapshots keep the schema
     // they were written with, and files predating an added column
     // surface it as null (parquet by-name resolution).
-    val reader = snapshotSchema(upTo) match {
-      case Some(s) => spark.read.schema(s)
-      case None => spark.read
+    def rd(fl: Seq[String]) = {
+      val reader = snapshotSchema(upTo) match {
+        case Some(s) => spark.read.schema(s)
+        case None => spark.read
+      }
+      reader.option("basePath", path).parquet(fl.map(f => s"$path/$f"): _*)
     }
-    reader.option("basePath", path).parquet(files.map(f => s"$path/$f"): _*)
+    if (deltas.isEmpty) rd(files)
+    else {
+      // Merge-on-read: collapse base + delta rows at scan time. Highest
+      // precombine wins; ties go to the latest delta commit (base is
+      // commit 0). The window shuffles once on the merge keys — the MOR
+      // read tax traded for write-time O(delta) instead of O(partition).
+      import org.apache.spark.sql.expressions.Window
+      val spec = upTo.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }
+        .getOrElse(throw new IllegalStateException(
+          s"live delta files but no MOR spec in the log of $path"))
+      val deltaSet = deltas.toSet
+      val groups = upTo.flatMap(c =>
+        c.deltaAdds.map(_.filter(deltaSet)).filter(_.nonEmpty).map(c.version -> _))
+      val sides = (if (files.isEmpty) Nil
+        else Seq(rd(files).withColumn("__m_src", lit(0L)))) ++
+        groups.map { case (v, fl) => rd(fl).withColumn("__m_src", lit(v)) }
+      val unioned = sides.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      val w = Window.partitionBy((spec.partitionCols :+ spec.key).distinct.map(col): _*)
+        .orderBy(col(spec.precombine).desc, col("__m_src").desc)
+      unioned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__m_src", "__rn")
+    }
+  }
+
+  /** Merge-on-read upsert (Hudi's MOR table type, re-expressed on the
+    * log): the update set is appended as DELTA files — no base partition
+    * is read or rewritten, so write cost is O(update set) regardless of
+    * partition width. [[read]] collapses base+delta latest-wins;
+    * [[compactDeltas]] materializes the merge back into base files.
+    * The reference measures exactly this trade (`README.md:126-167`:
+    * Hudi COW upsert ≫ slower than plain appends) — MOR is the other
+    * side of it.
+    */
+  def upsertMOR(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, precombine: String, partitionCols: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
+    val fs = fsFor(spark, path)
+    val token = txn.map { case (app, batch) => Txn(app, batch) }
+    // An empty table bootstraps fine: version 1 is all-delta, base empty —
+    // the streaming writer's first micro-batch needs exactly this.
+    val all = commits(fs, path)
+    token.foreach { t =>
+      val replay = all.find(_.txn.contains(t))
+      if (replay.isDefined) return replay.get.version // idempotent retry
+    }
+    all.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }.foreach { prev =>
+      require(prev == MorSpec(key, precombine, partitionCols),
+        s"upsertMOR: merge spec $prev already recorded for $path — specs must match")
+    }
+    val staged = stage(spark, path,
+      updates.repartition(partitionCols.map(col): _*), partitionCols)
+    val c = publishWithRebase(fs, path, "upsert_mor", Nil, Nil, token,
+      schemaOf = all => Some(snapshotSchema(all)
+        .map(mergeSchemas(_, updates.schema)).getOrElse(updates.schema)),
+      allowRebase = true, deltaAdds = staged,
+      mor = Some(MorSpec(key, precombine, partitionCols)))
+    c.version
+  }
+
+  /** Materialize live delta files into base files: merged read of JUST
+    * the partitions holding deltas, rewritten as base, one commit
+    * removing the old base files and the deltas. Untouched partitions
+    * share files across the compaction. This is Hudi's async compactor
+    * as an explicit table operation.
+    */
+  def compactDeltas(spark: SparkSession, path: String,
+      statsCols: Seq[String] = Nil): Long = {
+    val fs = fsFor(spark, path)
+    val all = commits(fs, path)
+    require(all.nonEmpty, s"compactDeltas: no versioned table at $path")
+    val deltas = liveDeltaFiles(all)
+    if (deltas.isEmpty) return all.last.version
+    val spec = all.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }.get
+    val live = liveFiles(all)
+    // Partitions holding deltas, from the delta file paths — no scan.
+    val dirs = deltas.map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+    val affectedBase =
+      if (spec.partitionCols.isEmpty) live
+      else live.filter(f => dirs.contains(f.substring(0, f.lastIndexOf('/'))))
+    // The merged view of the affected slice is exactly read()'s plan
+    // restricted to those files; reuse it by replaying against a snapshot
+    // whose base is the affected files only.
+    def rd(fl: Seq[String]) = {
+      val reader = snapshotSchema(all) match {
+        case Some(s) => spark.read.schema(s)
+        case None => spark.read
+      }
+      reader.option("basePath", path).parquet(fl.map(f => s"$path/$f"): _*)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val deltaSet = deltas.toSet
+    val groups = all.flatMap(c =>
+      c.deltaAdds.map(_.filter(deltaSet)).filter(_.nonEmpty).map(c.version -> _))
+    val sides = (if (affectedBase.isEmpty) Nil
+      else Seq(rd(affectedBase).withColumn("__m_src", lit(0L)))) ++
+      groups.map { case (v, fl) => rd(fl).withColumn("__m_src", lit(v)) }
+    val unioned = sides.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val w = Window.partitionBy((spec.partitionCols :+ spec.key).distinct.map(col): _*)
+      .orderBy(col(spec.precombine).desc, col("__m_src").desc)
+    val merged = unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__m_src", "__rn")
+      .repartition(spec.partitionCols.map(col): _*)
+    val adds = stage(spark, path, merged, spec.partitionCols, allowEmpty = true)
+    publishWithRebase(fs, path, "compact_deltas", adds,
+      (affectedBase ++ deltas).distinct, txn = None,
+      schemaOf = _ => None, allowRebase = true,
+      stats = collectStats(spark, path, adds, statsCols)).version
   }
 
   private def snapshotSchema(upTo: Seq[Commit]): Option[org.apache.spark.sql.types.StructType] =
@@ -420,7 +600,8 @@ object VersionedTable {
       adds: Seq[String], removes: Seq[String], txn: Option[Txn],
       schemaOf: Seq[Commit] => Option[org.apache.spark.sql.types.StructType],
       allowRebase: Boolean, maxRetries: Int = 5,
-      stats: Option[Map[String, FileStat]] = None): Commit = {
+      stats: Option[Map[String, FileStat]] = None,
+      deltaAdds: Seq[String] = Nil, mor: Option[MorSpec] = None): Commit = {
     testRaceHook()
     var attempt = 0
     while (true) {
@@ -432,10 +613,10 @@ object VersionedTable {
       // Commit-time validation against the CURRENT log (every attempt —
       // staleness can predate the first publish, not just a lost rename
       // race): every file this commit logically removes must still be
-      // live. Snapshot-replacing ops (overwrite) additionally require
-      // that NOTHING was committed since the snapshot they replace —
-      // live must equal their remove set exactly.
-      val live = liveFiles(all).toSet
+      // live (base OR delta). Snapshot-replacing ops (overwrite)
+      // additionally require that NOTHING was committed since the
+      // snapshot they replace — live must equal their remove set exactly.
+      val live = liveFiles(all).toSet ++ liveDeltaFiles(all)
       if (!removes.forall(live.contains))
         throw new java.util.ConcurrentModificationException(
           s"$op on $path conflicts with a concurrent commit to the same files")
@@ -448,7 +629,8 @@ object VersionedTable {
         Some((prevLive.filterNot(removes.contains) ++ adds).distinct)
       } else None
       val c = Commit(version, System.currentTimeMillis(), op, adds, removes,
-        ckpt, txn, schemaOf(all).map(_.json), stats)
+        ckpt, txn, schemaOf(all).map(_.json), stats,
+        deltaAdds = if (deltaAdds.isEmpty) None else Some(deltaAdds), mor = mor)
       try { publish(fs, path, c); return c }
       catch {
         case e: java.util.ConcurrentModificationException =>
@@ -472,8 +654,10 @@ object VersionedTable {
     val adds = stage(spark, path, df, partitionCols)
     val stats = collectStats(spark, path, adds, statsCols)
     val removes =
-      if (mode == "overwrite" && exists) snapshot(fs, path, None, None)._2
-      else Nil
+      if (mode == "overwrite" && exists) {
+        val (upTo, base) = snapshot(fs, path, None, None)
+        (base ++ liveDeltaFiles(upTo)).distinct
+      } else Nil
     // Overwrite REPLACES the schema; append EVOLVES it additively (new
     // columns allowed, type changes rejected). Appends may rebase over
     // concurrent commits (they remove nothing); overwrite may not.
@@ -513,6 +697,7 @@ object VersionedTable {
       val replay = all.find(_.txn.contains(t))
       if (replay.isDefined) return replay.get.version // idempotent retry
     }
+    if (all.nonEmpty) requireNoDeltas(all, "upsert")
     val live = if (all.isEmpty) Nil else liveFiles(all)
     // Affected partition dirs from the update set's partition values —
     // a distinct over low-cardinality columns, bounded driver collect.
@@ -558,13 +743,22 @@ object VersionedTable {
     */
   def streamWriter(stream: DataFrame, path: String, key: String,
       precombine: String, partitionCols: Seq[String], checkpoint: String,
-      appId: String = "graft-stream"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      appId: String = "graft-stream",
+      mergeOnRead: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          upsert(batch.sparkSession, path, batch, key, precombine,
-            partitionCols, txn = Some((appId, batchId)))
+        if (!batch.isEmpty) {
+          // mergeOnRead: each micro-batch is ONE delta append — per-batch
+          // cost O(batch), not O(touched partitions). The write-heavy
+          // streaming shape Hudi MOR exists for; compact on a cadence.
+          if (mergeOnRead)
+            upsertMOR(batch.sparkSession, path, batch, key, precombine,
+              partitionCols, txn = Some((appId, batchId)))
+          else
+            upsert(batch.sparkSession, path, batch, key, precombine,
+              partitionCols, txn = Some((appId, batchId)))
+        }
         ()
       }
 
@@ -583,6 +777,12 @@ object VersionedTable {
       toVersion: Long, key: String, partitionCols: Seq[String] = Nil,
       includePreimage: Boolean = false): DataFrame = {
     val fs = fsFor(spark, path)
+    val allCommits = commits(fs, path)
+    // The diff is computed from base-file churn, so both endpoints must
+    // be fully materialized states (no live MOR deltas); deltas compacted
+    // BETWEEN the endpoints are fine — the compaction rewrote the base.
+    requireNoDeltas(allCommits.filter(_.version <= fromVersion), s"changes(from=$fromVersion)")
+    requireNoDeltas(allCommits.filter(_.version <= toVersion), s"changes(to=$toVersion)")
     val oldFiles = snapshot(fs, path, Some(fromVersion), None)._2.toSet
     val newFiles = snapshot(fs, path, Some(toVersion), None)._2.toSet
     val removed = (oldFiles -- newFiles).toSeq.sorted
@@ -634,6 +834,7 @@ object VersionedTable {
   def delete(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column, partitionCols: Seq[String]): Long = {
     val fs = fsFor(spark, path)
+    requireNoDeltas(commits(fs, path), "delete")
     val (_, live) = snapshot(fs, path, None, None)
     val current = spark.read.option("basePath", path)
       .parquet(live.map(f => s"$path/$f"): _*)
@@ -706,6 +907,7 @@ object VersionedTable {
       if (replay.isDefined) return replay.get.version // idempotent retry
     }
     require(all.nonEmpty, s"merge: no versioned table at $path")
+    requireNoDeltas(all, "merge")
     val live = liveFiles(all)
     val affected =
       if (partitionCols.isEmpty) live
@@ -900,6 +1102,7 @@ object VersionedTable {
       asOfVersion: Option[Long] = None): (DataFrame, Int, Int) = {
     val fs = fsFor(spark, path)
     val (upTo, files) = snapshot(fs, path, asOfVersion, None)
+    requireNoDeltas(upTo, "readPruned")
     val idx = statsIndex(upTo)
     // Resolve the predicate against an empty frame carrying the log
     // schema: a raw Column is an unresolved node tree in Spark 4 — the
@@ -940,7 +1143,10 @@ object VersionedTable {
       .sortWithinPartitions(sortCols.map(col): _*)
     val adds = stage(spark, path, sorted, partitionCols)
     val stats = collectStats(spark, path, adds, sortCols)
-    val c = publishWithRebase(fs, path, "cluster", adds, live, txn = None,
+    // read() above merged any live MOR deltas into the rewrite, so the
+    // commit consumes them too — clustering doubles as delta compaction.
+    val c = publishWithRebase(fs, path, "cluster",
+      adds, (live ++ liveDeltaFiles(commits(fs, path))).distinct, txn = None,
       schemaOf = a => snapshotSchema(a), allowRebase = true, stats = stats)
     c.version
   }
@@ -969,7 +1175,10 @@ object VersionedTable {
       .drop("__z")
     val adds = stage(spark, path, sorted, partitionCols)
     val stats = collectStats(spark, path, adds, zCols)
-    val c = publishWithRebase(fs, path, "cluster-zorder", adds, live, txn = None,
+    // As in [[cluster]]: the merged read consumed live deltas, so the
+    // commit removes them alongside the old base files.
+    val c = publishWithRebase(fs, path, "cluster-zorder",
+      adds, (live ++ liveDeltaFiles(commits(fs, path))).distinct, txn = None,
       schemaOf = a => snapshotSchema(a), allowRebase = true, stats = stats)
     c.version
   }
@@ -1035,9 +1244,13 @@ object VersionedTable {
     require(all.nonEmpty, s"not a versioned table: $path")
     val horizon = all.last.version - retainVersions + 1
     val retainedLive = all.filter(_.version >= horizon)
-      .flatMap(c => liveFiles(all.filter(_.version <= c.version)))
+      .flatMap { c =>
+        val upTo = all.filter(_.version <= c.version)
+        liveFiles(upTo) ++ liveDeltaFiles(upTo)
+      }
       .toSet
-    val everReferenced = all.flatMap(c => c.adds ++ c.checkpoint.getOrElse(Nil)).toSet
+    val everReferenced = all.flatMap(c =>
+      c.adds ++ c.deltaAdds.getOrElse(Nil) ++ c.checkpoint.getOrElse(Nil)).toSet
     val dead = everReferenced.filterNot(retainedLive.contains).toSeq.sorted
     dead.foreach(f => fs.delete(new Path(s"$path/$f"), false))
     // Orphans: data files in the table tree that NO commit ever

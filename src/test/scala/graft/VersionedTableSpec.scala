@@ -158,6 +158,81 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).select("v").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("upsertMOR appends deltas without touching base files; read merges latest-wins") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L)), Seq("p"))
+    val baseFiles = VersionedTable.read(spark, t).inputFiles.toSet
+    VersionedTable.upsertMOR(spark, t, df((1L, "a", 10L), (4L, "b", 4L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    // no base file rewritten or removed — the MOR write contract
+    assert(baseFiles.forall(f => new java.io.File(f.stripPrefix("file:")).exists()))
+    assert(VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    // second delta stacks; later commit wins precombine ties
+    VersionedTable.upsertMOR(spark, t, df((1L, "a", 10L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    assert(VersionedTable.read(spark, t).count() == 4)
+    // prior snapshots unaffected
+    assert(VersionedTable.read(spark, t, asOfVersion = Some(1)).count() == 3)
+  }
+
+  test("compactDeltas materializes the merge and reclaims deltas via vacuum") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 2L)), Seq("p"))
+    VersionedTable.upsertMOR(spark, t, df((1L, "a", 9L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    val bFiles = VersionedTable.read(spark, t, asOfVersion = Some(1))
+      .inputFiles.filter(_.contains("p=b/")).toSet
+    VersionedTable.compactDeltas(spark, t)
+    val after = VersionedTable.read(spark, t)
+    assert(after.select("k", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 9L), (2L, 2L)))
+    // compaction touched only the delta-holding partition
+    assert(bFiles.subsetOf(after.inputFiles.toSet),
+      "partition b had no deltas — its files must be shared, not rewritten")
+    // idempotent when nothing to compact
+    val v = VersionedTable.latestVersion(spark, t)
+    assert(VersionedTable.compactDeltas(spark, t) == v)
+    // vacuum to latest reclaims the delta files
+    VersionedTable.vacuum(spark, t, retainVersions = 1, orphanMinAgeMs = 0L)
+    assert(VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 9L), (2L, 2L)))
+  }
+
+  test("COW ops refuse to run over live deltas; cluster consumes them") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    VersionedTable.upsertMOR(spark, t, df((1L, "a", 2L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.upsert(spark, t, df((1L, "a", 3L)),
+        key = "k", precombine = "v", partitionCols = Seq("p"))
+    }
+    assert(e.getMessage.contains("compactDeltas"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.delete(spark, t, col("k") === 1L, Seq("p"))
+    }
+    // cluster doubles as compaction: merged rewrite, deltas consumed
+    VersionedTable.cluster(spark, t, sortCols = Seq("k"), partitionCols = Seq("p"))
+    assert(VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 2L)))
+    // now COW ops work again
+    VersionedTable.upsert(spark, t, df((1L, "a", 5L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    assert(VersionedTable.read(spark, t).select("v").as[Long].collect().toSeq == Seq(5L))
+  }
+
+  test("upsertMOR is idempotent under a txn token") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    val v1 = VersionedTable.upsertMOR(spark, t, df((1L, "a", 2L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"), txn = Some(("app", 3L)))
+    val v2 = VersionedTable.upsertMOR(spark, t, df((1L, "a", 2L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"), txn = Some(("app", 3L)))
+    assert(v1 == v2)
+    assert(VersionedTable.read(spark, t).count() == 1)
+  }
+
   test("timestamp travel resolves the last commit at or before the timestamp") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
@@ -309,6 +384,29 @@ class VersionedTableSpec extends SparkSpec {
       txn = Some(("graft-stream", 1L)))
     assert(replayed <= vNow, "replayed txn must not produce a new version")
     assert(!VersionedTable.read(spark, t).select("k").as[Long].collect().contains(9L))
+  }
+
+  test("streamWriter in merge-on-read mode: delta-only commits, bootstrap from empty") {
+    val t = table()
+    val src = Files.createTempDirectory("graft-vt-msrc").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-vt-mckpt").toFile.getAbsolutePath
+    df((1L, "a", 1L), (2L, "b", 1L)).coalesce(1).write.parquet(s"$src/f1")
+    df((1L, "a", 2L), (3L, "a", 1L)).coalesce(1).write.parquet(s"$src/f2")
+    val stream = spark.readStream
+      .schema("k LONG, p STRING, v LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+    val q = VersionedTable.streamWriter(stream, t, key = "k", precombine = "v",
+      partitionCols = Seq("p"), checkpoint = ckpt, mergeOnRead = true).start()
+    q.processAllAvailable(); q.stop()
+    assert(VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 2L), (2L, 1L), (3L, 1L)))
+    // every streaming commit was a delta append — zero base files written
+    val hist = VersionedTable.history(spark, t)
+      .select("op", "n_added").as[(String, Int)].collect()
+    assert(hist.forall { case (op, added) => op == "upsert_mor" && added == 0 })
+    VersionedTable.compactDeltas(spark, t)
+    assert(VersionedTable.read(spark, t).count() == 3)
   }
 
   test("append evolves schema additively; old snapshots keep their schema; type change rejected") {
