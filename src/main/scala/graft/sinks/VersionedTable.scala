@@ -341,6 +341,48 @@ object VersionedTable {
     require(liveDeltaFiles(upTo).isEmpty,
       s"$op: table has live merge-on-read delta files — run compactDeltas first")
 
+  private def dirOf(f: String): String =
+    f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) }
+
+  /** The logical relation of snapshot `upTo`: base files when no deltas
+    * are live, else base + deltas collapsed latest-wins (highest
+    * precombine; ties go to the latest delta commit, base is commit 0 —
+    * ONE window shuffle on the merge keys, the MOR read tax). Optionally
+    * restricted to partition dirs ("" = unpartitioned) so callers pay
+    * only for the slice they need. None when the slice has no files.
+    */
+  private def mergedView(spark: SparkSession, path: String, upTo: Seq[Commit],
+      restrictDirs: Option[Set[String]] = None,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    def keep(f: String) = restrictDirs.forall(_.contains(dirOf(f)))
+    val base = liveFiles(upTo).filter(keep)
+    val deltas = liveDeltaFiles(upTo).filter(keep)
+    if (base.isEmpty && deltas.isEmpty) return None
+    def rd(fl: Seq[String]) = {
+      val reader = schemaOverride.orElse(snapshotSchema(upTo)) match {
+        case Some(s) => spark.read.schema(s)
+        case None => spark.read
+      }
+      reader.option("basePath", path).parquet(fl.map(f => s"$path/$f"): _*)
+    }
+    if (deltas.isEmpty) return Some(rd(base))
+    val spec = upTo.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }
+      .getOrElse(throw new IllegalStateException(
+        s"live delta files but no MOR spec in the log of $path"))
+    val deltaSet = deltas.toSet
+    val groups = upTo.flatMap(c =>
+      c.deltaAdds.map(_.filter(deltaSet)).filter(_.nonEmpty).map(c.version -> _))
+    val sides = (if (base.isEmpty) Nil
+      else Seq(rd(base).withColumn("__m_src", lit(0L)))) ++
+      groups.map { case (v, fl) => rd(fl).withColumn("__m_src", lit(v)) }
+    val unioned = sides.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val w = Window.partitionBy((spec.partitionCols :+ spec.key).distinct.map(col): _*)
+      .orderBy(col(spec.precombine).desc, col("__m_src").desc)
+    Some(unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__m_src", "__rn"))
+  }
+
   private def snapshot(fs: FileSystem, path: String,
       asOfVersion: Option[Long], asOfTimestampMs: Option[Long]): (Seq[Commit], Seq[String]) = {
     val all = commits(fs, path)
@@ -367,42 +409,14 @@ object VersionedTable {
   def read(spark: SparkSession, path: String,
       asOfVersion: Option[Long] = None, asOfTimestampMs: Option[Long] = None): DataFrame = {
     val fs = fsFor(spark, path)
-    val (upTo, files) = snapshot(fs, path, asOfVersion, asOfTimestampMs)
-    val deltas = liveDeltaFiles(upTo)
-    require(files.nonEmpty || deltas.nonEmpty, s"snapshot of $path is empty")
+    val (upTo, _) = snapshot(fs, path, asOfVersion, asOfTimestampMs)
     // The snapshot's schema comes from the LOG, not from file footers:
     // no footer reads at planning time, old snapshots keep the schema
     // they were written with, and files predating an added column
-    // surface it as null (parquet by-name resolution).
-    def rd(fl: Seq[String]) = {
-      val reader = snapshotSchema(upTo) match {
-        case Some(s) => spark.read.schema(s)
-        case None => spark.read
-      }
-      reader.option("basePath", path).parquet(fl.map(f => s"$path/$f"): _*)
-    }
-    if (deltas.isEmpty) rd(files)
-    else {
-      // Merge-on-read: collapse base + delta rows at scan time. Highest
-      // precombine wins; ties go to the latest delta commit (base is
-      // commit 0). The window shuffles once on the merge keys — the MOR
-      // read tax traded for write-time O(delta) instead of O(partition).
-      import org.apache.spark.sql.expressions.Window
-      val spec = upTo.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }
-        .getOrElse(throw new IllegalStateException(
-          s"live delta files but no MOR spec in the log of $path"))
-      val deltaSet = deltas.toSet
-      val groups = upTo.flatMap(c =>
-        c.deltaAdds.map(_.filter(deltaSet)).filter(_.nonEmpty).map(c.version -> _))
-      val sides = (if (files.isEmpty) Nil
-        else Seq(rd(files).withColumn("__m_src", lit(0L)))) ++
-        groups.map { case (v, fl) => rd(fl).withColumn("__m_src", lit(v)) }
-      val unioned = sides.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-      val w = Window.partitionBy((spec.partitionCols :+ spec.key).distinct.map(col): _*)
-        .orderBy(col(spec.precombine).desc, col("__m_src").desc)
-      unioned.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__m_src", "__rn")
-    }
+    // surface it as null (parquet by-name resolution). Live MOR deltas
+    // are collapsed latest-wins by [[mergedView]].
+    mergedView(spark, path, upTo)
+      .getOrElse(throw new IllegalArgumentException(s"snapshot of $path is empty"))
   }
 
   /** Merge-on-read upsert (Hudi's MOR table type, re-expressed on the
@@ -456,32 +470,12 @@ object VersionedTable {
     val spec = all.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }.get
     val live = liveFiles(all)
     // Partitions holding deltas, from the delta file paths — no scan.
-    val dirs = deltas.map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+    val dirs = deltas.map(dirOf).toSet
     val affectedBase =
       if (spec.partitionCols.isEmpty) live
-      else live.filter(f => dirs.contains(f.substring(0, f.lastIndexOf('/'))))
-    // The merged view of the affected slice is exactly read()'s plan
-    // restricted to those files; reuse it by replaying against a snapshot
-    // whose base is the affected files only.
-    def rd(fl: Seq[String]) = {
-      val reader = snapshotSchema(all) match {
-        case Some(s) => spark.read.schema(s)
-        case None => spark.read
-      }
-      reader.option("basePath", path).parquet(fl.map(f => s"$path/$f"): _*)
-    }
-    import org.apache.spark.sql.expressions.Window
-    val deltaSet = deltas.toSet
-    val groups = all.flatMap(c =>
-      c.deltaAdds.map(_.filter(deltaSet)).filter(_.nonEmpty).map(c.version -> _))
-    val sides = (if (affectedBase.isEmpty) Nil
-      else Seq(rd(affectedBase).withColumn("__m_src", lit(0L)))) ++
-      groups.map { case (v, fl) => rd(fl).withColumn("__m_src", lit(v)) }
-    val unioned = sides.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    val w = Window.partitionBy((spec.partitionCols :+ spec.key).distinct.map(col): _*)
-      .orderBy(col(spec.precombine).desc, col("__m_src").desc)
-    val merged = unioned.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__m_src", "__rn")
+      else live.filter(f => dirs.contains(dirOf(f)))
+    val restrict = if (spec.partitionCols.isEmpty) None else Some(dirs)
+    val merged = mergedView(spark, path, all, restrict).get
       .repartition(spec.partitionCols.map(col): _*)
     val adds = stage(spark, path, merged, spec.partitionCols, allowEmpty = true)
     publishWithRebase(fs, path, "compact_deltas", adds,
@@ -778,19 +772,39 @@ object VersionedTable {
       includePreimage: Boolean = false): DataFrame = {
     val fs = fsFor(spark, path)
     val allCommits = commits(fs, path)
-    // The diff is computed from base-file churn, so both endpoints must
-    // be fully materialized states (no live MOR deltas); deltas compacted
-    // BETWEEN the endpoints are fine — the compaction rewrote the base.
-    requireNoDeltas(allCommits.filter(_.version <= fromVersion), s"changes(from=$fromVersion)")
-    requireNoDeltas(allCommits.filter(_.version <= toVersion), s"changes(to=$toVersion)")
-    val oldFiles = snapshot(fs, path, Some(fromVersion), None)._2.toSet
-    val newFiles = snapshot(fs, path, Some(toVersion), None)._2.toSet
-    val removed = (oldFiles -- newFiles).toSeq.sorted
-    val added = (newFiles -- oldFiles).toSeq.sorted
-    def side(files: Seq[String]): Option[DataFrame] =
-      if (files.isEmpty) None
-      else Some(spark.read.option("basePath", path).parquet(files.map(f => s"$path/$f"): _*))
-    (side(removed), side(added)) match {
+    val upToOld = allCommits.filter(_.version <= fromVersion)
+    val upToNew = allCommits.filter(_.version <= toVersion)
+    require(upToOld.nonEmpty, s"no version <= $fromVersion in $path")
+    require(upToNew.nonEmpty, s"no version <= $toVersion in $path")
+    val morInvolved =
+      liveDeltaFiles(upToOld).nonEmpty || liveDeltaFiles(upToNew).nonEmpty
+    val (oldSide, newSide): (Option[DataFrame], Option[DataFrame]) =
+      if (!morInvolved) {
+        // Base-only endpoints: the snapshots can only differ inside files
+        // added/removed between them — read just the file churn.
+        val oldFiles = liveFiles(upToOld).toSet
+        val newFiles = liveFiles(upToNew).toSet
+        def side(files: Seq[String]): Option[DataFrame] =
+          if (files.isEmpty) None
+          else Some(spark.read.option("basePath", path)
+            .parquet(files.map(f => s"$path/$f"): _*))
+        (side((oldFiles -- newFiles).toSeq.sorted),
+          side((newFiles -- oldFiles).toSeq.sorted))
+      } else {
+        // A MOR endpoint: file identity no longer equals row identity, so
+        // diff the MERGED states instead — restricted to the partition
+        // dirs any commit in (from, to] touched (base, delta, or remove),
+        // which bounds both scans to the churn. Read both endpoints with
+        // the TO schema (evolution is additive, old files null-fill).
+        val dirs = allCommits
+          .filter(c => c.version > fromVersion && c.version <= toVersion)
+          .flatMap(c => c.adds ++ c.removes ++ c.deltaAdds.getOrElse(Nil))
+          .map(dirOf).toSet
+        val schema = snapshotSchema(upToNew)
+        (mergedView(spark, path, upToOld, Some(dirs), schema),
+          mergedView(spark, path, upToNew, Some(dirs), schema))
+      }
+    (oldSide, newSide) match {
       case (None, None) =>
         read(spark, path, asOfVersion = Some(toVersion))
           .filter(lit(false)).withColumn("_change_type", lit(""))

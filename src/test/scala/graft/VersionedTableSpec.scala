@@ -222,6 +222,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).select("v").as[Long].collect().toSeq == Seq(5L))
   }
 
+  test("CDF across MOR commits: merged-state diff, compaction diffs empty") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L)), Seq("p"))
+    // v2: MOR delta — update k=1, insert k=4 into partition a
+    VersionedTable.upsertMOR(spark, t, df((1L, "a", 10L), (4L, "a", 4L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    val d12 = VersionedTable.changes(spark, t, 1L, 2L, key = "k", partitionCols = Seq("p"))
+      .select("k", "v", "_change_type").as[(Long, Long, String)].collect().toSet
+    assert(d12 == Set((1L, 10L, "update"), (4L, 4L, "insert")),
+      "MOR delta commit must diff as row-level changes, not file noise")
+    // v3: compaction — logical no-op, CDF must be empty
+    VersionedTable.compactDeltas(spark, t)
+    assert(VersionedTable.changes(spark, t, 2L, 3L, key = "k",
+      partitionCols = Seq("p")).count() == 0,
+      "compaction rewrites rows unchanged — the diff must drop them all")
+    // end-to-end diff spans the MOR commit + compaction
+    val d13 = VersionedTable.changes(spark, t, 1L, 3L, key = "k", partitionCols = Seq("p"))
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(d13 == Set((1L, "update"), (4L, "insert")))
+  }
+
   test("upsertMOR is idempotent under a txn token") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
