@@ -244,7 +244,8 @@ object VersionedTable {
       schemaJson: Option[String] = None,
       stats: Option[Map[String, FileStat]] = None,
       deltaAdds: Option[Seq[String]] = None,
-      mor: Option[MorSpec] = None)
+      mor: Option[MorSpec] = None,
+      constraints: Option[Map[String, String]] = None)
 
   /** Merge-on-read metadata a delta commit carries: how readers collapse
     * base + delta rows (partition-scoped `key`, highest `precombine`
@@ -445,7 +446,8 @@ object VersionedTable {
         s"upsertMOR: merge spec $prev already recorded for $path — specs must match")
     }
     val staged = stage(spark, path,
-      updates.repartition(partitionCols.map(col): _*), partitionCols)
+      enforced(updates, currentConstraints(all))
+        .repartition(partitionCols.map(col): _*), partitionCols)
     val c = publishWithRebase(fs, path, "upsert_mor", Nil, Nil, token,
       schemaOf = all => Some(snapshotSchema(all)
         .map(mergeSchemas(_, updates.schema)).getOrElse(updates.schema)),
@@ -595,7 +597,8 @@ object VersionedTable {
       schemaOf: Seq[Commit] => Option[org.apache.spark.sql.types.StructType],
       allowRebase: Boolean, maxRetries: Int = 5,
       stats: Option[Map[String, FileStat]] = None,
-      deltaAdds: Seq[String] = Nil, mor: Option[MorSpec] = None): Commit = {
+      deltaAdds: Seq[String] = Nil, mor: Option[MorSpec] = None,
+      constraints: Option[Map[String, String]] = None): Commit = {
     testRaceHook()
     var attempt = 0
     while (true) {
@@ -624,7 +627,8 @@ object VersionedTable {
       } else None
       val c = Commit(version, System.currentTimeMillis(), op, adds, removes,
         ckpt, txn, schemaOf(all).map(_.json), stats,
-        deltaAdds = if (deltaAdds.isEmpty) None else Some(deltaAdds), mor = mor)
+        deltaAdds = if (deltaAdds.isEmpty) None else Some(deltaAdds), mor = mor,
+        constraints = constraints)
       try { publish(fs, path, c); return c }
       catch {
         case e: java.util.ConcurrentModificationException =>
@@ -644,8 +648,10 @@ object VersionedTable {
       statsCols: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"unsupported mode: $mode")
     val fs = fsFor(spark, path)
-    val exists = fs.exists(new Path(s"$path/$LogDir"))
-    val adds = stage(spark, path, df, partitionCols)
+    val existing = commits(fs, path)
+    val exists = existing.nonEmpty
+    val adds = stage(spark, path,
+      enforced(df, currentConstraints(existing)), partitionCols)
     val stats = collectStats(spark, path, adds, statsCols)
     val removes =
       if (mode == "overwrite" && exists) {
@@ -717,7 +723,8 @@ object VersionedTable {
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
       .repartition(partitionCols.map(col): _*)
-    val adds = stage(spark, path, resolved, partitionCols)
+    val adds = stage(spark, path,
+      enforced(resolved, currentConstraints(all)), partitionCols)
     val c = publishWithRebase(fs, path, "upsert", adds, affected, token,
       schemaOf = all => Some(snapshotSchema(all)
         .map(mergeSchemas(_, updates.schema)).getOrElse(evolved)),
@@ -995,7 +1002,8 @@ object VersionedTable {
       .filter(col("__r").isNotNull).select("__r.*")
     if (partitionCols.nonEmpty)
       resolved = resolved.repartition(partitionCols.map(col): _*)
-    val adds = stage(spark, path, resolved, partitionCols, allowEmpty = true)
+    val adds = stage(spark, path,
+      enforced(resolved, currentConstraints(all)), partitionCols, allowEmpty = true)
     val c = publishWithRebase(fs, path, "merge", adds, affected, token,
       schemaOf = all =>
         if (evolveSchema)
@@ -1288,4 +1296,144 @@ object VersionedTable {
     }
     dead ++ orphans
   }
+
+  // ---- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT shape) ----
+
+  private def currentConstraints(upTo: Seq[Commit]): Map[String, String] =
+    upTo.reverse.collectFirst { case c if c.constraints.isDefined => c.constraints.get }
+      .getOrElse(Map.empty)
+
+  /** The table's active CHECK constraints (name → SQL expression). */
+  def constraintsOf(spark: SparkSession, path: String): Map[String, String] =
+    currentConstraints(commits(fsFor(spark, path), path))
+
+  /** Add a CHECK constraint: existing rows are validated first (one scan,
+    * short-circuits at the first violation — same contract as Delta's
+    * ALTER TABLE ADD CONSTRAINT), then the full constraint set is
+    * recorded in a log-only commit. Every subsequent write/upsert/merge
+    * validates IN its own plan — a violating batch fails before staging
+    * and commits nothing. SQL NULL semantics: a row passes when the
+    * expression is TRUE or NULL, violates only on FALSE.
+    */
+  def addConstraint(spark: SparkSession, path: String,
+      name: String, sqlExpr: String): Long = {
+    val fs = fsFor(spark, path)
+    val all = commits(fs, path)
+    require(all.nonEmpty, s"addConstraint: no versioned table at $path")
+    val bad = read(spark, path).filter(coalesce(expr(sqlExpr), lit(true)) === false)
+      .limit(1).count()
+    require(bad == 0, s"addConstraint: existing rows violate $name ($sqlExpr)")
+    publishWithRebase(fs, path, "add_constraint", Nil, Nil, txn = None,
+      schemaOf = _ => None, allowRebase = true,
+      constraints = Some(currentConstraints(all) + (name -> sqlExpr))).version
+  }
+
+  /** Drop a CHECK constraint by name (log-only commit). */
+  def dropConstraint(spark: SparkSession, path: String, name: String): Long = {
+    val fs = fsFor(spark, path)
+    val all = commits(fs, path)
+    require(currentConstraints(all).contains(name), s"no constraint named $name")
+    publishWithRebase(fs, path, "drop_constraint", Nil, Nil, txn = None,
+      schemaOf = _ => None, allowRebase = true,
+      constraints = Some(currentConstraints(all) - name)).version
+  }
+
+  /** In-plan enforcement: wrap `df` so any row violating a constraint
+    * raises during the stage write — zero extra scans, the check rides
+    * the write's own pass over the data.
+    */
+  private def enforced(df: DataFrame, cs: Map[String, String]): DataFrame =
+    if (cs.isEmpty) df
+    else df.filter(cs.toSeq.sortBy(_._1).map { case (n, e) =>
+      when(coalesce(expr(e), lit(true)), lit(true))
+        .otherwise(raise_error(lit(s"CHECK constraint $n violated: $e")).cast("boolean"))
+    }.reduce(_ && _))
+
+  // ---- RESTORE (Delta RESTORE TABLE ... TO VERSION AS OF shape) ----
+
+  /** Roll the table back to the state at `toVersion` as a NEW commit:
+    * files live then but not now are re-added, files live now but not
+    * then are logically removed — pure log arithmetic, zero data I/O,
+    * and the bad history stays readable for audit. Fails if a needed
+    * file was already vacuumed. CDF across the restore reports the
+    * logical rollback (restored rows vs rolled-back rows).
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val fs = fsFor(spark, path)
+    val all = commits(fs, path)
+    val target = all.filter(_.version <= toVersion)
+    require(target.nonEmpty, s"restore: no version <= $toVersion in $path")
+    val (wantBase, wantDeltas) = (liveFiles(target), liveDeltaFiles(target))
+    val (curBase, curDeltas) = (liveFiles(all), liveDeltaFiles(all))
+    val readdBase = wantBase.filterNot(curBase.contains)
+    val readdDeltas = wantDeltas.filterNot(curDeltas.contains)
+    (readdBase ++ readdDeltas).foreach { f =>
+      require(fs.exists(new Path(s"$path/$f")),
+        s"restore: $f from version $toVersion was vacuumed — cannot restore")
+    }
+    val removes = (curBase.filterNot(wantBase.contains) ++
+      curDeltas.filterNot(wantDeltas.contains)).distinct
+    publishWithRebase(fs, path, "restore", readdBase, removes, txn = None,
+      schemaOf = _ => snapshotSchema(target), allowRebase = true,
+      deltaAdds = readdDeltas,
+      constraints = Some(currentConstraints(target))).version
+  }
+
+  // ---- replaceWhere (Delta's predicate-scoped overwrite) ----
+
+  /** Overwrite ONLY the slice a predicate describes: every live file in a
+    * partition holding matching rows is logically removed and `df` is
+    * written in its place. Rows of `df` outside the predicate raise
+    * in-plan (Delta's replaceWhere contract — the write may not smuggle
+    * data into partitions it didn't replace). Untouched partitions share
+    * their files across the commit.
+    */
+  def replaceWhere(spark: SparkSession, path: String, df: DataFrame,
+      predicate: org.apache.spark.sql.Column, partitionCols: Seq[String],
+      statsCols: Seq[String] = Nil): Long = {
+    val fs = fsFor(spark, path)
+    val all = commits(fs, path)
+    require(all.nonEmpty, s"replaceWhere: no versioned table at $path")
+    requireNoDeltas(all, "replaceWhere")
+    val live = liveFiles(all)
+    val current = spark.read.option("basePath", path)
+      .parquet(live.map(f => s"$path/$f"): _*)
+    val hitParts = current.filter(predicate)
+      .select(partitionCols.map(col): _*).distinct().collect()
+    val affected =
+      if (hitParts.isEmpty) Nil
+      else {
+        val dirs = partitionDirs(hitParts, partitionCols)
+        live.filter(f => dirs.exists(d => f.startsWith(d + "/")))
+      }
+    val guarded = enforced(
+      df.filter(
+        when(coalesce(predicate, lit(false)), lit(true))
+          .otherwise(raise_error(lit(
+            "replaceWhere: incoming row falls outside the replaced predicate"))
+            .cast("boolean"))),
+      currentConstraints(all))
+      .repartition(partitionCols.map(col): _*)
+    val adds = stage(spark, path, guarded, partitionCols, allowEmpty = true)
+    publishWithRebase(fs, path, "replace_where", adds, affected, txn = None,
+      schemaOf = _ => None, allowRebase = true,
+      stats = collectStats(spark, path, adds, statsCols)).version
+  }
+
+  /** Streaming MERGE INTO: one [[merge]] per micro-batch carrying the
+    * (appId, batchId) txn token — replayed batches are no-ops, so the
+    * arbitrary-clause merge gets the same exactly-once contract as
+    * [[streamWriter]]. The target table must already exist.
+    */
+  def streamMerger(stream: DataFrame, path: String, key: String,
+      partitionCols: Seq[String], clauses: Seq[MergeClause], checkpoint: String,
+      appId: String = "graft-stream-merge"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          merge(batch.sparkSession, path, batch, key, partitionCols, clauses,
+            txn = Some((appId, batchId)))
+        ()
+      }
 }

@@ -430,6 +430,114 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).count() == 3)
   }
 
+  test("CHECK constraints: add validates existing rows, writers enforce in-plan, drop lifts") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 5L)), Seq("p"))
+    // adding a constraint the table violates must fail
+    intercept[IllegalArgumentException] {
+      VersionedTable.addConstraint(spark, t, "v_big", "v > 100")
+    }
+    VersionedTable.addConstraint(spark, t, "v_pos", "v > 0")
+    assert(VersionedTable.constraintsOf(spark, t) == Map("v_pos" -> "v > 0"))
+    // a violating append fails before committing anything
+    val vBefore = VersionedTable.latestVersion(spark, t)
+    intercept[Exception] {
+      VersionedTable.write(spark, t, df((2L, "a", -1L)), Seq("p"), mode = "append")
+    }
+    assert(VersionedTable.latestVersion(spark, t) == vBefore, "failed write must not commit")
+    assert(VersionedTable.read(spark, t).count() == 1)
+    // a violating upsert fails too (new key, so the merge keeps its row);
+    // note an update LOSING the precombine race never materializes, so
+    // (1, -5) would correctly pass — use an insert that survives
+    intercept[Exception] {
+      VersionedTable.upsert(spark, t, df((5L, "a", -2L)),
+        key = "k", precombine = "v", partitionCols = Seq("p"))
+    }
+    VersionedTable.upsert(spark, t, df((1L, "a", 7L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    // drop: violations are allowed again
+    VersionedTable.dropConstraint(spark, t, "v_pos")
+    VersionedTable.write(spark, t, df((3L, "a", -9L)), Seq("p"), mode = "append")
+    assert(VersionedTable.read(spark, t).count() == 2)
+  }
+
+  test("restore rolls back to an old version as a new commit; history stays readable") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 2L)), Seq("p"))
+    VersionedTable.upsert(spark, t, df((1L, "a", 10L), (3L, "a", 3L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    VersionedTable.delete(spark, t, col("k") === 2L, Seq("p"))
+    // v3 state: (1,10), (3,3). Restore v1: (1,1), (2,2).
+    val v4 = VersionedTable.restore(spark, t, 1L)
+    assert(v4 == 4L)
+    assert(VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 1L), (2L, 2L)))
+    // the rolled-back state is still time-travelable for audit
+    assert(VersionedTable.read(spark, t, asOfVersion = Some(3))
+      .select("k", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (3L, 3L)))
+    // CDF across the restore reports the logical rollback
+    val d = VersionedTable.changes(spark, t, 3L, 4L, key = "k", partitionCols = Seq("p"))
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(d == Set((1L, "update"), (2L, "insert"), (3L, "delete")))
+  }
+
+  test("restore fails when the target version's files were vacuumed") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    VersionedTable.write(spark, t, df((2L, "a", 2L)), Seq("p")) // overwrite
+    VersionedTable.vacuum(spark, t, retainVersions = 1, orphanMinAgeMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, t, 1L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("replaceWhere swaps only the matching slice; out-of-slice rows raise") {
+    val t = table()
+    VersionedTable.write(spark, t,
+      df((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L)), Seq("p"))
+    VersionedTable.replaceWhere(spark, t, df((9L, "a", 9L)),
+      col("p") === "a", partitionCols = Seq("p"))
+    assert(VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)]
+      .collect().toSet == Set((9L, 9L), (3L, 3L)))
+    // untouched partition b shares files across the commit
+    val f1 = VersionedTable.read(spark, t, asOfVersion = Some(1)).inputFiles.toSet
+    val f2 = VersionedTable.read(spark, t).inputFiles.toSet
+    assert(f1.filter(_.contains("p=b/")).subsetOf(f2))
+    // a row landing OUTSIDE the replaced slice is a contract violation
+    intercept[Exception] {
+      VersionedTable.replaceWhere(spark, t, df((8L, "b", 8L)),
+        col("p") === "a", partitionCols = Seq("p"))
+    }
+  }
+
+  test("streamMerger applies MERGE clauses per micro-batch, exactly-once") {
+    val t = table()
+    val src = Files.createTempDirectory("graft-vt-sm").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-vt-smc").toFile.getAbsolutePath
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "a", 2L)), Seq("p"))
+    df((1L, "a", 100L)).coalesce(1).write.parquet(s"$src/f1")   // update k=1
+    df((3L, "a", 3L)).coalesce(1).write.parquet(s"$src/f2")     // insert k=3
+    val clauses = Seq(
+      VersionedTable.MatchedUpdate(Map("v" -> col("s.v"))),
+      VersionedTable.NotMatchedInsert())
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("k LONG, p STRING, v LONG")
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      val q = VersionedTable.streamMerger(stream, t, key = "k",
+        partitionCols = Seq("p"), clauses = clauses, checkpoint = ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 100L), (2L, 2L), (3L, 3L)))
+    val vAfter = VersionedTable.latestVersion(spark, t)
+    // restart from the same checkpoint: nothing new, no new commits
+    runOnce()
+    assert(VersionedTable.latestVersion(spark, t) == vAfter)
+  }
+
   test("append evolves schema additively; old snapshots keep their schema; type change rejected") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
