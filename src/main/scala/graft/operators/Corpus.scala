@@ -84,6 +84,69 @@ object Corpus {
         (col("start_off") % budget).as("bin_off"))
   }
 
+  /** Dataset-card rollup: per (lang, source) document counts, token and
+    * character totals — the summary table every corpus release ships.
+    * One partial-aggregated groupBy on a low-cardinality key: map-side
+    * combine reduces 100 TB of docs to a handful of shuffle rows.
+    * Exact integer sums; the only double is a final division of two
+    * exact longs, bitwise identical across engines.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("__toks", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Benchmark decontamination: flag every corpus document that shares at
+    * least one word n-gram with a held-out benchmark set — the standard
+    * guard against eval-set leakage into training data (the n-gram
+    * overlap check popularized by the GPT-3/PaLM appendices).
+    *
+    * The benchmark split is deterministic here (docs whose
+    * md5(doc_id) starts with 'f' stand in for the eval suite); in
+    * production the benchmark frame is the real eval corpus. Shape:
+    * explode each side into its n-grams, build the DISTINCT benchmark
+    * n-gram set, and left-join corpus n-grams against it. The benchmark
+    * set is an eval suite — tiny next to a 100 TB corpus by
+    * construction — so the join is a broadcast: the corpus side stays
+    * one narrow scan+explode with NO shuffle, and the per-doc aggregate
+    * is map-side partial. Docs shorter than n words carry zero n-grams
+    * and are never contaminated.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    decontaminateFrame(Tables.spread(Tables.documents(spark, dir)), n)
+
+  /** Core kernel over any (doc_id, text) frame; `is_bench` is derived
+    * from the md5 bucket (see [[decontaminate]]).
+    */
+  private[graft] def decontaminateFrame(docs: DataFrame, n: Int): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val ws = split(trim(col("text")), "\\s+")
+    val grams = docs
+      .select(col("doc_id"), (bucket === "f").as("is_bench"), ws.as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("doc_id"), col("is_bench"),
+        explode(transform(sequence(lit(0), size(col("__ws")) - lit(n)),
+          i => array_join(slice(col("__ws"), i + lit(1), lit(n)), " "))).as("ng"))
+    val bench = grams.filter(col("is_bench")).select("ng").distinct()
+    val perDoc = grams.filter(!col("is_bench"))
+      .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("ng"), "left")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("ng")).as("n_ngrams"),
+        countDistinct(when(col("__hit").isNotNull, col("ng"))).as("n_hits"))
+    docs.select(col("doc_id")).filter(bucket =!= "f")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The composed corpus pipeline, end to end in ONE declarative plan:
     * exact dedup (keep-first per text) → quality gate (token floor) →
     * deterministic 50% sample → sequence packing. Catalyst fuses the
@@ -127,6 +190,38 @@ object Corpus {
         WHERE CASE WHEN lang = 'en'
           THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'
           ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7' END
+        ORDER BY doc_id""")),
+    Op("q_corpus_stats", corpusStats,
+      Some("""
+        SELECT lang, source, count(*) AS n_docs,
+          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+    Op("q_decontaminate", (s, d) => decontaminate(s, d),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b
+          FROM documents),
+        g AS (
+          SELECT doc_id, b, unnest(list_transform(range(0, len(ws) - 7),
+              i -> array_to_string(ws[i+1:i+8], ' '))) AS ng
+          FROM w WHERE len(ws) >= 8),
+        bench AS (SELECT DISTINCT ng FROM g WHERE b = 'f'),
+        agg AS (
+          SELECT g.doc_id,
+            count(DISTINCT g.ng) AS n_ngrams,
+            count(DISTINCT CASE WHEN bench.ng IS NOT NULL THEN g.ng END) AS n_hits
+          FROM g LEFT JOIN bench ON g.ng = bench.ng
+          WHERE g.b <> 'f'
+          GROUP BY g.doc_id)
+        SELECT d.doc_id,
+          coalesce(a.n_ngrams, 0) AS n_ngrams,
+          coalesce(a.n_hits, 0) AS n_hits,
+          coalesce(a.n_hits, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM w WHERE b <> 'f') d
+        LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id""")),
     Op("q_pipeline", (s, d) => pipeline(s, d),
       Some("""

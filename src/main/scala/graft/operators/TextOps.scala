@@ -117,7 +117,71 @@ object TextOps {
         graft.functions.GraftFunctions.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Repetition-based quality signals (the Gopher/MassiveText rules
+    * adapted to word granularity): duplicate-word fraction
+    * (1 - distinct/total) and top-bigram fraction (count of the most
+    * frequent word bigram over all bigrams). A doc is `flagged` when
+    * dup-word fraction > 0.3 OR top-bigram fraction > 0.1 — both tested
+    * in EXACT integer arithmetic (cross-multiplied counts, no FP), so
+    * the flag is bitwise identical across engines.
+    *
+    * Plan shape: one scan computes the per-doc word stats; the bigram
+    * top-count needs a (doc_id, bigram) partial-agg shuffle — keys are
+    * per-doc-unique so perfectly uniform, and the shuffled rows carry
+    * counts, never text. At 100 TB this is scan + one well-keyed
+    * aggregate, the same cost class as q_group_count.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionFrame(Tables.spread(Tables.documents(spark, dir)))
+
+  private[graft] def repetitionFrame(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"))
+    val bigrams = base.filter(col("n_words") >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - lit(2)),
+          i => concat(element_at(col("ws"), i + lit(1)), lit(" "),
+            element_at(col("ws"), i + lit(2))))).as("bg"))
+    val top = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("tbc"), sum(col("c")).as("nbg"))
+    base.select(col("doc_id"), col("n_words"), col("n_distinct_words"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        coalesce(col("tbc"), lit(0L)).as("top_bigram_count"),
+        coalesce(col("nbg"), lit(0L)).as("n_bigrams"))
+      .withColumn("flagged",
+        (col("n_words") - col("n_distinct_words")) * 10 > col("n_words") * 3 ||
+          col("top_bigram_count") * 10 > col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_text_repetition", repetitionStats,
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(range(0, len(ws) - 1),
+              i -> ws[i+1] || ' ' || ws[i+2])) AS bg
+          FROM w WHERE len(ws) >= 2),
+        top AS (
+          SELECT doc_id, CAST(max(c) AS BIGINT) AS tbc, CAST(sum(c) AS BIGINT) AS nbg
+          FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+          GROUP BY doc_id)
+        SELECT w.doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+          coalesce(t.tbc, 0) AS top_bigram_count,
+          coalesce(t.nbg, 0) AS n_bigrams,
+          ((CAST(len(ws) AS BIGINT) - CAST(len(list_distinct(ws)) AS BIGINT)) * 10
+              > CAST(len(ws) AS BIGINT) * 3
+            OR coalesce(t.tbc, 0) * 10 > coalesce(t.nbg, 0)) AS flagged
+        FROM w LEFT JOIN top t USING (doc_id)
+        ORDER BY w.doc_id""")),
     Op("q_text_tokens", tokenCounts,
       Some("""
         SELECT doc_id,

@@ -40,6 +40,27 @@ class CorpusSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("decontaminate flags exactly the docs sharing an 8-gram with the bench split") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // pick real ids on each side of the md5-bucket split
+    val benchId = (0 to 500).find(i => md5hex(i.toString).startsWith("f")).get.toLong
+    val cs = (0 to 500).filter(i => !md5hex(i.toString).startsWith("f")).map(_.toLong)
+    val (cA, cB, cC) = (cs(0), cs(1), cs(2))
+    val docs = Seq(
+      (benchId, "a b c d e f g h benchtail"),       // benchmark member
+      (cA, "x1 x2 a b c d e f g h y1"),             // copies one bench 8-gram
+      (cB, "p q r s t u v w x y z"),                // disjoint vocabulary
+      (cC, "too short doc"))                        // < 8 words: zero n-grams
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminateFrame(docs, 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(benchId), "bench docs are not part of the corpus output")
+    assert(out(cA).getAs[Boolean]("contaminated") && out(cA).getAs[Long]("n_hits") >= 1)
+    assert(!out(cB).getAs[Boolean]("contaminated") && out(cB).getAs[Long]("n_hits") == 0)
+    assert(out(cC).getAs[Long]("n_ngrams") == 0 && !out(cC).getAs[Boolean]("contaminated"))
+  }
+
   test("pipeline composes dedup, gate, sample, pack in one plan with two window shuffles") {
     val out = Corpus.pipeline(spark, sf).cache()
     val docs = Tables.documents(spark, sf)

@@ -64,6 +64,26 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("stopword_ratio") == 0.5) // "the" twice in 4 tokens
   }
 
+  test("repetitionStats flags repeated-word and hot-bigram docs, exact integer flag") {
+    val docs = Seq(
+      (0L, "a a a a a a a a a a"),                                    // all dup
+      (1L, (1 to 21).map(i => s"w$i").mkString(" ")),                 // all unique
+      (2L, "single"))                                                 // no bigrams
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionFrame(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val a = out(0L)
+    assert(a.getAs[Long]("n_words") == 10 && a.getAs[Long]("n_distinct_words") == 1)
+    assert(a.getAs[Long]("top_bigram_count") == 9 && a.getAs[Long]("n_bigrams") == 9)
+    assert(a.getAs[Boolean]("flagged"))
+    val b = out(1L)
+    assert(b.getAs[Long]("n_distinct_words") == 21)
+    assert(b.getAs[Long]("top_bigram_count") == 1 && b.getAs[Long]("n_bigrams") == 20)
+    assert(!b.getAs[Boolean]("flagged")) // top-bigram frac 1/20 = 0.05 <= 0.1
+    val c = out(2L)
+    assert(c.getAs[Long]("n_bigrams") == 0 && !c.getAs[Boolean]("flagged"))
+  }
+
   test("exact dedup keeps lowest doc_id and counts copies") {
     val rows = Dedup.exact(spark, planted).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
