@@ -245,7 +245,8 @@ object VersionedTable {
       stats: Option[Map[String, FileStat]] = None,
       deltaAdds: Option[Seq[String]] = None,
       mor: Option[MorSpec] = None,
-      constraints: Option[Map[String, String]] = None)
+      constraints: Option[Map[String, String]] = None,
+      blooms: Option[Map[String, Map[String, BloomStat]]] = None)
 
   /** Merge-on-read metadata a delta commit carries: how readers collapse
     * base + delta rows (partition-scoped `key`, highest `precombine`
@@ -267,7 +268,15 @@ object VersionedTable {
   private final case class FileStat(
       rows: Long,
       minNum: Map[String, Double], maxNum: Map[String, Double],
-      minStr: Map[String, String], maxStr: Map[String, String])
+      minStr: Map[String, String], maxStr: Map[String, String],
+      nulls: Option[Map[String, Long]] = None)
+
+  /** Per-file, per-column bloom filter recorded in the log for equality /
+    * IN pruning on high-cardinality columns min/max can't skip. `dt` pins
+    * the column's Spark type at write time — xxhash64 is type-exact, so
+    * the probe only fires when the literal's type matches.
+    */
+  private final case class BloomStat(m: Int, k: Int, dt: String, bitsB64: String)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -598,7 +607,8 @@ object VersionedTable {
       allowRebase: Boolean, maxRetries: Int = 5,
       stats: Option[Map[String, FileStat]] = None,
       deltaAdds: Seq[String] = Nil, mor: Option[MorSpec] = None,
-      constraints: Option[Map[String, String]] = None): Commit = {
+      constraints: Option[Map[String, String]] = None,
+      blooms: Option[Map[String, Map[String, BloomStat]]] = None): Commit = {
     testRaceHook()
     var attempt = 0
     while (true) {
@@ -628,7 +638,7 @@ object VersionedTable {
       val c = Commit(version, System.currentTimeMillis(), op, adds, removes,
         ckpt, txn, schemaOf(all).map(_.json), stats,
         deltaAdds = if (deltaAdds.isEmpty) None else Some(deltaAdds), mor = mor,
-        constraints = constraints)
+        constraints = constraints, blooms = blooms)
       try { publish(fs, path, c); return c }
       catch {
         case e: java.util.ConcurrentModificationException =>
@@ -645,7 +655,8 @@ object VersionedTable {
     */
   def write(spark: SparkSession, path: String, df: DataFrame,
       partitionCols: Seq[String], mode: String = "overwrite",
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Long = {
     require(mode == "overwrite" || mode == "append", s"unsupported mode: $mode")
     val fs = fsFor(spark, path)
     val existing = commits(fs, path)
@@ -653,6 +664,7 @@ object VersionedTable {
     val adds = stage(spark, path,
       enforced(df, currentConstraints(existing)), partitionCols)
     val stats = collectStats(spark, path, adds, statsCols)
+    val blooms = collectBlooms(spark, path, adds, bloomCols, bloomBits)
     val removes =
       if (mode == "overwrite" && exists) {
         val (upTo, base) = snapshot(fs, path, None, None)
@@ -666,7 +678,7 @@ object VersionedTable {
         if (mode == "append" && all.nonEmpty)
           Some(snapshotSchema(all).map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
         else Some(df.schema),
-      allowRebase = mode == "append", stats = stats)
+      allowRebase = mode == "append", stats = stats, blooms = blooms)
     c.version
   }
 
@@ -1027,12 +1039,14 @@ object VersionedTable {
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val (numCols, strCols) = statsCols.filter(fields.contains).partition(c =>
       fields(c).isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val allStatCols = numCols ++ strCols
     val aggs =
       Seq(count(lit(1)).as("__rows")) ++
         numCols.flatMap(c => Seq(
           min(col(c)).cast("double").as(s"__minN_$c"), max(col(c)).cast("double").as(s"__maxN_$c"))) ++
         strCols.flatMap(c => Seq(
-          min(col(c)).as(s"__minS_$c"), max(col(c)).as(s"__maxS_$c")))
+          min(col(c)).as(s"__minS_$c"), max(col(c)).as(s"__maxS_$c"))) ++
+        allStatCols.map(c => (count(lit(1)) - count(col(c))).as(s"__nulls_$c"))
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     Some(rows.map { r =>
@@ -1044,8 +1058,94 @@ object VersionedTable {
       def strMap(pre: String) = strCols.flatMap(c =>
         Option(r.getAs[String](s"__$pre" + "_" + c)).map(c -> _)).toMap
       rel -> FileStat(r.getAs[Long]("__rows"),
-        numMap("minN"), numMap("maxN"), strMap("minS"), strMap("maxS"))
+        numMap("minN"), numMap("maxN"), strMap("minS"), strMap("maxS"),
+        nulls = Some(allStatCols.map(c => c -> r.getAs[Long](s"__nulls_$c")).toMap))
     }.toMap)
+  }
+
+  /** Per-file blooms over `bloomCols` for the staged files, built in ONE
+    * distributed pass: codegen'd xxhash64 pair per row → [[BloomBitsAgg]]
+    * per (file, column) → m/8 bytes per file to the driver, base64'd into
+    * the commit. ~16 KB per file per column at the default m=2^17 —
+    * the same metadata trade Delta's bloom filter index makes. Columns
+    * absent from the frame are skipped (schema evolution safe).
+    */
+  private def collectBlooms(spark: SparkSession, path: String,
+      rels: Seq[String], bloomCols: Seq[String],
+      bloomBits: Int): Option[Map[String, Map[String, BloomStat]]] = {
+    if (bloomCols.isEmpty || rels.isEmpty) return None
+    val relByName = rels.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+    val df = spark.read.option("basePath", path).parquet(rels.map(r => s"$path/$r"): _*)
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = bloomCols.filter(fields.contains)
+    if (cols.isEmpty) return None
+    val k = BloomHashes
+    val aggs = cols.map { c =>
+      org.apache.spark.sql.GraftShim.column(
+        graft.functions.BloomBitsAgg(
+          org.apache.spark.sql.GraftShim.expression(xxhash64(col(c))),
+          org.apache.spark.sql.GraftShim.expression(xxhash64(col(c), lit(1))),
+          bloomBits, k).toAggregateExpression()).as(s"__bloom_$c")
+    }
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val enc = java.util.Base64.getEncoder
+    Some(rows.map { r =>
+      val base = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+      val rel = relByName.getOrElse(base,
+        throw new IllegalStateException(s"bloom scan saw unexpected file $base"))
+      rel -> cols.map(c => c -> BloomStat(bloomBits, k, fields(c).catalogString,
+        enc.encodeToString(r.getAs[Array[Byte]](s"__bloom_$c")))).toMap
+    }.toMap)
+  }
+
+  private val BloomHashes = 7
+
+  /** Cumulative file→bloom index at a snapshot (later commits win). Files
+    * rewritten by commits that record no blooms simply drop out — absence
+    * means "scan it", never a wrong prune.
+    */
+  private def bloomIndex(upTo: Seq[Commit]): Map[String, Map[String, BloomStat]] =
+    upTo.flatMap(_.blooms.getOrElse(Map.empty)).toMap
+
+  /** Conservative bloom probe: false only when every equality branch of
+    * the predicate is PROVABLY absent from the file. Only fires on a bare
+    * attribute vs a foldable literal whose type matches the indexed
+    * type (xxhash64 is type-exact); everything else scans.
+    */
+  private def bloomMayMatch(fb: Map[String, BloomStat],
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attrName(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(a.name)
+      case _ => None // no Cast unwrap: the hash is type-exact
+    }
+    def test(colE: Expression, v: Expression): Boolean =
+      attrName(colE).flatMap(fb.get) match {
+        case Some(bs) if v.foldable && v.dataType.catalogString == bs.dt =>
+          val value = v.eval(null)
+          if (value == null) true
+          else {
+            val litE = Literal.create(value, v.dataType)
+            val a = XxHash64(Seq(litE), 42L).eval(null).asInstanceOf[Long]
+            val b = XxHash64(Seq(litE, Literal(1)), 42L).eval(null).asInstanceOf[Long]
+            graft.functions.BloomKernel.mightContain(
+              java.util.Base64.getDecoder.decode(bs.bitsB64), bs.m, bs.k, a, b)
+          }
+        case _ => true
+      }
+    e match {
+      case And(l, r) => bloomMayMatch(fb, l) && bloomMayMatch(fb, r)
+      case Or(l, r) => bloomMayMatch(fb, l) || bloomMayMatch(fb, r)
+      case EqualTo(a, b) if b.foldable => test(a, b)
+      case EqualTo(a, b) if a.foldable => test(b, a)
+      case EqualNullSafe(a, b) if b.foldable => test(a, b)
+      case EqualNullSafe(a, b) if a.foldable => test(b, a)
+      case In(a, list) if list.nonEmpty && list.forall(_.foldable) =>
+        list.exists(v => test(a, v))
+      case _ => true
+    }
   }
 
   /** Cumulative file→stats index at a snapshot (later commits win). */
@@ -1068,13 +1168,23 @@ object VersionedTable {
       case c: Cast => name(c.child) // analyzer-inserted literal/col casts
       case _ => None
     }
+    // Foldable-side evaluation (covers bare literals AND analyzer-inserted
+    // casts of literals, e.g. the Cast(5: int → bigint) an int literal
+    // gets next to a bigint column, and IN-list element casts).
     def litNum(x: Expression): Option[Double] = x match {
-      case Literal(v: Number, _) => Some(v.doubleValue())
-      case Literal(v: org.apache.spark.sql.types.Decimal, _) => Some(v.toDouble)
+      case _: AttributeReference | _: UnresolvedAttribute => None
+      case l if l.foldable => l.eval(null) match {
+        case n: Number => Some(n.doubleValue())
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case _ => None
+      }
       case _ => None
     }
     def litStr(x: Expression): Option[String] = x match {
-      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => Some(v.toString)
+      case l if l.foldable => l.eval(null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+        case _ => None
+      }
       case _ => None
     }
     // interval test for col ? lit, in both argument orders
@@ -1108,6 +1218,20 @@ object VersionedTable {
       case LessThanOrEqual(a, b) =>
         cmp(a, b, (lo, _, v) => lo <= v, (lo, _, v) => lo <= v) &&
           cmp(b, a, (_, hi, v) => hi >= v, (_, hi, v) => hi >= v)
+      // IN = disjunction of equalities: prune only when EVERY element is
+      // provably outside the file's range
+      case In(a, list) if list.nonEmpty && list.forall(_.foldable) =>
+        list.exists(v => mayMatch(fstat, EqualTo(a, v)))
+      // Null predicates prune from the recorded per-file null counts
+      // (min/max are blind to nulls); files from commits without null
+      // stats scan conservatively.
+      case IsNull(a) =>
+        name(a).forall(c => fstat.nulls.forall(_.getOrElse(c, 1L) > 0))
+      case IsNotNull(a) =>
+        name(a).forall(c => fstat.nulls match {
+          case Some(n) if n.contains(c) => fstat.rows - n(c) > 0
+          case _ => true
+        })
       case _ => true
     }
   }
@@ -1138,7 +1262,9 @@ object VersionedTable {
     val cond = probe.filter(predicate).queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
       .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
-    val kept = files.filter(f => idx.get(f).forall(mayMatch(_, cond)))
+    val bIdx = bloomIndex(upTo)
+    val kept = files.filter(f => idx.get(f).forall(mayMatch(_, cond)) &&
+      bIdx.get(f).forall(bloomMayMatch(_, cond)))
     val reader = spark.read.schema(schema)
     val df =
       if (kept.isEmpty)

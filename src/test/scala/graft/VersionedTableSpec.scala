@@ -603,6 +603,48 @@ class VersionedTableSpec extends SparkSpec {
     assert(strDf.count() == 1000)
   }
 
+  test("bloom index prunes point lookups and IN on high-cardinality columns") {
+    val t = table()
+    val rows = (0L until 1000L).map(k => (k, s"id-$k", "a"))
+    VersionedTable.write(spark, t,
+      rows.toDF("k", "id", "p").repartition(4, col("k")), Seq("p"),
+      bloomCols = Seq("k", "id"))
+    // hash-repartitioned files: min/max overlap fully, ONLY a bloom can skip
+    val (one, s1, t1) = VersionedTable.readPruned(spark, t, col("k") === 500L)
+    assert(t1 >= 4, s"expected multiple files, got $t1")
+    assert(s1 == 1, s"bloom must prune to the single containing file, scanned $s1")
+    assert(one.count() == 1)
+    // int literal against a bigint column: the analyzer-cast literal still probes
+    val (_, s2, _) = VersionedTable.readPruned(spark, t, col("k") === 500)
+    assert(s2 == s1)
+    // string bloom
+    val (sdf, s3, _) = VersionedTable.readPruned(spark, t, col("id") === "id-77")
+    assert(s3 == 1 && sdf.count() == 1)
+    // IN scans only the union of possibly-containing files
+    val (inDf, s4, _) = VersionedTable.readPruned(spark, t, col("id").isin("id-5", "id-700"))
+    assert(s4 <= 2 && inDf.count() == 2)
+    // a key provably absent everywhere scans nothing
+    val (noneDf, s5, _) = VersionedTable.readPruned(spark, t, col("id") === "id-nope")
+    assert(s5 == 0 && noneDf.count() == 0)
+    // non-equality predicates ignore blooms: full scan, still correct
+    val (rdf, s6, t6) = VersionedTable.readPruned(spark, t, col("k") >= 990L)
+    assert(s6 == t6 && rdf.count() == 10)
+  }
+
+  test("null-count stats prune IS NULL / IS NOT NULL") {
+    val t = table()
+    val rows = (0L until 100L).map(k =>
+      (k, if (k < 50) None else Some(k), if (k < 50) "a" else "b"))
+    VersionedTable.write(spark, t, rows.toDF("k", "v", "p"), Seq("p"),
+      statsCols = Seq("k", "v"))
+    val (nullDf, sN, tN) = VersionedTable.readPruned(spark, t, col("v").isNull)
+    assert(sN < tN, s"IS NULL must skip all-non-null files: $sN of $tN")
+    assert(nullDf.count() == 50)
+    val (nnDf, sNN, _) = VersionedTable.readPruned(spark, t, col("v").isNotNull)
+    assert(sNN < tN, s"IS NOT NULL must skip all-null files: $sNN of $tN")
+    assert(nnDf.count() == 50)
+  }
+
   test("optimize coalesces fragmented partitions, preserves history and CDF silence") {
     val t = table()
     VersionedTable.write(spark, t, df((0L, "a", 0L), (100L, "b", 0L)), Seq("p"))
