@@ -1282,7 +1282,8 @@ object VersionedTable {
     * via [[readPruned]].
     */
   def cluster(spark: SparkSession, path: String, sortCols: Seq[String],
-      partitionCols: Seq[String], filesPerPartition: Int = 8): Long = {
+      partitionCols: Seq[String], filesPerPartition: Int = 8,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Long = {
     val fs = fsFor(spark, path)
     val (all, live) = snapshot(fs, path, None, None)
     val df = read(spark, path)
@@ -1291,11 +1292,16 @@ object VersionedTable {
       .sortWithinPartitions(sortCols.map(col): _*)
     val adds = stage(spark, path, sorted, partitionCols)
     val stats = collectStats(spark, path, adds, sortCols)
+    // Cluster is the natural re-index point: rewrites elsewhere (upsert,
+    // merge) drop their files' blooms — conservative scans — until the
+    // next cluster rebuilds them alongside the range stats.
+    val blooms = collectBlooms(spark, path, adds, bloomCols, bloomBits)
     // read() above merged any live MOR deltas into the rewrite, so the
     // commit consumes them too — clustering doubles as delta compaction.
     val c = publishWithRebase(fs, path, "cluster",
       adds, (live ++ liveDeltaFiles(commits(fs, path))).distinct, txn = None,
-      schemaOf = a => snapshotSchema(a), allowRebase = true, stats = stats)
+      schemaOf = a => snapshotSchema(a), allowRebase = true, stats = stats,
+      blooms = blooms)
     c.version
   }
 
@@ -1421,6 +1427,33 @@ object VersionedTable {
       }
     }
     dead ++ orphans
+  }
+
+  /** Bound log growth (Delta's logRetention): delete commit files strictly
+    * older than the newest CHECKPOINTED commit at or below
+    * `latest - keepVersions`. Snapshot resolution already replays from the
+    * latest checkpoint ≤ the target, so every surviving version reads
+    * identically; time travel to an expired version fails with a clean
+    * "no version <= v (earliest: …)" error — the same trade Delta makes.
+    * Data files referenced only by expired commits become vacuum-eligible
+    * orphans on the normal age gate. Pure driver-side log arithmetic,
+    * zero data I/O. Returns the expired versions.
+    */
+  def expireLog(spark: SparkSession, path: String,
+      keepVersions: Int = checkpointEvery): Seq[Long] = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val fs = fsFor(spark, path)
+    val all = commits(fs, path)
+    require(all.nonEmpty, s"not a versioned table: $path")
+    val horizon = all.last.version - keepVersions
+    all.filter(c => c.version <= horizon && c.checkpoint.isDefined)
+      .lastOption match {
+      case None => Nil
+      case Some(cp) =>
+        val dead = all.filter(_.version < cp.version)
+        dead.foreach(c => fs.delete(commitPath(path, c.version), false))
+        dead.map(_.version)
+    }
   }
 
   // ---- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT shape) ----

@@ -629,6 +629,37 @@ class VersionedTableSpec extends SparkSpec {
     // non-equality predicates ignore blooms: full scan, still correct
     val (rdf, s6, t6) = VersionedTable.readPruned(spark, t, col("k") >= 990L)
     assert(s6 == t6 && rdf.count() == 10)
+    // cluster re-indexes blooms alongside its range stats: after a rewrite
+    // sorted by k, an id point lookup still prunes to one file via bloom
+    VersionedTable.cluster(spark, t, sortCols = Seq("k"), partitionCols = Seq("p"),
+      filesPerPartition = 4, bloomCols = Seq("id"))
+    val (cdf, s7, _) = VersionedTable.readPruned(spark, t, col("id") === "id-500")
+    assert(s7 == 1 && cdf.count() == 1)
+  }
+
+  test("expireLog bounds the log; surviving versions identical; expired travel errors") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    (2 to 25).foreach(i =>
+      VersionedTable.write(spark, t, df((i.toLong, "a", i.toLong)), Seq("p"), mode = "append"))
+    // 25 commits, checkpoints at v10/v20; horizon 25-10=15 → expire below v10
+    val expired = VersionedTable.expireLog(spark, t, keepVersions = 10)
+    assert(expired == (1L until 10L), s"expected v1..v9 expired, got $expired")
+    assert(VersionedTable.read(spark, t).count() == 25)
+    assert(VersionedTable.latestVersion(spark, t) == 25L)
+    // a surviving mid-history version reads exactly as before
+    assert(VersionedTable.read(spark, t, asOfVersion = Some(12L)).count() == 12)
+    // the checkpointed floor itself survives
+    assert(VersionedTable.read(spark, t, asOfVersion = Some(10L)).count() == 10)
+    // expired versions fail with the clean snapshot error
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.read(spark, t, asOfVersion = Some(5L)).count())
+    assert(e.getMessage.contains("no version <= 5"))
+    // idempotent: nothing further below the horizon's checkpoint
+    assert(VersionedTable.expireLog(spark, t, keepVersions = 10).isEmpty)
+    // appends continue normally after expiry
+    VersionedTable.write(spark, t, df((26L, "a", 26L)), Seq("p"), mode = "append")
+    assert(VersionedTable.read(spark, t).count() == 26)
   }
 
   test("null-count stats prune IS NULL / IS NOT NULL") {
