@@ -64,6 +64,10 @@ object GraftFunctions {
     *    [[graft.sinks.VersionedTable]] snapshot as a relation: latest by
     *    default, or time travel AS OF the given version —
     *    `SELECT * FROM graft_snapshot('/tables/orders', 3)`.
+    *  - `graft_pruned('<table-path>', '<predicate sql>'[, version])` —
+    *    the same snapshot read through log-stats + bloom file skipping:
+    *    the predicate string is parsed and applied exactly, but files
+    *    the log proves irrelevant are never scanned.
     */
   private[functions] def tableFunctions
       : Seq[(FunctionIdentifier, ExpressionInfo,
@@ -87,6 +91,20 @@ object GraftFunctions {
           if (args.length > 1) Some(lng("graft_snapshot(path, version)", args(1))) else None
         GraftShim.analyzed(
           graft.sinks.VersionedTable.read(SparkSession.active, path, asOfVersion = version))
+      }),
+    (new FunctionIdentifier("graft_pruned"),
+      new ExpressionInfo("graft.sinks.VersionedTable", "graft_pruned"),
+      { args =>
+        val fn = "graft_pruned(path, predicateSql[, version])"
+        require(args.length >= 2, fn)
+        val spark = SparkSession.active
+        val pred = GraftShim.column(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+            .sessionState.sqlParser.parseExpression(str(fn, args(1))))
+        val version = if (args.length > 2) Some(lng(fn, args(2))) else None
+        val (df, _, _) = graft.sinks.VersionedTable.readPruned(
+          spark, str(fn, args(0)), pred, version)
+        GraftShim.analyzed(df)
       }),
     (new FunctionIdentifier("graft_history"),
       new ExpressionInfo("graft.sinks.VersionedTable", "graft_history"),

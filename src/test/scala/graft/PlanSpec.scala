@@ -97,6 +97,18 @@ class PlanSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM lineitem").collect()(0).getLong(0) > 0)
   }
 
+  test("decontaminate broadcasts the benchmark n-gram set") {
+    val p = physical(graft.operators.Corpus.decontaminate(spark, sf))
+    // the corpus→bench membership probe must be a broadcast join (the
+    // bench side is an eval suite — tiny by construction at any scale)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("corpus stats aggregate partially map-side") {
+    val p = physical(graft.operators.Corpus.corpusStats(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2000))
+  }
+
   test("document scans prune to the referenced columns") {
     val p = physical(graft.operators.TextOps.tokenCounts(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -25,7 +25,8 @@ class VersionedTableModelSpec extends SparkSpec {
     val t = Files.createTempDirectory("graft-vt-model").toFile.getAbsolutePath + "/t"
     val parts = Vector("a", "b", "c")
     var model: Model = Map.empty
-    val history = scala.collection.mutable.ArrayBuffer[Model]()
+    val history = scala.collection.mutable.ArrayBuffer[(Long, Model)]()
+    var expiredBelow = 0L // versions below this were expired from the log
 
     def rows(n: Int): Seq[(Long, String, Long)] =
       Seq.fill(n)((rnd.nextInt(12).toLong, parts(rnd.nextInt(parts.size)), rnd.nextInt(1000).toLong))
@@ -48,7 +49,7 @@ class VersionedTableModelSpec extends SparkSpec {
     val first = rows(6).groupBy(r => (r._2, r._1)).map(_._2.head).toSeq
     VersionedTable.write(spark, t, df(first), Seq("p"))
     model = first.map(r => (r._2, r._1) -> r._3).toMap
-    history += model
+    history += VersionedTable.latestVersion(spark, t) -> model
 
     var lastVersion = VersionedTable.latestVersion(spark, t)
     (1 to 18).foreach { step =>
@@ -71,11 +72,17 @@ class VersionedTableModelSpec extends SparkSpec {
       }
       // a no-match delete creates no commit; record history per COMMIT
       val nowVersion = VersionedTable.latestVersion(spark, t)
-      if (nowVersion > lastVersion) { history += model; lastVersion = nowVersion }
+      if (nowVersion > lastVersion) { history += nowVersion -> model; lastVersion = nowVersion }
       if (rnd.nextInt(5) == 0) {
         VersionedTable.optimize(spark, t, maxFilesPerPartition = 2)
         lastVersion = VersionedTable.latestVersion(spark, t)
         // no model change — optimize must be invisible
+      }
+      if (rnd.nextInt(6) == 0) {
+        // log retention interleaves too: surviving snapshots unaffected,
+        // expired versions tracked for the final history walk
+        val gone = VersionedTable.expireLog(spark, t, keepVersions = 12)
+        if (gone.nonEmpty) expiredBelow = math.max(expiredBelow, gone.max + 1)
       }
       if (model.nonEmpty) {
         val got = VersionedTable.read(spark, t)
@@ -91,15 +98,21 @@ class VersionedTableModelSpec extends SparkSpec {
     val hist = VersionedTable.history(spark, t)
       .select("version", "op").as[(Long, String)].collect().sortBy(_._1)
     val dataVersions = hist.filter(_._2 != "optimize").map(_._1)
-    assert(dataVersions.size == history.size,
-      s"one data commit per model step: ${dataVersions.size} vs ${history.size}")
-    dataVersions.zip(history).filter(_._2.nonEmpty).take(25).foreach { case (v, m) =>
-      // a snapshot AT an optimize boundary equals the preceding data state;
-      // reading the data version itself is exact
-      val got = VersionedTable.read(spark, t, asOfVersion = Some(v))
-        .select("p", "k", "v").as[(String, Long, Long)].collect()
-        .map(r => (r._1, r._2) -> r._3).toMap
-      assert(got == m, s"time travel to v$v diverged")
+    assert(dataVersions.toSet == history.map(_._1).filter(_ >= expiredBelow).toSet,
+      s"surviving data commits must match the recorded model versions")
+    history.filter(_._2.nonEmpty).take(25).foreach { case (v, m) =>
+      if (v < expiredBelow) {
+        // expired versions must fail cleanly, never read wrong data
+        intercept[IllegalArgumentException](
+          VersionedTable.read(spark, t, asOfVersion = Some(v)).collect())
+      } else {
+        // a snapshot AT an optimize boundary equals the preceding data
+        // state; reading the data version itself is exact
+        val got = VersionedTable.read(spark, t, asOfVersion = Some(v))
+          .select("p", "k", "v").as[(String, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        assert(got == m, s"time travel to v$v diverged")
+      }
     }
   }
 }

@@ -676,6 +676,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(nnDf.count() == 50)
   }
 
+  test("graft_pruned SQL table function reads through stats+bloom skipping") {
+    val t = table()
+    val rows = (0L until 1000L).map(k => (k, "a", k * 2))
+    VersionedTable.write(spark, t, rows.toDF("k", "p", "v"), Seq("p"))
+    VersionedTable.cluster(spark, t, sortCols = Seq("k"), partitionCols = Seq("p"),
+      filesPerPartition = 8, bloomCols = Seq("k"))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    assert(spark.sql(s"SELECT k FROM graft_pruned('$t', 'k >= 100 AND k < 110')")
+      .as[Long].collect().sorted.toSeq == (100L until 110L))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_pruned('$t', 'k = 500')")
+      .as[Long].head() == 1L)
+    // AS OF version argument travels too
+    VersionedTable.write(spark, t, df((5000L, "a", 0L)), Seq("p"), mode = "append")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_pruned('$t', 'k >= 0', 2)")
+      .as[Long].head() == 1000L)
+  }
+
   test("optimize coalesces fragmented partitions, preserves history and CDF silence") {
     val t = table()
     VersionedTable.write(spark, t, df((0L, "a", 0L), (100L, "b", 0L)), Seq("p"))
