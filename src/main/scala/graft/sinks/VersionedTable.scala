@@ -492,7 +492,9 @@ object VersionedTable {
     publishWithRebase(fs, path, "compact_deltas", adds,
       (affectedBase ++ deltas).distinct, txn = None,
       schemaOf = _ => None, allowRebase = true,
-      stats = collectStats(spark, path, adds, statsCols)).version
+      stats = collectStats(spark, path, adds,
+        (statsCols ++ activeStatsCols(all)).distinct),
+      blooms = collectBlooms(spark, path, adds, activeBloomBits(all))).version
   }
 
   private def snapshotSchema(upTo: Seq[Commit]): Option[org.apache.spark.sql.types.StructType] =
@@ -663,8 +665,10 @@ object VersionedTable {
     val exists = existing.nonEmpty
     val adds = stage(spark, path,
       enforced(df, currentConstraints(existing)), partitionCols)
-    val stats = collectStats(spark, path, adds, statsCols)
-    val blooms = collectBlooms(spark, path, adds, bloomCols, bloomBits)
+    val stats = collectStats(spark, path, adds,
+      (statsCols ++ activeStatsCols(existing)).distinct)
+    val blooms = collectBlooms(spark, path, adds,
+      activeBloomBits(existing) ++ bloomCols.map(_ -> bloomBits))
     val removes =
       if (mode == "overwrite" && exists) {
         val (upTo, base) = snapshot(fs, path, None, None)
@@ -740,7 +744,10 @@ object VersionedTable {
     val c = publishWithRebase(fs, path, "upsert", adds, affected, token,
       schemaOf = all => Some(snapshotSchema(all)
         .map(mergeSchemas(_, updates.schema)).getOrElse(evolved)),
-      allowRebase = true, stats = collectStats(spark, path, adds, statsCols))
+      allowRebase = true,
+      stats = collectStats(spark, path, adds,
+        (statsCols ++ activeStatsCols(all)).distinct),
+      blooms = collectBlooms(spark, path, adds, activeBloomBits(all)))
     c.version
   }
 
@@ -868,7 +875,7 @@ object VersionedTable {
       predicate: org.apache.spark.sql.Column, partitionCols: Seq[String]): Long = {
     val fs = fsFor(spark, path)
     requireNoDeltas(commits(fs, path), "delete")
-    val (_, live) = snapshot(fs, path, None, None)
+    val (upTo, live) = snapshot(fs, path, None, None)
     val current = spark.read.option("basePath", path)
       .parquet(live.map(f => s"$path/$f"): _*)
     val hitParts = current.filter(predicate)
@@ -882,7 +889,9 @@ object VersionedTable {
       .repartition(partitionCols.map(col): _*)
     val adds = stage(spark, path, kept, partitionCols, allowEmpty = true)
     val c = publishWithRebase(fs, path, "delete", adds, affected, txn = None,
-      schemaOf = _ => None, allowRebase = true)
+      schemaOf = _ => None, allowRebase = true,
+      stats = collectStats(spark, path, adds, activeStatsCols(upTo)),
+      blooms = collectBlooms(spark, path, adds, activeBloomBits(upTo)))
     c.version
   }
 
@@ -1021,7 +1030,10 @@ object VersionedTable {
         if (evolveSchema)
           Some(snapshotSchema(all).map(mergeSchemas(_, source.schema)).getOrElse(outSchema))
         else None,
-      allowRebase = true, stats = collectStats(spark, path, adds, statsCols))
+      allowRebase = true,
+      stats = collectStats(spark, path, adds,
+        (statsCols ++ activeStatsCols(all)).distinct),
+      blooms = collectBlooms(spark, path, adds, activeBloomBits(all)))
     c.version
   }
 
@@ -1032,9 +1044,6 @@ object VersionedTable {
   private def collectStats(spark: SparkSession, path: String,
       rels: Seq[String], statsCols: Seq[String]): Option[Map[String, FileStat]] = {
     if (statsCols.isEmpty || rels.isEmpty) return None
-    // Parquet part filenames carry a per-task UUID — globally unique, so
-    // basename is a safe join key regardless of URI qualification.
-    val relByName = rels.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
     val df = spark.read.option("basePath", path).parquet(rels.map(r => s"$path/$r"): _*)
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val (numCols, strCols) = statsCols.filter(fields.contains).partition(c =>
@@ -1050,9 +1059,7 @@ object VersionedTable {
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     Some(rows.map { r =>
-      val base = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
-      val rel = relByName.getOrElse(base,
-        throw new IllegalStateException(s"stats scan saw unexpected file $base"))
+      val rel = relOf(rels, r.getString(0))
       def numMap(pre: String) = numCols.flatMap(c =>
         Option(r.getAs[Any](s"__$pre" + "_" + c)).map(v => c -> v.asInstanceOf[Double])).toMap
       def strMap(pre: String) = strCols.flatMap(c =>
@@ -1063,6 +1070,17 @@ object VersionedTable {
     }.toMap)
   }
 
+  /** Map an `input_file_name()` URI back to its table-relative path by
+    * FULL-path suffix. Basename alone is NOT unique: a task writing a
+    * hive-partitioned frame reuses its part filename in every partition
+    * dir it touches (p=a/part-00000-X and p=b/part-00000-X), so keying
+    * stats or blooms by basename would cross-assign them between
+    * partitions — and wrong stats prune wrongly.
+    */
+  private def relOf(rels: Seq[String], fileUri: String): String =
+    rels.find(r => fileUri.endsWith("/" + r)).getOrElse(
+      throw new IllegalStateException(s"index scan saw unexpected file $fileUri"))
+
   /** Per-file blooms over `bloomCols` for the staged files, built in ONE
     * distributed pass: codegen'd xxhash64 pair per row → [[BloomBitsAgg]]
     * per (file, column) → m/8 bytes per file to the driver, base64'd into
@@ -1071,13 +1089,12 @@ object VersionedTable {
     * absent from the frame are skipped (schema evolution safe).
     */
   private def collectBlooms(spark: SparkSession, path: String,
-      rels: Seq[String], bloomCols: Seq[String],
-      bloomBits: Int): Option[Map[String, Map[String, BloomStat]]] = {
-    if (bloomCols.isEmpty || rels.isEmpty) return None
-    val relByName = rels.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+      rels: Seq[String],
+      colBits: Map[String, Int]): Option[Map[String, Map[String, BloomStat]]] = {
+    if (colBits.isEmpty || rels.isEmpty) return None
     val df = spark.read.option("basePath", path).parquet(rels.map(r => s"$path/$r"): _*)
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val cols = bloomCols.filter(fields.contains)
+    val cols = colBits.keys.toSeq.filter(fields.contains).sorted
     if (cols.isEmpty) return None
     val k = BloomHashes
     val aggs = cols.map { c =>
@@ -1085,16 +1102,14 @@ object VersionedTable {
         graft.functions.BloomBitsAgg(
           org.apache.spark.sql.GraftShim.expression(xxhash64(col(c))),
           org.apache.spark.sql.GraftShim.expression(xxhash64(col(c), lit(1))),
-          bloomBits, k).toAggregateExpression()).as(s"__bloom_$c")
+          colBits(c), k).toAggregateExpression()).as(s"__bloom_$c")
     }
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val enc = java.util.Base64.getEncoder
     Some(rows.map { r =>
-      val base = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
-      val rel = relByName.getOrElse(base,
-        throw new IllegalStateException(s"bloom scan saw unexpected file $base"))
-      rel -> cols.map(c => c -> BloomStat(bloomBits, k, fields(c).catalogString,
+      val rel = relOf(rels, r.getString(0))
+      rel -> cols.map(c => c -> BloomStat(colBits(c), k, fields(c).catalogString,
         enc.encodeToString(r.getAs[Array[Byte]](s"__bloom_$c")))).toMap
     }.toMap)
   }
@@ -1151,6 +1166,23 @@ object VersionedTable {
   /** Cumulative file→stats index at a snapshot (later commits win). */
   private def statsIndex(upTo: Seq[Commit]): Map[String, FileStat] =
     upTo.flatMap(_.stats.getOrElse(Map.empty)).toMap
+
+  /** The columns the table's log already carries min/max stats for —
+    * rewrite ops re-collect these so skipping stays effective under
+    * churn instead of decaying to conservative scans.
+    */
+  private def activeStatsCols(upTo: Seq[Commit]): Seq[String] =
+    statsIndex(upTo).values
+      .flatMap(fs => fs.minNum.keys ++ fs.minStr.keys ++
+        fs.nulls.map(_.keys).getOrElse(Nil))
+      .toSeq.distinct.sorted
+
+  /** The columns the log bloom-indexes, with their bit widths (max m wins
+    * if widths ever differ across commits).
+    */
+  private def activeBloomBits(upTo: Seq[Commit]): Map[String, Int] =
+    bloomIndex(upTo).values.flatten.toSeq.groupBy(_._1)
+      .map { case (c, kvs) => c -> kvs.map(_._2.m).max }
 
   /** Conservative file-level predicate check: may this file contain a
     * matching row, given its min/max? Supports comparisons between a
@@ -1291,11 +1323,10 @@ object VersionedTable {
       .repartitionByRange(filesPerPartition, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val adds = stage(spark, path, sorted, partitionCols)
-    val stats = collectStats(spark, path, adds, sortCols)
-    // Cluster is the natural re-index point: rewrites elsewhere (upsert,
-    // merge) drop their files' blooms — conservative scans — until the
-    // next cluster rebuilds them alongside the range stats.
-    val blooms = collectBlooms(spark, path, adds, bloomCols, bloomBits)
+    val stats = collectStats(spark, path, adds,
+      (sortCols ++ activeStatsCols(all)).distinct)
+    val blooms = collectBlooms(spark, path, adds,
+      activeBloomBits(all) ++ bloomCols.map(_ -> bloomBits))
     // read() above merged any live MOR deltas into the rewrite, so the
     // commit consumes them too — clustering doubles as delta compaction.
     val c = publishWithRebase(fs, path, "cluster",
@@ -1328,12 +1359,16 @@ object VersionedTable {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
     val adds = stage(spark, path, sorted, partitionCols)
-    val stats = collectStats(spark, path, adds, zCols)
+    val stats = collectStats(spark, path, adds,
+      (zCols ++ activeStatsCols(commits(fs, path))).distinct)
+    val blooms = collectBlooms(spark, path, adds,
+      activeBloomBits(commits(fs, path)))
     // As in [[cluster]]: the merged read consumed live deltas, so the
     // commit removes them alongside the old base files.
     val c = publishWithRebase(fs, path, "cluster-zorder",
       adds, (live ++ liveDeltaFiles(commits(fs, path))).distinct, txn = None,
-      schemaOf = a => snapshotSchema(a), allowRebase = true, stats = stats)
+      schemaOf = a => snapshotSchema(a), allowRebase = true, stats = stats,
+      blooms = blooms)
     c.version
   }
 
@@ -1350,7 +1385,7 @@ object VersionedTable {
       maxFilesPerPartition: Int = 4,
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val fs = fsFor(spark, path)
-    val (_, live) = snapshot(fs, path, None, None)
+    val (upTo, live) = snapshot(fs, path, None, None)
     val byDir = live.groupBy(f =>
       f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
     val victims = byDir.filter(_._2.size > maxFilesPerPartition)
@@ -1371,7 +1406,9 @@ object VersionedTable {
     val adds = stageWithMaxRecords(spark, path, shaped, partCols,
       (targetFileBytes / avgRow).max(1L))
     val c = publishWithRebase(fs, path, "optimize", adds, victims, txn = None,
-      schemaOf = a => snapshotSchema(a), allowRebase = true)
+      schemaOf = a => snapshotSchema(a), allowRebase = true,
+      stats = collectStats(spark, path, adds, activeStatsCols(upTo)),
+      blooms = collectBlooms(spark, path, adds, activeBloomBits(upTo)))
     c.version
   }
 
@@ -1576,7 +1613,9 @@ object VersionedTable {
     val adds = stage(spark, path, guarded, partitionCols, allowEmpty = true)
     publishWithRebase(fs, path, "replace_where", adds, affected, txn = None,
       schemaOf = _ => None, allowRebase = true,
-      stats = collectStats(spark, path, adds, statsCols)).version
+      stats = collectStats(spark, path, adds,
+        (statsCols ++ activeStatsCols(all)).distinct),
+      blooms = collectBlooms(spark, path, adds, activeBloomBits(all))).version
   }
 
   /** Streaming MERGE INTO: one [[merge]] per micro-batch carrying the

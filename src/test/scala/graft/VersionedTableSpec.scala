@@ -637,6 +637,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(s7 == 1 && cdf.count() == 1)
   }
 
+  test("rewrites maintain stats and bloom indexes (sticky coverage)") {
+    val t = table()
+    val rows = (0L until 400L).map(k => (k, s"id-$k", if (k % 2 == 0) "a" else "b"))
+    VersionedTable.write(spark, t, rows.toDF("k", "id", "p").repartition(2, col("k")),
+      Seq("p"), statsCols = Seq("k"), bloomCols = Seq("id"))
+    // upsert rewrites partition a; its replacement files must inherit the
+    // table's active stats+bloom coverage, not decay to conservative scans
+    VersionedTable.upsert(spark, t, Seq((1000L, "id-1000", "a")).toDF("k", "id", "p"),
+      key = "k", precombine = "k", partitionCols = Seq("p"))
+    val (dfNew, sNew, tNew) = VersionedTable.readPruned(spark, t, col("id") === "id-1000")
+    assert(dfNew.count() == 1 && sNew < tNew)
+    // discriminating checks: a key absent EVERYWHERE scans nothing only if
+    // the rewritten file carries a fresh bloom / fresh k stats
+    val (dfAbs, sAbs, _) = VersionedTable.readPruned(spark, t, col("id") === "id-9999")
+    assert(dfAbs.count() == 0 && sAbs == 0, s"bloom must survive the upsert rewrite ($sAbs)")
+    val (dfRange, sRange, _) = VersionedTable.readPruned(spark, t, col("k") > 2000L)
+    assert(dfRange.count() == 0 && sRange == 0, s"stats must survive the upsert rewrite ($sRange)")
+    // delete's rewrite maintains coverage too: id-7 lives in ONE p=b file,
+    // every other file (incl. the fresh p=a rewrite) bloom-prunes
+    VersionedTable.delete(spark, t, col("k") === 0L, Seq("p"))
+    val (df7, s7, t7) = VersionedTable.readPruned(spark, t, col("id") === "id-7")
+    assert(df7.count() == 1 && s7 == 1 && t7 >= 3, s"expected 1 of $t7 scanned, got $s7")
+  }
+
   test("expireLog bounds the log; surviving versions identical; expired travel errors") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
