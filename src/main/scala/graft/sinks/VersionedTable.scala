@@ -363,10 +363,16 @@ object VersionedTable {
     */
   private def mergedView(spark: SparkSession, path: String, upTo: Seq[Commit],
       restrictDirs: Option[Set[String]] = None,
-      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): Option[DataFrame] = {
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
+      baseKeep: Option[Set[String]] = None): Option[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     def keep(f: String) = restrictDirs.forall(_.contains(dirOf(f)))
+    // baseKeep (stats/bloom skipping) applies ONLY to base files: pruning
+    // a base file is safe because every delta is still merged — a key
+    // with a delta resolves to the delta row regardless, and a pruned
+    // base row provably fails the predicate the caller re-applies.
     val base = liveFiles(upTo).filter(keep)
+      .filter(f => baseKeep.forall(_.contains(f)))
     val deltas = liveDeltaFiles(upTo).filter(keep)
     if (base.isEmpty && deltas.isEmpty) return None
     def rd(fl: Seq[String]) = {
@@ -1269,18 +1275,19 @@ object VersionedTable {
   }
 
   /** Data-skipping read: resolve the snapshot's live files, drop every
-    * file whose log-recorded min/max prove it cannot match `predicate`,
-    * scan the survivors, and apply the predicate exactly. At 100 TB the
-    * planner never lists directories OR opens footers for skipped files —
-    * the decision is made entirely from the log. Returns the filtered
-    * frame plus (scanned, total) file counts for observability.
+    * file whose log-recorded min/max/null-count/bloom prove it cannot
+    * match `predicate`, scan the survivors, and apply the predicate
+    * exactly. At 100 TB the planner never lists directories OR opens
+    * footers for skipped files — the decision is made entirely from the
+    * log. MOR snapshots skip too: only BASE files prune (every live
+    * delta still merges, which keeps the collapse exact). Returns the
+    * filtered frame plus (scanned base, total base) file counts.
     */
   def readPruned(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       asOfVersion: Option[Long] = None): (DataFrame, Int, Int) = {
     val fs = fsFor(spark, path)
     val (upTo, files) = snapshot(fs, path, asOfVersion, None)
-    requireNoDeltas(upTo, "readPruned")
     val idx = statsIndex(upTo)
     // Resolve the predicate against an empty frame carrying the log
     // schema: a raw Column is an unresolved node tree in Spark 4 — the
@@ -1297,6 +1304,13 @@ object VersionedTable {
     val bIdx = bloomIndex(upTo)
     val kept = files.filter(f => idx.get(f).forall(mayMatch(_, cond)) &&
       bIdx.get(f).forall(bloomMayMatch(_, cond)))
+    // MOR tables skip too: base files prune by stats/bloom, every live
+    // delta still merges (see mergedView.baseKeep for why that is exact).
+    if (liveDeltaFiles(upTo).nonEmpty) {
+      val df = mergedView(spark, path, upTo, baseKeep = Some(kept.toSet))
+        .getOrElse(read(spark, path, asOfVersion).filter(lit(false)))
+      return (df.filter(predicate), kept.size, files.size)
+    }
     val reader = spark.read.schema(schema)
     val df =
       if (kept.isEmpty)

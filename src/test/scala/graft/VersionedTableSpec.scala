@@ -661,6 +661,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(df7.count() == 1 && s7 == 1 && t7 >= 3, s"expected 1 of $t7 scanned, got $s7")
   }
 
+  test("readPruned on a MOR table: base files skip, deltas always merge") {
+    val t = table()
+    val rows = (0L until 1000L).map(k => (k, "a", k))
+    VersionedTable.write(spark, t, rows.toDF("k", "p", "v"), Seq("p"), statsCols = Seq("k"))
+    VersionedTable.cluster(spark, t, sortCols = Seq("k"), partitionCols = Seq("p"),
+      filesPerPartition = 8)
+    VersionedTable.upsertMOR(spark, t,
+      Seq((500L, "a", 111111L), (5000L, "a", 1L)).toDF("k", "p", "v"),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    // updated key: its base file + the delta merge, delta wins
+    val (d1, s1, t1) = VersionedTable.readPruned(spark, t, col("k") === 500L)
+    assert(d1.select("v").as[Long].collect().toSeq == Seq(111111L))
+    assert(s1 <= 2 && t1 >= 8, s"base skipping must hold under MOR: $s1 of $t1")
+    // delta-only key: EVERY base file prunes, the row still comes back
+    val (d2, s2, _) = VersionedTable.readPruned(spark, t, col("k") === 5000L)
+    assert(s2 == 0 && d2.select("v").as[Long].collect().toSeq == Seq(1L))
+    // range over untouched keys is exact
+    val (d3, _, _) = VersionedTable.readPruned(spark, t, col("k") < 10L)
+    assert(d3.count() == 10)
+  }
+
   test("expireLog bounds the log; surviving versions identical; expired travel errors") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
