@@ -115,8 +115,10 @@ object PartitionTransforms {
     df.filter(full).drop(transforms.map(_.name): _*)
   }
 
-  /** The partition predicate implied by `cond` for one transform, or None. */
-  private def implied(t: Transform,
+  /** The partition predicate implied by `cond` for one transform, or None.
+    * Shared with [[VersionedTable]]'s log-recorded hidden partitioning.
+    */
+  private[graft] def implied(t: Transform,
       cond: org.apache.spark.sql.catalyst.expressions.Expression): Option[Column] = {
     import org.apache.spark.sql.catalyst.expressions._
     def src(x: Expression): Boolean = x match {

@@ -221,6 +221,12 @@ object VersionedTable {
       Some("""
         SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
         FROM orders ORDER BY o_orderkey""")),
+    graft.Op("q_vt_hidden", vtHiddenRoundTrip,
+      Some("""
+        SELECT event_id, user_id, event_type, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+          AND user_id IN (1, 2, 3)
+        ORDER BY event_id""")),
     graft.Op("q_cdf", cdfRoundTrip,
       Some("""
         SELECT * FROM (
@@ -232,6 +238,26 @@ object VersionedTable {
                  2 AS version, 'insert' AS _change_type
           FROM orders WHERE o_orderkey % 100 = 50)
         ORDER BY o_orderkey""")))
+
+  /** Driver-checked round trip for log-recorded hidden partitioning:
+    * events written with day(ts)+bucket(user_id,16) derived at write
+    * (the spec lives in the log, not the caller), read back through
+    * [[readPruned]] with the raw predicate only — the layout must be
+    * invisible to results (same oracle as `q_hidden_partition`, which
+    * exercises the log-less variant in [[PartitionTransforms]]).
+    */
+  def vtHiddenRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-vth")
+      .toFile.getAbsolutePath + "/events_vth"
+    val ev = graft.sources.Tables.events(spark, dir)
+    write(spark, path, ev, Nil, transforms = Seq(
+      PartitionTransforms.Day("ts"), PartitionTransforms.Bucket("user_id", 16)))
+    val (df, _, _) = readPruned(spark, path,
+      col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-20") &&
+        col("user_id").isin(1L, 2L, 3L))
+    df.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
 
   private val LogDir = "_graft_log"
   private val StageDir = "_graft_stage"
@@ -246,7 +272,8 @@ object VersionedTable {
       deltaAdds: Option[Seq[String]] = None,
       mor: Option[MorSpec] = None,
       constraints: Option[Map[String, String]] = None,
-      blooms: Option[Map[String, Map[String, BloomStat]]] = None)
+      blooms: Option[Map[String, Map[String, BloomStat]]] = None,
+      partitionSpec: Option[Seq[TransformSpec]] = None)
 
   /** Merge-on-read metadata a delta commit carries: how readers collapse
     * base + delta rows (partition-scoped `key`, highest `precombine`
@@ -260,6 +287,43 @@ object VersionedTable {
     * Same mechanism as Delta's txnAppId/txnVersion option pair.
     */
   private final case class Txn(appId: String, batchId: Long)
+
+  /** Log-serialized form of a hidden-partitioning transform (Iceberg's
+    * partition spec): kind + source column + integer parameter.
+    */
+  private final case class TransformSpec(kind: String, source: String, param: Long)
+
+  private def specOf(t: PartitionTransforms.Transform): TransformSpec = t match {
+    case PartitionTransforms.Day(s) => TransformSpec("day", s, 0L)
+    case PartitionTransforms.Hour(s) => TransformSpec("hour", s, 0L)
+    case PartitionTransforms.Bucket(s, n) => TransformSpec("bucket", s, n.toLong)
+    case PartitionTransforms.TruncateStr(s, w) => TransformSpec("truncstr", s, w.toLong)
+    case PartitionTransforms.TruncateNum(s, w) => TransformSpec("truncnum", s, w)
+  }
+
+  private def transformOf(s: TransformSpec): PartitionTransforms.Transform = s.kind match {
+    case "day" => PartitionTransforms.Day(s.source)
+    case "hour" => PartitionTransforms.Hour(s.source)
+    case "bucket" => PartitionTransforms.Bucket(s.source, s.param.toInt)
+    case "truncstr" => PartitionTransforms.TruncateStr(s.source, s.param.toInt)
+    case "truncnum" => PartitionTransforms.TruncateNum(s.source, s.param)
+    case other => throw new IllegalStateException(s"unknown transform kind $other")
+  }
+
+  /** The table's active hidden-partitioning transforms (latest spec wins;
+    * empty for plainly-partitioned tables).
+    */
+  private def activeTransforms(upTo: Seq[Commit]): Seq[PartitionTransforms.Transform] =
+    upTo.reverse.collectFirst { case c if c.partitionSpec.isDefined => c.partitionSpec.get }
+      .map(_.map(transformOf)).getOrElse(Nil)
+
+  /** Guard for ops whose partition arithmetic assumes explicit partition
+    * columns; hidden-partitioned tables support write/append, read, time
+    * travel, readPruned, history, expire and vacuum.
+    */
+  private def requireNoTransforms(upTo: Seq[Commit], op: String): Unit =
+    require(activeTransforms(upTo).isEmpty,
+      s"$op: not supported on a hidden-partitioned (transform) table")
 
   /** Per-file column statistics for data skipping, split by type so the
     * JSON round trip stays typed (numerics compared as Double, strings
@@ -382,7 +446,10 @@ object VersionedTable {
       }
       reader.option("basePath", path).parquet(fl.map(f => s"$path/$f"): _*)
     }
-    if (deltas.isEmpty) return Some(rd(base))
+    // hidden partitioning: derived dir columns are an implementation
+    // detail of the layout — reads surface only the logical schema
+    val hideCols = activeTransforms(upTo).map(_.name)
+    if (deltas.isEmpty) return Some(rd(base).drop(hideCols: _*))
     val spec = upTo.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }
       .getOrElse(throw new IllegalStateException(
         s"live delta files but no MOR spec in the log of $path"))
@@ -396,7 +463,7 @@ object VersionedTable {
     val w = Window.partitionBy((spec.partitionCols :+ spec.key).distinct.map(col): _*)
       .orderBy(col(spec.precombine).desc, col("__m_src").desc)
     Some(unioned.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__m_src", "__rn"))
+      .filter(col("__rn") === 1).drop("__m_src", "__rn").drop(hideCols: _*))
   }
 
   private def snapshot(fs: FileSystem, path: String,
@@ -452,6 +519,7 @@ object VersionedTable {
     // An empty table bootstraps fine: version 1 is all-delta, base empty —
     // the streaming writer's first micro-batch needs exactly this.
     val all = commits(fs, path)
+    requireNoTransforms(all, "upsertMOR")
     token.foreach { t =>
       val replay = all.find(_.txn.contains(t))
       if (replay.isDefined) return replay.get.version // idempotent retry
@@ -481,6 +549,7 @@ object VersionedTable {
       statsCols: Seq[String] = Nil): Long = {
     val fs = fsFor(spark, path)
     val all = commits(fs, path)
+    requireNoTransforms(all, "compactDeltas")
     require(all.nonEmpty, s"compactDeltas: no versioned table at $path")
     val deltas = liveDeltaFiles(all)
     if (deltas.isEmpty) return all.last.version
@@ -616,7 +685,8 @@ object VersionedTable {
       stats: Option[Map[String, FileStat]] = None,
       deltaAdds: Seq[String] = Nil, mor: Option[MorSpec] = None,
       constraints: Option[Map[String, String]] = None,
-      blooms: Option[Map[String, Map[String, BloomStat]]] = None): Commit = {
+      blooms: Option[Map[String, Map[String, BloomStat]]] = None,
+      partitionSpec: Option[Seq[TransformSpec]] = None): Commit = {
     testRaceHook()
     var attempt = 0
     while (true) {
@@ -646,7 +716,7 @@ object VersionedTable {
       val c = Commit(version, System.currentTimeMillis(), op, adds, removes,
         ckpt, txn, schemaOf(all).map(_.json), stats,
         deltaAdds = if (deltaAdds.isEmpty) None else Some(deltaAdds), mor = mor,
-        constraints = constraints, blooms = blooms)
+        constraints = constraints, blooms = blooms, partitionSpec = partitionSpec)
       try { publish(fs, path, c); return c }
       catch {
         case e: java.util.ConcurrentModificationException =>
@@ -664,13 +734,33 @@ object VersionedTable {
   def write(spark: SparkSession, path: String, df: DataFrame,
       partitionCols: Seq[String], mode: String = "overwrite",
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Long = {
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17,
+      transforms: Seq[PartitionTransforms.Transform] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"unsupported mode: $mode")
     val fs = fsFor(spark, path)
     val existing = commits(fs, path)
     val exists = existing.nonEmpty
-    val adds = stage(spark, path,
-      enforced(df, currentConstraints(existing)), partitionCols)
+    // Hidden partitioning (Iceberg partition-spec shape): the layout is
+    // derived from data columns at write time and recorded in the log —
+    // never passed alongside explicit partition columns. Appends inherit
+    // the table's active spec; overwrite replaces it (possibly with none).
+    require(transforms.isEmpty || partitionCols.isEmpty,
+      "pass either explicit partitionCols or hidden-partitioning transforms, not both")
+    val effTransforms =
+      if (transforms.nonEmpty) transforms
+      else if (mode == "append") activeTransforms(existing)
+      else Nil
+    require(effTransforms.isEmpty || partitionCols.isEmpty,
+      "append to a transform table cannot add explicit partition columns")
+    val stageDf = PartitionTransforms.derive(
+      enforced(df, currentConstraints(existing)), effTransforms)
+      // one writer task per derived dir (see PartitionTransforms.write)
+    val stageShaped =
+      if (effTransforms.isEmpty) stageDf
+      else stageDf.repartition(effTransforms.map(t => col(t.name)): _*)
+    val stagePartCols =
+      if (effTransforms.isEmpty) partitionCols else effTransforms.map(_.name)
+    val adds = stage(spark, path, stageShaped, stagePartCols)
     val stats = collectStats(spark, path, adds,
       (statsCols ++ activeStatsCols(existing)).distinct)
     val blooms = collectBlooms(spark, path, adds,
@@ -688,7 +778,11 @@ object VersionedTable {
         if (mode == "append" && all.nonEmpty)
           Some(snapshotSchema(all).map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
         else Some(df.schema),
-      allowRebase = mode == "append", stats = stats, blooms = blooms)
+      allowRebase = mode == "append", stats = stats, blooms = blooms,
+      partitionSpec =
+        if (mode == "overwrite") Some(effTransforms.map(specOf))
+        else if (transforms.nonEmpty) Some(transforms.map(specOf))
+        else None)
     c.version
   }
 
@@ -708,6 +802,20 @@ object VersionedTable {
       }.mkString("/")
     }.toSet
 
+  /** Does relative file path `f` live in one of `dirs`? The empty dir
+    * (unpartitioned table) matches root-level files — a plain
+    * startsWith(dir + "/") never would, which silently turned
+    * unpartitioned upserts/deletes into pure appends (duplicate keys).
+    */
+  private def inDirs(f: String, dirs: Set[String]): Boolean =
+    dirs.exists(d => if (d.isEmpty) !f.contains('/') else f.startsWith(d + "/"))
+
+  /** repartition by partition columns; identity when unpartitioned
+    * (repartition with zero exprs is not defined).
+    */
+  private def byPartitions(df: DataFrame, partitionCols: Seq[String]): DataFrame =
+    if (partitionCols.isEmpty) df else df.repartition(partitionCols.map(col): _*)
+
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       key: String, precombine: String, partitionCols: Seq[String],
       txn: Option[(String, Long)] = None, statsCols: Seq[String] = Nil): Long = {
@@ -720,13 +828,14 @@ object VersionedTable {
       if (replay.isDefined) return replay.get.version // idempotent retry
     }
     if (all.nonEmpty) requireNoDeltas(all, "upsert")
+    requireNoTransforms(all, "upsert")
     val live = if (all.isEmpty) Nil else liveFiles(all)
     // Affected partition dirs from the update set's partition values —
     // a distinct over low-cardinality columns, bounded driver collect.
     val parts = updates.select(partitionCols.map(col): _*).distinct().collect()
     require(parts.nonEmpty, "upsert: empty update set")
     val affectedDirs = partitionDirs(parts, partitionCols)
-    val affected = live.filter(f => affectedDirs.exists(d => f.startsWith(d + "/")))
+    val affected = live.filter(f => inDirs(f, affectedDirs))
     val prevSchema = snapshotSchema(all)
     val base =
       if (affected.isEmpty) updates.filter(lit(false))
@@ -744,9 +853,8 @@ object VersionedTable {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
-      .repartition(partitionCols.map(col): _*)
     val adds = stage(spark, path,
-      enforced(resolved, currentConstraints(all)), partitionCols)
+      enforced(byPartitions(resolved, partitionCols), currentConstraints(all)), partitionCols)
     val c = publishWithRebase(fs, path, "upsert", adds, affected, token,
       schemaOf = all => Some(snapshotSchema(all)
         .map(mergeSchemas(_, updates.schema)).getOrElse(evolved)),
@@ -881,6 +989,7 @@ object VersionedTable {
       predicate: org.apache.spark.sql.Column, partitionCols: Seq[String]): Long = {
     val fs = fsFor(spark, path)
     requireNoDeltas(commits(fs, path), "delete")
+    requireNoTransforms(commits(fs, path), "delete")
     val (upTo, live) = snapshot(fs, path, None, None)
     val current = spark.read.option("basePath", path)
       .parquet(live.map(f => s"$path/$f"): _*)
@@ -888,12 +997,12 @@ object VersionedTable {
       .select(partitionCols.map(col): _*).distinct().collect()
     if (hitParts.isEmpty) return latestVersion(spark, path) // nothing matches
     val affectedDirs = partitionDirs(hitParts, partitionCols)
-    val affected = live.filter(f => affectedDirs.exists(d => f.startsWith(d + "/")))
+    val affected = live.filter(f => inDirs(f, affectedDirs))
     val kept = spark.read.option("basePath", path)
       .parquet(affected.map(f => s"$path/$f"): _*)
       .filter(!coalesce(predicate, lit(false)))
-      .repartition(partitionCols.map(col): _*)
-    val adds = stage(spark, path, kept, partitionCols, allowEmpty = true)
+    val adds = stage(spark, path, byPartitions(kept, partitionCols),
+      partitionCols, allowEmpty = true)
     val c = publishWithRebase(fs, path, "delete", adds, affected, txn = None,
       schemaOf = _ => None, allowRebase = true,
       stats = collectStats(spark, path, adds, activeStatsCols(upTo)),
@@ -956,13 +1065,14 @@ object VersionedTable {
     }
     require(all.nonEmpty, s"merge: no versioned table at $path")
     requireNoDeltas(all, "merge")
+    requireNoTransforms(all, "merge")
     val live = liveFiles(all)
     val affected =
       if (partitionCols.isEmpty) live
       else {
         val parts = source.select(partitionCols.map(col): _*).distinct().collect()
         val dirs = partitionDirs(parts, partitionCols)
-        live.filter(f => dirs.exists(d => f.startsWith(d + "/")))
+        live.filter(f => inDirs(f, dirs))
       }
     val targetSchema = snapshotSchema(all).getOrElse(
       spark.read.option("basePath", path)
@@ -1302,7 +1412,13 @@ object VersionedTable {
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
       .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
     val bIdx = bloomIndex(upTo)
-    val kept = files.filter(f => idx.get(f).forall(mayMatch(_, cond)) &&
+    // Hidden partitioning prunes FIRST and from the log alone: the raw
+    // predicate implies partition predicates through the recorded
+    // transforms (ranges through monotone transforms, equality/IN through
+    // bucket), evaluated against the partition values parsed from each
+    // live dir path. Stats/bloom skipping then applies per file.
+    val afterDirs = prunedByTransforms(spark, upTo, files, cond)
+    val kept = afterDirs.filter(f => idx.get(f).forall(mayMatch(_, cond)) &&
       bIdx.get(f).forall(bloomMayMatch(_, cond)))
     // MOR tables skip too: base files prune by stats/bloom, every live
     // delta still merges (see mergedView.baseKeep for why that is exact).
@@ -1320,6 +1436,59 @@ object VersionedTable {
     (df.filter(predicate), kept.size, files.size)
   }
 
+  /** Drop live files whose hidden-partition dir values cannot satisfy the
+    * predicates `cond` implies through the table's transforms. The dir
+    * values are parsed driver-side (they are already in memory as the
+    * live-file list — no listing, no footers) and evaluated as one tiny
+    * local DataFrame so literal typing and comparison semantics are
+    * Spark's own. Unparseable / null dir values are conservatively kept.
+    */
+  private def prunedByTransforms(spark: SparkSession, upTo: Seq[Commit],
+      files: Seq[String],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {
+    val transforms = activeTransforms(upTo)
+    if (transforms.isEmpty || files.isEmpty) return files
+    val implied = transforms.flatMap(t => PartitionTransforms.implied(t, cond))
+    if (implied.isEmpty) return files
+    val dirs = files.map(dirOf).distinct
+    // parse "name=value/..." into per-transform raw strings (hive-escaped)
+    val parsed: Seq[org.apache.spark.sql.Row] = dirs.map { d =>
+      val byName = d.split('/').toSeq.flatMap { seg =>
+        seg.indexOf('=') match {
+          case -1 => None
+          case i =>
+            val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(seg.substring(i + 1))
+            Some(seg.substring(0, i) ->
+              (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+        }
+      }.toMap
+      org.apache.spark.sql.Row.fromSeq(
+        d +: transforms.map(t => byName.getOrElse(t.name, null)))
+    }
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__dir",
+        org.apache.spark.sql.types.StringType) +:
+        transforms.map(t => org.apache.spark.sql.types.StructField(
+          t.name, org.apache.spark.sql.types.StringType)))
+    // derive the typed partition values the same way the writer did, on a
+    // probe carrying the LOG schema, so casts agree with the layout
+    val logSchema = snapshotSchema(upTo).getOrElse(return files)
+    val derivedTypes = PartitionTransforms.derive(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema),
+      transforms).schema.fields.map(f => f.name -> f.dataType).toMap
+    val dirDf = transforms.foldLeft(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(parsed, 1), rawSchema)) { (d, t) =>
+      d.withColumn(t.name, col(t.name).cast(derivedTypes(t.name)))
+    }
+    val keepCond = implied.reduce(_ && _) ||
+      transforms.map(t => col(t.name).isNull).reduce(_ || _)
+    val keep = dirDf.filter(keepCond).select("__dir")
+      .collect().map(_.getString(0)).toSet
+    files.filter(f => keep.contains(dirOf(f)))
+  }
+
   /** Cluster the table for data skipping: range-repartition + sort by
     * `sortCols` within each output task, so every rewritten file covers a
     * narrow, non-overlapping range and the recorded min/max become tight.
@@ -1332,6 +1501,7 @@ object VersionedTable {
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Long = {
     val fs = fsFor(spark, path)
     val (all, live) = snapshot(fs, path, None, None)
+    requireNoTransforms(all, "cluster")
     val df = read(spark, path)
     val sorted = df
       .repartitionByRange(filesPerPartition, sortCols.map(col): _*)
@@ -1363,7 +1533,8 @@ object VersionedTable {
       buckets: Int = 256): Long = {
     import graft.functions.ZOrder
     val fs = fsFor(spark, path)
-    val (_, live) = snapshot(fs, path, None, None)
+    val (zUpTo, live) = snapshot(fs, path, None, None)
+    requireNoTransforms(zUpTo, "clusterZOrder")
     val df = read(spark, path)
     val bounds = zCols.map(c => ZOrder.quantileBoundaries(df, c, buckets))
     val zkey = ZOrder.zorderKey(zCols.map(col),
@@ -1400,6 +1571,7 @@ object VersionedTable {
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val fs = fsFor(spark, path)
     val (upTo, live) = snapshot(fs, path, None, None)
+    requireNoTransforms(upTo, "optimize")
     val byDir = live.groupBy(f =>
       f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
     val victims = byDir.filter(_._2.size > maxFilesPerPartition)
@@ -1570,6 +1742,7 @@ object VersionedTable {
     */
   def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
     val fs = fsFor(spark, path)
+    requireNoTransforms(commits(fs, path), "restore")
     val all = commits(fs, path)
     val target = all.filter(_.version <= toVersion)
     require(target.nonEmpty, s"restore: no version <= $toVersion in $path")
@@ -1605,6 +1778,7 @@ object VersionedTable {
     val all = commits(fs, path)
     require(all.nonEmpty, s"replaceWhere: no versioned table at $path")
     requireNoDeltas(all, "replaceWhere")
+    requireNoTransforms(all, "replaceWhere")
     val live = liveFiles(all)
     val current = spark.read.option("basePath", path)
       .parquet(live.map(f => s"$path/$f"): _*)
@@ -1614,7 +1788,7 @@ object VersionedTable {
       if (hitParts.isEmpty) Nil
       else {
         val dirs = partitionDirs(hitParts, partitionCols)
-        live.filter(f => dirs.exists(d => f.startsWith(d + "/")))
+        live.filter(f => inDirs(f, dirs))
       }
     val guarded = enforced(
       df.filter(

@@ -661,6 +661,41 @@ class VersionedTableSpec extends SparkSpec {
     assert(df7.count() == 1 && s7 == 1 && t7 >= 3, s"expected 1 of $t7 scanned, got $s7")
   }
 
+  test("hidden partitioning in the log: layout invisible, raw predicates prune dirs") {
+    import graft.sinks.PartitionTransforms
+    val t = table()
+    val rows = (0L until 400L).map(k => (k, k * 3))
+    VersionedTable.write(spark, t, rows.toDF("k", "v"), Nil,
+      transforms = Seq(PartitionTransforms.TruncateNum("k", 100)))
+    // derived dir column never surfaces in reads
+    val r = VersionedTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "v") && r.count() == 400)
+    // raw range predicate prunes dirs with NO stats recorded at all
+    val (d, s, n) = VersionedTable.readPruned(spark, t,
+      col("k") >= 150L && col("k") < 250L)
+    assert(n >= 4 && s < n, s"dir pruning must skip: $s of $n")
+    assert(d.select("k").as[Long].collect().sorted.toSeq == (150L until 250L))
+    // append INHERITS the log's partition spec (no transforms passed)
+    VersionedTable.write(spark, t, Seq((1000L, 0L)).toDF("k", "v"), Nil, mode = "append")
+    assert(VersionedTable.read(spark, t).count() == 401)
+    val (d2, s2, _) = VersionedTable.readPruned(spark, t, col("k") === 1000L)
+    assert(s2 == 1 && d2.count() == 1)
+    // partition-arithmetic ops refuse cleanly on transform tables
+    intercept[IllegalArgumentException](VersionedTable.upsert(spark, t,
+      Seq((1L, 9L)).toDF("k", "v"), key = "k", precombine = "v", partitionCols = Nil))
+    intercept[IllegalArgumentException](
+      VersionedTable.optimize(spark, t, maxFilesPerPartition = 1))
+    // time travel sees the pre-append snapshot, still hiding the layout
+    val old = VersionedTable.read(spark, t, asOfVersion = Some(1L))
+    assert(old.columns.toSeq == Seq("k", "v") && old.count() == 400)
+    // overwrite WITHOUT transforms clears the spec; upsert works again
+    VersionedTable.write(spark, t, rows.toDF("k", "v"), Nil)
+    VersionedTable.upsert(spark, t, Seq((1L, 9L)).toDF("k", "v"),
+      key = "k", precombine = "v", partitionCols = Nil)
+    assert(VersionedTable.read(spark, t).filter(col("k") === 1L)
+      .select("v").as[Long].head() == 9L)
+  }
+
   test("readPruned on a MOR table: base files skip, deltas always merge") {
     val t = table()
     val rows = (0L until 1000L).map(k => (k, "a", k))
