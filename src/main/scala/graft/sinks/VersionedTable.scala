@@ -828,17 +828,25 @@ object VersionedTable {
       if (replay.isDefined) return replay.get.version // idempotent retry
     }
     if (all.nonEmpty) requireNoDeltas(all, "upsert")
-    requireNoTransforms(all, "upsert")
+    // Transform tables: the update set's partition values are DERIVED
+    // (Iceberg hidden partitioning recorded in the log) — identical
+    // routing as an explicit layout from here on; keys stay scoped to
+    // the derived dirs. The log schema keeps only the RAW columns.
+    val tfs = activeTransforms(all)
+    require(tfs.isEmpty || partitionCols.isEmpty,
+      "upsert on a transform table derives its partition columns - pass none")
+    val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
+    val effUpdates = PartitionTransforms.derive(updates, tfs)
     val live = if (all.isEmpty) Nil else liveFiles(all)
     // Affected partition dirs from the update set's partition values —
     // a distinct over low-cardinality columns, bounded driver collect.
-    val parts = updates.select(partitionCols.map(col): _*).distinct().collect()
+    val parts = effUpdates.select(effPartitionCols.map(col): _*).distinct().collect()
     require(parts.nonEmpty, "upsert: empty update set")
-    val affectedDirs = partitionDirs(parts, partitionCols)
+    val affectedDirs = partitionDirs(parts, effPartitionCols)
     val affected = live.filter(f => inDirs(f, affectedDirs))
     val prevSchema = snapshotSchema(all)
     val base =
-      if (affected.isEmpty) updates.filter(lit(false))
+      if (affected.isEmpty) effUpdates.filter(lit(false))
       else {
         val reader = prevSchema.map(spark.read.schema(_)).getOrElse(spark.read)
         reader.option("basePath", path).parquet(affected.map(f => s"$path/$f"): _*)
@@ -846,15 +854,16 @@ object VersionedTable {
     // Additive evolution: an update set may carry NEW columns (old rows
     // get null); it may also omit existing ones (its rows get null).
     val evolved = prevSchema.map(mergeSchemas(_, updates.schema)).getOrElse(updates.schema)
-    val w = Window.partitionBy((partitionCols :+ key).map(col): _*)
+    val w = Window.partitionBy((effPartitionCols :+ key).map(col): _*)
       .orderBy(col(precombine).desc, col("__src").desc)
     val resolved = base.withColumn("__src", lit(0))
-      .unionByName(updates.withColumn("__src", lit(1)), allowMissingColumns = true)
+      .unionByName(effUpdates.withColumn("__src", lit(1)), allowMissingColumns = true)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
     val adds = stage(spark, path,
-      enforced(byPartitions(resolved, partitionCols), currentConstraints(all)), partitionCols)
+      enforced(byPartitions(resolved, effPartitionCols), currentConstraints(all)),
+      effPartitionCols)
     val c = publishWithRebase(fs, path, "upsert", adds, affected, token,
       schemaOf = all => Some(snapshotSchema(all)
         .map(mergeSchemas(_, updates.schema)).getOrElse(evolved)),
@@ -989,20 +998,24 @@ object VersionedTable {
       predicate: org.apache.spark.sql.Column, partitionCols: Seq[String]): Long = {
     val fs = fsFor(spark, path)
     requireNoDeltas(commits(fs, path), "delete")
-    requireNoTransforms(commits(fs, path), "delete")
     val (upTo, live) = snapshot(fs, path, None, None)
+    // Transform tables route through their derived layout (see upsert)
+    val tfs = activeTransforms(upTo)
+    require(tfs.isEmpty || partitionCols.isEmpty,
+      "delete on a transform table derives its partition columns - pass none")
+    val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
     val current = spark.read.option("basePath", path)
       .parquet(live.map(f => s"$path/$f"): _*)
     val hitParts = current.filter(predicate)
-      .select(partitionCols.map(col): _*).distinct().collect()
+      .select(effPartitionCols.map(col): _*).distinct().collect()
     if (hitParts.isEmpty) return latestVersion(spark, path) // nothing matches
-    val affectedDirs = partitionDirs(hitParts, partitionCols)
+    val affectedDirs = partitionDirs(hitParts, effPartitionCols)
     val affected = live.filter(f => inDirs(f, affectedDirs))
     val kept = spark.read.option("basePath", path)
       .parquet(affected.map(f => s"$path/$f"): _*)
       .filter(!coalesce(predicate, lit(false)))
-    val adds = stage(spark, path, byPartitions(kept, partitionCols),
-      partitionCols, allowEmpty = true)
+    val adds = stage(spark, path, byPartitions(kept, effPartitionCols),
+      effPartitionCols, allowEmpty = true)
     val c = publishWithRebase(fs, path, "delete", adds, affected, txn = None,
       schemaOf = _ => None, allowRebase = true,
       stats = collectStats(spark, path, adds, activeStatsCols(upTo)),

@@ -680,9 +680,16 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).count() == 401)
     val (d2, s2, _) = VersionedTable.readPruned(spark, t, col("k") === 1000L)
     assert(s2 == 1 && d2.count() == 1)
-    // partition-arithmetic ops refuse cleanly on transform tables
-    intercept[IllegalArgumentException](VersionedTable.upsert(spark, t,
-      Seq((1L, 9L)).toDF("k", "v"), key = "k", precombine = "v", partitionCols = Nil))
+    // keyed ops route through the DERIVED layout: upsert updates in place
+    VersionedTable.upsert(spark, t, Seq((150L, 999L)).toDF("k", "v"),
+      key = "k", precombine = "v", partitionCols = Nil)
+    assert(VersionedTable.read(spark, t).filter(col("k") === 150L)
+      .select("v").as[Long].head() == 999L)
+    assert(VersionedTable.read(spark, t).count() == 401) // update, not append
+    // and delete routes too
+    VersionedTable.delete(spark, t, col("k") === 1000L, Nil)
+    assert(VersionedTable.read(spark, t).count() == 400)
+    // layout-maintenance ops still refuse cleanly on transform tables
     intercept[IllegalArgumentException](
       VersionedTable.optimize(spark, t, maxFilesPerPartition = 1))
     // time travel sees the pre-append snapshot, still hiding the layout
