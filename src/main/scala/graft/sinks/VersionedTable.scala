@@ -1583,8 +1583,11 @@ object VersionedTable {
       maxFilesPerPartition: Int = 4,
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val fs = fsFor(spark, path)
+    // optimize is layout-agnostic: partition columns (explicit OR
+    // transform-derived) are recovered from the victims' dir paths, and
+    // the rewrite re-partitions by exactly those — so transform tables
+    // compact like any other.
     val (upTo, live) = snapshot(fs, path, None, None)
-    requireNoTransforms(upTo, "optimize")
     val byDir = live.groupBy(f =>
       f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
     val victims = byDir.filter(_._2.size > maxFilesPerPartition)
@@ -1595,10 +1598,16 @@ object VersionedTable {
     val bytes = victims.map(f => fs.getFileStatus(new Path(s"$path/$f")).getLen).sum
     val rows = df.count()
     val avgRow = if (rows == 0) 1L else (bytes / rows).max(1L)
-    // Partition columns come from the read's hive dirs; group whole
+    // Partition columns come from the read's hive dirs, parsed as path
+    // SEGMENTS in hierarchy order — a substring match would false-hit
+    // any column whose name suffixes another (k vs __p_k). Group whole
     // partitions per task so each directory is written by one writer.
-    val partCols = df.schema.fieldNames.toSeq
-      .filter(n => victims.head.contains(s"$n="))
+    val segNames = dirOf(victims.head).split('/').toSeq
+      .flatMap(seg => seg.indexOf('=') match {
+        case -1 => None
+        case i => Some(seg.substring(0, i))
+      })
+    val partCols = segNames.filter(df.schema.fieldNames.contains)
     val shaped =
       if (partCols.isEmpty) df.coalesce(math.max(1, (bytes / targetFileBytes).toInt))
       else df.repartition(partCols.map(col): _*)

@@ -689,9 +689,23 @@ class VersionedTableSpec extends SparkSpec {
     // and delete routes too
     VersionedTable.delete(spark, t, col("k") === 1000L, Nil)
     assert(VersionedTable.read(spark, t).count() == 400)
-    // layout-maintenance ops still refuse cleanly on transform tables
-    intercept[IllegalArgumentException](
-      VersionedTable.optimize(spark, t, maxFilesPerPartition = 1))
+    // fragment one derived dir with two more inheriting appends…
+    VersionedTable.write(spark, t, Seq((151L, 1L)).toDF("k", "v"), Nil, mode = "append")
+    VersionedTable.write(spark, t, Seq((152L, 2L)).toDF("k", "v"), Nil, mode = "append")
+    // …then optimize recovers the derived layout from dir paths and compacts
+    val preOpt = VersionedTable.read(spark, t)
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    VersionedTable.optimize(spark, t, maxFilesPerPartition = 1)
+    val postOpt = VersionedTable.read(spark, t)
+    assert(postOpt.columns.toSeq == Seq("k", "v"))
+    assert(postOpt.select("k", "v").as[(Long, Long)].collect().toSet == preOpt)
+    // dir pruning still works over the compacted layout
+    val (dOpt, sOpt, nOpt) = VersionedTable.readPruned(spark, t,
+      col("k") >= 150L && col("k") < 250L)
+    assert(sOpt < nOpt && dOpt.count() == preOpt.count(kv => kv._1 >= 150 && kv._1 < 250))
+    // cluster/merge-style layout rewrites still refuse cleanly
+    intercept[IllegalArgumentException](VersionedTable.cluster(
+      spark, t, sortCols = Seq("k"), partitionCols = Nil))
     // time travel sees the pre-append snapshot, still hiding the layout
     val old = VersionedTable.read(spark, t, asOfVersion = Some(1L))
     assert(old.columns.toSeq == Seq("k", "v") && old.count() == 400)
