@@ -1514,12 +1514,28 @@ object VersionedTable {
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Long = {
     val fs = fsFor(spark, path)
     val (all, live) = snapshot(fs, path, None, None)
-    requireNoTransforms(all, "cluster")
+    // Transform tables cluster WITHIN their derived layout: range-
+    // repartition on (derived dirs ++ sortCols) keeps every task's output
+    // inside one (or two boundary) dirs — files land in their hive dirs
+    // with tight per-file sortCol ranges, so dir pruning and stats
+    // skipping compose. Same shape as Delta's per-partition OPTIMIZE.
+    val tfs = activeTransforms(all)
+    require(tfs.isEmpty || partitionCols.isEmpty,
+      "cluster on a transform table derives its partition columns - pass none")
     val df = read(spark, path)
-    val sorted = df
-      .repartitionByRange(filesPerPartition, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-    val adds = stage(spark, path, sorted, partitionCols)
+    val (sorted, effPartCols) =
+      if (tfs.isEmpty)
+        (df.repartitionByRange(filesPerPartition, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*), partitionCols)
+      else {
+        val names = tfs.map(_.name)
+        val derived = PartitionTransforms.derive(df, tfs)
+        val nDirs = math.max(1, live.map(dirOf).distinct.size)
+        val keys = (names ++ sortCols).map(col)
+        (derived.repartitionByRange(filesPerPartition * nDirs, keys: _*)
+          .sortWithinPartitions(keys: _*), names)
+      }
+    val adds = stage(spark, path, sorted, effPartCols)
     val stats = collectStats(spark, path, adds,
       (sortCols ++ activeStatsCols(all)).distinct)
     val blooms = collectBlooms(spark, path, adds,

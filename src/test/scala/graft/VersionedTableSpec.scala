@@ -703,9 +703,9 @@ class VersionedTableSpec extends SparkSpec {
     val (dOpt, sOpt, nOpt) = VersionedTable.readPruned(spark, t,
       col("k") >= 150L && col("k") < 250L)
     assert(sOpt < nOpt && dOpt.count() == preOpt.count(kv => kv._1 >= 150 && kv._1 < 250))
-    // cluster/merge-style layout rewrites still refuse cleanly
-    intercept[IllegalArgumentException](VersionedTable.cluster(
-      spark, t, sortCols = Seq("k"), partitionCols = Nil))
+    // z-order/merge-style layout rewrites still refuse cleanly
+    intercept[IllegalArgumentException](VersionedTable.clusterZOrder(
+      spark, t, zCols = Seq("k", "v"), partitionCols = Nil))
     // time travel sees the pre-append snapshot, still hiding the layout
     val old = VersionedTable.read(spark, t, asOfVersion = Some(1L))
     assert(old.columns.toSeq == Seq("k", "v") && old.count() == 400)
@@ -715,6 +715,31 @@ class VersionedTableSpec extends SparkSpec {
       key = "k", precombine = "v", partitionCols = Nil)
     assert(VersionedTable.read(spark, t).filter(col("k") === 1L)
       .select("v").as[Long].head() == 9L)
+  }
+
+  test("cluster within the derived layout: dir pruning and range stats compose") {
+    import graft.sinks.PartitionTransforms
+    val t = table()
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 2000L).map(k => (k, rnd.nextInt(10000).toLong))
+    VersionedTable.write(spark, t, rows.toDF("k", "v"), Nil,
+      transforms = Seq(PartitionTransforms.TruncateNum("k", 1000))) // 2 dirs
+    VersionedTable.cluster(spark, t, sortCols = Seq("v"), partitionCols = Nil,
+      filesPerPartition = 4)
+    val r = VersionedTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "v") && r.count() == 2000)
+    // raw k range → dir pruning from the transform spec (strictly inside
+    // dir 0: the boundary value 1000 conservatively keeps its own dir)
+    val (d1, s1, n1) = VersionedTable.readPruned(spark, t, col("k") < 900L)
+    assert(s1 < n1 && d1.count() == 900)
+    // v range → per-file range stats laid down by the clustered rewrite
+    val (d2, s2, n2) = VersionedTable.readPruned(spark, t, col("v") < 1000L)
+    assert(s2 < n2, s"stats must skip within dirs: $s2 of $n2")
+    assert(d2.count() == rows.count(_._2 < 1000))
+    // and the two prune dimensions compose
+    val (d3, s3, _) = VersionedTable.readPruned(spark, t,
+      col("k") < 900L && col("v") < 1000L)
+    assert(s3 <= s2 && d3.count() == rows.count(p => p._1 < 900 && p._2 < 1000))
   }
 
   test("readPruned on a MOR table: base files skip, deltas always merge") {
