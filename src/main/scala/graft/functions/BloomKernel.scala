@@ -62,7 +62,7 @@ case class BloomBitsAgg(
 
 object BloomKernel {
 
-  private[functions] def setBits(buf: Array[Byte], m: Int, k: Int, a: Long, b: Long): Unit = {
+  private[graft] def setBits(buf: Array[Byte], m: Int, k: Int, a: Long, b: Long): Unit = {
     var i = 0
     while (i < k) {
       val pos = java.lang.Math.floorMod(a + i.toLong * b, m.toLong).toInt

@@ -102,4 +102,20 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0)
     assert(r.getInt(2) == 2)
   }
+
+  test("bloom kernel: inserted hashes always probe true; absent ones mostly false") {
+    import graft.functions.BloomKernel
+    val m = 1 << 12
+    val k = 7
+    val bits = new Array[Byte](m / 8)
+    val rnd = new scala.util.Random(42)
+    val ins = Seq.fill(200)((rnd.nextLong(), rnd.nextLong()))
+    ins.foreach { case (a, b) => BloomKernel.setBits(bits, m, k, a, b) }
+    // the bloom contract: NEVER a false negative
+    assert(ins.forall { case (a, b) => BloomKernel.mightContain(bits, m, k, a, b) })
+    // 200 keys in 4096 bits at k=7 → theoretical fpp ≈ 0.05%; allow wide slack
+    val absent = Seq.fill(1000)((rnd.nextLong(), rnd.nextLong()))
+    val fp = absent.count { case (a, b) => BloomKernel.mightContain(bits, m, k, a, b) }
+    assert(fp <= 20, s"false-positive rate implausibly high: $fp/1000")
+  }
 }
