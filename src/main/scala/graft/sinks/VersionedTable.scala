@@ -950,10 +950,13 @@ object VersionedTable {
         // added/removed between them — read just the file churn.
         val oldFiles = liveFiles(upToOld).toSet
         val newFiles = liveFiles(upToNew).toSet
+        // transform tables: hive dirs materialize the derived __p_* cols
+        // on basePath reads — an implementation detail, dropped from CDF
+        val hideCols = activeTransforms(upToNew).map(_.name)
         def side(files: Seq[String]): Option[DataFrame] =
           if (files.isEmpty) None
           else Some(spark.read.option("basePath", path)
-            .parquet(files.map(f => s"$path/$f"): _*))
+            .parquet(files.map(f => s"$path/$f"): _*).drop(hideCols: _*))
         (side((oldFiles -- newFiles).toSeq.sorted),
           side((newFiles -- oldFiles).toSeq.sorted))
       } else {
@@ -1693,17 +1696,20 @@ object VersionedTable {
     val now = System.currentTimeMillis()
     val root = fs.makeQualified(new Path(path)).toString
     val orphans = scala.collection.mutable.ArrayBuffer[String]()
-    val it = fs.listFiles(new Path(path), true)
-    while (it.hasNext) {
-      val st = it.next()
+    // plain listStatus walk — listFiles(recursive) materializes block
+    // locations per file, a table-wide cost at scale (see collectStaged)
+    def sweep(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
       val rel = fs.makeQualified(st.getPath).toString.stripPrefix(root + "/")
-      if (rel.endsWith(".parquet") && !rel.startsWith(LogDir) && !rel.startsWith(StageDir) &&
+      if (st.isDirectory) {
+        if (!rel.startsWith(LogDir) && !rel.startsWith(StageDir)) sweep(st.getPath)
+      } else if (rel.endsWith(".parquet") &&
           !everReferenced.contains(rel) &&
           now - st.getModificationTime > orphanMinAgeMs) {
         fs.delete(st.getPath, false)
         orphans += rel
       }
     }
+    sweep(new Path(path))
     dead ++ orphans
   }
 

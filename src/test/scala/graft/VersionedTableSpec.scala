@@ -689,6 +689,13 @@ class VersionedTableSpec extends SparkSpec {
     // and delete routes too
     VersionedTable.delete(spark, t, col("k") === 1000L, Nil)
     assert(VersionedTable.read(spark, t).count() == 400)
+    // CDF follows transform tables and hides the derived layout
+    val cdf = VersionedTable.changes(spark, t, 1L, 3L, key = "k")
+    assert(!cdf.columns.contains("__p_k"), "derived dir column must not leak into CDF")
+    assert(cdf.filter(col("_change_type") === "insert")
+      .select("k").as[Long].collect().toSeq == Seq(1000L))
+    assert(cdf.filter(col("_change_type") === "update")
+      .select("k").as[Long].collect().toSeq == Seq(150L))
     // fragment one derived dir with two more inheriting appends…
     VersionedTable.write(spark, t, Seq((151L, 1L)).toDF("k", "v"), Nil, mode = "append")
     VersionedTable.write(spark, t, Seq((152L, 2L)).toDF("k", "v"), Nil, mode = "append")
