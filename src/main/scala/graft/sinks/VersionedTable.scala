@@ -763,6 +763,10 @@ object VersionedTable {
     // the table's active spec; overwrite replaces it (possibly with none).
     require(transforms.isEmpty || partitionCols.isEmpty,
       "pass either explicit partitionCols or hidden-partitioning transforms, not both")
+    if (mode == "append" && transforms.nonEmpty && existing.nonEmpty)
+      require(activeTransforms(existing) == transforms,
+        "append transforms must match the table's active partition spec " +
+          "(overwrite to change the layout)")
     val effTransforms =
       if (transforms.nonEmpty) transforms
       else if (mode == "append") activeTransforms(existing)

@@ -749,6 +749,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(s3 <= s2 && d3.count() == rows.count(p => p._1 < 900 && p._2 < 1000))
   }
 
+  test("streamWriter upserts into a transform table; appends evolve its schema") {
+    import graft.sinks.PartitionTransforms
+    val t = table()
+    // bootstrap the transform table, then stream keyed updates into it
+    VersionedTable.write(spark, t,
+      Seq((1L, 10L, 1L), (250L, 20L, 1L)).toDF("k", "v", "ver"), Nil,
+      transforms = Seq(PartitionTransforms.TruncateNum("k", 100)))
+    val src = Files.createTempDirectory("graft-vt-tf-src").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-vt-tf-ckpt").toFile.getAbsolutePath
+    Seq((1L, 11L, 2L), (777L, 7L, 1L)).toDF("k", "v", "ver")
+      .coalesce(1).write.parquet(s"$src/f1")
+    val stream = spark.readStream.schema("k LONG, v LONG, ver LONG")
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+    val q = VersionedTable.streamWriter(stream, t, key = "k",
+      precombine = "ver", partitionCols = Nil, checkpoint = ckpt).start()
+    q.processAllAvailable(); q.stop()
+    val got = VersionedTable.read(spark, t)
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 11L), (250L, 20L), (777L, 7L)))
+    // and the layout stayed hidden + prunable
+    val (d, s, n) = VersionedTable.readPruned(spark, t, col("k") === 777L)
+    assert(d.count() == 1 && s < n)
+    // an append proposing a DIFFERENT spec would mix layouts — refused
+    intercept[IllegalArgumentException](VersionedTable.write(spark, t,
+      Seq((5L, 5L, 5L)).toDF("k", "v", "ver"), Nil, mode = "append",
+      transforms = Seq(PartitionTransforms.TruncateNum("k", 500))))
+    // additive schema evolution through an inheriting append
+    VersionedTable.write(spark, t,
+      Seq((901L, 1L, 1L, "x")).toDF("k", "v", "ver", "extra"), Nil, mode = "append")
+    val r = VersionedTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "v", "ver", "extra"))
+    assert(r.filter(col("k") === 1L).select("extra").collect()(0).isNullAt(0))
+  }
+
   test("readPruned on a MOR table: base files skip, deltas always merge") {
     val t = table()
     val rows = (0L until 1000L).map(k => (k, "a", k))
