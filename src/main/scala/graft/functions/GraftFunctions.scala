@@ -27,6 +27,14 @@ object GraftFunctions {
     "graft_cosine" -> { args => CosineSim(args(0), args(1)) },
     "graft_shingles" -> { args => ShingleHash(args.head) },
     "graft_fingerprint" -> { args => RollingFingerprint(args.head) },
+    "graft_word_ngrams" -> { args =>
+      val n = args.lift(1).map {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_word_ngrams(text, n): n must be an int literal, got $other")
+      }.getOrElse(3)
+      WordNgrams(args.head, n)
+    },
     "graft_stopword_hits" -> { args => StopwordHits(args.head) })
 
   private[functions] def registrations = fns.map { case (name, builder) =>
@@ -157,6 +165,8 @@ object GraftFunctions {
     GraftShim.column(RollingFingerprint(GraftShim.expression(text)))
   def stopwordHits(text: Column): Column =
     GraftShim.column(StopwordHits(GraftShim.expression(text)))
+  def wordNgrams(text: Column, n: Int): Column =
+    GraftShim.column(WordNgrams(GraftShim.expression(text), n))
 }
 
 /** `spark.sql.extensions` entry point: injects the graft function family,

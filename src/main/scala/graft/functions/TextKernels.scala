@@ -90,4 +90,31 @@ object TextKernels extends Serializable {
     }
     acc
   }
+
+  /** Word n-grams of a string, joined by single spaces — the shared
+    * primitive of decontamination and repetition scoring. Tokenization
+    * matches `split(trim(text), "\\s+")` exactly (runs of ASCII regex
+    * whitespace), so the declarative DuckDB oracles stay bit-identical;
+    * only the interpreted per-element lambda is replaced by this one
+    * JVM loop (~100x, same trade as [[shingleHashes]]). Fewer than n
+    * tokens yields an empty array.
+    */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

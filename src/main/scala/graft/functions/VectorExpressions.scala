@@ -138,6 +138,35 @@ case class ShingleHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Word n-grams joined by single spaces — see [[TextKernels.wordNgrams]].
+  * The shared exploded primitive of decontamination (n=8) and repetition
+  * scoring (n=2); string output keeps the DuckDB oracles expressible.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+  override def prettyName: String = "graft_word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordNgrams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+        "graft.functions.TextKernels$")
+      s"${ev.value} = $kernel.wordNgrams($s, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 /** Single-pass stopword-hit counts per language, as a struct
   * (s_en, s_de, s_fr, s_es) — see [[TextKernels.stopwordHits]].
   */

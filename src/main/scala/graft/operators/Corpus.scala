@@ -125,13 +125,12 @@ object Corpus {
     */
   private[graft] def decontaminateFrame(docs: DataFrame, n: Int): DataFrame = {
     val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
-    val ws = split(trim(col("text")), "\\s+")
+    // n-grams from the codegen'd kernel (one JVM loop per doc) — the
+    // declarative transform-over-sequence lambda is interpreted
+    // per-element; semantics identical (see TextKernels.wordNgrams)
     val grams = docs
-      .select(col("doc_id"), (bucket === "f").as("is_bench"), ws.as("__ws"))
-      .filter(size(col("__ws")) >= n)
-      .select(col("doc_id"), col("is_bench"),
-        explode(transform(sequence(lit(0), size(col("__ws")) - lit(n)),
-          i => array_join(slice(col("__ws"), i + lit(1), lit(n)), " "))).as("ng"))
+      .select(col("doc_id"), (bucket === "f").as("is_bench"),
+        explode(graft.functions.GraftFunctions.wordNgrams(col("text"), n)).as("ng"))
     val bench = grams.filter(col("is_bench")).select("ng").distinct()
     val perDoc = grams.filter(!col("is_bench"))
       .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("ng"), "left")

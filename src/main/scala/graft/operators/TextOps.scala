@@ -140,11 +140,8 @@ object TextOps {
       .select(col("doc_id"), col("ws"),
         size(col("ws")).cast("long").as("n_words"),
         size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"))
-    val bigrams = base.filter(col("n_words") >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("ws")) - lit(2)),
-          i => concat(element_at(col("ws"), i + lit(1)), lit(" "),
-            element_at(col("ws"), i + lit(2))))).as("bg"))
+    val bigrams = docs.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.wordNgrams(col("text"), 2)).as("bg"))
     val top = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("tbc"), sum(col("c")).as("nbg"))

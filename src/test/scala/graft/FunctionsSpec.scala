@@ -103,6 +103,27 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getInt(2) == 2)
   }
 
+  test("graft_word_ngrams matches the declarative slice formulation") {
+    val df = Seq(
+      "a b c d e",
+      "  x   y  ",
+      "solo",
+      "",
+      "w1 w2 w3").toDF("t")
+    val n = 3
+    val ws = split(trim(col("t")), "\\s+")
+    val kernel = df.select(GraftFunctions.wordNgrams(col("t"), n).as("g"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val decl = df.select(
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - lit(n)),
+          i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>")).as("g"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(kernel == decl)
+    assert(kernel.head == Seq("a b c", "b c d", "c d e"))
+  }
+
   test("bloom kernel: inserted hashes always probe true; absent ones mostly false") {
     import graft.functions.BloomKernel
     val m = 1 << 12
