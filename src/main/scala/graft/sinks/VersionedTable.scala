@@ -1102,13 +1102,24 @@ object VersionedTable {
     }
     require(all.nonEmpty, s"merge: no versioned table at $path")
     requireNoDeltas(all, "merge")
-    requireNoTransforms(all, "merge")
+    // Transform tables: derive the source's partition values through the
+    // log's spec and route the COW exactly like an explicit layout; the
+    // target side re-derives from its RAW columns so the join never
+    // depends on hive-materialized dir values. Output rows re-derive
+    // before staging, and only the raw schema reaches the log.
+    val tfs = activeTransforms(all)
+    require(tfs.isEmpty || partitionCols.isEmpty,
+      "merge on a transform table derives its partition columns - pass none")
+    tfs.foreach(t => require(source.columns.contains(t.source),
+      s"merge source must carry transform column ${t.source}"))
+    val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
+    val effSource = PartitionTransforms.derive(source, tfs)
     val live = liveFiles(all)
     val affected =
-      if (partitionCols.isEmpty) live
+      if (effPartitionCols.isEmpty) live
       else {
-        val parts = source.select(partitionCols.map(col): _*).distinct().collect()
-        val dirs = partitionDirs(parts, partitionCols)
+        val parts = effSource.select(effPartitionCols.map(col): _*).distinct().collect()
+        val dirs = partitionDirs(parts, effPartitionCols)
         live.filter(f => inDirs(f, dirs))
       }
     val targetSchema = snapshotSchema(all).getOrElse(
@@ -1119,16 +1130,18 @@ object VersionedTable {
     val outType = StructType(outSchema.fields)
     val targetCols = targetSchema.fieldNames.toSet
     val sourceCols = source.columns.toSet
-    val base =
+    val base0 =
       if (affected.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), targetSchema)
       else spark.read.schema(targetSchema).option("basePath", path)
         .parquet(affected.map(f => s"$path/$f"): _*)
-    val joinKeys = (partitionCols :+ key).distinct
+    val base = PartitionTransforms.derive(
+      base0.drop(tfs.map(_.name): _*), tfs)
+    val joinKeys = (effPartitionCols :+ key).distinct
     // Presence markers distinguish "no row on this side" from null data;
     // the windowed count catches multiple source rows per join key.
     val t = base.withColumn("__te", lit(1)).alias("t")
-    val s = source
+    val s = effSource
       .withColumn("__scnt", count(lit(1)).over(
         Window.partitionBy(joinKeys.map(col): _*)))
       .withColumn("__se", lit(1)).alias("s")
@@ -1174,10 +1187,10 @@ object VersionedTable {
         .otherwise(notMatchedResult)
     var resolved = j.select(picked.as("__r"))
       .filter(col("__r").isNotNull).select("__r.*")
-    if (partitionCols.nonEmpty)
-      resolved = resolved.repartition(partitionCols.map(col): _*)
+    resolved = byPartitions(
+      PartitionTransforms.derive(resolved, tfs), effPartitionCols)
     val adds = stage(spark, path,
-      enforced(resolved, currentConstraints(all)), partitionCols, allowEmpty = true)
+      enforced(resolved, currentConstraints(all)), effPartitionCols, allowEmpty = true)
     val c = publishWithRebase(fs, path, "merge", adds, affected, token,
       schemaOf = all =>
         if (evolveSchema)

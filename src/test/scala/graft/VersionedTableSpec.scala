@@ -783,6 +783,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(r.filter(col("k") === 1L).select("extra").collect()(0).isNullAt(0))
   }
 
+  test("MERGE INTO a transform table routes through the derived layout") {
+    import graft.sinks.PartitionTransforms
+    val t = table()
+    VersionedTable.write(spark, t,
+      (0L until 400L).map(k => (k, k)).toDF("k", "v"), Nil,
+      transforms = Seq(PartitionTransforms.TruncateNum("k", 100)))
+    val dirsBefore = VersionedTable.history(spark, t).count()
+    VersionedTable.merge(spark, t,
+      Seq((10L, 999L), (450L, 1L)).toDF("k", "v"),
+      key = "k", partitionCols = Nil,
+      clauses = Seq(
+        VersionedTable.MatchedUpdate(Map("v" -> col("s.v"))),
+        VersionedTable.NotMatchedInsert(None)))
+    assert(dirsBefore == 1L)
+    val r = VersionedTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "v"))
+    assert(r.count() == 401)
+    assert(r.filter(col("k") === 10L).select("v").as[Long].head() == 999L)
+    assert(r.filter(col("k") === 450L).select("v").as[Long].head() == 1L)
+    // only the source-affected derived dirs were rewritten: rows outside
+    // dir 0 (update) and dir 400 (insert) kept their version-1 files
+    val cdf = VersionedTable.changes(spark, t, 1L, 2L, key = "k")
+    assert(cdf.select("k", "_change_type").as[(Long, String)].collect().toSet ==
+      Set((10L, "update"), (450L, "insert")))
+  }
+
   test("readPruned on a MOR table: base files skip, deltas always merge") {
     val t = table()
     val rows = (0L until 1000L).map(k => (k, "a", k))
