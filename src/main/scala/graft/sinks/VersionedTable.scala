@@ -1856,16 +1856,23 @@ object VersionedTable {
     val all = commits(fs, path)
     require(all.nonEmpty, s"replaceWhere: no versioned table at $path")
     requireNoDeltas(all, "replaceWhere")
-    requireNoTransforms(all, "replaceWhere")
+    // Transform tables route through their derived layout (see upsert):
+    // hit partitions re-derive from raw columns, never from dir values
+    val tfs = activeTransforms(all)
+    require(tfs.isEmpty || partitionCols.isEmpty,
+      "replaceWhere on a transform table derives its partition columns - pass none")
+    val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
     val live = liveFiles(all)
-    val current = spark.read.option("basePath", path)
-      .parquet(live.map(f => s"$path/$f"): _*)
+    val current = PartitionTransforms.derive(
+      spark.read.option("basePath", path)
+        .parquet(live.map(f => s"$path/$f"): _*)
+        .drop(tfs.map(_.name): _*), tfs)
     val hitParts = current.filter(predicate)
-      .select(partitionCols.map(col): _*).distinct().collect()
+      .select(effPartitionCols.map(col): _*).distinct().collect()
     val affected =
       if (hitParts.isEmpty) Nil
       else {
-        val dirs = partitionDirs(hitParts, partitionCols)
+        val dirs = partitionDirs(hitParts, effPartitionCols)
         live.filter(f => inDirs(f, dirs))
       }
     val guarded = enforced(
@@ -1875,8 +1882,9 @@ object VersionedTable {
             "replaceWhere: incoming row falls outside the replaced predicate"))
             .cast("boolean"))),
       currentConstraints(all))
-      .repartition(partitionCols.map(col): _*)
-    val adds = stage(spark, path, guarded, partitionCols, allowEmpty = true)
+    val shaped = byPartitions(
+      PartitionTransforms.derive(guarded, tfs), effPartitionCols)
+    val adds = stage(spark, path, shaped, effPartitionCols, allowEmpty = true)
     publishWithRebase(fs, path, "replace_where", adds, affected, txn = None,
       schemaOf = _ => None, allowRebase = true,
       stats = collectStats(spark, path, adds,

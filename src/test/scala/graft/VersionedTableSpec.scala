@@ -783,6 +783,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(r.filter(col("k") === 1L).select("extra").collect()(0).isNullAt(0))
   }
 
+  test("replaceWhere on a transform table swaps only the derived slice") {
+    import graft.sinks.PartitionTransforms
+    val t = table()
+    VersionedTable.write(spark, t,
+      (0L until 300L).map(k => (k, k)).toDF("k", "v"), Nil,
+      transforms = Seq(PartitionTransforms.TruncateNum("k", 100)))
+    VersionedTable.replaceWhere(spark, t, Seq((150L, 0L)).toDF("k", "v"),
+      col("k") >= 100L && col("k") < 200L, Nil)
+    val r = VersionedTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "v"))
+    assert(r.count() == 201) // dirs 0 and 200 untouched, dir 100 swapped
+    assert(r.filter(col("k") >= 100L && col("k") < 200L).count() == 1)
+    // incoming rows outside the predicate still raise in-plan
+    intercept[Exception](VersionedTable.replaceWhere(spark, t,
+      Seq((999L, 0L)).toDF("k", "v"), col("k") < 100L, Nil))
+  }
+
   test("MERGE INTO a transform table routes through the derived layout") {
     import graft.sinks.PartitionTransforms
     val t = table()
