@@ -114,6 +114,14 @@ object GraftFunctions {
           spark, str(fn, args(0)), pred, version)
         GraftShim.analyzed(df)
       }),
+    (new FunctionIdentifier("graft_files"),
+      new ExpressionInfo("graft.sinks.VersionedTable", "graft_files"),
+      { args =>
+        val fn = "graft_files(path[, version])"
+        val version = if (args.length > 1) Some(lng(fn, args(1))) else None
+        GraftShim.analyzed(graft.sinks.VersionedTable.filesMeta(
+          SparkSession.active, str(fn, args.head), version))
+      }),
     (new FunctionIdentifier("graft_history"),
       new ExpressionInfo("graft.sinks.VersionedTable", "graft_history"),
       { args =>

@@ -1730,6 +1730,77 @@ object VersionedTable {
     dead ++ orphans
   }
 
+  /** File-level metadata of a snapshot as a relation (Iceberg's `files`
+    * metadata table / Delta's DESCRIBE DETAIL): one row per live file
+    * with its partition dir, MOR role, log-recorded row count, min/max
+    * stats (JSON) and bloom-indexed columns. Everything comes from the
+    * log — no listing, no footers. SQL: `graft_files(path[, version])`.
+    */
+  def filesMeta(spark: SparkSession, path: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val fs = fsFor(spark, path)
+    val (upTo, live) = snapshot(fs, path, asOfVersion, None)
+    val idx = statsIndex(upTo)
+    val bIdx = bloomIndex(upTo)
+    val rows = (live.map(_ -> false) ++ liveDeltaFiles(upTo).map(_ -> true)).map {
+      case (f, isDelta) =>
+        val st = idx.get(f)
+        org.apache.spark.sql.Row(f, dirOf(f), isDelta,
+          st.map(s => java.lang.Long.valueOf(s.rows)).orNull,
+          st.map(s => JsonMethods.compact(JsonMethods.render(
+            Extraction.decompose(s)))).orNull,
+          bIdx.get(f).map(_.keys.toSeq.sorted).getOrElse(Nil))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("dir",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_delta",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("row_count",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("stats_json",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("bloom_cols",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false),
+        nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Adopt an EXISTING plain parquet table in place (Delta's CONVERT TO
+    * DELTA): walk the tree once, record every data file as version 1 —
+    * zero data I/O, no rewrite. The files never move, so readers that
+    * bypass the log keep working while log readers gain snapshots, time
+    * travel, and the DML surface. Schema comes from one footer-backed
+    * read; hidden partitioning can be declared at conversion time when
+    * the layout was produced by [[PartitionTransforms.write]].
+    */
+  def convert(spark: SparkSession, path: String,
+      transforms: Seq[PartitionTransforms.Transform] = Nil): Long = {
+    val fs = fsFor(spark, path)
+    require(commits(fs, path).isEmpty, s"already a versioned table: $path")
+    val root = fs.makeQualified(new Path(path)).toString
+    val files = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet"))
+        files += fs.makeQualified(st.getPath).toString.stripPrefix(root + "/")
+    }
+    walk(new Path(path))
+    require(files.nonEmpty, s"convert: no parquet files under $path")
+    val schema = spark.read.option("basePath", path)
+      .parquet(files.toSeq.map(f => s"$path/$f"): _*)
+      .drop(transforms.map(_.name): _*).schema
+    publish(fs, path, Commit(1L, System.currentTimeMillis(), "convert",
+      files.toSeq.sorted, Nil, None, None, Some(schema.json),
+      partitionSpec = if (transforms.isEmpty) None else Some(transforms.map(specOf))))
+    1L
+  }
+
   /** Bound log growth (Delta's logRetention): delete commit files strictly
     * older than the newest CHECKPOINTED commit at or below
     * `latest - keepVersions`. Snapshot resolution already replays from the

@@ -783,6 +783,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(r.filter(col("k") === 1L).select("extra").collect()(0).isNullAt(0))
   }
 
+  test("convert adopts a plain parquet table in place; graft_files exposes the log") {
+    val t = table()
+    // a pre-existing NON-versioned partitioned table
+    df((1L, "a", 1L), (2L, "b", 2L), (3L, "a", 3L)).write
+      .partitionBy("p").parquet(t)
+    VersionedTable.convert(spark, t)
+    assert(VersionedTable.latestVersion(spark, t) == 1L)
+    assert(VersionedTable.read(spark, t).select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    // full DML surface works after adoption, zero rewrite at convert time
+    VersionedTable.upsert(spark, t, df((1L, "a", 9L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"),
+      statsCols = Seq("k"))
+    assert(VersionedTable.read(spark, t).filter(col("k") === 1L)
+      .select("v").as[Long].head() == 9L)
+    // time travel to the adopted snapshot
+    assert(VersionedTable.read(spark, t, asOfVersion = Some(1L))
+      .filter(col("k") === 1L).select("v").as[Long].head() == 1L)
+    // converting twice refuses
+    intercept[IllegalArgumentException](VersionedTable.convert(spark, t))
+    // graft_files: one row per live file, counts/stats from the log only
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val files = spark.sql(s"SELECT * FROM graft_files('$t')").collect()
+    assert(files.nonEmpty && files.forall(!_.getBoolean(2)))
+    val statsRows = files.flatMap(r => Option(r.get(3)).map(_.asInstanceOf[Long]))
+    assert(statsRows.sum == 2L, "upsert-rewritten partition a carries row counts")
+  }
+
   test("replaceWhere on a transform table swaps only the derived slice") {
     import graft.sinks.PartitionTransforms
     val t = table()
