@@ -100,7 +100,15 @@ object TextKernels extends Serializable {
     * tokens yields an empty array.
     */
   def wordNgrams(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.toString.trim.split("\\s+")
+    // replicate Spark's trim (strips SPACES only, not \t/\n — Java's
+    // String.trim would) and split's limit=-1 (keeps trailing empties),
+    // so the kernel agrees with split(trim(text), "\\s+") on every edge
+    val s = text.toString
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val toks = s.substring(b, e).split("\\s+", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](toks.length - n + 1)
     var i = 0

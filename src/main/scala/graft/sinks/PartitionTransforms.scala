@@ -121,14 +121,20 @@ object PartitionTransforms {
   private[graft] def implied(t: Transform,
       cond: org.apache.spark.sql.catalyst.expressions.Expression): Option[Column] = {
     import org.apache.spark.sql.catalyst.expressions._
+    // The column side must be the BARE attribute: a cast changes the
+    // value domain the dirs were derived from, and for Bucket the hash
+    // is type-exact — deriving in the cast domain would prune the WRONG
+    // bucket. For the same reason the literal side keeps its
+    // analyzer-inserted cast (it coerces the literal INTO the column's
+    // type); unwrapping it would hash e.g. 5:int where the dirs hashed
+    // 5:bigint, silently losing rows.
     def src(x: Expression): Boolean = x match {
       case a: AttributeReference => a.name == t.source
-      case c: Cast => src(c.child)
       case _ => false
     }
     def lit(x: Expression): Option[Column] = x match {
-      case l: Literal => Some(GraftShim.column(l))
-      case c: Cast => lit(c.child)
+      case _: AttributeReference => None
+      case l if l.foldable => Some(GraftShim.column(l))
       case _ => None
     }
     val p = col(t.name)
@@ -142,8 +148,8 @@ object PartitionTransforms {
         for (a <- implied(t, l); b <- implied(t, r)) yield a || b
       case EqualTo(a, b) if src(a) => lit(b).map(v => p === t.derive(v))
       case EqualTo(a, b) if src(b) => lit(a).map(v => p === t.derive(v))
-      case In(a, vs) if src(a) && vs.forall(_.isInstanceOf[Literal]) =>
-        Some(p.isin(vs.map(v => t.derive(GraftShim.column(v))): _*))
+      case In(a, vs) if src(a) && vs.forall(v => lit(v).isDefined) =>
+        Some(p.isin(vs.map(v => t.derive(lit(v).get)): _*))
       case GreaterThan(a, b) if src(a) && t.monotone => lit(b).map(v => p >= t.derive(v))
       case GreaterThanOrEqual(a, b) if src(a) && t.monotone => lit(b).map(v => p >= t.derive(v))
       case LessThan(a, b) if src(a) && t.monotone => lit(b).map(v => p <= t.derive(v))

@@ -431,13 +431,17 @@ object VersionedTable {
       baseKeep: Option[Set[String]] = None): Option[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     def keep(f: String) = restrictDirs.forall(_.contains(dirOf(f)))
-    // baseKeep (stats/bloom skipping) applies ONLY to base files: pruning
-    // a base file is safe because every delta is still merged — a key
-    // with a delta resolves to the delta row regardless, and a pruned
-    // base row provably fails the predicate the caller re-applies.
-    val base = liveFiles(upTo).filter(keep)
-      .filter(f => baseKeep.forall(_.contains(f)))
+    // baseKeep (stats/bloom skipping) applies ONLY to base files, and
+    // never inside a partition dir that holds live deltas: the collapse
+    // winner for a key may be the BASE row (higher precombine than a
+    // late-arriving delta), so dropping its file would flip the merge to
+    // the stale delta. Keys are partition-scoped, so base files in
+    // delta-free dirs prune exactly: their rows collapse to themselves,
+    // and a pruned row provably fails the re-applied predicate.
     val deltas = liveDeltaFiles(upTo).filter(keep)
+    val deltaDirs = deltas.map(dirOf).toSet
+    val base = liveFiles(upTo).filter(keep)
+      .filter(f => deltaDirs.contains(dirOf(f)) || baseKeep.forall(_.contains(f)))
     if (base.isEmpty && deltas.isEmpty) return None
     def rd(fl: Seq[String]) = {
       val reader = schemaOverride.orElse(snapshotSchema(upTo)) match {
@@ -630,25 +634,32 @@ object VersionedTable {
     collectStaged(fs, path, stagePath, allowEmpty)
   }
 
+  /** Recursive parquet-file walk via plain listStatus — NOT
+    * listFiles(recursive), which materializes block locations per file
+    * (measured 3+ s over ~500 dirs). `skipInternal` skips the log and
+    * stage trees. Yields (status, root-relative path).
+    */
+  private def walkParquet(fs: FileSystem, root: Path, skipInternal: Boolean)(
+      f: (org.apache.hadoop.fs.FileStatus, String) => Unit): Unit = {
+    val rootQ = fs.makeQualified(root).toString
+    def go(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      val rel = fs.makeQualified(st.getPath).toString.stripPrefix(rootQ + "/")
+      if (st.isDirectory) {
+        if (!skipInternal || (!rel.startsWith(LogDir) && !rel.startsWith(StageDir)))
+          go(st.getPath)
+      } else if (rel.endsWith(".parquet")) f(st, rel)
+    }
+    go(root)
+  }
+
   /** Move the stage dir's data files into the table tree (preserving the
     * hive subpaths) and return their table-relative paths.
     */
   private def collectStaged(fs: FileSystem, path: String, stagePath: Path,
       allowEmpty: Boolean): Seq[String] = {
-    val stageRoot = fs.makeQualified(stagePath).toString
-    // Plain listStatus walk, NOT listFiles(recursive): the latter builds
-    // LocatedFileStatus (block locations per file) and measured 3+ s over
-    // a ~500-dir hive layout; statuses without locations walk in ~0.1 s.
     val pairs = scala.collection.mutable.ArrayBuffer[(Path, String)]()
-    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
-      if (st.isDirectory) walk(st.getPath)
-      else if (st.getPath.getName.endsWith(".parquet")) {
-        val qualified = fs.makeQualified(st.getPath).toString
-        require(qualified.startsWith(stageRoot + "/"), s"unexpected staged file ${st.getPath}")
-        pairs += st.getPath -> qualified.stripPrefix(stageRoot + "/")
-      }
-    }
-    walk(stagePath)
+    walkParquet(fs, stagePath, skipInternal = false)((st, rel) =>
+      pairs += st.getPath -> rel)
     // Create dirs and move concurrently: each FS op is ms-scale per-op
     // latency (worse on an object store), and a wide hive layout stages
     // hundreds of files — serial, this dominated partitioned commits.
@@ -730,10 +741,26 @@ object VersionedTable {
         val prevLive = liveFiles(all)
         Some((prevLive.filterNot(removes.contains) ++ adds).distinct)
       } else None
-      val c = Commit(version, System.currentTimeMillis(), op, adds, removes,
+      val c0 = Commit(version, System.currentTimeMillis(), op, adds, removes,
         ckpt, txn, schemaOf(all).map(_.json), stats,
         deltaAdds = if (deltaAdds.isEmpty) None else Some(deltaAdds), mor = mor,
         constraints = constraints, blooms = blooms, partitionSpec = partitionSpec)
+      // Checkpoint commits are the log-replay floor, so they must carry
+      // the RESOLVED table metadata, not just the file manifest —
+      // otherwise expireLog would strand the only schema/constraint/
+      // partition-spec/MOR-spec-bearing commits and the table would
+      // silently degrade after retention.
+      val c =
+        if (ckpt.isEmpty) c0
+        else c0.copy(
+          schemaJson = c0.schemaJson.orElse(snapshotSchema(all).map(_.json)),
+          constraints = c0.constraints.orElse(Some(currentConstraints(all))),
+          partitionSpec = c0.partitionSpec.orElse(all.reverse.collectFirst {
+            case cm if cm.partitionSpec.isDefined => cm.partitionSpec.get
+          }),
+          mor = c0.mor.orElse(all.reverse.collectFirst {
+            case cm if cm.mor.isDefined => cm.mor.get
+          }))
       try { publish(fs, path, c); return c }
       catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1224,8 +1251,9 @@ object VersionedTable {
         allStatCols.map(c => (count(lit(1)) - count(col(c))).as(s"__nulls_$c"))
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
+    val relIdx = relIndex(rels)
     Some(rows.map { r =>
-      val rel = relOf(rels, r.getString(0))
+      val rel = relOf(relIdx, r.getString(0))
       def numMap(pre: String) = numCols.flatMap(c =>
         Option(r.getAs[Any](s"__$pre" + "_" + c)).map(v => c -> v.asInstanceOf[Double])).toMap
       def strMap(pre: String) = strCols.flatMap(c =>
@@ -1241,11 +1269,22 @@ object VersionedTable {
     * hive-partitioned frame reuses its part filename in every partition
     * dir it touches (p=a/part-00000-X and p=b/part-00000-X), so keying
     * stats or blooms by basename would cross-assign them between
-    * partitions — and wrong stats prune wrongly.
+    * partitions — and wrong stats prune wrongly. The URI is URL-encoded
+    * (hive-escaped partition values encode again: ':' → %3A → %253A),
+    * so it is decoded before matching; basenames shortlist candidates,
+    * keeping the match linear in file count.
     */
-  private def relOf(rels: Seq[String], fileUri: String): String =
-    rels.find(r => fileUri.endsWith("/" + r)).getOrElse(
+  private def relIndex(rels: Seq[String]): Map[String, Seq[String]] =
+    rels.groupBy(r => r.substring(r.lastIndexOf('/') + 1))
+
+  private def relOf(index: Map[String, Seq[String]], fileUri: String): String = {
+    val decoded =
+      try java.net.URI.create(fileUri).getPath
+      catch { case _: IllegalArgumentException => fileUri }
+    val base = decoded.substring(decoded.lastIndexOf('/') + 1)
+    index.getOrElse(base, Nil).find(r => decoded.endsWith("/" + r)).getOrElse(
       throw new IllegalStateException(s"index scan saw unexpected file $fileUri"))
+  }
 
   /** Per-file blooms over `bloomCols` for the staged files, built in ONE
     * distributed pass: codegen'd xxhash64 pair per row → [[BloomBitsAgg]]
@@ -1273,8 +1312,9 @@ object VersionedTable {
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val enc = java.util.Base64.getEncoder
+    val relIdx = relIndex(rels)
     Some(rows.map { r =>
-      val rel = relOf(rels, r.getString(0))
+      val rel = relOf(relIdx, r.getString(0))
       rel -> cols.map(c => c -> BloomStat(colBits(c), k, fields(c).catalogString,
         enc.encodeToString(r.getAs[Array[Byte]](s"__bloom_$c")))).toMap
     }.toMap)
@@ -1468,11 +1508,16 @@ object VersionedTable {
     // bucket), evaluated against the partition values parsed from each
     // live dir path. Stats/bloom skipping then applies per file.
     val afterDirs = prunedByTransforms(spark, upTo, files, cond)
-    val kept = afterDirs.filter(f => idx.get(f).forall(mayMatch(_, cond)) &&
-      bIdx.get(f).forall(bloomMayMatch(_, cond)))
-    // MOR tables skip too: base files prune by stats/bloom, every live
-    // delta still merges (see mergedView.baseKeep for why that is exact).
-    if (liveDeltaFiles(upTo).nonEmpty) {
+    // Base files inside a delta-holding partition dir can never skip —
+    // the collapse winner there may be a base row (see mergedView) — so
+    // the kept set (and the reported scan count) includes them.
+    val deltaDirs = liveDeltaFiles(upTo).map(dirOf).toSet
+    val kept = afterDirs.filter(f => deltaDirs.contains(dirOf(f)) ||
+      (idx.get(f).forall(mayMatch(_, cond)) &&
+        bIdx.get(f).forall(bloomMayMatch(_, cond))))
+    // MOR tables skip too: delta-free dirs prune by stats/bloom, every
+    // live delta still merges (see mergedView.baseKeep for why exact).
+    if (deltaDirs.nonEmpty) {
       val df = mergedView(spark, path, upTo, baseKeep = Some(kept.toSet))
         .getOrElse(read(spark, path, asOfVersion).filter(lit(false)))
       return (df.filter(predicate), kept.size, files.size)
@@ -1711,22 +1756,14 @@ object VersionedTable {
     // staged-but-not-yet-committed files survive (Delta's vacuum makes
     // the same retention-window bet).
     val now = System.currentTimeMillis()
-    val root = fs.makeQualified(new Path(path)).toString
     val orphans = scala.collection.mutable.ArrayBuffer[String]()
-    // plain listStatus walk — listFiles(recursive) materializes block
-    // locations per file, a table-wide cost at scale (see collectStaged)
-    def sweep(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
-      val rel = fs.makeQualified(st.getPath).toString.stripPrefix(root + "/")
-      if (st.isDirectory) {
-        if (!rel.startsWith(LogDir) && !rel.startsWith(StageDir)) sweep(st.getPath)
-      } else if (rel.endsWith(".parquet") &&
-          !everReferenced.contains(rel) &&
+    walkParquet(fs, new Path(path), skipInternal = true) { (st, rel) =>
+      if (!everReferenced.contains(rel) &&
           now - st.getModificationTime > orphanMinAgeMs) {
         fs.delete(st.getPath, false)
         orphans += rel
       }
     }
-    sweep(new Path(path))
     dead ++ orphans
   }
 
@@ -1783,14 +1820,9 @@ object VersionedTable {
       transforms: Seq[PartitionTransforms.Transform] = Nil): Long = {
     val fs = fsFor(spark, path)
     require(commits(fs, path).isEmpty, s"already a versioned table: $path")
-    val root = fs.makeQualified(new Path(path)).toString
     val files = scala.collection.mutable.ArrayBuffer[String]()
-    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
-      if (st.isDirectory) walk(st.getPath)
-      else if (st.getPath.getName.endsWith(".parquet"))
-        files += fs.makeQualified(st.getPath).toString.stripPrefix(root + "/")
-    }
-    walk(new Path(path))
+    // skipInternal: never adopt staging debris of crashed writes
+    walkParquet(fs, new Path(path), skipInternal = true)((_, rel) => files += rel)
     require(files.nonEmpty, s"convert: no parquet files under $path")
     val schema = spark.read.option("basePath", path)
       .parquet(files.toSeq.map(f => s"$path/$f"): _*)
@@ -1810,6 +1842,14 @@ object VersionedTable {
     * Data files referenced only by expired commits become vacuum-eligible
     * orphans on the normal age gate. Pure driver-side log arithmetic,
     * zero data I/O. Returns the expired versions.
+    *
+    * Streaming txn tokens ride the same retention bet as Delta's: a
+    * replayed (appId, batchId) older than the expired horizon would
+    * re-apply, so keep `keepVersions` above the replay window (offsets
+    * checkpoint per batch, so real crash-replays only revisit the last
+    * batch). Metadata never expires: the retention floor must resolve
+    * the same schema/constraints/partition-spec as the full log or the
+    * call is a no-op (checkpoints stamp these going forward).
     */
   def expireLog(spark: SparkSession, path: String,
       keepVersions: Int = checkpointEvery): Seq[Long] = {
@@ -1822,9 +1862,25 @@ object VersionedTable {
       .lastOption match {
       case None => Nil
       case Some(cp) =>
-        val dead = all.filter(_.version < cp.version)
-        dead.foreach(c => fs.delete(commitPath(path, c.version), false))
-        dead.map(_.version)
+        // Refuse to strand metadata: the surviving suffix must resolve
+        // the SAME schema/constraints/partition-spec/MOR-spec as the full
+        // log (checkpoints stamp these, so only pre-stamping logs or a
+        // floor older than the metadata ever refuse — the next
+        // checkpoint re-qualifies).
+        val surviving = all.filter(_.version >= cp.version)
+        def morOf(cs: Seq[Commit]) =
+          cs.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }
+        val metaSafe =
+          snapshotSchema(surviving) == snapshotSchema(all) &&
+            currentConstraints(surviving) == currentConstraints(all) &&
+            activeTransforms(surviving) == activeTransforms(all) &&
+            morOf(surviving) == morOf(all)
+        if (!metaSafe) Nil
+        else {
+          val dead = all.filter(_.version < cp.version)
+          dead.foreach(c => fs.delete(commitPath(path, c.version), false))
+          dead.map(_.version)
+        }
     }
   }
 

@@ -109,6 +109,8 @@ class FunctionsSpec extends SparkSpec {
       "  x   y  ",
       "solo",
       "",
+      "\ta b c",      // leading tab: Spark trim keeps it → empty first token
+      "a b c\n",      // trailing newline: trailing empty token (split -1)
       "w1 w2 w3").toDF("t")
     val n = 3
     val ws = split(trim(col("t")), "\\s+")

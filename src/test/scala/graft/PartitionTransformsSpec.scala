@@ -12,6 +12,24 @@ class PartitionTransformsSpec extends SparkSpec {
   private val ss = SparkSpec.spark
   import ss.implicits._
 
+  test("bucket pruning with analyzer-cast literals stays type-exact") {
+    val out = Files.createTempDirectory("graft-pt-cast").toFile.getAbsolutePath + "/t"
+    val df = (0L until 100L).map(k => (k, k)).toDF("k", "v")
+    val ts = Seq(Bucket("k", 8))
+    PartitionTransforms.write(spark, out, df, ts)
+    // INT literal against the BIGINT bucket column: the analyzer's cast
+    // must ride into the bucket hash — unwrapping it hashes 5:int where
+    // the dirs hashed 5:bigint and silently loses the row
+    val got = PartitionTransforms.read(spark, out, ts, col("k") === 5)
+    assert(got.select("v").as[Long].collect().toSeq == Seq(5L))
+    val got2 = PartitionTransforms.read(spark, out, ts, col("k").isin(5, 17))
+    assert(got2.select("k").as[Long].collect().sorted.toSeq == Seq(5L, 17L))
+    // a CAST on the column side blocks the implication (conservative scan)
+    val got3 = PartitionTransforms.read(spark, out, ts,
+      col("k").cast("int") === 5)
+    assert(got3.select("v").as[Long].collect().toSeq == Seq(5L))
+  }
+
   test("hidden partitioning: raw predicates prune transform partitions") {
     val out = Files.createTempDirectory("graft-pt").toFile.getAbsolutePath + "/t"
     val ev = Tables.events(spark, sf)

@@ -854,25 +854,37 @@ class VersionedTableSpec extends SparkSpec {
       Set((10L, "update"), (450L, "insert")))
   }
 
-  test("readPruned on a MOR table: base files skip, deltas always merge") {
+  test("readPruned on a MOR table: delta-free dirs skip, delta dirs always merge") {
     val t = table()
-    val rows = (0L until 1000L).map(k => (k, "a", k))
+    val rows = (0L until 1000L).map(k => (k, if (k < 500) "a" else "b", k))
     VersionedTable.write(spark, t, rows.toDF("k", "p", "v"), Seq("p"), statsCols = Seq("k"))
     VersionedTable.cluster(spark, t, sortCols = Seq("k"), partitionCols = Seq("p"),
-      filesPerPartition = 8)
+      filesPerPartition = 4)
+    // deltas land only in partition b
     VersionedTable.upsertMOR(spark, t,
-      Seq((500L, "a", 111111L), (5000L, "a", 1L)).toDF("k", "p", "v"),
+      Seq((550L, "b", 111111L), (5000L, "b", 1L)).toDF("k", "p", "v"),
       key = "k", precombine = "v", partitionCols = Seq("p"))
-    // updated key: its base file + the delta merge, delta wins
-    val (d1, s1, t1) = VersionedTable.readPruned(spark, t, col("k") === 500L)
+    // updated key: partition b merges (all its base files scan), delta wins
+    val (d1, s1, t1) = VersionedTable.readPruned(spark, t, col("k") === 550L)
     assert(d1.select("v").as[Long].collect().toSeq == Seq(111111L))
-    assert(s1 <= 2 && t1 >= 8, s"base skipping must hold under MOR: $s1 of $t1")
-    // delta-only key: EVERY base file prunes, the row still comes back
+    assert(s1 < t1, s"delta-free partition a must prune: $s1 of $t1")
+    // delta-only key: every a-file prunes, b scans, the row comes back
     val (d2, s2, _) = VersionedTable.readPruned(spark, t, col("k") === 5000L)
-    assert(s2 == 0 && d2.select("v").as[Long].collect().toSeq == Seq(1L))
-    // range over untouched keys is exact
-    val (d3, _, _) = VersionedTable.readPruned(spark, t, col("k") < 10L)
-    assert(d3.count() == 10)
+    assert(d2.select("v").as[Long].collect().toSeq == Seq(1L))
+    assert(s2 < t1 && s2 > 0)
+    // a key in the delta-FREE partition prunes to its clustered file(s)
+    val (d3, s3, _) = VersionedTable.readPruned(spark, t, col("k") === 100L)
+    assert(d3.select("v").as[Long].collect().toSeq == Seq(100L))
+    assert(s3 < t1)
+    // CRITICAL soundness case: a base row OUTRANKS a late delta on
+    // precombine — pruning must not flip the winner to the stale delta
+    VersionedTable.upsertMOR(spark, t,
+      Seq((100L, "a", -1L)).toDF("k", "p", "v"), // stale: precombine -1 < 100
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    val (d4, _, _) = VersionedTable.readPruned(spark, t, col("v") === -1L)
+    assert(d4.count() == 0, "stale delta must not surface through a pruned read")
+    assert(VersionedTable.readPruned(spark, t, col("k") === 100L)._1
+      .select("v").as[Long].head() == 100L)
   }
 
   test("expireLog bounds the log; surviving versions identical; expired travel errors") {
@@ -898,6 +910,29 @@ class VersionedTableSpec extends SparkSpec {
     // appends continue normally after expiry
     VersionedTable.write(spark, t, df((26L, "a", 26L)), Seq("p"), mode = "append")
     assert(VersionedTable.read(spark, t).count() == 26)
+  }
+
+  test("expireLog never strands table metadata: spec and constraints survive retention") {
+    import graft.sinks.PartitionTransforms
+    val t = table()
+    VersionedTable.write(spark, t,
+      (0L until 100L).map(k => (k, k)).toDF("k", "v"), Nil,
+      transforms = Seq(PartitionTransforms.TruncateNum("k", 100)))
+    VersionedTable.addConstraint(spark, t, "v_nonneg", "v >= 0")
+    (1 to 20).foreach(i => VersionedTable.write(spark, t,
+      Seq((100L + i, i.toLong)).toDF("k", "v"), Nil, mode = "append"))
+    val gone = VersionedTable.expireLog(spark, t, keepVersions = 5)
+    assert(gone.nonEmpty, "checkpoints carry metadata, so expiry must proceed")
+    assert(gone.contains(1L), "the original spec-bearing commit is expired")
+    // yet the metadata lives on through the stamped checkpoint floor:
+    assert(VersionedTable.read(spark, t).columns.toSeq == Seq("k", "v"))
+    assert(VersionedTable.constraintsOf(spark, t).contains("v_nonneg"))
+    intercept[Exception](VersionedTable.write(spark, t,
+      Seq((999L, -5L)).toDF("k", "v"), Nil, mode = "append"))
+    // appends still inherit the hidden layout and stay prunable
+    VersionedTable.write(spark, t, Seq((500L, 1L)).toDF("k", "v"), Nil, mode = "append")
+    val (d, s, n) = VersionedTable.readPruned(spark, t, col("k") === 500L)
+    assert(d.count() == 1 && s < n)
   }
 
   test("null-count stats prune IS NULL / IS NOT NULL") {
