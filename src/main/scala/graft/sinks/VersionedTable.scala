@@ -532,14 +532,16 @@ object VersionedTable {
       require(prev == MorSpec(key, precombine, partitionCols),
         s"upsertMOR: merge spec $prev already recorded for $path — specs must match")
     }
+    val enforcedSet = currentConstraints(all)
     val staged = stage(spark, path,
-      enforced(updates, currentConstraints(all))
-        .repartition(partitionCols.map(col): _*), partitionCols)
+      byPartitions(enforced(updates, enforcedSet), partitionCols),
+      partitionCols)
     val c = publishWithRebase(fs, path, "upsert_mor", Nil, Nil, token,
       schemaOf = all => Some(snapshotSchema(all)
         .map(mergeSchemas(_, updates.schema)).getOrElse(updates.schema)),
       allowRebase = true, deltaAdds = staged,
-      mor = Some(MorSpec(key, precombine, partitionCols)))
+      mor = Some(MorSpec(key, precombine, partitionCols)),
+      enforcedConstraints = Some(enforcedSet))
     c.version
   }
 
@@ -565,8 +567,8 @@ object VersionedTable {
       if (spec.partitionCols.isEmpty) live
       else live.filter(f => dirs.contains(dirOf(f)))
     val restrict = if (spec.partitionCols.isEmpty) None else Some(dirs)
-    val merged = mergedView(spark, path, all, restrict).get
-      .repartition(spec.partitionCols.map(col): _*)
+    val merged = byPartitions(
+      mergedView(spark, path, all, restrict).get, spec.partitionCols)
     val adds = stage(spark, path, merged, spec.partitionCols, allowEmpty = true)
     publishWithRebase(fs, path, "compact_deltas", adds,
       (affectedBase ++ deltas).distinct, txn = None,
@@ -714,7 +716,8 @@ object VersionedTable {
       deltaAdds: Seq[String] = Nil, mor: Option[MorSpec] = None,
       constraints: Option[Map[String, String]] = None,
       blooms: Option[Map[String, Map[String, BloomStat]]] = None,
-      partitionSpec: Option[Seq[TransformSpec]] = None): Commit = {
+      partitionSpec: Option[Seq[TransformSpec]] = None,
+      enforcedConstraints: Option[Map[String, String]] = None): Commit = {
     testRaceHook()
     var attempt = 0
     while (true) {
@@ -722,6 +725,16 @@ object VersionedTable {
       txn.foreach { t =>
         val replay = all.find(_.txn.contains(t))
         if (replay.isDefined) return replay.get
+      }
+      // Metadata conflict (Delta's protocol): if the staged data was
+      // validated against a constraint set that changed since, this
+      // commit may carry rows the NEW constraints forbid — surface the
+      // race instead of silently landing unvalidated data. (Checked
+      // after txn replay: an already-committed batch stays a no-op.)
+      enforcedConstraints.foreach { exp =>
+        if (currentConstraints(all) != exp)
+          throw new java.util.ConcurrentModificationException(
+            s"$op on $path raced a constraint change — rerun to re-validate")
       }
       // Commit-time validation against the CURRENT log (every attempt —
       // staleness can predate the first publish, not just a lost rename
@@ -800,8 +813,9 @@ object VersionedTable {
       else Nil
     require(effTransforms.isEmpty || partitionCols.isEmpty,
       "append to a transform table cannot add explicit partition columns")
+    val enforcedSet = currentConstraints(existing)
     val stageDf = PartitionTransforms.derive(
-      enforced(df, currentConstraints(existing)), effTransforms)
+      enforced(df, enforcedSet), effTransforms)
       // one writer task per derived dir (see PartitionTransforms.write)
     val stageShaped =
       if (effTransforms.isEmpty) stageDf
@@ -827,6 +841,7 @@ object VersionedTable {
           Some(snapshotSchema(all).map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
         else Some(df.schema),
       allowRebase = mode == "append", stats = stats, blooms = blooms,
+      enforcedConstraints = Some(enforcedSet),
       partitionSpec =
         if (mode == "overwrite") Some(effTransforms.map(specOf))
         else if (transforms.nonEmpty) Some(transforms.map(specOf))
@@ -909,8 +924,9 @@ object VersionedTable {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
+    val enforcedSet = currentConstraints(all)
     val adds = stage(spark, path,
-      enforced(byPartitions(resolved, effPartitionCols), currentConstraints(all)),
+      enforced(byPartitions(resolved, effPartitionCols), enforcedSet),
       effPartitionCols)
     val c = publishWithRebase(fs, path, "upsert", adds, affected, token,
       schemaOf = all => Some(snapshotSchema(all)
@@ -918,7 +934,8 @@ object VersionedTable {
       allowRebase = true,
       stats = collectStats(spark, path, adds,
         (statsCols ++ activeStatsCols(all)).distinct),
-      blooms = collectBlooms(spark, path, adds, activeBloomBits(all)))
+      blooms = collectBlooms(spark, path, adds, activeBloomBits(all)),
+      enforcedConstraints = Some(enforcedSet))
     c.version
   }
 
@@ -971,7 +988,11 @@ object VersionedTable {
     val allCommits = commits(fs, path)
     val upToOld = allCommits.filter(_.version <= fromVersion)
     val upToNew = allCommits.filter(_.version <= toVersion)
-    require(upToOld.nonEmpty, s"no version <= $fromVersion in $path")
+    // fromVersion=0 means "before the first commit": empty old side,
+    // the full snapshot diffs as inserts (the CDC source's documented
+    // startingVersion=0 full-history replay)
+    require(fromVersion == 0 || upToOld.nonEmpty,
+      s"no version <= $fromVersion in $path")
     require(upToNew.nonEmpty, s"no version <= $toVersion in $path")
     val morInvolved =
       liveDeltaFiles(upToOld).nonEmpty || liveDeltaFiles(upToNew).nonEmpty
@@ -982,12 +1003,18 @@ object VersionedTable {
         val oldFiles = liveFiles(upToOld).toSet
         val newFiles = liveFiles(upToNew).toSet
         // transform tables: hive dirs materialize the derived __p_* cols
-        // on basePath reads — an implementation detail, dropped from CDF
+        // on basePath reads — an implementation detail, dropped from CDF.
+        // Both sides read with the TO-side log schema so a range spanning
+        // an additive evolution resolves (old files null-fill new cols).
         val hideCols = activeTransforms(upToNew).map(_.name)
+        val sideSchema = snapshotSchema(upToNew)
         def side(files: Seq[String]): Option[DataFrame] =
           if (files.isEmpty) None
-          else Some(spark.read.option("basePath", path)
-            .parquet(files.map(f => s"$path/$f"): _*).drop(hideCols: _*))
+          else {
+            val reader = sideSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+            Some(reader.option("basePath", path)
+              .parquet(files.map(f => s"$path/$f"): _*).drop(hideCols: _*))
+          }
         (side((oldFiles -- newFiles).toSeq.sorted),
           side((newFiles -- oldFiles).toSeq.sorted))
       } else {
@@ -1032,7 +1059,8 @@ object VersionedTable {
         val j2 = j.select(
           when(col("__old").isNull, array(tag("__new", "insert")))
             .when(col("__new").isNull, array(tag("__old", "delete")))
-            .when(dataCols.map(c => !(col(s"__old.$c") <=> col(s"__new.$c"))).reduce(_ || _),
+            .when(dataCols.map(c => !(col(s"__old.$c") <=> col(s"__new.$c")))
+              .reduceOption(_ || _).getOrElse(lit(false)), // all-key tables never "update"
               updateRows)
             .otherwise(lit(null)).as("__rows"))
         j2.select(explode(col("__rows")).as("__row"))
@@ -1216,8 +1244,9 @@ object VersionedTable {
       .filter(col("__r").isNotNull).select("__r.*")
     resolved = byPartitions(
       PartitionTransforms.derive(resolved, tfs), effPartitionCols)
+    val enforcedSet = currentConstraints(all)
     val adds = stage(spark, path,
-      enforced(resolved, currentConstraints(all)), effPartitionCols, allowEmpty = true)
+      enforced(resolved, enforcedSet), effPartitionCols, allowEmpty = true)
     val c = publishWithRebase(fs, path, "merge", adds, affected, token,
       schemaOf = all =>
         if (evolveSchema)
@@ -1226,7 +1255,8 @@ object VersionedTable {
       allowRebase = true,
       stats = collectStats(spark, path, adds,
         (statsCols ++ activeStatsCols(all)).distinct),
-      blooms = collectBlooms(spark, path, adds, activeBloomBits(all)))
+      blooms = collectBlooms(spark, path, adds, activeBloomBits(all)),
+      enforcedConstraints = Some(enforcedSet))
     c.version
   }
 
@@ -1622,10 +1652,13 @@ object VersionedTable {
       (sortCols ++ activeStatsCols(all)).distinct)
     val blooms = collectBlooms(spark, path, adds,
       activeBloomBits(all) ++ bloomCols.map(_ -> bloomBits))
-    // read() above merged any live MOR deltas into the rewrite, so the
-    // commit consumes them too — clustering doubles as delta compaction.
+    // read() above merged the deltas live AT PLANNING TIME into the
+    // rewrite, so the commit consumes exactly those — clustering doubles
+    // as delta compaction. Deltas landing DURING the rewrite must NOT be
+    // removed (their rows are not in the output); they stay live and
+    // collapse over the clustered base on read.
     val c = publishWithRebase(fs, path, "cluster",
-      adds, (live ++ liveDeltaFiles(commits(fs, path))).distinct, txn = None,
+      adds, (live ++ liveDeltaFiles(all)).distinct, txn = None,
       schemaOf = a => snapshotSchema(a), allowRebase = true, stats = stats,
       blooms = blooms)
     c.version
@@ -1659,10 +1692,10 @@ object VersionedTable {
       (zCols ++ activeStatsCols(commits(fs, path))).distinct)
     val blooms = collectBlooms(spark, path, adds,
       activeBloomBits(commits(fs, path)))
-    // As in [[cluster]]: the merged read consumed live deltas, so the
-    // commit removes them alongside the old base files.
+    // As in [[cluster]]: only the deltas merged at planning time are
+    // removed; concurrent deltas stay live over the rewritten base.
     val c = publishWithRebase(fs, path, "cluster-zorder",
-      adds, (live ++ liveDeltaFiles(commits(fs, path))).distinct, txn = None,
+      adds, (live ++ liveDeltaFiles(zUpTo)).distinct, txn = None,
       schemaOf = a => snapshotSchema(a), allowRebase = true, stats = stats,
       blooms = blooms)
     c.version
@@ -1734,7 +1767,7 @@ object VersionedTable {
     * relative paths.
     */
   def vacuum(spark: SparkSession, path: String, retainVersions: Int = 2,
-      orphanMinAgeMs: Long = 3600_000L): Seq[String] = {
+      orphanMinAgeMs: Long = 24L * 3600_000L): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val fs = fsFor(spark, path)
     val all = commits(fs, path)
@@ -1762,6 +1795,26 @@ object VersionedTable {
           now - st.getModificationTime > orphanMinAgeMs) {
         fs.delete(st.getPath, false)
         orphans += rel
+      }
+    }
+    // Stage debris: a write that crashes DURING staging (before the
+    // rename into the tree) leaves its whole stage dir behind, invisible
+    // to the in-tree sweep. Reclaim stage dirs whose NEWEST entry is
+    // older than the gate — an active writer's dir keeps gaining files
+    // well inside any sane retention.
+    val stageRoot = new Path(s"$path/$StageDir")
+    if (fs.exists(stageRoot)) {
+      fs.listStatus(stageRoot).filter(_.isDirectory).foreach { d =>
+        var newest = d.getModificationTime
+        def scan(p: Path): Unit = fs.listStatus(p).foreach { st =>
+          newest = math.max(newest, st.getModificationTime)
+          if (st.isDirectory) scan(st.getPath)
+        }
+        scan(d.getPath)
+        if (now - newest > orphanMinAgeMs) {
+          fs.delete(d.getPath, true)
+          orphans += s"$StageDir/${d.getPath.getName}"
+        }
       }
     }
     dead ++ orphans
@@ -2002,21 +2055,36 @@ object VersionedTable {
         val dirs = partitionDirs(hitParts, effPartitionCols)
         live.filter(f => inDirs(f, dirs))
       }
+    val enforcedSet = currentConstraints(all)
     val guarded = enforced(
       df.filter(
         when(coalesce(predicate, lit(false)), lit(true))
           .otherwise(raise_error(lit(
             "replaceWhere: incoming row falls outside the replaced predicate"))
             .cast("boolean"))),
-      currentConstraints(all))
+      enforcedSet)
+    // Rows in the affected partitions that do NOT match the predicate
+    // are PRESERVED (Delta's arbitrary-replaceWhere contract): only the
+    // predicate's rows are replaced, even when the predicate is not
+    // partition-aligned. Without this, a non-aligned predicate would
+    // silently delete co-resident rows.
+    val preserved =
+      if (affected.isEmpty) guarded.filter(lit(false))
+      else PartitionTransforms.derive(
+        spark.read.option("basePath", path)
+          .parquet(affected.map(f => s"$path/$f"): _*)
+          .drop(tfs.map(_.name): _*), tfs)
+        .filter(!coalesce(predicate, lit(false)))
     val shaped = byPartitions(
-      PartitionTransforms.derive(guarded, tfs), effPartitionCols)
+      PartitionTransforms.derive(guarded, tfs)
+        .unionByName(preserved, allowMissingColumns = true), effPartitionCols)
     val adds = stage(spark, path, shaped, effPartitionCols, allowEmpty = true)
     publishWithRebase(fs, path, "replace_where", adds, affected, txn = None,
       schemaOf = _ => None, allowRebase = true,
       stats = collectStats(spark, path, adds,
         (statsCols ++ activeStatsCols(all)).distinct),
-      blooms = collectBlooms(spark, path, adds, activeBloomBits(all))).version
+      blooms = collectBlooms(spark, path, adds, activeBloomBits(all)),
+      enforcedConstraints = Some(enforcedSet)).version
   }
 
   /** Streaming MERGE INTO: one [[merge]] per micro-batch carrying the

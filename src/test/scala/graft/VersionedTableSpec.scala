@@ -811,6 +811,76 @@ class VersionedTableSpec extends SparkSpec {
     assert(statsRows.sum == 2L, "upsert-rewritten partition a carries row counts")
   }
 
+  test("replaceWhere preserves non-matching co-resident rows (arbitrary predicate)") {
+    val t = table()
+    VersionedTable.write(spark, t,
+      df((1L, "a", 1L), (2L, "a", 200L), (3L, "b", 300L)), Seq("p"))
+    // predicate NOT aligned to the partition layout: v > 100 hits p=a and
+    // p=b, but row (1, a, 1) does not match and must survive the swap
+    VersionedTable.replaceWhere(spark, t, df((9L, "a", 150L)),
+      col("v") > 100L, Seq("p"))
+    val got = VersionedTable.read(spark, t)
+      .select("k", "p", "v").as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "a", 1L), (9L, "a", 150L)),
+      s"non-matching co-resident rows must be preserved, matching ones replaced: $got")
+  }
+
+  test("changes from version 0 replays the full history as inserts") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 2L)), Seq("p"))
+    VersionedTable.upsert(spark, t, df((1L, "a", 9L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    val cdf = VersionedTable.changes(spark, t, 0L, 2L, key = "k")
+    assert(cdf.select("k", "_change_type").as[(Long, String)].collect().toSet ==
+      Set((1L, "insert"), (2L, "insert")))
+    assert(cdf.filter(col("k") === 1L).select("v").as[Long].head() == 9L)
+  }
+
+  test("changes spans additive schema evolution (old side null-fills new cols)") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    VersionedTable.upsert(spark, t,
+      Seq((1L, "a", 2L, "x")).toDF("k", "p", "v", "extra"),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    val cdf = VersionedTable.changes(spark, t, 1L, 2L, key = "k")
+    assert(cdf.columns.contains("extra"))
+    assert(cdf.select("k", "_change_type").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "update")))
+  }
+
+  test("a write racing a concurrent addConstraint fails instead of landing unvalidated rows") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    // inject addConstraint between the writer's validation and its publish
+    VersionedTable.testRaceHook = () => {
+      VersionedTable.testRaceHook = () => ()
+      VersionedTable.addConstraint(spark, t, "v_pos", "v > 0")
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException](
+        VersionedTable.write(spark, t, df((2L, "a", -5L)), Seq("p"), mode = "append"))
+    } finally VersionedTable.testRaceHook = () => ()
+    // the violating row never landed; a re-run now validates and fails loudly
+    assert(VersionedTable.read(spark, t).count() == 1)
+    intercept[Exception](
+      VersionedTable.write(spark, t, df((2L, "a", -5L)), Seq("p"), mode = "append"))
+  }
+
+  test("vacuum reclaims stage debris of writes that crashed mid-staging") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    val debris = new java.io.File(s"$t/_graft_stage/crashed-uuid")
+    debris.mkdirs()
+    val f = new java.io.File(debris, "part-00000-dead.parquet")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    val old = System.currentTimeMillis() - 48L * 3600_000L
+    f.setLastModified(old); debris.setLastModified(old)
+    val cleaned = VersionedTable.vacuum(spark, t, orphanMinAgeMs = 3600_000L)
+    assert(cleaned.exists(_.contains("crashed-uuid")), s"stage debris must be swept: $cleaned")
+    assert(!debris.exists())
+    assert(VersionedTable.read(spark, t).count() == 1)
+  }
+
   test("replaceWhere on a transform table swaps only the derived slice") {
     import graft.sinks.PartitionTransforms
     val t = table()
