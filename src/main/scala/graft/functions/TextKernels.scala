@@ -23,8 +23,16 @@ object TextKernels extends Serializable {
     * `array_distinct(transform(3-grams, xxhash64 & 0xFFFFFFFF))`.
     */
   def shingleHashes(text: UTF8String): ArrayData = {
-    val trimmed = text.toString.trim
-    val toks = trimmed.split("\\s+")
+    // space-only trim + limit=-1 split: exactly Spark's
+    // split(trim(text), "\\s+") — see wordNgrams for why Java's trim
+    // (which also strips \t/\n) would diverge from the declarative form
+    val raw = text.toString
+    var tb = 0
+    var te = raw.length
+    while (tb < te && raw.charAt(tb) == ' ') tb += 1
+    while (te > tb && raw.charAt(te - 1) == ' ') te -= 1
+    val trimmed = raw.substring(tb, te)
+    val toks = trimmed.split("\\s+", -1)
     val seen = new java.util.LinkedHashSet[java.lang.Long]
     if (toks.length >= 3) {
       var i = 0

@@ -62,6 +62,11 @@ object ZOrder {
   def zorderKey(cols: Seq[Column], boundaries: Seq[Array[Double]], bits: Int = 8): Column = {
     require(cols.nonEmpty && cols.size == boundaries.size)
     require(cols.size * bits <= 63, "interleaved key must fit a long")
+    // bucket ids range 0..boundaries.length; ids beyond 2^bits would have
+    // their high bits silently truncated out of the interleave, putting
+    // rows from opposite value ranges in the same z-neighborhood
+    boundaries.foreach(b => require(b.length < (1 << bits),
+      s"${b.length + 1} buckets need more than $bits bits — raise bits or lower buckets"))
     val ids = cols.zip(boundaries).map { case (c, b) =>
       GraftShim.column(RangeBucket(GraftShim.expression(c), b)).cast("long")
     }

@@ -44,12 +44,20 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("kind").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(leftTagged.unionByName(rightTagged)) { (df, p) =>
-      df.withColumn(s"asof_$p", last(col(p), ignoreNulls = true).over(w))
+    // Carry the latest right ROW atomically: last(ignoreNulls) over a
+    // struct that is non-null exactly on right rows. Carrying each
+    // payload column separately would skip genuinely-NULL payload values
+    // (inheriting a STALE older row's value) and could even mix fields
+    // from different right rows.
+    val carried = leftTagged.unionByName(rightTagged)
+      .withColumn("__asof_row", last(
+        when(col("kind") === 1, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
+    payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(s"asof_$p", col(s"__asof_row.$p"))
     }
-    carried
       .filter(col("kind") === 0)
-      .drop("kind")
+      .drop("kind", "__asof_row")
       .drop(payload: _*)
   }
 

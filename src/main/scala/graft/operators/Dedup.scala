@@ -368,7 +368,11 @@ object Dedup {
       val changed = materialized
         .filter(col("label") =!= col("prev")).limit(1).count()
       converged = changed == 0
+      // release the superseded generation's blocks — without this, up to
+      // maxRounds full label sets stay pinned in the block manager
+      val prevGen = labels
       labels = materialized.select(col("doc_id"), col("label"))
+      prevGen.unpersist(blocking = false)
       round += 1
     }
     if (!converged) {

@@ -71,11 +71,16 @@ object JsonOps {
     })
     val parsed = events
       .withColumn("props_parsed", from_json(col("props"), inferred))
-    inferred.fieldNames.sorted.foldLeft(parsed) { (df, f) =>
+    // never let an inferred JSON key shadow a base column (a props field
+    // named "event_id" would otherwise silently clobber the real id
+    // before the final select)
+    val flat = inferred.fieldNames.sorted
+      .filterNot(events.columns.contains)
+    flat.foldLeft(parsed) { (df, f) =>
       df.withColumn(f, col(s"props_parsed.$f"))
     }
       .drop("props", "props_parsed")
-      .select(col("event_id") +: inferred.fieldNames.sorted.map(col): _*)
+      .select(col("event_id") +: flat.map(col): _*)
       .orderBy(col("event_id"))
   }
 

@@ -149,9 +149,9 @@ object Multimodal {
           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
           octet_length(encode(text)) AS n_bytes,
           lower(sha256(text)) AS sha256,
-          list_avg(list_transform(range(0, octet_length(encode(text))),
+          coalesce(list_avg(list_transform(range(0, octet_length(encode(text))),
             i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i+1, 1))-1)*16
-                    + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i+2, 1))-1) AS DOUBLE))) AS mean_byte,
+                    + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i+2, 1))-1) AS DOUBLE))), 0.0) AS mean_byte,
           CAST((doc_id % 16) * 64 + 64 AS INT) AS width,
           CAST((doc_id % 9) * 64 + 64 AS INT) AS height
         FROM documents

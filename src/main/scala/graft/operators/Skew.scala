@@ -23,9 +23,14 @@ object Skew {
       skewed: DataFrame, replicated: DataFrame,
       key: String, buckets: Int = 8): DataFrame = {
     require(buckets >= 1, "buckets >= 1")
-    // any per-row assignment works; unique ids spread a hot key uniformly
+    // the salt must be DETERMINISTIC per row: monotonically_increasing_id
+    // depends on partition layout, so a stage retry could re-salt rows
+    // differently than the copies already fetched by reducers — losing or
+    // duplicating join output. Hashing the row's own columns is stable
+    // across retries and spreads a hot key uniformly.
     val l = skewed.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
+      pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*),
+        lit(buckets.toLong)).cast("int"))
     val r = replicated.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")

@@ -25,16 +25,19 @@ object EventRollup {
 
   private val Money = DecimalType(18, 4)
 
-  /** The shared aggregation plan (works on batch or stream input). */
-  def rollup(events: DataFrame): DataFrame =
+  /** The shared aggregation plan over any window spec (batch or stream). */
+  private def rollupBy(events: DataFrame, w: org.apache.spark.sql.Column): DataFrame =
     events
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .groupBy(w.as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(Money)).cast("double").as("sum_value"))
       .select(
         col("w.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  def rollup(events: DataFrame): DataFrame =
+    rollupBy(events, window(col("ts"), "1 hour"))
 
   /** Streaming variant: watermarked, append-mode-ready. */
   def rollupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
@@ -50,14 +53,7 @@ object EventRollup {
     * explodes each event into its two window starts.
     */
   def slidingRollup(events: DataFrame): DataFrame =
-    events
-      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(Money)).cast("double").as("sum_value"))
-      .select(
-        col("w.start").as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+    rollupBy(events, window(col("ts"), "1 hour", "30 minutes"))
 
   def slidingBatch(spark: SparkSession, dir: String): DataFrame =
     slidingRollup(Tables.events(spark, dir))

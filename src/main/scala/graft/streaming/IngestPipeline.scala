@@ -72,14 +72,18 @@ object IngestPipeline {
   }
 
   /** Enriched stream with the exactly-once dedup guard: drop events whose
-    * deterministic ingest_id was already seen within the watermark. State
-    * is bounded by the watermark horizon; the dropDuplicates shuffle keys
-    * on the 128-bit id, which is uniform by construction (no skew).
+    * deterministic ingest_id was already seen within the watermark. The
+    * watermarked event-time column must be PART of the dedup key subset —
+    * Structured Streaming only evicts dropDuplicates state for keys that
+    * include it; keying on the id alone grows state forever. Duplicates
+    * carry an identical deterministic ts, so adding it leaves the
+    * semantics unchanged while bounding state to the watermark horizon.
+    * The shuffle keys on the 128-bit id — uniform by construction.
     */
   def withDedup(enriched: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     enriched
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates("ingest_id")
+      .dropDuplicates("ingest_id", "ts")
 
   /** Start the full pipeline; AvailableNow processes the backlog in
     * maxFilesPerTrigger-bounded batches then stops. The sink goes through

@@ -78,26 +78,29 @@ object Sessionize {
       state.remove()
       return out
     }
-    val sorted = evs.toSeq.sortBy(e => micros(e.ts))
-    var open = state.getOption
-    val closed = Seq.newBuilder[Session]
-    sorted.foreach { e =>
-      val us = micros(e.ts)
-      open match {
-        case Some(s) if us - s.endUs <= gapMicros =>
-          open = Some(OpenSession(s.startUs, math.max(s.endUs, us), s.n + 1, s.sum + e.value))
-        case Some(s) =>
-          closed += toSession(uid, s)
-          open = Some(OpenSession(us, us, 1L, e.value))
-        case None =>
-          open = Some(OpenSession(us, us, 1L, e.value))
+    // Interval merge over (state ∪ batch): treating the open session as
+    // one more interval and folding in START order makes late arrivals
+    // exact — an event BEFORE the open session extends it backwards when
+    // within the gap, or forms its own (immediately closed) session when
+    // disjoint. The previous forward-only fold merged ANY older event
+    // into the open session (us - endUs is negative ⇒ always ≤ gap),
+    // silently corrupting session_start for out-of-order data.
+    val intervals = (state.getOption.toSeq ++
+      evs.toSeq.map(e => OpenSession(micros(e.ts), micros(e.ts), 1L, e.value)))
+      .sortBy(s => (s.startUs, s.endUs))
+    val merged = intervals.foldLeft(List.empty[OpenSession]) { (acc, iv) =>
+      acc match {
+        case h :: t if iv.startUs - h.endUs <= gapMicros =>
+          OpenSession(h.startUs, math.max(h.endUs, iv.endUs),
+            h.n + iv.n, h.sum + iv.sum) :: t
+        case _ => iv :: acc
       }
-    }
-    open.foreach { s =>
-      state.update(s)
-      state.setTimeoutTimestamp(s.endUs / 1000 + gapMicros / 1000)
-    }
-    closed.result().iterator
+    }.reverse
+    val openS = merged.last
+    state.update(openS)
+    state.setTimeoutTimestamp(openS.endUs / 1000 + gapMicros / 1000)
+    // every earlier interval is > gap away from its successor: closed
+    merged.dropRight(1).map(toSession(uid, _)).iterator
   }
 
   /** Streaming sessionization over a watermarked event stream. */

@@ -13,6 +13,33 @@ import graft.sources.Tables
 
 class StreamingSpec extends SparkSpec {
 
+  test("sessionize step handles out-of-order arrivals without corrupting sessions") {
+    import java.time.Instant
+    import org.apache.spark.sql.streaming.TestGroupState
+    val gapUs = 3600L * 1000000L // 1h gap
+    def ev(sec: Long) = Sessionize.Ev(1L, Instant.ofEpochSecond(sec), 1.0)
+    // open session [100s, 200s] in state; a late event at 50s (within
+    // gap of the start) must extend the session BACKWARDS
+    val s1 = TestGroupState.create[Sessionize.OpenSession](
+      org.apache.spark.api.java.Optional.of(
+        Sessionize.OpenSession(100L * 1000000, 200L * 1000000, 2L, 2.0)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      1000L, org.apache.spark.api.java.Optional.of(1L), hasTimedOut = false)
+    val out1 = Sessionize.step(gapUs)(1L, Iterator(ev(50)), s1).toSeq
+    assert(out1.isEmpty)
+    assert(s1.get == Sessionize.OpenSession(50L * 1000000, 200L * 1000000, 3L, 3.0))
+    // an event FAR before the open session (beyond the gap) is its own
+    // immediately-closed session — it must NOT merge into the open one
+    val s2 = TestGroupState.create[Sessionize.OpenSession](
+      org.apache.spark.api.java.Optional.of(
+        Sessionize.OpenSession(100000L * 1000000, 100100L * 1000000, 2L, 2.0)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      1000L, org.apache.spark.api.java.Optional.of(1L), hasTimedOut = false)
+    val out2 = Sessionize.step(gapUs)(1L, Iterator(ev(10)), s2).toSeq
+    assert(out2.map(s => (s.session_start.getEpochSecond, s.n_events)) == Seq((10L, 1L)))
+    assert(s2.get.startUs == 100000L * 1000000, "open session untouched by the disjoint event")
+  }
+
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toFile.getAbsolutePath
 
