@@ -1678,16 +1678,33 @@ object VersionedTable {
     import graft.functions.ZOrder
     val fs = fsFor(spark, path)
     val (zUpTo, live) = snapshot(fs, path, None, None)
-    requireNoTransforms(zUpTo, "clusterZOrder")
+    // Transform tables z-order WITHIN their derived layout, like
+    // [[cluster]]: range-partition on (derived dirs ++ z-key) so files
+    // stay in their hive dirs with tight per-file hyper-rectangles —
+    // dir pruning and multi-dimensional stats skipping compose.
+    val tfs = activeTransforms(zUpTo)
+    require(tfs.isEmpty || partitionCols.isEmpty,
+      "clusterZOrder on a transform table derives its partition columns - pass none")
     val df = read(spark, path)
     val bounds = zCols.map(c => ZOrder.quantileBoundaries(df, c, buckets))
     val zkey = ZOrder.zorderKey(zCols.map(col),
       bounds, bits = math.min(8, 63 / zCols.size))
-    val sorted = df.withColumn("__z", zkey)
-      .repartitionByRange(filesPerPartition, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-    val adds = stage(spark, path, sorted, partitionCols)
+    val (sorted, effPartCols) =
+      if (tfs.isEmpty)
+        (df.withColumn("__z", zkey)
+          .repartitionByRange(filesPerPartition, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z"), partitionCols)
+      else {
+        val names = tfs.map(_.name)
+        val nDirs = math.max(1, live.map(dirOf).distinct.size)
+        val keys = names.map(col) :+ col("__z")
+        (PartitionTransforms.derive(df, tfs).withColumn("__z", zkey)
+          .repartitionByRange(filesPerPartition * nDirs, keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .drop("__z"), names)
+      }
+    val adds = stage(spark, path, sorted, effPartCols)
     val stats = collectStats(spark, path, adds,
       (zCols ++ activeStatsCols(commits(fs, path))).distinct)
     val blooms = collectBlooms(spark, path, adds,

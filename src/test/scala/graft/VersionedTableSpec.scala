@@ -710,9 +710,9 @@ class VersionedTableSpec extends SparkSpec {
     val (dOpt, sOpt, nOpt) = VersionedTable.readPruned(spark, t,
       col("k") >= 150L && col("k") < 250L)
     assert(sOpt < nOpt && dOpt.count() == preOpt.count(kv => kv._1 >= 150 && kv._1 < 250))
-    // z-order/merge-style layout rewrites still refuse cleanly
-    intercept[IllegalArgumentException](VersionedTable.clusterZOrder(
-      spark, t, zCols = Seq("k", "v"), partitionCols = Nil))
+    // merge-on-read writes still refuse cleanly on transform tables
+    intercept[IllegalArgumentException](VersionedTable.upsertMOR(spark, t,
+      Seq((1L, 9L)).toDF("k", "v"), key = "k", precombine = "v", partitionCols = Nil))
     // time travel sees the pre-append snapshot, still hiding the layout
     val old = VersionedTable.read(spark, t, asOfVersion = Some(1L))
     assert(old.columns.toSeq == Seq("k", "v") && old.count() == 400)
@@ -747,6 +747,15 @@ class VersionedTableSpec extends SparkSpec {
     val (d3, s3, _) = VersionedTable.readPruned(spark, t,
       col("k") < 900L && col("v") < 1000L)
     assert(s3 <= s2 && d3.count() == rows.count(p => p._1 < 900 && p._2 < 1000))
+    // z-order within the derived layout: 2-d skipping survives the
+    // rewrite and dir pruning still applies
+    VersionedTable.clusterZOrder(spark, t, zCols = Seq("k", "v"),
+      partitionCols = Nil, filesPerPartition = 4)
+    val (dz, sz, nz) = VersionedTable.readPruned(spark, t,
+      col("v") < 500L && col("k") < 900L)
+    assert(dz.count() == rows.count(p => p._2 < 500 && p._1 < 900))
+    assert(sz < nz, s"z-order stats must skip within dirs: $sz of $nz")
+    assert(VersionedTable.read(spark, t).columns.toSeq == Seq("k", "v"))
   }
 
   test("streamWriter upserts into a transform table; appends evolve its schema") {
