@@ -31,8 +31,7 @@ object PartitionTransforms {
     * the source table: hidden partitioning must be invisible to results.
     */
   def hiddenPartitionRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft-hp")
-      .toFile.getAbsolutePath + "/events_hp"
+    val path = graft.Scratch.dir("graft-hp") + "/events_hp"
     val ev = graft.sources.Tables.events(spark, dir)
     val ts = Seq(Day("ts"), Bucket("user_id", 16))
     write(spark, path, ev, ts)

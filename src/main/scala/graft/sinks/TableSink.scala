@@ -32,8 +32,7 @@ object TableSink {
     */
   def upsertRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val path = java.nio.file.Files.createTempDirectory("graft-upsert")
-      .toFile.getAbsolutePath + "/orders_cow"
+    val path = graft.Scratch.dir("graft-upsert") + "/orders_cow"
     val orders = graft.sources.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderpriority"))
@@ -199,17 +198,22 @@ object TableSink {
         require(parts.nonEmpty, "upsert: empty update set")
         val cond = parts.map { row =>
           partitionCols.zipWithIndex
-            .map { case (c, i) => col(c) === lit(row.get(i)) }
+            // null-SAFE equality: col === lit(null) is never true, which
+            // would skip reading the null partition's base rows and then
+            // dynamically overwrite them away
+            .map { case (c, i) => col(c) <=> lit(row.get(i)) }
             .reduce(_ && _)
         }.reduce(_ || _)
         read(spark, path).filter(cond).withColumn("__src", lit(0))
           .unionByName(updates.withColumn("__src", lit(1)))
       }
-    val resolved = merged
+    val resolved0 = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
-      .repartition(partitionCols.map(col): _*)
+    val resolved = // zero-expr repartition would be a full round-robin shuffle
+      if (partitionCols.isEmpty) resolved0
+      else resolved0.repartition(partitionCols.map(col): _*)
     val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(overwriteKey)
     spark.conf.set(overwriteKey, "dynamic")

@@ -52,8 +52,7 @@ object VersionedTable {
     * driver checks.
     */
   private def versionedOrders(spark: SparkSession, dir: String): String = {
-    val path = java.nio.file.Files.createTempDirectory("graft-vt")
-      .toFile.getAbsolutePath + "/orders_vt"
+    val path = graft.Scratch.dir("graft-vt") + "/orders_vt"
     val orders = graft.sources.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderpriority"))
@@ -91,8 +90,7 @@ object VersionedTable {
     * additionally asserts it actually skips files.
     */
   def clusterRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft-vt-cluster")
-      .toFile.getAbsolutePath + "/orders_clustered"
+    val path = graft.Scratch.dir("graft-vt-cluster") + "/orders_clustered"
     val orders = graft.sources.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     write(spark, path, orders, partitionCols = Nil)
@@ -110,8 +108,7 @@ object VersionedTable {
     * separately proves files are actually skipped on both dimensions).
     */
   def zorderRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft-vt-zorder")
-      .toFile.getAbsolutePath + "/orders_z"
+    val path = graft.Scratch.dir("graft-vt-zorder") + "/orders_z"
     val orders = graft.sources.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     write(spark, path, orders, partitionCols = Nil)
@@ -129,8 +126,7 @@ object VersionedTable {
     * oracle reconstructs the same end state relationally.
     */
   def mergeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft-vt-merge")
-      .toFile.getAbsolutePath + "/orders_m"
+    val path = graft.Scratch.dir("graft-vt-merge") + "/orders_m"
     val orders = graft.sources.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
@@ -159,8 +155,7 @@ object VersionedTable {
     * one query checks both the merged-read path and the compactor.
     */
   def morRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft-vt-mor")
-      .toFile.getAbsolutePath + "/orders_mor"
+    val path = graft.Scratch.dir("graft-vt-mor") + "/orders_mor"
     val orders = graft.sources.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     write(spark, path, orders.withColumn("version", lit(1L)), Seq("o_orderstatus"))
@@ -247,8 +242,7 @@ object VersionedTable {
     * exercises the log-less variant in [[PartitionTransforms]]).
     */
   def vtHiddenRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft-vth")
-      .toFile.getAbsolutePath + "/events_vth"
+    val path = graft.Scratch.dir("graft-vth") + "/events_vth"
     val ev = graft.sources.Tables.events(spark, dir)
     write(spark, path, ev, Nil, transforms = Seq(
       PartitionTransforms.Day("ts"), PartitionTransforms.Bucket("user_id", 16)))

@@ -139,7 +139,7 @@ object IngestPipeline {
 
   private[streaming] def stagedEventsDir(dir: String): String =
     stagedInputs.computeIfAbsent("parquet:" + dir, { _ =>
-      val work = Files.createTempDirectory("graft-ingest-in").toFile.getAbsolutePath
+      val work = graft.Scratch.dir("graft-ingest-in")
       Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         java.nio.file.Paths.get(s"$work/events.parquet"))
@@ -148,7 +148,7 @@ object IngestPipeline {
 
   private def stagedEventsCsvDir(spark: SparkSession, dir: String): String =
     stagedInputs.computeIfAbsent("csv:" + dir, { _ =>
-      val work = Files.createTempDirectory("graft-csv-in").toFile.getAbsolutePath
+      val work = graft.Scratch.dir("graft-csv-in")
       graft.sources.Tables.events(spark, dir)
         .select(
           col("event_id"),
@@ -164,7 +164,7 @@ object IngestPipeline {
     */
   private[streaming] def stagedEventsMultiDir(spark: SparkSession, dir: String): String =
     stagedInputs.computeIfAbsent("multi:" + dir, { _ =>
-      val work = Files.createTempDirectory("graft-queue-in").toFile.getAbsolutePath
+      val work = graft.Scratch.dir("graft-queue-in")
       graft.sources.Tables.events(spark, dir)
         .withColumn("ts", unix_micros(col("ts")) * 1000L)
         .repartition(8)
@@ -186,7 +186,7 @@ object IngestPipeline {
       .map(_.getAbsolutePath).filter(_.endsWith(".parquet")).sorted
     // Queue + checkpoint are fresh per run: messages are acked (deleted)
     // on commit, so a reused queue dir would replay nothing.
-    val work = Files.createTempDirectory("graft-queue-rt").toFile.getAbsolutePath
+    val work = graft.Scratch.dir("graft-queue-rt")
     Files.createDirectories(java.nio.file.Paths.get(s"$work/q"))
     files.zipWithIndex.foreach { case (f, i) =>
       Files.write(java.nio.file.Paths.get(s"$work/q/m$i.json"),
@@ -222,7 +222,7 @@ object IngestPipeline {
     * only (ingest_ts excluded); the oracle is the equivalent batch SQL.
     */
   def ingestRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft-ingest").toFile.getAbsolutePath
+    val work = graft.Scratch.dir("graft-ingest")
     val q = StreamTuning.withStatePartitions(spark) {
       start(spark, stagedEventsDir(dir), s"$work/sink",
         StreamTuning.scratchDir("graft-ingest-ckpt"))
@@ -251,7 +251,7 @@ object IngestPipeline {
     StructField("value", DoubleType)))
 
   def csvIngestRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft-csv-ingest").toFile.getAbsolutePath
+    val work = graft.Scratch.dir("graft-csv-ingest")
     val raw = source(spark, stagedEventsCsvDir(spark, dir),
       FileSourceConfig(csvEventSchema, format = "csv", options = Map("header" -> "true")))
     val enriched = Enrich.enrichFrame(
@@ -279,7 +279,7 @@ object IngestPipeline {
     */
   private[streaming] def stagedDupEventsDir(dir: String): String =
     stagedInputs.computeIfAbsent("dup:" + dir, { _ =>
-      val work = Files.createTempDirectory("graft-dup-in").toFile.getAbsolutePath
+      val work = graft.Scratch.dir("graft-dup-in")
       Seq("a", "b").foreach { tag =>
         Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -289,7 +289,7 @@ object IngestPipeline {
     })
 
   def dedupRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft-dedup-ingest").toFile.getAbsolutePath
+    val work = graft.Scratch.dir("graft-dedup-ingest")
     // ~5 MB of ingest_id state at sf0.1 → the state-volume sizing rule
     // (see StreamJoin) puts the dedup store at the partition floor.
     val q = StreamTuning.withStatePartitions(spark, 4) {

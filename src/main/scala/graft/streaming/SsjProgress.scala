@@ -25,7 +25,7 @@ object SsjProgress {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
 
-    val work = Files.createTempDirectory("graft-ssjp").toFile.getAbsolutePath
+    val work = graft.Scratch.dir("graft-ssjp")
     def src() = IngestPipeline.source(spark, IngestPipeline.stagedEventsDir(dir))
     val events = IngestPipeline.transform(src())
       .select(col("user_id"), col("ts"), col("event_id"))

@@ -42,7 +42,7 @@ object StreamJoin {
     * to parquet, read back. Oracle = the batch interval join in SQL.
     */
   def roundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft-ssjoin").toFile.getAbsolutePath
+    val work = graft.Scratch.dir("graft-ssjoin")
     def src() = IngestPipeline.source(spark, IngestPipeline.stagedEventsDir(dir))
     val events = IngestPipeline.transform(src())
       .select(col("user_id"), col("ts"), col("event_id"))

@@ -21,7 +21,7 @@ object QueueIngestDemo {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark: SparkSession = GraftSession.local(4, "graft-queue-demo")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val work = Files.createTempDirectory("queue-demo").toFile.getAbsolutePath
+    val work = graft.Scratch.dir("queue-demo")
     val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
     spark.read.schema(schema).parquet(s"$sfDir/events.parquet")

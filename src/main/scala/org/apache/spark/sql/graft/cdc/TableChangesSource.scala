@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 class TableChangesSource(
     sparkSession: SparkSession,
     options: Map[String, String],
-    override val schema: StructType)
+    override val schema: StructType,
+    metadataPath: String)
   extends Source {
 
   import TableChangesSource._
@@ -50,8 +51,41 @@ class TableChangesSource(
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
   private val includePreimage = options.get("includePreimage").exists(_.toBoolean)
 
-  private val startVersion: Long = options.get("startingVersion").map(_.toLong)
-    .getOrElse(graft.sinks.VersionedTable.latestVersion(sparkSession, tablePath))
+  /** The stream's start version, PERSISTED in the checkpoint on first
+    * construction: the "latest at stream start" default is only
+    * meaningful at first start — recomputing it on restart would make a
+    * replayed getBatch(None, end) see an empty (or wrong) version range
+    * and wedge the checkpoint. Same pattern as FileStreamSource's
+    * metadata log.
+    */
+  private val startVersion: Long = {
+    val fs = new org.apache.hadoop.fs.Path(metadataPath)
+      .getFileSystem(sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(metadataPath, "graft-start-version")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } else {
+      val v = options.get("startingVersion").map(_.toLong)
+        .getOrElse(graft.sinks.VersionedTable.latestVersion(sparkSession, tablePath))
+      fs.mkdirs(marker.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
+        s".${marker.getName}.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // losing the rename race to a concurrent constructor is fine —
+      // both computed the value before any offset could be logged
+      if (!fs.rename(tmp, marker) && !fs.exists(marker)) {
+        throw new java.io.IOException(s"cannot persist start version at $marker")
+      }
+      fs.delete(tmp, false)
+      v
+    }
+  }
 
   override def getOffset: Option[Offset] = {
     val latest = graft.sinks.VersionedTable.latestVersion(sparkSession, tablePath)
@@ -62,13 +96,16 @@ class TableChangesSource(
     val from = start.map(asLong).getOrElse(startVersion)
     val to = asLong(end)
     val cols = schema.fields.map(f => col(f.name)).toSeq
-    val perVersion = (from + 1 to to).map { v =>
-      graft.sinks.VersionedTable
-        .changes(sparkSession, tablePath, v - 1, v, key, partitionCols, includePreimage)
-        .withColumn("_commit_version", lit(v))
-        .select(cols: _*)
-    }
-    val batch = perVersion.reduce(_ unionByName _)
+    val batch =
+      if (to <= from) // defensive: an empty replay range is an empty batch
+        sparkSession.createDataFrame(
+          sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else (from + 1 to to).map { v =>
+        graft.sinks.VersionedTable
+          .changes(sparkSession, tablePath, v - 1, v, key, partitionCols, includePreimage)
+          .withColumn("_commit_version", lit(v))
+          .select(cols: _*)
+      }.reduce(_ unionByName _)
     // V1 contract: getBatch must return a STREAMING frame — but the diff
     // must be PLANNED as batch (tagging its leaves streaming would give
     // the full-outer diff join streaming semantics: null-side rows wait
@@ -126,6 +163,6 @@ class TableChangesSourceProvider extends DataSourceRegister with StreamSourcePro
     val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
     new TableChangesSource(spark, parameters,
       schema.getOrElse(TableChangesSource.changesSchema(
-        spark, parameters("table.path"))))
+        spark, parameters("table.path"))), metadataPath)
   }
 }

@@ -31,11 +31,16 @@ class DirectoryQueueClient(queueDir: String) extends QueueClient {
   override def poll(): Seq[FileNotification] = {
     val dir = Paths.get(queueDir)
     if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".json"))
-      .flatMap(parse)
-      .toSeq
-      .sortBy(n => (n.timestamp, n.path))
+    // Files.list holds an open DirectoryStream until closed — poll runs
+    // every trigger, so leaking it exhausts file descriptors
+    val stream = Files.list(dir)
+    val msgs =
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .flatMap(parse)
+        .toList
+      finally stream.close()
+    msgs.sortBy(n => (n.timestamp, n.path))
   }
 
   private def parse(msg: Path): Option[FileNotification] = {

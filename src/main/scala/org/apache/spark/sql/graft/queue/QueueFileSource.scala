@@ -1,7 +1,5 @@
 package org.apache.spark.sql.graft.queue
 
-import java.net.URI
-
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
@@ -61,13 +59,22 @@ class QueueFileSource(
   }
 
   override def getOffset: Option[Offset] = synchronized {
-    client.poll().foreach(n => if (cache.isNewFile(n.path)) cache.add(n))
+    val (fresh, dup) = client.poll().partition(n => cache.isNewFile(n.path))
+    fresh.foreach(cache.add)
+    // Redeliveries of files already seen (committed or pending) must be
+    // acked NOW: their batch's ack only covers the handles stored at
+    // first sight, so a crash between the metadata-log write and the ack
+    // would otherwise leave messages that re-poll forever.
+    client.ack(dup.map(_.ackHandle).filter(_.nonEmpty))
     val batch = cache.getUncommitted(maxFilesPerTrigger)
     if (batch.nonEmpty) {
       logOffset += 1
-      metadataLog.add(logOffset, batch.map { case (p, f) =>
+      // a failed add means the batch id exists with DIFFERENT content —
+      // acking these files would lose them permanently, so fail loudly
+      // (FileStreamSource asserts the same way)
+      require(metadataLog.add(logOffset, batch.map { case (p, f) =>
         FileStreamSource.FileEntry(path = p, timestamp = f.timestamp, batchId = logOffset)
-      }.toArray)
+      }.toArray), s"queue source: batch $logOffset already exists in the metadata log")
       batch.foreach { case (p, _) => cache.markCommitted(p) }
       client.ack(batch.map(_._2.ackHandle).filter(_.nonEmpty))
     }
@@ -79,9 +86,11 @@ class QueueFileSource(
     val startOffset = start.map(FileStreamSourceOffset(_).logOffset).getOrElse(-1L)
     val endOffset = FileStreamSourceOffset(end).logOffset
     val files = metadataLog.get(Some(startOffset + 1), Some(endOffset)).flatMap(_._2)
+    // entries store the notification's RAW path; a URI round-trip would
+    // reject spaces and percent-decode literal % sequences
     val relation = DataSource(
       sparkSession,
-      paths = files.map(f => new Path(new URI(f.path)).toString).toSeq,
+      paths = files.map(f => new Path(f.path).toString).toSeq,
       userSpecifiedSchema = Some(schema),
       className = fileFormat,
       options = options).resolveRelation(checkFilesExist = false)
