@@ -214,12 +214,29 @@ object TableSink {
     val resolved = // zero-expr repartition would be a full round-robin shuffle
       if (partitionCols.isEmpty) resolved0
       else resolved0.repartition(partitionCols.map(col): _*)
+    withDynamicOverwrite(spark) {
+      resolved.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    }
+  }
+
+  /** Run `body` with dynamic partition-overwrite mode, restoring the
+    * session's previous setting afterwards.
+    */
+  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
     val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(overwriteKey)
     spark.conf.set(overwriteKey, "dynamic")
-    try {
-      resolved.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
-    } finally spark.conf.set(overwriteKey, prev)
+    try body finally spark.conf.set(overwriteKey, prev)
+  }
+
+  /** maxRecordsPerFile that lands files near `targetFileBytes`, from the
+    * frame's optimizer size estimate and an exact row count.
+    */
+  private def targetRecordsPerFile(df: DataFrame, targetFileBytes: Long): Long = {
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rows = df.count()
+    val avgRow = if (rows == 0) 1L else (totalBytes / rows).toLong.max(1L)
+    (targetFileBytes / avgRow).max(1L)
   }
 
   /** Incremental small-file compaction: rewrite ONLY the partitions whose
@@ -242,19 +259,14 @@ object TableSink {
     val fragmented = byDir.filter(_._2.size > maxFilesPerPartition).keys.toSeq.sorted
     if (fragmented.isEmpty) return Nil
     val df = spark.read.option("basePath", path).parquet(fragmented: _*)
-    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val rows = df.count()
-    val avgRow = if (rows == 0) 1L else (totalBytes / rows).toLong.max(1L)
-    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(overwriteKey)
-    spark.conf.set(overwriteKey, "dynamic")
-    try {
+    val recordsPerFile = targetRecordsPerFile(df, targetFileBytes)
+    withDynamicOverwrite(spark) {
       df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
         .write.mode("overwrite")
-        .option("maxRecordsPerFile", (targetFileBytes / avgRow).max(1L))
+        .option("maxRecordsPerFile", recordsPerFile)
         .partitionBy(partitionCols: _*)
         .parquet(path)
-    } finally spark.conf.set(overwriteKey, prev)
+    }
     fragmented
   }
 
@@ -289,10 +301,7 @@ object TableSink {
     if (fs.exists(bak)) fs.delete(bak, true)
 
     val df = read(spark, path)
-    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val rows = df.count()
-    val avgRow = if (rows == 0) 1L else (totalBytes / rows).toLong.max(1L)
-    val recordsPerFile = (targetFileBytes / avgRow).max(1L)
+    val recordsPerFile = targetRecordsPerFile(df, targetFileBytes)
     df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", recordsPerFile)
