@@ -7,11 +7,21 @@ package graft
   */
 object Scratch {
 
+  // ONE shutdown hook draining a queue — a per-dir hook Thread would
+  // accumulate for the JVM's lifetime (bench/verify create hundreds).
+  private val registered = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var f = registered.poll()
+      while (f != null) { delete(f); f = registered.poll() }
+    }))
+
   /** Create a fresh temp directory and return its absolute path. */
   def dir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     val f = p.toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(f)))
+    hookInstalled
+    registered.add(f)
     f.getAbsolutePath
   }
 

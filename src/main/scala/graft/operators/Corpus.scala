@@ -239,13 +239,13 @@ object Corpus {
           FROM gated)
         SELECT doc_id, lang, shard,
           CAST(FLOOR(start_off / 4096.0) AS BIGINT) AS bin,
-          start_off % 4096 AS bin_off
+          CAST(start_off % 4096 AS BIGINT) AS bin_off
         FROM packed ORDER BY doc_id""")),
     Op("q_pack_sequences", (s, d) => packSequences(s, d),
       Some("""
         SELECT doc_id, lang, shard,
           CAST(FLOOR(start_off / 4096.0) AS BIGINT) AS bin,
-          start_off % 4096 AS bin_off
+          CAST(start_off % 4096 AS BIGINT) AS bin_off
         FROM (
           SELECT doc_id, lang, CAST(doc_id % 16 AS INT) AS shard,
             SUM(n_chars) OVER (PARTITION BY lang, doc_id % 16 ORDER BY doc_id

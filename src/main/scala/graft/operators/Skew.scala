@@ -27,7 +27,11 @@ object Skew {
     // depends on partition layout, so a stage retry could re-salt rows
     // differently than the copies already fetched by reducers — losing or
     // duplicating join output. Hashing the row's own columns is stable
-    // across retries and spreads a hot key uniformly.
+    // across retries and spreads a hot key uniformly — with one caveat:
+    // byte-identical duplicate rows share a salt, so a hot key made of
+    // EXACT duplicates stays in one bucket (output still correct, skew
+    // unmitigated). If duplicates are expected, pre-assign a stable row
+    // discriminator (e.g. a persisted row index) and include it here.
     val l = skewed.withColumn("__salt",
       pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*),
         lit(buckets.toLong)).cast("int"))

@@ -261,6 +261,12 @@ object VersionedTable {
       adds: Seq[String], removes: Seq[String],
       checkpoint: Option[Seq[String]],
       txn: Option[Txn] = None,
+      // Live MOR delta manifest, stamped alongside `checkpoint` (possibly
+      // Some(Nil)): the replay floor for liveDeltaEntries. Entries keep
+      // their ORIGINAL adding-commit version so latest-wins tie-breaks
+      // survive log expiry. Legacy checkpoints lack it — expireLog
+      // refuses any floor that would change the resolved delta set.
+      checkpointDeltas: Option[Seq[DeltaEntry]] = None,
       schemaJson: Option[String] = None,
       stats: Option[Map[String, FileStat]] = None,
       deltaAdds: Option[Seq[String]] = None,
@@ -275,6 +281,11 @@ object VersionedTable {
     */
   private final case class MorSpec(key: String, precombine: String,
       partitionCols: Seq[String])
+
+  /** One live delta file with the version of the commit that added it
+    * (the merge tie-break: later commits win equal precombines).
+    */
+  private final case class DeltaEntry(file: String, src: Long)
 
   /** Idempotence token for streaming writers: (appId, batchId). A commit
     * carrying a txn the log has already recorded is a replay — skipped.
@@ -392,15 +403,29 @@ object VersionedTable {
     live.toSeq
   }
 
-  /** Live merge-on-read delta files at a snapshot. No checkpoint
-    * shortcut — delta sets stay small by construction (compaction is the
-    * MOR contract) and the replay is a driver-side list walk.
+  /** Live merge-on-read delta files at a snapshot, each with its adding
+    * commit's version. Replays from the latest commit carrying a
+    * `checkpointDeltas` manifest ≤ the snapshot (stamped with every
+    * checkpoint — entries keep their original source versions), from v1
+    * on legacy logs — so expireLog's floor stays safe for uncompacted
+    * deltas AND their merge tie-breaks.
     */
-  private def liveDeltaFiles(upTo: Seq[Commit]): Seq[String] = {
-    val live = scala.collection.mutable.LinkedHashSet[String]()
-    upTo.foreach { c => live ++= c.deltaAdds.getOrElse(Nil); live --= c.removes }
-    live.toSeq
+  private def liveDeltaEntries(upTo: Seq[Commit]): Seq[DeltaEntry] = {
+    val ckptIdx = upTo.lastIndexWhere(_.checkpointDeltas.isDefined)
+    val (base, tail) =
+      if (ckptIdx >= 0) (upTo(ckptIdx).checkpointDeltas.get, upTo.drop(ckptIdx + 1))
+      else (Nil, upTo)
+    val live = scala.collection.mutable.LinkedHashMap[String, Long]()
+    base.foreach(e => live += e.file -> e.src)
+    tail.foreach { c =>
+      c.deltaAdds.getOrElse(Nil).foreach(f => live += f -> c.version)
+      c.removes.foreach(live -= _)
+    }
+    live.toSeq.map { case (f, v) => DeltaEntry(f, v) }
   }
+
+  private def liveDeltaFiles(upTo: Seq[Commit]): Seq[String] =
+    liveDeltaEntries(upTo).map(_.file)
 
   /** Guard for copy-on-write ops whose base-file arithmetic would
     * silently ignore (or resurrect rows shadowed by) live delta files.
@@ -451,9 +476,14 @@ object VersionedTable {
     val spec = upTo.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }
       .getOrElse(throw new IllegalStateException(
         s"live delta files but no MOR spec in the log of $path"))
+    // Group delta files by the version of the commit that added them —
+    // resolved through liveDeltaEntries, NOT by scanning upTo's
+    // deltaAdds: after log expiry the adding commits may only survive
+    // inside a checkpoint's delta manifest.
     val deltaSet = deltas.toSet
-    val groups = upTo.flatMap(c =>
-      c.deltaAdds.map(_.filter(deltaSet)).filter(_.nonEmpty).map(c.version -> _))
+    val groups = liveDeltaEntries(upTo).filter(e => deltaSet(e.file))
+      .groupBy(_.src).toSeq.sortBy(_._1)
+      .map { case (v, es) => v -> es.map(_.file) }
     val sides = (if (base.isEmpty) Nil
       else Seq(rd(base).withColumn("__m_src", lit(0L)))) ++
       groups.map { case (v, fl) => rd(fl).withColumn("__m_src", lit(v)) }
@@ -748,8 +778,16 @@ object VersionedTable {
         val prevLive = liveFiles(all)
         Some((prevLive.filterNot(removes.contains) ++ adds).distinct)
       } else None
+      // Checkpoints stamp the DELTA manifest too (Some(Nil) when none):
+      // liveDeltaEntries replays from this floor, and expireLog may only
+      // drop commits below a floor that resolves the same delta set.
+      // Entries carry their original adding version for merge tie-breaks.
+      val ckptDeltas = ckpt.map(_ =>
+        liveDeltaEntries(all).filterNot(e => removes.contains(e.file)) ++
+          deltaAdds.map(DeltaEntry(_, version)))
       val c0 = Commit(version, System.currentTimeMillis(), op, adds, removes,
-        ckpt, txn, schemaOf(all).map(_.json), stats,
+        ckpt, txn, checkpointDeltas = ckptDeltas,
+        schemaJson = schemaOf(all).map(_.json), stats = stats,
         deltaAdds = if (deltaAdds.isEmpty) None else Some(deltaAdds), mor = mor,
         constraints = constraints, blooms = blooms, partitionSpec = partitionSpec)
       // Checkpoint commits are the log-replay floor, so they must carry
@@ -1430,6 +1468,14 @@ object VersionedTable {
       case c: Cast => name(c.child) // analyzer-inserted literal/col casts
       case _ => None
     }
+    // Cast-free resolver for predicates whose semantics a cast CHANGES
+    // (null production), unlike order comparisons where the analyzer's
+    // widening casts are value-preserving.
+    def bareName(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
     // Foldable-side evaluation (covers bare literals AND analyzer-inserted
     // casts of literals, e.g. the Cast(5: int → bigint) an int literal
     // gets next to a bigint column, and IN-list element casts).
@@ -1486,11 +1532,15 @@ object VersionedTable {
         list.exists(v => mayMatch(fstat, EqualTo(a, v)))
       // Null predicates prune from the recorded per-file null counts
       // (min/max are blind to nulls); files from commits without null
-      // stats scan conservatively.
+      // stats scan conservatively. BARE attributes only — never through
+      // Cast: under non-ANSI semantics cast(col) yields null for
+      // unconvertible NON-null values, so a zero null count for col does
+      // not bound cast(col)'s nulls (same conservatism as the bloom
+      // probe).
       case IsNull(a) =>
-        name(a).forall(c => fstat.nulls.forall(_.getOrElse(c, 1L) > 0))
+        bareName(a).forall(c => fstat.nulls.forall(_.getOrElse(c, 1L) > 0))
       case IsNotNull(a) =>
-        name(a).forall(c => fstat.nulls match {
+        bareName(a).forall(c => fstat.nulls match {
           case Some(n) if n.contains(c) => fstat.rows - n(c) > 0
           case _ => true
         })
@@ -1791,7 +1841,8 @@ object VersionedTable {
       }
       .toSet
     val everReferenced = all.flatMap(c =>
-      c.adds ++ c.deltaAdds.getOrElse(Nil) ++ c.checkpoint.getOrElse(Nil)).toSet
+      c.adds ++ c.deltaAdds.getOrElse(Nil) ++ c.checkpoint.getOrElse(Nil) ++
+        c.checkpointDeltas.getOrElse(Nil).map(_.file)).toSet
     val dead = everReferenced.filterNot(retainedLive.contains).toSeq.sorted
     dead.foreach(f => fs.delete(new Path(s"$path/$f"), false))
     // Orphans: data files in the table tree that NO commit ever
@@ -1892,7 +1943,7 @@ object VersionedTable {
       .parquet(files.toSeq.map(f => s"$path/$f"): _*)
       .drop(transforms.map(_.name): _*).schema
     publish(fs, path, Commit(1L, System.currentTimeMillis(), "convert",
-      files.toSeq.sorted, Nil, None, None, Some(schema.json),
+      files.toSeq.sorted, Nil, None, None, schemaJson = Some(schema.json),
       partitionSpec = if (transforms.isEmpty) None else Some(transforms.map(specOf))))
     1L
   }
@@ -1938,7 +1989,17 @@ object VersionedTable {
           snapshotSchema(surviving) == snapshotSchema(all) &&
             currentConstraints(surviving) == currentConstraints(all) &&
             activeTransforms(surviving) == activeTransforms(all) &&
-            morOf(surviving) == morOf(all)
+            morOf(surviving) == morOf(all) &&
+            // Live MOR deltas must survive the floor: checkpoints stamp a
+            // delta manifest, but a legacy floor replaying only the
+            // suffix would DROP still-uncompacted delta commits' files —
+            // readers lose upserted rows and vacuum reclaims the files as
+            // unreferenced. The binding snapshot is the floor ITSELF: if
+            // cp alone resolves the same delta set as the full log at cp,
+            // every later version replays identically (same floor state,
+            // same surviving tail). Refuse otherwise.
+            liveDeltaEntries(Seq(cp)).toSet ==
+              liveDeltaEntries(all.filter(_.version <= cp.version)).toSet
         if (!metaSafe) Nil
         else {
           val dead = all.filter(_.version < cp.version)

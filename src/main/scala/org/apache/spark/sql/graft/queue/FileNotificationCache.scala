@@ -35,6 +35,12 @@ class FileNotificationCache(maxAgeMs: Long) {
 
   def isNewFile(path: String): Boolean = !files.containsKey(path)
 
+  /** Whether `path` is tracked AND its batch is in the metadata log. */
+  def isCommitted(path: String): Boolean = {
+    val f = files.get(path)
+    f != null && f.isCommitted
+  }
+
   def add(n: FileNotification): Unit = {
     files.putIfAbsent(n.path, TrackedFile(n.timestamp, isCommitted = false, n.ackHandle))
     if (n.timestamp > latestTimestamp) latestTimestamp = n.timestamp

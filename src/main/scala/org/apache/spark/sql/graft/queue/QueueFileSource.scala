@@ -61,11 +61,16 @@ class QueueFileSource(
   override def getOffset: Option[Offset] = synchronized {
     val (fresh, dup) = client.poll().partition(n => cache.isNewFile(n.path))
     fresh.foreach(cache.add)
-    // Redeliveries of files already seen (committed or pending) must be
-    // acked NOW: their batch's ack only covers the handles stored at
-    // first sight, so a crash between the metadata-log write and the ack
-    // would otherwise leave messages that re-poll forever.
-    client.ack(dup.map(_.ackHandle).filter(_.nonEmpty))
+    // Redeliveries of COMMITTED files are acked now: their batch's ack
+    // only covered the handles stored at first sight, so a crash between
+    // the metadata-log write and the ack would otherwise leave messages
+    // that re-poll forever. Redeliveries of PENDING files (seen but not
+    // yet in a logged batch) must stay in the queue — the message may be
+    // the file's ONLY copy (DirectoryQueueClient handles are the message
+    // path itself), and ack-before-log loses the file if we crash before
+    // its batch is cut. They re-poll as dups until committed.
+    client.ack(dup.filter(n => cache.isCommitted(n.path))
+      .map(_.ackHandle).filter(_.nonEmpty))
     val batch = cache.getUncommitted(maxFilesPerTrigger)
     if (batch.nonEmpty) {
       logOffset += 1

@@ -129,6 +129,36 @@ class StreamingSpec extends SparkSpec {
     assert(sunk.select("event_id").distinct().count() == events.count())
   }
 
+  test("queue source never acks redeliveries of PENDING files (message may be the only copy)") {
+    val work = tmp("graft-queue-pending")
+    Files.createDirectories(Paths.get(s"$work/q"))
+    def notify(id: String, path: String, ts: Long): Unit =
+      Files.write(Paths.get(s"$work/q/$id.json"),
+        s"""{"path": "$path", "timestamp": $ts}""".getBytes(StandardCharsets.UTF_8))
+    notify("m1", s"$work/data/f1.parquet", 100)
+    notify("m2", s"$work/data/f2.parquet", 200)
+    notify("m3", s"$work/data/f3.parquet", 300)
+    def msg(id: String) = Files.exists(Paths.get(s"$work/q/$id.json"))
+    val src = new org.apache.spark.sql.graft.queue.QueueFileSource(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      s"$work/meta",
+      Map("queue.dir" -> s"$work/q", "maxFilesPerTrigger" -> "1"),
+      org.apache.spark.sql.types.StructType(Nil))
+    // trigger 1: f1's batch is logged and acked; f2/f3 stay PENDING —
+    // their messages are the only copy of the notification
+    src.getOffset
+    assert(!msg("m1") && msg("m2") && msg("m3"))
+    // trigger 2: m2/m3 re-poll as dups. f2's batch is cut (acked); f3 is
+    // still pending — acking its redelivery here would delete the only
+    // message BEFORE the batch is logged (a crash then loses the file)
+    src.getOffset
+    assert(!msg("m2"))
+    assert(msg("m3"), "pending redelivery was acked before its batch was logged")
+    // trigger 3: f3 commits and only then acks
+    src.getOffset
+    assert(!msg("m3"))
+  }
+
   test("graft-queue source under burst load: bounded batches, measured throughput") {
     val work = tmp("graft-queue-load")
     val events = Tables.events(spark, sf)

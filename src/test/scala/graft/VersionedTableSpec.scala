@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sinks.VersionedTable
@@ -1014,6 +1016,64 @@ class VersionedTableSpec extends SparkSpec {
     assert(d.count() == 1 && s < n)
   }
 
+  test("expireLog keeps uncompacted MOR deltas readable: checkpoints stamp the delta manifest") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 2L)), Seq("p"))
+    // v2: uncompacted delta upsert — stays live through every checkpoint
+    VersionedTable.upsertMOR(spark, t, df((1L, "a", 100L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    (3 to 25).foreach(i => VersionedTable.write(spark, t,
+      df((100L + i, "a", i.toLong)), Seq("p"), mode = "append"))
+    def upserted(): Long = VersionedTable.read(spark, t)
+      .filter(col("k") === 1L).select("v").as[Long].head()
+    assert(upserted() == 100L)
+    // expiry proceeds: the v10/v20 checkpoints carry the delta manifest
+    val gone = VersionedTable.expireLog(spark, t, keepVersions = 10)
+    assert(gone.contains(2L), s"delta commit v2 should expire under a stamped floor: $gone")
+    assert(upserted() == 100L, "upserted row lost after log expiry")
+    // a surviving mid-history version still merges the delta
+    assert(VersionedTable.read(spark, t, asOfVersion = Some(12L))
+      .filter(col("k") === 1L).select("v").as[Long].head() == 100L)
+    // vacuum must not reclaim manifest-referenced delta files
+    VersionedTable.vacuum(spark, t, retainVersions = 2, orphanMinAgeMs = Long.MaxValue)
+    assert(upserted() == 100L, "vacuum reclaimed a checkpoint-manifest-referenced delta")
+  }
+
+  test("expireLog refuses a legacy floor that would drop live MOR deltas") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 2L)), Seq("p"))
+    VersionedTable.upsertMOR(spark, t, df((1L, "a", 100L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    (3 to 25).foreach(i => VersionedTable.write(spark, t,
+      df((100L + i, "a", i.toLong)), Seq("p"), mode = "append"))
+    // simulate a pre-manifest log: strip checkpointDeltas from every commit
+    val logDir = java.nio.file.Paths.get(s"$t/_graft_log")
+    java.nio.file.Files.list(logDir).iterator().asScala.toList
+      .filter(_.getFileName.toString.matches("v\\d{20}\\.json")).foreach { p =>
+      val s = new String(java.nio.file.Files.readAllBytes(p), UTF_8)
+      val s2 = s.replaceAll(",\"checkpointDeltas\":\\[[^\\]]*\\]", "")
+      if (s2 != s) {
+        java.nio.file.Files.write(p, s2.getBytes(UTF_8))
+        // drop Hadoop LocalFileSystem's checksum sidecar — the rewrite
+        // invalidates it
+        java.nio.file.Files.deleteIfExists(
+          p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+      }
+    }
+    assert(VersionedTable.expireLog(spark, t, keepVersions = 10).isEmpty,
+      "a manifest-less floor below a live delta commit must refuse to expire")
+    assert(VersionedTable.read(spark, t)
+      .filter(col("k") === 1L).select("v").as[Long].head() == 100L)
+    // the table re-qualifies at the next (manifest-stamped) checkpoint
+    (26 to 35).foreach(i => VersionedTable.write(spark, t,
+      df((100L + i, "a", i.toLong)), Seq("p"), mode = "append"))
+    val gone = VersionedTable.expireLog(spark, t, keepVersions = 5)
+    assert(gone.contains(2L), s"stamped v30 floor should allow expiry: $gone")
+    assert(VersionedTable.read(spark, t)
+      .filter(col("k") === 1L).select("v").as[Long].head() == 100L)
+  }
+
   test("null-count stats prune IS NULL / IS NOT NULL") {
     val t = table()
     val rows = (0L until 100L).map(k =>
@@ -1026,6 +1086,26 @@ class VersionedTableSpec extends SparkSpec {
     val (nnDf, sNN, _) = VersionedTable.readPruned(spark, t, col("v").isNotNull)
     assert(sNN < tN, s"IS NOT NULL must skip all-null files: $sNN of $tN")
     assert(nnDf.count() == 50)
+  }
+
+  test("IS NULL pruning never reaches through casts (cast makes nulls from non-nulls)") {
+    val t = table()
+    val rows = (0L until 100L).map(k => (k, s"x$k", if (k < 50) "a" else "b"))
+    VersionedTable.write(spark, t, rows.toDF("k", "s", "p"), Seq("p"),
+      statsCols = Seq("k", "s"))
+    // try_cast(s AS int) is NULL for EVERY row here, but s itself has zero
+    // nulls — pruning from s's null count would skip every file and
+    // return nothing.
+    val (nullDf, sN, tN) = VersionedTable.readPruned(spark, t,
+      expr("try_cast(s AS int)").isNull)
+    assert(sN == tN, s"cast-wrapped IS NULL must scan conservatively: $sN of $tN")
+    assert(nullDf.count() == 100)
+    // and the mirror: all rows fail IS NOT NULL — files with zero s-nulls
+    // must still be scanned, the exact predicate does the filtering
+    val (nnDf2, sNN2, _) = VersionedTable.readPruned(spark, t,
+      expr("try_cast(s AS int)").isNotNull)
+    assert(sNN2 == tN)
+    assert(nnDf2.count() == 0)
   }
 
   test("graft_pruned SQL table function reads through stats+bloom skipping") {

@@ -45,6 +45,15 @@ def main(sf, out):
         d = d.sort_values(by=list(d.columns)).reset_index(drop=True)
         if len(s) != len(d):
             print(f"{name}: ROWCOUNT spark={len(s)} duck={len(d)}"); fail += 1; continue
+        # The driver hashes values exactly: an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT sums) hash-mismatches
+        # even when numerically equal — catch that class here.
+        kind_drift = [c for c in s.columns
+                      if {s[c].dtype.kind, d[c].dtype.kind} == {'i', 'f'}]
+        if kind_drift:
+            print(f"{name}: DTYPE DRIFT int-vs-float on {kind_drift} "
+                  f"(driver hash would mismatch — CAST the oracle column)")
+            fail += 1; continue
         try:
             pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=False, rtol=1e-9)
             ok += 1
