@@ -437,10 +437,52 @@ object VersionedTable {
   private def dirOf(f: String): String =
     f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) }
 
+  /** Base files that provably hold NO key a delta file in the same dir
+    * could update: their recorded key range misses every delta file's
+    * range (log stats only, zero I/O). They stream AROUND the MOR
+    * collapse window — no shuffle — which at 100 TB is almost every base
+    * file of a touched partition (updates cluster, deltas are small).
+    * Conservative: missing stats, possible null keys, or a type mismatch
+    * keep the file in the merge. Sound because keys are partition-scoped
+    * and unique within base (the upsert/compact invariant the delta-free
+    * readPruned path already relies on): a range-disjoint file's rows
+    * collapse to themselves.
+    */
+  private def morBypass(upTo: Seq[Commit], base: Seq[String],
+      deltas: Seq[String], key: String): Set[String] = {
+    val idx = statsIndex(upTo)
+    type Range = Either[(Double, Double), (String, String)]
+    def range(f: String): Option[Range] = idx.get(f).flatMap { s =>
+      (s.minNum.get(key), s.maxNum.get(key), s.minStr.get(key), s.maxStr.get(key)) match {
+        case (Some(lo), Some(hi), _, _) => Some(Left((lo, hi)))
+        case (_, _, Some(lo), Some(hi)) => Some(Right((lo, hi)))
+        case _ => None
+      }
+    }
+    // null keys are invisible to min/max: a base file may only bypass
+    // when the log PROVES it has none (delta null keys then can't match)
+    def noNullKeys(f: String): Boolean =
+      idx.get(f).exists(_.nulls.exists(_.get(key).contains(0L)))
+    def disjoint(a: Range, b: Range): Boolean = (a, b) match {
+      case (Left((alo, ahi)), Left((blo, bhi))) => ahi < blo || bhi < alo
+      case (Right((alo, ahi)), Right((blo, bhi))) => ahi < blo || bhi < alo
+      case _ => false
+    }
+    val deltaRangesByDir = deltas.groupBy(dirOf).view.mapValues(_.map(range)).toMap
+    base.filter { f =>
+      deltaRangesByDir.get(dirOf(f)) match {
+        case None => true // delta-free dir: nothing to merge against
+        case Some(drs) => noNullKeys(f) &&
+          range(f).exists(br => drs.forall(_.exists(dr => disjoint(br, dr))))
+      }
+    }.toSet
+  }
+
   /** The logical relation of snapshot `upTo`: base files when no deltas
     * are live, else base + deltas collapsed latest-wins (highest
     * precombine; ties go to the latest delta commit, base is commit 0 —
-    * ONE window shuffle on the merge keys, the MOR read tax). Optionally
+    * ONE window shuffle on the merge keys, the MOR read tax; base files
+    * [[morBypass]] proves untouched skip the window entirely). Optionally
     * restricted to partition dirs ("" = unpartitioned) so callers pay
     * only for the slice they need. None when the slice has no files.
     */
@@ -484,14 +526,26 @@ object VersionedTable {
     val groups = liveDeltaEntries(upTo).filter(e => deltaSet(e.file))
       .groupBy(_.src).toSeq.sortBy(_._1)
       .map { case (v, es) => v -> es.map(_.file) }
-    val sides = (if (base.isEmpty) Nil
-      else Seq(rd(base).withColumn("__m_src", lit(0L)))) ++
+    // Only base files a delta could actually touch pay the collapse
+    // shuffle; the provably-untouched rest unions in after the window.
+    val pass = morBypass(upTo, base, deltas, spec.key)
+    val mergeBase = base.filterNot(pass)
+    val sides = (if (mergeBase.isEmpty) Nil
+      else Seq(rd(mergeBase).withColumn("__m_src", lit(0L)))) ++
       groups.map { case (v, fl) => rd(fl).withColumn("__m_src", lit(v)) }
     val unioned = sides.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     val w = Window.partitionBy((spec.partitionCols :+ spec.key).distinct.map(col): _*)
       .orderBy(col(spec.precombine).desc, col("__m_src").desc)
-    Some(unioned.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__m_src", "__rn").drop(hideCols: _*))
+    val collapsed = unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__m_src", "__rn")
+    // A bypassed file's rows collapse to themselves, so the stats/bloom
+    // skip set (baseKeep) applies to it even inside a delta dir — the
+    // same soundness argument as delta-free dirs.
+    val passKept = base.filter(f => pass(f) && baseKeep.forall(_.contains(f)))
+    val out =
+      if (passKept.isEmpty) collapsed
+      else collapsed.unionByName(rd(passKept), allowMissingColumns = true)
+    Some(out.drop(hideCols: _*))
   }
 
   private def snapshot(fs: FileSystem, path: String,
@@ -547,24 +601,39 @@ object VersionedTable {
     // An empty table bootstraps fine: version 1 is all-delta, base empty —
     // the streaming writer's first micro-batch needs exactly this.
     val all = commits(fs, path)
-    requireNoTransforms(all, "upsertMOR")
     token.foreach { t =>
       val replay = all.find(_.txn.contains(t))
       if (replay.isDefined) return replay.get.version // idempotent retry
     }
+    // Transform tables: delta files land in the DERIVED layout (same
+    // routing as the COW upsert) — the merge spec records the derived
+    // names, so the collapse window stays partition-scoped and reads
+    // keep hiding the layout. The log schema keeps only RAW columns.
+    val tfs = activeTransforms(all)
+    require(tfs.isEmpty || partitionCols.isEmpty,
+      "upsertMOR on a transform table derives its partition columns - pass none")
+    val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
+    val effUpdates = PartitionTransforms.derive(updates, tfs)
     all.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }.foreach { prev =>
-      require(prev == MorSpec(key, precombine, partitionCols),
+      require(prev == MorSpec(key, precombine, effPartitionCols),
         s"upsertMOR: merge spec $prev already recorded for $path — specs must match")
     }
     val enforcedSet = currentConstraints(all)
     val staged = stage(spark, path,
-      byPartitions(enforced(updates, enforcedSet), partitionCols),
-      partitionCols)
+      byPartitions(enforced(effUpdates, enforcedSet), effPartitionCols),
+      effPartitionCols)
     val c = publishWithRebase(fs, path, "upsert_mor", Nil, Nil, token,
       schemaOf = all => Some(snapshotSchema(all)
         .map(mergeSchemas(_, updates.schema)).getOrElse(updates.schema)),
       allowRebase = true, deltaAdds = staged,
-      mor = Some(MorSpec(key, precombine, partitionCols)),
+      mor = Some(MorSpec(key, precombine, effPartitionCols)),
+      // Key min/max per delta file (one extra pass over the update set,
+      // O(batch)): lets merged reads BYPASS the collapse shuffle for
+      // base files whose key range provably misses every delta — at
+      // 100 TB almost all of a partition's base files.
+      stats = collectStats(spark, path, staged,
+        (key +: activeStatsCols(all)).distinct),
+      blooms = collectBlooms(spark, path, staged, activeBloomBits(all)),
       enforcedConstraints = Some(enforcedSet))
     c.version
   }
@@ -579,7 +648,6 @@ object VersionedTable {
       statsCols: Seq[String] = Nil): Long = {
     val fs = fsFor(spark, path)
     val all = commits(fs, path)
-    requireNoTransforms(all, "compactDeltas")
     require(all.nonEmpty, s"compactDeltas: no versioned table at $path")
     val deltas = liveDeltaFiles(all)
     if (deltas.isEmpty) return all.last.version
@@ -591,8 +659,13 @@ object VersionedTable {
       if (spec.partitionCols.isEmpty) live
       else live.filter(f => dirs.contains(dirOf(f)))
     val restrict = if (spec.partitionCols.isEmpty) None else Some(dirs)
+    // Transform tables: the merged view surfaces only raw columns — the
+    // derived layout is re-derived for the rewrite (same recovery the
+    // COW upsert and optimize do).
     val merged = byPartitions(
-      mergedView(spark, path, all, restrict).get, spec.partitionCols)
+      PartitionTransforms.derive(
+        mergedView(spark, path, all, restrict).get, activeTransforms(all)),
+      spec.partitionCols)
     val adds = stage(spark, path, merged, spec.partitionCols, allowEmpty = true)
     publishWithRebase(fs, path, "compact_deltas", adds,
       (affectedBase ++ deltas).distinct, txn = None,
@@ -1582,11 +1655,23 @@ object VersionedTable {
     // bucket), evaluated against the partition values parsed from each
     // live dir path. Stats/bloom skipping then applies per file.
     val afterDirs = prunedByTransforms(spark, upTo, files, cond)
-    // Base files inside a delta-holding partition dir can never skip —
-    // the collapse winner there may be a base row (see mergedView) — so
-    // the kept set (and the reported scan count) includes them.
-    val deltaDirs = liveDeltaFiles(upTo).map(dirOf).toSet
-    val kept = afterDirs.filter(f => deltaDirs.contains(dirOf(f)) ||
+    // Base files inside a delta-holding partition dir can only skip when
+    // the merge provably cannot touch them (morBypass: key ranges
+    // disjoint from every delta in the dir) — otherwise the collapse
+    // winner there may be a base row (see mergedView) and the kept set
+    // (and the reported scan count) includes them.
+    val deltaFiles = liveDeltaFiles(upTo)
+    val deltaDirs = deltaFiles.map(dirOf).toSet
+    val bypass =
+      if (deltaDirs.isEmpty) Set.empty[String]
+      else {
+        val morKey = upTo.reverse.collectFirst {
+          case c if c.mor.isDefined => c.mor.get.key }.get
+        morBypass(upTo, files.filter(f => deltaDirs.contains(dirOf(f))),
+          deltaFiles, morKey)
+      }
+    val kept = afterDirs.filter(f =>
+      (deltaDirs.contains(dirOf(f)) && !bypass.contains(f)) ||
       (idx.get(f).forall(mayMatch(_, cond)) &&
         bIdx.get(f).forall(bloomMayMatch(_, cond))))
     // MOR tables skip too: delta-free dirs prune by stats/bloom, every

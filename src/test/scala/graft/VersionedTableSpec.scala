@@ -712,9 +712,8 @@ class VersionedTableSpec extends SparkSpec {
     val (dOpt, sOpt, nOpt) = VersionedTable.readPruned(spark, t,
       col("k") >= 150L && col("k") < 250L)
     assert(sOpt < nOpt && dOpt.count() == preOpt.count(kv => kv._1 >= 150 && kv._1 < 250))
-    // merge-on-read writes still refuse cleanly on transform tables
-    intercept[IllegalArgumentException](VersionedTable.upsertMOR(spark, t,
-      Seq((1L, 9L)).toDF("k", "v"), key = "k", precombine = "v", partitionCols = Nil))
+    // merge-on-read now composes with transform tables — covered by the
+    // dedicated "merge-on-read composes with hidden partitioning" spec
     // time travel sees the pre-append snapshot, still hiding the layout
     val old = VersionedTable.read(spark, t, asOfVersion = Some(1L))
     assert(old.columns.toSeq == Seq("k", "v") && old.count() == 400)
@@ -1014,6 +1013,86 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.write(spark, t, Seq((500L, 1L)).toDF("k", "v"), Nil, mode = "append")
     val (d, s, n) = VersionedTable.readPruned(spark, t, col("k") === 500L)
     assert(d.count() == 1 && s < n)
+  }
+
+  test("merge-on-read composes with hidden partitioning: deltas land in the derived layout") {
+    import graft.sinks.PartitionTransforms
+    val t = table()
+    val rows = (0L until 400L).map(k => (k, k))
+    VersionedTable.write(spark, t, rows.toDF("k", "v"), Nil,
+      transforms = Seq(PartitionTransforms.TruncateNum("k", 100)))
+    // one update into an existing derived dir, one insert into a NEW dir
+    VersionedTable.upsertMOR(spark, t, Seq((150L, 999L), (420L, 999L)).toDF("k", "v"),
+      key = "k", precombine = "v", partitionCols = Nil)
+    val r = VersionedTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "v"), "derived layout must stay hidden")
+    assert(r.count() == 401)
+    assert(r.filter(col("k") === 150L).select("v").as[Long].head() == 999L)
+    // delta files physically live under derived dirs
+    assert(r.inputFiles.exists(f => f.contains("__p_k=100")),
+      "delta must land in its derived dir")
+    // raw-predicate dir pruning still works on the MOR snapshot
+    val (d, s, n) = VersionedTable.readPruned(spark, t, col("k") === 50L)
+    assert(d.select("v").as[Long].collect().toSeq == Seq(50L) && s < n)
+    // time travel pre-delta, layout still hidden
+    val old = VersionedTable.read(spark, t, asOfVersion = Some(1L))
+    assert(old.columns.toSeq == Seq("k", "v") && old.count() == 400)
+    // compaction recovers the derived layout; merged state unchanged
+    VersionedTable.compactDeltas(spark, t)
+    val c = VersionedTable.read(spark, t)
+    assert(c.columns.toSeq == Seq("k", "v") && c.count() == 401)
+    assert(c.filter(col("k") === 150L).select("v").as[Long].head() == 999L)
+    assert(c.filter(col("k") === 420L).select("v").as[Long].head() == 999L)
+    // pruning composes over the compacted derived layout
+    val (d2, s2, n2) = VersionedTable.readPruned(spark, t, col("k") === 420L)
+    assert(d2.count() == 1 && s2 < n2)
+    // the streaming MOR writer shape: txn-idempotent delta appends
+    val v = VersionedTable.upsertMOR(spark, t, Seq((10L, 1000L)).toDF("k", "v"),
+      key = "k", precombine = "v", partitionCols = Nil, txn = Some(("app", 7L)))
+    assert(VersionedTable.upsertMOR(spark, t, Seq((10L, 2000L)).toDF("k", "v"),
+      key = "k", precombine = "v", partitionCols = Nil, txn = Some(("app", 7L))) == v,
+      "replayed txn must be a no-op")
+    assert(VersionedTable.read(spark, t)
+      .filter(col("k") === 10L).select("v").as[Long].head() == 1000L)
+  }
+
+  test("MOR merged read bypasses the collapse window for provably-untouched base files") {
+    val t = table()
+    // four clustered base files with disjoint key ranges, stats recorded
+    (0 until 4).foreach { i =>
+      VersionedTable.write(spark, t,
+        (i * 100L until (i + 1) * 100L).map(k => (k, "a", k)).toDF("k", "p", "v")
+          .coalesce(1),
+        Seq("p"), mode = if (i == 0) "overwrite" else "append",
+        statsCols = Seq("k"))
+    }
+    // the delta touches only the 100..199 file's range
+    VersionedTable.upsertMOR(spark, t, Seq((150L, "a", 11111L)).toDF("k", "p", "v"),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    val r = VersionedTable.read(spark, t)
+    assert(r.count() == 400)
+    assert(r.filter(col("k") === 150L).select("v").as[Long].head() == 11111L)
+    assert(r.filter(col("k") === 50L).select("v").as[Long].head() == 50L)
+    // plan shape: ONLY the overlapping base file + the delta feed the
+    // window; the three disjoint files arrive via the shuffle-free union
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val windowScans = r.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.collectLeaves().collect {
+          case l: LogicalRelation =>
+            l.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.toSeq
+        }.flatten
+    }.flatten
+    assert(windowScans.size == 2,
+      s"expected 1 overlapping base + 1 delta under the window, got ${windowScans.size}: $windowScans")
+    assert(r.inputFiles.length == 5, "bypassed files must still be read")
+    // stats skipping now reaches bypassed files inside the delta dir
+    val (dp, sp, np) = VersionedTable.readPruned(spark, t, col("k") === 350L)
+    assert(dp.select("v").as[Long].collect().toSeq == Seq(350L))
+    assert(sp < np, s"bypassed file should stats-prune: $sp of $np")
+    // a key range overlapping the delta still merges exactly
+    val (dm, _, _) = VersionedTable.readPruned(spark, t, col("k") === 150L)
+    assert(dm.select("v").as[Long].collect().toSeq == Seq(11111L))
   }
 
   test("expireLog keeps uncompacted MOR deltas readable: checkpoints stamp the delta manifest") {
