@@ -437,6 +437,17 @@ object VersionedTable {
   private def dirOf(f: String): String =
     f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) }
 
+  /** Compare strings the way Spark collected the min/max stats: UTF8String
+    * byte-wise (UTF-8) order. Java String '<' is UTF-16 code-unit order —
+    * the two diverge for supplementary characters vs U+E000..U+FFFF, and
+    * a pruning/bypass decision under the wrong order drops live rows.
+    */
+  private def strLt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  private def strLe(a: String, b: String): Boolean = !strLt(b, a)
+
   /** Base files that provably hold NO key a delta file in the same dir
     * could update: their recorded key range misses every delta file's
     * range (log stats only, zero I/O). They stream AROUND the MOR
@@ -448,9 +459,8 @@ object VersionedTable {
     * readPruned path already relies on): a range-disjoint file's rows
     * collapse to themselves.
     */
-  private def morBypass(upTo: Seq[Commit], base: Seq[String],
+  private def morBypass(idx: Map[String, FileStat], base: Seq[String],
       deltas: Seq[String], key: String): Set[String] = {
-    val idx = statsIndex(upTo)
     type Range = Either[(Double, Double), (String, String)]
     def range(f: String): Option[Range] = idx.get(f).flatMap { s =>
       (s.minNum.get(key), s.maxNum.get(key), s.minStr.get(key), s.maxStr.get(key)) match {
@@ -463,9 +473,14 @@ object VersionedTable {
     // when the log PROVES it has none (delta null keys then can't match)
     def noNullKeys(f: String): Boolean =
       idx.get(f).exists(_.nulls.exists(_.get(key).contains(0L)))
+    // String ranges MUST compare in the order the stats were collected
+    // under — Spark's UTF8String byte-wise order, not Java's UTF-16
+    // code-unit order (they diverge once supplementary characters mix
+    // with U+E000..U+FFFF, and a wrong order here un-merges a live key).
     def disjoint(a: Range, b: Range): Boolean = (a, b) match {
       case (Left((alo, ahi)), Left((blo, bhi))) => ahi < blo || bhi < alo
-      case (Right((alo, ahi)), Right((blo, bhi))) => ahi < blo || bhi < alo
+      case (Right((alo, ahi)), Right((blo, bhi))) =>
+        strLt(ahi, blo) || strLt(bhi, alo)
       case _ => false
     }
     val deltaRangesByDir = deltas.groupBy(dirOf).view.mapValues(_.map(range)).toMap
@@ -489,7 +504,8 @@ object VersionedTable {
   private def mergedView(spark: SparkSession, path: String, upTo: Seq[Commit],
       restrictDirs: Option[Set[String]] = None,
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
-      baseKeep: Option[Set[String]] = None): Option[DataFrame] = {
+      baseKeep: Option[Set[String]] = None,
+      statsIdx: Option[Map[String, FileStat]] = None): Option[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     def keep(f: String) = restrictDirs.forall(_.contains(dirOf(f)))
     // baseKeep (stats/bloom skipping) applies ONLY to base files, and
@@ -499,7 +515,8 @@ object VersionedTable {
     // the stale delta. Keys are partition-scoped, so base files in
     // delta-free dirs prune exactly: their rows collapse to themselves,
     // and a pruned row provably fails the re-applied predicate.
-    val deltas = liveDeltaFiles(upTo).filter(keep)
+    val allEntries = liveDeltaEntries(upTo)
+    val deltas = allEntries.map(_.file).filter(keep)
     val deltaDirs = deltas.map(dirOf).toSet
     val base = liveFiles(upTo).filter(keep)
       .filter(f => deltaDirs.contains(dirOf(f)) || baseKeep.forall(_.contains(f)))
@@ -523,12 +540,12 @@ object VersionedTable {
     // deltaAdds: after log expiry the adding commits may only survive
     // inside a checkpoint's delta manifest.
     val deltaSet = deltas.toSet
-    val groups = liveDeltaEntries(upTo).filter(e => deltaSet(e.file))
+    val groups = allEntries.filter(e => deltaSet(e.file))
       .groupBy(_.src).toSeq.sortBy(_._1)
       .map { case (v, es) => v -> es.map(_.file) }
     // Only base files a delta could actually touch pay the collapse
     // shuffle; the provably-untouched rest unions in after the window.
-    val pass = morBypass(upTo, base, deltas, spec.key)
+    val pass = morBypass(statsIdx.getOrElse(statsIndex(upTo)), base, deltas, spec.key)
     val mergeBase = base.filterNot(pass)
     val sides = (if (mergeBase.isEmpty) Nil
       else Seq(rd(mergeBase).withColumn("__m_src", lit(0L)))) ++
@@ -631,9 +648,11 @@ object VersionedTable {
       // O(batch)): lets merged reads BYPASS the collapse shuffle for
       // base files whose key range provably misses every delta — at
       // 100 TB almost all of a partition's base files.
+      // No blooms for delta files: nothing probes them (readPruned only
+      // probes base files; the bypass uses min/max) — compactDeltas
+      // re-collects blooms for the rewritten base files.
       stats = collectStats(spark, path, staged,
         (key +: activeStatsCols(all)).distinct),
-      blooms = collectBlooms(spark, path, staged, activeBloomBits(all)),
       enforcedConstraints = Some(enforcedSet))
     c.version
   }
@@ -1584,21 +1603,26 @@ object VersionedTable {
     e match {
       case And(l, r) => mayMatch(fstat, l) && mayMatch(fstat, r)
       case Or(l, r) => mayMatch(fstat, l) || mayMatch(fstat, r)
+      // String bounds compare under UTF8String byte order (strLt/strLe) —
+      // the order the stats were aggregated under; Java '<' diverges on
+      // supplementary characters and would prune files that match.
       case EqualTo(a, b) =>
-        cmp(a, b, (lo, hi, v) => lo <= v && v <= hi, (lo, hi, v) => lo <= v && v <= hi) &&
-          cmp(b, a, (lo, hi, v) => lo <= v && v <= hi, (lo, hi, v) => lo <= v && v <= hi)
+        cmp(a, b, (lo, hi, v) => lo <= v && v <= hi,
+          (lo, hi, v) => strLe(lo, v) && strLe(v, hi)) &&
+          cmp(b, a, (lo, hi, v) => lo <= v && v <= hi,
+            (lo, hi, v) => strLe(lo, v) && strLe(v, hi))
       case GreaterThan(a, b) =>
-        cmp(a, b, (_, hi, v) => hi > v, (_, hi, v) => hi > v) &&
-          cmp(b, a, (lo, _, v) => lo < v, (lo, _, v) => lo < v)
+        cmp(a, b, (_, hi, v) => hi > v, (_, hi, v) => strLt(v, hi)) &&
+          cmp(b, a, (lo, _, v) => lo < v, (lo, _, v) => strLt(lo, v))
       case GreaterThanOrEqual(a, b) =>
-        cmp(a, b, (_, hi, v) => hi >= v, (_, hi, v) => hi >= v) &&
-          cmp(b, a, (lo, _, v) => lo <= v, (lo, _, v) => lo <= v)
+        cmp(a, b, (_, hi, v) => hi >= v, (_, hi, v) => strLe(v, hi)) &&
+          cmp(b, a, (lo, _, v) => lo <= v, (lo, _, v) => strLe(lo, v))
       case LessThan(a, b) =>
-        cmp(a, b, (lo, _, v) => lo < v, (lo, _, v) => lo < v) &&
-          cmp(b, a, (_, hi, v) => hi > v, (_, hi, v) => hi > v)
+        cmp(a, b, (lo, _, v) => lo < v, (lo, _, v) => strLt(lo, v)) &&
+          cmp(b, a, (_, hi, v) => hi > v, (_, hi, v) => strLt(v, hi))
       case LessThanOrEqual(a, b) =>
-        cmp(a, b, (lo, _, v) => lo <= v, (lo, _, v) => lo <= v) &&
-          cmp(b, a, (_, hi, v) => hi >= v, (_, hi, v) => hi >= v)
+        cmp(a, b, (lo, _, v) => lo <= v, (lo, _, v) => strLe(lo, v)) &&
+          cmp(b, a, (_, hi, v) => hi >= v, (_, hi, v) => strLe(v, hi))
       // IN = disjunction of equalities: prune only when EVERY element is
       // provably outside the file's range
       case In(a, list) if list.nonEmpty && list.forall(_.foldable) =>
@@ -1667,7 +1691,7 @@ object VersionedTable {
       else {
         val morKey = upTo.reverse.collectFirst {
           case c if c.mor.isDefined => c.mor.get.key }.get
-        morBypass(upTo, files.filter(f => deltaDirs.contains(dirOf(f))),
+        morBypass(idx, files.filter(f => deltaDirs.contains(dirOf(f))),
           deltaFiles, morKey)
       }
     val kept = afterDirs.filter(f =>
@@ -1677,7 +1701,8 @@ object VersionedTable {
     // MOR tables skip too: delta-free dirs prune by stats/bloom, every
     // live delta still merges (see mergedView.baseKeep for why exact).
     if (deltaDirs.nonEmpty) {
-      val df = mergedView(spark, path, upTo, baseKeep = Some(kept.toSet))
+      val df = mergedView(spark, path, upTo, baseKeep = Some(kept.toSet),
+          statsIdx = Some(idx))
         .getOrElse(read(spark, path, asOfVersion).filter(lit(false)))
       return (df.filter(predicate), kept.size, files.size)
     }

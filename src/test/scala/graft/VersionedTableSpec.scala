@@ -1095,6 +1095,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(dm.select("v").as[Long].collect().toSeq == Seq(11111L))
   }
 
+  test("string stats compare in UTF8 byte order: supplementary chars neither mis-prune nor mis-bypass") {
+    // U+10000 sorts BELOW U+E000 in Java's UTF-16 order but ABOVE it in
+    // Spark's UTF8String byte order (the order min/max were collected in)
+    val supp = new String(Character.toChars(0x10000))
+    val t = table()
+    VersionedTable.write(spark, t,
+      Seq(("", "a", 1L), (supp, "a", 2L)).toDF("s", "p", "v"), Seq("p"),
+      statsCols = Seq("s"))
+    val (d, _, _) = VersionedTable.readPruned(spark, t, col("s") === "")
+    assert(d.count() == 1, "stats pruning under the wrong order loses the row")
+    // MOR bypass: the delta range [U+E000, U+10000] OVERLAPS the base
+    // file's [U+E000, U+E000] — Java order would call them disjoint and
+    // un-merge the live update
+    val t2 = table()
+    VersionedTable.write(spark, t2,
+      Seq(("", "a", 1L)).toDF("k", "p", "v"), Seq("p"), statsCols = Seq("k"))
+    VersionedTable.upsertMOR(spark, t2,
+      Seq(("", "a", 100L), (supp, "a", 100L)).toDF("k", "p", "v"),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    val got = VersionedTable.read(spark, t2).filter(col("k") === "")
+      .select("v").as[Long].collect().toSeq
+    assert(got == Seq(100L), s"delta update must win through the merge, got $got")
+  }
+
   test("expireLog keeps uncompacted MOR deltas readable: checkpoints stamp the delta manifest") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 2L)), Seq("p"))
@@ -1128,7 +1152,10 @@ class VersionedTableSpec extends SparkSpec {
       df((100L + i, "a", i.toLong)), Seq("p"), mode = "append"))
     // simulate a pre-manifest log: strip checkpointDeltas from every commit
     val logDir = java.nio.file.Paths.get(s"$t/_graft_log")
-    java.nio.file.Files.list(logDir).iterator().asScala.toList
+    val logStream = java.nio.file.Files.list(logDir)
+    val logFiles =
+      try logStream.iterator().asScala.toList finally logStream.close()
+    logFiles
       .filter(_.getFileName.toString.matches("v\\d{20}\\.json")).foreach { p =>
       val s = new String(java.nio.file.Files.readAllBytes(p), UTF_8)
       val s2 = s.replaceAll(",\"checkpointDeltas\":\\[[^\\]]*\\]", "")

@@ -49,7 +49,8 @@ def main(sf, out):
         # float64 oracle column (e.g. DuckDB HUGEINT sums) hash-mismatches
         # even when numerically equal — catch that class here.
         kind_drift = [c for c in s.columns
-                      if {s[c].dtype.kind, d[c].dtype.kind} == {'i', 'f'}]
+                      if (ks := {s[c].dtype.kind, d[c].dtype.kind}) <= {'i', 'u', 'f'}
+                      and 'f' in ks and len(ks) > 1]
         if kind_drift:
             print(f"{name}: DTYPE DRIFT int-vs-float on {kind_drift} "
                   f"(driver hash would mismatch — CAST the oracle column)")
