@@ -178,7 +178,44 @@ object VersionedTable {
     merged.intersect(compacted).orderBy(col("o_orderkey"))
   }
 
+  /** Driver-checkable MOR DELETE: every 100th key repriced via a delta
+    * upsert, every (100k+1)th key tombstoned via [[deleteMOR]]; the
+    * merged read and the post-compaction read must BOTH equal the
+    * relational oracle (updates applied, deleted keys gone) — the
+    * intersect trick from [[morRoundTrip]] checks the pair at once.
+    */
+  def morDeleteRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.Scratch.dir("graft-vt-mord") + "/orders_mord"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    write(spark, path, orders.withColumn("version", lit(1L)), Seq("o_orderstatus"))
+    val changed = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+      .withColumn("version", lit(2L))
+    upsertMOR(spark, path, changed,
+      key = "o_orderkey", precombine = "version", partitionCols = Seq("o_orderstatus"))
+    val dels = orders.filter(col("o_orderkey") % 100 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("version", lit(3L))
+    deleteMOR(spark, path, dels,
+      key = "o_orderkey", precombine = "version", partitionCols = Seq("o_orderstatus"))
+    val merged = read(spark, path)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("version"))
+    compactDeltas(spark, path)
+    val compacted = read(spark, path)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("version"))
+    merged.intersect(compacted).orderBy(col("o_orderkey"))
+  }
+
   val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_mor_delete", morDeleteRoundTrip,
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 100000
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderkey % 100 = 0 THEN 2 ELSE 1 END AS version
+        FROM orders WHERE o_orderkey % 100 <> 1
+        ORDER BY o_orderkey""")),
     graft.Op("q_mor", morRoundTrip,
       Some("""
         SELECT * FROM (
@@ -255,6 +292,12 @@ object VersionedTable {
 
   private val LogDir = "_graft_log"
   private val StageDir = "_graft_stage"
+
+  /** Reserved column marking tombstone rows inside MOR delta files
+    * (Hudi's `_hoodie_is_deleted` shape). Never part of the logical
+    * schema; merged reads drop keys whose collapse winner carries it.
+    */
+  private val DeleteMarker = "__g_del"
 
   private final case class Commit(
       version: Long, tsMs: Long, op: String,
@@ -521,12 +564,21 @@ object VersionedTable {
     val base = liveFiles(upTo).filter(keep)
       .filter(f => deltaDirs.contains(dirOf(f)) || baseKeep.forall(_.contains(f)))
     if (base.isEmpty && deltas.isEmpty) return None
-    def rd(fl: Seq[String]) = {
-      val reader = schemaOverride.orElse(snapshotSchema(upTo)) match {
-        case Some(s) => spark.read.schema(s)
+    // Delta files may carry tombstone rows (deleteMOR): they are read
+    // with the logical schema PLUS the marker column; base files read
+    // without it and union in nulls.
+    def rd(fl: Seq[String], withDel: Boolean = false) = {
+      val logical = schemaOverride.orElse(snapshotSchema(upTo))
+      val reader = logical match {
+        case Some(s) => spark.read.schema(
+          if (withDel) s.add(DeleteMarker, org.apache.spark.sql.types.BooleanType)
+          else s)
         case None => spark.read
       }
-      reader.option("basePath", path).parquet(fl.map(f => s"$path/$f"): _*)
+      val df = reader.option("basePath", path).parquet(fl.map(f => s"$path/$f"): _*)
+      if (withDel && !df.columns.contains(DeleteMarker))
+        df.withColumn(DeleteMarker, lit(null).cast("boolean"))
+      else df
     }
     // hidden partitioning: derived dir columns are an implementation
     // detail of the layout — reads surface only the logical schema
@@ -549,12 +601,16 @@ object VersionedTable {
     val mergeBase = base.filterNot(pass)
     val sides = (if (mergeBase.isEmpty) Nil
       else Seq(rd(mergeBase).withColumn("__m_src", lit(0L)))) ++
-      groups.map { case (v, fl) => rd(fl).withColumn("__m_src", lit(v)) }
+      groups.map { case (v, fl) => rd(fl, withDel = true).withColumn("__m_src", lit(v)) }
     val unioned = sides.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     val w = Window.partitionBy((spec.partitionCols :+ spec.key).distinct.map(col): _*)
       .orderBy(col(spec.precombine).desc, col("__m_src").desc)
+    // A key whose collapse winner is a tombstone is deleted at this
+    // snapshot (a later, higher-precombine upsert resurrects it).
     val collapsed = unioned.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__m_src", "__rn")
+      .filter(col("__rn") === 1)
+      .filter(!coalesce(col(DeleteMarker), lit(false)))
+      .drop("__m_src", "__rn", DeleteMarker)
     // A bypassed file's rows collapse to themselves, so the stats/bloom
     // skip set (baseKeep) applies to it even inside a delta dir — the
     // same soundness argument as delta-free dirs.
@@ -629,6 +685,8 @@ object VersionedTable {
     val tfs = activeTransforms(all)
     require(tfs.isEmpty || partitionCols.isEmpty,
       "upsertMOR on a transform table derives its partition columns - pass none")
+    require(!updates.columns.contains(DeleteMarker),
+      s"$DeleteMarker is reserved for MOR tombstones")
     val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
     val effUpdates = PartitionTransforms.derive(updates, tfs)
     all.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }.foreach { prev =>
@@ -655,6 +713,51 @@ object VersionedTable {
         (key +: activeStatsCols(all)).distinct),
       enforcedConstraints = Some(enforcedSet))
     c.version
+  }
+
+  /** Merge-on-read DELETE (Hudi's `_hoodie_is_deleted` shape): the keys
+    * to delete land as TOMBSTONE rows in a delta file — write cost is
+    * O(delete set), zero base rewrite, same as [[upsertMOR]]. A key whose
+    * collapse winner is a tombstone disappears from snapshot reads; a
+    * later upsert with a higher precombine resurrects it;
+    * [[compactDeltas]] materializes the deletions physically. `keys` must
+    * carry the key, precombine and partition (or transform-source)
+    * columns; the tombstone outranks rows with lower precombines exactly
+    * like an update. Key min/max stats are recorded so untouched base
+    * files keep bypassing the collapse window.
+    */
+  def deleteMOR(spark: SparkSession, path: String, keys: DataFrame,
+      key: String, precombine: String, partitionCols: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
+    val fs = fsFor(spark, path)
+    val token = txn.map { case (app, batch) => Txn(app, batch) }
+    val all = commits(fs, path)
+    require(all.nonEmpty, s"deleteMOR: no versioned table at $path")
+    token.foreach { t =>
+      val replay = all.find(_.txn.contains(t))
+      if (replay.isDefined) return replay.get.version // idempotent retry
+    }
+    val tfs = activeTransforms(all)
+    require(tfs.isEmpty || partitionCols.isEmpty,
+      "deleteMOR on a transform table derives its partition columns - pass none")
+    require(!keys.columns.contains(DeleteMarker),
+      s"$DeleteMarker is reserved for MOR tombstones")
+    val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
+    val effKeys = PartitionTransforms.derive(keys, tfs)
+      .withColumn(DeleteMarker, lit(true))
+    all.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }.foreach { prev =>
+      require(prev == MorSpec(key, precombine, effPartitionCols),
+        s"deleteMOR: merge spec $prev already recorded for $path — specs must match")
+    }
+    val staged = stage(spark, path,
+      byPartitions(effKeys, effPartitionCols), effPartitionCols)
+    publishWithRebase(fs, path, "delete_mor", Nil, Nil, token,
+      // tombstones never evolve the logical schema
+      schemaOf = all => snapshotSchema(all),
+      allowRebase = true, deltaAdds = staged,
+      mor = Some(MorSpec(key, precombine, effPartitionCols)),
+      stats = collectStats(spark, path, staged,
+        (key +: activeStatsCols(all)).distinct)).version
   }
 
   /** Materialize live delta files into base files: merged read of JUST

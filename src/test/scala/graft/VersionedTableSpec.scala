@@ -1095,6 +1095,51 @@ class VersionedTableSpec extends SparkSpec {
     assert(dm.select("v").as[Long].collect().toSeq == Seq(11111L))
   }
 
+  test("deleteMOR: tombstone deltas delete keys O(batch); compaction materializes; upsert resurrects") {
+    val t = table()
+    VersionedTable.write(spark, t,
+      df((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)), Seq("p"))
+    // delete k=2 via a tombstone delta — no base rewrite
+    val v2 = VersionedTable.deleteMOR(spark, t, df((2L, "a", 100L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    def keys() = VersionedTable.read(spark, t).select("k").as[Long].collect().sorted.toSeq
+    assert(keys() == Seq(1L, 3L))
+    // the base partition's files are untouched (delta-only write)
+    assert(VersionedTable.read(spark, t, asOfVersion = Some(1L)).count() == 3)
+    // readPruned still works over the tombstoned snapshot
+    val (dp, _, _) = VersionedTable.readPruned(spark, t, col("k") === 2L)
+    assert(dp.count() == 0)
+    val (dp1, _, _) = VersionedTable.readPruned(spark, t, col("k") === 1L)
+    assert(dp1.select("v").as[Long].collect().toSeq == Seq(10L))
+    // CDF reports the delete
+    val cdf = VersionedTable.changes(spark, t, 1L, v2, key = "k", partitionCols = Seq("p"))
+    assert(cdf.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSeq == Seq(2L))
+    // a LOWER-precombine tombstone loses to the base row (no delete)
+    VersionedTable.deleteMOR(spark, t, df((1L, "a", 5L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    assert(keys() == Seq(1L, 3L), "stale tombstone must not delete a newer row")
+    // a higher-precombine upsert resurrects the deleted key
+    VersionedTable.upsertMOR(spark, t, df((2L, "a", 200L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    assert(keys() == Seq(1L, 2L, 3L))
+    assert(VersionedTable.read(spark, t).filter(col("k") === 2L)
+      .select("v").as[Long].head() == 200L)
+    // delete again, then compact: the deletion is physical, merged state intact
+    VersionedTable.deleteMOR(spark, t, df((2L, "a", 300L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    assert(keys() == Seq(1L, 3L))
+    VersionedTable.compactDeltas(spark, t)
+    assert(keys() == Seq(1L, 3L))
+    assert(VersionedTable.read(spark, t).columns.toSet == Set("k", "p", "v"))
+    // txn-idempotent replay is a no-op
+    val vd = VersionedTable.deleteMOR(spark, t, df((3L, "b", 999L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"), txn = Some(("app", 1L)))
+    assert(VersionedTable.deleteMOR(spark, t, df((1L, "a", 999L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"), txn = Some(("app", 1L))) == vd)
+    assert(keys() == Seq(1L))
+  }
+
   test("string stats compare in UTF8 byte order: supplementary chars neither mis-prune nor mis-bypass") {
     // U+10000 sorts BELOW U+E000 in Java's UTF-16 order but ABOVE it in
     // Spark's UTF8String byte order (the order min/max were collected in)
