@@ -365,13 +365,8 @@ object VersionedTable {
     upTo.reverse.collectFirst { case c if c.partitionSpec.isDefined => c.partitionSpec.get }
       .map(_.map(transformOf)).getOrElse(Nil)
 
-  /** Guard for ops whose partition arithmetic assumes explicit partition
-    * columns; hidden-partitioned tables support write/append, read, time
-    * travel, readPruned, history, expire and vacuum.
-    */
-  private def requireNoTransforms(upTo: Seq[Commit], op: String): Unit =
-    require(activeTransforms(upTo).isEmpty,
-      s"$op: not supported on a hidden-partitioned (transform) table")
+  // (every table op now composes with hidden partitioning — the former
+  // requireNoTransforms guard has no remaining callers)
 
   /** Per-file column statistics for data skipping, split by type so the
     * JSON round trip stays typed (numerics compared as Double, strings
@@ -2285,7 +2280,6 @@ object VersionedTable {
     */
   def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
     val fs = fsFor(spark, path)
-    requireNoTransforms(commits(fs, path), "restore")
     val all = commits(fs, path)
     val target = all.filter(_.version <= toVersion)
     require(target.nonEmpty, s"restore: no version <= $toVersion in $path")
@@ -2302,7 +2296,14 @@ object VersionedTable {
     publishWithRebase(fs, path, "restore", readdBase, removes, txn = None,
       schemaOf = _ => snapshotSchema(target), allowRebase = true,
       deltaAdds = readdDeltas,
-      constraints = Some(currentConstraints(target))).version
+      constraints = Some(currentConstraints(target)),
+      // the partition spec is metadata like schema/constraints: a restore
+      // across a spec change (e.g. an overwrite that cleared transforms)
+      // must pin the TARGET's spec or the re-added files' derived layout
+      // would be misread (Some(Nil) = explicitly no transforms)
+      partitionSpec = Some(target.reverse.collectFirst {
+        case c if c.partitionSpec.isDefined => c.partitionSpec.get
+      }.getOrElse(Nil))).version
   }
 
   // ---- replaceWhere (Delta's predicate-scoped overwrite) ----

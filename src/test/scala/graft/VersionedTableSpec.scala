@@ -1095,6 +1095,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(dm.select("v").as[Long].collect().toSeq == Seq(11111L))
   }
 
+  test("restore pins the target's partition spec: transform tables roll back cleanly") {
+    import graft.sinks.PartitionTransforms
+    val t = table()
+    val rows = (0L until 300L).map(k => (k, k))
+    VersionedTable.write(spark, t, rows.toDF("k", "v"), Nil,
+      transforms = Seq(PartitionTransforms.TruncateNum("k", 100)))
+    VersionedTable.write(spark, t, Seq((9999L, 1L)).toDF("k", "v"), Nil,
+      mode = "append") // v2 inherits the spec
+    // v3: overwrite WITHOUT transforms — plain layout, spec cleared
+    VersionedTable.write(spark, t, Seq((1L, 1L)).toDF("k", "v"), Nil)
+    assert(VersionedTable.read(spark, t).count() == 1)
+    // restore to v2: the files AND the transform spec come back together
+    VersionedTable.restore(spark, t, 2L)
+    val r = VersionedTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "v"), "derived layout must stay hidden after restore")
+    assert(r.count() == 301)
+    // derived-dir pruning works again off the restored spec
+    val (d, s, n) = VersionedTable.readPruned(spark, t, col("k") < 100L)
+    assert(d.count() == 100 && s < n, s"restored spec must prune dirs: $s of $n")
+    // the rolled-back plain-layout version stays auditable
+    assert(VersionedTable.read(spark, t, asOfVersion = Some(3L)).count() == 1)
+    // appends after the restore inherit the restored spec and prune
+    VersionedTable.write(spark, t, Seq((50000L, 5L)).toDF("k", "v"), Nil, mode = "append")
+    val (d2, s2, _) = VersionedTable.readPruned(spark, t, col("k") === 50000L)
+    assert(d2.count() == 1 && s2 == 1)
+  }
+
   test("deleteMOR: tombstone deltas delete keys O(batch); compaction materializes; upsert resurrects") {
     val t = table()
     VersionedTable.write(spark, t,
