@@ -166,7 +166,79 @@ object Corpus {
     packFrame(gated, budget).orderBy(col("doc_id"))
   }
 
+  /** Token-budget chunking with overlap: split each document into
+    * training-window chunks of at most `budget` tokens, consecutive
+    * chunks sharing `overlap` tokens (the standard long-document →
+    * context-window preprocessing step). Pure integer arithmetic on the
+    * token count + one generator explode — no shuffle at all; at 100 TB
+    * this is a scan-speed map stage whose output is the chunk INDEX
+    * table (doc, chunk, token range), which downstream gather joins use
+    * to slice the actual text.
+    */
+  def chunk(spark: SparkSession, dir: String,
+      budget: Int = 64, overlap: Int = 16): DataFrame = {
+    require(budget > overlap && overlap >= 0, "need budget > overlap >= 0")
+    val stride = budget - overlap
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_toks", size(split(trim(col("text")), "\\s+")).cast("long"))
+    // n_chunks = ceil(max(n_toks - overlap, 1) / stride), exact in
+    // integer math (identical in DuckDB)
+    val nChunks = floor(
+      (greatest(col("n_toks") - overlap, lit(1L)) + lit(stride - 1)) / stride)
+      .cast("long")
+    docs
+      .select(col("doc_id"), col("n_toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + budget, col("n_toks")).as("tok_end"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Deterministic per-stratum top-N sample: the N docs with the lowest
+    * md5(doc_id) per language — an auditable, engine-reproducible "exactly
+    * N per stratum" corpus cut (the count-targeted sibling of
+    * [[stratifiedSample]]'s fraction cut). The rank<=N window compiles to
+    * WindowGroupLimit, so each map task keeps only its local top-N before
+    * the per-stratum shuffle — at 100 TB the shuffle carries
+    * O(strata × N) rows, not the corpus.
+    */
+  def sampleTopN(spark: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col("doc_id"), col("lang"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_chunk", (s, d) => chunk(s, d),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+          FROM documents),
+        n AS (
+          SELECT doc_id, n_toks,
+            CAST(FLOOR((GREATEST(n_toks - 16, 1) + 47) / 48.0) AS BIGINT) AS n_chunks
+          FROM d),
+        e AS (
+          SELECT doc_id, n_toks, unnest(range(0, n_chunks)) AS i FROM n)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          CAST(i * 48 AS BIGINT) AS tok_start,
+          CAST(LEAST(i * 48 + 64, n_toks) AS BIGINT) AS tok_end
+        FROM e ORDER BY doc_id, chunk_idx""")),
+    Op("q_sample_topn", (s, d) => sampleTopN(s, d),
+      Some("""
+        SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT doc_id, lang,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+          FROM documents)
+        WHERE rank <= 50 ORDER BY doc_id""")),
     Op("q_pii_scrub", piiScrub,
       Some("""
         SELECT doc_id,

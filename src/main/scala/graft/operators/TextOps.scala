@@ -156,7 +156,51 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Intra-document word dedup (boilerplate cleaning): keep each word's
+    * FIRST occurrence, preserving order — the within-doc analog of the
+    * cross-doc exact dedup, and a standard cleanup before tokenization.
+    *
+    * Plan shape: posexplode → (doc_id, word) window keep-first →
+    * re-assemble with an order-preserving sorted collect. The shuffle
+    * keys are (doc_id, word) — per-doc-unique, perfectly uniform — and
+    * rows carry single words, so at 100 TB this costs one well-keyed
+    * window plus one per-doc aggregation, both map-side combinable.
+    */
+  def dedupWords(spark: SparkSession, dir: String): DataFrame =
+    dedupWordsFrame(Tables.documents(spark, dir))
+
+  private[graft] def dedupWordsFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "w")))
+    val firstW = Window.partitionBy(col("doc_id"), col("w")).orderBy(col("pos"))
+    words.withColumn("__rn", row_number().over(firstW)).filter(col("__rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        // array_sort on (pos, w) structs restores first-occurrence order
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("deduped"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_text_dedup_words", dedupWords,
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(text), '\s+')) AS w,
+            unnest(range(0, len(string_split_regex(trim(text), '\s+')))) AS pos
+          FROM documents),
+        firsts AS (
+          SELECT doc_id, w, pos,
+            row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS rn
+          FROM w)
+        SELECT doc_id, count(*) AS n_unique,
+          string_agg(w, ' ' ORDER BY pos) AS deduped
+        FROM firsts WHERE rn = 1
+        GROUP BY doc_id ORDER BY doc_id""")),
     Op("q_text_repetition", repetitionStats,
       Some("""
         WITH w AS (

@@ -40,6 +40,48 @@ class CorpusSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("chunk: every token covered once per stride, chunks respect budget and overlap") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("n_toks", size(split(trim(col("text")), "\\s+")).cast("long"))
+    val toks = docs.select(col("doc_id"), col("n_toks")).as[(Long, Long)].collect().toMap
+    val out = Corpus.chunk(spark, sf).as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(out.keySet == toks.keySet, "every doc chunks")
+    out.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      val n = toks(id)
+      // first chunk starts at 0; last chunk ends at n_toks; each ≤ budget
+      assert(sorted.head._3 == 0L)
+      assert(sorted.last._4 == n, s"doc $id: last chunk must end at $n")
+      sorted.foreach { case (_, _, s, e) =>
+        assert(e - s <= 64 && e > s, s"doc $id: chunk [$s,$e) breaks the budget")
+      }
+      // consecutive chunks overlap by exactly budget-stride tokens
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + 48, s"doc $id: stride broken")
+        case _ =>
+      }
+    }
+  }
+
+  test("sampleTopN: exactly N per stratum (or the whole stratum), deterministic rank") {
+    val out = Corpus.sampleTopN(spark, sf, n = 50).cache()
+    val total = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    total.foreach { case (lang, n) =>
+      assert(kept.getOrElse(lang, 0L) == math.min(n, 50L), s"$lang: want min($n,50)")
+    }
+    // rank is 1..N dense within each stratum and the cut is reproducible
+    assert(out.groupBy("lang").agg(max("rank"), countDistinct("rank"))
+      .as[(String, Long, Long)].collect()
+      .forall { case (_, mx, d) => mx == d })
+    val again = Corpus.sampleTopN(spark, sf, n = 50)
+    assert(out.select("doc_id").as[Long].collect().toSeq ==
+      again.select("doc_id").as[Long].collect().toSeq)
+    out.unpersist()
+  }
+
   test("decontaminate flags exactly the docs sharing an 8-gram with the bench split") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

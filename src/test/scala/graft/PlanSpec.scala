@@ -46,6 +46,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("per-stratum top-N sample keeps local top-N map-side (WindowGroupLimit)") {
+    val p = physical(graft.operators.Corpus.sampleTopN(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("bucketed fact tables join with ZERO shuffle (co-location)") {
     val ss = spark
     import org.apache.spark.sql.functions.col

@@ -91,4 +91,18 @@ class TextOpsSpec extends SparkSpec {
     assert(!rows.contains(6L))
     assert(rows(1L) == 1)
   }
+
+  test("dedupWords keeps first occurrences in order") {
+    val docs = Seq(
+      (0L, "a b a c b a d", "en", "s", 13L),
+      (1L, "x x x", "en", "s", 5L),
+      (2L, "solo", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextOps.dedupWordsFrame(docs)
+      .select("doc_id", "n_unique", "deduped")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 4L, "a b c d")))
+    assert(out(1) == ((1L, 1L, "x")))
+    assert(out(2) == ((2L, 1L, "solo")))
+  }
 }
