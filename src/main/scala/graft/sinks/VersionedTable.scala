@@ -313,6 +313,11 @@ object VersionedTable {
       schemaJson: Option[String] = None,
       stats: Option[Map[String, FileStat]] = None,
       deltaAdds: Option[Seq[String]] = None,
+      // Delta files RE-added by a restore, keeping the version of the
+      // commit that ORIGINALLY added them — reassigning them the restore
+      // version would scramble the merge tie-breaks among equal
+      // precombines.
+      deltaReadds: Option[Seq[DeltaEntry]] = None,
       mor: Option[MorSpec] = None,
       constraints: Option[Map[String, String]] = None,
       blooms: Option[Map[String, Map[String, BloomStat]]] = None,
@@ -457,6 +462,7 @@ object VersionedTable {
     base.foreach(e => live += e.file -> e.src)
     tail.foreach { c =>
       c.deltaAdds.getOrElse(Nil).foreach(f => live += f -> c.version)
+      c.deltaReadds.getOrElse(Nil).foreach(e => live += e.file -> e.src)
       c.removes.foreach(live -= _)
     }
     live.toSeq.map { case (f, v) => DeltaEntry(f, v) }
@@ -663,41 +669,68 @@ object VersionedTable {
     */
   def upsertMOR(spark: SparkSession, path: String, updates: DataFrame,
       key: String, precombine: String, partitionCols: Seq[String],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None): Long =
+    morWrite(spark, path, updates, key, precombine, partitionCols, txn,
+      tombstone = false)
+
+  /** Shared MOR delta-write path for [[upsertMOR]] (data rows) and
+    * [[deleteMOR]] (tombstone rows) — one place for txn replay, transform
+    * derivation, spec matching, staging, and the per-delta key stats that
+    * feed the collapse-window bypass.
+    */
+  private def morWrite(spark: SparkSession, path: String, rows: DataFrame,
+      key: String, precombine: String, partitionCols: Seq[String],
+      txn: Option[(String, Long)], tombstone: Boolean): Long = {
     val fs = fsFor(spark, path)
+    val op = if (tombstone) "delete_mor" else "upsert_mor"
     val token = txn.map { case (app, batch) => Txn(app, batch) }
-    // An empty table bootstraps fine: version 1 is all-delta, base empty —
-    // the streaming writer's first micro-batch needs exactly this.
+    // An empty TABLE bootstraps fine for upserts: version 1 is all-delta,
+    // base empty — the streaming writer's first micro-batch needs exactly
+    // this. Tombstones need an existing table.
     val all = commits(fs, path)
+    require(!tombstone || all.nonEmpty, s"deleteMOR: no versioned table at $path")
     token.foreach { t =>
       val replay = all.find(_.txn.contains(t))
       if (replay.isDefined) return replay.get.version // idempotent retry
     }
+    // An empty batch is a no-op (staging zero rows under partitionBy
+    // produces no files — or an empty stats-less delta that would break
+    // the bypass for its whole dir).
+    if (rows.isEmpty)
+      return if (all.isEmpty) 0L else all.last.version
     // Transform tables: delta files land in the DERIVED layout (same
     // routing as the COW upsert) — the merge spec records the derived
     // names, so the collapse window stays partition-scoped and reads
     // keep hiding the layout. The log schema keeps only RAW columns.
     val tfs = activeTransforms(all)
     require(tfs.isEmpty || partitionCols.isEmpty,
-      "upsertMOR on a transform table derives its partition columns - pass none")
-    require(!updates.columns.contains(DeleteMarker),
+      s"$op on a transform table derives its partition columns - pass none")
+    require(!rows.columns.contains(DeleteMarker),
       s"$DeleteMarker is reserved for MOR tombstones")
     val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
-    val effUpdates = PartitionTransforms.derive(updates, tfs)
+    val derived = PartitionTransforms.derive(rows, tfs)
+    val effRows =
+      if (tombstone) derived.withColumn(DeleteMarker, lit(true)) else derived
     all.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }.foreach { prev =>
       require(prev == MorSpec(key, precombine, effPartitionCols),
-        s"upsertMOR: merge spec $prev already recorded for $path — specs must match")
+        s"$op: merge spec $prev already recorded for $path — specs must match")
     }
     val enforcedSet = currentConstraints(all)
     val staged = stage(spark, path,
-      byPartitions(enforced(effUpdates, enforcedSet), effPartitionCols),
+      byPartitions(
+        if (tombstone) effRows else enforced(effRows, enforcedSet),
+        effPartitionCols),
       effPartitionCols)
-    val c = publishWithRebase(fs, path, "upsert_mor", Nil, Nil, token,
-      schemaOf = all => Some(snapshotSchema(all)
-        .map(mergeSchemas(_, updates.schema)).getOrElse(updates.schema)),
+    val c = publishWithRebase(fs, path, op, Nil, Nil, token,
+      // tombstones never evolve the logical schema; data rows merge
+      // additively
+      schemaOf =
+        if (tombstone) all => snapshotSchema(all)
+        else all => Some(snapshotSchema(all)
+          .map(mergeSchemas(_, rows.schema)).getOrElse(rows.schema)),
       allowRebase = true, deltaAdds = staged,
       mor = Some(MorSpec(key, precombine, effPartitionCols)),
-      // Key min/max per delta file (one extra pass over the update set,
+      // Key min/max per delta file (one extra pass over the batch,
       // O(batch)): lets merged reads BYPASS the collapse shuffle for
       // base files whose key range provably misses every delta — at
       // 100 TB almost all of a partition's base files.
@@ -706,7 +739,7 @@ object VersionedTable {
       // re-collects blooms for the rewritten base files.
       stats = collectStats(spark, path, staged,
         (key +: activeStatsCols(all)).distinct),
-      enforcedConstraints = Some(enforcedSet))
+      enforcedConstraints = if (tombstone) None else Some(enforcedSet))
     c.version
   }
 
@@ -723,37 +756,9 @@ object VersionedTable {
     */
   def deleteMOR(spark: SparkSession, path: String, keys: DataFrame,
       key: String, precombine: String, partitionCols: Seq[String],
-      txn: Option[(String, Long)] = None): Long = {
-    val fs = fsFor(spark, path)
-    val token = txn.map { case (app, batch) => Txn(app, batch) }
-    val all = commits(fs, path)
-    require(all.nonEmpty, s"deleteMOR: no versioned table at $path")
-    token.foreach { t =>
-      val replay = all.find(_.txn.contains(t))
-      if (replay.isDefined) return replay.get.version // idempotent retry
-    }
-    val tfs = activeTransforms(all)
-    require(tfs.isEmpty || partitionCols.isEmpty,
-      "deleteMOR on a transform table derives its partition columns - pass none")
-    require(!keys.columns.contains(DeleteMarker),
-      s"$DeleteMarker is reserved for MOR tombstones")
-    val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
-    val effKeys = PartitionTransforms.derive(keys, tfs)
-      .withColumn(DeleteMarker, lit(true))
-    all.reverse.collectFirst { case c if c.mor.isDefined => c.mor.get }.foreach { prev =>
-      require(prev == MorSpec(key, precombine, effPartitionCols),
-        s"deleteMOR: merge spec $prev already recorded for $path — specs must match")
-    }
-    val staged = stage(spark, path,
-      byPartitions(effKeys, effPartitionCols), effPartitionCols)
-    publishWithRebase(fs, path, "delete_mor", Nil, Nil, token,
-      // tombstones never evolve the logical schema
-      schemaOf = all => snapshotSchema(all),
-      allowRebase = true, deltaAdds = staged,
-      mor = Some(MorSpec(key, precombine, effPartitionCols)),
-      stats = collectStats(spark, path, staged,
-        (key +: activeStatsCols(all)).distinct)).version
-  }
+      txn: Option[(String, Long)] = None): Long =
+    morWrite(spark, path, keys, key, precombine, partitionCols, txn,
+      tombstone = true)
 
   /** Materialize live delta files into base files: merged read of JUST
     * the partitions holding deltas, rewritten as base, one commit
@@ -928,6 +933,7 @@ object VersionedTable {
       allowRebase: Boolean, maxRetries: Int = 5,
       stats: Option[Map[String, FileStat]] = None,
       deltaAdds: Seq[String] = Nil, mor: Option[MorSpec] = None,
+      deltaReadds: Seq[DeltaEntry] = Nil,
       constraints: Option[Map[String, String]] = None,
       blooms: Option[Map[String, Map[String, BloomStat]]] = None,
       partitionSpec: Option[Seq[TransformSpec]] = None,
@@ -974,11 +980,12 @@ object VersionedTable {
       // Entries carry their original adding version for merge tie-breaks.
       val ckptDeltas = ckpt.map(_ =>
         liveDeltaEntries(all).filterNot(e => removes.contains(e.file)) ++
-          deltaAdds.map(DeltaEntry(_, version)))
+          deltaAdds.map(DeltaEntry(_, version)) ++ deltaReadds)
       val c0 = Commit(version, System.currentTimeMillis(), op, adds, removes,
         ckpt, txn, checkpointDeltas = ckptDeltas,
         schemaJson = schemaOf(all).map(_.json), stats = stats,
         deltaAdds = if (deltaAdds.isEmpty) None else Some(deltaAdds), mor = mor,
+        deltaReadds = if (deltaReadds.isEmpty) None else Some(deltaReadds),
         constraints = constraints, blooms = blooms, partitionSpec = partitionSpec)
       // Checkpoint commits are the log-replay floor, so they must carry
       // the RESOLVED table metadata, not just the file manifest —
@@ -1247,7 +1254,8 @@ object VersionedTable {
         // the TO schema (evolution is additive, old files null-fill).
         val dirs = allCommits
           .filter(c => c.version > fromVersion && c.version <= toVersion)
-          .flatMap(c => c.adds ++ c.removes ++ c.deltaAdds.getOrElse(Nil))
+          .flatMap(c => c.adds ++ c.removes ++ c.deltaAdds.getOrElse(Nil) ++
+            c.deltaReadds.getOrElse(Nil).map(_.file))
           .map(dirOf).toSet
         val schema = snapshotSchema(upToNew)
         (mergedView(spark, path, upToOld, Some(dirs), schema),
@@ -2050,7 +2058,8 @@ object VersionedTable {
       .toSet
     val everReferenced = all.flatMap(c =>
       c.adds ++ c.deltaAdds.getOrElse(Nil) ++ c.checkpoint.getOrElse(Nil) ++
-        c.checkpointDeltas.getOrElse(Nil).map(_.file)).toSet
+        c.checkpointDeltas.getOrElse(Nil).map(_.file) ++
+        c.deltaReadds.getOrElse(Nil).map(_.file)).toSet
     val dead = everReferenced.filterNot(retainedLive.contains).toSeq.sorted
     dead.foreach(f => fs.delete(new Path(s"$path/$f"), false))
     // Orphans: data files in the table tree that NO commit ever
@@ -2283,11 +2292,15 @@ object VersionedTable {
     val all = commits(fs, path)
     val target = all.filter(_.version <= toVersion)
     require(target.nonEmpty, s"restore: no version <= $toVersion in $path")
-    val (wantBase, wantDeltas) = (liveFiles(target), liveDeltaFiles(target))
+    val wantEntries = liveDeltaEntries(target)
+    val (wantBase, wantDeltas) = (liveFiles(target), wantEntries.map(_.file))
     val (curBase, curDeltas) = (liveFiles(all), liveDeltaFiles(all))
     val readdBase = wantBase.filterNot(curBase.contains)
-    val readdDeltas = wantDeltas.filterNot(curDeltas.contains)
-    (readdBase ++ readdDeltas).foreach { f =>
+    // re-added deltas KEEP their original adding version — merge
+    // tie-breaks among equal precombines must read as they did at the
+    // target version
+    val readdDeltas = wantEntries.filterNot(e => curDeltas.contains(e.file))
+    (readdBase ++ readdDeltas.map(_.file)).foreach { f =>
       require(fs.exists(new Path(s"$path/$f")),
         s"restore: $f from version $toVersion was vacuumed — cannot restore")
     }
@@ -2295,7 +2308,7 @@ object VersionedTable {
       curDeltas.filterNot(wantDeltas.contains)).distinct
     publishWithRebase(fs, path, "restore", readdBase, removes, txn = None,
       schemaOf = _ => snapshotSchema(target), allowRebase = true,
-      deltaAdds = readdDeltas,
+      deltaReadds = readdDeltas,
       constraints = Some(currentConstraints(target)),
       // the partition spec is metadata like schema/constraints: a restore
       // across a spec change (e.g. an overwrite that cleared transforms)

@@ -1165,6 +1165,52 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.deleteMOR(spark, t, df((1L, "a", 999L)),
       key = "k", precombine = "v", partitionCols = Seq("p"), txn = Some(("app", 1L))) == vd)
     assert(keys() == Seq(1L))
+    // empty batches are no-ops for both MOR writers (no empty delta files)
+    val latest = VersionedTable.latestVersion(spark, t)
+    assert(VersionedTable.deleteMOR(spark, t, df().filter(lit(false)),
+      key = "k", precombine = "v", partitionCols = Seq("p")) == latest)
+    assert(VersionedTable.upsertMOR(spark, t, df().filter(lit(false)),
+      key = "k", precombine = "v", partitionCols = Seq("p")) == latest)
+    assert(VersionedTable.latestVersion(spark, t) == latest)
+  }
+
+  test("deleteMOR routes tombstones through the derived layout of transform tables") {
+    import graft.sinks.PartitionTransforms
+    val t = table()
+    VersionedTable.write(spark, t, (0L until 400L).map(k => (k, k)).toDF("k", "v"),
+      Nil, transforms = Seq(PartitionTransforms.TruncateNum("k", 100)))
+    VersionedTable.deleteMOR(spark, t,
+      Seq((150L, 999L), (250L, 999L)).toDF("k", "v"),
+      key = "k", precombine = "v", partitionCols = Nil)
+    val r = VersionedTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "v"))
+    assert(r.count() == 398)
+    assert(r.filter(col("k").isin(150L, 250L)).count() == 0,
+      "tombstones must land in the derived dirs the keys live in")
+    // and compaction materializes under the derived layout
+    VersionedTable.compactDeltas(spark, t)
+    assert(VersionedTable.read(spark, t).count() == 398)
+    val (d, s, n) = VersionedTable.readPruned(spark, t, col("k") === 50L)
+    assert(d.count() == 1 && s < n)
+  }
+
+  test("restore keeps delta merge tie-breaks: re-added deltas carry their original version") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    // two delta upserts with EQUAL precombine: later commit must win ties
+    VersionedTable.upsertMOR(spark, t, df((1L, "a", 7L)),
+      key = "k", precombine = "v", partitionCols = Seq("p")) // v2: v=7
+    VersionedTable.upsertMOR(spark, t, Seq((1L, "a", 7L, "win")).toDF("k", "p", "v", "tag"),
+      key = "k", precombine = "v", partitionCols = Seq("p")) // v3: v=7, tag=win
+    def tagNow() = VersionedTable.read(spark, t)
+      .filter(col("k") === 1L).select("tag").as[String].head()
+    assert(tagNow() == "win")
+    VersionedTable.compactDeltas(spark, t) // v4 consumes the deltas
+    // restore to v3: both delta files come back — the v3 one must STILL
+    // outrank the v2 one on the equal-precombine tie
+    VersionedTable.restore(spark, t, 3L)
+    assert(tagNow() == "win",
+      "restore must not scramble equal-precombine tie-breaks")
   }
 
   test("string stats compare in UTF8 byte order: supplementary chars neither mis-prune nor mis-bypass") {
