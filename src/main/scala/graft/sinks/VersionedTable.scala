@@ -1021,11 +1021,19 @@ object VersionedTable {
       partitionCols: Seq[String], mode: String = "overwrite",
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17,
-      transforms: Seq[PartitionTransforms.Transform] = Nil): Long = {
+      transforms: Seq[PartitionTransforms.Transform] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"unsupported mode: $mode")
     val fs = fsFor(spark, path)
     val existing = commits(fs, path)
     val exists = existing.nonEmpty
+    // (appId, batchId) idempotence for streaming appends — a replayed
+    // batch commits nothing (same contract as upsert/merge)
+    val token = txn.map { case (app, batch) => Txn(app, batch) }
+    token.foreach { t =>
+      val replay = existing.find(_.txn.contains(t))
+      if (replay.isDefined) return replay.get.version
+    }
     // Hidden partitioning (Iceberg partition-spec shape): the layout is
     // derived from data columns at write time and recorded in the log —
     // never passed alongside explicit partition columns. Appends inherit
@@ -1064,7 +1072,7 @@ object VersionedTable {
     // Overwrite REPLACES the schema; append EVOLVES it additively (new
     // columns allowed, type changes rejected). Appends may rebase over
     // concurrent commits (they remove nothing); overwrite may not.
-    val c = publishWithRebase(fs, path, mode, adds, removes, txn = None,
+    val c = publishWithRebase(fs, path, mode, adds, removes, txn = token,
       schemaOf = all =>
         if (mode == "append" && all.nonEmpty)
           Some(snapshotSchema(all).map(mergeSchemas(_, df.schema)).getOrElse(df.schema))

@@ -305,7 +305,47 @@ object IngestPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Driver-checkable declarative table sink: the SAME dup-landing feed
+    * as [[dedupRoundTrip]], but exactly-once comes from the
+    * `format("graft-table")` sink's keyed upsert + txn tokens instead of
+    * watermarked dropDuplicates state — the lakehouse answer to the
+    * reference's Hudi duplicate repro (README.md:115-122). Output must
+    * equal ONE copy of the events table.
+    */
+  def tableSinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.Scratch.dir("graft-table-sink-rt")
+    val enriched = transform(source(spark, stagedDupEventsDir(dir)))
+    val q = enriched.writeStream
+      .format("graft-table")
+      .option("path", s"$work/tbl")
+      .option("key", "event_id").option("precombine", "event_id")
+      .option("checkpointLocation", StreamTuning.scratchDir("graft-tsink-ckpt"))
+      .partitionBy("event_date")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sinks.VersionedTable.read(spark, s"$work/tbl")
+      .select(
+        col("event_id"), col("event_date"), col("event_hour"),
+        col("ingest_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_stream_table_sink", tableSinkRoundTrip,
+      Some("""
+        SELECT event_id,
+          CAST(ts AS DATE) AS event_date,
+          CAST(EXTRACT(HOUR FROM ts) AS INT) AS event_hour,
+          concat_ws('-',
+            substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+            substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS ingest_id,
+          event_type, value
+        FROM events
+        ORDER BY event_id""")),
     Op("q_stream_queue", queueIngestRoundTrip,
       Some("""
         SELECT event_id,

@@ -159,6 +159,51 @@ class StreamingSpec extends SparkSpec {
     assert(!msg("m3"))
   }
 
+  test("graft-table streaming sink: exactly-once keyed upsert per micro-batch by format name") {
+    import graft.sinks.VersionedTable
+    val work = tmp("graft-table-sink")
+    val events = Tables.events(spark, sf)
+      .withColumn("ts", unix_micros(col("ts")))
+    val schema = org.apache.spark.sql.types.StructType(
+      IngestPipeline.rawEventSchema.filterNot(_.name == "ts") :+
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType))
+    events.filter(col("event_id") < 500).write.parquet(s"$work/src")
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$work/src")
+        .writeStream.format("graft-table")
+        .option("path", s"$work/tbl")
+        .option("key", "event_id").option("precombine", "ts")
+        .option("checkpointLocation", s"$work/ckpt")
+        .partitionBy("event_type")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    def tbl = VersionedTable.read(spark, s"$work/tbl")
+    assert(tbl.count() == 500)
+    assert(tbl.inputFiles.exists(_.contains("event_type=")),
+      "sink must honor writeStream.partitionBy")
+    // the same rows landing again (new files, same keys) upsert, not append
+    events.filter(col("event_id") < 500).write.mode("append").parquet(s"$work/src")
+    run()
+    assert(tbl.count() == 500, "re-landed keys must dedup through the upsert")
+    // new keys insert; the full corpus converges exactly once
+    events.filter(col("event_id") >= 500).write.mode("append").parquet(s"$work/src")
+    run()
+    assert(tbl.count() == events.count())
+    assert(tbl.select("event_id").distinct().count() == events.count())
+    // plain append mode (no key): exactly-once txn'd appends
+    val q2 = spark.readStream.schema(schema).parquet(s"$work/src")
+      .writeStream.format("graft-table")
+      .option("path", s"$work/tbl2")
+      .option("checkpointLocation", s"$work/ckpt2")
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    // src holds 500 dups of <500 keys, so append keeps them all
+    assert(VersionedTable.read(spark, s"$work/tbl2").count() ==
+      events.count() + 500)
+  }
+
   test("graft-queue source under burst load: bounded batches, measured throughput") {
     val work = tmp("graft-queue-load")
     val events = Tables.events(spark, sf)
