@@ -820,6 +820,46 @@ object VersionedTable {
       prev.fields ++ next.fields.filterNot(f => prevByName.contains(f.name)))
   }
 
+  /** The rows APPENDED in (fromVersion, toVersion] — the batch behind the
+    * `graft-table` streaming source's tail-of-table reads. Per commit:
+    * base adds and MOR delta adds are emitted as-is (delta upserts follow
+    * the Hudi incremental-pull contract: an updated row re-emits with its
+    * new values). Commits that REMOVE files (COW upsert/delete/compaction/
+    * overwrite/restore) are NOT append-only — strict mode throws;
+    * `ignoreChanges` emits their adds anyway (downstream may see rewrite
+    * copies, Delta's ignoreChanges trade). Tombstone commits (delete_mor)
+    * carry no emittable rows: strict mode throws, ignoreChanges skips
+    * them. Scale: reads only the range's added files, never the table.
+    */
+  def appendsBetween(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long,
+      ignoreChanges: Boolean = false): DataFrame = {
+    val fs = fsFor(spark, path)
+    val all = commits(fs, path)
+    require(all.nonEmpty, s"not a versioned table: $path")
+    val upTo = all.filter(_.version <= toVersion)
+    val range = upTo.filter(_.version > fromVersion)
+    val files = range.flatMap { c =>
+      val nonAppend = c.removes.nonEmpty || c.op == "delete_mor"
+      if (nonAppend && !ignoreChanges)
+        throw new IllegalStateException(
+          s"graft-table source: version ${c.version} (${c.op}) is not " +
+            "append-only — set ignoreChanges=true to stream past rewrites")
+      if (c.op == "delete_mor") Nil // tombstones are not data rows
+      else c.adds ++ c.deltaAdds.getOrElse(Nil) ++
+        c.deltaReadds.getOrElse(Nil).map(_.file)
+    }
+    val schema = snapshotSchema(upTo).getOrElse(tableSchema(spark, path))
+    val hideCols = activeTransforms(upTo).map(_.name)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).option("basePath", path)
+        .parquet(files.map(f => s"$path/$f"): _*)
+        .drop(hideCols: _*)
+  }
+
   /** Commit history: (version, ts_ms, op, n_added, n_removed). */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

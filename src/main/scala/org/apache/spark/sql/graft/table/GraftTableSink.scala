@@ -1,9 +1,12 @@
 package org.apache.spark.sql.graft.table
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
 
 /** Declarative streaming sink for the versioned table — the format-string
   * shape the reference uses for its Delta/Hudi streaming sinks
@@ -29,7 +32,8 @@ import org.apache.spark.sql.streaming.OutputMode
   * re-expressed on the `StreamSinkProvider` SPI so it composes with any
   * `writeStream` pipeline by format name.
   */
-class GraftTableSinkProvider extends DataSourceRegister with StreamSinkProvider {
+class GraftTableSinkProvider extends DataSourceRegister
+    with StreamSinkProvider with StreamSourceProvider {
 
   override def shortName(): String = "graft-table"
 
@@ -46,6 +50,109 @@ class GraftTableSinkProvider extends DataSourceRegister with StreamSinkProvider 
       "graft-table sink: 'mergeOnRead' requires 'key'/'precombine'")
     new GraftTableSink(parameters, partitionColumns)
   }
+
+  // ---- readStream side: tail the table's appends (Delta streaming
+  // source shape; offsets ARE versions, so recovery is exactly-once
+  // with no source state beyond the checkpointed offset) ----
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(parameters.contains("path"), "graft-table source: option 'path' is required")
+    val s = schema.getOrElse(graft.sinks.VersionedTable.tableSchema(
+      sqlContext.sparkSession.asInstanceOf[SparkSession], parameters("path")))
+    (shortName(), s)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
+    new GraftTableTailSource(spark, parameters,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2, metadataPath)
+  }
+}
+
+/** Streaming SOURCE over a versioned table: each micro-batch is the rows
+  * APPENDED by the commits in (lastOffset, latest] — base appends and MOR
+  * delta upserts (the Hudi incremental-pull contract). Non-append commits
+  * (rewrites) fail the stream unless `ignoreChanges=true`; see
+  * [[graft.sinks.VersionedTable.appendsBetween]]. `startingVersion`
+  * defaults to the table's latest version at FIRST start (new commits
+  * only; 0 replays the full table), persisted in the checkpoint so
+  * restarts keep the same horizon.
+  */
+private[table] class GraftTableTailSource(
+    spark: SparkSession,
+    options: Map[String, String],
+    override val schema: StructType,
+    metadataPath: String) extends Source {
+
+  private val tablePath = options("path")
+  private val ignoreChanges = options.get("ignoreChanges").exists(_.toBoolean)
+
+  // Persist the start version in the checkpoint on first construction:
+  // recomputing "latest at start" on restart would shift the horizon
+  // under a replayed getBatch. Same marker pattern as the CDC source.
+  private val startVersion: Long = {
+    val fs = new org.apache.hadoop.fs.Path(metadataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(metadataPath, "graft-start-version")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } else {
+      val v = options.get("startingVersion").map(_.toLong)
+        .getOrElse(graft.sinks.VersionedTable.latestVersion(spark, tablePath))
+      fs.mkdirs(marker.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
+        s".${marker.getName}.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, marker) && !fs.exists(marker)) {
+        throw new java.io.IOException(s"cannot persist start version at $marker")
+      }
+      fs.delete(tmp, false)
+      v
+    }
+  }
+
+  override def getOffset: Option[Offset] = {
+    val latest = graft.sinks.VersionedTable.latestVersion(spark, tablePath)
+    if (latest > startVersion) Some(LongOffset(latest)) else None
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    def asLong(o: Offset): Long = o match {
+      case LongOffset(v) => v
+      case other => other.json.toLong
+    }
+    val from = start.map(asLong).getOrElse(startVersion)
+    val to = asLong(end)
+    val batch = graft.sinks.VersionedTable
+      .appendsBetween(spark, tablePath, from, to, ignoreChanges)
+    // plan as batch, expose behind a streaming-tagged boundary (see
+    // TableChangesSource for why)
+    val qe = batch.queryExecution
+    Dataset.ofRows(spark,
+      org.apache.spark.sql.execution.LogicalRDD(
+        qe.analyzed.output, qe.toRdd, isStreaming = true)(spark))
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftTableTailSource[$tablePath]"
 }
 
 private[table] class GraftTableSink(

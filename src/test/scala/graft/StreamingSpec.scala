@@ -204,6 +204,57 @@ class StreamingSpec extends SparkSpec {
       events.count() + 500)
   }
 
+  test("graft-table streaming source tails appends exactly-once; rewrites need ignoreChanges") {
+    import graft.sinks.VersionedTable
+    val ssl = SparkSpec.spark
+    import ssl.implicits._
+    val work = tmp("graft-table-tail")
+    val t = s"$work/tbl"
+    def df3(rows: (Long, String, Long)*) = rows.toDF("k", "p", "v")
+    VersionedTable.write(spark, t, df3((1L, "a", 1L)), Seq("p"))
+    def startQ() = spark.readStream.format("graft-table")
+      .option("path", t).option("startingVersion", "0")
+      .load()
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$work/ckpt")
+      .option("path", s"$work/out")
+      .start()
+    val q = startQ(); q.processAllAvailable()
+    // a plain append and a MOR delta upsert both flow through live
+    VersionedTable.write(spark, t, df3((2L, "a", 2L)), Seq("p"), mode = "append")
+    VersionedTable.upsertMOR(spark, t, df3((3L, "b", 3L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    q.processAllAvailable(); q.stop()
+    def outKeys() = spark.read.parquet(s"$work/out")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(outKeys() == Seq(1L, 2L, 3L))
+    // appends while stopped: restart catches up from the checkpoint, once
+    VersionedTable.write(spark, t, df3((4L, "b", 4L)), Seq("p"), mode = "append")
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    assert(outKeys() == Seq(1L, 2L, 3L, 4L))
+    // a rewrite (delta compaction) breaks the strict append contract
+    VersionedTable.compactDeltas(spark, t)
+    val q3 = startQ()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    assert(e.getMessage.contains("not append-only"), e.getMessage)
+    q3.stop()
+    // ignoreChanges streams past the rewrite (rewrite copies allowed)
+    val q4 = spark.readStream.format("graft-table")
+      .option("path", t).option("startingVersion", "0")
+      .option("ignoreChanges", "true")
+      .load()
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$work/ckpt2")
+      .option("path", s"$work/out2")
+      .start()
+    q4.processAllAvailable(); q4.stop()
+    assert(spark.read.parquet(s"$work/out2")
+      .select("k").distinct().as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("graft-queue source under burst load: bounded batches, measured throughput") {
     val work = tmp("graft-queue-load")
     val events = Tables.events(spark, sf)
