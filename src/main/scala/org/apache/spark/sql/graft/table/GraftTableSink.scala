@@ -1,10 +1,13 @@
 package org.apache.spark.sql.graft.table
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.classic.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -33,9 +36,53 @@ import org.apache.spark.sql.types.StructType
   * `writeStream` pipeline by format name.
   */
 class GraftTableSinkProvider extends DataSourceRegister
-    with StreamSinkProvider with StreamSourceProvider {
+    with StreamSinkProvider with StreamSourceProvider
+    with RelationProvider with CreatableRelationProvider {
 
   override def shortName(): String = "graft-table"
+
+  // ---- batch read: spark.read.format("graft-table").option("path", …)
+  //      [.option("versionAsOf"/"timestampAsOf", …)] ----
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    require(parameters.contains("path"), "graft-table: option 'path' is required")
+    new GraftTableRelation(sqlContext, parameters)
+  }
+
+  // ---- batch write: df.write.format("graft-table").option("path", …)
+  //      .mode(append|overwrite)[.option("key"/"precombine")] ----
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    require(parameters.contains("path"), "graft-table: option 'path' is required")
+    val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
+    val path = parameters("path")
+    val partitionCols = parameters.get("partitionCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    (parameters.get("key"), parameters.get("precombine")) match {
+      case (Some(k), Some(pc)) =>
+        require(mode == SaveMode.Append,
+          "graft-table keyed writes are upserts — use SaveMode.Append")
+        if (parameters.get("mergeOnRead").exists(_.toBoolean))
+          graft.sinks.VersionedTable.upsertMOR(spark, path, data, k, pc, partitionCols)
+        else
+          graft.sinks.VersionedTable.upsert(spark, path, data, k, pc, partitionCols)
+      case _ =>
+        val m = mode match {
+          case SaveMode.Append => "append"
+          case SaveMode.Overwrite => "overwrite"
+          case other => throw new IllegalArgumentException(
+            s"graft-table: unsupported save mode $other")
+        }
+        graft.sinks.VersionedTable.write(spark, path, data, partitionCols, mode = m)
+    }
+    new GraftTableRelation(sqlContext, parameters - "key" - "precombine")
+  }
 
   override def createSink(
       sqlContext: SQLContext,
@@ -76,6 +123,66 @@ class GraftTableSinkProvider extends DataSourceRegister
     new GraftTableTailSource(spark, parameters,
       sourceSchema(sqlContext, schema, providerName, parameters)._2, metadataPath)
   }
+}
+
+/** Batch relation over a versioned table: `spark.read.format("graft-table")`
+  * with `versionAsOf` / `timestampAsOf` time travel. Filters push down
+  * into [[graft.sinks.VersionedTable.readPruned]], so the log's per-file
+  * stats, blooms, and hidden-partition dir pruning all fire through the
+  * standard read API before a single file opens; Spark re-applies the
+  * filters exactly on the survivors.
+  */
+private[table] class GraftTableRelation(
+    override val sqlContext: SQLContext,
+    params: Map[String, String]) extends BaseRelation with PrunedFilteredScan {
+
+  private val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
+  private val path = params("path")
+  private val asOfVersion: Option[Long] = params.get("versionAsOf").map(_.toLong)
+    .orElse(params.get("timestampAsOf").map { ts =>
+      // resolve the timestamp to a version driver-side (log-only)
+      val tsMs = java.sql.Timestamp.valueOf(ts).getTime
+      val vs = graft.sinks.VersionedTable.history(spark, path)
+        .filter(col("ts_ms") <= tsMs).agg(org.apache.spark.sql.functions.max("version"))
+        .collect()(0)
+      require(!vs.isNullAt(0), s"no commit at or before $ts in $path")
+      vs.getLong(0)
+    })
+
+  override val schema: StructType =
+    graft.sinks.VersionedTable.read(spark, path, asOfVersion).schema
+
+  // translate the pushed-down source filters into ONE Column predicate
+  // for readPruned; untranslatable nodes drop out conservatively (the
+  // relation reports every filter unhandled, so Spark re-applies all)
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.And(l, r) =>
+      (toColumn(l), toColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b) // half an AND still prunes soundly
+      }
+    case sources.Or(l, r) =>
+      for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case _ => None
+  }
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _).getOrElse(lit(true))
+    val (df, _, _) = graft.sinks.VersionedTable.readPruned(spark, path, pred, asOfVersion)
+    df.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+
+  override def toString: String = s"GraftTableRelation[$path]"
 }
 
 /** Streaming SOURCE over a versioned table: each micro-batch is the rows

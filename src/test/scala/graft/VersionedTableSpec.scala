@@ -1095,6 +1095,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(dm.select("v").as[Long].collect().toSeq == Seq(11111L))
   }
 
+  test("format(\"graft-table\") batch API: read/write/upsert/time-travel by format name") {
+    val t = table()
+    df((1L, "a", 1L), (2L, "b", 2L)).write.format("graft-table")
+      .option("path", t).option("partitionCols", "p").mode("overwrite").save()
+    df((3L, "a", 3L)).write.format("graft-table")
+      .option("path", t).option("partitionCols", "p").mode("append").save()
+    // keyed write = upsert
+    df((1L, "a", 100L)).write.format("graft-table")
+      .option("path", t).option("partitionCols", "p")
+      .option("key", "k").option("precombine", "v").mode("append").save()
+    val r = spark.read.format("graft-table").option("path", t).load()
+    assert(r.select("k", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 100L), (2L, 2L), (3L, 3L)))
+    // filters and projection flow through the pruned scan
+    assert(r.filter(col("k") === 2L).select("v").as[Long].collect().toSeq == Seq(2L))
+    assert(r.filter(col("p") === "a").count() == 2)
+    // time travel by version and by timestamp
+    val v1 = spark.read.format("graft-table").option("path", t)
+      .option("versionAsOf", "1").load()
+    assert(v1.select("k").as[Long].collect().toSet == Set(1L, 2L))
+    val ts1 = new java.sql.Timestamp(
+      VersionedTable.history(spark, t).filter(col("version") === 1L)
+        .select("ts_ms").as[Long].head()).toString
+    val byTs = spark.read.format("graft-table").option("path", t)
+      .option("timestampAsOf", ts1).load()
+    assert(byTs.count() == 2)
+    // MOR keyed write by format name
+    df((4L, "b", 4L)).write.format("graft-table")
+      .option("path", t).option("partitionCols", "p")
+      .option("key", "k").option("precombine", "v")
+      .option("mergeOnRead", "true").mode("append").save()
+    assert(spark.read.format("graft-table").option("path", t).load().count() == 4)
+  }
+
   test("restore pins the target's partition spec: transform tables roll back cleanly") {
     import graft.sinks.PartitionTransforms
     val t = table()
