@@ -831,33 +831,53 @@ object VersionedTable {
     * carry no emittable rows: strict mode throws, ignoreChanges skips
     * them. Scale: reads only the range's added files, never the table.
     */
+  /** Rewrite-only maintenance ops: same logical rows re-bucketed, so a
+    * tailing stream skips them silently (Delta's dataChange=false shape)
+    * — their input rows were already emitted by the commits that first
+    * added them.
+    */
+  private val RewriteOnlyOps = Set("optimize", "compact_deltas", "cluster", "cluster-zorder")
+
   def appendsBetween(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long,
       ignoreChanges: Boolean = false): DataFrame = {
     val fs = fsFor(spark, path)
     val all = commits(fs, path)
     require(all.nonEmpty, s"not a versioned table: $path")
+    // versions are dense: if the range's lower commits were expired from
+    // the log, silently skipping them would LOSE their rows — fail like
+    // Delta's "versions no longer available"
+    require(fromVersion + 1 >= all.head.version || fromVersion >= all.last.version,
+      s"graft-table source: versions ${fromVersion + 1}..${all.head.version - 1} " +
+        s"were expired from the log of $path — restart the stream from scratch")
     val upTo = all.filter(_.version <= toVersion)
     val range = upTo.filter(_.version > fromVersion)
     val files = range.flatMap { c =>
-      val nonAppend = c.removes.nonEmpty || c.op == "delete_mor"
-      if (nonAppend && !ignoreChanges)
-        throw new IllegalStateException(
-          s"graft-table source: version ${c.version} (${c.op}) is not " +
-            "append-only — set ignoreChanges=true to stream past rewrites")
-      if (c.op == "delete_mor") Nil // tombstones are not data rows
-      else c.adds ++ c.deltaAdds.getOrElse(Nil) ++
-        c.deltaReadds.getOrElse(Nil).map(_.file)
+      if (RewriteOnlyOps.contains(c.op)) Nil // dataChange=false: invisible
+      else {
+        val nonAppend = c.removes.nonEmpty || c.op == "delete_mor"
+        if (nonAppend && !ignoreChanges)
+          throw new IllegalStateException(
+            s"graft-table source: version ${c.version} (${c.op}) is not " +
+              "append-only — set ignoreChanges=true to stream past rewrites")
+        c.adds ++ c.deltaAdds.getOrElse(Nil) ++
+          c.deltaReadds.getOrElse(Nil).map(_.file)
+      }
     }
     val schema = snapshotSchema(upTo).getOrElse(tableSchema(spark, path))
     val hideCols = activeTransforms(upTo).map(_.name)
     if (files.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).option("basePath", path)
-        .parquet(files.map(f => s"$path/$f"): _*)
-        .drop(hideCols: _*)
+    // delta files may carry tombstone rows (delete_mor commits, or
+    // tombstone files re-added by a restore): read WITH the marker and
+    // filter them — they are deletions, never data rows
+    val df = spark.read
+      .schema(schema.add(DeleteMarker, org.apache.spark.sql.types.BooleanType))
+      .option("basePath", path)
+      .parquet(files.map(f => s"$path/$f"): _*)
+    df.filter(!coalesce(col(DeleteMarker), lit(false)))
+      .drop(DeleteMarker).drop(hideCols: _*)
   }
 
   /** Commit history: (version, ts_ms, op, n_added, n_removed). */
@@ -868,13 +888,18 @@ object VersionedTable {
       .toDF("version", "ts_ms", "op", "n_added", "n_removed")
   }
 
-  /** The current snapshot's schema, from the log when recorded (no file
-    * reads), else inferred from the live files.
+  /** The snapshot's schema (latest by default, or AS OF a version), from
+    * the log when recorded (no file reads, works on EMPTY snapshots),
+    * else inferred from the live files.
     */
-  def tableSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+  def tableSchema(spark: SparkSession, path: String,
+      asOfVersion: Option[Long] = None): org.apache.spark.sql.types.StructType = {
     val all = commits(fsFor(spark, path), path)
     require(all.nonEmpty, s"not a versioned table: $path")
-    snapshotSchema(all).getOrElse(read(spark, path).schema)
+    val upTo = asOfVersion.map(v => all.filter(_.version <= v)).getOrElse(all)
+    require(upTo.nonEmpty, s"no version <= ${asOfVersion.get} in $path")
+    snapshotSchema(upTo)
+      .getOrElse(read(spark, path, asOfVersion).schema)
   }
 
   def latestVersion(spark: SparkSession, path: String): Long = {
@@ -1854,16 +1879,21 @@ object VersionedTable {
         bIdx.get(f).forall(bloomMayMatch(_, cond))))
     // MOR tables skip too: delta-free dirs prune by stats/bloom, every
     // live delta still merges (see mergedView.baseKeep for why exact).
+    // empty kept set (or an empty snapshot entirely): an empty frame with
+    // the log schema — read() would throw on a rows-deleted table
+    def emptyFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(schema.filterNot(f =>
+        activeTransforms(upTo).exists(_.name == f.name))))
     if (deltaDirs.nonEmpty) {
       val df = mergedView(spark, path, upTo, baseKeep = Some(kept.toSet),
           statsIdx = Some(idx))
-        .getOrElse(read(spark, path, asOfVersion).filter(lit(false)))
+        .getOrElse(emptyFrame)
       return (df.filter(predicate), kept.size, files.size)
     }
     val reader = spark.read.schema(schema)
     val df =
-      if (kept.isEmpty)
-        read(spark, path, asOfVersion).filter(lit(false))
+      if (kept.isEmpty) emptyFrame
       else reader.option("basePath", path)
         .parquet(kept.map(f => s"$path/$f"): _*)
     (df.filter(predicate), kept.size, files.size)

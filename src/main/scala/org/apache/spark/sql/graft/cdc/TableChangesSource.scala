@@ -58,34 +58,11 @@ class TableChangesSource(
     * and wedge the checkpoint. Same pattern as FileStreamSource's
     * metadata log.
     */
-  private val startVersion: Long = {
-    val fs = new org.apache.hadoop.fs.Path(metadataPath)
-      .getFileSystem(sparkSession.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(metadataPath, "graft-start-version")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    } else {
-      val v = options.get("startingVersion").map(_.toLong)
-        .getOrElse(graft.sinks.VersionedTable.latestVersion(sparkSession, tablePath))
-      fs.mkdirs(marker.getParent)
-      val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
-        s".${marker.getName}.${java.util.UUID.randomUUID}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      // losing the rename race to a concurrent constructor is fine —
-      // both computed the value before any offset could be logged
-      if (!fs.rename(tmp, marker) && !fs.exists(marker)) {
-        throw new java.io.IOException(s"cannot persist start version at $marker")
-      }
-      fs.delete(tmp, false)
-      v
-    }
-  }
+  private val startVersion: Long =
+    org.apache.spark.sql.graft.SourceHelpers.persistedStartVersion(
+      sparkSession, metadataPath,
+      options.get("startingVersion").map(_.toLong)
+        .getOrElse(graft.sinks.VersionedTable.latestVersion(sparkSession, tablePath)))
 
   override def getOffset: Option[Offset] = {
     val latest = graft.sinks.VersionedTable.latestVersion(sparkSession, tablePath)
@@ -106,16 +83,10 @@ class TableChangesSource(
           .withColumn("_commit_version", lit(v))
           .select(cols: _*)
       }.reduce(_ unionByName _)
-    // V1 contract: getBatch must return a STREAMING frame — but the diff
-    // must be PLANNED as batch (tagging its leaves streaming would give
-    // the full-outer diff join streaming semantics: null-side rows wait
-    // on a watermark that never closes and inserts/deletes vanish). So:
-    // plan the diff as an ordinary batch query, then expose its RDD
-    // behind a streaming-tagged LogicalRDD boundary.
-    val qe = batch.queryExecution
-    Dataset.ofRows(sparkSession,
-      org.apache.spark.sql.execution.LogicalRDD(
-        qe.analyzed.output, qe.toRdd, isStreaming = true)(sparkSession))
+    // the diff must be PLANNED as batch (streaming-tagged leaves would
+    // give the full-outer diff join streaming semantics) — see
+    // SourceHelpers.asStreamingFrame
+    org.apache.spark.sql.graft.SourceHelpers.asStreamingFrame(sparkSession, batch)
   }
 
   override def commit(end: Offset): Unit = ()

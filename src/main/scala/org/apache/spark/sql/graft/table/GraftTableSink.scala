@@ -60,10 +60,21 @@ class GraftTableSinkProvider extends DataSourceRegister
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
     require(parameters.contains("path"), "graft-table: option 'path' is required")
+    require(parameters.contains("key") == parameters.contains("precombine"),
+      "graft-table: options 'key' and 'precombine' come together")
+    require(!parameters.get("mergeOnRead").exists(_.toBoolean) ||
+      parameters.contains("key"),
+      "graft-table: 'mergeOnRead' requires 'key'/'precombine'")
     val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
     val path = parameters("path")
-    val partitionCols = parameters.get("partitionCols")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // df.write.partitionBy(...) reaches V1 providers as the JSON-encoded
+    // __partition_columns option — honor it (or the explicit option)
+    val partitionCols = parameters
+      .get(org.apache.spark.sql.execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils.decodePartitioningColumns)
+      .orElse(parameters.get("partitionCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      .getOrElse(Nil)
     (parameters.get("key"), parameters.get("precombine")) match {
       case (Some(k), Some(pc)) =>
         require(mode == SaveMode.Append,
@@ -95,6 +106,17 @@ class GraftTableSinkProvider extends DataSourceRegister
     require(!parameters.get("mergeOnRead").exists(_.toBoolean) ||
       parameters.contains("key"),
       "graft-table sink: 'mergeOnRead' requires 'key'/'precombine'")
+    // Complete mode would append the FULL result every trigger (silent
+    // duplicates); Update without a key has the same problem. Delta makes
+    // the same restriction.
+    require(outputMode == OutputMode.Append() ||
+      (outputMode == OutputMode.Update() && parameters.contains("key")),
+      s"graft-table sink: unsupported output mode $outputMode " +
+        "(Append, or Update with key/precombine)")
+    // exactly-once rides (appId, batchId) txn tokens: the appId must be a
+    // durable per-query identity, not a truncated hash
+    require(parameters.contains("appId") || parameters.contains("checkpointLocation"),
+      "graft-table sink: set option 'checkpointLocation' (or an explicit 'appId')")
     new GraftTableSink(parameters, partitionColumns)
   }
 
@@ -149,8 +171,10 @@ private[table] class GraftTableRelation(
       vs.getLong(0)
     })
 
+  // log-only schema resolution: no snapshot planning, works on EMPTY
+  // snapshots (e.g. a table whose rows were all deleted)
   override val schema: StructType =
-    graft.sinks.VersionedTable.read(spark, path, asOfVersion).schema
+    graft.sinks.VersionedTable.tableSchema(spark, path, asOfVersion)
 
   // translate the pushed-down source filters into ONE Column predicate
   // for readPruned; untranslatable nodes drop out conservatively (the
@@ -205,33 +229,12 @@ private[table] class GraftTableTailSource(
 
   // Persist the start version in the checkpoint on first construction:
   // recomputing "latest at start" on restart would shift the horizon
-  // under a replayed getBatch. Same marker pattern as the CDC source.
-  private val startVersion: Long = {
-    val fs = new org.apache.hadoop.fs.Path(metadataPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(metadataPath, "graft-start-version")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    } else {
-      val v = options.get("startingVersion").map(_.toLong)
-        .getOrElse(graft.sinks.VersionedTable.latestVersion(spark, tablePath))
-      fs.mkdirs(marker.getParent)
-      val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
-        s".${marker.getName}.${java.util.UUID.randomUUID}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!fs.rename(tmp, marker) && !fs.exists(marker)) {
-        throw new java.io.IOException(s"cannot persist start version at $marker")
-      }
-      fs.delete(tmp, false)
-      v
-    }
-  }
+  // under a replayed getBatch.
+  private val startVersion: Long =
+    org.apache.spark.sql.graft.SourceHelpers.persistedStartVersion(
+      spark, metadataPath,
+      options.get("startingVersion").map(_.toLong)
+        .getOrElse(graft.sinks.VersionedTable.latestVersion(spark, tablePath)))
 
   override def getOffset: Option[Offset] = {
     val latest = graft.sinks.VersionedTable.latestVersion(spark, tablePath)
@@ -245,14 +248,21 @@ private[table] class GraftTableTailSource(
     }
     val from = start.map(asLong).getOrElse(startVersion)
     val to = asLong(end)
-    val batch = graft.sinks.VersionedTable
-      .appendsBetween(spark, tablePath, from, to, ignoreChanges)
-    // plan as batch, expose behind a streaming-tagged boundary (see
-    // TableChangesSource for why)
-    val qe = batch.queryExecution
-    Dataset.ofRows(spark,
-      org.apache.spark.sql.execution.LogicalRDD(
-        qe.analyzed.output, qe.toRdd, isStreaming = true)(spark))
+    val batch =
+      if (to <= from) // defensive: an empty replay range is an empty batch
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else graft.sinks.VersionedTable
+        .appendsBetween(spark, tablePath, from, to, ignoreChanges)
+    // Pin every batch to the DECLARED source schema (fixed at stream
+    // start): a replayed batch planned before an additive evolution
+    // null-fills the new columns instead of failing the stream's
+    // output-schema assertion.
+    val aligned = schema.fields.foldLeft(batch) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    org.apache.spark.sql.graft.SourceHelpers.asStreamingFrame(spark, aligned)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -267,12 +277,12 @@ private[table] class GraftTableSink(
     partitionCols: Seq[String]) extends Sink {
 
   private val path = params("path")
-  // The txn appId must be STABLE across restarts of the same query —
-  // derive it from the checkpoint location (the query's durable identity)
-  // unless given explicitly.
+  // The txn appId must be STABLE across restarts of the same query and
+  // UNIQUE per query — the FULL checkpoint location is both (a truncated
+  // hash could collide across queries, and a colliding appId makes a new
+  // query's early batches replay-skip: silent data loss).
   private val appId = params.getOrElse("appId",
-    "graft-table-" + Integer.toHexString(
-      params.getOrElse("checkpointLocation", path).hashCode))
+    "graft-table@" + params("checkpointLocation"))
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // The incoming frame carries the STREAMING logical plan — it cannot

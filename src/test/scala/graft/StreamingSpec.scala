@@ -232,16 +232,28 @@ class StreamingSpec extends SparkSpec {
     VersionedTable.write(spark, t, df3((4L, "b", 4L)), Seq("p"), mode = "append")
     val q2 = startQ(); q2.processAllAvailable(); q2.stop()
     assert(outKeys() == Seq(1L, 2L, 3L, 4L))
-    // a rewrite (delta compaction) breaks the strict append contract
+    // maintenance rewrites (compaction, optimize) are dataChange=false:
+    // a STRICT stream skips them silently, neither dying nor duplicating
     VersionedTable.compactDeltas(spark, t)
-    val q3 = startQ()
+    VersionedTable.write(spark, t, df3((5L, "a", 5L)), Seq("p"), mode = "append")
+    val q3 = startQ(); q3.processAllAvailable(); q3.stop()
+    assert(outKeys() == Seq(1L, 2L, 3L, 4L, 5L))
+    VersionedTable.optimize(spark, t, maxFilesPerPartition = 1)
+    VersionedTable.write(spark, t, df3((6L, "b", 6L)), Seq("p"), mode = "append")
+    val q4 = startQ(); q4.processAllAvailable(); q4.stop()
+    assert(outKeys() == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "optimize must not re-emit or drop rows for a strict tail")
+    // a REAL rewrite (COW upsert) breaks the strict append contract
+    VersionedTable.upsert(spark, t, df3((1L, "a", 100L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    val q5 = startQ()
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q3.processAllAvailable()
+      q5.processAllAvailable()
     }
     assert(e.getMessage.contains("not append-only"), e.getMessage)
-    q3.stop()
+    q5.stop()
     // ignoreChanges streams past the rewrite (rewrite copies allowed)
-    val q4 = spark.readStream.format("graft-table")
+    val q6 = spark.readStream.format("graft-table")
       .option("path", t).option("startingVersion", "0")
       .option("ignoreChanges", "true")
       .load()
@@ -249,10 +261,21 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", s"$work/ckpt2")
       .option("path", s"$work/out2")
       .start()
-    q4.processAllAvailable(); q4.stop()
+    q6.processAllAvailable(); q6.stop()
     assert(spark.read.parquet(s"$work/out2")
       .select("k").distinct().as[Long].collect().sorted.toSeq ==
-      Seq(1L, 2L, 3L, 4L))
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // expired log versions under a lagging checkpoint fail LOUDLY
+    (7 to 30).foreach(i =>
+      VersionedTable.write(spark, t, df3((i.toLong, "a", i.toLong)), Seq("p"), mode = "append"))
+    val gone = VersionedTable.expireLog(spark, t, keepVersions = 5)
+    assert(gone.nonEmpty, "test setup: expiry must drop versions")
+    val q7 = startQ() // checkpoint still at the old offset
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q7.processAllAvailable()
+    }
+    assert(e2.getMessage.contains("expired from the log"), e2.getMessage)
+    q7.stop()
   }
 
   test("graft-queue source under burst load: bounded batches, measured throughput") {

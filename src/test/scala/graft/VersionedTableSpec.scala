@@ -1127,6 +1127,21 @@ class VersionedTableSpec extends SparkSpec {
       .option("key", "k").option("precombine", "v")
       .option("mergeOnRead", "true").mode("append").save()
     assert(spark.read.format("graft-table").option("path", t).load().count() == 4)
+    // df.write.partitionBy routes through the V1 partitioning option
+    val t2 = table()
+    df((1L, "a", 1L), (2L, "b", 2L)).write.format("graft-table")
+      .option("path", t2).partitionBy("p").mode("overwrite").save()
+    assert(VersionedTable.read(spark, t2).inputFiles.exists(_.contains("p=a")),
+      "writer partitionBy must partition the table")
+    // a fully-deleted table still loads (log-only schema, zero rows)
+    VersionedTable.delete(spark, t2, lit(true), Seq("p"))
+    val empty = spark.read.format("graft-table").option("path", t2).load()
+    assert(empty.columns.toSeq == Seq("k", "p", "v") && empty.count() == 0)
+    // half-specified keyed options fail loudly instead of appending
+    intercept[IllegalArgumentException] {
+      df((9L, "a", 9L)).write.format("graft-table")
+        .option("path", t2).option("key", "k").mode("append").save()
+    }
   }
 
   test("restore pins the target's partition spec: transform tables roll back cleanly") {
