@@ -160,30 +160,24 @@ object TextOps {
     * FIRST occurrence, preserving order — the within-doc analog of the
     * cross-doc exact dedup, and a standard cleanup before tokenization.
     *
-    * Plan shape: posexplode → (doc_id, word) window keep-first →
-    * re-assemble with an order-preserving sorted collect. The shuffle
-    * keys are (doc_id, word) — per-doc-unique, perfectly uniform — and
-    * rows carry single words, so at 100 TB this costs one well-keyed
-    * window plus one per-doc aggregation, both map-side combinable.
+    * Plan shape: a pure per-row map — `array_distinct` keeps first
+    * occurrences in order, so the whole op is ONE codegen'd projection
+    * with NO shuffle at all (an explode→window formulation would shuffle
+    * every token occurrence in the corpus — at 100 TB that is the
+    * difference between scan speed and the largest shuffle in the
+    * pipeline). The two-step select keeps the distinct array computed
+    * once (CollapseProject leaves multi-referenced exprs alone).
     */
   def dedupWords(spark: SparkSession, dir: String): DataFrame =
     dedupWordsFrame(Tables.documents(spark, dir))
 
-  private[graft] def dedupWordsFrame(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = docs
-      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "w")))
-    val firstW = Window.partitionBy(col("doc_id"), col("w")).orderBy(col("pos"))
-    words.withColumn("__rn", row_number().over(firstW)).filter(col("__rn") === 1)
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_unique"),
-        // array_sort on (pos, w) structs restores first-occurrence order
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")), " ").as("deduped"))
+  private[graft] def dedupWordsFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), array_distinct(wsTokens(col("text"))).as("__u"))
+      .select(col("doc_id"),
+        size(col("__u")).cast("long").as("n_unique"),
+        array_join(col("__u"), " ").as("deduped"))
       .orderBy(col("doc_id"))
-  }
 
   val ops: Seq[Op] = Seq(
     Op("q_text_dedup_words", dedupWords,

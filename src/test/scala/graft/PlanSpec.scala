@@ -51,6 +51,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("intra-doc word dedup is a pure map: only the output sort exchanges") {
+    val p = physical(graft.operators.TextOps.dedupWords(spark, sf))
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1, s"expected only the orderBy exchange, got $exchanges:\n${p.take(2000)}")
+  }
+
   test("bucketed fact tables join with ZERO shuffle (co-location)") {
     val ss = spark
     import org.apache.spark.sql.functions.col
