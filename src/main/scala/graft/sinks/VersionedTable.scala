@@ -537,13 +537,69 @@ object VersionedTable {
     }.toSet
   }
 
+  /** Per-dir cap on delta rows for the bloom-probe bypass: above this
+    * the delta key set is not collected driver-side and the range test
+    * alone decides. Bounds the probe at one small job per touched dir.
+    */
+  private val MorBloomProbeMaxKeys = 100000L
+
+  /** Second-chance bypass for base files the RANGE test could not clear:
+    * when the table bloom-indexes the merge key and a dir's delta rows
+    * are few (log-recorded counts ≤ [[MorBloomProbeMaxKeys]]), the delta
+    * KEYS are read (small files, one bounded job per dir) and probed
+    * against each base file's log bloom — a file containing none of the
+    * touched keys skips the collapse window even when ranges overlap,
+    * which is exactly the scattered-update workload where ranges never
+    * prune. False positives only cost a merge; missing blooms or stats
+    * cost nothing. Null-key rules mirror [[morBypass]].
+    */
+  private def morBloomBypass(spark: SparkSession, path: String,
+      candidates: Seq[String], deltasByDir: Map[String, Seq[String]],
+      key: String, idx: Map[String, FileStat],
+      bIdx: Map[String, Map[String, BloomStat]]): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    def noNullKeys(f: String): Boolean =
+      idx.get(f).exists(_.nulls.exists(_.get(key).contains(0L)))
+    val withBloom = candidates.filter(f =>
+      bIdx.get(f).exists(_.contains(key)) && noNullKeys(f))
+    if (withBloom.isEmpty) return Set.empty
+    val eligibleDirs = withBloom.map(dirOf).toSet.filter { d =>
+      val dfs = deltasByDir.getOrElse(d, Nil)
+      dfs.nonEmpty && dfs.forall(f => idx.contains(f)) &&
+        dfs.map(idx(_).rows).sum <= MorBloomProbeMaxKeys
+    }
+    if (eligibleDirs.isEmpty) return Set.empty
+    val dec = java.util.Base64.getDecoder
+    eligibleDirs.toSeq.flatMap { d =>
+      val dFiles = deltasByDir(d)
+      val keyDf = spark.read.option("basePath", path)
+        .parquet(dFiles.map(f => s"$path/$f"): _*).select(key).distinct()
+      val dt = keyDf.schema.fields.head.dataType
+      val keys = keyDf.collect().map(_.get(0)).filter(_ != null)
+      val hashes = keys.map { v =>
+        val litE = Literal.create(v, dt)
+        (XxHash64(Seq(litE), 42L).eval(null).asInstanceOf[Long],
+          XxHash64(Seq(litE, Literal(1)), 42L).eval(null).asInstanceOf[Long])
+      }
+      withBloom.filter(f => dirOf(f) == d).filter { f =>
+        val bs = bIdx(f)(key)
+        bs.dt == dt.catalogString && {
+          val bits = dec.decode(bs.bitsB64)
+          !hashes.exists { case (a, b) =>
+            graft.functions.BloomKernel.mightContain(bits, bs.m, bs.k, a, b) }
+        }
+      }
+    }.toSet
+  }
+
   /** The logical relation of snapshot `upTo`: base files when no deltas
     * are live, else base + deltas collapsed latest-wins (highest
     * precombine; ties go to the latest delta commit, base is commit 0 —
     * ONE window shuffle on the merge keys, the MOR read tax; base files
-    * [[morBypass]] proves untouched skip the window entirely). Optionally
-    * restricted to partition dirs ("" = unpartitioned) so callers pay
-    * only for the slice they need. None when the slice has no files.
+    * [[morBypass]] or the bloom probe proves untouched skip the window
+    * entirely). Optionally restricted to partition dirs ("" =
+    * unpartitioned) so callers pay only for the slice they need. None
+    * when the slice has no files.
     */
   private def mergedView(spark: SparkSession, path: String, upTo: Seq[Commit],
       restrictDirs: Option[Set[String]] = None,
@@ -598,7 +654,15 @@ object VersionedTable {
       .map { case (v, es) => v -> es.map(_.file) }
     // Only base files a delta could actually touch pay the collapse
     // shuffle; the provably-untouched rest unions in after the window.
-    val pass = morBypass(statsIdx.getOrElse(statsIndex(upTo)), base, deltas, spec.key)
+    // Two proofs compose: key-range disjointness (free, from the log),
+    // then a bloom probe of the actual delta keys for files ranges
+    // could not clear (scattered updates).
+    val sIdx = statsIdx.getOrElse(statsIndex(upTo))
+    val pass0 = morBypass(sIdx, base, deltas, spec.key)
+    val bloomPass = morBloomBypass(spark, path,
+      base.filterNot(pass0).filter(f => deltaDirs.contains(dirOf(f))),
+      deltas.groupBy(dirOf), spec.key, sIdx, bloomIndex(upTo))
+    val pass = pass0 ++ bloomPass
     val mergeBase = base.filterNot(pass)
     val sides = (if (mergeBase.isEmpty) Nil
       else Seq(rd(mergeBase).withColumn("__m_src", lit(0L)))) ++

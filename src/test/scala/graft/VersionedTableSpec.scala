@@ -1286,6 +1286,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == Seq(100L), s"delta update must win through the merge, got $got")
   }
 
+  test("bloom probe bypasses base files range tests cannot clear (scattered updates)") {
+    val t = table()
+    // four base files with INTERLEAVED keys: every file spans ~0..399, so
+    // range disjointness can never prune any of them
+    (0 until 4).foreach { i =>
+      VersionedTable.write(spark, t,
+        (0L until 100L).map(j => (j * 4 + i, "a", j * 4 + i)).toDF("k", "p", "v")
+          .coalesce(1),
+        Seq("p"), mode = if (i == 0) "overwrite" else "append",
+        statsCols = Seq("k"), bloomCols = Seq("k"))
+    }
+    // the update touches keys ≡ 1 (mod 4) — only file i=1 holds them
+    VersionedTable.upsertMOR(spark, t,
+      Seq((1L, "a", 99999L), (5L, "a", 88888L)).toDF("k", "p", "v"),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    val r = VersionedTable.read(spark, t)
+    assert(r.count() == 400)
+    assert(r.filter(col("k") === 1L).select("v").as[Long].head() == 99999L)
+    assert(r.filter(col("k") === 5L).select("v").as[Long].head() == 88888L)
+    assert(r.filter(col("k") === 2L).select("v").as[Long].head() == 2L)
+    // the bloom probe clears the three files without the touched keys
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val windowScans = r.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.collectLeaves().collect {
+          case l: LogicalRelation =>
+            l.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.toSeq
+        }.flatten
+    }.flatten
+    assert(windowScans.size == 2,
+      s"expected only the key-holding base file + the delta under the window, got $windowScans")
+    assert(r.inputFiles.length == 5, "bloom-bypassed files still read via the union")
+  }
+
   test("expireLog keeps uncompacted MOR deltas readable: checkpoints stamp the delta manifest") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 2L)), Seq("p"))
