@@ -173,6 +173,9 @@ object TextOps {
 
   private[graft] def dedupWordsFrame(docs: DataFrame): DataFrame =
     docs
+      // null text carries no words: drop the doc, matching both the
+      // explode-based formulation and the DuckDB oracle's unnest
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), array_distinct(wsTokens(col("text"))).as("__u"))
       .select(col("doc_id"),
         size(col("__u")).cast("long").as("n_unique"),

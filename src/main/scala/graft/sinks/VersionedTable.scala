@@ -515,8 +515,7 @@ object VersionedTable {
     }
     // null keys are invisible to min/max: a base file may only bypass
     // when the log PROVES it has none (delta null keys then can't match)
-    def noNullKeys(f: String): Boolean =
-      idx.get(f).exists(_.nulls.exists(_.get(key).contains(0L)))
+    def noNullKeys(f: String): Boolean = provenNoNullKeys(idx, f, key)
     // String ranges MUST compare in the order the stats were collected
     // under — Spark's UTF8String byte-wise order, not Java's UTF-16
     // code-unit order (they diverge once supplementary characters mix
@@ -537,56 +536,81 @@ object VersionedTable {
     }.toSet
   }
 
-  /** Per-dir cap on delta rows for the bloom-probe bypass: above this
-    * the delta key set is not collected driver-side and the range test
-    * alone decides. Bounds the probe at one small job per touched dir.
+  /** Per-dir cap on delta rows for the bloom-probe bypass: above this a
+    * dir's delta key set is not collected driver-side and the range test
+    * alone decides. `private[graft] var` so specs can pin the fallback.
     */
-  private val MorBloomProbeMaxKeys = 100000L
+  private[graft] var morBloomProbeMaxKeys = 100000L
+
+  /** Global budget across all dirs of one merged read — bounds the ONE
+    * probe job + collect however many dirs an update batch touched.
+    */
+  private val MorBloomProbeTotalKeys = 1000000L
+
+  /** Can the log PROVE file `f` holds no null `key` values? Null keys are
+    * invisible to min/max AND to value probes, so both bypass proofs
+    * require this (a null base key could collapse with a null delta key).
+    */
+  private def provenNoNullKeys(idx: Map[String, FileStat], f: String, key: String): Boolean =
+    idx.get(f).exists(_.nulls.exists(_.get(key).contains(0L)))
 
   /** Second-chance bypass for base files the RANGE test could not clear:
-    * when the table bloom-indexes the merge key and a dir's delta rows
-    * are few (log-recorded counts ≤ [[MorBloomProbeMaxKeys]]), the delta
-    * KEYS are read (small files, one bounded job per dir) and probed
-    * against each base file's log bloom — a file containing none of the
-    * touched keys skips the collapse window even when ranges overlap,
-    * which is exactly the scattered-update workload where ranges never
-    * prune. False positives only cost a merge; missing blooms or stats
-    * cost nothing. Null-key rules mirror [[morBypass]].
+    * when the table bloom-indexes the merge key and the touched dirs'
+    * log-recorded delta row counts are small, the delta KEYS are read in
+    * ONE bounded job (keys attributed to their dir via input_file_name)
+    * and probed against each base file's log bloom — a file containing
+    * none of the touched keys skips the collapse window even when ranges
+    * overlap, which is exactly the scattered-update workload where
+    * ranges never prune. False positives only cost a merge; missing
+    * blooms/stats or a type mismatch cost nothing (the dt gate is
+    * checked against the LOG schema before any I/O).
     */
   private def morBloomBypass(spark: SparkSession, path: String,
       candidates: Seq[String], deltasByDir: Map[String, Seq[String]],
-      key: String, idx: Map[String, FileStat],
+      key: String, keyDt: Option[String], idx: Map[String, FileStat],
       bIdx: Map[String, Map[String, BloomStat]]): Set[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    def noNullKeys(f: String): Boolean =
-      idx.get(f).exists(_.nulls.exists(_.get(key).contains(0L)))
     val withBloom = candidates.filter(f =>
-      bIdx.get(f).exists(_.contains(key)) && noNullKeys(f))
+      bIdx.get(f).exists(bm =>
+        bm.contains(key) && keyDt.forall(_ == bm(key).dt)) &&
+        provenNoNullKeys(idx, f, key))
     if (withBloom.isEmpty) return Set.empty
-    val eligibleDirs = withBloom.map(dirOf).toSet.filter { d =>
+    var budget = MorBloomProbeTotalKeys
+    val eligibleDirs = withBloom.map(dirOf).distinct.sorted.filter { d =>
       val dfs = deltasByDir.getOrElse(d, Nil)
-      dfs.nonEmpty && dfs.forall(f => idx.contains(f)) &&
-        dfs.map(idx(_).rows).sum <= MorBloomProbeMaxKeys
+      val rows = dfs.map(f => idx.get(f).map(_.rows).getOrElse(Long.MaxValue)).sum
+      val ok = dfs.nonEmpty && rows >= 0 && rows <= morBloomProbeMaxKeys &&
+        rows <= budget
+      if (ok) budget -= rows
+      ok
     }
     if (eligibleDirs.isEmpty) return Set.empty
-    val dec = java.util.Base64.getDecoder
-    eligibleDirs.toSeq.flatMap { d =>
-      val dFiles = deltasByDir(d)
-      val keyDf = spark.read.option("basePath", path)
-        .parquet(dFiles.map(f => s"$path/$f"): _*).select(key).distinct()
-      val dt = keyDf.schema.fields.head.dataType
-      val keys = keyDf.collect().map(_.get(0)).filter(_ != null)
-      val hashes = keys.map { v =>
+    // ONE job over every eligible dir's delta files
+    val allFiles = eligibleDirs.flatMap(deltasByDir)
+    val frame = spark.read.option("basePath", path)
+      .parquet(allFiles.map(f => s"$path/$f"): _*)
+      .select(input_file_name().as("__f"), col(key).as("__k")).distinct()
+    val dt = frame.schema.fields(1).dataType
+    if (keyDt.exists(_ != dt.catalogString)) return Set.empty
+    val relIdx = relIndex(allFiles)
+    val keysByDir = frame.collect().filter(!_.isNullAt(1))
+      .groupBy(r => dirOf(relOf(relIdx, r.getString(0))))
+      .view.mapValues(_.map(_.get(1)).distinct.map { v =>
         val litE = Literal.create(v, dt)
         (XxHash64(Seq(litE), 42L).eval(null).asInstanceOf[Long],
           XxHash64(Seq(litE, Literal(1)), 42L).eval(null).asInstanceOf[Long])
-      }
-      withBloom.filter(f => dirOf(f) == d).filter { f =>
+      }).toMap
+    val dec = java.util.Base64.getDecoder
+    val eligibleSet = eligibleDirs.toSet
+    withBloom.filter { f =>
+      eligibleSet.contains(dirOf(f)) && {
         val bs = bIdx(f)(key)
         bs.dt == dt.catalogString && {
           val bits = dec.decode(bs.bitsB64)
-          !hashes.exists { case (a, b) =>
-            graft.functions.BloomKernel.mightContain(bits, bs.m, bs.k, a, b) }
+          !keysByDir.getOrElse(dirOf(f), Array.empty[(Long, Long)]).exists {
+            case (a, b) =>
+              graft.functions.BloomKernel.mightContain(bits, bs.m, bs.k, a, b)
+          }
         }
       }
     }.toSet
@@ -659,9 +683,11 @@ object VersionedTable {
     // could not clear (scattered updates).
     val sIdx = statsIdx.getOrElse(statsIndex(upTo))
     val pass0 = morBypass(sIdx, base, deltas, spec.key)
+    val logKeyDt = schemaOverride.orElse(snapshotSchema(upTo))
+      .flatMap(_.fields.find(_.name == spec.key)).map(_.dataType.catalogString)
     val bloomPass = morBloomBypass(spark, path,
       base.filterNot(pass0).filter(f => deltaDirs.contains(dirOf(f))),
-      deltas.groupBy(dirOf), spec.key, sIdx, bloomIndex(upTo))
+      deltas.groupBy(dirOf), spec.key, logKeyDt, sIdx, bloomIndex(upTo))
     val pass = pass0 ++ bloomPass
     val mergeBase = base.filterNot(pass)
     val sides = (if (mergeBase.isEmpty) Nil

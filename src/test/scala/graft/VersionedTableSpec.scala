@@ -18,6 +18,18 @@ class VersionedTableSpec extends SparkSpec {
   private def df(rows: (Long, String, Long)*) =
     rows.toDF("k", "p", "v")
 
+  /** Files scanned UNDER the MOR collapse window of a merged-read plan. */
+  private def windowScanFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.collectLeaves().collect {
+          case l: LogicalRelation =>
+            l.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.toSeq
+        }.flatten
+    }.flatten
+  }
+
   test("write/append/upsert build a version history; every snapshot stays readable") {
     val t = table()
     val v1 = VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 1L)), Seq("p"))
@@ -1307,17 +1319,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(r.filter(col("k") === 5L).select("v").as[Long].head() == 88888L)
     assert(r.filter(col("k") === 2L).select("v").as[Long].head() == 2L)
     // the bloom probe clears the three files without the touched keys
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val windowScans = r.queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
-        w.collectLeaves().collect {
-          case l: LogicalRelation =>
-            l.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.toSeq
-        }.flatten
-    }.flatten
+    val windowScans = windowScanFiles(r)
     assert(windowScans.size == 2,
       s"expected only the key-holding base file + the delta under the window, got $windowScans")
     assert(r.inputFiles.length == 5, "bloom-bypassed files still read via the union")
+    // conservative fallback: a dir whose delta rows exceed the probe cap
+    // keeps EVERY base file in the merge (and stays correct)
+    val savedCap = VersionedTable.morBloomProbeMaxKeys
+    try {
+      VersionedTable.morBloomProbeMaxKeys = 1L // the delta holds 2 rows
+      val r2 = VersionedTable.read(spark, t)
+      assert(windowScanFiles(r2).size == 5,
+        "over-cap dir must keep all base files in the merge")
+      assert(r2.filter(col("k") === 1L).select("v").as[Long].head() == 99999L)
+    } finally VersionedTable.morBloomProbeMaxKeys = savedCap
+  }
+
+  test("bloom probe refuses base files with possible null keys (null-null collapse)") {
+    val t = table()
+    val rows: Seq[(Option[Long], String, Long)] =
+      Seq((Some(10L), "a", 1L), (None, "a", 2L))
+    VersionedTable.write(spark, t, rows.toDF("k", "p", "v").coalesce(1),
+      Seq("p"), statsCols = Seq("k"), bloomCols = Seq("k"))
+    // the delta's key (999) is provably absent from the base bloom, but
+    // the base file may hold NULL keys — a null delta key could collapse
+    // with them, so the file must stay under the window
+    VersionedTable.upsertMOR(spark, t,
+      Seq((999L, "a", 100L)).toDF("k", "p", "v"),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    val r = VersionedTable.read(spark, t)
+    assert(windowScanFiles(r).size == 2,
+      "a possibly-null-keyed base file must never bypass")
+    assert(r.count() == 3)
+    assert(r.filter(col("k").isNull).count() == 1)
+    assert(r.filter(col("k") === 999L).select("v").as[Long].head() == 100L)
   }
 
   test("expireLog keeps uncompacted MOR deltas readable: checkpoints stamp the delta manifest") {
