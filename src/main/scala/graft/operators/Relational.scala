@@ -199,7 +199,54 @@ object Relational {
         col("sum_qty"), col("cnt"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** CUBE grouping sets (all four dimension combinations of status ×
+    * priority): one pass, Expand + partial agg — the NULL grouping
+    * markers coalesce to 'ALL' so the oracle needs no GROUPING() calls.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Fixed-value pivot (long→wide): per-source document counts spread
+    * over the language columns. The pivot list is FIXED, so the plan is
+    * one groupBy with five conditional aggregates — map-side partial,
+    * no second shuffle, and deterministic output columns (Spark's
+    * inferred pivot would scan once extra to discover values).
+    */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("source"))
+
   val ops: Seq[Op] = Seq(
+    Op("q_cube", cubeAgg,
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+    Op("q_pivot", pivotCounts,
+      Some("""
+        SELECT source,
+          count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+          count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+          count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+          count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+          count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+        FROM documents GROUP BY source ORDER BY source""")),
     Op("q_count", scanCount,
       Some("SELECT COUNT(*) AS n_rows FROM lineitem")),
     Op("q_group_count", groupCount,
