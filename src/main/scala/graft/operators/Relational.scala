@@ -200,40 +200,52 @@ object Relational {
       .orderBy(col("returnflag"), col("linestatus"))
 
   /** CUBE grouping sets (all four dimension combinations of status ×
-    * priority): one pass, Expand + partial agg — the NULL grouping
-    * markers coalesce to 'ALL' so the oracle needs no GROUPING() calls.
+    * priority): one pass, Expand + partial agg. The 'ALL' markers come
+    * from GROUPING() — coalescing the dimension itself would conflate a
+    * real NULL data value with the super-aggregate row (duplicate keys,
+    * non-total ordering); GROUPING() distinguishes them exactly, in both
+    * engines.
     */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
+        grouping(col("o_orderstatus")).as("__gs"),
+        grouping(col("o_orderpriority")).as("__gp"),
         count(lit(1)).as("n"),
         sum(dec(col("o_totalprice"))).cast("double").as("total"))
       .select(
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        when(col("__gs") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+        when(col("__gp") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
         col("n"), col("total"))
       .orderBy(col("status"), col("priority"))
 
   /** Fixed-value pivot (long→wide): per-source document counts spread
-    * over the language columns. The pivot list is FIXED, so the plan is
-    * one groupBy with five conditional aggregates — map-side partial,
-    * no second shuffle, and deterministic output columns (Spark's
-    * inferred pivot would scan once extra to discover values).
+    * over the language columns as EXPLICIT conditional aggregates — one
+    * map-side-partial groupBy, no second shuffle, deterministic output
+    * columns. (`Dataset.pivot(col, values)` compiles to the two-shuffle
+    * PivotFirst plan even with fixed values; the conditional-aggregate
+    * spelling is the single-shuffle one and mirrors the oracle SQL
+    * exactly.)
     */
   def pivotCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(col("source"))
-      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
-      .count()
-      .na.fill(0L)
+      .agg(
+        count(when(col("lang") === "de", 1)).as("de"),
+        count(when(col("lang") === "en", 1)).as("en"),
+        count(when(col("lang") === "es", 1)).as("es"),
+        count(when(col("lang") === "fr", 1)).as("fr"),
+        count(when(col("lang") === "zh", 1)).as("zh"))
       .orderBy(col("source"))
 
   val ops: Seq[Op] = Seq(
     Op("q_cube", cubeAgg,
       Some("""
-        SELECT coalesce(o_orderstatus, 'ALL') AS status,
-               coalesce(o_orderpriority, 'ALL') AS priority,
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                    ELSE o_orderstatus END AS status,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                    ELSE o_orderpriority END AS priority,
                count(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)

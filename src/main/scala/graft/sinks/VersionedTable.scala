@@ -1275,12 +1275,27 @@ object VersionedTable {
     * round-robin): N files per touched dir, written in parallel.
     */
   private def byPartitions(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
-    val tasksPerPartition = df.sparkSession.conf
-      .getOption("graft.write.tasksPerPartition").map(_.toInt).getOrElse(1)
+    val raw = df.sparkSession.conf
+      .getOption("graft.write.tasksPerPartition").map(_.trim)
+    val tasksPerPartition = raw.map { v =>
+      require(v.nonEmpty && v.forall(_.isDigit),
+        s"graft.write.tasksPerPartition must be a positive integer, got '$v'")
+      v.toInt
+    }.getOrElse(1)
+    // xxhash64 rejects MAP-bearing types — salt over the hashable
+    // columns only (still deterministic per row for any real table; a
+    // row identical on every hashable column may share a salt, which
+    // only costs spread, never correctness)
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
     val salt =
-      if (tasksPerPartition <= 1) Nil
-      else Seq(pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
-        lit(tasksPerPartition.toLong)))
+      if (tasksPerPartition <= 1 || saltCols.isEmpty) Nil
+      else Seq(pmod(xxhash64(saltCols.toIndexedSeq: _*), lit(tasksPerPartition.toLong)))
     val exprs = partitionCols.map(col) ++ salt
     if (exprs.isEmpty) df else df.repartition(exprs: _*)
   }

@@ -51,6 +51,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("fixed-value pivot is one map-side-partial groupBy (no PivotFirst second shuffle)") {
+    val p = physical(graft.operators.Relational.pivotCounts(spark, sf))
+    assert(!p.contains("pivotfirst"), p.take(2000))
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 2, s"expected agg + sort exchanges only, got $exchanges")
+  }
+
   test("intra-doc word dedup is a pure map: only the output sort exchanges") {
     val p = physical(graft.operators.TextOps.dedupWords(spark, sf))
     val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
