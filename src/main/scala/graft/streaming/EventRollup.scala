@@ -59,7 +59,52 @@ object EventRollup {
     slidingRollup(Tables.events(spark, dir))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Native session windows (`session_window`, 30-minute gap): the same
+    * gap-merge the streaming engine runs with watermarked state, planned
+    * here in batch so the result is DuckDB-checkable via the classic
+    * islands construction (a new session starts when the gap to the
+    * previous event is ≥ the gap — Spark merges event windows
+    * [ts, ts+gap) on OVERLAP, so an event landing exactly at the close
+    * boundary opens a new session; `session_end` = last event + gap).
+    * Complements [[Sessionize]]'s flatMapGroupsWithState formulation:
+    * same problem, the declarative engine-native spelling.
+    */
+  def nativeSessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Money)).cast("double").as("total_value"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  def nativeSessionsBatch(spark: SparkSession, dir: String): DataFrame =
+    nativeSessions(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
   val ops: Seq[Op] = Seq(
+    Op("q_session_native", nativeSessionsBatch,
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts, value,
+            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+          FROM events),
+        sess AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id,
+          min(ts) AS session_start,
+          max(ts) + INTERVAL 30 MINUTE AS session_end,
+          count(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")),
     Op("q_stream_window", batch,
       Some("""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
