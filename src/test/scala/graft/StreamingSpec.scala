@@ -202,6 +202,21 @@ class StreamingSpec extends SparkSpec {
     // src holds 500 dups of <500 keys, so append keeps them all
     assert(VersionedTable.read(spark, s"$work/tbl2").count() ==
       events.count() + 500)
+    // mergeOnRead mode: each micro-batch is a delta append; the merged
+    // read collapses the dup-landed keys exactly once
+    val q3 = spark.readStream.schema(schema).parquet(s"$work/src")
+      .writeStream.format("graft-table")
+      .option("path", s"$work/tbl3")
+      .option("key", "event_id").option("precombine", "ts")
+      .option("mergeOnRead", "true")
+      .option("checkpointLocation", s"$work/ckpt3")
+      .start()
+    q3.processAllAvailable(); q3.stop()
+    assert(VersionedTable.read(spark, s"$work/tbl3").count() == events.count(),
+      "MOR sink must collapse dup-landed keys on read")
+    // and compaction materializes the same state
+    VersionedTable.compactDeltas(spark, s"$work/tbl3")
+    assert(VersionedTable.read(spark, s"$work/tbl3").count() == events.count())
   }
 
   test("graft-table streaming source tails appends exactly-once; rewrites need ignoreChanges") {
