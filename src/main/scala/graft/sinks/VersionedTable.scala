@@ -1275,29 +1275,34 @@ object VersionedTable {
     * round-robin): N files per touched dir, written in parallel.
     */
   private def byPartitions(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
-    val raw = df.sparkSession.conf
-      .getOption("graft.write.tasksPerPartition").map(_.trim)
-    val tasksPerPartition = raw.map { v =>
-      require(v.nonEmpty && v.forall(_.isDigit),
-        s"graft.write.tasksPerPartition must be a positive integer, got '$v'")
-      v.toInt
-    }.getOrElse(1)
+    val tasksPerPartition = df.sparkSession.conf
+      .getOption("graft.write.tasksPerPartition").map(_.trim).map { v =>
+        val n = scala.util.Try(v.toLong).getOrElse(-1L)
+        require(n >= 1 && n <= 4096,
+          s"graft.write.tasksPerPartition must be an integer in [1, 4096], got '$v'")
+        n.toInt
+      }.getOrElse(1)
+    // An UNPARTITIONED rewrite keeps its upstream parallelism (salting it
+    // would COLLAPSE the whole table to N tasks — the opposite of the
+    // knob's purpose); the salt only splits per-dir writer tasks.
+    if (partitionCols.isEmpty) return df
     // xxhash64 rejects MAP-bearing types — salt over the hashable
     // columns only (still deterministic per row for any real table; a
     // row identical on every hashable column may share a salt, which
-    // only costs spread, never correctness)
+    // only costs spread, never correctness). Names backtick-quoted so
+    // dots in column names don't parse as nested paths.
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
       case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
       case _ => true
     }
-    val saltCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    def quoted(n: String) = col("`" + n.replace("`", "``") + "`")
+    val saltCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => quoted(f.name))
     val salt =
       if (tasksPerPartition <= 1 || saltCols.isEmpty) Nil
       else Seq(pmod(xxhash64(saltCols.toIndexedSeq: _*), lit(tasksPerPartition.toLong)))
-    val exprs = partitionCols.map(col) ++ salt
-    if (exprs.isEmpty) df else df.repartition(exprs: _*)
+    df.repartition((partitionCols.map(quoted) ++ salt): _*)
   }
 
   def upsert(spark: SparkSession, path: String, updates: DataFrame,

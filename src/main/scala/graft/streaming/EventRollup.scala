@@ -62,11 +62,11 @@ object EventRollup {
   /** Native session windows (`session_window`, 30-minute gap): the same
     * gap-merge the streaming engine runs with watermarked state, planned
     * here in batch so the result is DuckDB-checkable via the classic
-    * islands construction (a new session starts when the gap to the
-    * previous event is ≥ the gap — Spark merges event windows
-    * [ts, ts+gap) on OVERLAP, so an event landing exactly at the close
-    * boundary opens a new session; `session_end` = last event + gap).
-    * Complements [[Sessionize]]'s flatMapGroupsWithState formulation:
+    * islands construction. Spark merges TOUCHING event windows — two
+    * events exactly one gap apart share a session (verified against
+    * 4.1.2) — so the islands break is STRICTLY greater than the gap,
+    * matching [[Sessionize]]'s batch oracle; `session_end` = last
+    * event + gap. Complements the flatMapGroupsWithState formulation:
     * same problem, the declarative engine-native spelling.
     */
   def nativeSessions(events: DataFrame): DataFrame =
@@ -91,7 +91,7 @@ object EventRollup {
         WITH marked AS (
           SELECT user_id, ts, value,
             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL 30 MINUTE
+                   > INTERVAL 30 MINUTE
                  THEN 1 ELSE 0 END AS brk
           FROM events),
         sess AS (

@@ -43,6 +43,24 @@ class StreamingSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toFile.getAbsolutePath
 
+  test("session_window merges events exactly one gap apart (touching windows share a session)") {
+    val ssl = SparkSpec.spark
+    import ssl.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:30:00", 1.0), // exactly the 30-min gap: SAME session
+      (1L, "2024-01-01 01:30:01", 1.0)) // > gap from the previous: new session
+      .toDF("user_id", "tss", "value")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val out = EventRollup.nativeSessions(ev)
+      .select("session_start", "session_end", "n_events")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().sortBy(_._1.getTime)
+    assert(out.length == 2, s"touching windows must merge: ${out.toSeq}")
+    assert(out(0)._3 == 2L && out(0)._2.toString == "2024-01-01 01:00:00.0")
+    assert(out(1)._3 == 1L && out(1)._1.toString == "2024-01-01 01:30:01.0")
+  }
+
   test("FileNotificationCache: dedup, ordered batching, age purge, redelivery") {
     val c = new FileNotificationCache(maxAgeMs = 100)
     c.add(FileNotification("f1", 10, "h1"))

@@ -1343,6 +1343,7 @@ class VersionedTableSpec extends SparkSpec {
     // AQE's size-aware coalescing correctly folds tiny salted shuffles
     // back together at TEST scale (at 100 TB it keeps them apart) — turn
     // it off to observe the split mechanism itself
+    val savedCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try {
       VersionedTable.upsert(spark, t,
@@ -1356,7 +1357,7 @@ class VersionedTableSpec extends SparkSpec {
       assert(got.size == 1000 && got(0L) == 10000L && got(999L) == 10999L)
     } finally {
       spark.conf.unset("graft.write.tasksPerPartition")
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", savedCoalesce)
     }
     // default (knob unset) stays one writer per dir
     VersionedTable.upsert(spark, t,
