@@ -771,6 +771,8 @@ object VersionedTable {
   private def morWrite(spark: SparkSession, path: String, rows: DataFrame,
       key: String, precombine: String, partitionCols: Seq[String],
       txn: Option[(String, Long)], tombstone: Boolean): Long = {
+    requireSimpleNames("key/precombine", Seq(key, precombine))
+    requireSimpleNames("partition", partitionCols)
     val fs = fsFor(spark, path)
     val op = if (tombstone) "delete_mor" else "upsert_mor"
     val token = txn.map { case (app, batch) => Txn(app, batch) }
@@ -1179,6 +1181,9 @@ object VersionedTable {
       transforms: Seq[PartitionTransforms.Transform] = Nil,
       txn: Option[(String, Long)] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"unsupported mode: $mode")
+    requireSimpleNames("partition", partitionCols)
+    requireSimpleNames("stats", statsCols)
+    requireSimpleNames("bloom", bloomCols)
     val fs = fsFor(spark, path)
     val existing = commits(fs, path)
     val exists = existing.nonEmpty
@@ -1265,6 +1270,20 @@ object VersionedTable {
   private def inDirs(f: String, dirs: Set[String]): Boolean =
     dirs.exists(d => if (d.isEmpty) !f.contains('/') else f.startsWith(d + "/"))
 
+  /** User-supplied column names flow into bare `col(...)` resolution,
+    * hive dir segments, and stats-map keys throughout the log — a dot
+    * or backtick in a name would resolve as a nested path (or fail to
+    * parse) at SOME site even where another backtick-quotes it. Reject
+    * cleanly at the API boundary instead of misresolving deep in a plan.
+    */
+  private def requireSimpleNames(role: String, names: Seq[String]): Unit =
+    names.find(n => n.contains(".") || n.contains("`")).foreach { n =>
+      throw new IllegalArgumentException(
+        s"$role column name '$n' contains '.' or '`' — unsupported: " +
+          "names are resolved as bare attribute paths and used as hive " +
+          "directory segments")
+    }
+
   /** Shape a rewrite for staging: by default ONE writer task per
     * partition dir (no small files — measured 6× faster than scattered
     * writers on wide-partition-count tables at test scale). At 100 TB a
@@ -1309,6 +1328,9 @@ object VersionedTable {
       key: String, precombine: String, partitionCols: Seq[String],
       txn: Option[(String, Long)] = None, statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.expressions.Window
+    requireSimpleNames("key/precombine", Seq(key, precombine))
+    requireSimpleNames("partition", partitionCols)
+    requireSimpleNames("stats", statsCols)
     val fs = fsFor(spark, path)
     val token = txn.map { case (app, batch) => Txn(app, batch) }
     val all = commits(fs, path)
@@ -1575,6 +1597,9 @@ object VersionedTable {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.StructType
     require(clauses.nonEmpty, "merge: no clauses")
+    requireSimpleNames("key", Seq(key))
+    requireSimpleNames("partition", partitionCols)
+    requireSimpleNames("stats", statsCols)
     val fs = fsFor(spark, path)
     val token = txn.map { case (app, batch) => Txn(app, batch) }
     val all = commits(fs, path)
@@ -2086,6 +2111,9 @@ object VersionedTable {
   def cluster(spark: SparkSession, path: String, sortCols: Seq[String],
       partitionCols: Seq[String], filesPerPartition: Int = 8,
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 17): Long = {
+    requireSimpleNames("sort", sortCols)
+    requireSimpleNames("partition", partitionCols)
+    requireSimpleNames("bloom", bloomCols)
     val fs = fsFor(spark, path)
     val (all, live) = snapshot(fs, path, None, None)
     // Transform tables cluster WITHIN their derived layout: range-
@@ -2138,6 +2166,8 @@ object VersionedTable {
       partitionCols: Seq[String], filesPerPartition: Int = 16,
       buckets: Int = 256): Long = {
     import graft.functions.ZOrder
+    requireSimpleNames("z-order", zCols)
+    requireSimpleNames("partition", partitionCols)
     val fs = fsFor(spark, path)
     val (zUpTo, live) = snapshot(fs, path, None, None)
     // Transform tables z-order WITHIN their derived layout, like

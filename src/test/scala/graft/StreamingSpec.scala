@@ -56,9 +56,13 @@ class StreamingSpec extends SparkSpec {
       .select("session_start", "session_end", "n_events")
       .as[(java.sql.Timestamp, java.sql.Timestamp, Long)]
       .collect().sortBy(_._1.getTime)
+    // compare epochs from the SAME session's cast — Timestamp.toString
+    // renders in the JVM default timezone, which is host-dependent
+    val ts = ev.select("ts").as[java.sql.Timestamp].collect().sortBy(_.getTime)
     assert(out.length == 2, s"touching windows must merge: ${out.toSeq}")
-    assert(out(0)._3 == 2L && out(0)._2.toString == "2024-01-01 01:00:00.0")
-    assert(out(1)._3 == 1L && out(1)._1.toString == "2024-01-01 01:30:01.0")
+    assert(out(0)._3 == 2L && out(0)._1.getTime == ts(0).getTime &&
+      out(0)._2.getTime == ts(1).getTime + 30 * 60 * 1000L)
+    assert(out(1)._3 == 1L && out(1)._1.getTime == ts(2).getTime)
   }
 
   test("FileNotificationCache: dedup, ordered batching, age purge, redelivery") {

@@ -1684,4 +1684,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(out.select(max(col("version"))).as[Long].head() == 1L,
       "AS OF v1 must not see version-2 rows")
   }
+
+  test("dotted or backticked column names are rejected at the API boundary") {
+    // names feed bare col() resolution, hive dir segments, and stats-map
+    // keys — a dot would misresolve as a nested path at SOME site, so the
+    // boundary rejects instead
+    val t = table()
+    val dotted = Seq((1L, "a", 1L)).toDF("k", "p.x", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.write(spark, t, dotted, Seq("p.x"))
+    }
+    assert(e1.getMessage.contains("p.x"))
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.upsert(spark, t, df((1L, "a", 2L)),
+        key = "k", precombine = "v", partitionCols = Seq("p"),
+        statsCols = Seq("`v`"))
+    }
+    assert(e2.getMessage.contains("stats"))
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedTable.upsertMOR(spark, t, df((1L, "a", 2L)),
+        key = "k.y", precombine = "v", partitionCols = Seq("p"))
+    }
+    assert(e3.getMessage.contains("k.y"))
+  }
 }
