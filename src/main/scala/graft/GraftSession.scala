@@ -34,6 +34,11 @@ object GraftSession {
       // keep managed (bucketed) tables out of the process cwd
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // SQL catalog over versioned tables: CREATE TABLE graft.default.t …
+      .config("spark.sql.catalog.graft",
+        "org.apache.spark.sql.graft.catalog.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/graft-catalog")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs. */

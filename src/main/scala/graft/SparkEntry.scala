@@ -22,6 +22,7 @@ object SparkEntry {
       graft.sinks.TableSink.ops ++
       graft.sinks.VersionedTable.ops ++
       graft.sinks.PartitionTransforms.ops ++
+      graft.sinks.CatalogOps.ops ++
       graft.streaming.IngestPipeline.ops ++
       graft.streaming.StreamJoin.ops ++
       graft.streaming.EventRollup.ops ++

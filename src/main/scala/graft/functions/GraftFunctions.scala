@@ -186,5 +186,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.registrations.foreach(ext.injectFunction)
     GraftFunctions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectResolutionRule(graft.plans.ResolveNearDupJoin(_))
+    ext.injectResolutionRule(
+      org.apache.spark.sql.graft.catalog.ResolveGraftTableReads(_))
   }
 }

@@ -66,6 +66,14 @@ object PartitionTransforms {
     def derive(c: Column): Column = date_format(c, "yyyy-MM-dd-HH")
     def monotone = true
   }
+  final case class Month(source: String) extends Transform {
+    def derive(c: Column): Column = date_format(c, "yyyy-MM")
+    def monotone = true // "yyyy-MM" string order agrees with time order
+  }
+  final case class Year(source: String) extends Transform {
+    def derive(c: Column): Column = year(c)
+    def monotone = true
+  }
   final case class Bucket(source: String, n: Int) extends Transform {
     def derive(c: Column): Column = pmod(hash(c), lit(n))
     def monotone = false

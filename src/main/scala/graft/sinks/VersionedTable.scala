@@ -349,6 +349,8 @@ object VersionedTable {
   private def specOf(t: PartitionTransforms.Transform): TransformSpec = t match {
     case PartitionTransforms.Day(s) => TransformSpec("day", s, 0L)
     case PartitionTransforms.Hour(s) => TransformSpec("hour", s, 0L)
+    case PartitionTransforms.Month(s) => TransformSpec("month", s, 0L)
+    case PartitionTransforms.Year(s) => TransformSpec("year", s, 0L)
     case PartitionTransforms.Bucket(s, n) => TransformSpec("bucket", s, n.toLong)
     case PartitionTransforms.TruncateStr(s, w) => TransformSpec("truncstr", s, w.toLong)
     case PartitionTransforms.TruncateNum(s, w) => TransformSpec("truncnum", s, w)
@@ -357,6 +359,8 @@ object VersionedTable {
   private def transformOf(s: TransformSpec): PartitionTransforms.Transform = s.kind match {
     case "day" => PartitionTransforms.Day(s.source)
     case "hour" => PartitionTransforms.Hour(s.source)
+    case "month" => PartitionTransforms.Month(s.source)
+    case "year" => PartitionTransforms.Year(s.source)
     case "bucket" => PartitionTransforms.Bucket(s.source, s.param.toInt)
     case "truncstr" => PartitionTransforms.TruncateStr(s.source, s.param.toInt)
     case "truncnum" => PartitionTransforms.TruncateNum(s.source, s.param)
@@ -1245,6 +1249,33 @@ object VersionedTable {
         else None)
     c.version
   }
+
+  /** Initialize an EMPTY versioned table: a schema-only commit with no
+    * data files (the DDL `CREATE TABLE` shape — Delta's metadata-only
+    * commit 1). Records the hidden-partitioning spec so later appends
+    * inherit it. No-op data-wise: reads of the snapshot yield zero rows
+    * with exactly this schema. Fails if the table already exists.
+    */
+  def createEmpty(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transforms: Seq[PartitionTransforms.Transform] = Nil): Long = {
+    requireSimpleNames("column", schema.fieldNames.toSeq)
+    val fs = fsFor(spark, path)
+    require(commits(fs, path).isEmpty, s"versioned table already exists at $path")
+    transforms.foreach(t => require(schema.fieldNames.contains(t.source),
+      s"transform source column '${t.source}' is not in the schema"))
+    publishWithRebase(fs, path, "create", Nil, Nil, txn = None,
+      schemaOf = _ => Some(schema), allowRebase = false,
+      partitionSpec = Some(transforms.map(specOf))).version
+  }
+
+  /** The table's active hidden-partitioning transforms (empty for
+    * plainly-partitioned tables) — the log-recorded partition spec a
+    * catalog face needs to honor on overwrites.
+    */
+  def activePartitionSpec(spark: SparkSession,
+      path: String): Seq[PartitionTransforms.Transform] =
+    activeTransforms(commits(fsFor(spark, path), path))
 
   /** Keyed COW upsert with history: same merge semantics as
     * [[TableSink.upsert]] (partition-scoped keys, highest `precombine`

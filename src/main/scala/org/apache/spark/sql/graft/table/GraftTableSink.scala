@@ -154,7 +154,7 @@ class GraftTableSinkProvider extends DataSourceRegister
   * standard read API before a single file opens; Spark re-applies the
   * filters exactly on the survivors.
   */
-private[table] class GraftTableRelation(
+private[graft] class GraftTableRelation(
     override val sqlContext: SQLContext,
     params: Map[String, String]) extends BaseRelation with PrunedFilteredScan {
 
@@ -176,32 +176,14 @@ private[table] class GraftTableRelation(
   override val schema: StructType =
     graft.sinks.VersionedTable.tableSchema(spark, path, asOfVersion)
 
-  // translate the pushed-down source filters into ONE Column predicate
-  // for readPruned; untranslatable nodes drop out conservatively (the
-  // relation reports every filter unhandled, so Spark re-applies all)
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
-    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
-    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case sources.LessThan(a, v) => Some(col(a) < lit(v))
-    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case sources.In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case sources.IsNull(a) => Some(col(a).isNull)
-    case sources.IsNotNull(a) => Some(col(a).isNotNull)
-    case sources.And(l, r) =>
-      (toColumn(l), toColumn(r)) match {
-        case (Some(a), Some(b)) => Some(a && b)
-        case (a, b) => a.orElse(b) // half an AND still prunes soundly
-      }
-    case sources.Or(l, r) =>
-      for { a <- toColumn(l); b <- toColumn(r) } yield a || b
-    case _ => None
-  }
-
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _).getOrElse(lit(true))
+    // translate the pushed-down source filters into ONE Column predicate
+    // for readPruned; untranslatable nodes drop out conservatively (the
+    // relation reports every filter unhandled, so Spark re-applies all)
+    val pred = filters.flatMap(org.apache.spark.sql.graft.FilterColumns.toColumn(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
     val (df, _, _) = graft.sinks.VersionedTable.readPruned(spark, path, pred, asOfVersion)
     df.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }

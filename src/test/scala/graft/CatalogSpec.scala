@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{PartitionTransforms, VersionedTable}
+
+/** SQL-catalog face (`GraftCatalog`): DDL/DML over versioned tables by
+  * identifier. A unique namespace per run keeps the shared tmp warehouse
+  * collision-free.
+  */
+class CatalogSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  private val ns = s"t${System.nanoTime()}"
+  spark.sql(s"CREATE NAMESPACE graft.$ns")
+
+  private def rows(sql: String): Seq[Row] = spark.sql(sql).collect().toSeq
+
+  test("create / insert / select round trip on an identity-partitioned table") {
+    spark.sql(
+      s"CREATE TABLE graft.$ns.events (id BIGINT, p STRING, v DOUBLE) PARTITIONED BY (p)")
+    // empty table reads as zero rows with the declared schema
+    assert(spark.table(s"graft.$ns.events").isEmpty)
+    assert(spark.table(s"graft.$ns.events").columns.toSeq == Seq("id", "p", "v"))
+    spark.sql(s"INSERT INTO graft.$ns.events VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    spark.sql(s"INSERT INTO graft.$ns.events VALUES (3, 'a', 3.0)")
+    assert(rows(s"SELECT id, p, v FROM graft.$ns.events ORDER BY id") ==
+      Seq(Row(1L, "a", 1.0), Row(2L, "b", 2.0), Row(3L, "a", 3.0)))
+    // filtered read (pushes through the V1 relation into readPruned)
+    assert(rows(s"SELECT id FROM graft.$ns.events WHERE p = 'a' ORDER BY id") ==
+      Seq(Row(1L), Row(3L)))
+  }
+
+  test("INSERT OVERWRITE replaces the snapshot; history keeps the old one") {
+    spark.sql(s"CREATE TABLE graft.$ns.ow (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO graft.$ns.ow VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT OVERWRITE graft.$ns.ow VALUES (9, 'c')")
+    assert(rows(s"SELECT k, p FROM graft.$ns.ow") == Seq(Row(9L, "c")))
+    // the pre-overwrite snapshot is still readable by version
+    assert(rows(s"SELECT k FROM graft.$ns.ow VERSION AS OF 2 ORDER BY k") ==
+      Seq(Row(1L), Row(2L)))
+  }
+
+  test("static-partition INSERT OVERWRITE replaces only that partition") {
+    spark.sql(s"CREATE TABLE graft.$ns.sp (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO graft.$ns.sp VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT OVERWRITE graft.$ns.sp PARTITION (p = 'a') (SELECT 10 AS k)")
+    assert(rows(s"SELECT k, p FROM graft.$ns.sp ORDER BY k") ==
+      Seq(Row(2L, "b"), Row(10L, "a")))
+  }
+
+  test("DELETE FROM and TRUNCATE") {
+    spark.sql(s"CREATE TABLE graft.$ns.del (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO graft.$ns.del VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    spark.sql(s"DELETE FROM graft.$ns.del WHERE k = 2")
+    assert(rows(s"SELECT k FROM graft.$ns.del ORDER BY k") == Seq(Row(1L), Row(3L)))
+    spark.sql(s"TRUNCATE TABLE graft.$ns.del")
+    assert(spark.table(s"graft.$ns.del").isEmpty)
+    // schema survives the truncate
+    assert(spark.table(s"graft.$ns.del").columns.toSeq == Seq("k", "p"))
+  }
+
+  test("DELETE on an unpartitioned table") {
+    spark.sql(s"CREATE TABLE graft.$ns.flat (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.flat VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+    spark.sql(s"DELETE FROM graft.$ns.flat WHERE v >= 'y'")
+    assert(rows(s"SELECT k FROM graft.$ns.flat") == Seq(Row(1L)))
+  }
+
+  test("time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    spark.sql(s"CREATE TABLE graft.$ns.tt (k BIGINT)")
+    spark.sql(s"INSERT INTO graft.$ns.tt VALUES (1)")
+    spark.sql(s"INSERT INTO graft.$ns.tt VALUES (2)")
+    assert(rows(s"SELECT k FROM graft.$ns.tt VERSION AS OF 2 ORDER BY k") ==
+      Seq(Row(1L)))
+    assert(rows(s"SELECT count(*) AS n FROM graft.$ns.tt TIMESTAMP AS OF '2099-01-01'") ==
+      Seq(Row(2L)))
+  }
+
+  test("hidden partitioning DDL: days + bucket transforms recorded in the log") {
+    spark.sql(
+      s"""CREATE TABLE graft.$ns.hp (id BIGINT, ts TIMESTAMP, v DOUBLE)
+          PARTITIONED BY (days(ts), bucket(4, id))""")
+    spark.sql(
+      s"""INSERT INTO graft.$ns.hp VALUES
+          (1, TIMESTAMP '2024-01-01 10:00:00', 1.0),
+          (2, TIMESTAMP '2024-01-02 11:00:00', 2.0),
+          (3, TIMESTAMP '2024-01-02 12:00:00', 3.0)""")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val spec = VersionedTable.activePartitionSpec(spark, s"$warehouse/$ns/hp")
+    assert(spec == Seq(PartitionTransforms.Day("ts"), PartitionTransforms.Bucket("id", 4)))
+    // raw-column predicates still answer exactly (pruning is invisible)
+    assert(rows(s"SELECT id FROM graft.$ns.hp WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' " +
+      "ORDER BY id") == Seq(Row(2L), Row(3L)))
+    // a second insert keeps the layout
+    spark.sql(s"INSERT INTO graft.$ns.hp VALUES (4, TIMESTAMP '2024-01-03 01:00:00', 4.0)")
+    assert(rows(s"SELECT count(*) AS n FROM graft.$ns.hp") == Seq(Row(4L)))
+  }
+
+  test("CTAS, SHOW TABLES, ALTER TABLE properties, RENAME, DROP") {
+    spark.sql(s"CREATE TABLE graft.$ns.src AS SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(k, p)")
+    assert(rows(s"SELECT k, p FROM graft.$ns.src ORDER BY k") ==
+      Seq(Row(1, "a"), Row(2, "b")))
+    assert(rows(s"SHOW TABLES IN graft.$ns").map(_.getString(1)).contains("src"))
+    spark.sql(s"ALTER TABLE graft.$ns.src SET TBLPROPERTIES ('owner.team' = 'graft')")
+    val desc = rows(s"SHOW TBLPROPERTIES graft.$ns.src")
+    assert(desc.exists(r => r.getString(0) == "owner.team" && r.getString(1) == "graft"))
+    // the rename target is resolved in the SOURCE's catalog — no catalog prefix
+    spark.sql(s"ALTER TABLE graft.$ns.src RENAME TO $ns.dst")
+    assert(rows(s"SELECT count(*) AS n FROM graft.$ns.dst") == Seq(Row(2L)))
+    spark.sql(s"DROP TABLE graft.$ns.dst")
+    assert(!rows(s"SHOW TABLES IN graft.$ns").map(_.getString(1)).contains("dst"))
+  }
+
+  test("DataFrame writeTo API composes with path-level table ops") {
+    spark.sql(s"CREATE TABLE graft.$ns.mix (k BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "p", "v")
+      .writeTo(s"graft.$ns.mix").append()
+    // upsert through the PATH api — the catalog read sees the same log
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    VersionedTable.upsert(spark, s"$warehouse/$ns/mix",
+      Seq((1L, "a", 9L)).toDF("k", "p", "v"), key = "k", precombine = "v",
+      partitionCols = Seq("p"))
+    assert(rows(s"SELECT k, v FROM graft.$ns.mix ORDER BY k") ==
+      Seq(Row(1L, 9L), Row(2L, 1L)))
+  }
+
+  test("catalog guards: duplicate create, missing table, time-travel writes") {
+    spark.sql(s"CREATE TABLE graft.$ns.g (k BIGINT)")
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      spark.sql(s"CREATE TABLE graft.$ns.g (k BIGINT)")
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM graft.$ns.nope")
+    }
+    spark.sql(s"INSERT INTO graft.$ns.g VALUES (1)")
+    // writes must target the live table, not a snapshot
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.$ns.g VERSION AS OF 1 VALUES (2)")
+    }
+  }
+}
