@@ -1582,6 +1582,57 @@ object VersionedTable {
     c.version
   }
 
+  /** COW UPDATE: rewrite the rows matching `predicate` with `set`
+    * applied (Delta's `UPDATE` command on the log). Only the partitions
+    * the predicate hits are read or rewritten; all assignments evaluate
+    * against the ORIGINAL row in one projection (`SET a=b, b=a` swaps).
+    * Updated rows may move partitions — identity partition values and
+    * hidden-transform sources re-derive after assignment, so a row whose
+    * partition key changes lands in (and prunes with) its new directory.
+    */
+  def update(spark: SparkSession, path: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      predicate: org.apache.spark.sql.Column,
+      partitionCols: Seq[String]): Long = {
+    require(set.nonEmpty, "update: no assignments")
+    requireSimpleNames("update", set.keys.toSeq)
+    val fs = fsFor(spark, path)
+    requireNoDeltas(commits(fs, path), "update")
+    val (upTo, live) = snapshot(fs, path, None, None)
+    val tfs = activeTransforms(upTo)
+    require(tfs.isEmpty || partitionCols.isEmpty,
+      "update on a transform table derives its partition columns - pass none")
+    val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
+    val current = spark.read.option("basePath", path)
+      .parquet(live.map(f => s"$path/$f"): _*)
+    val hitParts = current.filter(predicate)
+      .select(effPartitionCols.map(col): _*).distinct().collect()
+    if (hitParts.isEmpty) return latestVersion(spark, path) // nothing matches
+    val affectedDirs = partitionDirs(hitParts, effPartitionCols)
+    val affected = live.filter(f => inDirs(f, affectedDirs))
+    val src = spark.read.option("basePath", path)
+      .parquet(affected.map(f => s"$path/$f"): _*)
+      .drop(tfs.map(_.name): _*) // derived cols recompute after assignment
+    val unknown = set.keySet.filterNot(src.columns.contains)
+    require(unknown.isEmpty, s"update: unknown columns $unknown")
+    val cond = coalesce(predicate, lit(false))
+    // one projection = simultaneous assignment against the original row
+    val out = src.select(src.columns.toIndexedSeq.map { c =>
+      set.get(c)
+        .map(v => when(cond, v.cast(src.schema(c).dataType)).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
+    val enforcedSet = currentConstraints(upTo)
+    val shaped = byPartitions(
+      PartitionTransforms.derive(enforced(out, enforcedSet), tfs), effPartitionCols)
+    val adds = stage(spark, path, shaped, effPartitionCols, allowEmpty = true)
+    publishWithRebase(fs, path, "update", adds, affected, txn = None,
+      schemaOf = _ => None, allowRebase = true,
+      stats = collectStats(spark, path, adds, activeStatsCols(upTo)),
+      blooms = collectBlooms(spark, path, adds, activeBloomBits(upTo)),
+      enforcedConstraints = Some(enforcedSet)).version
+  }
+
   /** One MERGE INTO clause; evaluated in the order given, first match
     * wins (Delta's clause semantics). Conditions and update/insert value
     * expressions may reference the target row as `t.<col>` and the

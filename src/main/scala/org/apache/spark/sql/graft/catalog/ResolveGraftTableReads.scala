@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.{DataSourceStrategy, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 /** Resolves catalog READS of graft tables onto the V1
@@ -44,11 +44,47 @@ final case class ResolveGraftTableReads(session: SparkSession) extends Rule[Logi
       i.copy(query = rewrite(i.query))
     case w: V2WriteCommand =>
       w.withNewQuery(rewrite(w.query))
-    case d: DeleteFromTable => d
+
+    // ---- DML Spark has no native V2 execution for: once the analyzer
+    // has resolved (and aligned) the node, convert it to a command over
+    // the table ops. Unresolved yet → leave for the next fixpoint pass.
+    case u: UpdateTable
+        if u.resolved && GraftDml.graftTarget(u.table).isDefined =>
+      GraftUpdateCommand(GraftDml.graftTarget(u.table).get,
+        u.assignments, u.condition, u.table.output)
     case u: UpdateTable => u
+
+    case m: MergeIntoTable
+        if m.resolved && GraftDml.graftTarget(m.targetTable).isDefined =>
+      val t = GraftDml.graftTarget(m.targetTable).get
+      if (m.notMatchedBySourceActions.nonEmpty) throw new UnsupportedOperationException(
+        "graft MERGE: WHEN NOT MATCHED BY SOURCE clauses are not supported")
+      if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+        "graft MERGE: WITH SCHEMA EVOLUTION is not supported in SQL — " +
+          "use VersionedTable.merge(evolveSchema = true)")
+      GraftMergeCommand(t, rewrite(m.sourceTable), m.mergeCondition,
+        m.matchedActions, m.notMatchedActions, m.targetTable.output)
     case m: MergeIntoTable =>
       m.copy(sourceTable = rewrite(m.sourceTable))
+
+    // translatable predicates stay on the metadata-only SupportsDelete
+    // path; anything richer runs the full-predicate table op
+    case d: DeleteFromTable
+        if d.resolved && GraftDml.graftTarget(d.table).isDefined &&
+          splitConjuncts(d.condition)
+            .exists(c => DataSourceStrategy.translateFilter(c, true).isEmpty) =>
+      GraftDeleteCommand(GraftDml.graftTarget(d.table).get,
+        d.condition, d.table.output)
+    case d: DeleteFromTable => d
+
     case other =>
       other.mapChildren(rewrite)
+  }
+
+  private def splitConjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 }

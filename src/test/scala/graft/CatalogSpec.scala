@@ -127,6 +127,77 @@ class CatalogSpec extends SparkSpec {
       Seq(Row(1L, 9L), Row(2L, 1L)))
   }
 
+  test("SQL UPDATE rewrites matching rows, assignments see the original row") {
+    spark.sql(s"CREATE TABLE graft.$ns.up (k BIGINT, p STRING, a BIGINT, b BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO graft.$ns.up VALUES (1, 'x', 10, 20), (2, 'x', 30, 40), (3, 'y', 50, 60)")
+    // simultaneous assignment: a,b swap for the matching row only
+    spark.sql(s"UPDATE graft.$ns.up SET a = b, b = a WHERE k = 1")
+    assert(rows(s"SELECT k, a, b FROM graft.$ns.up ORDER BY k") ==
+      Seq(Row(1L, 20L, 10L), Row(2L, 30L, 40L), Row(3L, 50L, 60L)))
+    // updating the partition column moves the row between directories
+    spark.sql(s"UPDATE graft.$ns.up SET p = 'z' WHERE k = 2")
+    assert(rows(s"SELECT k FROM graft.$ns.up WHERE p = 'z'") == Seq(Row(2L)))
+    assert(rows(s"SELECT count(*) AS n FROM graft.$ns.up WHERE p = 'x'") == Seq(Row(1L)))
+    // the pre-update snapshot survives
+    assert(rows(s"SELECT a FROM graft.$ns.up VERSION AS OF 2 WHERE k = 1") == Seq(Row(10L)))
+  }
+
+  test("SQL UPDATE on a hidden-partitioned table re-derives the layout") {
+    spark.sql(s"""CREATE TABLE graft.$ns.uph (id BIGINT, ts TIMESTAMP, v BIGINT)
+                  PARTITIONED BY (days(ts))""")
+    spark.sql(s"""INSERT INTO graft.$ns.uph VALUES
+        (1, TIMESTAMP '2024-01-01 10:00:00', 1),
+        (2, TIMESTAMP '2024-01-02 10:00:00', 2)""")
+    // moving ts across days must move the row to the new day directory
+    spark.sql(s"UPDATE graft.$ns.uph SET ts = TIMESTAMP '2024-01-05 00:30:00' WHERE id = 1")
+    assert(rows(s"SELECT id FROM graft.$ns.uph WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'") ==
+      Seq(Row(1L)))
+    assert(rows(s"SELECT count(*) AS n FROM graft.$ns.uph") == Seq(Row(2L)))
+  }
+
+  test("SQL MERGE INTO: update, delete, and insert clauses in order") {
+    spark.sql(s"CREATE TABLE graft.$ns.mt (k BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO graft.$ns.mt VALUES (1, 'a', 1), (2, 'a', 2), (3, 'b', 3)")
+    Seq((1L, "a", 100L), (2L, "a", -1L), (9L, "b", 9L)).toDF("k", "p", "v")
+      .createOrReplaceTempView("mt_src")
+    spark.sql(
+      s"""MERGE INTO graft.$ns.mt t USING mt_src s
+          ON t.k = s.k AND t.p = s.p
+          WHEN MATCHED AND s.v < 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+          WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows(s"SELECT k, p, v FROM graft.$ns.mt ORDER BY k") ==
+      Seq(Row(1L, "a", 101L), Row(3L, "b", 3L), Row(9L, "b", 9L)))
+    // duplicate source keys raise (standard MERGE cardinality error)
+    Seq((3L, "b", 1L), (3L, "b", 2L)).toDF("k", "p", "v")
+      .createOrReplaceTempView("mt_dup")
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO graft.$ns.mt t USING mt_dup s
+                    ON t.k = s.k AND t.p = s.p
+                    WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+  }
+
+  test("SQL MERGE guards: ON shape and hidden-partitioned targets") {
+    spark.sql(s"CREATE TABLE graft.$ns.mg (k BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO graft.$ns.mg VALUES (1, 'a', 1)")
+    Seq((1L, "a", 2L)).toDF("k", "p", "v").createOrReplaceTempView("mg_src")
+    // ON not covering the partition column is rejected, not silently scoped
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO graft.$ns.mg t USING mg_src s ON t.k = s.k
+                    WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(e.getMessage.contains("partition columns"))
+  }
+
+  test("SQL DELETE with a predicate source filters cannot express") {
+    spark.sql(s"CREATE TABLE graft.$ns.dx (k BIGINT, txt STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.dx VALUES (1, 'keep'), (2, 'drop-me'), (3, 'also drop')")
+    spark.sql(s"DELETE FROM graft.$ns.dx WHERE txt LIKE '%drop%' OR length(txt) > 40")
+    assert(rows(s"SELECT k FROM graft.$ns.dx") == Seq(Row(1L)))
+  }
+
   test("catalog guards: duplicate create, missing table, time-travel writes") {
     spark.sql(s"CREATE TABLE graft.$ns.g (k BIGINT)")
     intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
