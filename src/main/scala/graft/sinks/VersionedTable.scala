@@ -1288,8 +1288,16 @@ object VersionedTable {
       partitionCols: Seq[String]): Set[String] =
     rows.map { row =>
       partitionCols.zipWithIndex.map { case (c, i) =>
-        s"$c=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(String.valueOf(row.get(i)))}"
+        // null partition values live in __HIVE_DEFAULT_PARTITION__ dirs —
+        // rendering them as the string "null" would scope the rewrite to
+        // a directory that does not exist (silently missed rows)
+        val seg =
+          if (row.isNullAt(i))
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .DEFAULT_PARTITION_NAME
+          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(String.valueOf(row.get(i)))
+        s"$c=$seg"
       }.mkString("/")
     }.toSet
 
@@ -1558,6 +1566,7 @@ object VersionedTable {
     val fs = fsFor(spark, path)
     requireNoDeltas(commits(fs, path), "delete")
     val (upTo, live) = snapshot(fs, path, None, None)
+    if (live.isEmpty) return latestVersion(spark, path) // empty snapshot: no-op
     // Transform tables route through their derived layout (see upsert)
     val tfs = activeTransforms(upTo)
     require(tfs.isEmpty || partitionCols.isEmpty,
@@ -1570,9 +1579,17 @@ object VersionedTable {
     if (hitParts.isEmpty) return latestVersion(spark, path) // nothing matches
     val affectedDirs = partitionDirs(hitParts, effPartitionCols)
     val affected = live.filter(f => inDirs(f, affectedDirs))
-    val kept = spark.read.option("basePath", path)
-      .parquet(affected.map(f => s"$path/$f"): _*)
-      .filter(!coalesce(predicate, lit(false)))
+    // Read the rewrite set under the LOG schema: an affected set that is
+    // entirely null-partition dirs would otherwise infer the partition
+    // column as VOID and the staged partitionBy write refuses it.
+    // Transform dirs re-derive from raw columns (deterministic, so rows
+    // keep their dirs) instead of trusting inferred dir-value types.
+    val keptReader = snapshotSchema(upTo).map(spark.read.schema(_)).getOrElse(spark.read)
+    val kept = PartitionTransforms.derive(
+      keptReader.option("basePath", path)
+        .parquet(affected.map(f => s"$path/$f"): _*)
+        .drop(tfs.map(_.name): _*)
+        .filter(!coalesce(predicate, lit(false))), tfs)
     val adds = stage(spark, path, byPartitions(kept, effPartitionCols),
       effPartitionCols, allowEmpty = true)
     val c = publishWithRebase(fs, path, "delete", adds, affected, txn = None,
@@ -1599,6 +1616,7 @@ object VersionedTable {
     val fs = fsFor(spark, path)
     requireNoDeltas(commits(fs, path), "update")
     val (upTo, live) = snapshot(fs, path, None, None)
+    if (live.isEmpty) return latestVersion(spark, path) // empty snapshot: no-op
     val tfs = activeTransforms(upTo)
     require(tfs.isEmpty || partitionCols.isEmpty,
       "update on a transform table derives its partition columns - pass none")
@@ -1610,7 +1628,10 @@ object VersionedTable {
     if (hitParts.isEmpty) return latestVersion(spark, path) // nothing matches
     val affectedDirs = partitionDirs(hitParts, effPartitionCols)
     val affected = live.filter(f => inDirs(f, affectedDirs))
-    val src = spark.read.option("basePath", path)
+    // log-schema read: see delete's keptReader note (VOID partition
+    // types on all-null affected dirs)
+    val src = snapshotSchema(upTo).map(spark.read.schema(_)).getOrElse(spark.read)
+      .option("basePath", path)
       .parquet(affected.map(f => s"$path/$f"): _*)
       .drop(tfs.map(_.name): _*) // derived cols recompute after assignment
     val unknown = set.keySet.filterNot(src.columns.contains)
@@ -2656,12 +2677,16 @@ object VersionedTable {
       "replaceWhere on a transform table derives its partition columns - pass none")
     val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
     val live = liveFiles(all)
-    val current = PartitionTransforms.derive(
-      spark.read.option("basePath", path)
-        .parquet(live.map(f => s"$path/$f"): _*)
-        .drop(tfs.map(_.name): _*), tfs)
-    val hitParts = current.filter(predicate)
-      .select(effPartitionCols.map(col): _*).distinct().collect()
+    // an EMPTY snapshot (fresh CREATE TABLE, post-truncate) replaces
+    // nothing — incoming rows still land below
+    val hitParts =
+      if (live.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else PartitionTransforms.derive(
+        spark.read.option("basePath", path)
+          .parquet(live.map(f => s"$path/$f"): _*)
+          .drop(tfs.map(_.name): _*), tfs)
+        .filter(predicate)
+        .select(effPartitionCols.map(col): _*).distinct().collect()
     val affected =
       if (hitParts.isEmpty) Nil
       else {
@@ -2684,7 +2709,10 @@ object VersionedTable {
     val preserved =
       if (affected.isEmpty) guarded.filter(lit(false))
       else PartitionTransforms.derive(
-        spark.read.option("basePath", path)
+        // log-schema read: see delete's keptReader note (VOID partition
+        // types on all-null affected dirs)
+        snapshotSchema(all).map(spark.read.schema(_)).getOrElse(spark.read)
+          .option("basePath", path)
           .parquet(affected.map(f => s"$path/$f"): _*)
           .drop(tfs.map(_.name): _*), tfs)
         .filter(!coalesce(predicate, lit(false)))

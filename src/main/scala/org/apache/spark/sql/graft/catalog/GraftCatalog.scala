@@ -308,8 +308,12 @@ private[graft] object GraftCatalog {
       org.json4s.Extraction.decompose(meta)))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(f, false)
-    require(fs.rename(tmp, f), s"cannot write $f")
+    // overwrite-rename keeps the meta file CONTINUOUSLY readable — a
+    // delete-then-rename window would hand a concurrent loadTable an
+    // empty Meta (dropping the table's partition columns mid-insert)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.makeQualified(f).toUri, fs.getConf)
+      .rename(tmp, f, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }
 
@@ -332,8 +336,14 @@ final case class GraftTable(
 
   override def schema(): StructType = logSchema
 
+  /** The log-recorded hidden-partitioning spec, read once per statement
+    * (each statement loads a fresh GraftTable; the ops re-validate under
+    * their own commit-time conflict checks).
+    */
+  lazy val hiddenSpec: Seq[PT.Transform] = VersionedTable.activePartitionSpec(spark, path)
+
   override def partitioning(): Array[Transform] = {
-    val hidden = VersionedTable.activePartitionSpec(spark, path).map {
+    val hidden = hiddenSpec.map {
       case PT.Day(s) => Expressions.days(s)
       case PT.Hour(s) => Expressions.hours(s)
       case PT.Month(s) => Expressions.months(s)
@@ -392,10 +402,9 @@ final case class GraftTable(
       .conjunctionExact(filters.toIndexedSeq)
       .getOrElse(throw new UnsupportedOperationException(
         s"DELETE predicate not supported: ${filters.mkString(", ")}"))
-    val partCols =
-      if (VersionedTable.activePartitionSpec(spark, path).nonEmpty) Nil else identityCols
-    VersionedTable.delete(spark, path, pred, partCols)
-    ()
+    VersionedTable.delete(spark, path, pred,
+      if (hiddenSpec.nonEmpty) Nil else identityCols)
+    GraftDml.refreshCache(spark, this)
   }
 }
 
@@ -449,12 +458,12 @@ final class GraftWriteBuilder(table: GraftTable)
               case Some(None) =>
                 VersionedTable.write(spark, table.path, data,
                   table.identityCols, mode = "overwrite",
-                  transforms = VersionedTable.activePartitionSpec(spark, table.path))
+                  transforms = table.hiddenSpec)
               case Some(Some(pred)) =>
                 VersionedTable.replaceWhere(spark, table.path, data, pred,
                   table.identityCols)
             }
-            ()
+            GraftDml.refreshCache(spark, table)
           }
         }
     }

@@ -54,6 +54,20 @@ private[catalog] object GraftDml {
     case other => throw new UnsupportedOperationException(
       s"graft DML supports top-level column assignments only, got ${other.sql}")
   }
+
+  /** Re-execute any cached plan over the table's live snapshot — DML
+    * lands outside Spark's V2 write hooks, so cached reads (which this
+    * module resolves to the V1 relation) must be refreshed here. The
+    * relation's value equality on (path, version, schema) is what makes
+    * the lookup hit.
+    */
+  def refreshCache(session: SparkSession, table: GraftTable): Unit = {
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = new org.apache.spark.sql.graft.table.GraftTableRelation(
+      classic.sqlContext, Map("path" -> table.path))
+    classic.sharedState.cacheManager.recacheByPlan(classic,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel, false))
+  }
 }
 
 /** `UPDATE graft.ns.t SET ... WHERE ...` → [[VersionedTable.update]]:
@@ -72,10 +86,9 @@ final case class GraftUpdateCommand(
     if (set.isEmpty) return Nil // every assignment was identity padding
     val pred = condition.map(GraftDml.rebind(_, m))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    val partCols =
-      if (VersionedTable.activePartitionSpec(session, table.path).nonEmpty) Nil
-      else table.identityCols
-    VersionedTable.update(session, table.path, set, pred, partCols)
+    VersionedTable.update(session, table.path, set, pred,
+      if (table.hiddenSpec.nonEmpty) Nil else table.identityCols)
+    GraftDml.refreshCache(session, table)
     Nil
   }
 }
@@ -92,10 +105,9 @@ final case class GraftDeleteCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     val pred = GraftDml.rebind(condition, GraftDml.mappingOf(targetOutput, Nil))
-    val partCols =
-      if (VersionedTable.activePartitionSpec(session, table.path).nonEmpty) Nil
-      else table.identityCols
-    VersionedTable.delete(session, table.path, pred, partCols)
+    VersionedTable.delete(session, table.path, pred,
+      if (table.hiddenSpec.nonEmpty) Nil else table.identityCols)
+    GraftDml.refreshCache(session, table)
     Nil
   }
 }
@@ -116,16 +128,17 @@ final case class GraftMergeCommand(
     mergeCondition: Expression,
     matchedActions: Seq[MergeAction],
     notMatchedActions: Seq[MergeAction],
-    targetOutput: Seq[Attribute]) extends LeafRunnableCommand {
+    targetOutput: Seq[Attribute]) extends LeafRunnableCommand
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   override def run(session: SparkSession): Seq[Row] = {
-    require(VersionedTable.activePartitionSpec(session, table.path).isEmpty,
+    require(table.hiddenSpec.isEmpty,
       s"MERGE INTO ${table.name()} is partition-scoped on a hidden-partitioned " +
         "table — use graft.sinks.VersionedTable.merge directly")
     val tm = GraftDml.mappingOf(targetOutput, Seq("t"))
     val sm = GraftDml.mappingOf(source.output, Seq("s"))
     val both = tm ++ sm
-    val key = keyFromOn(session)
+    val key = keyFromOn
 
     // UPDATE/INSERT * take every same-named source column — exactly the
     // op's own defaults, so the star cases carry no assignment list
@@ -156,21 +169,17 @@ final case class GraftMergeCommand(
     val sourceDf = GraftShim.ofRows(session, source)
     VersionedTable.merge(session, table.path, sourceDf, key,
       table.identityCols, (matchedActions ++ notMatchedActions).map(clauseOf))
+    GraftDml.refreshCache(session, table)
     Nil
   }
 
   /** Split the ON conjunction into same-name t=s equalities; exactly the
     * identity partition columns plus one key must be covered.
     */
-  private def keyFromOn(session: SparkSession): String = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
+  private def keyFromOn: String = {
     val tIds = targetOutput.map(a => a.exprId.id -> a.name).toMap
     val sIds = source.output.map(a => a.exprId.id -> a.name).toMap
-    val names = conjuncts(mergeCondition).map {
+    val names = splitConjunctivePredicates(mergeCondition).map {
       case org.apache.spark.sql.catalyst.expressions.EqualTo(
           a: AttributeReference, b: AttributeReference) =>
         val (t, s) = (tIds.get(a.exprId.id).orElse(tIds.get(b.exprId.id)),

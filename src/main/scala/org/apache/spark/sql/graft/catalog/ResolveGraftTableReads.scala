@@ -23,7 +23,8 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * (subquery plans are resolved by the analyzer's own sub-execution, so
   * this rule sees them as top-level plans).
   */
-final case class ResolveGraftTableReads(session: SparkSession) extends Rule[LogicalPlan] {
+final case class ResolveGraftTableReads(session: SparkSession) extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
 
@@ -71,7 +72,7 @@ final case class ResolveGraftTableReads(session: SparkSession) extends Rule[Logi
     // path; anything richer runs the full-predicate table op
     case d: DeleteFromTable
         if d.resolved && GraftDml.graftTarget(d.table).isDefined &&
-          splitConjuncts(d.condition)
+          splitConjunctivePredicates(d.condition)
             .exists(c => DataSourceStrategy.translateFilter(c, true).isEmpty) =>
       GraftDeleteCommand(GraftDml.graftTarget(d.table).get,
         d.condition, d.table.output)
@@ -79,12 +80,5 @@ final case class ResolveGraftTableReads(session: SparkSession) extends Rule[Logi
 
     case other =>
       other.mapChildren(rewrite)
-  }
-
-  private def splitConjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
-    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-      splitConjuncts(l) ++ splitConjuncts(r)
-    case other => Seq(other)
   }
 }

@@ -188,6 +188,18 @@ private[graft] class GraftTableRelation(
     df.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 
+  // Value equality on the snapshot identity (path + pinned version +
+  // schema): two resolutions of the same table are the SAME plan, so
+  // CacheManager lookups hit across statements and recacheByPlan (the
+  // DML commands' cache refresh) finds cached reads to re-execute.
+  override def equals(o: Any): Boolean = o match {
+    case r: GraftTableRelation =>
+      r.path == path && r.asOfVersion == asOfVersion && r.schema == schema
+    case _ => false
+  }
+
+  override def hashCode(): Int = java.util.Objects.hash(path, asOfVersion)
+
   override def toString: String = s"GraftTableRelation[$path]"
 }
 

@@ -198,6 +198,72 @@ class CatalogSpec extends SparkSpec {
     assert(rows(s"SELECT k FROM graft.$ns.dx") == Seq(Row(1L)))
   }
 
+  test("DML on an empty table is a no-op, not a crash") {
+    spark.sql(s"CREATE TABLE graft.$ns.empty (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql(s"TRUNCATE TABLE graft.$ns.empty")
+    spark.sql(s"DELETE FROM graft.$ns.empty WHERE k = 1")
+    spark.sql(s"UPDATE graft.$ns.empty SET k = 2 WHERE k = 1")
+    // static-partition overwrite into an empty table still inserts
+    spark.sql(s"INSERT OVERWRITE graft.$ns.empty PARTITION (p = 'a') (SELECT 5 AS k)")
+    assert(rows(s"SELECT k, p FROM graft.$ns.empty") == Seq(Row(5L, "a")))
+    // truncate-then-truncate (zero live files again)
+    spark.sql(s"TRUNCATE TABLE graft.$ns.empty")
+    spark.sql(s"TRUNCATE TABLE graft.$ns.empty")
+    assert(spark.table(s"graft.$ns.empty").isEmpty)
+  }
+
+  test("DML reaches rows in the null partition directory") {
+    spark.sql(s"CREATE TABLE graft.$ns.np (k BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO graft.$ns.np VALUES (1, 'a', 1), (2, NULL, 2), (3, NULL, 3)")
+    spark.sql(s"UPDATE graft.$ns.np SET v = v + 10 WHERE k >= 2")
+    assert(rows(s"SELECT k, v FROM graft.$ns.np ORDER BY k") ==
+      Seq(Row(1L, 1L), Row(2L, 12L), Row(3L, 13L)))
+    spark.sql(s"DELETE FROM graft.$ns.np WHERE p IS NULL AND k = 3")
+    assert(rows(s"SELECT k FROM graft.$ns.np ORDER BY k") == Seq(Row(1L), Row(2L)))
+  }
+
+  test("cached reads refresh after catalog DML") {
+    spark.sql(s"CREATE TABLE graft.$ns.cache (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO graft.$ns.cache VALUES (1, 1), (2, 2)")
+    val df = spark.table(s"graft.$ns.cache")
+    df.cache()
+    assert(df.count() == 2)
+    spark.sql(s"UPDATE graft.$ns.cache SET v = 99 WHERE k = 1")
+    assert(df.filter($"k" === 1).select("v").collect().toSeq == Seq(Row(99L)))
+    spark.sql(s"INSERT INTO graft.$ns.cache VALUES (3, 3)")
+    assert(df.count() == 3)
+    spark.sql(s"DELETE FROM graft.$ns.cache WHERE k = 2")
+    assert(df.count() == 2)
+    df.unpersist()
+  }
+
+  test("months/years/truncate partition transforms via DDL") {
+    spark.sql(
+      s"""CREATE TABLE graft.$ns.myt (id BIGINT, ts TIMESTAMP, cat STRING, grp BIGINT)
+          PARTITIONED BY (months(ts), truncate(2, cat))""")
+    spark.sql(
+      s"""INSERT INTO graft.$ns.myt VALUES
+          (1, TIMESTAMP '2024-01-15 00:00:00', 'alpha', 10),
+          (2, TIMESTAMP '2024-02-15 00:00:00', 'alps',  20),
+          (3, TIMESTAMP '2024-02-16 00:00:00', 'beta',  30)""")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    assert(VersionedTable.activePartitionSpec(spark, s"$warehouse/$ns/myt") ==
+      Seq(PartitionTransforms.Month("ts"), PartitionTransforms.TruncateStr("cat", 2)))
+    assert(rows(s"SELECT id FROM graft.$ns.myt WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' " +
+      "AND cat >= 'al' AND cat < 'am' ORDER BY id") == Seq(Row(2L)))
+    spark.sql(
+      s"""CREATE TABLE graft.$ns.yr (id BIGINT, ts TIMESTAMP, grp BIGINT)
+          PARTITIONED BY (years(ts), truncate(10, grp))""")
+    spark.sql(
+      s"""INSERT INTO graft.$ns.yr VALUES
+          (1, TIMESTAMP '2023-06-01 00:00:00', 7),
+          (2, TIMESTAMP '2024-06-01 00:00:00', 17)""")
+    assert(VersionedTable.activePartitionSpec(spark, s"$warehouse/$ns/yr") ==
+      Seq(PartitionTransforms.Year("ts"), PartitionTransforms.TruncateNum("grp", 10L)))
+    assert(rows(s"SELECT id FROM graft.$ns.yr WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' " +
+      "AND grp >= 10 AND grp < 20") == Seq(Row(2L)))
+  }
+
   test("catalog guards: duplicate create, missing table, time-travel writes") {
     spark.sql(s"CREATE TABLE graft.$ns.g (k BIGINT)")
     intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
