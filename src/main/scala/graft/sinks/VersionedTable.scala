@@ -977,6 +977,17 @@ object VersionedTable {
   }
 
   /** Commit history: (version, ts_ms, op, n_added, n_removed). */
+  /** Resolve an epoch-ms timestamp to the last committed version at or
+    * before it — the shared `TIMESTAMP AS OF` arithmetic (log-only, no
+    * data I/O), used by the catalog's time travel and the batch
+    * relation's `timestampAsOf` option.
+    */
+  def versionAt(spark: SparkSession, path: String, tsMs: Long): Long = {
+    val s = commits(fsFor(spark, path), path).filter(_.tsMs <= tsMs)
+    require(s.nonEmpty, s"no commit at or before timestamp $tsMs ms in $path")
+    s.last.version
+  }
+
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     commits(fsFor(spark, path), path)
@@ -1103,6 +1114,13 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val all = commits(fs, path)
+      // CREATE must land as version 1: a create that lost the rename
+      // race would otherwise retry against the winner's log, pass the
+      // conflict checks vacuously (it removes nothing) and silently
+      // REDEFINE the winner's schema and partition spec as version 2.
+      if (op == "create" && all.nonEmpty)
+        throw new IllegalStateException(
+          s"versioned table already exists at $path (concurrent create)")
       txn.foreach { t =>
         val replay = all.find(_.txn.contains(t))
         if (replay.isDefined) return replay.get
@@ -1284,22 +1302,33 @@ object VersionedTable {
     * readable. Untouched partitions are neither read nor rewritten; their
     * files are shared by reference across versions.
     */
-  private def partitionDirs(rows: Array[org.apache.spark.sql.Row],
-      partitionCols: Seq[String]): Set[String] =
-    rows.map { row =>
-      partitionCols.zipWithIndex.map { case (c, i) =>
-        // null partition values live in __HIVE_DEFAULT_PARTITION__ dirs —
-        // rendering them as the string "null" would scope the rewrite to
-        // a directory that does not exist (silently missed rows)
-        val seg =
-          if (row.isNullAt(i))
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .DEFAULT_PARTITION_NAME
-          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .escapePathName(String.valueOf(row.get(i)))
-        s"$c=$seg"
-      }.mkString("/")
-    }.toSet
+  /** Distinct partition-dir names hit by `df`'s partition values,
+    * rendered EXACTLY as Spark's partitioned writer renders them. The
+    * values are collected CAST TO STRING by Spark itself — the writer's
+    * own rendering (session-timezone cast); driver-side
+    * `String.valueOf` on the collected JVM objects diverges on
+    * timestamps (java.sql.Timestamp.toString appends ".0") and would
+    * scope a rewrite to directories that do not exist (silently missed
+    * rows). Null AND empty-string values both land in the hive default
+    * dir (__HIVE_DEFAULT_PARTITION__), matching getPartitionPathString.
+    * Empty set ⇔ `df` is empty (zero partition columns render as one
+    * root-dir "" entry for any non-empty `df`).
+    */
+  private def hitPartitionDirs(df: DataFrame, partitionCols: Seq[String]): Set[String] =
+    df.select(partitionCols.map(c =>
+        col(c).cast(org.apache.spark.sql.types.StringType)): _*)
+      .distinct().collect()
+      .map { row =>
+        partitionCols.zipWithIndex.map { case (c, i) =>
+          val seg =
+            if (row.isNullAt(i) || row.getString(i).isEmpty)
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .DEFAULT_PARTITION_NAME
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(row.getString(i))
+          s"$c=$seg"
+        }.mkString("/")
+      }.toSet
 
   /** Does relative file path `f` live in one of `dirs`? The empty dir
     * (unpartitioned table) matches root-level files — a plain
@@ -1390,9 +1419,8 @@ object VersionedTable {
     val live = if (all.isEmpty) Nil else liveFiles(all)
     // Affected partition dirs from the update set's partition values —
     // a distinct over low-cardinality columns, bounded driver collect.
-    val parts = effUpdates.select(effPartitionCols.map(col): _*).distinct().collect()
-    require(parts.nonEmpty, "upsert: empty update set")
-    val affectedDirs = partitionDirs(parts, effPartitionCols)
+    val affectedDirs = hitPartitionDirs(effUpdates, effPartitionCols)
+    require(affectedDirs.nonEmpty, "upsert: empty update set")
     val affected = live.filter(f => inDirs(f, affectedDirs))
     val prevSchema = snapshotSchema(all)
     val base =
@@ -1572,24 +1600,22 @@ object VersionedTable {
     require(tfs.isEmpty || partitionCols.isEmpty,
       "delete on a transform table derives its partition columns - pass none")
     val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
-    val current = spark.read.option("basePath", path)
-      .parquet(live.map(f => s"$path/$f"): _*)
-    val hitParts = current.filter(predicate)
-      .select(effPartitionCols.map(col): _*).distinct().collect()
-    if (hitParts.isEmpty) return latestVersion(spark, path) // nothing matches
-    val affectedDirs = partitionDirs(hitParts, effPartitionCols)
-    val affected = live.filter(f => inDirs(f, affectedDirs))
-    // Read the rewrite set under the LOG schema: an affected set that is
-    // entirely null-partition dirs would otherwise infer the partition
-    // column as VOID and the staged partitionBy write refuses it.
+    // EVERY read here goes through the LOG schema, never dir-value
+    // inference: inference can retype a partition value (p='01' infers
+    // INT 1 → dir 'p=1' which does not exist → rewrite silently scoped
+    // to zero files) and an all-null affected set infers the partition
+    // column as VOID (the staged partitionBy write refuses it).
     // Transform dirs re-derive from raw columns (deterministic, so rows
     // keep their dirs) instead of trusting inferred dir-value types.
-    val keptReader = snapshotSchema(upTo).map(spark.read.schema(_)).getOrElse(spark.read)
-    val kept = PartitionTransforms.derive(
-      keptReader.option("basePath", path)
-        .parquet(affected.map(f => s"$path/$f"): _*)
-        .drop(tfs.map(_.name): _*)
-        .filter(!coalesce(predicate, lit(false))), tfs)
+    val logReader = snapshotSchema(upTo).map(spark.read.schema(_)).getOrElse(spark.read)
+    def readSet(files: Seq[String]): DataFrame = PartitionTransforms.derive(
+      logReader.option("basePath", path)
+        .parquet(files.map(f => s"$path/$f"): _*)
+        .drop(tfs.map(_.name): _*), tfs)
+    val affectedDirs = hitPartitionDirs(readSet(live).filter(predicate), effPartitionCols)
+    if (affectedDirs.isEmpty) return latestVersion(spark, path) // nothing matches
+    val affected = live.filter(f => inDirs(f, affectedDirs))
+    val kept = readSet(affected).filter(!coalesce(predicate, lit(false)))
     val adds = stage(spark, path, byPartitions(kept, effPartitionCols),
       effPartitionCols, allowEmpty = true)
     val c = publishWithRebase(fs, path, "delete", adds, affected, txn = None,
@@ -1621,16 +1647,17 @@ object VersionedTable {
     require(tfs.isEmpty || partitionCols.isEmpty,
       "update on a transform table derives its partition columns - pass none")
     val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
-    val current = spark.read.option("basePath", path)
-      .parquet(live.map(f => s"$path/$f"): _*)
-    val hitParts = current.filter(predicate)
-      .select(effPartitionCols.map(col): _*).distinct().collect()
-    if (hitParts.isEmpty) return latestVersion(spark, path) // nothing matches
-    val affectedDirs = partitionDirs(hitParts, effPartitionCols)
+    // log-schema reads throughout — see delete's logReader note (dir
+    // inference retypes partition values; all-null dirs infer VOID)
+    val logReader = snapshotSchema(upTo).map(spark.read.schema(_)).getOrElse(spark.read)
+    val current = PartitionTransforms.derive(
+      logReader.option("basePath", path)
+        .parquet(live.map(f => s"$path/$f"): _*)
+        .drop(tfs.map(_.name): _*), tfs)
+    val affectedDirs = hitPartitionDirs(current.filter(predicate), effPartitionCols)
+    if (affectedDirs.isEmpty) return latestVersion(spark, path) // nothing matches
     val affected = live.filter(f => inDirs(f, affectedDirs))
-    // log-schema read: see delete's keptReader note (VOID partition
-    // types on all-null affected dirs)
-    val src = snapshotSchema(upTo).map(spark.read.schema(_)).getOrElse(spark.read)
+    val src = logReader
       .option("basePath", path)
       .parquet(affected.map(f => s"$path/$f"): _*)
       .drop(tfs.map(_.name): _*) // derived cols recompute after assignment
@@ -1728,8 +1755,7 @@ object VersionedTable {
     val affected =
       if (effPartitionCols.isEmpty) live
       else {
-        val parts = effSource.select(effPartitionCols.map(col): _*).distinct().collect()
-        val dirs = partitionDirs(parts, effPartitionCols)
+        val dirs = hitPartitionDirs(effSource, effPartitionCols)
         live.filter(f => inDirs(f, dirs))
       }
     val targetSchema = snapshotSchema(all).getOrElse(
@@ -2677,22 +2703,21 @@ object VersionedTable {
       "replaceWhere on a transform table derives its partition columns - pass none")
     val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
     val live = liveFiles(all)
+    // log-schema reads throughout — see delete's logReader note (dir
+    // inference retypes partition values; all-null dirs infer VOID)
+    val logReader = snapshotSchema(all).map(spark.read.schema(_)).getOrElse(spark.read)
+    def readSet(files: Seq[String]): DataFrame = PartitionTransforms.derive(
+      logReader.option("basePath", path)
+        .parquet(files.map(f => s"$path/$f"): _*)
+        .drop(tfs.map(_.name): _*), tfs)
     // an EMPTY snapshot (fresh CREATE TABLE, post-truncate) replaces
     // nothing — incoming rows still land below
-    val hitParts =
-      if (live.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else PartitionTransforms.derive(
-        spark.read.option("basePath", path)
-          .parquet(live.map(f => s"$path/$f"): _*)
-          .drop(tfs.map(_.name): _*), tfs)
-        .filter(predicate)
-        .select(effPartitionCols.map(col): _*).distinct().collect()
+    val hitDirs =
+      if (live.isEmpty) Set.empty[String]
+      else hitPartitionDirs(readSet(live).filter(predicate), effPartitionCols)
     val affected =
-      if (hitParts.isEmpty) Nil
-      else {
-        val dirs = partitionDirs(hitParts, effPartitionCols)
-        live.filter(f => inDirs(f, dirs))
-      }
+      if (hitDirs.isEmpty) Nil
+      else live.filter(f => inDirs(f, hitDirs))
     val enforcedSet = currentConstraints(all)
     val guarded = enforced(
       df.filter(
@@ -2708,14 +2733,7 @@ object VersionedTable {
     // silently delete co-resident rows.
     val preserved =
       if (affected.isEmpty) guarded.filter(lit(false))
-      else PartitionTransforms.derive(
-        // log-schema read: see delete's keptReader note (VOID partition
-        // types on all-null affected dirs)
-        snapshotSchema(all).map(spark.read.schema(_)).getOrElse(spark.read)
-          .option("basePath", path)
-          .parquet(affected.map(f => s"$path/$f"): _*)
-          .drop(tfs.map(_.name): _*), tfs)
-        .filter(!coalesce(predicate, lit(false)))
+      else readSet(affected).filter(!coalesce(predicate, lit(false)))
     val shaped = byPartitions(
       PartitionTransforms.derive(guarded, tfs)
         .unionByName(preserved, allowMissingColumns = true), effPartitionCols)

@@ -110,13 +110,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** `TIMESTAMP AS OF <ts>` time travel (micros since epoch). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val t = loadAsOf(ident, None)
-    val tsMs = timestampMicros / 1000L
-    val hist = VersionedTable.history(spark, t.path)
-      .filter(org.apache.spark.sql.functions.col("ts_ms") <= tsMs)
-      .agg(org.apache.spark.sql.functions.max("version")).collect()(0)
-    if (hist.isNullAt(0)) throw new IllegalArgumentException(
-      s"no commit at or before timestamp $tsMs ms in ${t.path}")
-    t.copy(asOf = Some(hist.getLong(0)))
+    t.copy(asOf = Some(
+      VersionedTable.versionAt(spark, t.path, timestampMicros / 1000L)))
   }
 
   private def loadAsOf(ident: Identifier, asOf: Option[Long]): GraftTable = {
@@ -158,9 +153,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       require(refs.length == 1 && refs(0).fieldNames().length == 1,
         s"partition transform ${t.describe()} must reference one top-level column")
       val c = refs(0).fieldNames()(0)
-      require(schema.fieldNames.contains(c),
-        s"partition column '$c' is not in the table schema")
-      c
+      // resolve with the session resolver (case-insensitive by default,
+      // matching Spark's own analysis) and return the SCHEMA's spelling
+      // so meta/log partition names match the data columns everywhere
+      schema.fieldNames
+        .find(n => spark.sessionState.conf.resolver(n, c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column '$c' is not in the table schema"))
     }
     def intArg(t: Transform): Long = t.arguments().collectFirst {
       case LiteralValue(v: Integer, _) => v.longValue()

@@ -163,12 +163,8 @@ private[graft] class GraftTableRelation(
   private val asOfVersion: Option[Long] = params.get("versionAsOf").map(_.toLong)
     .orElse(params.get("timestampAsOf").map { ts =>
       // resolve the timestamp to a version driver-side (log-only)
-      val tsMs = java.sql.Timestamp.valueOf(ts).getTime
-      val vs = graft.sinks.VersionedTable.history(spark, path)
-        .filter(col("ts_ms") <= tsMs).agg(org.apache.spark.sql.functions.max("version"))
-        .collect()(0)
-      require(!vs.isNullAt(0), s"no commit at or before $ts in $path")
-      vs.getLong(0)
+      graft.sinks.VersionedTable.versionAt(spark, path,
+        java.sql.Timestamp.valueOf(ts).getTime)
     })
 
   // log-only schema resolution: no snapshot planning, works on EMPTY

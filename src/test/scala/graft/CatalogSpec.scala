@@ -264,6 +264,38 @@ class CatalogSpec extends SparkSpec {
       "AND grp >= 10 AND grp < 20") == Seq(Row(2L)))
   }
 
+  test("DML reaches timestamp and numeric-string partition directories") {
+    // java.sql.Timestamp.toString renders '...:00.0', which names no dir;
+    // the engine must render partition values the way the WRITER did
+    spark.sql(s"CREATE TABLE graft.$ns.tsp (k BIGINT, ts TIMESTAMP, v BIGINT) PARTITIONED BY (ts)")
+    spark.sql(s"INSERT INTO graft.$ns.tsp VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:00:00', 1), (2, TIMESTAMP '2024-01-02 10:00:00', 2)")
+    spark.sql(s"DELETE FROM graft.$ns.tsp WHERE k = 1")
+    assert(rows(s"SELECT k FROM graft.$ns.tsp") == Seq(Row(2L)))
+    spark.sql(s"UPDATE graft.$ns.tsp SET v = 9 WHERE k = 2")
+    assert(rows(s"SELECT v FROM graft.$ns.tsp") == Seq(Row(9L)))
+    // numeric-parseable STRING partition values: dir-value inference would
+    // retype p as INT and scope the rewrite to 'p=1' — no such directory
+    spark.sql(s"CREATE TABLE graft.$ns.nsp (k BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO graft.$ns.nsp VALUES (1, '01', 1), (2, '02', 2)")
+    spark.sql(s"DELETE FROM graft.$ns.nsp WHERE p = '01'")
+    assert(rows(s"SELECT k FROM graft.$ns.nsp") == Seq(Row(2L)))
+    spark.sql(s"UPDATE graft.$ns.nsp SET v = 7 WHERE p = '02'")
+    assert(rows(s"SELECT v FROM graft.$ns.nsp") == Seq(Row(7L)))
+  }
+
+  test("PARTITIONED BY resolves column names case-insensitively, keeping the schema spelling") {
+    spark.sql(s"CREATE TABLE graft.$ns.ci (id BIGINT, Cat STRING) PARTITIONED BY (CAT)")
+    spark.sql(s"INSERT INTO graft.$ns.ci VALUES (1, 'x'), (2, 'y')")
+    assert(rows(s"SELECT id FROM graft.$ns.ci WHERE Cat = 'x'") == Seq(Row(1L)))
+    spark.sql(s"DELETE FROM graft.$ns.ci WHERE Cat = 'y'")
+    assert(rows(s"SELECT id FROM graft.$ns.ci") == Seq(Row(1L)))
+    spark.sql(s"CREATE TABLE graft.$ns.ci2 (id BIGINT, Ts TIMESTAMP) PARTITIONED BY (days(TS))")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    assert(VersionedTable.activePartitionSpec(spark, s"$warehouse/$ns/ci2") ==
+      Seq(PartitionTransforms.Day("Ts")))
+  }
+
   test("catalog guards: duplicate create, missing table, time-travel writes") {
     spark.sql(s"CREATE TABLE graft.$ns.g (k BIGINT)")
     intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {

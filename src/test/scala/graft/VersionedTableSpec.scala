@@ -324,6 +324,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).select("k", "v").as[(Long, Long)].collect().toSet ==
       Set((1L, 2L), (2L, 1L), (5L, 1L)), "both writers' effects visible")
 
+    // A CREATE that loses the rename race must fail, not land a second
+    // 'create' commit silently redefining the winner's schema and spec.
+    val ct = table()
+    val winner = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType)))
+    val loser = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType)))
+    VersionedTable.testRaceHook = () => {
+      VersionedTable.testRaceHook = () => ()
+      VersionedTable.createEmpty(spark, ct, winner)
+    }
+    try {
+      intercept[IllegalStateException](VersionedTable.createEmpty(spark, ct, loser))
+    } finally VersionedTable.testRaceHook = () => ()
+    assert(VersionedTable.tableSchema(spark, ct) == winner, "winner's schema stands")
+    assert(VersionedTable.latestVersion(spark, ct) == 1L)
+
     // A concurrent rewrite of the SAME partition must be a real conflict.
     VersionedTable.testRaceHook = () => {
       VersionedTable.testRaceHook = () => ()
@@ -383,6 +400,41 @@ class VersionedTableSpec extends SparkSpec {
     // predicate matching nothing is a no-op version-wise
     val v = VersionedTable.latestVersion(spark, t)
     assert(VersionedTable.delete(spark, t, col("k") === 99L, Seq("p")) == v)
+  }
+
+  test("DML partition-dir rendering matches the writer (timestamps, numeric strings)") {
+    // timestamp identity partitioning: java.sql.Timestamp.toString
+    // renders '...:00.0' — a dir name the writer never produced
+    val t = table()
+    val tdf = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2L)).toDF("k", "ts", "v")
+    VersionedTable.write(spark, t, tdf, Seq("ts"))
+    VersionedTable.delete(spark, t, col("k") === 1L, Seq("ts"))
+    assert(VersionedTable.read(spark, t).select("k").as[Long].collect().toSeq == Seq(2L))
+    VersionedTable.update(spark, t, Map("v" -> lit(9L)), col("k") === 2L, Seq("ts"))
+    assert(VersionedTable.read(spark, t).select("v").as[Long].head() == 9L)
+
+    // numeric-parseable STRING partition values: dir-value inference
+    // would retype p as INT and scope the rewrite to 'p=1' (no such dir)
+    val t2 = table()
+    VersionedTable.write(spark, t2, df((1L, "01", 1L), (2L, "02", 1L)), Seq("p"))
+    VersionedTable.delete(spark, t2, col("p") === "01", Seq("p"))
+    assert(VersionedTable.read(spark, t2).select("k").as[Long].collect().toSeq == Seq(2L))
+    VersionedTable.upsert(spark, t2, df((2L, "02", 5L)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    assert(VersionedTable.read(spark, t2).select("v").as[Long].head() == 5L)
+  }
+
+  test("versionAt resolves a timestamp to the last commit at or before it") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    val ts1 = VersionedTable.history(spark, t).select("ts_ms").as[Long].head()
+    Thread.sleep(10) // distinct commit timestamps
+    VersionedTable.write(spark, t, df((2L, "a", 1L)), Seq("p"), mode = "append")
+    assert(VersionedTable.versionAt(spark, t, ts1) == 1L)
+    assert(VersionedTable.versionAt(spark, t, System.currentTimeMillis() + 1000L) == 2L)
+    intercept[IllegalArgumentException](VersionedTable.versionAt(spark, t, ts1 - 60000L))
   }
 
   test("streamWriter commits one txn per micro-batch; replayed batch is a no-op") {
