@@ -18,11 +18,15 @@ object CatalogOps {
     // unique namespace per invocation: the warehouse is a shared tmp dir
     val ns = "v" + java.util.UUID.randomUUID().toString.replace("-", "")
     spark.sql(s"CREATE NAMESPACE graft.$ns")
+    // daily hidden partitioning: the granularity a user would pick for
+    // this feed's volume (bucket() composition is spec-covered; at bench
+    // SF it would fragment ~8× more dirs than the data justifies and the
+    // run would measure file churn, not engine throughput)
     spark.sql(
       s"""CREATE TABLE graft.$ns.events
           (event_id BIGINT, user_id BIGINT, event_type STRING,
            value DOUBLE, ts TIMESTAMP)
-          PARTITIONED BY (days(ts), bucket(8, user_id))""")
+          PARTITIONED BY (days(ts))""")
     graft.sources.Tables.events(spark, dir)
       .createOrReplaceTempView("graft_catalog_events_src")
     spark.sql(

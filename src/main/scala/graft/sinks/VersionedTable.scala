@@ -1602,19 +1602,29 @@ object VersionedTable {
     val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
     // EVERY read here goes through the LOG schema, never dir-value
     // inference: inference can retype a partition value (p='01' infers
-    // INT 1 → dir 'p=1' which does not exist → rewrite silently scoped
-    // to zero files) and an all-null affected set infers the partition
-    // column as VOID (the staged partitionBy write refuses it).
-    // Transform dirs re-derive from raw columns (deterministic, so rows
-    // keep their dirs) instead of trusting inferred dir-value types.
+    // INT 1, breaking predicate semantics) and an all-null affected set
+    // infers the partition column as VOID (the staged partitionBy write
+    // refuses it). Transform dirs re-derive from raw columns
+    // (deterministic, so rows keep their dirs).
     val logReader = snapshotSchema(upTo).map(spark.read.schema(_)).getOrElse(spark.read)
     def readSet(files: Seq[String]): DataFrame = PartitionTransforms.derive(
       logReader.option("basePath", path)
         .parquet(files.map(f => s"$path/$f"): _*)
         .drop(tfs.map(_.name): _*), tfs)
-    val affectedDirs = hitPartitionDirs(readSet(live).filter(predicate), effPartitionCols)
-    if (affectedDirs.isEmpty) return latestVersion(spark, path) // nothing matches
-    val affected = live.filter(f => inDirs(f, affectedDirs))
+    // The hit scan is bounded by log-side skipping (hidden-dir
+    // transforms, per-file stats, blooms): DELETE WHERE day = X reads
+    // day X, never the table.
+    val candidates = prunedCandidates(spark, path, upTo, live, predicate)
+    if (candidates.isEmpty) return latestVersion(spark, path) // nothing can match
+    // Exact rewrite scoping (Delta's find-touched-files): only files
+    // HOLDING a matching row are rewritten; co-resident files in the
+    // same dir keep their bytes. Dir-level scoping would rewrite a whole
+    // partition for one clustered row — fatal at 100 TB.
+    val byBase = candidates.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
+    val affected = readSet(candidates).filter(predicate)
+      .select(input_file_name()).distinct().collect()
+      .map(r => relOf(byBase, r.getString(0))).toIndexedSeq
+    if (affected.isEmpty) return latestVersion(spark, path) // nothing matches
     val kept = readSet(affected).filter(!coalesce(predicate, lit(false)))
     val adds = stage(spark, path, byPartitions(kept, effPartitionCols),
       effPartitionCols, allowEmpty = true)
@@ -1648,15 +1658,21 @@ object VersionedTable {
       "update on a transform table derives its partition columns - pass none")
     val effPartitionCols = if (tfs.isEmpty) partitionCols else tfs.map(_.name)
     // log-schema reads throughout — see delete's logReader note (dir
-    // inference retypes partition values; all-null dirs infer VOID)
+    // inference retypes partition values; all-null dirs infer VOID).
+    // Hit scan bounded by log-side skipping + exact file-level rewrite
+    // scoping, as in delete: only files HOLDING a matching row rewrite.
     val logReader = snapshotSchema(upTo).map(spark.read.schema(_)).getOrElse(spark.read)
-    val current = PartitionTransforms.derive(
-      logReader.option("basePath", path)
-        .parquet(live.map(f => s"$path/$f"): _*)
-        .drop(tfs.map(_.name): _*), tfs)
-    val affectedDirs = hitPartitionDirs(current.filter(predicate), effPartitionCols)
-    if (affectedDirs.isEmpty) return latestVersion(spark, path) // nothing matches
-    val affected = live.filter(f => inDirs(f, affectedDirs))
+    val candidates = prunedCandidates(spark, path, upTo, live, predicate)
+    if (candidates.isEmpty) return latestVersion(spark, path) // nothing can match
+    val byBase = candidates.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
+    val affected = PartitionTransforms.derive(
+        logReader.option("basePath", path)
+          .parquet(candidates.map(f => s"$path/$f"): _*)
+          .drop(tfs.map(_.name): _*), tfs)
+      .filter(predicate)
+      .select(input_file_name()).distinct().collect()
+      .map(r => relOf(byBase, r.getString(0))).toIndexedSeq
+    if (affected.isEmpty) return latestVersion(spark, path) // nothing matches
     val src = logReader
       .option("basePath", path)
       .parquet(affected.map(f => s"$path/$f"): _*)
@@ -2111,6 +2127,36 @@ object VersionedTable {
     * delta still merges, which keeps the collapse exact). Returns the
     * filtered frame plus (scanned base, total base) file counts.
     */
+  /** Live files that MAY hold a row matching `predicate` — the same
+    * log-only skipping [[readPruned]] applies (hidden-dir transform
+    * pruning, then per-file min/max stats and bloom probes), reused by
+    * the COW DML hit scans so `DELETE WHERE day = X` reads day X and
+    * never the table. Conservative on every unknown. The predicate
+    * resolves against the DERIVED schema, so dir-column predicates on
+    * transform tables stay legal. Callers hold delta-free snapshots
+    * (the COW ops require them), so no MOR handling.
+    */
+  private def prunedCandidates(spark: SparkSession, path: String,
+      upTo: Seq[Commit], files: Seq[String],
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    if (files.isEmpty) return files
+    val schema = snapshotSchema(upTo).getOrElse(
+      spark.read.option("basePath", path)
+        .parquet(files.map(f => s"$path/$f"): _*).schema)
+    val probe = PartitionTransforms.derive(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      activeTransforms(upTo))
+    val cond = probe.filter(predicate).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+    val idx = statsIndex(upTo)
+    val bIdx = bloomIndex(upTo)
+    prunedByTransforms(spark, upTo, files, cond).filter(f =>
+      idx.get(f).forall(mayMatch(_, cond)) &&
+      bIdx.get(f).forall(bloomMayMatch(_, cond)))
+  }
+
   def readPruned(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       asOfVersion: Option[Long] = None): (DataFrame, Int, Int) = {

@@ -402,6 +402,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.delete(spark, t, col("k") === 99L, Seq("p")) == v)
   }
 
+  test("delete/update rewrite only the FILES holding matches, not whole dirs") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
+    VersionedTable.write(spark, t, df((2L, "a", 1L)), Seq("p"), mode = "append")
+    // two files share dir p=a; find the one holding only k=2
+    val k2file = VersionedTable.read(spark, t).filter(col("k") === 2L)
+      .select(input_file_name()).head().getString(0)
+    VersionedTable.delete(spark, t, col("k") === 1L, Seq("p"))
+    assert(VersionedTable.read(spark, t).select("k").as[Long].collect().toSeq == Seq(2L))
+    assert(VersionedTable.read(spark, t).inputFiles.toSet.contains(k2file),
+      "the co-resident file without matches must be shared, not rewritten")
+    // same for update
+    VersionedTable.write(spark, t, df((3L, "a", 1L)), Seq("p"), mode = "append")
+    val k2file2 = VersionedTable.read(spark, t).filter(col("k") === 2L)
+      .select(input_file_name()).head().getString(0)
+    VersionedTable.update(spark, t, Map("v" -> lit(5L)), col("k") === 3L, Seq("p"))
+    assert(VersionedTable.read(spark, t).filter(col("k") === 3L)
+      .select("v").as[Long].head() == 5L)
+    assert(VersionedTable.read(spark, t).inputFiles.toSet.contains(k2file2),
+      "update must not rewrite files without matching rows")
+  }
+
   test("DML partition-dir rendering matches the writer (timestamps, numeric strings)") {
     // timestamp identity partitioning: java.sql.Timestamp.toString
     // renders '...:00.0' — a dir name the writer never produced
