@@ -1735,17 +1735,27 @@ object VersionedTable {
     * source shuffles twice (dup-count window + join) but the table side
     * shuffles once on the join keys; untouched partitions share files
     * across versions without being read.
+    *
+    * `extraKeyCols` adds EXACT-equality columns to the match join —
+    * the SQL-MERGE-on-a-transform-table case: the catalog requires the
+    * ON clause to equate the transforms' raw source columns (day(ts)
+    * tables match on exact `ts`, not day granularity), and those land
+    * here. Redundant with the derived partition columns for routing,
+    * but they tighten matching to what the SQL actually said.
     */
   def merge(spark: SparkSession, path: String, source: DataFrame,
       key: String, partitionCols: Seq[String], clauses: Seq[MergeClause],
       txn: Option[(String, Long)] = None, statsCols: Seq[String] = Nil,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false, extraKeyCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.StructType
     require(clauses.nonEmpty, "merge: no clauses")
     requireSimpleNames("key", Seq(key))
     requireSimpleNames("partition", partitionCols)
     requireSimpleNames("stats", statsCols)
+    requireSimpleNames("extra key", extraKeyCols)
+    extraKeyCols.foreach(c => require(source.columns.contains(c),
+      s"merge source must carry extra key column $c"))
     val fs = fsFor(spark, path)
     val token = txn.map { case (app, batch) => Txn(app, batch) }
     val all = commits(fs, path)
@@ -1789,7 +1799,7 @@ object VersionedTable {
         .parquet(affected.map(f => s"$path/$f"): _*)
     val base = PartitionTransforms.derive(
       base0.drop(tfs.map(_.name): _*), tfs)
-    val joinKeys = (effPartitionCols :+ key).distinct
+    val joinKeys = ((effPartitionCols ++ extraKeyCols) :+ key).distinct
     // Presence markers distinguish "no row on this side" from null data;
     // the windowed count catches multiple source rows per join key.
     val t = base.withColumn("__te", lit(1)).alias("t")

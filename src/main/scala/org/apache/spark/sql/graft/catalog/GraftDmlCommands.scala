@@ -118,9 +118,13 @@ final case class GraftDeleteCommand(
   * covering exactly the table's identity partition columns plus ONE key
   * column — that is precisely the join [[VersionedTable.merge]] runs, so
   * the SQL gets standard MERGE semantics (including the
-  * multiple-source-rows-matched error). Hidden-transform tables are
-  * rejected: their merge is partition-scoped by derived values, which
-  * standard SQL MERGE has no way to express — use the API directly.
+  * multiple-source-rows-matched error). On a hidden-transform table the
+  * ON must instead cover the transforms' RAW source columns plus one
+  * key: exact equality on the raw columns implies equality on every
+  * derived partition value (transforms are functions of them), so the
+  * engine's partition-scoped join with the raw columns as extra exact
+  * keys matches precisely the rows the SQL says — no silent widening to
+  * day/bucket granularity.
   */
 final case class GraftMergeCommand(
     table: GraftTable,
@@ -132,9 +136,6 @@ final case class GraftMergeCommand(
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   override def run(session: SparkSession): Seq[Row] = {
-    require(table.hiddenSpec.isEmpty,
-      s"MERGE INTO ${table.name()} is partition-scoped on a hidden-partitioned " +
-        "table — use graft.sinks.VersionedTable.merge directly")
     val tm = GraftDml.mappingOf(targetOutput, Seq("t"))
     val sm = GraftDml.mappingOf(source.output, Seq("s"))
     val both = tm ++ sm
@@ -167,14 +168,18 @@ final case class GraftMergeCommand(
         s"graft MERGE: unsupported action $other")
     }
     val sourceDf = GraftShim.ofRows(session, source)
+    val hidden = table.hiddenSpec
     VersionedTable.merge(session, table.path, sourceDf, key,
-      table.identityCols, (matchedActions ++ notMatchedActions).map(clauseOf))
+      if (hidden.nonEmpty) Nil else table.identityCols,
+      (matchedActions ++ notMatchedActions).map(clauseOf),
+      extraKeyCols = hidden.map(_.source).distinct.filterNot(_ == key))
     GraftDml.refreshCache(session, table)
     Nil
   }
 
   /** Split the ON conjunction into same-name t=s equalities; exactly the
-    * identity partition columns plus one key must be covered.
+    * partition columns (identity, or the transforms' raw sources for a
+    * hidden-partitioned table) plus one key must be covered.
     */
   private def keyFromOn: String = {
     val tIds = targetOutput.map(a => a.exprId.id -> a.name).toMap
@@ -194,7 +199,9 @@ final case class GraftMergeCommand(
         s"graft MERGE: ON must be a conjunction of t.<c> = s.<c> equalities, " +
           s"got ${other.sql}")
     }.toSet
-    val partSet = table.identityCols.toSet
+    val partSet =
+      if (table.hiddenSpec.nonEmpty) table.hiddenSpec.map(_.source).toSet
+      else table.identityCols.toSet
     val keys = names -- partSet
     require(partSet.subsetOf(names) && keys.size == 1,
       s"graft MERGE: ON must cover the partition columns ${partSet.mkString(",")} " +

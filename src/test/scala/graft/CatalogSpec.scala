@@ -191,6 +191,45 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("partition columns"))
   }
 
+  test("SQL MERGE INTO a hidden-partitioned table matches on exact raw columns") {
+    spark.sql(
+      s"""CREATE TABLE graft.$ns.mh (id BIGINT, ts TIMESTAMP, v BIGINT)
+          PARTITIONED BY (days(ts))""")
+    spark.sql(
+      s"""INSERT INTO graft.$ns.mh VALUES
+          (1, TIMESTAMP '2024-01-10 08:00:00', 1),
+          (2, TIMESTAMP '2024-01-10 09:00:00', 2),
+          (3, TIMESTAMP '2024-02-01 00:00:00', 3)""")
+    // same id+day but DIFFERENT ts must NOT match (exact SQL equality,
+    // not day granularity): id=2's source ts differs by a second
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-10 08:00:00"), 10L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-10 09:00:01"), 20L),
+      (4L, java.sql.Timestamp.valueOf("2024-03-05 12:00:00"), 40L)
+    ).toDF("id", "ts", "v").createOrReplaceTempView("mh_src")
+    spark.sql(
+      s"""MERGE INTO graft.$ns.mh t USING mh_src s
+          ON t.id = s.id AND t.ts = s.ts
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows(s"SELECT id, v FROM graft.$ns.mh ORDER BY id, v") ==
+      Seq(Row(1L, 10L), Row(2L, 2L), Row(2L, 20L), Row(3L, 3L), Row(4L, 40L)))
+    // layout stayed hidden-partitioned: the new row landed in its day dir
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array(ns), "mh"))
+      .asInstanceOf[org.apache.spark.sql.graft.catalog.GraftTable]
+    assert(VersionedTable.read(spark, t.path).inputFiles
+      .exists(_.contains("__p_ts=2024-03-05")))
+    // ON missing the raw transform column is rejected, not day-scoped
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO graft.$ns.mh t USING mh_src s ON t.id = s.id
+                    WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(e.getMessage.contains("partition columns"))
+  }
+
   test("SQL DELETE with a predicate source filters cannot express") {
     spark.sql(s"CREATE TABLE graft.$ns.dx (k BIGINT, txt STRING)")
     spark.sql(s"INSERT INTO graft.$ns.dx VALUES (1, 'keep'), (2, 'drop-me'), (3, 'also drop')")
