@@ -2684,6 +2684,51 @@ object VersionedTable {
       constraints = Some(currentConstraints(all) - name)).version
   }
 
+  /** ALTER TABLE ADD COLUMNS: record the widened schema in a log-only
+    * commit — zero data files read or rewritten at any table size.
+    * Files predating the commit surface the new columns as null
+    * (parquet by-name resolution, the same mechanism [[read]] already
+    * relies on for write-time evolution), and snapshots BEFORE the
+    * commit keep their narrower schema. New columns must be nullable
+    * (existing rows have no value for them) and must not collide with
+    * an existing column under the session resolver — a case-variant
+    * twin would ambiguate every later resolution.
+    */
+  def addColumns(spark: SparkSession, path: String,
+      newCols: org.apache.spark.sql.types.StructType): Long = {
+    require(newCols.nonEmpty, "addColumns: no columns to add")
+    requireSimpleNames("new", newCols.fieldNames.toSeq)
+    newCols.foreach(f => require(f.nullable,
+      s"addColumns: column '${f.name}' must be nullable — existing rows have no value for it"))
+    val resolver = spark.sessionState.conf.resolver
+    newCols.fieldNames.toSeq.combinations(2).foreach { case Seq(a, b) =>
+      require(!resolver(a, b), s"addColumns: duplicate column name '$b'")
+    }
+    require(!newCols.fieldNames.exists(resolver(_, DeleteMarker)),
+      s"addColumns: '$DeleteMarker' is reserved for MOR tombstones")
+    val fs = fsFor(spark, path)
+    val all = commits(fs, path)
+    require(all.nonEmpty, s"addColumns: no versioned table at $path")
+    // derived layout columns (__p_*) are physical, not logical — a new
+    // logical column shadowing one would corrupt transform re-derivation
+    val derived = activeTransforms(all).map(_.name)
+    newCols.fieldNames.foreach { n =>
+      require(!derived.exists(resolver(_, n)),
+        s"addColumns: '$n' collides with a hidden-partition layout column")
+    }
+    val fallback = tableSchema(spark, path) // legacy logs without schemaJson
+    publishWithRebase(fs, path, "add_columns", Nil, Nil, txn = None,
+      schemaOf = upTo => { // re-evaluated on rebase: concurrent evolution merges
+        val cur = snapshotSchema(upTo).getOrElse(fallback)
+        newCols.fieldNames.foreach { n =>
+          require(!cur.fieldNames.exists(resolver(_, n)),
+            s"addColumns: column '$n' already exists")
+        }
+        Some(org.apache.spark.sql.types.StructType(cur.fields ++ newCols.fields))
+      },
+      allowRebase = true).version
+  }
+
   /** In-plan enforcement: wrap `df` so any row violating a constraint
     * raises during the stage write — zero extra scans, the check rides
     * the write's own pass over the data.

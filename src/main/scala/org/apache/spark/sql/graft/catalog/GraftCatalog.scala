@@ -200,14 +200,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = tablePath(ident)
     if (!fs.exists(p) || !isTable(p)) throw new NoSuchTableException(ident)
     val meta = GraftCatalog.readMeta(fs, p)
+    // ADD COLUMNS is a log-level commit (additive evolution, no file
+    // rewrites — see VersionedTable.addColumns); all adds in one
+    // statement land as ONE commit so concurrent readers never see a
+    // partial widening. Property changes stay in the side meta file.
+    val added = changes.collect { case c: TableChange.AddColumn =>
+      require(c.fieldNames.length == 1,
+        s"graft catalog: ADD COLUMNS supports top-level columns only, " +
+          s"got ${c.fieldNames.mkString(".")}")
+      require(c.position == null,
+        "graft catalog: ADD COLUMNS FIRST/AFTER is not supported — new " +
+          "columns append at the end (log-level evolution has no column order rewrite)")
+      require(c.isNullable,
+        s"graft catalog: new column ${c.fieldNames.head} must be nullable " +
+          "(existing rows have no value for it)")
+      require(c.defaultValue == null,
+        s"graft catalog: DEFAULT on new column ${c.fieldNames.head} is not " +
+          "supported — pre-existing rows read the column as null")
+      org.apache.spark.sql.types.StructField(c.fieldNames.head, c.dataType,
+        nullable = true,
+        metadata = Option(c.comment).map(cm => new org.apache.spark.sql.types
+          .MetadataBuilder().putString("comment", cm).build())
+          .getOrElse(org.apache.spark.sql.types.Metadata.empty))
+    }
+    if (added.nonEmpty)
+      VersionedTable.addColumns(spark, p.toString, StructType(added))
     val props = changes.foldLeft(meta.properties) {
       case (m, c: TableChange.SetProperty) => m + (c.property -> c.value)
       case (m, c: TableChange.RemoveProperty) => m - c.property
+      case (m, _: TableChange.AddColumn) => m // handled above
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other " +
-          "(schema evolves additively through appends/merges)")
+          "(schema evolves additively through ADD COLUMNS, appends, and merges)")
     }
-    GraftCatalog.writeMeta(fs, p, meta.copy(properties = props))
+    if (props != meta.properties)
+      GraftCatalog.writeMeta(fs, p, meta.copy(properties = props))
     loadTable(ident)
   }
 

@@ -230,6 +230,33 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("partition columns"))
   }
 
+  test("ALTER TABLE ADD COLUMNS widens the schema without touching files") {
+    spark.sql(s"CREATE TABLE graft.$ns.ac (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO graft.$ns.ac VALUES (1, 'a'), (2, 'b')")
+    val filesBefore = spark.table(s"graft.$ns.ac").inputFiles.toSet
+    spark.sql(s"ALTER TABLE graft.$ns.ac ADD COLUMNS (score DOUBLE, note STRING)")
+    // old rows surface the new columns as null; no file was rewritten
+    assert(rows(s"SELECT id, p, score, note FROM graft.$ns.ac ORDER BY id") ==
+      Seq(Row(1L, "a", null, null), Row(2L, "b", null, null)))
+    assert(spark.table(s"graft.$ns.ac").inputFiles.toSet == filesBefore)
+    // new writes carry the new columns; both generations read together
+    spark.sql(s"INSERT INTO graft.$ns.ac VALUES (3, 'a', 0.5, 'ok')")
+    assert(rows(s"SELECT id, score, note FROM graft.$ns.ac WHERE id = 3") ==
+      Seq(Row(3L, 0.5, "ok")))
+    // the pre-ALTER snapshot keeps its narrower schema
+    assert(spark.sql(s"SELECT * FROM graft.$ns.ac VERSION AS OF 2").columns.toSeq ==
+      Seq("id", "p"))
+    // guards: existing name (case-variant), NOT NULL
+    val dup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$ns.ac ADD COLUMNS (ID BIGINT)")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    val nn = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$ns.ac ADD COLUMNS (req BIGINT NOT NULL)")
+    }
+    assert(nn.getMessage.contains("nullable"))
+  }
+
   test("SQL DELETE with a predicate source filters cannot express") {
     spark.sql(s"CREATE TABLE graft.$ns.dx (k BIGINT, txt STRING)")
     spark.sql(s"INSERT INTO graft.$ns.dx VALUES (1, 'keep'), (2, 'drop-me'), (3, 'also drop')")
