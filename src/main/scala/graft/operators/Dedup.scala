@@ -245,15 +245,36 @@ object Dedup {
   /** Exact n-gram Jaccard verification over the MinHash candidate pairs:
     * the two-stage dedup (cheap LSH recall → exact verify on candidates
     * only). Emits verified pairs with their exact similarity.
+    *
+    * Plan shape is explode-and-count, NOT array-payload joins: joining
+    * each doc's full shingle ARRAY onto the pair rows (the obvious
+    * formulation) ships every candidate doc's whole shingle set through
+    * two shuffles and then runs interpreted `array_intersect`/
+    * `array_union` per pair — measured as the slowest query in the
+    * suite. Instead the intersection is computed relationally:
+    * join candidates to the exploded (doc_id, shingle) rows of each
+    * side, equi-join on the shingle, and COUNT matches per pair — every
+    * shuffle row is (long, long, long), the count is a codegen'd
+    * HashAggregate with map-side partials, and |A∪B| follows from the
+    * per-doc set sizes (|A|+|B|−|A∩B|), which travel as one int per doc.
+    * Pairs with an empty intersection drop out of the inner join —
+    * identical output for any threshold > 0.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+    // Set sizes: size() collapses the shingle array before any shuffle,
+    // so only (doc_id, int) rows move.
+    val sizes = docs.select(col("doc_id"), size(shingleHashes(col("text"))).as("sz"))
+    val e = explodedShingles(docs)
     candidatePairs(docs)
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(e.select(col("doc_id").as("doc_a"), col("x")), "doc_a")
+      .join(e.select(col("doc_id").as("doc_b"), col("x")), Seq("doc_b", "x"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -313,9 +334,24 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val pairs = candidates
-      .join(vecs.select(col("doc_id").as("doc_a"), col("v").as("va")), "doc_a")
-      .join(vecs.select(col("doc_id").as("doc_b"), col("v").as("vb")), "doc_b")
+    // Attach payloads with ONE pass over the vector table, not two:
+    // joining vecs once per side shuffles the full 512 B-vector table
+    // twice. Instead explode each pair into its two members, join the
+    // vector table ONCE on the member id, and fold the two rows back
+    // into (va, vb) with a map-side-partial first(when(...)) aggregate —
+    // the full table shuffles once, and the re-pair shuffle carries only
+    // 2 rows per CANDIDATE pair (bounded ≪ corpus by the bucket cap).
+    val attached = candidates
+      .select(explode(array(
+          struct(col("doc_a"), col("doc_b"), col("doc_a").as("member")),
+          struct(col("doc_a"), col("doc_b"), col("doc_b").as("member")))).as("e"))
+      .select(col("e.doc_a"), col("e.doc_b"), col("e.member"))
+      .join(vecs.select(col("doc_id").as("member"), col("v")), "member")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("member") === col("doc_a"), col("v")), ignoreNulls = true).as("va"),
+        first(when(col("member") === col("doc_b"), col("v")), ignoreNulls = true).as("vb"))
+    val pairs = attached
       .filter(graft.functions.GraftFunctions.cosine(col("va"), col("vb")) >= threshold)
       .select(col("doc_a"), col("doc_b"))
     neighborSummary(vecs, pairs)

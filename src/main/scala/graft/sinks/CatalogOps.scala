@@ -94,7 +94,57 @@ object CatalogOps {
           ORDER BY o_orderstatus""")
   }
 
+  /** The same DDL→INSERT→DELETE→UPDATE→aggregate lifecycle as
+    * [[sqlCatalogRoundTrip]], driven from the ORDERS table. Exists so the
+    * catalog face always has a lifecycle signal that does not depend on
+    * the events table's physical ts encoding — one table's schema drift
+    * must not zero the whole catalog correctness signal (round-3 lesson:
+    * every catalog query happened to route through events).
+    */
+  def sqlLifecycleRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val ns = "v" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE NAMESPACE graft.$ns")
+    spark.sql(
+      s"""CREATE TABLE graft.$ns.orders
+          (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           o_totalprice DOUBLE, o_orderdate TIMESTAMP)
+          PARTITIONED BY (months(o_orderdate))""")
+    graft.sources.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_lifecycle_orders_src")
+    spark.sql(
+      s"""INSERT INTO graft.$ns.orders
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+          FROM graft_lifecycle_orders_src""")
+    spark.sql(
+      s"""DELETE FROM graft.$ns.orders
+          WHERE o_orderstatus = 'F' AND o_custkey BETWEEN 100 AND 400""")
+    spark.sql(
+      s"""UPDATE graft.$ns.orders SET o_totalprice = o_totalprice * 2
+          WHERE o_orderstatus = 'O' AND o_custkey <= 200""")
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+                 cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+                 count(DISTINCT o_custkey) AS n_custs
+          FROM graft.$ns.orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          GROUP BY o_orderstatus
+          ORDER BY o_orderstatus""")
+  }
+
   val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_sql_lifecycle", sqlLifecycleRoundTrip,
+      Some("""
+        SELECT o_orderstatus, count(*) AS n_orders,
+               cast(sum(cast(
+                 CASE WHEN o_orderstatus = 'O' AND o_custkey <= 200
+                      THEN o_totalprice * 2 ELSE o_totalprice END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+               count(DISTINCT o_custkey) AS n_custs
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND NOT (o_orderstatus = 'F' AND o_custkey BETWEEN 100 AND 400)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
     graft.Op("q_sql_catalog", sqlCatalogRoundTrip,
       Some("""
         SELECT event_type, count(*) AS n_events,

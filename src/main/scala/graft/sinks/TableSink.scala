@@ -194,6 +194,13 @@ object TableSink {
       else {
         // Literal partition predicates (OR of per-partition ANDs) so the
         // base scan is directory-pruned to the affected partitions.
+        // Driver-side collect bounded by the PARTITION CARDINALITY of the
+        // update set, not its row count — the same trade Delta's
+        // replaceWhere/dynamic-partition-overwrite planning makes. Sound
+        // for date-like layouts (an update batch touches days, not
+        // billions of keys); a layout partitioned on a high-cardinality
+        // key would make this collect the bottleneck — that layout is
+        // wrong for upserts anyway (one dir per key).
         val parts = updates.select(partitionCols.map(col): _*).distinct().collect()
         require(parts.nonEmpty, "upsert: empty update set")
         val cond = parts.map { row =>

@@ -1471,17 +1471,24 @@ object VersionedTable {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          // mergeOnRead: each micro-batch is ONE delta append — per-batch
-          // cost O(batch), not O(touched partitions). The write-heavy
-          // streaming shape Hudi MOR exists for; compact on a cadence.
-          if (mergeOnRead)
-            upsertMOR(batch.sparkSession, path, batch, key, precombine,
-              partitionCols, txn = Some((appId, batchId)))
-          else
-            upsert(batch.sparkSession, path, batch, key, precombine,
-              partitionCols, txn = Some((appId, batchId)))
-        }
+        // Persist across the commit's multiple actions (emptiness probe,
+        // affected-partition probe, staged write) — without it each
+        // action re-executes the micro-batch lineage. Bounded by the
+        // trigger's admission control.
+        batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!batch.isEmpty) {
+            // mergeOnRead: each micro-batch is ONE delta append — per-batch
+            // cost O(batch), not O(touched partitions). The write-heavy
+            // streaming shape Hudi MOR exists for; compact on a cadence.
+            if (mergeOnRead)
+              upsertMOR(batch.sparkSession, path, batch, key, precombine,
+                partitionCols, txn = Some((appId, batchId)))
+            else
+              upsert(batch.sparkSession, path, batch, key, precombine,
+                partitionCols, txn = Some((appId, batchId)))
+          }
+        } finally batch.unpersist(blocking = false)
         ()
       }
 

@@ -29,14 +29,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as long (legacy conf) and floor
-    * to microseconds — the precision Spark timestamps actually carry.
+  /** `events.ts` has shipped in two physical shapes across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark can only read as
+    * int64 under `nanosAsLong`) and plain timestamp[us] (read as
+    * TIMESTAMP_NTZ). Load, then normalize whatever arrived via
+    * [[normalizeTs]] — hard-coding either shape breaks the moment the
+    * generator changes, and a drift then surfaces as dozens of scattered
+    * DATATYPE_MISMATCH failures instead of one loud loader error.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    normalizeTs(table(s, d, "events"), "events")
+  }
+
+  /** Normalize a `ts` column to session-zoned TimestampType at microsecond
+    * precision, whatever physical shape the file carried:
+    *  - int64 (TIMESTAMP(NANOS) under `nanosAsLong`): floor nanos → micros;
+    *  - TIMESTAMP_NTZ (timestamp[us], isAdjustedToUTC=false): cast — the
+    *    session timezone is pinned to UTC ([[graft.GraftSession]]), so the
+    *    cast is value-identical and every downstream operator (watermarks,
+    *    windows, unix_micros, date_format) sees the one type the whole
+    *    engine is verified against;
+    *  - TimestampType: already normalized.
+    * Any other dtype fails loudly, naming the table.
+    */
+  def normalizeTs(df: DataFrame, tableName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", F.col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"$tableName.ts loaded as unsupported dtype $other — " +
+          "expected int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP; the testdata " +
+          "generator's physical encoding changed and normalizeTs needs a case for it")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
@@ -63,6 +92,15 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Decide from the INPUT FILE COUNT, not df.rdd.getNumPartitions: the
+    // rdd probe forces full physical planning of the frame per call just
+    // to read a number. File count is resolved from the logical plan's
+    // file index (already in memory after analysis); it under-counts
+    // when large files split, which only means a redundant-but-harmless
+    // round-robin shuffle. Non-file frames (inputFiles empty — planted
+    // in-memory test data) take the repartition: they are exactly the
+    // narrow local inputs this guard exists for.
+    val nFiles = df.inputFiles.length
+    if (nFiles >= target) df else df.repartition(target)
   }
 }

@@ -30,9 +30,13 @@ import graft.operators.Enrich
   */
 object IngestPipeline {
 
-  /** Raw schema of the events feed as landed (ts = int64 nanos; the
-    * generator writes TIMESTAMP(NANOS) which Spark reads as long under
-    * `spark.sql.legacy.parquet.nanosAsLong`).
+  /** Raw schema of the events FEED as landed (ts = int64 nanos — the
+    * reference's queue feed shape). Streaming sources need an explicit
+    * schema, so the staged feed dirs are materialized in exactly this
+    * shape ([[stagedEventsDir]]/[[stagedEventsMultiDir]]) regardless of
+    * the physical encoding of the source-of-truth events table —
+    * verbatim-copying the table file here is what broke when the
+    * generator switched TIMESTAMP(NANOS) → timestamp[us].
     */
   val rawEventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -42,10 +46,11 @@ object IngestPipeline {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Normalize the raw feed: nanos → timestamp, then standard enrichment. */
+  /** Normalize the raw feed (whatever ts shape it carries — int64 nanos,
+    * NTZ, or timestamp), then standard enrichment.
+    */
   def transform(raw: DataFrame): DataFrame =
-    Enrich.enrichFrame(
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    Enrich.enrichFrame(graft.sources.Tables.normalizeTs(raw, "events-feed"))
 
   /** File-source config: format + explicit schema + reader options, with
     * the reference's maxFilesPerTrigger batching (`S3ToParquetStreamJob
@@ -137,12 +142,17 @@ object IngestPipeline {
   private val stagedInputs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[streaming] def stagedEventsDir(dir: String): String =
+  private[streaming] def stagedEventsDir(spark: SparkSession, dir: String): String =
     stagedInputs.computeIfAbsent("parquet:" + dir, { _ =>
       val work = graft.Scratch.dir("graft-ingest-in")
-      Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$work/events.parquet"))
+      // Materialize the FEED shape (ts = int64 nanos, [[rawEventSchema]])
+      // from the normalized table — never copy the table file verbatim:
+      // its physical ts encoding is the generator's choice, not the feed
+      // contract, and a silent encoding drift then reads as garbage longs.
+      graft.sources.Tables.events(spark, dir)
+        .withColumn("ts", unix_micros(col("ts")) * 1000L)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(work)
       work
     })
 
@@ -224,7 +234,7 @@ object IngestPipeline {
   def ingestRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.Scratch.dir("graft-ingest")
     val q = StreamTuning.withStatePartitions(spark) {
-      start(spark, stagedEventsDir(dir), s"$work/sink",
+      start(spark, stagedEventsDir(spark, dir), s"$work/sink",
         StreamTuning.scratchDir("graft-ingest-ckpt"))
     }
     q.awaitTermination()
@@ -277,12 +287,17 @@ object IngestPipeline {
     * data's full horizon so the guarantee holds however the files split
     * across micro-batches.
     */
-  private[streaming] def stagedDupEventsDir(dir: String): String =
+  /** The dup-landing feed: TWO copies of the staged feed file (same
+    * int64-nanos shape as [[stagedEventsDir]] — reuse its part file
+    * rather than re-copying the table verbatim, see the note there).
+    */
+  private[streaming] def stagedDupEventsDir(spark: SparkSession, dir: String): String =
     stagedInputs.computeIfAbsent("dup:" + dir, { _ =>
       val work = graft.Scratch.dir("graft-dup-in")
+      val part = new java.io.File(stagedEventsDir(spark, dir)).listFiles()
+        .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
       Seq("a", "b").foreach { tag =>
-        Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
+        Files.copy(part.toPath,
           java.nio.file.Paths.get(s"$work/events_$tag.parquet"))
       }
       work
@@ -293,7 +308,7 @@ object IngestPipeline {
     // ~5 MB of ingest_id state at sf0.1 → the state-volume sizing rule
     // (see StreamJoin) puts the dedup store at the partition floor.
     val q = StreamTuning.withStatePartitions(spark, 4) {
-      val enriched = transform(source(spark, stagedDupEventsDir(dir)))
+      val enriched = transform(source(spark, stagedDupEventsDir(spark, dir)))
       startSink(withDedup(enriched, watermarkDelay = "768 hours"),
         s"$work/sink", StreamTuning.scratchDir("graft-dedup-ckpt"), Seq("event_date"))
     }
@@ -314,7 +329,7 @@ object IngestPipeline {
     */
   def tableSinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.Scratch.dir("graft-table-sink-rt")
-    val enriched = transform(source(spark, stagedDupEventsDir(dir)))
+    val enriched = transform(source(spark, stagedDupEventsDir(spark, dir)))
     val q = enriched.writeStream
       .format("graft-table")
       .option("path", s"$work/tbl")

@@ -26,7 +26,7 @@ object SsjProgress {
     val t0 = System.nanoTime()
 
     val work = graft.Scratch.dir("graft-ssjp")
-    def src() = IngestPipeline.source(spark, IngestPipeline.stagedEventsDir(dir))
+    def src() = IngestPipeline.source(spark, IngestPipeline.stagedEventsDir(spark, dir))
     val events = IngestPipeline.transform(src())
       .select(col("user_id"), col("ts"), col("event_id"))
     val clicks = IngestPipeline.transform(src())

@@ -43,7 +43,7 @@ object StreamJoin {
     */
   def roundTrip(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.Scratch.dir("graft-ssjoin")
-    def src() = IngestPipeline.source(spark, IngestPipeline.stagedEventsDir(dir))
+    def src() = IngestPipeline.source(spark, IngestPipeline.stagedEventsDir(spark, dir))
     val events = IngestPipeline.transform(src())
       .select(col("user_id"), col("ts"), col("event_id"))
     val clicks = IngestPipeline.transform(src())

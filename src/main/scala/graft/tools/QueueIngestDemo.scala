@@ -24,7 +24,11 @@ object QueueIngestDemo {
     val work = graft.Scratch.dir("queue-demo")
     val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
-    spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
+    // Stage the feed shape (ts = int64 nanos) from the normalized table —
+    // the table file's own physical ts encoding is the generator's choice.
+    graft.sources.Tables.events(spark, sfDir)
+      .withColumn("ts", org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts")) * 1000L)
       .limit(300).coalesce(1).write.parquet(s"$work/data")
     val dataFile = Files.list(Paths.get(s"$work/data")).iterator.asScala
       .map(_.toString).filter(_.endsWith(".parquet")).next()

@@ -283,20 +283,31 @@ private[table] class GraftTableSink(
     val qe = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution
     val batch = spark.internalCreateDataFrame(qe.toRdd, data.schema, isStreaming = false)
-    if (batch.isEmpty) return
-    val txn = Some((appId, batchId))
-    (params.get("key"), params.get("precombine")) match {
-      case (Some(k), Some(pc)) if params.get("mergeOnRead").exists(_.toBoolean) =>
-        graft.sinks.VersionedTable.upsertMOR(
-          spark, path, batch, k, pc, partitionCols, txn = txn)
-      case (Some(k), Some(pc)) =>
-        graft.sinks.VersionedTable.upsert(
-          spark, path, batch, k, pc, partitionCols, txn = txn)
-      case _ =>
-        graft.sinks.VersionedTable.write(
-          spark, path, batch, partitionCols, mode = "append", txn = txn)
-    }
-    ()
+    // Persist for the duration of the commit: the upsert path runs
+    // SEVERAL actions over the batch (emptiness probe, affected-partition
+    // probe, staged write), and without a cache each one re-executes the
+    // whole micro-batch lineage (source scan + transforms). One
+    // materialization per batch is the per-commit constant we can
+    // actually control; micro-batches are bounded by the trigger's
+    // admission control, so the cache is bounded too. (Delta's streaming
+    // sink materializes per-batch the same way.)
+    batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (batch.isEmpty) return
+      val txn = Some((appId, batchId))
+      (params.get("key"), params.get("precombine")) match {
+        case (Some(k), Some(pc)) if params.get("mergeOnRead").exists(_.toBoolean) =>
+          graft.sinks.VersionedTable.upsertMOR(
+            spark, path, batch, k, pc, partitionCols, txn = txn)
+        case (Some(k), Some(pc)) =>
+          graft.sinks.VersionedTable.upsert(
+            spark, path, batch, k, pc, partitionCols, txn = txn)
+        case _ =>
+          graft.sinks.VersionedTable.write(
+            spark, path, batch, partitionCols, mode = "append", txn = txn)
+      }
+      ()
+    } finally batch.unpersist(blocking = false)
   }
 
   override def toString: String = s"GraftTableSink[$path]"

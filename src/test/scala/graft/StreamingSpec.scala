@@ -360,10 +360,17 @@ class StreamingSpec extends SparkSpec {
   test("streaming dedup guard drops duplicate ingest_ids") {
     val work = tmp("graft-dedup")
     val ev = Tables.events(spark, sf)
-    // land the same file twice (the reference's Hudi duplicate scenario)
+    // land the same FEED file twice (the reference's Hudi duplicate
+    // scenario) — staged in the int64-nanos feed shape rawEventSchema
+    // declares, never a verbatim copy of the table file (its physical ts
+    // encoding is the generator's choice)
+    val feed = ev.withColumn("ts", unix_micros(col("ts")) * 1000L).coalesce(1)
+    feed.write.parquet(s"$work/staged")
+    val part = Files.list(Paths.get(s"$work/staged")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).next()
     Files.createDirectories(Paths.get(s"$work/in"))
-    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$work/in/a.parquet"))
-    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$work/in/b.parquet"))
+    Files.copy(part, Paths.get(s"$work/in/a.parquet"))
+    Files.copy(part, Paths.get(s"$work/in/b.parquet"))
     val q = IngestPipeline.start(spark, s"$work/in", s"$work/sink", s"$work/ckpt",
       dedup = true, maxFilesPerTrigger = 2)
     q.awaitTermination()
@@ -373,8 +380,8 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming windowed rollup equals batch rollup (complete mode)") {
     val work = tmp("graft-rollup")
-    Files.createDirectories(Paths.get(s"$work/in"))
-    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$work/in/events.parquet"))
+    Tables.events(spark, sf).withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .coalesce(1).write.parquet(s"$work/in")
     val stream = EventRollup.rollupStream(IngestPipeline.transform(
       IngestPipeline.source(spark, s"$work/in")).select("ts", "event_type", "value"))
     val q = stream.writeStream
@@ -392,8 +399,8 @@ class StreamingSpec extends SparkSpec {
   test("streaming sessionization closes the same sessions as batch") {
     import org.apache.spark.sql.{Encoders => E}
     val work = tmp("graft-sess")
-    Files.createDirectories(Paths.get(s"$work/in"))
-    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$work/in/events.parquet"))
+    Tables.events(spark, sf).withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .coalesce(1).write.parquet(s"$work/in")
     val evs = IngestPipeline.transform(IngestPipeline.source(spark, s"$work/in"))
       .select(col("user_id"), col("ts"), col("value"))
       .as(E.product[Sessionize.Ev])
