@@ -15,6 +15,13 @@ import scala.util.matching.Regex
 trait QueueClient {
   def poll(): Seq[FileNotification]
   def ack(handles: Seq[String]): Unit
+
+  /** Park messages that exhausted their redelivery budget where an
+    * operator can inspect them (SQS redrive-to-DLQ). Default transport
+    * behavior is ack (drop) — overridden where the transport can move
+    * the message aside instead.
+    */
+  def deadLetter(handles: Seq[String]): Unit = ack(handles)
 }
 
 /** Directory-backed queue: each message is a JSON file
@@ -55,4 +62,20 @@ class DirectoryQueueClient(queueDir: String) extends QueueClient {
 
   override def ack(handles: Seq[String]): Unit =
     handles.foreach(h => Files.deleteIfExists(Paths.get(h)))
+
+  /** Poison messages move to `<queueDir>/.dlq/` (kept out of poll() by
+    * the `.json`-in-root filter) instead of being deleted — the
+    * directory-transport version of an SQS dead-letter queue.
+    */
+  override def deadLetter(handles: Seq[String]): Unit = {
+    val dlq = Paths.get(queueDir, ".dlq")
+    handles.foreach { h =>
+      val src = Paths.get(h)
+      if (Files.exists(src)) {
+        Files.createDirectories(dlq)
+        Files.move(src, dlq.resolve(src.getFileName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
 }

@@ -1,0 +1,137 @@
+package org.apache.spark.sql.graft.queue
+
+import scala.collection.mutable
+
+/** Transport-agnostic queue semantics the reference buried inside its
+  * SQS client (`sqs/SqsClient.scala`: visibility-timeout handling and a
+  * retry policy around every AWS call), re-expressed as decorators over
+  * the [[QueueClient]] SPI so ANY transport gets them:
+  *
+  *  - [[VisibilityQueueClient]] — per-message delivery leases + a
+  *    redelivery budget with dead-letter redrive (SQS visibility timeout
+  *    + redrive policy);
+  *  - [[RetryingQueueClient]] — bounded retry with linear backoff around
+  *    transient transport failures.
+  *
+  * Both are pure wrappers: composition order is retry(visibility(raw))
+  * or visibility(retry(raw)); [[QueueFileSource]] wires
+  * retry(visibility(...)) so lease bookkeeping happens once per
+  * successful poll, not once per attempt.
+  */
+object QueueDecorators {
+
+  /** Build the decorator stack from source options. */
+  def fromOptions(raw: QueueClient, options: Map[String, String],
+      clock: () => Long = System.currentTimeMillis): QueueClient = {
+    val visibilityMs = options.get("visibilityTimeoutMs").map(_.toLong).getOrElse(0L)
+    val maxReceives = options.get("maxReceiveCount").map(_.toInt).getOrElse(0)
+    val attempts = options.get("retry.attempts").map(_.toInt).getOrElse(3)
+    val backoffMs = options.get("retry.backoffMs").map(_.toLong).getOrElse(100L)
+    val leased =
+      if (visibilityMs > 0 || maxReceives > 0)
+        new VisibilityQueueClient(raw, visibilityMs, maxReceives, clock)
+      else raw
+    if (attempts > 1) new RetryingQueueClient(leased, attempts, backoffMs)
+    else leased
+  }
+}
+
+/** SQS-style delivery semantics over any transport:
+  *
+  *  - **visibility timeout**: a delivered message is leased for
+  *    `visibilityTimeoutMs` — subsequent polls of THIS consumer skip it
+  *    until the lease lapses unacked. Lease state is in-memory by
+  *    design: a crashed consumer's replacement starts lease-free, so
+  *    every in-flight message becomes visible again — exactly the
+  *    at-least-once redelivery SQS gives when a consumer dies holding
+  *    leases. (0 disables.)
+  *  - **redrive policy**: a message delivered more than
+  *    `maxReceiveCount` times without ack is a poison message — its
+  *    consumer keeps crashing before acking, and redelivering it
+  *    forever wedges the pipeline. It is handed to the transport's
+  *    [[QueueClient.deadLetter]] and no longer delivered. (0 disables.)
+  *
+  * Counting receives per ACK HANDLE: the directory transport redelivers
+  * a message under the same handle (the message file path), so the
+  * count survives across polls; a transport that mints fresh handles
+  * per delivery (as SQS does) should count upstream — documented SPI
+  * contract, same as SQS's ApproximateReceiveCount.
+  */
+class VisibilityQueueClient(
+    underlying: QueueClient,
+    visibilityTimeoutMs: Long,
+    maxReceiveCount: Int,
+    clock: () => Long = System.currentTimeMillis) extends QueueClient {
+
+  private case class Delivery(var leaseUntil: Long, var receives: Int)
+  private val state = mutable.HashMap[String, Delivery]()
+
+  override def poll(): Seq[FileNotification] = synchronized {
+    val now = clock()
+    val polled = underlying.poll()
+    // drop state for messages the transport no longer serves (acked,
+    // dead-lettered, or expired upstream) so the map stays bounded by
+    // the queue's own size
+    val liveHandles = polled.map(_.ackHandle).toSet
+    state.filterInPlace { case (h, _) => liveHandles.contains(h) }
+    val (deliverable, poison) = polled.filter { n =>
+      state.get(n.ackHandle).forall(_.leaseUntil <= now)
+    }.partition { n =>
+      maxReceiveCount <= 0 ||
+        state.get(n.ackHandle).forall(_.receives < maxReceiveCount)
+    }
+    if (poison.nonEmpty) {
+      underlying.deadLetter(poison.map(_.ackHandle))
+      poison.foreach(n => state.remove(n.ackHandle))
+    }
+    deliverable.foreach { n =>
+      val d = state.getOrElseUpdate(n.ackHandle, Delivery(0L, 0))
+      d.receives += 1
+      d.leaseUntil = if (visibilityTimeoutMs > 0) now + visibilityTimeoutMs else 0L
+    }
+    deliverable
+  }
+
+  override def ack(handles: Seq[String]): Unit = synchronized {
+    underlying.ack(handles)
+    handles.foreach(state.remove)
+  }
+
+  override def deadLetter(handles: Seq[String]): Unit = synchronized {
+    underlying.deadLetter(handles)
+    handles.foreach(state.remove)
+  }
+}
+
+/** Bounded retry with linear backoff around transient transport
+  * failures — the reference retried every SQS call the same way. Only
+  * `poll` retries; `ack`/`deadLetter` failures propagate after retries
+  * too, but are safe to retry because both are idempotent deletes/moves.
+  */
+class RetryingQueueClient(
+    underlying: QueueClient,
+    maxAttempts: Int,
+    backoffMs: Long,
+    sleep: Long => Unit = Thread.sleep) extends QueueClient {
+  require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+
+  private def withRetry[T](what: String)(f: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return f
+      catch {
+        case e: Exception if attempt < maxAttempts =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"queue $what failed (attempt $attempt/$maxAttempts), retrying: $e")
+          sleep(backoffMs * attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def poll(): Seq[FileNotification] = withRetry("poll")(underlying.poll())
+  override def ack(handles: Seq[String]): Unit = withRetry("ack")(underlying.ack(handles))
+  override def deadLetter(handles: Seq[String]): Unit =
+    withRetry("deadLetter")(underlying.deadLetter(handles))
+}

@@ -47,7 +47,12 @@ class QueueFileSource(
   private val maxFilesPerTrigger = options.get("maxFilesPerTrigger").map(_.toInt).getOrElse(0)
   private val maxFileAgeMs = options.get("maxFileAgeMs").map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
 
-  private[queue] val client: QueueClient = new DirectoryQueueClient(queueDir)
+  // Transport + SQS-semantics decorators (visibility leases, redrive to
+  // DLQ, transient-failure retry) — all off/neutral by default, enabled
+  // via options: visibilityTimeoutMs, maxReceiveCount, retry.attempts,
+  // retry.backoffMs. See [[QueueDecorators]].
+  private[queue] val client: QueueClient =
+    QueueDecorators.fromOptions(new DirectoryQueueClient(queueDir), options)
   private[queue] val cache = new FileNotificationCache(maxFileAgeMs)
 
   private val metadataLog = new FileStreamSourceLog(FileStreamSourceLog.VERSION, sparkSession, metadataPath)
