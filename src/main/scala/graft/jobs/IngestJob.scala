@@ -1,0 +1,120 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.GraftSession
+import graft.streaming.IngestPipeline
+
+/** Conf-driven streaming-ingest entrypoint — the reference's job shape
+  * (`jobs/S3ToParquetStreamJob.scala`, `S3SQSToParquetStreamJob.scala`:
+  * a main that reads its source/sink/trigger config from an env-scoped
+  * config block and runs one pipeline forever) over graft's pipeline
+  * pieces. One thin main instead of one main per permutation: the config
+  * block picks the source transport, sink flavor, and trigger.
+  *
+  * Usage: `runMain graft.jobs.IngestJob <conf.properties> [jobName]`
+  * (jobName defaults to `ingest`; ENVIRONMENT selects the env block).
+  *
+  * Recognized keys (within `<env>.<jobName>.`):
+  *  - `source.kind`    files | queue            (default files)
+  *  - `source.path`    landing dir (files) — required for files
+  *  - `source.format`  parquet | csv | json     (default parquet)
+  *  - `queue.dir`      notification dir — required for queue
+  *  - `maxFilesPerTrigger`, `visibilityTimeoutMs`, `maxReceiveCount`,
+  *    `retry.attempts`, `retry.backoffMs` — admission/queue tuning
+  *  - `dedup`          true → watermarked ingest_id dedup guard
+  *  - `sink.kind`      parquet | graft-table    (default parquet)
+  *  - `sink.path`, `checkpointLocation` — required
+  *  - `sink.partitionBy` comma list             (default event_date)
+  *  - `key`/`precombine` — graft-table keyed upsert mode
+  *  - `trigger`        availableNow | continuous:<ms> (default availableNow)
+  *
+  * The feed is expected in the events-feed shape ([[IngestPipeline
+  * .rawEventSchema]]); `transform` normalizes whatever ts encoding
+  * arrives and applies the standard enrichment.
+  */
+object IngestJob {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: IngestJob <conf.properties> [jobName]")
+    val conf = JobConfig.load(args(0), if (args.length > 1) args(1) else "ingest")
+    val spark = GraftSession.local(
+      Runtime.getRuntime.availableProcessors(), s"graft-${conf.job}-${conf.env}")
+    spark.sparkContext.setLogLevel(conf.getOrElse("loggerLevel", "WARN"))
+    try {
+      val q = start(spark, conf)
+      q.awaitTermination()
+    } finally spark.stop()
+  }
+
+  /** Build and start the configured pipeline; factored from main so
+    * specs (and embedders) can run it on their own session.
+    */
+  def start(spark: SparkSession, conf: JobConfig): org.apache.spark.sql.streaming.StreamingQuery = {
+    val maxFiles = conf.getInt("maxFilesPerTrigger", 4)
+    val raw: DataFrame = conf.getOrElse("source.kind", "files") match {
+      case "files" =>
+        IngestPipeline.source(spark, conf("source.path"),
+          IngestPipeline.FileSourceConfig(
+            schema = IngestPipeline.rawEventSchema,
+            format = conf.getOrElse("source.format", "parquet"),
+            options = conf.get("source.format").filter(_ == "csv")
+              .map(_ => Map("header" -> "true")).getOrElse(Map.empty),
+            maxFilesPerTrigger = maxFiles))
+      case "queue" =>
+        spark.readStream
+          .format("graft-queue")
+          .schema(IngestPipeline.rawEventSchema)
+          .option("queue.dir", conf("queue.dir"))
+          .option("fileFormat", conf.getOrElse("source.format", "parquet"))
+          .option("maxFilesPerTrigger", maxFiles.toString)
+          .options(Seq("visibilityTimeoutMs", "maxReceiveCount",
+            "retry.attempts", "retry.backoffMs")
+            .flatMap(k => conf.get(k).map(k -> _)).toMap)
+          .load()
+      case other => throw new IllegalArgumentException(
+        s"source.kind must be files|queue, got '$other'")
+    }
+    val enriched = IngestPipeline.transform(raw)
+    val out =
+      if (conf.getOrElse("dedup", "false").toBoolean)
+        IngestPipeline.withDedup(enriched,
+          conf.getOrElse("dedupWatermark", "1 hour"))
+      else enriched
+    val partitionBy = conf.getOrElse("sink.partitionBy", "event_date")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val trigger = conf.getOrElse("trigger", "availableNow") match {
+      case "availableNow" => Trigger.AvailableNow()
+      case t if t.startsWith("continuous:") =>
+        Trigger.ProcessingTime(t.stripPrefix("continuous:").toLong)
+      case other => throw new IllegalArgumentException(
+        s"trigger must be availableNow|continuous:<ms>, got '$other'")
+    }
+    conf.getOrElse("sink.kind", "parquet") match {
+      case "parquet" =>
+        graft.sinks.TableSink.streamWriter(
+            out.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*).writeStream,
+            graft.sinks.TableSink.SinkConfig(
+              format = "parquet", path = conf("sink.path"),
+              partitionBy = partitionBy, mode = "append"),
+            conf("checkpointLocation"))
+          .trigger(trigger)
+          .start()
+      case "graft-table" =>
+        val w = out.writeStream.format("graft-table")
+          .option("path", conf("sink.path"))
+          .option("checkpointLocation", conf("checkpointLocation"))
+          .trigger(trigger)
+        val keyed = (conf.get("key"), conf.get("precombine")) match {
+          case (Some(k), Some(pc)) => w.option("key", k).option("precombine", pc)
+          case (None, None) => w
+          case _ => throw new IllegalArgumentException(
+            "graft-table sink: 'key' and 'precombine' come together")
+        }
+        (if (partitionBy.nonEmpty) keyed.partitionBy(partitionBy: _*) else keyed).start()
+      case other => throw new IllegalArgumentException(
+        s"sink.kind must be parquet|graft-table, got '$other'")
+    }
+  }
+}

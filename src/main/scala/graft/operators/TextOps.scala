@@ -160,13 +160,18 @@ object TextOps {
     * FIRST occurrence, preserving order — the within-doc analog of the
     * cross-doc exact dedup, and a standard cleanup before tokenization.
     *
-    * Plan shape: a pure per-row map — `array_distinct` keeps first
-    * occurrences in order, so the whole op is ONE codegen'd projection
-    * with NO shuffle at all (an explode→window formulation would shuffle
-    * every token occurrence in the corpus — at 100 TB that is the
-    * difference between scan speed and the largest shuffle in the
-    * pipeline). The two-step select keeps the distinct array computed
-    * once (CollapseProject leaves multi-referenced exprs alone).
+    * Plan shape: the KERNEL is a pure per-row map — `array_distinct`
+    * keeps first occurrences in order, so the dedup itself is ONE
+    * codegen'd projection with no shuffle (an explode→window formulation
+    * would shuffle every token occurrence in the corpus — at 100 TB that
+    * is the difference between scan speed and the largest shuffle in the
+    * pipeline). The trailing `orderBy(doc_id)` is NOT part of the op: it
+    * exists for deterministic oracle comparison and costs a range
+    * exchange + sort — a pipeline composing this operator should take
+    * [[dedupWordsFrame]] minus the sort (at scale the sort would be the
+    * entire cost of the stage). The two-step select keeps the distinct
+    * array computed once (CollapseProject leaves multi-referenced exprs
+    * alone).
     */
   def dedupWords(spark: SparkSession, dir: String): DataFrame =
     dedupWordsFrame(Tables.documents(spark, dir))

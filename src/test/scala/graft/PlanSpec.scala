@@ -133,4 +133,27 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("doc_id") && readSchema.contains("text"))
     assert(!readSchema.contains("lang"), readSchema)
   }
+
+  test("jaccard verify is explode-and-count: no array payloads or interpreted set ops") {
+    val p = physical(Dedup.ngramJaccardPairs(Tables.documents(spark, sf), 0.5))
+    // the rewrite's whole point: intersection is a codegen'd COUNT over
+    // equi-joined (doc, shingle) rows, never array_intersect/array_union
+    // over shingle arrays shipped through the pair joins
+    assert(!p.contains("array_intersect"), p.take(2000))
+    assert(!p.contains("array_union"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("embedding near-dup attaches pair vectors through ONE member-keyed join") {
+    val p = physical(Dedup.embeddingCosine(spark, sf))
+    // the rewrite's contract: candidate pairs explode into members and
+    // meet the vector table in a single equi-join on the member id; the
+    // pre-rewrite shape joined the vector table once per pair side
+    // (keys doc_a then doc_b), shuffling the 512 B payloads twice
+    val memberJoins = p.linesIterator.count(l =>
+      l.contains("Join") && l.contains("[member#"))
+    assert(memberJoins == 1, s"expected exactly 1 member-keyed attach join, got $memberJoins\n${p.take(2000)}")
+    // and the re-pair fold is a partial-aggregating groupBy, not a join
+    assert(p.contains("partial_first") || p.contains("partial_count"), p.take(2000))
+  }
 }
