@@ -187,7 +187,50 @@ object TextOps {
         array_join(col("__u"), " ").as("deduped"))
       .orderBy(col("doc_id"))
 
+  /** Corpus token document-frequency + IDF — the corpus-level statistic
+    * quality scoring and rare-token filtering build on. Returns the topK
+    * tokens by df (ties broken by token, so the LIMIT is deterministic)
+    * with idf = ln((N+1)/(df+1)).
+    *
+    * Scale shape: `array_distinct` dedups within each doc as a per-row
+    * map (NO (doc, token) distinct shuffle — at 100 TB that distinct is
+    * the largest shuffle a naive formulation pays), so the only wide
+    * exchange is the groupBy(token) count with map-side partials. The
+    * corpus total rides a broadcast of a 1-row aggregate, not a driver
+    * action.
+    */
+  def docFrequency(spark: SparkSession, dir: String,
+      minDf: Long = 5, topK: Int = 200): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val perDocTokens = Tables.spread(docs)
+      .select(col("doc_id"), explode(array_distinct(wsTokens(col("text")))).as("token"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    perDocTokens
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(total))
+      .withColumn("idf", log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+      .select(col("token"), col("df"), col("idf"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(topK)
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_text_df", (s, d) => docFrequency(s, d),
+      Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+            unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL),
+        tot AS (
+          SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+        dfreq AS (
+          SELECT token, count(*) AS df FROM toks GROUP BY token)
+        SELECT token, df, ln((n_docs + 1.0) / (df + 1.0)) AS idf
+        FROM dfreq, tot
+        WHERE df >= 5
+        ORDER BY df DESC, token
+        LIMIT 200""")),
     Op("q_text_dedup_words", dedupWords,
       Some("""
         WITH w AS (

@@ -28,6 +28,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got(5L) == "und")
   }
 
+  test("docFrequency counts each doc once per token and ranks deterministically") {
+    // "the" appears twice in docs 0 and 6 but df counts DOCS, not
+    // occurrences; ties in df break by token ascending
+    val got = TextOps.docFrequency(spark, planted, minDf = 2, topK = 10).collect()
+    val byToken = got.map(r =>
+      r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
+    assert(byToken("the") == 2L, "df is per-doc, not per-occurrence")
+    assert(byToken("la") == 2L, "fr + es docs share 'la'")
+    assert(byToken.values.forall(_ >= 2L), "minDf filter")
+    val dfs = got.map(_.getAs[Long]("df"))
+    assert(dfs.sameElements(dfs.sortBy(-_)), "sorted by df desc")
+    val n = 7.0 // planted corpus size
+    got.foreach { r =>
+      val expected = math.log((n + 1.0) / (r.getAs[Long]("df") + 1.0))
+      assert(math.abs(r.getAs[Double]("idf") - expected) < 1e-12)
+    }
+  }
+
   test("tokenCounts: whitespace vs BPE-ish on punctuation") {
     val dir = SparkSpec.plantedDir(
       "documents" -> Seq((0L, "hello, world! it's 42", "en", "s", 21L))
