@@ -28,7 +28,7 @@ import graft.streaming.IngestPipeline
   *  - `sink.path`, `checkpointLocation` — required
   *  - `sink.partitionBy` comma list             (default event_date)
   *  - `key`/`precombine` — graft-table keyed upsert mode
-  *  - `trigger`        availableNow | continuous:<ms> (default availableNow)
+  *  - `trigger`        availableNow | processingTime:<ms> (default availableNow)
   *
   * The feed is expected in the events-feed shape ([[IngestPipeline
   * .rawEventSchema]]); `transform` normalizes whatever ts encoding
@@ -84,23 +84,23 @@ object IngestJob {
       else enriched
     val partitionBy = conf.getOrElse("sink.partitionBy", "event_date")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // micro-batch ProcessingTime, spelled with Spark's own term — NOT
+    // Spark's continuous-processing mode, which has different
+    // checkpointing semantics and would deserve its own keyword
     val trigger = conf.getOrElse("trigger", "availableNow") match {
       case "availableNow" => Trigger.AvailableNow()
-      case t if t.startsWith("continuous:") =>
-        Trigger.ProcessingTime(t.stripPrefix("continuous:").toLong)
+      case t if t.startsWith("processingTime:") =>
+        Trigger.ProcessingTime(t.stripPrefix("processingTime:").toLong)
       case other => throw new IllegalArgumentException(
-        s"trigger must be availableNow|continuous:<ms>, got '$other'")
+        s"trigger must be availableNow|processingTime:<ms>, got '$other'")
     }
     conf.getOrElse("sink.kind", "parquet") match {
       case "parquet" =>
-        graft.sinks.TableSink.streamWriter(
-            out.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*).writeStream,
-            graft.sinks.TableSink.SinkConfig(
-              format = "parquet", path = conf("sink.path"),
-              partitionBy = partitionBy, mode = "append"),
-            conf("checkpointLocation"))
-          .trigger(trigger)
-          .start()
+        // IngestPipeline.startSink is the one spelling of the parquet
+        // sink shape (incl. the empty-partitionBy guard and the
+        // per-directory-parallel repartition)
+        IngestPipeline.startSink(out, conf("sink.path"),
+          conf("checkpointLocation"), partitionBy, trigger)
       case "graft-table" =>
         val w = out.writeStream.format("graft-table")
           .option("path", conf("sink.path"))

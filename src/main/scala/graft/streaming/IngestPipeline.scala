@@ -52,6 +52,18 @@ object IngestPipeline {
   def transform(raw: DataFrame): DataFrame =
     Enrich.enrichFrame(graft.sources.Tables.normalizeTs(raw, "events-feed"))
 
+  /** Materialize normalized events rows at `path` in the declared FEED
+    * shape ([[rawEventSchema]]: ts = int64 NANOS). THE single spelling
+    * of the feed encoding — every staging site (round trips, demos,
+    * specs) goes through here, so the next feed-contract change is one
+    * edit, not a hunt.
+    */
+  def stageFeed(events: DataFrame, path: String, nFiles: Int = 1): Unit = {
+    val feed = events.withColumn("ts", unix_micros(col("ts")) * 1000L)
+    (if (nFiles == 1) feed.coalesce(1) else feed.repartition(nFiles))
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** File-source config: format + explicit schema + reader options, with
     * the reference's maxFilesPerTrigger batching (`S3ToParquetStreamJob
     * .scala:55-63` reads csv with header+schema the same way).
@@ -108,7 +120,7 @@ object IngestPipeline {
     startSink(out, sinkPath, checkpointPath, partitionBy)
   }
 
-  private def startSink(
+  private[graft] def startSink(
       out: DataFrame, sinkPath: String, checkpointPath: String,
       partitionBy: Seq[String],
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
@@ -145,14 +157,11 @@ object IngestPipeline {
   private[streaming] def stagedEventsDir(spark: SparkSession, dir: String): String =
     stagedInputs.computeIfAbsent("parquet:" + dir, { _ =>
       val work = graft.Scratch.dir("graft-ingest-in")
-      // Materialize the FEED shape (ts = int64 nanos, [[rawEventSchema]])
-      // from the normalized table — never copy the table file verbatim:
-      // its physical ts encoding is the generator's choice, not the feed
-      // contract, and a silent encoding drift then reads as garbage longs.
-      graft.sources.Tables.events(spark, dir)
-        .withColumn("ts", unix_micros(col("ts")) * 1000L)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(work)
+      // Stage the FEED shape from the normalized table — never copy the
+      // table file verbatim: its physical ts encoding is the generator's
+      // choice, not the feed contract, and a silent encoding drift then
+      // reads as garbage longs.
+      stageFeed(graft.sources.Tables.events(spark, dir), work)
       work
     })
 
@@ -175,10 +184,7 @@ object IngestPipeline {
   private[streaming] def stagedEventsMultiDir(spark: SparkSession, dir: String): String =
     stagedInputs.computeIfAbsent("multi:" + dir, { _ =>
       val work = graft.Scratch.dir("graft-queue-in")
-      graft.sources.Tables.events(spark, dir)
-        .withColumn("ts", unix_micros(col("ts")) * 1000L)
-        .repartition(8)
-        .write.mode("overwrite").parquet(work)
+      stageFeed(graft.sources.Tables.events(spark, dir), work, nFiles = 8)
       work
     })
 
@@ -290,11 +296,17 @@ object IngestPipeline {
   /** The dup-landing feed: TWO copies of the staged feed file (same
     * int64-nanos shape as [[stagedEventsDir]] — reuse its part file
     * rather than re-copying the table verbatim, see the note there).
+    *
+    * The base feed resolves BEFORE this key's computeIfAbsent: a mapping
+    * function that touches another key of the SAME ConcurrentHashMap is
+    * a recursive update (IllegalStateException when the keys share a
+    * bin).
     */
-  private[streaming] def stagedDupEventsDir(spark: SparkSession, dir: String): String =
+  private[streaming] def stagedDupEventsDir(spark: SparkSession, dir: String): String = {
+    val base = stagedEventsDir(spark, dir)
     stagedInputs.computeIfAbsent("dup:" + dir, { _ =>
       val work = graft.Scratch.dir("graft-dup-in")
-      val part = new java.io.File(stagedEventsDir(spark, dir)).listFiles()
+      val part = new java.io.File(base).listFiles()
         .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
       Seq("a", "b").foreach { tag =>
         Files.copy(part.toPath,
@@ -302,6 +314,7 @@ object IngestPipeline {
       }
       work
     })
+  }
 
   def dedupRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.Scratch.dir("graft-dedup-ingest")

@@ -27,6 +27,12 @@ object QueueDecorators {
     val maxReceives = options.get("maxReceiveCount").map(_.toInt).getOrElse(0)
     val attempts = options.get("retry.attempts").map(_.toInt).getOrElse(3)
     val backoffMs = options.get("retry.backoffMs").map(_.toLong).getOrElse(100L)
+    require(maxReceives <= 0 || visibilityMs > 0,
+      "maxReceiveCount requires visibilityTimeoutMs > 0: without a lease, " +
+        "every trigger's poll counts as a receive and a healthy BACKLOG " +
+        "exhausts the budget — receives must be rate-limited by the lease, " +
+        "as SQS rate-limits them. Size maxReceiveCount × visibilityTimeoutMs " +
+        "above the worst-case backlog drain time.")
     val leased =
       if (visibilityMs > 0 || maxReceives > 0)
         new VisibilityQueueClient(raw, visibilityMs, maxReceives, clock)
@@ -49,7 +55,15 @@ object QueueDecorators {
   *    `maxReceiveCount` times without ack is a poison message — its
   *    consumer keeps crashing before acking, and redelivering it
   *    forever wedges the pipeline. It is handed to the transport's
-  *    [[QueueClient.deadLetter]] and no longer delivered. (0 disables.)
+  *    [[QueueClient.deadLetter]] and no longer delivered. (0 disables;
+  *    requires a nonzero visibility timeout so receives are
+  *    lease-rate-limited, never once-per-trigger.) As with SQS, a
+  *    consumer that holds messages unacked past
+  *    maxReceiveCount × visibilityTimeout loses them to the DLQ — size
+  *    the product above the worst-case backlog drain time (the
+  *    [[QueueFileSource]] acks only after a file's batch is logged, so
+  *    its pending backlog counts). The DLQ is a parking lot, not
+  *    deletion: an operator redrives by moving the message back.
   *
   * Counting receives per ACK HANDLE: the directory transport redelivers
   * a message under the same handle (the message file path), so the
@@ -63,17 +77,23 @@ class VisibilityQueueClient(
     maxReceiveCount: Int,
     clock: () => Long = System.currentTimeMillis) extends QueueClient {
 
-  private case class Delivery(var leaseUntil: Long, var receives: Int)
+  private case class Delivery(var leaseUntil: Long, var receives: Int, var lastSeen: Long)
   private val state = mutable.HashMap[String, Delivery]()
+
+  // State retention is TIME-based, never absence-based: a handle missing
+  // from ONE poll is not gone — the transport may page (SQS returns ≤10
+  // per receive) or a read may transiently fail — and evicting on a miss
+  // would forget an unexpired lease (early redelivery) and reset the
+  // receive count (a poison message never dead-letters). Entries expire
+  // only after a horizon no live message goes unseen for.
+  private val stateTtlMs =
+    math.max(10 * math.max(visibilityTimeoutMs, 0L), 10L * 60 * 1000)
 
   override def poll(): Seq[FileNotification] = synchronized {
     val now = clock()
     val polled = underlying.poll()
-    // drop state for messages the transport no longer serves (acked,
-    // dead-lettered, or expired upstream) so the map stays bounded by
-    // the queue's own size
-    val liveHandles = polled.map(_.ackHandle).toSet
-    state.filterInPlace { case (h, _) => liveHandles.contains(h) }
+    polled.foreach(n => state.get(n.ackHandle).foreach(_.lastSeen = now))
+    state.filterInPlace { case (_, d) => now - d.lastSeen <= stateTtlMs }
     val (deliverable, poison) = polled.filter { n =>
       state.get(n.ackHandle).forall(_.leaseUntil <= now)
     }.partition { n =>
@@ -85,9 +105,10 @@ class VisibilityQueueClient(
       poison.foreach(n => state.remove(n.ackHandle))
     }
     deliverable.foreach { n =>
-      val d = state.getOrElseUpdate(n.ackHandle, Delivery(0L, 0))
+      val d = state.getOrElseUpdate(n.ackHandle, Delivery(0L, 0, now))
       d.receives += 1
       d.leaseUntil = if (visibilityTimeoutMs > 0) now + visibilityTimeoutMs else 0L
+      d.lastSeen = now
     }
     deliverable
   }
@@ -104,9 +125,10 @@ class VisibilityQueueClient(
 }
 
 /** Bounded retry with linear backoff around transient transport
-  * failures — the reference retried every SQS call the same way. Only
-  * `poll` retries; `ack`/`deadLetter` failures propagate after retries
-  * too, but are safe to retry because both are idempotent deletes/moves.
+  * failures — the reference retried every SQS call the same way. ALL
+  * three operations retry: poll is read-only, and ack/deadLetter are
+  * idempotent deletes/moves, so re-running a half-applied batch is
+  * safe. After `maxAttempts` the last error propagates.
   */
 class RetryingQueueClient(
     underlying: QueueClient,

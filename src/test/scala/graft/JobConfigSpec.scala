@@ -39,9 +39,8 @@ class JobConfigSpec extends SparkSpec {
   test("IngestJob runs a configured file-source pipeline end to end") {
     val work = Files.createTempDirectory("graft-jobrun").toFile.getAbsolutePath
     // stage the feed shape (int64-nanos ts)
-    Tables.events(spark, sf)
-      .withColumn("ts", unix_micros(col("ts")) * 1000L)
-      .coalesce(1).write.parquet(s"$work/landing")
+    graft.streaming.IngestPipeline.stageFeed(
+      Tables.events(spark, sf), s"$work/landing")
     write(s"$work/app.properties",
       s"""development.ingest.source.path = $work/landing
          |development.ingest.sink.path = $work/out
@@ -59,9 +58,8 @@ class JobConfigSpec extends SparkSpec {
 
   test("IngestJob drives the queue transport + graft-table sink from config") {
     val work = Files.createTempDirectory("graft-jobq").toFile.getAbsolutePath
-    Tables.events(spark, sf)
-      .withColumn("ts", unix_micros(col("ts")) * 1000L)
-      .repartition(3).write.parquet(s"$work/landing")
+    graft.streaming.IngestPipeline.stageFeed(
+      Tables.events(spark, sf), s"$work/landing", nFiles = 3)
     Files.createDirectories(Paths.get(s"$work/q"))
     val files = new java.io.File(s"$work/landing").listFiles()
       .map(_.getAbsolutePath).filter(_.endsWith(".parquet")).sorted
@@ -77,7 +75,7 @@ class JobConfigSpec extends SparkSpec {
          |development.ingest.key = event_id
          |development.ingest.precombine = event_id
          |development.ingest.checkpointLocation = $work/ckpt
-         |development.ingest.trigger = continuous:0
+         |development.ingest.trigger = processingTime:0
          |development.ingest.visibilityTimeoutMs = 60000
          |development.ingest.maxReceiveCount = 5
          |""".stripMargin)

@@ -95,6 +95,42 @@ class QueueDecoratorsSpec extends AnyFunSuite {
       .isInstanceOf[RetryingQueueClient], "retry wraps by default")
   }
 
+  test("redrive without a visibility lease is refused (backlog would exhaust the budget)") {
+    val (_, raw) = mkQueue(1)
+    val e = intercept[IllegalArgumentException](
+      QueueDecorators.fromOptions(raw, Map("maxReceiveCount" -> "3")))
+    assert(e.getMessage.contains("visibilityTimeoutMs"))
+  }
+
+  test("a transient poll miss neither lifts a lease nor resets the receive count") {
+    // transport that drops one message from a single poll (an IO blip or
+    // a paged receive) — its lease/receive state must survive the miss
+    class Blinky(underlying: QueueClient) extends QueueClient {
+      var blink = false
+      def poll(): Seq[FileNotification] = {
+        val all = underlying.poll()
+        if (blink) all.tail else all
+      }
+      def ack(handles: Seq[String]): Unit = underlying.ack(handles)
+    }
+    val (_, raw) = mkQueue(2)
+    val blinky = new Blinky(raw)
+    var now = 0L
+    val c = new VisibilityQueueClient(blinky, 500, maxReceiveCount = 2, () => now)
+    assert(c.poll().size == 2) // receives=1 each, leased to 500
+    blinky.blink = true
+    now += 100
+    assert(c.poll().isEmpty, "missing message must not be treated as new")
+    blinky.blink = false
+    now += 100 // still inside the original lease
+    assert(c.poll().isEmpty, "the miss must not have lifted the lease")
+    now += 400 // lease lapsed: second (and last in-budget) delivery
+    assert(c.poll().size == 2)
+    now += 600 // third delivery would exceed maxReceiveCount=2 → redriven
+    assert(c.poll().isEmpty)
+    assert(raw.poll().isEmpty, "poison messages left the queue for the DLQ")
+  }
+
   test("dlq directory is never polled as queue messages") {
     val (dir, raw) = mkQueue(2)
     raw.deadLetter(Seq(s"$dir/m0.json"))

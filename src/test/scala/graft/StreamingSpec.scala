@@ -364,8 +364,7 @@ class StreamingSpec extends SparkSpec {
     // scenario) — staged in the int64-nanos feed shape rawEventSchema
     // declares, never a verbatim copy of the table file (its physical ts
     // encoding is the generator's choice)
-    val feed = ev.withColumn("ts", unix_micros(col("ts")) * 1000L).coalesce(1)
-    feed.write.parquet(s"$work/staged")
+    IngestPipeline.stageFeed(ev, s"$work/staged")
     val part = Files.list(Paths.get(s"$work/staged")).iterator().asScala
       .filter(_.toString.endsWith(".parquet")).next()
     Files.createDirectories(Paths.get(s"$work/in"))
@@ -380,8 +379,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming windowed rollup equals batch rollup (complete mode)") {
     val work = tmp("graft-rollup")
-    Tables.events(spark, sf).withColumn("ts", unix_micros(col("ts")) * 1000L)
-      .coalesce(1).write.parquet(s"$work/in")
+    IngestPipeline.stageFeed(Tables.events(spark, sf), s"$work/in")
     val stream = EventRollup.rollupStream(IngestPipeline.transform(
       IngestPipeline.source(spark, s"$work/in")).select("ts", "event_type", "value"))
     val q = stream.writeStream
@@ -399,8 +397,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming sessionization closes the same sessions as batch") {
     import org.apache.spark.sql.{Encoders => E}
     val work = tmp("graft-sess")
-    Tables.events(spark, sf).withColumn("ts", unix_micros(col("ts")) * 1000L)
-      .coalesce(1).write.parquet(s"$work/in")
+    IngestPipeline.stageFeed(Tables.events(spark, sf), s"$work/in")
     val evs = IngestPipeline.transform(IngestPipeline.source(spark, s"$work/in"))
       .select(col("user_id"), col("ts"), col("value"))
       .as(E.product[Sessionize.Ev])
