@@ -70,7 +70,7 @@ object IngestJob {
           .option("fileFormat", conf.getOrElse("source.format", "parquet"))
           .option("maxFilesPerTrigger", maxFiles.toString)
           .options(Seq("visibilityTimeoutMs", "maxReceiveCount",
-            "retry.attempts", "retry.backoffMs")
+            "retry.attempts", "retry.backoffMs", "prefetch.intervalMs")
             .flatMap(k => conf.get(k).map(k -> _)).toMap)
           .load()
       case other => throw new IllegalArgumentException(

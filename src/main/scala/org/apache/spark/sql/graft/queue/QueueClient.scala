@@ -22,6 +22,11 @@ trait QueueClient {
     * the message aside instead.
     */
   def deadLetter(handles: Seq[String]): Unit = ack(handles)
+
+  /** Release transport resources (background threads, connections).
+    * Decorators forward; the default transport holds none.
+    */
+  def close(): Unit = ()
 }
 
 /** Directory-backed queue: each message is a JSON file

@@ -20,23 +20,33 @@ import scala.collection.mutable
   */
 object QueueDecorators {
 
-  /** Build the decorator stack from source options. */
+  /** Build the decorator stack from source options. Order matters:
+    * retry(visibility(prefetch(raw))) — prefetch sits CLOSEST to the
+    * transport so its background refills never touch lease/receive
+    * accounting (those are consumer-delivery concepts and must tick
+    * only on consumer polls), and retry wraps the whole stack's
+    * consumer-facing calls.
+    */
   def fromOptions(raw: QueueClient, options: Map[String, String],
       clock: () => Long = System.currentTimeMillis): QueueClient = {
     val visibilityMs = options.get("visibilityTimeoutMs").map(_.toLong).getOrElse(0L)
     val maxReceives = options.get("maxReceiveCount").map(_.toInt).getOrElse(0)
     val attempts = options.get("retry.attempts").map(_.toInt).getOrElse(3)
     val backoffMs = options.get("retry.backoffMs").map(_.toLong).getOrElse(100L)
+    val prefetchMs = options.get("prefetch.intervalMs").map(_.toLong).getOrElse(0L)
     require(maxReceives <= 0 || visibilityMs > 0,
       "maxReceiveCount requires visibilityTimeoutMs > 0: without a lease, " +
         "every trigger's poll counts as a receive and a healthy BACKLOG " +
         "exhausts the budget — receives must be rate-limited by the lease, " +
         "as SQS rate-limits them. Size maxReceiveCount × visibilityTimeoutMs " +
         "above the worst-case backlog drain time.")
+    val fetched =
+      if (prefetchMs > 0) new PrefetchingQueueClient(raw, prefetchMs)
+      else raw
     val leased =
       if (visibilityMs > 0 || maxReceives > 0)
-        new VisibilityQueueClient(raw, visibilityMs, maxReceives, clock)
-      else raw
+        new VisibilityQueueClient(fetched, visibilityMs, maxReceives, clock)
+      else fetched
     if (attempts > 1) new RetryingQueueClient(leased, attempts, backoffMs)
     else leased
   }
@@ -122,6 +132,95 @@ class VisibilityQueueClient(
     underlying.deadLetter(handles)
     handles.foreach(state.remove)
   }
+
+  override def close(): Unit = underlying.close()
+}
+
+/** Background-prefetching poll — the reference SqsClient's async fetch
+  * thread (`sqs/SqsClient.scala`: a scheduled task long-polls SQS into
+  * an in-memory buffer; the Source reads the buffer), re-expressed as a
+  * decorator: a daemon thread refills a buffer from the transport every
+  * `intervalMs`, and consumer `poll()` drains a SNAPSHOT of the buffer
+  * without paying transport latency on the trigger path. Buffered
+  * entries leave on ack/deadLetter.
+  *
+  * Trade-offs, written down:
+  *  - a consumer poll may briefly miss a just-arrived message (next
+  *    refill gets it) or see a just-acked-by-another-party one
+  *    (at-least-once; the source's seen-file cache dedups) — the same
+  *    staleness window the reference's async fetch has;
+  *  - refill failures are logged and retried at the next tick, never
+  *    propagated into the consumer's trigger path;
+  *  - the thread is a daemon and stops on `close()` —
+  *    [[QueueFileSource]] closes its client on stream stop.
+  * Default OFF: synchronous polling keeps AvailableNow runs
+  * deterministic; enable via `prefetch.intervalMs` for latency-critical
+  * continuous streams. Tests drive [[refill]] directly (`intervalMs`
+  * huge) so behavior is clock-free.
+  */
+class PrefetchingQueueClient(
+    underlying: QueueClient,
+    intervalMs: Long) extends QueueClient with AutoCloseable {
+  require(intervalMs > 0, s"prefetch interval must be > 0, got $intervalMs")
+
+  private val buffer = new java.util.LinkedHashMap[String, FileNotification]()
+  @volatile private var closed = false
+
+  /** One transport poll into the buffer. The background thread's tick;
+    * public so specs can drive refills deterministically (clock-free).
+    */
+  def refill(): Unit = {
+    val polled =
+      try underlying.poll()
+      catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"queue prefetch refill failed, retrying next tick: $e")
+          return
+      }
+    synchronized {
+      // refresh to the transport's CURRENT view: messages acked or
+      // dead-lettered out-of-band must not linger in the buffer forever
+      buffer.clear()
+      polled.foreach(n => buffer.put(n.ackHandle, n))
+    }
+  }
+
+  // sleep-then-refill: the first tick lands one interval after start
+  // (intervals are seconds-scale), and a test constructing the client
+  // with a huge interval gets NO background refills — it drives refill()
+  // directly, keeping the spec clock-free
+  private val thread = new Thread(() => {
+    while (!closed) {
+      try Thread.sleep(intervalMs)
+      catch { case _: InterruptedException => () }
+      if (!closed) refill()
+    }
+  }, "graft-queue-prefetch")
+  thread.setDaemon(true)
+  thread.start()
+
+  override def poll(): Seq[FileNotification] = synchronized {
+    import scala.jdk.CollectionConverters._
+    buffer.values.asScala.toList.sortBy(n => (n.timestamp, n.path))
+  }
+
+  override def ack(handles: Seq[String]): Unit = {
+    underlying.ack(handles)
+    synchronized(handles.foreach(buffer.remove))
+  }
+
+  override def deadLetter(handles: Seq[String]): Unit = {
+    underlying.deadLetter(handles)
+    synchronized(handles.foreach(buffer.remove))
+  }
+
+  override def close(): Unit = {
+    closed = true
+    thread.interrupt()
+    thread.join(5000)
+    underlying.close()
+  }
 }
 
 /** Bounded retry with linear backoff around transient transport
@@ -156,4 +255,5 @@ class RetryingQueueClient(
   override def ack(handles: Seq[String]): Unit = withRetry("ack")(underlying.ack(handles))
   override def deadLetter(handles: Seq[String]): Unit =
     withRetry("deadLetter")(underlying.deadLetter(handles))
+  override def close(): Unit = underlying.close()
 }

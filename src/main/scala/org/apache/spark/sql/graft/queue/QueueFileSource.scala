@@ -109,7 +109,7 @@ class QueueFileSource(
 
   override def commit(end: Offset): Unit = () // ack already happened post-log
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = client.close() // stops a prefetch thread, if any
 
   override def toString: String = s"QueueFileSource[$queueDir]"
 }

@@ -131,6 +131,34 @@ class QueueDecoratorsSpec extends AnyFunSuite {
     assert(raw.poll().isEmpty, "poison messages left the queue for the DLQ")
   }
 
+  test("prefetch: consumer polls read the buffered snapshot; ack flows through; close stops the thread") {
+    val (dir, raw) = mkQueue(2)
+    val c = new PrefetchingQueueClient(raw, intervalMs = 3600000L) // no bg ticks
+    try {
+      assert(c.poll().isEmpty, "nothing buffered before the first refill")
+      c.refill()
+      val polled = c.poll()
+      assert(polled.map(_.path) == Seq("/data/f0.parquet", "/data/f1.parquet"),
+        "buffer drains in (timestamp, path) order like the transport")
+      // a new message is invisible until the next refill — the documented
+      // staleness window
+      Files.write(Paths.get(s"$dir/m9.json"),
+        """{"path": "/data/f9.parquet", "timestamp": 999}"""
+          .getBytes(StandardCharsets.UTF_8))
+      assert(c.poll().size == 2)
+      c.refill()
+      assert(c.poll().size == 3)
+      // ack reaches the transport AND evicts from the buffer immediately
+      c.ack(polled.map(_.ackHandle))
+      assert(c.poll().map(_.path) == Seq("/data/f9.parquet"))
+      assert(raw.poll().map(_.path) == Seq("/data/f9.parquet"))
+    } finally c.close() // close joins the thread
+    val lingering = Thread.getAllStackTraces.keySet().toArray
+      .map(_.asInstanceOf[Thread])
+      .exists(t => t.getName == "graft-queue-prefetch" && t.isAlive)
+    assert(!lingering, "prefetch thread must stop on close")
+  }
+
   test("dlq directory is never polled as queue messages") {
     val (dir, raw) = mkQueue(2)
     raw.deadLetter(Seq(s"$dir/m0.json"))
