@@ -60,6 +60,22 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split: the assignment is a pure
+    * function of doc_id (first 16 bits of md5 → percent bucket → 80/10/10),
+    * so it is reproducible across engines, runs, and cluster sizes, and
+    * a document NEVER migrates between splits when the corpus grows —
+    * the property that keeps eval sets honest. A pure projection: no
+    * shuffle, no sampling state.
+    */
+  def assignSplits(spark: SparkSession, dir: String): DataFrame = {
+    val pct = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100).cast("int")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(pct < 80, "train").when(pct < 90, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Greedy sequence packing: within each (lang, shard) stream, docs are
     * taken in doc_id order and assigned to fixed `budget`-char bins by
     * their start offset in the running concatenation — bin
@@ -215,6 +231,16 @@ object Corpus {
   }
 
   val ops: Seq[Op] = Seq(
+    Op("q_split", assignSplits,
+      Some("""
+        SELECT doc_id, lang,
+          CASE
+            WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train'
+            WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'val'
+            ELSE 'test'
+          END AS split
+        FROM documents
+        ORDER BY doc_id""")),
     Op("q_chunk", (s, d) => chunk(s, d),
       Some("""
         WITH d AS (

@@ -215,7 +215,49 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Unigram log-probability quality score — the Spark-friendly
+    * public-knowledge analog of the KenLM-perplexity filters production
+    * corpus pipelines run (CCNet-style): score each document by the mean
+    * ln p(token) under the corpus's own unigram distribution. Documents
+    * full of corpus-typical tokens score high; line noise and
+    * out-of-distribution boilerplate score low.
+    *
+    * Scale shape: the frequency table comes from ONE map-side-partial
+    * groupBy over the exploded tokens; scoring joins the exploded
+    * (doc, token) rows to it keyed on token (both sides slim), then one
+    * groupBy(doc) mean. The corpus token total rides a broadcast 1-row
+    * aggregate. No driver-side model, no collect — the "LM" stays
+    * distributed, which is the point at 100 TB.
+    */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
+    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(freq, "t")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(log(col("c").cast("double") / col("n_total"))) / count(lit(1)))
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_text_logprob", unigramLogProb,
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+          FROM documents WHERE text IS NOT NULL),
+        freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        tot AS (SELECT count(*) AS n_total FROM toks)
+        SELECT doc_id, count(*) AS n_tokens,
+               sum(ln(CAST(c AS DOUBLE) / n_total)) / count(*) AS avg_logprob
+        FROM toks JOIN freq USING (t), tot
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
     Op("q_text_df", (s, d) => docFrequency(s, d),
       Some("""
         WITH toks AS (

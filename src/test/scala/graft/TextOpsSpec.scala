@@ -46,6 +46,40 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("unigramLogProb scores corpus-typical docs above out-of-distribution ones") {
+    val dir = SparkSpec.plantedDir(
+      "documents" -> Seq(
+        (0L, "the cat sat", "en", "s", 11L),
+        (1L, "the cat ran", "en", "s", 11L),
+        (2L, "zz qq vv", "und", "s", 8L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = TextOps.unigramLogProb(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob"))).toMap
+    // corpus: the×2 cat×2 sat ran zz qq vv — T=9
+    def lp(cs: Seq[Long]): Double = cs.map(c => math.log(c / 9.0)).sum / cs.length
+    assert(got(0L)._1 == 3L)
+    assert(math.abs(got(0L)._2 - lp(Seq(2, 2, 1))) < 1e-12)
+    assert(math.abs(got(2L)._2 - lp(Seq(1, 1, 1))) < 1e-12)
+    assert(got(0L)._2 > got(2L)._2, "common-token doc scores higher")
+  }
+
+  test("assignSplits is a stable pure function of doc_id with ~80/10/10 shape") {
+    val got = graft.operators.Corpus.assignSplits(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // recompute the formula independently (first 16 md5 bits mod 100)
+    def expected(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val pct = (((md(0) & 0xFF) << 8) | (md(1) & 0xFF)) % 100
+      if (pct < 80) "train" else if (pct < 90) "val" else "test"
+    }
+    got.foreach { case (id, split) => assert(split == expected(id), s"doc $id") }
+    val byTag = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byTag("train") > byTag.getOrElse("val", 0))
+    assert(byTag("train") > byTag.getOrElse("test", 0))
+  }
+
   test("tokenCounts: whitespace vs BPE-ish on punctuation") {
     val dir = SparkSpec.plantedDir(
       "documents" -> Seq((0L, "hello, world! it's 42", "en", "s", 21L))
