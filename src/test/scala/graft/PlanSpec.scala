@@ -134,6 +134,25 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("lang"), readSchema)
   }
 
+  test("corpus splits are a pure projection: no shuffle, no sample") {
+    val p = physical(graft.operators.Corpus.assignSplits(spark, sf))
+    // one scan + project + the oracle-determinism sort; assignment adds
+    // no exchange of its own and no Sample node
+    assert(!p.contains("Sample"), p.take(2000))
+    val beforeSort = p.split("Sort").last // subtree under the sort
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"split assignment must not shuffle\n${p.take(2000)}")
+  }
+
+  test("unigram log-prob keeps the frequency table distributed (no driver-side model)") {
+    val p = physical(graft.operators.TextOps.unigramLogProb(spark, sf))
+    // corpus total rides a broadcast 1-row agg; token frequencies meet
+    // the exploded rows in a JOIN, never a collected map
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+  }
+
   test("jaccard verify is explode-and-count: no array payloads or interpreted set ops") {
     val p = physical(Dedup.ngramJaccardPairs(Tables.documents(spark, sf), 0.5))
     // the rewrite's whole point: intersection is a codegen'd COUNT over
