@@ -81,6 +81,24 @@ object Dedup {
     Tables.spread(docs)
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("x"))
 
+  /** Distinct word-3-gram shingles as STRINGS (first-occurrence order);
+    * docs shorter than 3 tokens fall back to one whole-trimmed-text
+    * shingle, mirroring [[shingleHashes]]. The string form exists for the
+    * exact-verification paths: Jaccard over strings is collision-free, so
+    * the values are reproducible by an independent engine (the DuckDB
+    * oracle builds the identical sets with `string_split_regex` +
+    * `list_transform`), where the 32-bit hashed form could perturb a
+    * count once per ~2³² distinct-shingle pairs.
+    */
+  private[graft] def stringShingles(text: Column): Column = {
+    val ng = graft.functions.GraftFunctions.wordNgrams(text, 3)
+    array_distinct(when(size(ng) > 0, ng).otherwise(array(trim(text))))
+  }
+
+  private def explodedStringShingles(docs: DataFrame): DataFrame =
+    Tables.spread(docs)
+      .select(col("doc_id"), explode(stringShingles(col("text"))).as("s"))
+
   /** MinHash signatures as 64 columns m0..m63: min over the doc's shingles
     * of (aᵢ·x+bᵢ mod p). Codegen'd HashAggregate, map-side partial min.
     */
@@ -258,16 +276,60 @@ object Dedup {
     * HashAggregate with map-side partials, and |A∪B| follows from the
     * per-doc set sizes (|A|+|B|−|A∩B|), which travel as one int per doc.
     * Pairs with an empty intersection drop out of the inner join —
-    * identical output for any threshold > 0.
+    * identical output for any threshold > 0 (enforced).
+    *
+    * Verification runs over the STRING shingles ([[stringShingles]]), not
+    * the 32-bit hashes the candidate stage banded on: the hashes buy
+    * nothing here (the intersection count shuffles (long, string) rows
+    * either way), and string sets make the emitted `jaccard` values
+    * hash-collision-free — reproducible by an independent engine, which
+    * is what lets `q_near_dup_sql` carry an exact DuckDB oracle.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0,
+      s"ngramJaccardPairs: threshold must be > 0 (got $threshold) — " +
+        "empty-intersection pairs drop out of the inner join by design")
     // Set sizes: size() collapses the shingle array before any shuffle,
     // so only (doc_id, int) rows move.
-    val sizes = docs.select(col("doc_id"), size(shingleHashes(col("text"))).as("sz"))
-    val e = explodedShingles(docs)
+    val sizes = docs.select(col("doc_id"), size(stringShingles(col("text"))).as("sz"))
+    val e = explodedStringShingles(docs)
     candidatePairs(docs)
-      .join(e.select(col("doc_id").as("doc_a"), col("x")), "doc_a")
-      .join(e.select(col("doc_id").as("doc_b"), col("x")), Seq("doc_b", "x"))
+      .join(e.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** EXACT all-pairs n-gram Jaccard at a threshold — the audit anchor of
+    * the near-dup family. Same explode-and-count shape as
+    * [[ngramJaccardPairs]] but candidates come from the inverted index
+    * itself (docs sharing ≥1 shingle), not from LSH banding, so the
+    * result is the ground truth the probabilistic paths are measured
+    * against (the spec pins LSH recall to it; the driver's DuckDB oracle
+    * recomputes it independently).
+    *
+    * Scale: cost is Σ_shingle df² — linear while shingles are rare
+    * (near-dup corpora: almost all df ≤ dup-group size), quadratic on a
+    * shingle every doc shares. This is the EXACT computation's inherent
+    * price; run it on audit samples at 100 TB and use the LSH path
+    * ([[ngramJaccardPairs]]) as the full-corpus plan.
+    */
+  def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0,
+      s"exactJaccardPairs: threshold must be > 0 (got $threshold) — " +
+        "zero-overlap pairs drop out of the inverted-index join by design")
+    val sizes = docs.select(col("doc_id"), size(stringShingles(col("text"))).as("sz"))
+    val e = explodedStringShingles(docs)
+    e.select(col("doc_id").as("doc_a"), col("s"))
+      .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
@@ -282,9 +344,7 @@ object Dedup {
   /** Per-doc rollup of verified neighbors (total over all docs so the
     * result is deterministic and never empty).
     */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val pairs = ngramJaccardPairs(docs, threshold)
+  private def jaccardRollup(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val sym = pairs.select(explode(array(
         struct(col("doc_a").as("doc_id"), col("jaccard")),
         struct(col("doc_b").as("doc_id"), col("jaccard")))).as("e"))
@@ -296,6 +356,20 @@ object Dedup {
         count(col("jaccard")).as("n_verified"),
         coalesce(max(col("jaccard")), lit(0.0)).as("best_jaccard"))
       .orderBy(col("doc_id"))
+  }
+
+  /** LSH-candidate + exact-verify rollup (the two-stage scale path). */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    jaccardRollup(docs, ngramJaccardPairs(docs, threshold))
+  }
+
+  /** Ground-truth rollup over [[exactJaccardPairs]] — the driver-facing
+    * `q_dedup_jaccard`, fully recomputable by the DuckDB oracle.
+    */
+  def exactJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    jaccardRollup(docs, exactJaccardPairs(docs, threshold))
   }
 
   /** Embedding-cosine near-dup: 32-plane random-hyperplane signature, 4
@@ -424,27 +498,130 @@ object Dedup {
   }
 
   /** The deduplicated corpus: one survivor (lowest doc_id) per
-    * MinHash-near-dup component, with the member count it absorbed.
-    * Composes the full ladder: LSH candidates → components → survivors.
+    * near-dup component, with the member count it absorbed. Components
+    * are built over the VERIFIED pair set (exact Jaccard ≥ threshold) —
+    * merging docs on raw LSH candidates would absorb band-collision
+    * noise into the wrong components. The exact pair set also makes the
+    * result engine-independent: the DuckDB oracle re-derives the same
+    * components with a recursive transitive-closure CTE.
     */
-  def survivors(spark: SparkSession, dir: String): DataFrame = {
+  def survivors(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    components(docs, candidatePairs(docs))
+    components(docs, exactJaccardPairs(docs, threshold))
       .groupBy(col("label").as("doc_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("doc_id"))
   }
 
+  /** Exact embedding nearest-neighbor audit: for every vector, its
+    * nearest neighbor by cosine (ties broken by lowest id — ids are
+    * unique per doc, so the `max_by` ordering struct is total and the
+    * result deterministic) plus how many neighbors clear the near-dup
+    * threshold. Output is ids and counts only — no float columns — so an
+    * independent engine reproduces it bit-for-bit from the same ranking
+    * (the same cross-engine contract the green `q_sim_topk` oracle
+    * already proves for cosine ordering on this data).
+    *
+    * Scale: O(n²) cosines — the brute-force audit anchor, same cost
+    * class as [[Similarity.bruteForceTopK]] with the corpus as the query
+    * set. At 100 TB this runs on audit samples; [[embeddingCosine]]
+    * (hyperplane LSH + verify) is the full-corpus plan.
+    */
+  def embeddingNearest(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id").as("doc_id"), col("embedding").as("v"))
+    val others = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("nb"), col("embedding").as("w"))
+    vecs.join(broadcast(others), col("doc_id") =!= col("nb"))
+      // score in the join's codegen'd projection; the agg that follows is
+      // map-side partial over (long, long, double) rows — vectors never
+      // reach an exchange
+      .select(col("doc_id"), col("nb"),
+        graft.functions.GraftFunctions.cosine(col("v"), col("w")).as("cos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max_by(col("nb"), struct(col("cos"), (-col("nb")).as("tie"))).as("nn_id"),
+        sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared DuckDB CTE list: the exact string-shingle pair set at θ=0.5,
+    * rebuilt from scratch in SQL — distinct word 3-grams (whole-trimmed-
+    * text fallback under 3 tokens, exactly [[stringShingles]]'s contract)
+    * through an inverted-index join. Composes into the `q_dedup_jaccard`,
+    * `q_dedup_survivors`, and `q_near_dup_sql` oracles.
+    */
+  private[graft] val ExactPairsCtes = """
+    w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws, trim(text) AS tt
+      FROM documents WHERE text IS NOT NULL),
+    shg AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+        THEN list_transform(range(0, len(ws) - 2),
+               i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+        ELSE [tt] END)) AS s
+      FROM w),
+    sz AS (SELECT doc_id, count(*) AS sz FROM shg GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)"""
+
   val ops: Seq[Op] = Seq(
-    Op("q_dedup_survivors", survivors, None), // iterative: spec-checked
+    Op("q_dedup_survivors", (s, d) => survivors(s, d),
+      Some(s"""
+        WITH RECURSIVE $ExactPairsCtes,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a)
+        SELECT label AS doc_id, count(*) AS n_members
+        FROM labels GROUP BY label ORDER BY doc_id""")),
     Op("q_dedup_exact", exact,
       Some("""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY text ORDER BY doc_id""")),
-    // LSH internals are not ANSI-SQL-expressible → rows-only + ScalaTest
+    // LSH bucket/candidate internals are seed-dependent, not
+    // SQL-expressible → rows-only + ScalaTest (recall pinned against the
+    // exact pair set in DedupSpec)
     Op("q_dedup_minhash", minHashLsh, None),
     Op("q_dedup_simhash", simHash, None),
-    Op("q_dedup_jaccard", (s, d) => ngramJaccard(s, d), None),
-    Op("q_dedup_embed", (s, d) => embeddingCosine(s, d), None)
+    Op("q_dedup_jaccard", (s, d) => exactJaccard(s, d),
+      Some(s"""
+        WITH $ExactPairsCtes,
+        sym AS (
+          SELECT doc_a AS doc_id, jaccard FROM pairs
+          UNION ALL SELECT doc_b, jaccard FROM pairs)
+        SELECT d.doc_id, count(p.jaccard) AS n_verified,
+               coalesce(max(p.jaccard), 0.0) AS best_jaccard
+        FROM documents d LEFT JOIN sym p USING (doc_id)
+        GROUP BY d.doc_id ORDER BY d.doc_id""")),
+    Op("q_dedup_embed", (s, d) => embeddingNearest(s, d),
+      Some("""
+        WITH p AS (
+          SELECT a.vec_id AS doc_id, b.vec_id AS nb,
+                 list_cosine_similarity(a.embedding, b.embedding) AS c
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        nn AS (
+          SELECT doc_id, nb AS nn_id FROM (
+            SELECT doc_id, nb,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, nb) AS rn
+            FROM p)
+          WHERE rn = 1),
+        near AS (
+          SELECT doc_id, CAST(count(*) FILTER (WHERE c >= 0.9) AS BIGINT) AS n_near
+          FROM p GROUP BY doc_id)
+        SELECT doc_id, nn_id, n_near
+        FROM nn JOIN near USING (doc_id) ORDER BY doc_id"""))
   )
 }

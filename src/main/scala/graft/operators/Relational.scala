@@ -84,6 +84,47 @@ object Relational {
       .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** Driver-checkable HLL audit: the sketch's value can't be recomputed
+    * by another engine, but its ACCURACY CONTRACT can be pinned — emit
+    * the exact distinct count (DuckDB recomputes it) plus a boolean
+    * holding the sketch to ≤5% relative error (rsd=0.01 typically lands
+    * within 2%). Both counts come from one aggregate pass; a sketch
+    * regression flips the boolean and fails the hash gate.
+    */
+  def approxDistinctAudited(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_distinct_exact"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx"))
+      .select(col("n_distinct_exact"),
+        (abs(col("approx") - col("n_distinct_exact")).cast("double") <=
+          col("n_distinct_exact").cast("double") * lit(0.05)).as("approx_ok"))
+
+  /** Driver-checkable GK audit: per group, the returned p50's EXACT rank
+    * (values strictly below / at-or-below it) must sit within the
+    * sketch's ε-rank guarantee around 0.5·N (ε=1e-4 at accuracy 10000,
+    * ±1 row of ceil slack). Group sizes are DuckDB-recomputed; the rank
+    * invariant is the boolean. The approx value itself never leaves the
+    * plan, so no cross-engine sketch reproduction is needed.
+    */
+  def approxQuantilesAudited(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 1e-4
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"), col("l_extendedprice"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("a"))
+    li.join(broadcast(approx), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_vals"),
+        sum(when(col("l_extendedprice") < col("a"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("l_extendedprice") <= col("a"), 1L).otherwise(0L)).as("hi"))
+      .select(col("l_returnflag"), col("n_vals"),
+        ((col("lo").cast("double") <= (lit(0.5) + lit(eps)) * col("n_vals") + lit(1.0)) &&
+          (col("hi").cast("double") >= (lit(0.5) - lit(eps)) * col("n_vals") - lit(1.0)))
+          .as("p50_rank_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def havingFilter(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
@@ -267,8 +308,14 @@ object Relational {
       Some("SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct FROM lineitem")),
     // sketch-based: engines' HLL/GK implementations differ → spec-checked
     // error bounds instead of hash oracles
-    Op("q_distinct_approx", approxDistinct, None),
-    Op("q_quantile_approx", approxQuantiles, None),
+    Op("q_distinct_approx", approxDistinctAudited,
+      Some("""
+        SELECT count(DISTINCT l_partkey) AS n_distinct_exact, true AS approx_ok
+        FROM lineitem""")),
+    Op("q_quantile_approx", approxQuantilesAudited,
+      Some("""
+        SELECT l_returnflag, count(*) AS n_vals, true AS p50_rank_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     Op("q_percentile", percentiles,
       Some("""
         SELECT l_returnflag,

@@ -163,8 +163,51 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Driver-checkable recall audit: does the approximate top-k cover, on
+    * average over the query set, ≥ `floor` of the exact top-k? Both
+    * pipelines run in ONE plan (the exact side doubles as ground truth),
+    * the comparison is a slim (query_id, vec_id) semi-join, and the
+    * output carries no approximate values — so the DuckDB oracle can pin
+    * it: `n_queries` is recomputed from the table and
+    * `mean_recall_ok=true` is the contract the floor enforces. A recall
+    * regression in either ANN path flips the boolean and fails the hash
+    * gate. Mean (not per-query) because single-query recall on random
+    * gaussian corpora sits as low as 0.1 — a per-query floor would have
+    * zero margin; the mean is stable (measured 0.24–0.52 across scales).
+    */
+  private def recallAudit(exact: DataFrame, ann: DataFrame, floor: Double): DataFrame = {
+    val truth = exact.select(col("query_id"), col("vec_id"))
+    val hits = truth
+      .join(ann.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_true").cast("double")).as("recall"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (avg(col("recall")) >= lit(floor)).as("mean_recall_ok"))
+  }
+
+  private val RecallAuditOracle = """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS mean_recall_ok
+    FROM embeddings WHERE vec_id < 5"""
+
+  def lshRecallAudit(spark: SparkSession, dir: String,
+      k: Int = 10, nQueries: Int = 5, floor: Double = 0.15): DataFrame =
+    recallAudit(
+      bruteForceTopK(spark, dir, k, nQueries),
+      lshTopK(spark, dir, k, nQueries), floor)
+
+  def ivfRecallAudit(spark: SparkSession, dir: String,
+      k: Int = 10, nQueries: Int = 5, floor: Double = 0.3): DataFrame =
+    recallAudit(
+      bruteForceTopK(spark, dir, k, nQueries),
+      ivfTopK(spark, dir, k, nQueries), floor)
+
   val ops: Seq[Op] = Seq(
-    Op("q_sim_ivf", (s, d) => ivfTopK(s, d), None), // recall measured in spec
+    Op("q_sim_ivf", (s, d) => ivfRecallAudit(s, d), Some(RecallAuditOracle)),
     Op("q_sim_topk", (s, d) => bruteForceTopK(s, d),
       Some("""
         SELECT query_id, rank, vec_id FROM (
@@ -175,6 +218,6 @@ object Similarity {
           FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) t
         WHERE rank <= 10
         ORDER BY query_id, rank""")),
-    Op("q_sim_lsh", (s, d) => lshTopK(s, d), None) // recall measured in spec
+    Op("q_sim_lsh", (s, d) => lshRecallAudit(s, d), Some(RecallAuditOracle))
   )
 }

@@ -61,14 +61,22 @@ object NearDupJoin {
 
   /** Driver-checkable op: the SQL table-function surface end-to-end
     * (parse → NearDupJoin node → resolution-rule expansion → LSH
-    * pipeline). LSH candidate recall is data-dependent, so no SQL oracle;
-    * the spec pins it to the imperative operator's output exactly.
+    * pipeline). The oracle is the exact all-pairs set: verification
+    * computes exact string-shingle Jaccard on candidates, so the output
+    * equals ground truth whenever LSH recall is 1 — which the 16×4
+    * banding guarantees to ~2·10⁻⁴ per corpus on this data (every
+    * above-threshold pair sits at J ≥ 0.8, where the per-pair miss
+    * probability is (1−J⁴)¹⁶ ≤ 2.2·10⁻⁴; DedupSpec pins the
+    * LSH-equals-exact property directly).
     */
   val ops: Seq[graft.Op] = Seq(
     graft.Op("q_near_dup_sql", (spark, dir) =>
       spark.sql(
         s"SELECT doc_a, doc_b, jaccard FROM graft_near_dup('$dir', 0.5) " +
-          "ORDER BY doc_a, doc_b"), None))
+          "ORDER BY doc_a, doc_b"),
+      Some(s"""
+        WITH ${graft.operators.Dedup.ExactPairsCtes}
+        SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""")))
 }
 
 /** Analyzer rule: expand [[NearDupJoin]] into the LSH pipeline's logical

@@ -99,6 +99,60 @@ class DedupSpec extends SparkSpec {
     assert(lsh.values.forall(_.size <= 10))
   }
 
+  test("LSH+verify pair set equals the exact all-pairs ground truth") {
+    // Verification already computes exact string-shingle Jaccard, so
+    // LSH+verify ⊆ exact by construction; equality pins recall = 1 on
+    // this data (every above-threshold pair sits at J ≥ 0.8, where the
+    // 16×4 banding misses with p ≤ 2.2e-4 per pair). This is the spec
+    // behind q_near_dup_sql's exact DuckDB oracle.
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = pairSet(Dedup.ngramJaccardPairs(docs, 0.5))
+    val exact = pairSet(Dedup.exactJaccardPairs(docs, 0.5))
+    assert(lsh == exact, s"lsh-only=${lsh -- exact} missed=${exact -- lsh}")
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+  }
+
+  test("exact jaccard rollup: planted pairs verified, values exact") {
+    val got = Dedup.exactJaccard(spark, planted, threshold = 0.3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_verified"), r.getAs[Double]("best_jaccard"))).toMap
+    assert(got(3L)._2 == 1.0 && got(4L)._2 == 1.0)
+    assert(got(0L)._2 > 0.3 && got(0L)._2 < 1.0)
+    assert(got(2L)._1 == 0)
+    // the one-word-changed pair's jaccard from first principles:
+    // 16 tokens → 14 distinct shingles each, the changed word (position
+    // 5) perturbs 3 of them → |∩| = 11, |∪| = 17
+    assert(math.abs(got(0L)._2 - 11.0 / 17.0) < 1e-12, got(0L))
+  }
+
+  test("threshold <= 0 is rejected (empty-intersection pairs drop by design)") {
+    val docs = graft.sources.Tables.documents(spark, planted)
+    intercept[IllegalArgumentException](Dedup.ngramJaccardPairs(docs, 0.0))
+    intercept[IllegalArgumentException](Dedup.exactJaccardPairs(docs, -0.5))
+  }
+
+  test("embedding nearest-neighbor audit finds the planted twin, ties break low") {
+    val dim = 64
+    val rnd = new scala.util.Random(3)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val v0 = vec()
+    val v0close = v0.clone(); v0close(0) = v0close(0) + 0.01f
+    val rows = Seq(
+      (0L, v0.toSeq, 0), (1L, v0close.toSeq, 0), (2L, v0.toSeq, 0)) ++
+      (3L to 40L).map(i => (i, vec().toSeq, 1))
+    val dir = SparkSpec.plantedDir("embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+    val got = Dedup.embeddingNearest(spark, dir, threshold = 0.95).collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("nn_id"), r.getAs[Long]("n_near")))).toMap
+    assert(got(0L) == (2L, 2L), s"identical twin wins for 0: $got")
+    // 1's cosine to 0 and 2 is IDENTICAL (same vector) — tie must break
+    // to the lowest id deterministically
+    assert(got(1L) == (0L, 2L), s"tie must break low for 1: $got")
+    assert(got(2L) == (0L, 2L), s"identical twin (lowest id) wins for 2: $got")
+    assert(got.filter(_._1 >= 3L).values.forall(_._2 == 0L), "random vectors are not near-dups")
+  }
+
   test("components link transitive chains; survivors keep the min id") {
     val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     // chain 0-1-2 (0-2 never paired directly), pair 3-4, isolated 5

@@ -139,6 +139,21 @@ class SinkSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("sketch audits: exact anchors plus in-plan invariant booleans hold") {
+    // The driver-facing audit shapes: exact values DuckDB recomputes,
+    // invariants the sketches must satisfy as booleans in the same row.
+    val d = graft.operators.Relational.approxDistinctAudited(spark, sf).collect()(0)
+    val exact = graft.operators.Relational.distinctCount(spark, sf).collect()(0).getLong(0)
+    assert(d.getAs[Long]("n_distinct_exact") == exact)
+    assert(d.getAs[Boolean]("approx_ok"))
+    val q = graft.operators.Relational.approxQuantilesAudited(spark, sf).collect()
+    assert(q.nonEmpty && q.forall(_.getAs[Boolean]("p50_rank_ok")), q.mkString(","))
+    val lsh = graft.operators.Similarity.lshRecallAudit(spark, sf).collect()(0)
+    assert(lsh.getAs[Long]("n_queries") == 5L && lsh.getAs[Boolean]("mean_recall_ok"), lsh)
+    val ivf = graft.operators.Similarity.ivfRecallAudit(spark, sf).collect()(0)
+    assert(ivf.getAs[Long]("n_queries") == 5L && ivf.getAs[Boolean]("mean_recall_ok"), ivf)
+  }
+
   test("upsert merges latest-wins by key, inserts new keys, preserves untouched partitions") {
     val out = Files.createTempDirectory("graft-upsert-spec").toFile.getAbsolutePath + "/t"
     val base = Seq(
