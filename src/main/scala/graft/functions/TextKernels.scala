@@ -61,24 +61,62 @@ object TextKernels extends Serializable {
     "es" -> Set("el", "la", "los", "las", "y", "es", "un", "una", "por", "para"))
 
   /** One pass over the lowercased whitespace tokens counting hits per
-    * language. Value-identical to four
-    * `size(filter(tokens, isin(words)))` columns, ~4× less token work
-    * and zero interpreted lambdas.
+    * language, plus a CJK codepoint counter (`s_zh`) over the same
+    * string. Value-identical to four
+    * `size(filter(tokens, isin(words)))` columns plus
+    * `size(regexp_extract_all(text, '[\\u4e00-\\u9fff]', 0))` — the regex
+    * form materializes an array of every CJK character per document just
+    * to take its length (measured as the suite's highest pure operator
+    * task time); this counts in the same kernel pass with zero
+    * allocation. The range is BMP-only, so a per-char compare is exact
+    * (no surrogate pairs), and case mapping never touches CJK.
     */
+  // longest stopword across all lists: tokens longer than this can never
+  // hit, so the scan skips their substring + 4 set probes entirely
+  private val MaxStopwordLen = StopwordLangs.iterator.flatMap(_._2).map(_.length).max
+
+  // Java regex \s — the exact class split(trim(x), "\s+") breaks on
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   def stopwordHits(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
-    val counts = new Array[Int](StopwordLangs.length)
+    val counts = new Array[Int](StopwordLangs.length + 1)
     // toLowerCase on the UTF8String for locale-independent case mapping
     // (Java's String.toLowerCase is locale-sensitive — Turkish dotless i)
-    val toks = text.toLowerCase.toString.trim.split("\\s+")
+    val lowered = text.toLowerCase.toString
+    val len = lowered.length
+    // One manual scan replaces trim + regex split (the regex engine and
+    // its token-array allocation dominated the kernel at ~3 KB/doc):
+    // tokens are maximal non-\s runs — trim+split("\s+") yields the same
+    // runs (its lone ""-token edge on all-whitespace input is not a
+    // stopword, so counts agree) — and CJK codepoints tally in the same
+    // pass. Only stopword-length tokens materialize a substring.
+    var cjk = 0
     var i = 0
-    while (i < toks.length) {
-      var l = 0
-      while (l < StopwordLangs.length) {
-        if (StopwordLangs(l)._2.contains(toks(i))) counts(l) += 1
-        l += 1
+    while (i < len) {
+      val c = lowered.charAt(i)
+      if (isWs(c)) {
+        i += 1
+      } else {
+        if (c >= '\u4e00' && c <= '\u9fff') cjk += 1
+        val start = i
+        i += 1
+        var cc = ' '
+        while (i < len && { cc = lowered.charAt(i); !isWs(cc) }) {
+          if (cc >= '\u4e00' && cc <= '\u9fff') cjk += 1
+          i += 1
+        }
+        if (i - start <= MaxStopwordLen) {
+          val tok = lowered.substring(start, i)
+          var l = 0
+          while (l < StopwordLangs.length) {
+            if (StopwordLangs(l)._2.contains(tok)) counts(l) += 1
+            l += 1
+          }
+        }
       }
-      i += 1
     }
+    counts(StopwordLangs.length) = cjk
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       counts.map(c => c: Any))
   }

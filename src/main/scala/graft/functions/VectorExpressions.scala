@@ -167,14 +167,15 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Single-pass stopword-hit counts per language, as a struct
-  * (s_en, s_de, s_fr, s_es) — see [[TextKernels.stopwordHits]].
+/** Single-pass stopword-hit counts per language plus the CJK codepoint
+  * count, as a struct (s_en, s_de, s_fr, s_es, s_zh) — see
+  * [[TextKernels.stopwordHits]].
   */
 case class StopwordHits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(
     TextKernels.StopwordLangs.map { case (lang, _) =>
       StructField(s"s_$lang", IntegerType, nullable = false)
-    })
+    } :+ StructField("s_zh", IntegerType, nullable = false))
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess

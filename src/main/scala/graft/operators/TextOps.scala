@@ -79,16 +79,19 @@ object TextOps {
     * a scan-speed pass.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val cjk = size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0)))
-    // one kernel pass for all four stopword counters (see TextKernels);
-    // the struct is referenced 4x so CollapseProject leaves it alone
+    // one kernel pass for all five counters (see TextKernels) — the CJK
+    // count previously ran as size(regexp_extract_all(...)), which
+    // materializes an array of every CJK character per document just to
+    // measure its length (17.9 task-CPU-seconds at sf0.1, the suite's
+    // highest pure operator cost); the struct is referenced 5x so
+    // CollapseProject leaves it alone
     val scored = Tables.spread(Tables.documents(spark, dir))
       .withColumn("sw", graft.functions.GraftFunctions.stopwordHits(col("text")))
       .withColumn("s_en", col("sw.s_en"))
       .withColumn("s_de", col("sw.s_de"))
       .withColumn("s_fr", col("sw.s_fr"))
       .withColumn("s_es", col("sw.s_es"))
-      .withColumn("s_zh", cjk)
+      .withColumn("s_zh", col("sw.s_zh"))
     val best = greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es"), col("s_zh"))
     scored
       .select(

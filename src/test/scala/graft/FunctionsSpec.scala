@@ -77,6 +77,7 @@ class FunctionsSpec extends SparkSpec {
       "The cat and THE dog in the house",
       "der hund und die katze ist nicht da",
       "no stopwords here whatsoever",
+      "一二三 mixed 鿿 with latin the",
       "").toDF("text")
     val toks = split(trim(lower(col("text"))), "\\s+")
     def declarative(words: Seq[String]) =
@@ -84,12 +85,17 @@ class FunctionsSpec extends SparkSpec {
     val langs = graft.functions.TextKernels.StopwordLangs
     val rows = docs.select(
       GraftFunctions.stopwordHits(col("text")).as("sw") +:
-        langs.map { case (l, w) => declarative(w.toSeq).as(s"d_$l") }: _*).collect()
+        (langs.map { case (l, w) => declarative(w.toSeq).as(s"d_$l") } :+
+          size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0))).as("d_zh")): _*)
+      .collect()
     rows.foreach { r =>
       val sw = r.getStruct(0)
       langs.zipWithIndex.foreach { case ((l, _), i) =>
         assert(sw.getInt(i) == r.getInt(i + 1), s"$l mismatch in $r")
       }
+      // the kernel's s_zh must match the regex-count formulation exactly
+      // (it replaced it on the hot path — 17.9 task-sec at sf0.1)
+      assert(sw.getInt(langs.length) == r.getInt(langs.length + 1), s"zh mismatch in $r")
     }
   }
 
