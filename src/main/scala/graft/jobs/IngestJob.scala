@@ -29,6 +29,8 @@ import graft.streaming.IngestPipeline
   *  - `sink.partitionBy` comma list             (default event_date)
   *  - `key`/`precombine` — graft-table keyed upsert mode
   *  - `trigger`        availableNow | processingTime:<ms> (default availableNow)
+  *  - `stop.file`, `stop.pollMs` — graceful-drain marker path for
+  *    long-running jobs (see [[awaitShutdown]]); SIGTERM always drains
   *
   * The feed is expected in the events-feed shape ([[IngestPipeline
   * .rawEventSchema]]); `transform` normalizes whatever ts encoding
@@ -44,8 +46,56 @@ object IngestJob {
     spark.sparkContext.setLogLevel(conf.getOrElse("loggerLevel", "WARN"))
     try {
       val q = start(spark, conf)
-      q.awaitTermination()
+      awaitShutdown(q, conf)
     } finally spark.stop()
+  }
+
+  /** Per-format reader options, shared by BOTH transports so the same
+    * feed parses identically whether it arrives by directory listing or
+    * by queue notification — a csv feed carries a header row either way
+    * (the queue source forwards its full option map to the per-file
+    * reader, so these compose with the queue tuning options).
+    */
+  private[jobs] def formatOptions(format: String): Map[String, String] =
+    format match {
+      case "csv" => Map("header" -> "true")
+      case _ => Map.empty
+    }
+
+  /** Structured shutdown for long-running (`processingTime`) jobs — the
+    * operability piece a forever-`awaitTermination` main lacks: the only
+    * ways to end it are SIGKILL (in-flight batch torn down; recovery is
+    * correct but pays log replay) or stream error.
+    *
+    *  - A JVM shutdown hook stops the query on SIGTERM/SIGINT: the
+    *    current micro-batch completes and commits, THEN the query stops —
+    *    the next run resumes from a clean checkpoint with no replay.
+    *  - `stop.file` (optional config): poll for a marker file and stop
+    *    the query gracefully when it appears — the drain signal for
+    *    orchestrators that can touch a path but not signal the JVM.
+    *
+    * AvailableNow jobs terminate on their own; both mechanisms are
+    * harmless there. Factored from main so specs can drive it.
+    */
+  private[graft] def awaitShutdown(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      conf: JobConfig): Unit = {
+    val hook = new Thread(() => if (q.isActive) q.stop(), s"graft-stop-${conf.job}")
+    Runtime.getRuntime.addShutdownHook(hook)
+    try {
+      conf.get("stop.file") match {
+        case None => q.awaitTermination()
+        case Some(marker) =>
+          val pollMs = conf.getInt("stop.pollMs", 500).toLong
+          val path = java.nio.file.Paths.get(marker)
+          while (!q.awaitTermination(pollMs)) {
+            if (java.nio.file.Files.exists(path)) q.stop()
+          }
+      }
+    } finally {
+      try Runtime.getRuntime.removeShutdownHook(hook)
+      catch { case _: IllegalStateException => () } // already shutting down
+    }
   }
 
   /** Build and start the configured pipeline; factored from main so
@@ -55,19 +105,21 @@ object IngestJob {
     val maxFiles = conf.getInt("maxFilesPerTrigger", 4)
     val raw: DataFrame = conf.getOrElse("source.kind", "files") match {
       case "files" =>
+        val fmt = conf.getOrElse("source.format", "parquet")
         IngestPipeline.source(spark, conf("source.path"),
           IngestPipeline.FileSourceConfig(
             schema = IngestPipeline.rawEventSchema,
-            format = conf.getOrElse("source.format", "parquet"),
-            options = conf.get("source.format").filter(_ == "csv")
-              .map(_ => Map("header" -> "true")).getOrElse(Map.empty),
+            format = fmt,
+            options = formatOptions(fmt),
             maxFilesPerTrigger = maxFiles))
       case "queue" =>
+        val fmt = conf.getOrElse("source.format", "parquet")
         spark.readStream
           .format("graft-queue")
           .schema(IngestPipeline.rawEventSchema)
           .option("queue.dir", conf("queue.dir"))
-          .option("fileFormat", conf.getOrElse("source.format", "parquet"))
+          .option("fileFormat", fmt)
+          .options(formatOptions(fmt))
           .option("maxFilesPerTrigger", maxFiles.toString)
           .options(Seq("visibilityTimeoutMs", "maxReceiveCount",
             "retry.attempts", "retry.backoffMs", "prefetch.intervalMs")

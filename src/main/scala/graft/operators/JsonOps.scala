@@ -49,6 +49,61 @@ object JsonOps {
       .orderBy(col("event_id"))
   }
 
+  /** The raw-payload write shapes — the two CloudTrail writer variants
+    * that do NOT flatten the record into columns:
+    *
+    *  - `jobs/S3CloudTrailDeltaWriterWithNonExplodeCT.scala:147-176`
+    *    keeps each exploded record as ONE `to_json(record)` STRING column
+    *    (`rawmsg`) beside the derived partition/enrichment columns;
+    *  - `jobs/S3CloudTrailDeltaWriterWithExplodeInRawCT.scala:147-173`
+    *    keeps it as a nested STRUCT column of the same name.
+    *
+    * Both defer schema-on-read: the sink partitions on the few derived
+    * columns (index/date/subtype) while the payload stays opaque, so
+    * producers never chase the event schema and consumers parse on
+    * demand. [[rawJsonPayload]] is the string variant (driver-oracled:
+    * the JSON text is deterministic, so DuckDB rebuilds it byte-exact);
+    * [[structPayload]] is the struct variant (spec-checked: the struct
+    * re-expands losslessly). Scale shape: explode + projection — narrow,
+    * zero shuffle beyond the demo's doc-packing groupBy; the partition
+    * columns are low-cardinality by construction so the partitioned sink
+    * write behaves exactly like the enrichment pipeline's.
+    */
+  private def packedRecords(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val rawDocs = events
+      .select(col("user_id"), struct(
+        col("event_id").as("eventId"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("eventTime"),
+        col("event_type").as("eventType")).as("record"))
+      .groupBy(col("user_id"))
+      .agg(to_json(struct(sort_array(collect_list(col("record"))).as("Records"))).as("raw"))
+    val recordsSchema = "STRUCT<Records: ARRAY<STRUCT<eventId: BIGINT, eventTime: STRING, eventType: STRING>>>"
+    rawDocs.select(
+      explode(from_json(col("raw"), lit(recordsSchema)).getField("Records")).as("record"))
+  }
+
+  def rawJsonPayload(spark: SparkSession, dir: String): DataFrame =
+    packedRecords(spark, dir)
+      .select(
+        to_timestamp(col("record.eventTime"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts"),
+        col("record.eventType").as("subtype"),
+        to_json(col("record")).as("rawmsg"))
+      .withColumn("event_date", col("ts").cast("date"))
+      .withColumn("index", lit("events"))
+      .select(col("index"), col("event_date"), col("subtype"), col("rawmsg"))
+      .orderBy(col("rawmsg")) // unique (embeds eventId) — oracle determinism
+
+  def structPayload(spark: SparkSession, dir: String): DataFrame =
+    packedRecords(spark, dir)
+      .select(
+        to_timestamp(col("record.eventTime"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts"),
+        col("record.eventType").as("subtype"),
+        col("record").as("rawmsg"))
+      .withColumn("event_date", col("ts").cast("date"))
+      .withColumn("index", lit("events"))
+      .select(col("index"), col("event_date"), col("subtype"), col("rawmsg"))
+
   /** Dynamic-schema JSON extraction: infer the schema of the `props`
     * string column from a sample, `from_json` with that schema, flatten
     * every field (StringTransformJob's `select("*", "value.*")`).
@@ -93,6 +148,19 @@ object JsonOps {
     Op("q_json_extract", parseJsonCol,
       Some("""
         SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+    Op("q_json_rawmsg", rawJsonPayload,
+      // DuckDB rebuilds the exact JSON text Spark's to_json emits for the
+      // (eventId, eventTime, eventType) struct — both engines print
+      // compact JSON with insertion-ordered keys
+      Some("""
+        SELECT 'events' AS index,
+               CAST(ts AS DATE) AS event_date,
+               event_type AS subtype,
+               CAST(to_json(struct_pack(
+                 eventId := event_id,
+                 eventTime := strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+                 eventType := event_type)) AS VARCHAR) AS rawmsg
+        FROM events ORDER BY rawmsg"""))
   )
 }

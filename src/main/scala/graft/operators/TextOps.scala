@@ -226,19 +226,36 @@ object TextOps {
     * out-of-distribution boilerplate score low.
     *
     * Scale shape: the frequency table comes from ONE map-side-partial
-    * groupBy over the exploded tokens; scoring joins the exploded
-    * (doc, token) rows to it keyed on token (both sides slim), then one
-    * groupBy(doc) mean. The corpus token total rides a broadcast 1-row
-    * aggregate. No driver-side model, no collect — the "LM" stays
-    * distributed, which is the point at 100 TB.
+    * groupBy over the exploded tokens; the corpus token total rides a
+    * broadcast 1-row aggregate. Scoring then joins the exploded
+    * (doc, token) rows to the frequency table keyed on token — and THAT
+    * key is maximally skewed at corpus scale: "the" appears in a fixed
+    * fraction of all tokens, so a shuffle join sends a fixed fraction of
+    * 100 TB to one reducer. Two branches:
+    *
+    *  - `broadcastVocab = true` (default): the frequency table is
+    *    broadcast — a natural-language vocabulary is bounded (whitespace
+    *    vocab grows ~O(corpus^0.5), Heaps' law; min-df pruning bounds it
+    *    harder), so the (token, count) table stays executor-memory-sized
+    *    while the corpus doesn't. The token stream never shuffles on the
+    *    token key — no skew, and each doc's mean aggregates map-side
+    *    partially, so the only exchange carries one row per (partition,
+    *    doc).
+    *  - `broadcastVocab = false`: the shuffle join, for vocabularies that
+    *    genuinely scale with the corpus (byte-level tokens, no pruning).
+    *    AQE's skew-split handles the hot keys, and AQE itself converts
+    *    the join back to broadcast at runtime if the built table turns
+    *    out small — the fallback is adaptive, just not skew-free by
+    *    construction.
     */
-  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+  def unigramLogProb(spark: SparkSession, dir: String,
+      broadcastVocab: Boolean = true): DataFrame = {
     val toks = Tables.spread(Tables.documents(spark, dir))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
     val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(freq, "t")
+    toks.join(if (broadcastVocab) broadcast(freq) else freq, "t")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
@@ -249,7 +266,7 @@ object TextOps {
   }
 
   val ops: Seq[Op] = Seq(
-    Op("q_text_logprob", unigramLogProb,
+    Op("q_text_logprob", (s, d) => unigramLogProb(s, d),
       Some("""
         WITH toks AS (
           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t

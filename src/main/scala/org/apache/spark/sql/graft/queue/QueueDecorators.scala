@@ -96,6 +96,18 @@ class VisibilityQueueClient(
   // would forget an unexpired lease (early redelivery) and reset the
   // receive count (a poison message never dead-letters). Entries expire
   // only after a horizon no live message goes unseen for.
+  //
+  // The flip side of TTL expiry, written down: counts live in THIS
+  // consumer's memory, so a message unseen past the TTL — a stream
+  // paused/stopped longer than ~10× the visibility timeout — re-enters
+  // with a fresh receive budget, exactly like the restart case (SQS
+  // itself keeps the count server-side and doesn't have this reset; a
+  // transport that does should be decorated server-side). The redrive
+  // guarantee is therefore per-consumer-incarnation: a poison message
+  // dead-letters within maxReceiveCount polls of any SINGLE live run,
+  // and the worst case across pauses is a re-paid budget per resume —
+  // duplicate-delivery-safe downstream (the source's seen-file cache),
+  // never lost.
   private val stateTtlMs =
     math.max(10 * math.max(visibilityTimeoutMs, 0L), 10L * 60 * 1000)
 

@@ -87,4 +87,75 @@ class JobConfigSpec extends SparkSpec {
     assert(table.count() == Tables.events(spark, sf).count())
     assert(Files.list(Paths.get(s"$work/q")).count() == 0, "messages acked after commit")
   }
+
+  test("queue and file transports parse a csv feed identically (header row never ingested)") {
+    val work = Files.createTempDirectory("graft-jobcsv").toFile.getAbsolutePath
+    val events = Tables.events(spark, sf)
+    // feed-shaped csv (ts as int64 nanos), header row included — the
+    // shape both transports must read the same way
+    events.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.option("header", "true").csv(s"$work/landing")
+    Files.createDirectories(Paths.get(s"$work/q"))
+    val files = new java.io.File(s"$work/landing").listFiles()
+      .map(_.getAbsolutePath).filter(_.endsWith(".csv")).sorted
+    files.zipWithIndex.foreach { case (f, i) =>
+      write(s"$work/q/m$i.json", s"""{"path": "$f", "timestamp": ${100 + i}}""")
+    }
+    write(s"$work/app.properties",
+      s"""development.ingest.source.kind = queue
+         |development.ingest.source.format = csv
+         |development.ingest.queue.dir = $work/q
+         |development.ingest.sink.path = $work/out
+         |development.ingest.checkpointLocation = $work/ckpt
+         |""".stripMargin)
+    val conf = JobConfig.load(s"$work/app.properties", "ingest", _ => null)
+    val q = IngestJob.start(spark, conf)
+    q.processAllAvailable()
+    q.stop()
+    val sunk = spark.read.parquet(s"$work/out")
+    // header=true must ride the queue transport too: without it the
+    // header row lands as a null-key data row and the count drifts
+    assert(sunk.count() == events.count())
+    assert(sunk.filter(col("event_id").isNull).isEmpty, "no header-derived null rows")
+  }
+
+  test("IngestJob drains on the stop-file signal and resumes from a clean checkpoint") {
+    val work = Files.createTempDirectory("graft-jobstop").toFile.getAbsolutePath
+    val events = Tables.events(spark, sf)
+    graft.streaming.IngestPipeline.stageFeed(events, s"$work/landing", nFiles = 2)
+    write(s"$work/app.properties",
+      s"""development.ingest.source.path = $work/landing
+         |development.ingest.sink.path = $work/out
+         |development.ingest.checkpointLocation = $work/ckpt
+         |development.ingest.trigger = processingTime:100
+         |development.ingest.stop.file = $work/STOP
+         |development.ingest.stop.pollMs = 100
+         |""".stripMargin)
+    val conf = JobConfig.load(s"$work/app.properties", "ingest", _ => null)
+    val q = IngestJob.start(spark, conf)
+    val waiter = new Thread(() => IngestJob.awaitShutdown(q, conf), "spec-await")
+    waiter.start()
+    q.processAllAvailable() // the long-running job has drained its backlog
+    write(s"$work/STOP", "")
+    waiter.join(30000)
+    assert(!waiter.isAlive, "awaitShutdown must return once the marker lands")
+    assert(!q.isActive, "query stopped gracefully")
+    assert(spark.read.parquet(s"$work/out").count() == events.count())
+    // resume from the SAME checkpoint: nothing replays (no duplicates),
+    // and newly landed files flow
+    val extra = events.limit(50)
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+    graft.streaming.IngestPipeline.stageFeed(extra, s"$work/landing2")
+    Files.list(Paths.get(s"$work/landing2")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        Files.copy(Paths.get(f), Paths.get(s"$work/landing/resumed$i.parquet"))
+      }
+    val q2 = IngestJob.start(spark, conf)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(s"$work/out").count() == events.count() + 50,
+      "clean restart: no replayed batches, new files ingested")
+  }
 }

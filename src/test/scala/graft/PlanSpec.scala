@@ -144,12 +144,26 @@ class PlanSpec extends SparkSpec {
       s"split assignment must not shuffle\n${p.take(2000)}")
   }
 
-  test("unigram log-prob keeps the frequency table distributed (no driver-side model)") {
+  test("unigram log-prob bounded-vocab branch broadcasts the frequency table (no token-key shuffle)") {
     val p = physical(graft.operators.TextOps.unigramLogProb(spark, sf))
-    // corpus total rides a broadcast 1-row agg; token frequencies meet
-    // the exploded rows in a JOIN, never a collected map
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      p.take(2000))
+    // the default branch: (doc, token) rows meet the frequency table in a
+    // broadcast hash join — the token stream never shuffles on the token
+    // key, which is the stop-word-skewed key at corpus scale
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream must not shuffle on the skewed token key\n${p.take(2000)}")
+    assert(p.contains("partial_count"), p.take(2000))
+  }
+
+  test("unigram log-prob unbounded-vocab fallback keeps the shuffle join (AQE skew territory)") {
+    val p = physical(
+      graft.operators.TextOps.unigramLogProb(spark, sf, broadcastVocab = false))
+    // the fallback for vocabularies that scale with the corpus: a shuffle
+    // join (AQE splits the hot keys at runtime, and converts back to
+    // broadcast if the built table is small); frequencies still meet the
+    // rows in a JOIN, never a collected driver-side map
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("Exchange hashpartitioning"), p.take(2000))
     assert(p.contains("partial_count"), p.take(2000))
   }
 
