@@ -545,6 +545,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-duplicated span statistics — the exact-substring dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": verbatim spans repeated across documents
+    * are the memorization fuel doc-level dedup misses, because the
+    * containing documents themselves are not near-duplicates). Per doc:
+    * how many of its distinct k-token spans occur in ≥ `minDocs`
+    * documents, and the fraction of its span set that is such
+    * boilerplate — the per-doc signal a span-removal or down-weighting
+    * pass keys on.
+    *
+    * Scale shape: spans dedup row-locally (`array_distinct` — no
+    * (doc, span) distinct shuffle), the span-frequency count is ONE
+    * map-side-partial groupBy, and the "duplicated set" that comes back
+    * is by construction the corpus's repeated boilerplate — a bounded
+    * set that broadcasts into a semi-join, so the per-doc recount never
+    * shuffles on the (skewed) span key. `broadcastDupSet = false` keeps
+    * the shuffle semi-join for corpora whose duplicated set outgrows
+    * executor memory (same trade as [[TextOps.unigramLogProb]]).
+    * The exact-substring literature builds suffix arrays on dedicated
+    * hosts; this is the relational spelling — string spans keep the
+    * DuckDB oracle byte-exact (a production run at 100 TB would
+    * xxhash64 the span column and shuffle 8-byte keys instead;
+    * collision odds ~n²·2⁻⁶⁴ are immaterial for a filter signal).
+    *
+    * Docs shorter than k tokens have no spans: n_spans = 0, ratio 0.
+    */
+  def duplicatedSpans(spark: SparkSession, dir: String,
+      k: Int = 5, minDocs: Int = 3, broadcastDupSet: Boolean = true): DataFrame = {
+    require(k >= 1, s"span length must be >= 1, got $k")
+    require(minDocs >= 2, s"duplication needs minDocs >= 2, got $minDocs")
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    def ng = array_distinct(graft.functions.GraftFunctions.wordNgrams(col("text"), k))
+    val spans = Tables.spread(docs).select(col("doc_id"), explode(ng).as("s"))
+    val dupSet = spans.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs).select(col("s"))
+    val dupPerDoc = spans
+      .join(if (broadcastDupSet) broadcast(dupSet) else dupSet, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup"))
+    docs.select(col("doc_id"), size(ng).cast("long").as("n_spans"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared DuckDB CTE list: the exact string-shingle pair set at θ=0.5,
     * rebuilt from scratch in SQL — distinct word 3-grams (whole-trimmed-
     * text fallback under 3 tokens, exactly [[stringShingles]]'s contract)
@@ -596,6 +645,29 @@ object Dedup {
     // exact pair set in DedupSpec)
     Op("q_dedup_minhash", minHashLsh, None),
     Op("q_dedup_simhash", simHash, None),
+    Op("q_dedup_spans", (s, d) => duplicatedSpans(s, d),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        sp AS (
+          SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 5
+            THEN list_transform(range(0, len(ws) - 4),
+                   i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                        ws[i+4] || ' ' || ws[i+5])
+            ELSE [] END)) AS s
+          FROM w),
+        sz AS (SELECT doc_id, count(*) AS n FROM sp GROUP BY doc_id),
+        dup AS (SELECT s FROM sp GROUP BY s HAVING count(*) >= 3),
+        dc AS (SELECT doc_id, count(*) AS nd FROM sp JOIN dup USING (s) GROUP BY doc_id)
+        SELECT w.doc_id,
+               coalesce(sz.n, 0) AS n_spans,
+               coalesce(dc.nd, 0) AS n_dup_spans,
+               CASE WHEN coalesce(sz.n, 0) > 0
+                    THEN CAST(coalesce(dc.nd, 0) AS DOUBLE) / sz.n
+                    ELSE 0.0 END AS dup_ratio
+        FROM w LEFT JOIN sz USING (doc_id) LEFT JOIN dc USING (doc_id)
+        ORDER BY w.doc_id""")),
     Op("q_dedup_jaccard", (s, d) => exactJaccard(s, d),
       Some(s"""
         WITH $ExactPairsCtes,

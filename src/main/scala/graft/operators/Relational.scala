@@ -88,17 +88,29 @@ object Relational {
     * by another engine, but its ACCURACY CONTRACT can be pinned — emit
     * the exact distinct count (DuckDB recomputes it) plus a boolean
     * holding the sketch to ≤5% relative error (rsd=0.01 typically lands
-    * within 2%). Both counts come from one aggregate pass; a sketch
-    * regression flips the boolean and fails the hash gate.
+    * within 2%). A sketch regression flips the boolean and fails the
+    * hash gate.
+    *
+    * The two counts run as SEPARATE single-pass aggregates joined at one
+    * row — NOT one `agg(countDistinct, approx_count_distinct)`: mixing a
+    * distinct aggregate with a non-distinct one triggers Catalyst's
+    * distinct-rewrite, whose first stage groups by the distinct key and
+    * carries the OTHER aggregate's buffer per group — here an ~12 KB HLL
+    * register array (rsd=0.01) per distinct l_partkey, ~1 GB of buffer
+    * churn at sf0.1 and unboundedly worse at scale. Split, the sketch
+    * merges map-side in constant memory and the exact count keeps its
+    * usual two-stage shape (the full-key shuffle is the audit's inherent
+    * price — at 100 TB run this audit on a sampled partition subset).
     */
-  def approxDistinctAudited(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .agg(
-        countDistinct(col("l_partkey")).as("n_distinct_exact"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx"))
+  def approxDistinctAudited(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.agg(countDistinct(col("l_partkey")).as("n_distinct_exact"))
+    val approx = li.agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx"))
+    exact.crossJoin(broadcast(approx))
       .select(col("n_distinct_exact"),
         (abs(col("approx") - col("n_distinct_exact")).cast("double") <=
           col("n_distinct_exact").cast("double") * lit(0.05)).as("approx_ok"))
+  }
 
   /** Driver-checkable GK audit: per group, the returned p50's EXACT rank
     * (values strictly below / at-or-below it) must sit within the

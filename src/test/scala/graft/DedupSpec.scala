@@ -29,6 +29,37 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == 0, "unrelated doc must have no candidates")
   }
 
+  test("duplicatedSpans counts corpus-repeated k-grams per doc; short docs zero") {
+    val boiler = "subscribe to our newsletter for more updates" // 7 words → 3 5-grams
+    val dir = SparkSpec.plantedDir(
+      "documents" -> Seq(
+        (0L, s"alpha beta gamma delta epsilon zeta $boiler", "en", "s", 1L),
+        (1L, s"one two three four five six $boiler", "en", "s", 1L),
+        (2L, s"red orange yellow green blue indigo $boiler", "en", "s", 1L),
+        (3L, "entirely unique text with nothing shared across the corpus at all", "en", "s", 1L),
+        (4L, "too short", "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = Dedup.duplicatedSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"), r.getAs[Double]("dup_ratio"))))
+      .toMap
+    // the boilerplate tail is 7 words → its 3 interior 5-grams repeat in
+    // all three docs; the 2 bridge 5-grams straddling unique prefix +
+    // boilerplate differ per doc
+    for (d <- Seq(0L, 1L, 2L)) {
+      assert(got(d)._1 == 9, s"13 words → 9 5-grams (doc $d): ${got(d)}")
+      assert(got(d)._2 == 3, s"3 interior boilerplate spans repeat (doc $d): ${got(d)}")
+      assert(math.abs(got(d)._3 - 3.0 / 9.0) < 1e-12)
+    }
+    assert(got(3L) == ((7L, 0L, 0.0)), "unique doc: spans, none duplicated")
+    assert(got(4L) == ((0L, 0L, 0.0)), "sub-k doc: no spans, ratio 0 not null")
+    // broadcast and shuffle branches agree
+    val shuffled = Dedup.duplicatedSpans(spark, dir, broadcastDupSet = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(shuffled ==
+      got.map { case (d, (a, b, c)) => (d, a, b, c) }.toSet)
+  }
+
   test("minhash signature estimates jaccard ≈ exact on near-dup pair") {
     val rows = spark.read.parquet(s"$planted/documents.parquet")
       .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"),
