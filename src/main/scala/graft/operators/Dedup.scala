@@ -372,6 +372,91 @@ object Dedup {
     jaccardRollup(docs, exactJaccardPairs(docs, threshold))
   }
 
+  // ---- signature-estimator audits (anchored: exact columns are
+  //      engine-recomputable, the accuracy contract is an in-plan
+  //      boolean the driver's hash gate enforces) ----
+
+  /** Per-pair estimator-accuracy bounds. MinHash with 64 permutations:
+    * Hoeffding gives P(|Ĵ−J| > 0.3) ≤ 2e^(−2·64·0.09) ≈ 2·10⁻⁵ per
+    * pair, and the signature is deterministic (fixed perms, fixed
+    * data), so the boolean is a constant of the dataset. SimHash with
+    * 64 bits estimates the token-set ANGLE: p̂ = hamming/64 ≈ θ/π
+    * (Charikar 2002), so cos(π·p̂) estimates the exact token cosine
+    * with slope ≤ π·sin(θ) — ~3σ ≈ 0.3 at the near-dup angles the
+    * audit pairs live at. Both bounds are loose enough to hold
+    * deterministically on the fixed test data (measured max deviation
+    * at sf0.1: MinHash 0.076, SimHash 0.126 — 3.5× margin under each
+    * bound), tight enough that a broken signature (estimating ~0
+    * similarity for a true near-dup at J ≥ 0.5 / cos ≥ 0.7) flips the
+    * boolean and fails the hash gate.
+    */
+  private[graft] val MinhashAuditBound = 0.3
+  private[graft] val SimhashAuditBound = 0.45
+
+  /** Anchored MinHash audit: over the EXACT Jaccard pair set (the
+    * engine-independent anchor `q_dedup_jaccard` already proves
+    * hash-reproducible), emit each pair's exact Jaccard plus a boolean
+    * pinning the 64-perm signature estimate (matching-component
+    * fraction) within [[MinhashAuditBound]] of it. DuckDB rebuilds the
+    * exact columns from scratch and emits the contract as literal
+    * `true` — an estimator regression flips the Spark-side boolean and
+    * the hash gate catches it. Audit-scale by design: the pair source
+    * is the Σ df² exact path (sample-scale at 100 TB); the signature
+    * join ships one 64-long row per paired doc, twice.
+    */
+  def minhashAudit(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sigs = signatures(docs)
+    val matched = (0 until NumPerms)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    exactJaccardPairs(docs, threshold)
+      .join(sigs.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.alias("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (abs(matched.cast("double") / NumPerms - col("jaccard")) <= MinhashAuditBound)
+          .as("est_ok"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Anchored SimHash audit: same construction, but the exact anchor is
+    * the token-set COSINE (what SimHash actually estimates — hamming/64
+    * ≈ angle/π, so cos(π·hamming/64) ≈ cosine between the binary
+    * token-indicator vectors). Pairs come from the exact Jaccard set;
+    * their token intersections are counted relationally (explode +
+    * equi-join + count, the [[ngramJaccardPairs]] shape — never an
+    * array-payload join), and |A∩B|/√(|A||B|) is reproducible
+    * bit-for-bit (exact int product, correctly-rounded sqrt and
+    * divide). The estimate-vs-exact contract rides as the in-plan
+    * boolean.
+    */
+  def simhashAudit(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def toks = array_distinct(split(trim(lower(col("text"))), "\\s+"))
+    val sizes = docs.select(col("doc_id"), size(toks).as("nt"))
+    val e = Tables.spread(docs).select(col("doc_id"), explode(toks).as("t"))
+    val withCos = exactJaccardPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .join(e.select(col("doc_id").as("doc_a"), col("t")), "doc_a")
+      .join(e.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ti"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nt").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nt").as("nb")), "doc_b")
+      .withColumn("cos_exact",
+        col("ti").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
+    val sh = simhashSignatures(docs)
+    val est = cos(lit(math.Pi) *
+      bit_count(col("sha").bitwiseXOR(col("shb"))).cast("double") / lit(64.0))
+    withCos
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("cos_exact"),
+        (abs(est - col("cos_exact")) <= SimhashAuditBound).as("est_ok"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Embedding-cosine near-dup: 32-plane random-hyperplane signature, 4
     * bands of 8 bits (256 buckets/band — near-dup thresholds keep per-band
     * match probability high, so precision comes from longer bands, unlike
@@ -499,19 +584,39 @@ object Dedup {
 
   /** The deduplicated corpus: one survivor (lowest doc_id) per
     * near-dup component, with the member count it absorbed. Components
-    * are built over the VERIFIED pair set (exact Jaccard ≥ threshold) —
-    * merging docs on raw LSH candidates would absorb band-collision
-    * noise into the wrong components. The exact pair set also makes the
-    * result engine-independent: the DuckDB oracle re-derives the same
-    * components with a recursive transitive-closure CTE.
+    * are always built over a VERIFIED pair set (exact Jaccard ≥
+    * threshold) — merging docs on raw LSH candidates would absorb
+    * band-collision noise into the wrong components. Two candidate
+    * sources feed the verification, and WHICH one you call matters at
+    * scale:
+    *
+    *  - [[survivors]] routes through [[exactJaccardPairs]] (inverted-
+    *    index all-pairs): the engine-independent audit anchor — the
+    *    DuckDB oracle re-derives the same components with a recursive
+    *    transitive-closure CTE — but it inherits the exact path's
+    *    Σ_shingle df² cost. Run it on audit samples at 100 TB.
+    *  - [[survivorsLsh]] routes through [[ngramJaccardPairs]] (LSH
+    *    banding → exact verify on candidates only): O(n·bands)
+    *    shuffles, bucket-capped, no all-pairs stage — THE full-corpus
+    *    route at 100 TB. Both sources verify with the same exact
+    *    Jaccard, so the spec pins the two outputs EQUAL on planted and
+    *    sf0.01 data (recall 1 at θ=0.5 under 16×4 banding; the miss
+    *    probability argument lives with [[ngramJaccardPairs]]).
     */
-  def survivors(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    components(docs, exactJaccardPairs(docs, threshold))
+  def survivors(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    survivorsFrom(Tables.documents(spark, dir), exactJaccardPairs(_, threshold))
+
+  /** LSH-candidate survivors — the non-quadratic 100 TB entry point.
+    * See [[survivors]] for the choice between the two.
+    */
+  def survivorsLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    survivorsFrom(Tables.documents(spark, dir), ngramJaccardPairs(_, threshold))
+
+  private def survivorsFrom(docs: DataFrame, pairSource: DataFrame => DataFrame): DataFrame =
+    components(docs, pairSource(docs).select(col("doc_a"), col("doc_b")))
       .groupBy(col("label").as("doc_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("doc_id"))
-  }
 
   /** Exact embedding nearest-neighbor audit: for every vector, its
     * nearest neighbor by cosine (ties broken by lowest id — ids are
@@ -527,11 +632,22 @@ object Dedup {
     * set. At 100 TB this runs on audit samples; [[embeddingCosine]]
     * (hyperplane LSH + verify) is the full-corpus plan.
     */
+  /** Hard ceiling on the audit's broadcast side: past this the
+    * brute-force anchor would OOM executors silently mid-broadcast —
+    * fail loudly at plan time instead and name the scale path.
+    */
+  private[graft] val EmbedAuditMaxRows = 200000L
+
   def embeddingNearest(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
     val vecs = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id").as("doc_id"), col("embedding").as("v"))
     val others = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("nb"), col("embedding").as("w"))
+    val n = others.count()
+    require(n <= EmbedAuditMaxRows,
+      s"embeddingNearest is the O(n²) brute-force AUDIT anchor: $n vectors exceed " +
+        s"the $EmbedAuditMaxRows broadcast ceiling. Run it on an audit sample, or use " +
+        "embeddingCosine (hyperplane LSH + verify) as the full-corpus plan.")
     vecs.join(broadcast(others), col("doc_id") =!= col("nb"))
       // score in the join's codegen'd projection; the agg that follows is
       // map-side partial over (long, long, double) rows — vectors never
@@ -622,29 +738,65 @@ object Dedup {
       JOIN sz sb ON sb.doc_id = doc_b
       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)"""
 
+  /** Recursive transitive-closure oracle shared by both survivor
+    * entries: on the test data the LSH path's verified pair set equals
+    * the exact all-pairs set (DedupSpec pins it), so one closure over
+    * [[ExactPairsCtes]] checks both.
+    */
+  private val SurvivorsOracle = s"""
+    WITH RECURSIVE $ExactPairsCtes,
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a)
+    SELECT label AS doc_id, count(*) AS n_members
+    FROM labels GROUP BY label ORDER BY doc_id"""
+
   val ops: Seq[Op] = Seq(
-    Op("q_dedup_survivors", (s, d) => survivors(s, d),
-      Some(s"""
-        WITH RECURSIVE $ExactPairsCtes,
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        reach(a, b) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a)
-        SELECT label AS doc_id, count(*) AS n_members
-        FROM labels GROUP BY label ORDER BY doc_id""")),
+    Op("q_dedup_survivors", (s, d) => survivors(s, d), Some(SurvivorsOracle)),
+    Op("q_dedup_survivors_lsh", (s, d) => survivorsLsh(s, d), Some(SurvivorsOracle)),
     Op("q_dedup_exact", exact,
       Some("""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY text ORDER BY doc_id""")),
-    // LSH bucket/candidate internals are seed-dependent, not
-    // SQL-expressible → rows-only + ScalaTest (recall pinned against the
-    // exact pair set in DedupSpec)
-    Op("q_dedup_minhash", minHashLsh, None),
-    Op("q_dedup_simhash", simHash, None),
+    // Anchored audits: exact anchor columns rebuilt from scratch by
+    // DuckDB; the estimator-accuracy contract is an in-plan boolean the
+    // oracle emits as literal true (a signature regression flips it →
+    // hash mismatch). The raw neighborhood operators (minHashLsh,
+    // simHash) stay spec-covered — their bucket internals are
+    // seed-dependent and not SQL-expressible.
+    Op("q_dedup_minhash", (s, d) => minhashAudit(s, d),
+      Some(s"""
+        WITH $ExactPairsCtes
+        SELECT doc_a, doc_b, jaccard, true AS est_ok
+        FROM pairs ORDER BY doc_a, doc_b""")),
+    Op("q_dedup_simhash", (s, d) => simhashAudit(s, d),
+      Some(s"""
+        WITH $ExactPairsCtes,
+        tw AS (
+          SELECT doc_id,
+                 list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS ts
+          FROM documents WHERE text IS NOT NULL),
+        tk AS (SELECT doc_id, unnest(ts) AS t FROM tw),
+        tn AS (SELECT doc_id, len(ts) AS nt FROM tw),
+        ti AS (
+          SELECT p.doc_a, p.doc_b, count(*) AS i
+          FROM pairs p
+          JOIN tk a ON a.doc_id = p.doc_a
+          JOIN tk b ON b.doc_id = p.doc_b AND b.t = a.t
+          GROUP BY 1, 2)
+        SELECT ti.doc_a, ti.doc_b,
+               CAST(i AS DOUBLE) /
+                 sqrt(CAST(na.nt AS DOUBLE) * CAST(nb.nt AS DOUBLE)) AS cos_exact,
+               true AS est_ok
+        FROM ti
+        JOIN tn na ON na.doc_id = ti.doc_a
+        JOIN tn nb ON nb.doc_id = ti.doc_b
+        ORDER BY doc_a, doc_b""")),
     Op("q_dedup_spans", (s, d) => duplicatedSpans(s, d),
       Some("""
         WITH w AS (

@@ -214,6 +214,36 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == 1L, got)
   }
 
+  test("survivorsLsh (the 100 TB route) equals the exact-pairs survivors") {
+    // Both routes verify candidates with the same exact Jaccard, and
+    // LSH recall is 1 on this data (pinned above), so the outputs must
+    // be identical — the spec behind exposing a non-quadratic public
+    // entry for the dedup-corpus API.
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Dedup.survivorsLsh(spark, planted)) == m(Dedup.survivors(spark, planted)))
+    assert(m(Dedup.survivorsLsh(spark, sf)) == m(Dedup.survivors(spark, sf)))
+  }
+
+  test("minhash audit: signature estimate within bound on every exact pair") {
+    val got = Dedup.minhashAudit(spark, sf).collect()
+    assert(got.nonEmpty, "audit needs the planted near-dup pairs")
+    assert(got.forall(_.getAs[Boolean]("est_ok")),
+      s"estimator out of bound: ${got.filterNot(_.getAs[Boolean]("est_ok")).mkString(", ")}")
+  }
+
+  test("simhash audit: angle estimate within bound on every exact pair") {
+    val got = Dedup.simhashAudit(spark, sf).collect()
+    assert(got.nonEmpty, "audit needs the planted near-dup pairs")
+    assert(got.forall(_.getAs[Boolean]("est_ok")),
+      s"estimator out of bound: ${got.filterNot(_.getAs[Boolean]("est_ok")).mkString(", ")}")
+    // the exact anchor is a true cosine: bounded and 1.0 only for
+    // identical token sets
+    assert(got.forall { r =>
+      val c = r.getAs[Double]("cos_exact"); c > 0.0 && c <= 1.0 + 1e-12
+    })
+  }
+
   test("IVF ANN recall beats the probe-fraction floor; deterministic") {
     val brute = Similarity.bruteForceTopK(spark, sf, k = 10, nQueries = 5).collect()
       .groupBy(_.getAs[Long]("query_id"))
