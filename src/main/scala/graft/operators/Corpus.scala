@@ -143,16 +143,23 @@ object Corpus {
     val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
     // n-grams from the codegen'd kernel (one JVM loop per doc) — the
     // declarative transform-over-sequence lambda is interpreted
-    // per-element; semantics identical (see TextKernels.wordNgrams)
+    // per-element; semantics identical (see TextKernels.wordNgrams).
+    // Per-doc distinctness is row-LOCAL (array_distinct before the
+    // explode), so the per-doc rollup below is two plain map-side-
+    // partial counts — the countDistinct formulation re-hashes every
+    // ~50-byte 8-gram string through an Expand(×2) + distinct
+    // HashAggregate, which profiling showed was the whole cost of this
+    // operator (34 → ~8 task-sec at sf0.1).
     val grams = docs
       .select(col("doc_id"), (bucket === "f").as("is_bench"),
-        explode(graft.functions.GraftFunctions.wordNgrams(col("text"), n)).as("ng"))
+        explode(array_distinct(
+          graft.functions.GraftFunctions.wordNgrams(col("text"), n))).as("ng"))
     val bench = grams.filter(col("is_bench")).select("ng").distinct()
     val perDoc = grams.filter(!col("is_bench"))
       .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("ng"), "left")
       .groupBy("doc_id")
-      .agg(countDistinct(col("ng")).as("n_ngrams"),
-        countDistinct(when(col("__hit").isNotNull, col("ng"))).as("n_hits"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(col("__hit")).as("n_hits"))
     docs.select(col("doc_id")).filter(bucket =!= "f")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
