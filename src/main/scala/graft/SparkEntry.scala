@@ -13,6 +13,7 @@ object SparkEntry {
       graft.operators.AsOf.ops ++
       graft.operators.TextOps.ops ++
       graft.operators.Corpus.ops ++
+      graft.operators.Tokenize.ops ++
       graft.operators.Dedup.ops ++
       graft.plans.NearDupJoin.ops ++
       graft.operators.Similarity.ops ++

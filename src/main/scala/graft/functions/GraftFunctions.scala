@@ -35,7 +35,8 @@ object GraftFunctions {
       }.getOrElse(3)
       WordNgrams(args.head, n)
     },
-    "graft_stopword_hits" -> { args => StopwordHits(args.head) })
+    "graft_stopword_hits" -> { args => StopwordHits(args.head) },
+    "graft_nfc" -> { args => NfcNormalize(args.head) })
 
   private[functions] def registrations = fns.map { case (name, builder) =>
     (new FunctionIdentifier(name),
@@ -175,6 +176,8 @@ object GraftFunctions {
     GraftShim.column(StopwordHits(GraftShim.expression(text)))
   def wordNgrams(text: Column, n: Int): Column =
     GraftShim.column(WordNgrams(GraftShim.expression(text), n))
+  def nfc(text: Column): Column =
+    GraftShim.column(NfcNormalize(GraftShim.expression(text)))
 }
 
 /** `spark.sql.extensions` entry point: injects the graft function family,

@@ -171,4 +171,29 @@ object TextKernels extends Serializable {
     }
     new GenericArrayData(out)
   }
+
+  /** Unicode NFC normalization (canonical composition) with two
+    * zero-allocation fast paths: pure-ASCII strings are detected with
+    * one byte scan (no String materialization at all — the overwhelming
+    * case in a web corpus), and already-composed strings return the
+    * input UTF8String unchanged after the cheap `isNormalized` check.
+    * Only strings actually containing decomposed sequences pay the
+    * Normalizer pass.
+    */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val n = text.numBytes
+    var i = 0L
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var ascii = true
+    while (ascii && i < n) {
+      if ((org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return text
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }

@@ -225,6 +225,35 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization — see [[TextKernels.nfcNormalize]] for the
+  * ASCII/already-composed fast paths. Exists because Spark has no
+  * built-in Unicode normalizer; the DuckDB oracle side is its native
+  * `nfc_normalize`.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.nfcNormalize(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+        "graft.functions.TextKernels$")
+      s"${ev.value} = $kernel.nfcNormalize($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** cos(a, b) = a·b / (|a||b|), 0.0 when either norm is 0 (never NaN).
   * One fused loop over min(len(a), len(b)) elements.
   */

@@ -237,7 +237,77 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-weighted deterministic resampling — the "keep better docs
+    * with higher probability" corpus cut (the reweighting step of the
+    * DCLM/FineWeb-style quality pipelines), made auditable: the keep
+    * probability derives from the doc's stopword ratio (the cheapest
+    * prose-likeness signal, same case-sensitive contract as
+    * [[TextOps.qualityScore]]) clamped to [0.1, 1], and the Bernoulli
+    * draw is the first 16 md5 bits of doc_id (the [[assignSplits]]
+    * construction) — so the sample is a PURE FILTER, reproducible
+    * across engines, runs, and cluster sizes, and monotone under corpus
+    * growth: re-running never flips an existing doc's fate. Zero
+    * shuffle; at 100 TB this is a scan-speed pass that pushes into the
+    * parquet read.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.wsTokens(col("text"))
+    val sr = TextOps.stopHits(toks, TextOps.Stopwords("en")).cast("double") /
+      size(toks).cast("double")
+    val keepProb = least(lit(1.0), greatest(lit(0.1), lit(4.0) * sr))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long").cast("double") / 65536.0
+    Tables.documents(spark, dir)
+      .withColumn("keep_prob", keepProb)
+      .filter(u < col("keep_prob"))
+      .select(col("doc_id"), col("lang"), col("keep_prob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-length histogram: per (lang, ⌊log2(tokens)⌋ bucket) doc and
+    * token totals — the sequence-length distribution every tokenization
+    * / packing decision reads first. The log2 bucket is EXACT integer
+    * arithmetic (digit count of the base-2 rendering, never
+    * floor(ln/ln2)'s float edge at exact powers of two), and the
+    * groupBy key is tiny and uniform: one map-side-partial aggregate
+    * whose shuffle carries O(langs × 64) rows at any corpus size.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_toks", size(TextOps.wsTokens(col("text"))).cast("long"))
+      .withColumn("bucket", (length(conv(col("n_toks"), 10, 2)) - 1).cast("int"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        min(col("n_toks")).as("min_tokens"),
+        max(col("n_toks")).as("max_tokens"))
+      .orderBy(col("lang"), col("bucket"))
+
   val ops: Seq[Op] = Seq(
+    Op("q_sample_weighted", weightedSample,
+      Some("""
+        WITH q AS (
+          SELECT doc_id, lang,
+            LEAST(1.0, GREATEST(0.1, 4.0 *
+              (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+               / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)))) AS keep_prob,
+            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+              / 65536.0 AS u
+          FROM documents)
+        SELECT doc_id, lang, keep_prob FROM q
+        WHERE u < keep_prob ORDER BY doc_id""")),
+    Op("q_len_hist", lengthHistogram,
+      Some("""
+        WITH d AS (
+          SELECT lang,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+          FROM documents)
+        SELECT lang, CAST(length(to_base(n_toks, 2)) - 1 AS INT) AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               min(n_toks) AS min_tokens, max(n_toks) AS max_tokens
+        FROM d GROUP BY lang, bucket ORDER BY lang, bucket""")),
     Op("q_split", assignSplits,
       Some("""
         SELECT doc_id, lang,

@@ -24,7 +24,7 @@ import graft.sources.Tables
 object TextOps {
 
   /** Whitespace tokens, with trim so engines agree on boundary empties. */
-  private def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+  private[graft] def wsTokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** BPE-ish lexer: runs of alphanumerics, or single non-space symbols. */
   private val BpePattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
@@ -32,13 +32,13 @@ object TextOps {
   /** Tiny per-language stopword lists (top function words). Public-domain
     * common knowledge; enough signal for an n-gram/stopword heuristic.
     */
-  private val Stopwords: Map[String, Seq[String]] = Map(
+  private[graft] val Stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "por", "para"))
 
-  private def stopHits(tokens: Column, words: Seq[String]): Column =
+  private[graft] def stopHits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
 
   /** Token counts: whitespace tokens and BPE-ish lexer tokens. */
@@ -265,7 +265,35 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Text normalization battery — the standard pre-tokenization cleanup
+    * pass: Unicode NFC composition (the `graft_nfc` codegen'd kernel —
+    * Spark has no built-in normalizer; DuckDB's native `nfc_normalize`
+    * is the oracle side), lowercasing, whitespace-run collapse, and
+    * trim, with a changed flag and the character delta. A pure per-row
+    * projection: zero shuffle, scan-speed at 100 TB. Normalization
+    * BEFORE tokenization is what keeps "café" (NFC) and "café" (NFD)
+    * from becoming distinct vocabulary entries.
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      lower(graft.functions.GraftFunctions.nfc(col("text"))), "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm"),
+        (norm =!= col("text")).as("changed"),
+        (length(col("text")) - length(norm)).cast("long").as("len_delta"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_text_normalize", normalizeText,
+      Some("""
+        WITH n AS (
+          SELECT doc_id, text,
+            trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
+          FROM documents)
+        SELECT doc_id, norm, norm <> text AS changed,
+               CAST(length(text) - length(norm) AS BIGINT) AS len_delta
+        FROM n ORDER BY doc_id""")),
     Op("q_text_logprob", (s, d) => unigramLogProb(s, d),
       Some("""
         WITH toks AS (

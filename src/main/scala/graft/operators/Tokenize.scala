@@ -1,0 +1,127 @@
+package graft.operators
+
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Tokenizer-training primitives — the byte-pair-encoding counting and
+  * merge steps (Sennrich et al. 2016, "Neural Machine Translation of
+  * Rare Words with Subword Units") as distributed column programs.
+  *
+  * The scale insight BPE training rests on: after ONE corpus-sized
+  * word-frequency aggregate, everything operates on the (word, count)
+  * VOCABULARY — bounded by Heaps' law at a tiny fraction of corpus
+  * size — so each merge iteration is a job over vocab-sized data, and
+  * the corpus is scanned exactly once no matter how many merges are
+  * trained. The interpreted higher-order functions here run over that
+  * bounded vocab, never the corpus (the doctrine from the MinHash
+  * signature work: HOFs are fine off the corpus-sized hot path).
+  */
+object Tokenize {
+
+  /** Adjacent character-pair counts weighted by word frequency — one
+    * BPE counting iteration from characters, and the top-`topK` merge
+    * candidates. Corpus-side cost: the single word-frequency groupBy
+    * (map-side partial, shuffles (word, count)); the pair explode runs
+    * over the vocab. Deterministic total order (count desc, pair asc).
+    */
+  def bpePairCounts(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val words = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(TextOps.wsTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    words
+      .filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** Separator between symbols in the vocab's working representation —
+    * U+0001 never occurs in the corpus text (and a production run would
+    * assert it).
+    */
+  private val Sep = "\u0001"
+
+  /** Full iterative BPE merge training: `nMerges` rounds of
+    * count-adjacent-pairs → pick the most frequent → merge it
+    * throughout the vocabulary, returning the ordered merge table
+    * (rank, left, right, pair_count) a tokenizer applies at encode
+    * time. Greedy left-to-right merge semantics within a word (the
+    * paper's), spelled as a boundary-anchored regexp_replace over the
+    * SEP-joined symbol string.
+    *
+    * Distribution shape: the per-round driver work is ONE collected row
+    * (the arg-max pair — bounded metadata, the same contract as
+    * [[Dedup.components]]' change counter); the vocab is
+    * localCheckpoint'ed each round so round N never replays rounds
+    * 1..N-1, and superseded generations are unpersisted.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    var vocab = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      // array_remove guards the split-by-empty-pattern edge (a trailing
+      // "" element would become a phantom empty symbol)
+      .select(concat_ws(Sep, array_remove(split(col("w"), ""), "")).as("sym"), col("wc"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 0
+    var dry = false
+    while (round < nMerges && !dry) {
+      val syms = split(col("sym"), Sep)
+      val top = vocab
+        .filter(size(syms) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(0), size(syms) - 2),
+          i => struct(element_at(syms, i + 1).as("l"),
+            element_at(syms, i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round + 1, l, r, n))
+        // merge occurrences at symbol boundaries only: preceded and
+        // followed by start/end-of-word or the separator (negative
+        // look-around on "any non-separator char" keeps both lookups
+        // fixed-width); scanning resumes after each match, which IS the
+        // paper's greedy left-to-right overlap rule
+        val pat = s"(?<![^$Sep])${Pattern.quote(l + Sep + r)}(?![^$Sep])"
+        val prev = vocab
+        vocab = vocab
+          .withColumn("sym",
+            regexp_replace(col("sym"), pat, Matcher.quoteReplacement(l + r)))
+          .localCheckpoint()
+        prev.unpersist(blocking = false)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("q_bpe_pairs", (s, d) => bpePairCounts(s, d),
+      Some("""
+        WITH wd AS (
+          SELECT w, count(*) AS wc FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents WHERE text IS NOT NULL) GROUP BY w),
+        p AS (
+          SELECT substr(w, CAST(i AS INT), 2) AS pair, wc FROM (
+            SELECT w, wc, unnest(range(1, length(w))) AS i
+            FROM wd WHERE length(w) >= 2))
+        SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""")))
+}

@@ -144,4 +144,51 @@ class CorpusSpec extends SparkSpec {
     assert(joined.filter(col("maxBin") * budget > col("total")).count() == 0)
     out.unpersist()
   }
+
+  test("weightedSample: keep probability follows quality, draw follows md5 exactly") {
+    val rich = "the a of and to in is that it for" // 10/10 stopwords → p=1.0
+    val poor = "zebra quark nebula glyph"          // 0 stopwords → p=0.1
+    val rows = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) rich else poor, "en", "s", 1L))
+    val dir = SparkSpec.plantedDir(
+      "documents" -> rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = Corpus.weightedSample(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("keep_prob")).toMap
+    // independent JVM recomputation of the md5 draw (same cross-check
+    // idiom as the assignSplits spec)
+    def u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.take(2).map(b => f"$b%02x").mkString
+      java.lang.Integer.parseInt(hex, 16) / 65536.0
+    }
+    rows.foreach { case (id, text, _, _, _) =>
+      val p = if (text == rich) 1.0 else 0.1
+      assert(got.contains(id) == (u(id) < p),
+        s"doc $id: u=${u(id)} p=$p kept=${got.contains(id)}")
+      if (got.contains(id)) assert(got(id) == p)
+    }
+    assert(rows.count(r => r._2 == rich) == got.count(_._2 == 1.0),
+      "every stopword-rich doc is kept (p=1.0)")
+  }
+
+  test("lengthHistogram buckets by exact integer log2") {
+    val dir = SparkSpec.plantedDir(
+      "documents" -> Seq(
+        (0L, "w", "en", "s", 1L),             // 1 token  → bucket 0
+        (1L, "w w", "en", "s", 1L),           // 2 tokens → bucket 1
+        (2L, "w w w", "en", "s", 1L),         // 3 tokens → bucket 1
+        (3L, "w w w w", "en", "s", 1L),       // 4 tokens → bucket 2 (exact power)
+        (4L, "w w w w w w w w", "en", "s", 1L)) // 8 tokens → bucket 3
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = Corpus.lengthHistogram(spark, dir).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("min_tokens"), r.getAs[Long]("max_tokens")))).toMap
+    assert(got == Map(
+      0 -> ((1L, 1L, 1L, 1L)),
+      1 -> ((2L, 5L, 2L, 3L)),
+      2 -> ((1L, 4L, 4L, 4L)),
+      3 -> ((1L, 8L, 8L, 8L))), got)
+  }
 }

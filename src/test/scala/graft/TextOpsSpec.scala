@@ -157,4 +157,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1) == ((1L, 1L, "x")))
     assert(out(2) == ((2L, 1L, "solo")))
   }
+
+  test("normalizeText: NFC composition, lowercase, whitespace collapse, trim") {
+    val dir = SparkSpec.plantedDir(
+      "documents" -> Seq(
+        (0L, "Cafe\u0301   du   Monde", "fr", "s", 1L), // decomposed é + runs
+        (1L, "already clean", "en", "s", 1L),
+        (2L, "  padded  ", "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = TextOps.normalizeText(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("norm"), r.getAs[Boolean]("changed"),
+          r.getAs[Long]("len_delta")))).toMap
+    // e + combining acute (2 codepoints) composes to é (1); 4 extra
+    // spaces collapse → 18 chars becomes 13
+    assert(got(0L) == (("café du monde", true, 5L)), got(0L))
+    assert(got(1L) == (("already clean", false, 0L)))
+    assert(got(2L) == (("padded", true, 4L)))
+  }
 }
