@@ -24,6 +24,7 @@ object SparkEntry {
       graft.sinks.VersionedTable.ops ++
       graft.sinks.PartitionTransforms.ops ++
       graft.sinks.CatalogOps.ops ++
+      graft.sinks.DeltaInterop.ops ++
       graft.streaming.IngestPipeline.ops ++
       graft.streaming.StreamJoin.ops ++
       graft.streaming.EventRollup.ops ++

@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.sinks.DeltaInterop
+
+class DeltaInteropSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-delta-$tag").toFile.getAbsolutePath + "/t"
+
+  private def sample = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 40.0))
+    .toDF("id", "cat", "v")
+
+  test("partitioned round trip: values, schema, column order exact") {
+    val path = tmp("rt")
+    val v = DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
+    assert(v == 0L)
+    val back = DeltaInterop.read(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "cat", "v"))
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      sample.as[(Long, String, Double)].collect().toSet)
+  }
+
+  test("commit 0 carries spec-shaped protocol, metaData, and add actions") {
+    val path = tmp("wire")
+    DeltaInterop.write(sample.coalesce(1), path, partitionBy = Seq("cat"))
+    val log = new java.io.File(s"$path/_delta_log/${"%020d".format(0L)}.json")
+    assert(log.exists(), "commit file must use the 20-digit zero-padded name")
+    val lines = scala.io.Source.fromFile(log, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(JsonMethods.parse(_)).toList
+    implicit val fmts: Formats = DefaultFormats
+    val protocol = lines.map(_ \ "protocol").find(_ != JNothing).get
+    assert((protocol \ "minReaderVersion").extract[Int] == 1)
+    assert((protocol \ "minWriterVersion").extract[Int] == 2)
+    val meta = lines.map(_ \ "metaData").find(_ != JNothing).get
+    assert((meta \ "format" \ "provider").extract[String] == "parquet")
+    assert((meta \ "partitionColumns").extract[Seq[String]] == Seq("cat"))
+    // schemaString is Spark's StructType JSON (what Delta itself uses)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson((meta \ "schemaString").extract[String])
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.toSeq == Seq("id", "cat", "v"))
+    val adds = lines.map(_ \ "add").filter(_ != JNothing)
+    assert(adds.size == 2, "one add per live partition file")
+    adds.foreach { a =>
+      // '=' stays literal in the RFC 2396 path encoding (how delta-spark
+      // spells hive dirs); an URLEncoder-style %3D would still decode but
+      // diverge from every real writer
+      assert((a \ "path").extract[String].startsWith("cat="))
+      assert((a \ "dataChange").extract[Boolean])
+      assert((a \ "size").extract[Long] > 0)
+      val pv = (a \ "partitionValues").extract[Map[String, String]]
+      assert(Set("a", "b").contains(pv("cat")))
+    }
+  }
+
+  test("append accumulates; overwrite replaces; both stay time-travelable") {
+    val path = tmp("tt")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
+    DeltaInterop.write(Seq((5L, "c", 50.0)).toDF("id", "cat", "v"), path,
+      partitionBy = Seq("cat"))
+    assert(DeltaInterop.read(spark, path).count() == 5)
+    DeltaInterop.write(Seq((9L, "z", 90.0)).toDF("id", "cat", "v"), path,
+      partitionBy = Seq("cat"), overwrite = true)
+    assert(DeltaInterop.read(spark, path).as[(Long, String, Double)]
+      .collect().toSet == Set((9L, "z", 90.0)))
+    assert(DeltaInterop.read(spark, path, versionAsOf = Some(0L)).count() == 4)
+    assert(DeltaInterop.read(spark, path, versionAsOf = Some(1L)).count() == 5)
+  }
+
+  test("append refuses a drifted schema or layout loudly") {
+    val path = tmp("drift")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
+    intercept[IllegalArgumentException] {
+      DeltaInterop.write(Seq((1L, "a")).toDF("id", "cat"), path, Seq("cat"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaInterop.write(sample, path, partitionBy = Nil)
+    }
+  }
+
+  test("null partition values: hive default dir in, JSON null out, null back") {
+    val path = tmp("null")
+    val df = Seq((1L, Some("a"), 1.0), (2L, None, 2.0))
+      .toDF("id", "cat", "v")
+    DeltaInterop.write(df, path, partitionBy = Seq("cat"))
+    val back = DeltaInterop.read(spark, path)
+      .as[(Long, Option[String], Double)].collect().toSet
+    assert(back == Set((1L, Some("a"), 1.0), (2L, None, 2.0)))
+    implicit val fmts: Formats = DefaultFormats
+    val lines = scala.io.Source.fromFile(
+      s"$path/_delta_log/${"%020d".format(0L)}.json", "UTF-8").getLines()
+      .filter(_.nonEmpty).map(JsonMethods.parse(_)).toList
+    val nullAdd = lines.map(_ \ "add").filter(_ != JNothing)
+      .find(a => (a \ "path").extract[String].contains("__HIVE_DEFAULT_PARTITION__"))
+    assert(nullAdd.isDefined, "null partition writes the hive default dir")
+    assert((nullAdd.get \ "partitionValues" \ "cat") == JNull,
+      "null partition value must serialize as JSON null, not a string")
+  }
+
+  test("checkpoint: replay resumes from the parquet checkpoint alone") {
+    val path = tmp("ckpt")
+    (0 to 11).foreach { i =>
+      DeltaInterop.write(Seq((i.toLong, "a", i.toDouble)).toDF("id", "cat", "v"),
+        path, partitionBy = Seq("cat"))
+    }
+    val ckpt = new java.io.File(
+      s"$path/_delta_log/${"%020d".format(10L)}.checkpoint.parquet")
+    assert(ckpt.exists(), "checkpoint parquet every 10 commits")
+    assert(new java.io.File(s"$path/_delta_log/_last_checkpoint").exists())
+    // delete every pre-checkpoint JSON: resolution must still work from
+    // the checkpoint + the two later commits
+    (0L to 9L).foreach { v =>
+      assert(new java.io.File(
+        s"$path/_delta_log/${"%020d".format(v)}.json").delete())
+    }
+    val back = DeltaInterop.read(spark, path)
+    assert(back.count() == 12)
+    assert(back.agg(sum("v")).as[Double].collect()(0) == (0 to 11).sum.toDouble)
+  }
+
+  test("streaming batches are exactly-once via the txn action") {
+    val path = tmp("txn")
+    val writer = DeltaInterop.streamBatchWriter(path, Seq("cat"), appId = "app-1")
+    writer(sample, 0L)
+    writer(Seq((5L, "c", 50.0)).toDF("id", "cat", "v"), 1L)
+    assert(DeltaInterop.read(spark, path).count() == 5)
+    // recovery replays batch 1 → must be a no-op, not a duplicate append
+    writer(Seq((5L, "c", 50.0)).toDF("id", "cat", "v"), 1L)
+    assert(DeltaInterop.read(spark, path).count() == 5)
+    assert(DeltaInterop.latestVersion(spark, path) == 1L)
+    // a different appId is a different lineage and must land
+    DeltaInterop.streamBatchWriter(path, Seq("cat"), appId = "app-2")(
+      Seq((6L, "c", 60.0)).toDF("id", "cat", "v"), 0L)
+    assert(DeltaInterop.read(spark, path).count() == 6)
+  }
+
+  test("reads a foreign hand-written Delta log (reader is not writer-shaped)") {
+    val path = tmp("foreign")
+    // data file written as plain parquet, log written as raw text the
+    // way another engine would emit it
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$path/raw")
+    val part = new java.io.File(s"$path/raw").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(s"$path/part-000.snappy.parquet")
+    assert(part.renameTo(dst))
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType))).json
+      .replace("\"", "\\\"")
+    new java.io.File(s"$path/_delta_log").mkdirs()
+    val log =
+      s"""{"commitInfo":{"operation":"WRITE","engineInfo":"someOtherEngine/1.0"}}
+         |{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"abc-123","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}
+         |{"add":{"path":"part-000.snappy.parquet","partitionValues":{},"size":${dst.length()},"modificationTime":1700000000000,"dataChange":true,"stats":"{\\"numRecords\\":2}"}}
+         |""".stripMargin
+    Files.write(java.nio.file.Paths.get(
+      s"$path/_delta_log/${"%020d".format(0L)}.json"), log.getBytes("UTF-8"))
+    val back = DeltaInterop.read(spark, path).as[(Long, Double)].collect().toSet
+    assert(back == Set((1L, 10.0), (2L, 20.0)))
+  }
+
+  test("reader refuses tables whose features it does not implement") {
+    val path = tmp("gate")
+    new java.io.File(s"$path/_delta_log").mkdirs()
+    val log =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}
+        |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{}}}
+        |""".stripMargin
+    Files.write(java.nio.file.Paths.get(
+      s"$path/_delta_log/${"%020d".format(0L)}.json"), log.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DeltaInterop.read(spark, path))
+    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+    // column-mapping tables refuse too (physical-name resolution only)
+    val path2 = tmp("gate2")
+    new java.io.File(s"$path2/_delta_log").mkdirs()
+    val log2 =
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+        |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}
+        |""".stripMargin
+    Files.write(java.nio.file.Paths.get(
+      s"$path2/_delta_log/${"%020d".format(0L)}.json"), log2.getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](DeltaInterop.read(spark, path2))
+    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+  }
+
+  test("concurrent commit to the same version loses loudly, never clobbers") {
+    val path = tmp("race")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
+    // a racer lands version 1 AFTER this writer resolved its target but
+    // before it publishes — the deterministic interleaving the hook gives
+    DeltaInterop.beforePublish = () =>
+      Files.write(java.nio.file.Paths.get(
+        s"$path/_delta_log/${"%020d".format(1L)}.json"),
+        "{\"add\":{\"path\":\"x.parquet\",\"partitionValues\":{},\"size\":1,\"modificationTime\":1,\"dataChange\":true}}\n"
+          .getBytes("UTF-8"))
+    try intercept[java.util.ConcurrentModificationException] {
+      DeltaInterop.write(Seq((7L, "a", 7.0)).toDF("id", "cat", "v"), path, Seq("cat"))
+    } finally DeltaInterop.beforePublish = () => ()
+    // the racer's commit survives untouched
+    assert(scala.io.Source.fromFile(
+      s"$path/_delta_log/${"%020d".format(1L)}.json", "UTF-8")
+      .mkString.contains("x.parquet"))
+  }
+}

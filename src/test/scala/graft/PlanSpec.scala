@@ -189,4 +189,31 @@ class PlanSpec extends SparkSpec {
     // and the re-pair fold is a partial-aggregating groupBy, not a join
     assert(p.contains("partial_first") || p.contains("partial_count"), p.take(2000))
   }
+
+  test("weighted sample is a pure filter: no shuffle below the output sort") {
+    val p = physical(graft.operators.Corpus.weightedSample(spark, sf))
+    assert(!p.contains("Sample"), p.take(2000))
+    val beforeSort = p.split("Sort").last
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"the quality-weighted cut must not shuffle\n${p.take(2000)}")
+  }
+
+  test("text normalization is a scan-speed projection inside codegen") {
+    val df = graft.operators.TextOps.normalizeText(spark, sf)
+    val p = physical(df)
+    val beforeSort = p.split("Sort").last
+    assert(!beforeSort.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(codegen(df).contains("WholeStageCodegen"),
+      "graft_nfc must compile into the codegen span")
+  }
+
+  test("length histogram and BPE pair counts aggregate partially map-side") {
+    val ph = physical(graft.operators.Corpus.lengthHistogram(spark, sf))
+    assert(ph.contains("partial_count") || ph.contains("partial_sum"), ph.take(2000))
+    val pb = physical(graft.operators.Tokenize.bpePairCounts(spark, sf))
+    // both aggregates (word frequency, pair totals) fold map-side; the
+    // top-K rides TakeOrderedAndProject, not a global sort
+    assert(pb.contains("partial_count") && pb.contains("partial_sum"), pb.take(2000))
+    assert(pb.contains("TakeOrderedAndProject"), pb.take(2000))
+  }
 }
