@@ -25,6 +25,7 @@ object SparkEntry {
       graft.sinks.PartitionTransforms.ops ++
       graft.sinks.CatalogOps.ops ++
       graft.sinks.DeltaInterop.ops ++
+      graft.sinks.HudiInterop.ops ++
       graft.streaming.IngestPipeline.ops ++
       graft.streaming.StreamJoin.ops ++
       graft.streaming.EventRollup.ops ++

@@ -1,0 +1,381 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Hudi copy-on-write WIRE-FORMAT interop, from scratch against the
+  * public table layout — no hudi-spark bundle: a Hudi COW table is a
+  * `.hoodie/` timeline (properties file + requested/inflight/commit
+  * instant files), parquet data files named
+  * `<fileId>_<writeToken>_<instantTime>.parquet` carrying the five
+  * `_hoodie_*` meta columns, and `.hoodie_partition_metadata` markers —
+  * all documented formats.
+  *
+  * This is the OTHER half of the reference's name
+  * (`jobs/S3ToHudiOptStreamJob.scala:80-105` writes `.format("hudi")`
+  * with recordkey/precombine/partitionpath options;
+  * `S3HudiBatchReader.scala` reads it back; README:89-167 benchmarks
+  * parquet vs hudi throughput). [[TableSink.upsert]] and
+  * [[VersionedTable.upsertMOR]] re-express the SEMANTICS natively;
+  * this module speaks the FORMAT.
+  *
+  * Core Hudi mechanics implemented (and spec-pinned):
+  *  - file groups: one fileId per partition dir here; every commit
+  *    adds a new file SLICE (same fileId, new instant) and snapshot
+  *    reads resolve the latest committed slice per group — so the
+  *    upsert write cost is O(affected partitions), never a log scan.
+  *  - timeline atomicity: data files land before the `.commit` instant
+  *    publishes; slices whose instant never committed are INVISIBLE to
+  *    readers (crash debris ignored, exactly Hudi's contract).
+  *  - meta-column preservation: an upsert rewriting a file group keeps
+  *    the original `_hoodie_commit_time` of carried-over records and
+  *    stamps only winners — which is what makes Hudi's INCREMENTAL
+  *    pull (`read where _hoodie_commit_time > since`) return exactly
+  *    the changed records, not everything co-resident with them.
+  *  - latest-wins upsert by (recordKey, precombine), ties to incoming —
+  *    Hudi's OverwriteWithLatestAvroPayload default.
+  *
+  * Scale: snapshot resolution is one dir walk + timeline listing (no
+  * data I/O); upsert reads/rewrites only dirs holding incoming keys.
+  */
+object HudiInterop {
+
+  private val MetaDir = ".hoodie"
+  private val PartitionMeta = ".hoodie_partition_metadata"
+  val MetaCols: Seq[String] = Seq("_hoodie_commit_time", "_hoodie_commit_seqno",
+    "_hoodie_record_key", "_hoodie_partition_path", "_hoodie_file_name")
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- timeline ----
+
+  /** 17-digit Hudi instant (yyyyMMddHHmmssSSS), strictly greater than
+    * every existing instant so same-millisecond commits stay ordered.
+    */
+  private def nextInstant(existing: Seq[String]): String = {
+    val now = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
+      .format(new java.util.Date())
+    val floor = existing.sorted.lastOption
+      .map(i => (BigInt(i) + 1).toString.reverse.padTo(17, '0').reverse.mkString)
+      .getOrElse(now)
+    if (BigInt(now) > BigInt(floor)) now else floor
+  }
+
+  private def timelineInstants(fs: FileSystem, path: String,
+      suffix: String): Seq[String] = {
+    val dir = new Path(s"$path/$MetaDir")
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(suffix) && n.stripSuffix(suffix).forall(_.isDigit))
+      .map(_.stripSuffix(suffix)).sorted
+  }
+
+  /** Completed instants — the only ones whose file slices readers see. */
+  def completedInstants(spark: SparkSession, path: String): Seq[String] =
+    timelineInstants(fsFor(spark, path), path, ".commit")
+
+  private def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def ensureTable(fs: FileSystem, path: String, tableName: String): Unit = {
+    val props = new Path(s"$path/$MetaDir/hoodie.properties")
+    if (!fs.exists(props)) {
+      fs.mkdirs(props.getParent)
+      writeFile(fs, props,
+        s"""#Properties saved on table creation
+           |hoodie.table.name=$tableName
+           |hoodie.table.type=COPY_ON_WRITE
+           |hoodie.table.version=6
+           |hoodie.timeline.layout.version=1
+           |hoodie.datasource.write.hive_style_partitioning=true
+           |hoodie.populate.meta.fields=true
+           |""".stripMargin)
+    }
+  }
+
+  // ---- file slices ----
+
+  private val SliceName = "([0-9a-f-]{36})_([0-9-]+)_(\\d{17})\\.parquet".r
+
+  private final case class Slice(dir: String, fileId: String, instant: String,
+      rel: String)
+
+  private def slices(fs: FileSystem, path: String): Seq[Slice] = {
+    val rootQ = fs.makeQualified(new Path(path)).toString
+    val out = scala.collection.mutable.ArrayBuffer[Slice]()
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      val rel = fs.makeQualified(st.getPath).toString.stripPrefix(rootQ + "/")
+      if (st.isDirectory) { if (!rel.startsWith(MetaDir)) walk(st.getPath) }
+      else st.getPath.getName match {
+        case SliceName(fileId, _, instant) =>
+          val dir = rel.split("/").dropRight(1).mkString("/")
+          out += Slice(dir, fileId, instant, rel)
+        case _ => ()
+      }
+    }
+    walk(new Path(path))
+    out.toSeq
+  }
+
+  /** Latest committed slice per file group at `asOf` (or latest). */
+  private def liveSlices(spark: SparkSession, path: String,
+      asOf: Option[String]): Seq[Slice] = {
+    val fs = fsFor(spark, path)
+    val committed = timelineInstants(fs, path, ".commit")
+      .filter(i => asOf.forall(i <= _)).toSet
+    require(committed.nonEmpty, s"no completed commits in $path (asOf=$asOf)")
+    slices(fs, path).filter(s => committed.contains(s.instant))
+      .groupBy(s => (s.dir, s.fileId))
+      .map { case (_, ss) => ss.maxBy(_.instant) }.toSeq
+  }
+
+  /** Snapshot read (latest committed file slices), meta columns
+    * included — project them away with `.drop(HudiInterop.MetaCols: _*)`
+    * for pure data. Partition columns live IN the data files (Hudi
+    * writes them), so no dir-based reconstruction is needed.
+    */
+  def read(spark: SparkSession, path: String,
+      asOf: Option[String] = None): DataFrame = {
+    val live = liveSlices(spark, path, asOf)
+    // explicit file list WITHOUT basePath: partition values already live
+    // inside Hudi data files, and dir-based inference would duplicate
+    // the column
+    spark.read.parquet(live.map(s => s"$path/${s.rel}"): _*)
+  }
+
+  /** Hudi incremental query: exactly the records whose commit time is
+    * in (`sinceInstant`, latest] — carried-over rows keep their original
+    * commit time through upsert rewrites, so they drop out here.
+    */
+  def readIncremental(spark: SparkSession, path: String,
+      sinceInstant: String): DataFrame =
+    read(spark, path).filter(col("_hoodie_commit_time") > sinceInstant)
+
+  // ---- writers ----
+
+  private def hivePath(partitionBy: Seq[String]): org.apache.spark.sql.Column =
+    if (partitionBy.isEmpty) lit("")
+    else concat_ws("/", partitionBy.map(c =>
+      concat_ws("=", lit(c), coalesce(col(c).cast("string"),
+        lit("__HIVE_DEFAULT_PARTITION__")))): _*)
+
+  /** Deterministic fileId per partition dir (UUID-shaped from the dir
+    * name) — one file group per dir, the layout's stated simplification.
+    */
+  private def fileIdFor(dir: String): String =
+    java.util.UUID.nameUUIDFromBytes(("graft-hudi:" + dir)
+      .getBytes(StandardCharsets.UTF_8)).toString
+
+  /** Insert `df` as a new commit (new file slices for its partition
+    * dirs). First write creates the table. Returns the instant time.
+    */
+  def insert(df: DataFrame, path: String, recordKey: String,
+      precombine: String, partitionBy: Seq[String] = Nil,
+      tableName: String = "graft_table"): String =
+    commitSlices(df, path, recordKey, precombine, partitionBy, tableName,
+      carryOver = None)
+
+  /** Keyed latest-wins upsert: incoming rows replace existing rows with
+    * the same record key when their `precombine` is >= (ties to
+    * incoming); unaffected partitions keep their file slices untouched,
+    * carried-over records keep their original meta columns.
+    */
+  def upsert(df: DataFrame, path: String, recordKey: String,
+      precombine: String, partitionBy: Seq[String] = Nil,
+      tableName: String = "graft_table"): String = {
+    val spark = df.sparkSession
+    val existing = read(spark, path)
+    val incomingDirs = df.select(hivePath(partitionBy).as("__dir"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val affected = existing
+      .filter(col("_hoodie_partition_path").isin(incomingDirs.toSeq: _*))
+    // latest-wins: incoming beats existing at equal precombine
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(recordKey))
+      .orderBy(col(precombine).desc, col("__is_incoming").desc)
+    val merged = affected.withColumn("__is_incoming", lit(0))
+      .unionByName(df.withColumn("__is_incoming", lit(1)), allowMissingColumns = true)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    commitSlices(merged, path, recordKey, precombine, partitionBy, tableName,
+      carryOver = Some(()))
+  }
+
+  private def commitSlices(df: DataFrame, path: String, recordKey: String,
+      precombine: String, partitionBy: Seq[String], tableName: String,
+      carryOver: Option[Unit]): String = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, path)
+    require(df.schema.fieldNames.contains(recordKey), s"missing key col $recordKey")
+    require(df.schema.fieldNames.contains(precombine), s"missing precombine $precombine")
+    ensureTable(fs, path, tableName)
+    val instant = nextInstant(
+      timelineInstants(fs, path, ".commit") ++
+        timelineInstants(fs, path, ".commit.requested"))
+    // timeline state transitions, in Hudi's order
+    writeFile(fs, new Path(s"$path/$MetaDir/$instant.commit.requested"), "")
+    writeFile(fs, new Path(s"$path/$MetaDir/$instant.inflight"), "{}")
+
+    val dirCol = hivePath(partitionBy)
+    val fileIdUdfFree = {
+      // fileId is a pure function of the dir; spell it as a join against
+      // the distinct dir set so the map stays codegen'd (no UDF)
+      val dirs = df.select(dirCol.as("__dir")).distinct().collect()
+        .map(_.getString(0))
+      val mapping = dirs.flatMap(d => Seq(lit(d), lit(fileIdFor(d))))
+      if (mapping.isEmpty) lit("") else {
+        import org.apache.spark.sql.Column
+        val m: Column = map(mapping.toIndexedSeq: _*)
+        m(col("__dir"))
+      }
+    }
+    val isCarry = carryOver.isDefined && df.schema.fieldNames.contains("__is_incoming")
+    val stamped0 = df.withColumn("__dir", dirCol)
+      .withColumn("__file_id", fileIdUdfFree)
+      .withColumn("__new_ct", lit(instant))
+    // carried-over records keep their original commit time + seqno; new
+    // winners get this instant (Hudi preserves meta fields on merge)
+    val stamped = (if (isCarry)
+      stamped0
+        .withColumn("_hoodie_commit_time",
+          when(col("__is_incoming") === 1, col("__new_ct"))
+            .otherwise(col("_hoodie_commit_time")))
+        .withColumn("_hoodie_commit_seqno",
+          when(col("__is_incoming") === 1,
+            concat_ws("_", col("__new_ct"), lit("0"),
+              pmod(xxhash64(col(recordKey).cast("string")), lit(1000000L))
+                .cast("string")))
+            .otherwise(col("_hoodie_commit_seqno")))
+        .drop("__is_incoming")
+    else
+      stamped0
+        .withColumn("_hoodie_commit_time", col("__new_ct"))
+        .withColumn("_hoodie_commit_seqno",
+          concat_ws("_", col("__new_ct"), lit("0"),
+            pmod(xxhash64(col(recordKey).cast("string")), lit(1000000L))
+              .cast("string"))))
+      .withColumn("_hoodie_record_key", col(recordKey).cast("string"))
+      .withColumn("_hoodie_partition_path", col("__dir"))
+      .withColumn("_hoodie_file_name",
+        concat(col("__file_id"), lit("_0-0-0_"), col("__new_ct"),
+          lit(".parquet")))
+      .drop("__new_ct")
+    val dataCols = stamped.columns.filterNot(c =>
+      MetaCols.contains(c) || c.startsWith("__"))
+    val ordered = stamped.select(
+      (MetaCols.map(col) ++ dataCols.map(col) :+ col("__dir") :+ col("__file_id")): _*)
+
+    // one writer per partition dir (file-group granularity), then
+    // rename each part file to its Hudi slice name
+    val stage = new Path(s"$path/$MetaDir/.stage-${java.util.UUID.randomUUID}")
+    ordered.repartition(col("__dir"))
+      .write.mode("overwrite").partitionBy("__dir").parquet(stage.toString)
+    val stats = scala.collection.mutable.Map[String, List[(String, String, Long)]]()
+    fs.listStatus(stage).filter(_.isDirectory).foreach { dirStatus =>
+      val dirName = dirStatus.getPath.getName // __dir=<escaped>
+      val raw = java.net.URLDecoder.decode(
+        dirName.stripPrefix("__dir="), "UTF-8")
+      val dir = if (raw == "__HIVE_DEFAULT_PARTITION__") "" else raw
+      val destDir = if (dir.isEmpty) new Path(path) else new Path(s"$path/$dir")
+      fs.mkdirs(destDir)
+      if (!fs.exists(new Path(destDir, PartitionMeta)))
+        writeFile(fs, new Path(destDir, PartitionMeta),
+          s"#partition metadata\ncommitTime=$instant\npartitionDepth=${partitionBy.size}\n")
+      val parts = fs.listStatus(dirStatus.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val name = s"${fileIdFor(dir)}_$i-0-0_$instant.parquet"
+        val dst = new Path(destDir, name)
+        require(fs.rename(p.getPath, dst), s"slice move failed: $dst")
+        stats(dir) = stats.getOrElse(dir, Nil) :+
+          ((fileIdFor(dir), (if (dir.isEmpty) name else s"$dir/$name"), p.getLen))
+      }
+    }
+    fs.delete(stage, true)
+    // completing the instant PUBLISHES the slices; a crash before this
+    // leaves invisible debris, never a partial read
+    val statsJson = JObject("partitionToWriteStats" -> JObject(
+      stats.toList.map { case (dir, fls) =>
+        dir -> (JArray(fls.map { case (fid, rel, bytes) =>
+          JObject("fileId" -> JString(fid), "path" -> JString(rel),
+            "totalWriteBytes" -> JLong(bytes), "numWrites" -> JLong(-1L))
+        }): JValue)
+      }) :: ("operation" -> (JString(
+        if (carryOver.isDefined) "UPSERT" else "INSERT"): JValue)) :: Nil)
+    writeFile(fs, new Path(s"$path/$MetaDir/$instant.commit"),
+      JsonMethods.pretty(JsonMethods.render(statsJson)))
+    fs.delete(new Path(s"$path/$MetaDir/$instant.inflight"), false)
+    fs.delete(new Path(s"$path/$MetaDir/$instant.commit.requested"), false)
+    instant
+  }
+
+  /** Driver-checked round trip through the wire format: orders bulk-
+    * insert (instant 1), a doubled-price slice UPSERTS (instant 2 —
+    * latest-wins, carried-over rows keep instant 1), then one result
+    * frame reads the snapshot totals, the as-of-instant-1 counts, and
+    * the incremental-pull count since instant 1. The DuckDB oracle
+    * replays the same algebra over raw orders — upsert-replace (not
+    * append), which is exactly what distinguishes this from
+    * `q_delta_roundtrip`'s append semantics.
+    */
+  def hudiRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-hudi-rt") + "/orders_hudi"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+    val i1 = insert(orders, out, recordKey = "o_orderkey",
+      precombine = "o_orderdate", partitionBy = Seq("o_orderstatus"))
+    upsert(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      out, recordKey = "o_orderkey", precombine = "o_orderdate",
+      partitionBy = Seq("o_orderstatus"))
+    val snap = read(spark, out)
+    val latest = snap.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price"))
+    val asOf1 = read(spark, out, asOf = Some(i1)).groupBy(col("o_orderstatus"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+        .as("sum_price_v1"))
+    val incr = readIncremental(spark, out, sinceInstant = i1)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_changed"))
+    latest.join(asOf1, "o_orderstatus")
+      .join(incr, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"), col("n_rows"), col("sum_price"),
+        col("sum_price_v1"), coalesce(col("n_changed"), lit(0L)).as("n_changed"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_hudi_roundtrip", hudiRoundTrip,
+      Some("""
+        WITH merged AS (
+          SELECT o_orderstatus,
+                 CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice,
+                 CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS changed
+          FROM orders),
+        latest AS (
+          SELECT o_orderstatus, count(*) AS n_rows,
+                 cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+                 CAST(sum(changed) AS BIGINT) AS n_changed
+          FROM merged GROUP BY o_orderstatus),
+        v1 AS (
+          SELECT o_orderstatus,
+                 cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price_v1
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, n_rows, sum_price, sum_price_v1, n_changed
+        FROM latest JOIN v1 USING (o_orderstatus)
+        ORDER BY o_orderstatus""")))
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.HudiInterop
+
+class HudiInteropSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-hudi-$tag").toFile.getAbsolutePath + "/t"
+
+  private def sample = Seq(
+    (1L, "a", 10.0, 100L), (2L, "a", 20.0, 100L),
+    (3L, "b", 30.0, 100L), (4L, "b", 40.0, 100L))
+    .toDF("id", "cat", "v", "ts")
+
+  test("insert + snapshot round trip; meta columns carry the wire shapes") {
+    val path = tmp("rt")
+    val i = HudiInterop.insert(sample, path, "id", "ts", Seq("cat"))
+    assert(i.matches("\\d{17}"), s"17-digit instant, got $i")
+    val snap = HudiInterop.read(spark, path)
+    assert(snap.drop(HudiInterop.MetaCols: _*)
+      .select("id", "cat", "v", "ts").as[(Long, String, Double, Long)]
+      .collect().toSet == sample.as[(Long, String, Double, Long)].collect().toSet)
+    val metas = snap.select(HudiInterop.MetaCols.map(col): _*).collect()
+    metas.foreach { r =>
+      assert(r.getString(0) == i, "commit time = the publishing instant")
+      assert(r.getString(1).startsWith(i + "_"), "seqno is instant-prefixed")
+      assert(r.getString(2).toLong >= 1L && r.getString(2).toLong <= 4L,
+        "record key stringified")
+      assert(r.getString(3).startsWith("cat="), "hive-style partition path")
+      assert(r.getString(4).matches("[0-9a-f-]{36}_\\d+-0-0_\\d{17}\\.parquet"),
+        s"slice file name, got ${r.getString(4)}")
+    }
+    // file_name matches the actual file on disk
+    val onDisk = new java.io.File(s"$path/cat=a").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val claimed = snap.filter(col("_hoodie_partition_path") === "cat=a")
+      .select("_hoodie_file_name").distinct().as[String].collect().toSet
+    assert(claimed.subsetOf(onDisk), s"claimed $claimed, on disk $onDisk")
+  }
+
+  test("upsert is latest-wins; carried rows keep their commit time; incremental pull") {
+    val path = tmp("up")
+    val i1 = HudiInterop.insert(sample, path, "id", "ts", Seq("cat"))
+    val i2 = HudiInterop.upsert(
+      Seq((2L, "a", 99.0, 200L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    assert(i2 > i1)
+    val snap = HudiInterop.read(spark, path)
+    val byId = snap.select("id", "v", "_hoodie_commit_time")
+      .as[(Long, Double, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(2L) == ((99.0, i2)), "winner stamped with the new instant")
+    assert(byId(1L) == ((10.0, i1)),
+      "co-resident carried row keeps its ORIGINAL commit time through the rewrite")
+    assert(byId(3L)._2 == i1, "untouched partition keeps its slice")
+    // incremental pull returns exactly the changed record
+    val inc = HudiInterop.readIncremental(spark, path, i1)
+      .select("id").as[Long].collect().toSeq
+    assert(inc == Seq(2L), s"incremental must be the changed keys only, got $inc")
+    // time travel to the first instant sees the pre-upsert values
+    val asOf = HudiInterop.read(spark, path, asOf = Some(i1))
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(asOf(2L) == 20.0)
+  }
+
+  test("a stale upsert (lower precombine) loses to the existing row") {
+    val path = tmp("stale")
+    HudiInterop.insert(sample, path, "id", "ts", Seq("cat"))
+    HudiInterop.upsert(
+      Seq((2L, "a", 1.0, 50L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    val v = HudiInterop.read(spark, path).filter(col("id") === 2L)
+      .select("v").as[Double].collect()
+    assert(v.toSeq == Seq(20.0), "ts=50 < existing ts=100 must not replace")
+  }
+
+  test("uncommitted file slices are invisible (crash debris ignored)") {
+    val path = tmp("crash")
+    HudiInterop.insert(sample, path, "id", "ts", Seq("cat"))
+    // a validly-named slice whose instant never reached .commit
+    val orphan = new java.io.File(
+      s"$path/cat=a/${java.util.UUID.randomUUID()}_0-0-0_99999999999999999.parquet")
+    Seq((666L, "a", 666.0, 1L)).toDF("id", "cat", "v", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/.tmp_orphan")
+    val part = new java.io.File(s"$path/.tmp_orphan").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    assert(part.renameTo(orphan))
+    val ids = HudiInterop.read(spark, path).select("id").as[Long].collect().toSet
+    assert(!ids.contains(666L), "slice without a completed instant must not be read")
+  }
+
+  test("timeline wire shapes: properties, commit JSON, transient states cleaned") {
+    val path = tmp("tl")
+    val i = HudiInterop.insert(sample, path, "id", "ts", Seq("cat"))
+    val props = scala.io.Source.fromFile(s"$path/.hoodie/hoodie.properties").mkString
+    assert(props.contains("hoodie.table.type=COPY_ON_WRITE"))
+    assert(props.contains("hoodie.table.name="))
+    assert(props.contains("hoodie.datasource.write.hive_style_partitioning=true"))
+    val commit = org.json4s.jackson.JsonMethods.parse(
+      scala.io.Source.fromFile(s"$path/.hoodie/$i.commit").mkString)
+    val stats = commit \ "partitionToWriteStats"
+    assert(stats != org.json4s.JNothing)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    assert((commit \ "operation").extract[String] == "INSERT")
+    assert(!new java.io.File(s"$path/.hoodie/$i.inflight").exists(),
+      "inflight marker removed after completion")
+    assert(!new java.io.File(s"$path/.hoodie/$i.commit.requested").exists())
+    assert(new java.io.File(s"$path/cat=a/.hoodie_partition_metadata").exists())
+  }
+
+  test("unpartitioned table: slices at the root, full lifecycle works") {
+    val path = tmp("flat")
+    val i1 = HudiInterop.insert(sample, path, "id", "ts", Nil)
+    HudiInterop.upsert(Seq((1L, "a", 77.0, 900L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Nil)
+    val snap = HudiInterop.read(spark, path)
+    assert(snap.count() == 4)
+    assert(snap.filter(col("id") === 1L).select("v").as[Double].collect().toSeq
+      == Seq(77.0))
+    assert(HudiInterop.read(spark, path, asOf = Some(i1))
+      .filter(col("id") === 1L).select("v").as[Double].collect().toSeq == Seq(10.0))
+  }
+}
