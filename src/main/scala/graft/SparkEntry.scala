@@ -26,6 +26,7 @@ object SparkEntry {
       graft.sinks.CatalogOps.ops ++
       graft.sinks.DeltaInterop.ops ++
       graft.sinks.HudiInterop.ops ++
+      graft.sinks.IcebergInterop.ops ++
       graft.streaming.IngestPipeline.ops ++
       graft.streaming.StreamJoin.ops ++
       graft.streaming.EventRollup.ops ++

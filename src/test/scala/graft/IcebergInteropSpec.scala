@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.sinks.IcebergInterop
+
+class IcebergInteropSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-iceberg-$tag").toFile.getAbsolutePath + "/t"
+
+  private def sample = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+    .toDF("id", "cat", "v")
+
+  test("round trip through metadata -> manifest list -> manifest -> parquet") {
+    val path = tmp("rt")
+    IcebergInterop.write(sample, path)
+    val back = IcebergInterop.read(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "cat", "v"))
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      sample.as[(Long, String, Double)].collect().toSet)
+  }
+
+  test("metadata JSON carries v1 wire shapes: field-ids, name mapping, snapshot log") {
+    val path = tmp("wire")
+    val s1 = IcebergInterop.write(sample, path)
+    implicit val fmts: Formats = DefaultFormats
+    assert(scala.io.Source.fromFile(s"$path/metadata/version-hint.text")
+      .mkString.trim == "1")
+    val meta = JsonMethods.parse(
+      scala.io.Source.fromFile(s"$path/metadata/v1.metadata.json").mkString)
+    assert((meta \ "format-version").extract[Int] == 1)
+    assert((meta \ "current-snapshot-id").extract[Long] == s1)
+    // schema fields carry sequential field-ids — the spec's core invariant
+    val fields = (meta \ "schemas")(0) \ "fields"
+    assert(fields.extract[List[JValue]].map(f => (f \ "id").extract[Int]) ==
+      List(1, 2, 3))
+    // name mapping present: lets REAL Iceberg readers resolve our
+    // Spark-written parquet (no embedded field-ids) by column name
+    val nm = JsonMethods.parse(
+      (meta \ "properties" \ "schema.name-mapping.default").extract[String])
+    assert(nm.extract[List[JValue]].map(f => (f \ "names")(0).extract[String]) ==
+      List("id", "cat", "v"))
+    val snap = (meta \ "snapshots")(0)
+    assert((snap \ "summary" \ "operation").extract[String] == "append")
+    val listPath = (snap \ "manifest-list").extract[String]
+    assert(listPath.contains(s"snap-$s1-") && listPath.endsWith(".avro"))
+    assert(new java.io.File(listPath).exists())
+    assert(((meta \ "snapshot-log")(0) \ "snapshot-id").extract[Long] == s1)
+  }
+
+  test("append carries the prior manifest forward; both snapshots time-travel") {
+    val path = tmp("tt")
+    val s1 = IcebergInterop.write(sample, path)
+    val s2 = IcebergInterop.write(Seq((4L, "c", 40.0)).toDF("id", "cat", "v"), path)
+    assert(IcebergInterop.read(spark, path).count() == 4)
+    assert(IcebergInterop.read(spark, path, Some(s1)).count() == 3)
+    assert(IcebergInterop.read(spark, path, Some(s2)).count() == 4)
+    implicit val fmts: Formats = DefaultFormats
+    val meta = JsonMethods.parse(
+      scala.io.Source.fromFile(s"$path/metadata/v2.metadata.json").mkString)
+    val snaps = (meta \ "snapshots").extract[List[JValue]]
+    assert(snaps.size == 2, "snapshot history accumulates")
+    assert((snaps(1) \ "parent-snapshot-id").extract[Long] == s1,
+      "snapshot lineage recorded")
+  }
+
+  test("overwrite starts a fresh file set; the old snapshot stays readable") {
+    val path = tmp("ow")
+    val s1 = IcebergInterop.write(sample, path)
+    IcebergInterop.write(Seq((9L, "z", 90.0)).toDF("id", "cat", "v"),
+      path, overwrite = true)
+    assert(IcebergInterop.read(spark, path).as[(Long, String, Double)]
+      .collect().toSet == Set((9L, "z", 90.0)))
+    assert(IcebergInterop.read(spark, path, Some(s1)).count() == 3)
+  }
+
+  test("manifests are valid avro with the spec's counts and statuses") {
+    val path = tmp("avro")
+    IcebergInterop.write(sample.coalesce(1), path)
+    implicit val fmts: Formats = DefaultFormats
+    val meta = JsonMethods.parse(
+      scala.io.Source.fromFile(s"$path/metadata/v1.metadata.json").mkString)
+    val listPath = ((meta \ "snapshots")(0) \ "manifest-list").extract[String]
+    val reader = new org.apache.avro.file.DataFileReader(
+      new java.io.File(listPath),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    import scala.jdk.CollectionConverters._
+    val manifests = reader.iterator().asScala.toList
+    reader.close()
+    assert(manifests.size == 1)
+    val mPath = manifests.head.get("manifest_path").toString
+    assert(manifests.head.get("manifest_length").asInstanceOf[Long] ==
+      new java.io.File(mPath).length())
+    val mr = new org.apache.avro.file.DataFileReader(
+      new java.io.File(mPath),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val entries = mr.iterator().asScala.toList
+    // embedded key-value metadata real readers look for
+    assert(mr.getMetaString("format-version") == "1")
+    assert(mr.getMetaString("partition-spec-id") == "0")
+    assert(JsonMethods.parse(mr.getMetaString("schema")) \ "type" == JString("struct"))
+    mr.close()
+    assert(entries.size == 1, "coalesce(1) -> one data file")
+    val e = entries.head
+    assert(e.get("status").asInstanceOf[Int] == 1, "ADDED")
+    val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(df.get("file_format").toString == "PARQUET")
+    assert(df.get("record_count").asInstanceOf[Long] == 3L)
+    assert(new java.io.File(df.get("file_path").toString).exists())
+  }
+
+  test("append refuses schema drift; reads refuse non-tables loudly") {
+    val path = tmp("guard")
+    IcebergInterop.write(sample, path)
+    intercept[IllegalArgumentException] {
+      IcebergInterop.write(Seq((1L, 2L)).toDF("id", "other"), path)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergInterop.read(spark, tmp("empty"))
+    }
+  }
+}
