@@ -176,8 +176,15 @@ object IcebergInterop {
     finally in.close()
   }
 
-  /** Append or overwrite `df` as a new snapshot. Returns snapshot id. */
-  def write(df: DataFrame, path: String, overwrite: Boolean = false): Long = {
+  /** Append or overwrite `df` as a new snapshot. Returns snapshot id.
+    * `txn` = (appId, version) exactly-once token for streaming writers,
+    * carried as a `graft.txn.<appId>` table property (the same
+    * mechanism real streaming writers use via snapshot summaries):
+    * replaying a batch whose version the table already recorded is a
+    * no-op returning the current snapshot.
+    */
+  def write(df: DataFrame, path: String, overwrite: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val prev = currentVersion(fs, path).map(v => (v, readMetadata(fs, path, v)))
@@ -187,6 +194,15 @@ object IcebergInterop {
           df.schema.map(f => (f.name, f.dataType)),
         s"IcebergInterop append: schema must match the table " +
           s"(table ${existing.simpleString}, batch ${df.schema.simpleString})")
+    }
+    val prevProps: Map[String, String] = prev.map(p =>
+      (p._2 \ "properties").extractOrElse[Map[String, String]](Map.empty))
+      .getOrElse(Map.empty)
+    txn.foreach { case (appId, v) =>
+      prev.foreach { case (_, meta) =>
+        if (prevProps.get(s"graft.txn.$appId").exists(_.toLong >= v))
+          return (meta \ "current-snapshot-id").extract[Long]
+      }
     }
     // stage data files, then move into data/ under commit-unique names
     // NOT dot-prefixed: Spark's hidden-path filter would silently skip
@@ -292,7 +308,10 @@ object IcebergInterop {
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
       "default-sort-order-id" -> JInt(0),
       "properties" -> JObject(
-        "schema.name-mapping.default" -> JString(nameMapping(df.schema))),
+        (prevProps ++
+          txn.map { case (a, v) => s"graft.txn.$a" -> v.toString } +
+          ("schema.name-mapping.default" -> nameMapping(df.schema)))
+          .toList.map { case (k, v) => k -> (JString(v): JValue) }),
       "current-snapshot-id" -> JLong(snapshotId),
       "snapshots" -> JArray((prevSnapshots :+ snapshot).toList),
       "snapshot-log" -> JArray((prev.toSeq.flatMap(_._2 \ "snapshot-log" match {

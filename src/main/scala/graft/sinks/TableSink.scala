@@ -12,11 +12,13 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * options, `S3ToIcebergStreamJob.scala`) as ONE declarative config
   * instead of four copy-pasted jobs.
   *
-  * Only the parquet engine is executable in this container (the lakehouse
-  * jars are not on the offline classpath); the other three formats are
-  * config-mapped — `options(cfg)` produces exactly the writer options each
-  * format needs, unit-tested, so dropping the jar on the classpath is the
-  * only step left to light them up.
+  * All four formats are executable WITHOUT connector jars: parquet goes
+  * through the standard datasource, and delta/hudi/iceberg route to the
+  * native wire-format engines ([[DeltaInterop]] / [[HudiInterop]] /
+  * [[IcebergInterop]]) that write the real on-disk formats directly.
+  * `options(cfg)` still produces exactly the connector writer options
+  * each format needs — when a real connector jar IS on the classpath it
+  * wins, with the identical config surface.
   *
   * Scale: `partitionBy` should be LOW-CARDINALITY derived columns (date,
   * category). Hive-style layout keeps reads prune-friendly; pruning is
@@ -95,42 +97,121 @@ object TableSink {
       Map.empty // batch save(path) / stream option("path") carry the path
   }
 
-  private def requireSupported(cfg: SinkConfig): Unit = {
+  /** True when the real connector jar is on the classpath — it then
+    * wins over the native interop modules (full feature surface).
+    */
+  private def connectorPresent(format: String): Boolean = {
+    val cls = format match {
+      case "delta" => "org.apache.spark.sql.delta.sources.DeltaDataSource"
+      case "hudi" => "org.apache.hudi.DefaultSource"
+      case "iceberg" => "org.apache.iceberg.spark.source.IcebergSource"
+      case _ => return true
+    }
+    try { Class.forName(cls); true } catch { case _: ClassNotFoundException => false }
+  }
+
+  private def hudiKeys(cfg: SinkConfig): (String, String) = (
+    cfg.upsertKey.getOrElse(throw new IllegalArgumentException(
+      "hudi sink needs upsertKey (hoodie.datasource.write.recordkey.field)")),
+    cfg.precombine.getOrElse(throw new IllegalArgumentException(
+      "hudi sink needs precombine (hoodie.datasource.write.precombine.field)")))
+
+  /** Batch write through the config surface. parquet goes through the
+    * standard datasource; delta/hudi/iceberg route to the NATIVE
+    * wire-format engines ([[DeltaInterop]] / [[HudiInterop]] /
+    * [[IcebergInterop]]) — no connector jar required. When the real
+    * connector IS on the classpath it wins (full feature surface,
+    * identical table layout on disk either way).
+    */
+  def writeBatch(df: DataFrame, cfg: SinkConfig): Unit = {
     require(SupportedFormats.contains(cfg.format), s"unknown sink format: ${cfg.format}")
-    if (cfg.format != "parquet") {
-      val cls = cfg.format match {
-        case "delta" => "org.apache.spark.sql.delta.sources.DeltaDataSource"
-        case "hudi" => "org.apache.hudi.DefaultSource"
-        case "iceberg" => "org.apache.iceberg.spark.source.IcebergSource"
-      }
-      require(
-        try { Class.forName(cls); true } catch { case _: ClassNotFoundException => false },
-        s"sink format '${cfg.format}' needs its connector jar on the classpath ($cls)")
+    if (connectorPresent(cfg.format)) {
+      df.write
+        .format(cfg.format)
+        .options(options(cfg))
+        .partitionBy(cfg.partitionBy: _*)
+        .mode(cfg.mode)
+        .save(cfg.path)
+    } else cfg.format match {
+      case "delta" =>
+        DeltaInterop.write(df, cfg.path, cfg.partitionBy,
+          overwrite = cfg.mode == "overwrite")
+        ()
+      case "hudi" =>
+        val (key, pre) = hudiKeys(cfg)
+        val exists = HudiInterop.completedInstants(df.sparkSession, cfg.path).nonEmpty
+        if (exists) HudiInterop.upsert(df, cfg.path, key, pre, cfg.partitionBy,
+          cfg.tableName.getOrElse("graft_table"))
+        else HudiInterop.insert(df, cfg.path, key, pre, cfg.partitionBy,
+          cfg.tableName.getOrElse("graft_table"))
+        ()
+      case "iceberg" =>
+        IcebergInterop.write(df, cfg.path, overwrite = cfg.mode == "overwrite")
+        ()
     }
   }
 
-  /** Batch write through the config surface. */
-  def writeBatch(df: DataFrame, cfg: SinkConfig): Unit = {
-    requireSupported(cfg)
-    df.write
-      .format(cfg.format)
-      .options(options(cfg))
-      .partitionBy(cfg.partitionBy: _*)
-      .mode(cfg.mode)
-      .save(cfg.path)
-  }
-
   /** Streaming writer through the same config surface (caller starts it
-    * with its checkpoint location).
+    * with its checkpoint location). Connector-jar path only — the
+    * native engines stream through [[streamBatch]]'s foreachBatch body
+    * instead (a DataStreamWriter cannot host a custom batch writer by
+    * format name alone).
     */
   def streamWriter[T](w: DataStreamWriter[T], cfg: SinkConfig, checkpoint: String): DataStreamWriter[T] = {
-    requireSupported(cfg)
+    require(SupportedFormats.contains(cfg.format), s"unknown sink format: ${cfg.format}")
+    require(connectorPresent(cfg.format),
+      s"sink format '${cfg.format}' has no connector jar on this classpath — " +
+        "stream through TableSink.streamBatch(cfg, appId) with foreachBatch instead")
     w.format(cfg.format)
       .options(options(cfg))
       .option("path", cfg.path)
       .partitionBy(cfg.partitionBy: _*)
       .option("checkpointLocation", checkpoint)
       .outputMode(cfg.mode)
+  }
+
+  /** `foreachBatch` body streaming into the native lakehouse engines —
+    * the reference's S3To{Delta,Hudi,Iceberg}StreamJob shapes without
+    * their jars. Exactly-once discipline per format: delta stamps the
+    * protocol's txn action and iceberg a `graft.txn` table property
+    * (replayed batches are no-ops); hudi replays are IDEMPOTENT rather
+    * than skipped — the keyed latest-wins upsert converges to the same
+    * state when a batch re-lands (Hudi's own at-least-once + precombine
+    * contract).
+    */
+  def streamBatch(cfg: SinkConfig, appId: String): (DataFrame, Long) => Unit = {
+    require(SupportedFormats.contains(cfg.format) && cfg.format != "parquet",
+      s"streamBatch targets the lakehouse formats, got: ${cfg.format}")
+    cfg.format match {
+      case "delta" => DeltaInterop.streamBatchWriter(cfg.path, cfg.partitionBy, appId)
+      case "hudi" =>
+        val (key, pre) = hudiKeys(cfg)
+        (batch, _) => {
+          val persisted = batch.persist()
+          try {
+            if (persisted.limit(1).count() > 0) {
+              val exists =
+                HudiInterop.completedInstants(persisted.sparkSession, cfg.path).nonEmpty
+              if (exists) HudiInterop.upsert(persisted, cfg.path, key, pre,
+                cfg.partitionBy, cfg.tableName.getOrElse("graft_table"))
+              else HudiInterop.insert(persisted, cfg.path, key, pre,
+                cfg.partitionBy, cfg.tableName.getOrElse("graft_table"))
+              ()
+            }
+          } finally { persisted.unpersist(); () }
+        }
+      case "iceberg" =>
+        (batch, batchId) => {
+          val persisted = batch.persist()
+          try {
+            if (persisted.limit(1).count() > 0) {
+              IcebergInterop.write(persisted, cfg.path,
+                txn = Some((appId, batchId)))
+              ()
+            }
+          } finally { persisted.unpersist(); () }
+        }
+    }
   }
 
   /** Read a partitioned table back (partition columns come from the

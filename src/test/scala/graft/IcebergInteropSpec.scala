@@ -119,6 +119,26 @@ class IcebergInteropSpec extends SparkSpec {
     assert(new java.io.File(df.get("file_path").toString).exists())
   }
 
+  test("txn-stamped appends are exactly-once; properties carry forward") {
+    val path = tmp("txn")
+    IcebergInterop.write(sample, path, txn = Some(("app-1", 0L)))
+    IcebergInterop.write(Seq((4L, "c", 40.0)).toDF("id", "cat", "v"),
+      path, txn = Some(("app-1", 1L)))
+    assert(IcebergInterop.read(spark, path).count() == 4)
+    // replayed batch 1 → no-op (no new snapshot, no duplicate rows)
+    val before = scala.io.Source.fromFile(s"$path/metadata/version-hint.text")
+      .mkString.trim
+    IcebergInterop.write(Seq((4L, "c", 40.0)).toDF("id", "cat", "v"),
+      path, txn = Some(("app-1", 1L)))
+    assert(IcebergInterop.read(spark, path).count() == 4)
+    assert(scala.io.Source.fromFile(s"$path/metadata/version-hint.text")
+      .mkString.trim == before, "replay must not advance the metadata version")
+    // a different app's lineage still lands
+    IcebergInterop.write(Seq((5L, "d", 50.0)).toDF("id", "cat", "v"),
+      path, txn = Some(("app-2", 0L)))
+    assert(IcebergInterop.read(spark, path).count() == 5)
+  }
+
   test("append refuses schema drift; reads refuse non-tables loudly") {
     val path = tmp("guard")
     IcebergInterop.write(sample, path)

@@ -204,14 +204,72 @@ class SinkSpec extends SparkSpec {
     assert(opts("hoodie.datasource.write.partitionpath.field") == "date,country")
   }
 
-  test("non-parquet formats fail fast without their connector jars") {
+  test("lakehouse formats route to the native wire-format engines, jar-free") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-sink-lake").toFile.getAbsolutePath
+    val region = Tables.region(spark, sf)
+    val n = region.count()
+
+    TableSink.writeBatch(region, SinkConfig(format = "delta", path = s"$base/d"))
+    assert(new java.io.File(s"$base/d/_delta_log").isDirectory, "real Delta log on disk")
+    assert(graft.sinks.DeltaInterop.read(spark, s"$base/d").count() == n)
+
+    TableSink.writeBatch(region, SinkConfig(format = "hudi", path = s"$base/h",
+      upsertKey = Some("r_regionkey"), precombine = Some("r_regionkey")))
+    assert(new java.io.File(s"$base/h/.hoodie").isDirectory, "real Hudi timeline on disk")
+    assert(graft.sinks.HudiInterop.read(spark, s"$base/h").count() == n)
+    // a second batch through the SAME config surface becomes an upsert
+    TableSink.writeBatch(region, SinkConfig(format = "hudi", path = s"$base/h",
+      upsertKey = Some("r_regionkey"), precombine = Some("r_regionkey")))
+    assert(graft.sinks.HudiInterop.read(spark, s"$base/h").count() == n,
+      "keyed re-land converges, no duplicates")
+
+    TableSink.writeBatch(region, SinkConfig(format = "iceberg", path = s"$base/i"))
+    assert(new java.io.File(s"$base/i/metadata/version-hint.text").exists(),
+      "real Iceberg metadata on disk")
+    assert(graft.sinks.IcebergInterop.read(spark, s"$base/i").count() == n)
+
+    // hudi without its keys still fails fast with a named option
     val e = intercept[IllegalArgumentException] {
-      TableSink.writeBatch(Tables.region(spark, sf),
-        SinkConfig(format = "delta", path = "/tmp/nope"))
+      TableSink.writeBatch(region, SinkConfig(format = "hudi", path = s"$base/h2"))
     }
-    assert(e.getMessage.contains("connector jar"))
+    assert(e.getMessage.contains("recordkey"), e.getMessage)
     intercept[IllegalArgumentException] {
-      TableSink.writeBatch(Tables.region(spark, sf), SinkConfig(format = "bogus", path = "/t"))
+      TableSink.writeBatch(region, SinkConfig(format = "bogus", path = "/t"))
     }
+  }
+
+  test("a real stream lands in Delta via streamBatch, exactly-once across restart") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-stream-delta").toFile.getAbsolutePath
+    val feed = s"$base/feed"
+    new java.io.File(feed).mkdirs()
+    Tables.region(spark, sf).coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/staged")
+    new java.io.File(s"$base/staged").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.copy(f.toPath,
+        new java.io.File(feed, f.getName).toPath))
+    val cfg = SinkConfig(format = "delta", path = s"$base/table")
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(Tables.region(spark, sf).schema)
+        .parquet(feed)
+        .writeStream
+        .foreachBatch(TableSink.streamBatch(cfg, appId = "stream-delta-spec"))
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val n = Tables.region(spark, sf).count()
+    assert(graft.sinks.DeltaInterop.read(spark, cfg.path).count() == n)
+    // restart with the same checkpoint: no new data -> no duplicates,
+    // and the Delta table's txn action guards a batch replay too
+    run()
+    assert(graft.sinks.DeltaInterop.read(spark, cfg.path).count() == n,
+      "restart must not duplicate the feed")
   }
 }
