@@ -24,7 +24,9 @@ import graft.streaming.IngestPipeline
   *  - `maxFilesPerTrigger`, `visibilityTimeoutMs`, `maxReceiveCount`,
   *    `retry.attempts`, `retry.backoffMs` — admission/queue tuning
   *  - `dedup`          true → watermarked ingest_id dedup guard
-  *  - `sink.kind`      parquet | graft-table    (default parquet)
+  *  - `sink.kind`      parquet | graft-table | delta | hudi | iceberg
+  *                      (default parquet; the lakehouse kinds stream
+  *                      through the native wire-format engines)
   *  - `sink.path`, `checkpointLocation` — required
   *  - `sink.partitionBy` comma list             (default event_date)
   *  - `key`/`precombine` — graft-table keyed upsert mode
@@ -165,8 +167,25 @@ object IngestJob {
             "graft-table sink: 'key' and 'precombine' come together")
         }
         (if (partitionBy.nonEmpty) keyed.partitionBy(partitionBy: _*) else keyed).start()
+      case lake @ ("delta" | "hudi" | "iceberg") =>
+        // the reference's S3[SQS]To{Delta,Hudi,Iceberg}StreamJob rows,
+        // conf-selected: stream through the native wire-format engines
+        // via TableSink.streamBatch (exactly-once per format — see its
+        // Scaladoc), appId derived from the checkpoint so restarts
+        // replay as no-ops
+        val cfg = graft.sinks.TableSink.SinkConfig(
+          format = lake, path = conf("sink.path"), partitionBy = partitionBy,
+          tableName = conf.get("tableName"),
+          upsertKey = conf.get("key"), precombine = conf.get("precombine"))
+        val appId = "graft-ingest-" + java.util.UUID.nameUUIDFromBytes(
+          conf("checkpointLocation").getBytes("UTF-8"))
+        out.writeStream
+          .foreachBatch(graft.sinks.TableSink.streamBatch(cfg, appId))
+          .option("checkpointLocation", conf("checkpointLocation"))
+          .trigger(trigger)
+          .start()
       case other => throw new IllegalArgumentException(
-        s"sink.kind must be parquet|graft-table, got '$other'")
+        s"sink.kind must be parquet|graft-table|delta|hudi|iceberg, got '$other'")
     }
   }
 }

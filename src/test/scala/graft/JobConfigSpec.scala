@@ -158,4 +158,28 @@ class JobConfigSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/out").count() == events.count() + 50,
       "clean restart: no replayed batches, new files ingested")
   }
+
+  test("IngestJob streams into a real Delta table from config (S3ToDeltaStreamJob shape)") {
+    val work = Files.createTempDirectory("graft-jobdelta").toFile.getAbsolutePath
+    graft.streaming.IngestPipeline.stageFeed(
+      Tables.events(spark, sf), s"$work/landing")
+    write(s"$work/app.properties",
+      s"""development.ingest.source.path = $work/landing
+         |development.ingest.sink.kind = delta
+         |development.ingest.sink.path = $work/table
+         |development.ingest.checkpointLocation = $work/ckpt
+         |development.ingest.maxFilesPerTrigger = 2
+         |""".stripMargin)
+    val conf = JobConfig.load(s"$work/app.properties", "ingest", _ => null)
+    IngestJob.start(spark, conf).awaitTermination()
+    assert(new java.io.File(s"$work/table/_delta_log").isDirectory,
+      "the sink is a real Delta log on disk")
+    val sunk = graft.sinks.DeltaInterop.read(spark, s"$work/table")
+    assert(sunk.count() == Tables.events(spark, sf).count())
+    assert(sunk.columns.contains("event_date"), "enrichment columns present")
+    // restart on the same checkpoint: txn-guarded, no duplicates
+    IngestJob.start(spark, conf).awaitTermination()
+    assert(graft.sinks.DeltaInterop.read(spark, s"$work/table").count() ==
+      Tables.events(spark, sf).count())
+  }
 }
