@@ -3,7 +3,7 @@ package graft.sinks
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.json4s._
@@ -35,6 +35,10 @@ import org.json4s.jackson.JsonMethods
   * [[CheckpointEvery]]−1 JSON commits (bounded driver work independent
   * of table age); data reads go file-group-per-partition-tuple through
   * the standard parquet scan, so pushdown/pruning apply per group.
+  * Every commit writes the protocol's `add.stats` skipping columns
+  * (numRecords/minValues/maxValues/nullCount, one distributed pass via
+  * [[FileStats.collect]]), and [[readWhere]] prunes the FILE LIST on
+  * them before planning a single scan task.
   */
 object DeltaInterop {
 
@@ -54,7 +58,8 @@ object DeltaInterop {
   final case class MetaData(id: String, schemaString: String,
       partitionColumns: Seq[String], configuration: Map[String, String])
   final case class AddFile(path: String, partitionValues: Map[String, Option[String]],
-      size: Long, modificationTime: Long, dataChange: Boolean)
+      size: Long, modificationTime: Long, dataChange: Boolean,
+      stats: Option[String] = None)
   final case class RemoveFile(path: String, deletionTimestamp: Option[Long],
       dataChange: Boolean)
   final case class Txn(appId: String, version: Long)
@@ -78,7 +83,8 @@ object DeltaInterop {
       "partitionValues" -> pvJson(a.partitionValues),
       "size" -> JLong(a.size),
       "modificationTime" -> JLong(a.modificationTime),
-      "dataChange" -> JBool(a.dataChange)))
+      "dataChange" -> JBool(a.dataChange),
+      "stats" -> a.stats.map(JString(_): JValue).getOrElse(JNothing)))
 
   private def removeJson(r: RemoveFile): JObject = JObject(
     "remove" -> JObject(
@@ -145,7 +151,8 @@ object DeltaInterop {
           val add = AddFile((a \ "path").extract[String], parsePv(a \ "partitionValues"),
             (a \ "size").extractOrElse[Long](0L),
             (a \ "modificationTime").extractOrElse[Long](0L),
-            (a \ "dataChange").extractOrElse[Boolean](true))
+            (a \ "dataChange").extractOrElse[Boolean](true),
+            (a \ "stats").extractOpt[String].filter(_.nonEmpty))
           adds(add.path) = add
       }
       (action \ "remove") match {
@@ -196,6 +203,108 @@ object DeltaInterop {
     }
   }
 
+  // ---- file statistics (the protocol's data-skipping columns) ----
+
+  /** Delta `add.stats`: a JSON string of per-file
+    * numRecords/minValues/maxValues/nullCount. Values are serialized in
+    * the stats JSON's value domain: numbers as numbers, strings as
+    * strings, dates as `yyyy-MM-dd`, timestamps as ISO-8601 instants.
+    * Input min/max are catalyst-internal (from [[FileStats.collect]]).
+    */
+  private def statsJson(numRecords: Long,
+      cols: Seq[(StructField, FileStats.ColStats)]): String = {
+    def valueJson(v: Any, dt: DataType): JValue = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        JLong(v.asInstanceOf[Number].longValue())
+      case FloatType | DoubleType => JDouble(v.asInstanceOf[Number].doubleValue())
+      case _: DecimalType => JDecimal(v.asInstanceOf[Decimal].toBigDecimal)
+      case StringType => JString(v.toString)
+      case DateType => JString(java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Int].toLong).toString)
+      case TimestampType =>
+        val us = v.asInstanceOf[Long]
+        JString(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L).toString)
+      case _ => JNothing
+    }
+    def sideJson(side: FileStats.ColStats => Option[Any]): JObject =
+      JObject(cols.toList.flatMap { case (f, s) =>
+        side(s).map(v => f.name -> valueJson(v, f.dataType)).filter(_._2 != JNothing)
+      })
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "numRecords" -> JLong(numRecords),
+      "minValues" -> sideJson(_.min),
+      "maxValues" -> sideJson(_.max),
+      "nullCount" -> JObject(cols.toList.flatMap { case (f, s) =>
+        s.nullCount.map(n => f.name -> (JLong(n): JValue)) }))))
+  }
+
+  /** `add.stats` + `partitionValues` → the pruning evaluator's shape.
+    * Partition values become exact min==max stats (or all-null); data
+    * columns parse back from the stats JSON — absent or unparseable
+    * stats (foreign writers vary) simply never prune.
+    */
+  private[graft] def fileStatOf(a: AddFile, schema: StructType,
+      partCols: Seq[String]): FileStats.FileStat = {
+    def parseValue(j: JValue, dt: DataType): Option[Any] = try {
+      (j, dt) match {
+        case (JNothing, _) | (JNull, _) => None
+        case (v, ByteType | ShortType | IntegerType | LongType) =>
+          Some(v.extract[Long])
+        case (v, FloatType | DoubleType) => Some(v.extract[Double])
+        case (v, dt: DecimalType) =>
+          Some(Decimal(v.extract[BigDecimal], dt.precision, dt.scale))
+        case (JString(s), StringType) =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case (JString(s), DateType) =>
+          Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+        case (JString(s), TimestampType) =>
+          val i = java.time.Instant.parse(s)
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    val parsed = a.stats.flatMap { s =>
+      try Some(JsonMethods.parse(s))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val numRecords = parsed.flatMap(j => (j \ "numRecords").extractOpt[Long])
+    val dataCols = parsed.toSeq.flatMap { j =>
+      schema.fields.filterNot(f => partCols.contains(f.name)).flatMap { f =>
+        val mn = parseValue(j \ "minValues" \ f.name, f.dataType)
+        val mx = parseValue(j \ "maxValues" \ f.name, f.dataType)
+        val nc = (j \ "nullCount" \ f.name).extractOpt[Long]
+        if (mn.isEmpty && mx.isEmpty && nc.isEmpty) None
+        else Some(f.name -> FileStats.ColStats(mn, mx, nc,
+          allNull = nc.isDefined && nc == numRecords))
+      }
+    }
+    val pvCols = partCols.flatMap { c =>
+      schema.fields.find(_.name == c).map { f =>
+        a.partitionValues.getOrElse(c, None) match {
+          case None => c -> FileStats.ColStats(None, None, None, allNull = true)
+          case Some(raw) =>
+            val v = Option(org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(raw), StringType),
+              f.dataType, Some("UTC")).eval(null))
+            c -> FileStats.ColStats(v, v, Some(0L), allNull = v.isEmpty)
+        }
+      }
+    }
+    FileStats.FileStat(numRecords, (dataCols ++ pvCols).toMap)
+  }
+
+  /** The live files a predicate can possibly match — partition values
+    * prune exactly, data columns prune on `add.stats` min/max/nullCount.
+    */
+  private[graft] def pruneAdds(spark: SparkSession, snap: Snapshot,
+      where: Option[Column]): Seq[AddFile] = {
+    val partCols = snap.metaData.partitionColumns
+    FileStats.prune(spark, snap.schema, where, snap.adds,
+      (a: AddFile) => fileStatOf(a, snap.schema, partCols))._1
+  }
+
   /** Replay the log to `versionAsOf` (or latest). Starts from the
     * newest parquet checkpoint at or below the target when one exists,
     * else from version 0.
@@ -243,14 +352,28 @@ object DeltaInterop {
     * bounded by layout design, not data size.
     */
   def read(spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None): DataFrame =
+    readWhere(spark, path, where = None, versionAsOf)
+
+  /** [[read]] with file skipping: `where` prunes the file list through
+    * [[pruneAdds]] (partition values exactly, data columns via
+    * `add.stats`) BEFORE any scan task is planned, then is re-applied
+    * to the surviving rows — pruning is a pure optimization, never a
+    * semantic. At 100 TB this is the difference between planning tasks
+    * for every file of the table and planning only the files whose
+    * stats ranges intersect the predicate.
+    */
+  def readWhere(spark: SparkSession, path: String, where: Option[Column],
       versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, versionAsOf)
     val schema = snap.schema
     val partCols = snap.metaData.partitionColumns
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
-    if (snap.adds.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val groups = snap.adds.groupBy(_.partitionValues)
+    val live = pruneAdds(spark, snap, where)
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    if (live.isEmpty)
+      return where.map(empty.filter).getOrElse(empty)
+    val groups = live.groupBy(_.partitionValues)
     val parts = groups.toSeq.map { case (pv, files) =>
       val base = spark.read.schema(dataSchema)
         .parquet(files.map(f => s"$path/${decodePath(f.path)}"): _*)
@@ -260,7 +383,8 @@ object DeltaInterop {
         df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt)))
       }
     }
-    parts.reduce(_ unionByName _).select(schema.fieldNames.map(col): _*)
+    val out = parts.reduce(_ unionByName _).select(schema.fieldNames.map(col): _*)
+    where.map(out.filter).getOrElse(out)
   }
 
   // ---- writer ----
@@ -322,9 +446,17 @@ object DeltaInterop {
     fs.delete(new Path(s"$path/$StageDir"), true)
 
     val now = System.currentTimeMillis()
+    // one distributed pass over the commit's files → add.stats
+    // (numRecords + min/max/nullCount), the protocol's skipping columns
+    val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
+    val statsByFile =
+      FileStats.collect(spark, staged.map(s => s"$path/${s._2}").toSeq, dataSchema)
     val adds = staged.map { case (_, rel, size) =>
+      val st = statsByFile.get(FileStats.basename(rel))
       AddFile(encodePath(rel), partitionValuesOf(rel, partitionBy), size, now,
-        dataChange = true)
+        dataChange = true,
+        stats = st.map(s => statsJson(s.numRecords.getOrElse(0L),
+          dataSchema.fields.toSeq.flatMap(f => s.cols.get(f.name).map(f -> _)))))
     }.toSeq
     val removes = if (overwrite)
       prev.toSeq.flatMap(_.adds).map(a =>
@@ -412,7 +544,8 @@ object DeltaInterop {
         valueContainsNull = true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -448,7 +581,7 @@ object DeltaInterop {
         snap.txns.toSeq.map { case (a, v) => row(txn = Row(a, v)) } ++
         snap.adds.map(a => row(add = Row(a.path,
           a.partitionValues.map { case (k, v) => k -> v.orNull },
-          a.size, a.modificationTime, a.dataChange)))
+          a.size, a.modificationTime, a.dataChange, a.stats.orNull)))
     val fs = fsFor(spark, path)
     val tmp = new Path(s"$path/$LogDir/.ckpt-${java.util.UUID.randomUUID}")
     spark.createDataFrame(
@@ -484,7 +617,8 @@ object DeltaInterop {
         val pv = Option(a.getAs[Map[String, String]](1)).getOrElse(Map.empty)
           .map { case (k, v) => k -> Option(v) }
         replay.adds(a.getString(0)) = AddFile(a.getString(0), pv,
-          a.getLong(2), a.getLong(3), a.getBoolean(4))
+          a.getLong(2), a.getLong(3), a.getBoolean(4),
+          if (a.length > 5) Option(a.getString(5)) else None)
       }
     }
   }

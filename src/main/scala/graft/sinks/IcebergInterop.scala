@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.json4s._
@@ -118,9 +118,58 @@ object IcebergInterop {
         {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
         {"name":"record_count","type":"long","field-id":103},
         {"name":"file_size_in_bytes","type":"long","field-id":104},
-        {"name":"block_size_in_bytes","type":"long","field-id":105}
+        {"name":"block_size_in_bytes","type":"long","field-id":105},
+        {"name":"value_counts","field-id":109,"default":null,"type":["null",
+          {"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[
+            {"name":"key","type":"int","field-id":119},
+            {"name":"value","type":"long","field-id":120}]}}]},
+        {"name":"null_value_counts","field-id":110,"default":null,"type":["null",
+          {"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
+            {"name":"key","type":"int","field-id":121},
+            {"name":"value","type":"long","field-id":122}]}}]},
+        {"name":"lower_bounds","field-id":125,"default":null,"type":["null",
+          {"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
+            {"name":"key","type":"int","field-id":126},
+            {"name":"value","type":"bytes","field-id":127}]}}]},
+        {"name":"upper_bounds","field-id":128,"default":null,"type":["null",
+          {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
+            {"name":"key","type":"int","field-id":129},
+            {"name":"value","type":"bytes","field-id":130}]}}]}
       ]}}
     ]}""".replace("\n", ""))
+
+  // ---- the spec's single-value serialization (Appendix D) for bounds ----
+
+  private def boundBytes(v: Any, dt: DataType): Option[java.nio.ByteBuffer] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType => Some(le(4).putInt(v.asInstanceOf[Int]).flip())
+      case LongType => Some(le(8).putLong(v.asInstanceOf[Long]).flip())
+      case FloatType => Some(le(4).putFloat(v.asInstanceOf[Float]).flip())
+      case DoubleType => Some(le(8).putDouble(v.asInstanceOf[Double]).flip())
+      case DateType => Some(le(4).putInt(v.asInstanceOf[Int]).flip())
+      case TimestampType => Some(le(8).putLong(v.asInstanceOf[Long]).flip())
+      case StringType =>
+        Some(java.nio.ByteBuffer.wrap(v.toString.getBytes(StandardCharsets.UTF_8)))
+      case _ => None // decimal/binary bounds out of scope — never pruned on
+    }
+  }
+
+  private def boundValue(b: java.nio.ByteBuffer, dt: DataType): Option[Any] = {
+    import java.nio.ByteOrder
+    val buf = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | DateType if buf.remaining() == 4 => Some(buf.getInt)
+      case LongType | TimestampType if buf.remaining() == 8 => Some(buf.getLong)
+      case FloatType if buf.remaining() == 4 => Some(buf.getFloat)
+      case DoubleType if buf.remaining() == 8 => Some(buf.getDouble)
+      case StringType =>
+        val arr = new Array[Byte](buf.remaining()); buf.get(arr)
+        Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(arr))
+      case _ => None
+    }
+  }
 
   private val ManifestFileSchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -227,21 +276,48 @@ object IcebergInterop {
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val now = System.currentTimeMillis()
     val schemaJ = schemaJson(df.schema)
+    // one distributed pass over the commit's files → the spec's
+    // column-stats maps (keyed by field-id), the skipping metadata
+    // real Iceberg planners prune on
+    val statsByFile = FileStats.collect(spark, moved.map(_.path), df.schema)
     // one manifest for this commit's files
     val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-m0.avro"
+    val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
+    def kvItemSchema(field: String) =
+      dataFileSchema.getField(field).schema().getTypes.get(1).getElementType
+    def kvList(field: String, pairs: Seq[(Int, Any)]): java.util.List[GenericRecord] =
+      pairs.map { case (k, v) =>
+        val r = new GenericData.Record(kvItemSchema(field))
+        r.put("key", k); r.put("value", v); r: GenericRecord
+      }.asJava
     val entries = moved.map { f =>
       val e = new GenericData.Record(ManifestEntrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
-      val d = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema())
+      val d = new GenericData.Record(dataFileSchema)
       d.put("file_path", f.path)
       d.put("file_format", "PARQUET")
       d.put("partition", new GenericData.Record(
-        ManifestEntrySchema.getField("data_file").schema()
-          .getField("partition").schema()))
+        dataFileSchema.getField("partition").schema()))
       d.put("record_count", f.records)
       d.put("file_size_in_bytes", f.bytes)
       d.put("block_size_in_bytes", 67108864L)
+      statsByFile.get(FileStats.basename(f.path)).foreach { st =>
+        val fields = df.schema.fields.zipWithIndex
+        d.put("value_counts", kvList("value_counts",
+          fields.map { case (_, i) => (i + 1) -> st.numRecords.getOrElse(0L) }.toSeq))
+        d.put("null_value_counts", kvList("null_value_counts",
+          fields.toSeq.flatMap { case (fld, i) =>
+            st.cols.get(fld.name).flatMap(_.nullCount).map((i + 1) -> _) }))
+        d.put("lower_bounds", kvList("lower_bounds",
+          fields.toSeq.flatMap { case (fld, i) =>
+            st.cols.get(fld.name).flatMap(_.min)
+              .flatMap(boundBytes(_, fld.dataType)).map((i + 1) -> _) }))
+        d.put("upper_bounds", kvList("upper_bounds",
+          fields.toSeq.flatMap { case (fld, i) =>
+            st.cols.get(fld.name).flatMap(_.max)
+              .flatMap(boundBytes(_, fld.dataType)).map((i + 1) -> _) }))
+      }
       e.put("data_file", d)
       e
     }
@@ -335,11 +411,53 @@ object IcebergInterop {
       other.map(x => JObject(o.obj ++ x.obj)).getOrElse(o)
   }
 
+  /** A manifest entry's column-stats maps → the pruning evaluator's
+    * shape. Field-ids resolve by position (ids are 1..n by construction
+    * here and by convention for flat v1 schemas); missing or undecodable
+    * bounds never prune.
+    */
+  private def fileStatOf(d: GenericRecord, schema: StructType): FileStats.FileStat = {
+    def kvMap(field: String): Map[Int, Any] = d.get(field) match {
+      case null => Map.empty
+      case l: java.util.List[_] => l.asScala.map { r =>
+        val rec = r.asInstanceOf[GenericRecord]
+        rec.get("key").asInstanceOf[Int] -> rec.get("value")
+      }.toMap
+      case _ => Map.empty
+    }
+    val records = Option(d.get("record_count")).map(_.asInstanceOf[Long])
+    val nulls = kvMap("null_value_counts")
+    val lowers = kvMap("lower_bounds")
+    val uppers = kvMap("upper_bounds")
+    val cols = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      val id = i + 1
+      val nc = nulls.get(id).map(_.asInstanceOf[Long])
+      val mn = lowers.get(id).collect { case b: java.nio.ByteBuffer => b }
+        .flatMap(boundValue(_, f.dataType))
+      val mx = uppers.get(id).collect { case b: java.nio.ByteBuffer => b }
+        .flatMap(boundValue(_, f.dataType))
+      if (nc.isEmpty && mn.isEmpty && mx.isEmpty) None
+      else Some(f.name -> FileStats.ColStats(mn, mx, nc,
+        allNull = nc.isDefined && nc == records))
+    }.toMap
+    FileStats.FileStat(records, cols)
+  }
+
   /** Snapshot read through the metadata → manifest-list → manifest
     * chain (never a directory listing). `snapshotId` time-travels to
     * any snapshot still in the metadata's snapshot list.
     */
   def read(spark: SparkSession, path: String,
+      snapshotId: Option[Long] = None): DataFrame =
+    readWhere(spark, path, where = None, snapshotId)
+
+  /** [[read]] with file skipping: `where` prunes the data-file list on
+    * the manifests' lower/upper bounds and null counts before any scan
+    * task is planned, then is re-applied to the surviving rows. The
+    * manifest chain means planning never lists a directory AND never
+    * opens a pruned file — the spec's scale story, implemented.
+    */
+  def readWhere(spark: SparkSession, path: String, where: Option[Column],
       snapshotId: Option[Long] = None): DataFrame = {
     val fs = fsFor(spark, path)
     val version = currentVersion(fs, path).getOrElse(
@@ -356,17 +474,40 @@ object IcebergInterop {
     val schema = schemaFromJson((meta \ "schemas")(0))
     val manifests = readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
       .map(_.get("manifest_path").toString)
-    val files = manifests.flatMap { m =>
+    val dataFiles = manifests.flatMap { m =>
       readAvro(fs, new Path(m)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
           e.get("data_file").asInstanceOf[GenericRecord]
-            .get("file_path").toString
       }
     }
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    val (kept, _) = FileStats.prune(spark, schema, where, dataFiles,
+      (d: GenericRecord) => fileStatOf(d, schema))
+    val files = kept.map(_.get("file_path").toString)
+    val out =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    where.map(out.filter).getOrElse(out)
+  }
+
+  /** The data files `where` cannot prune — spec/test introspection. */
+  private[graft] def liveFilesWhere(spark: SparkSession, path: String,
+      where: Option[Column]): Seq[String] = {
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).get
+    val meta = readMetadata(fs, path, version)
+    val target = (meta \ "current-snapshot-id").extract[Long]
+    val snap = (meta \ "snapshots").extract[List[JValue]]
+      .find(s => (s \ "snapshot-id").extract[Long] == target).get
+    val schema = schemaFromJson((meta \ "schemas")(0))
+    val dataFiles = readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
+      .flatMap(r => readAvro(fs, new Path(r.get("manifest_path").toString)))
+      .collect { case e if e.get("status").asInstanceOf[Int] != 2 =>
+        e.get("data_file").asInstanceOf[GenericRecord] }
+    FileStats.prune(spark, schema, where, dataFiles,
+      (d: GenericRecord) => fileStatOf(d, schema))._1
+      .map(_.get("file_path").toString)
   }
 
   /** Driver-checked round trip: orders append (snapshot 1), a derived

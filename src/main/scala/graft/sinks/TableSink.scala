@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Pluggable table sink: one config surface for parquet / delta / hudi /
@@ -220,6 +220,28 @@ object TableSink {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Format-dispatched batch read — the reference's
+    * `S3{Parquet,Delta,Hudi,Iceberg}BatchReader` jobs behind one face.
+    * `where` reaches each native engine's METADATA pruning (Delta
+    * `add.stats`, Iceberg manifest bounds) before any scan task is
+    * planned, and is always re-applied to rows; the parquet/connector
+    * paths get it as a plain pushdown filter. A connector jar on the
+    * classpath wins, same policy as [[writeBatch]].
+    */
+  def readBatch(spark: SparkSession, format: String, path: String,
+      where: Option[Column] = None): DataFrame = {
+    require(SupportedFormats.contains(format), s"unknown table format: $format")
+    val df =
+      if (format == "parquet") spark.read.parquet(path)
+      else if (connectorPresent(format)) spark.read.format(format).load(path)
+      else format match {
+        case "delta" => return DeltaInterop.readWhere(spark, path, where)
+        case "hudi" => HudiInterop.read(spark, path)
+        case "iceberg" => return IcebergInterop.readWhere(spark, path, where)
+      }
+    where.map(df.filter).getOrElse(df)
+  }
 
   /** Subscribe to a parquet table as a stream: every file that lands in
     * the table after the checkpoint is processed exactly once

@@ -251,6 +251,33 @@ object IngestPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Driver-checked streaming→Delta round trip THROUGH THE WIRE FORMAT —
+    * the reference's flagship job shape (`jobs/S3ToDeltaStreamJob.scala`:
+    * readStream → enrich → `.format("delta")` partitioned sink), with
+    * the Delta log written by [[graft.sinks.DeltaInterop]] instead of a
+    * connector jar. Each micro-batch is one txn-stamped append commit
+    * (exactly-once), event_date becomes the hive partition layout +
+    * `partitionValues`, and the read-back replays the commit log — so
+    * the whole log/stats/partition machinery sits under the DuckDB hash
+    * gate: the result must equal ONE enriched copy of the events table.
+    */
+  def deltaStreamRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.Scratch.dir("graft-delta-stream-rt")
+    val enriched = transform(source(spark, stagedEventsDir(spark, dir)))
+    val q = enriched.writeStream
+      .foreachBatch(graft.sinks.DeltaInterop.streamBatchWriter(
+        s"$work/tbl", Seq("event_date"), appId = "graft-delta-stream-rt"))
+      .option("checkpointLocation", StreamTuning.scratchDir("graft-dstream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sinks.DeltaInterop.read(spark, s"$work/tbl")
+      .select(
+        col("event_id"), col("event_date"), col("event_hour"),
+        col("ingest_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** CSV ingest round-trip — the reference's primary pipeline shape
     * (retail CSV with header + explicit schema → string-timestamp parse →
     * two-level hive partitioning (Date, Country) ≙ (event_date,
@@ -360,6 +387,20 @@ object IngestPipeline {
   }
 
   val ops: Seq[Op] = Seq(
+    Op("q_stream_delta", deltaStreamRoundTrip,
+      Some("""
+        SELECT event_id,
+          CAST(ts AS DATE) AS event_date,
+          CAST(EXTRACT(HOUR FROM ts) AS INT) AS event_hour,
+          concat_ws('-',
+            substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+            substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS ingest_id,
+          event_type, value
+        FROM events
+        ORDER BY event_id""")),
     Op("q_stream_table_sink", tableSinkRoundTrip,
       Some("""
         SELECT event_id,

@@ -214,4 +214,112 @@ class DeltaInteropSpec extends SparkSpec {
       s"$path/_delta_log/${"%020d".format(1L)}.json", "UTF-8")
       .mkString.contains("x.parquet"))
   }
+
+  test("add.stats carries numRecords/min/max/nullCount in the stats JSON domain") {
+    val path = tmp("stats")
+    val df = Seq(
+      (1L, "a", Some(10.0), java.sql.Date.valueOf("2024-01-05")),
+      (2L, "a", None, java.sql.Date.valueOf("2024-02-10")),
+      (3L, "b", Some(30.0), java.sql.Date.valueOf("2024-03-15")))
+      .toDF("id", "cat", "v", "d")
+    DeltaInterop.write(df.coalesce(1), path)
+    implicit val fmts: Formats = DefaultFormats
+    val adds = scala.io.Source.fromFile(
+      s"$path/_delta_log/${"%020d".format(0L)}.json", "UTF-8").getLines()
+      .filter(_.nonEmpty).map(JsonMethods.parse(_)).map(_ \ "add")
+      .filter(_ != JNothing).toList
+    assert(adds.size == 1)
+    val stats = JsonMethods.parse((adds.head \ "stats").extract[String])
+    assert((stats \ "numRecords").extract[Long] == 3L)
+    assert((stats \ "minValues" \ "id").extract[Long] == 1L)
+    assert((stats \ "maxValues" \ "id").extract[Long] == 3L)
+    assert((stats \ "minValues" \ "cat").extract[String] == "a")
+    assert((stats \ "maxValues" \ "v").extract[Double] == 30.0)
+    // dates serialize as yyyy-MM-dd strings (the stats JSON convention)
+    assert((stats \ "minValues" \ "d").extract[String] == "2024-01-05")
+    assert((stats \ "maxValues" \ "d").extract[String] == "2024-03-15")
+    assert((stats \ "nullCount" \ "v").extract[Long] == 1L)
+    assert((stats \ "nullCount" \ "id").extract[Long] == 0L)
+  }
+
+  test("readWhere skips files by stats and partitions, results unchanged") {
+    val path = tmp("skip")
+    // range-partitioned by id → disjoint per-file min/max ranges
+    val df = ss.range(0, 1000)
+      .withColumn("cat", when(col("id") % 2 === 0, "even").otherwise("odd"))
+      .withColumn("v", col("id").cast("double"))
+    DeltaInterop.write(df.repartitionByRange(8, col("id")), path,
+      partitionBy = Seq("cat"))
+    val snap = DeltaInterop.snapshot(spark, path)
+    val total = snap.adds.size
+    assert(total >= 8, s"expected >=8 files, got $total")
+
+    // stats pruning on the data column: a tight id range hits few files
+    val p1 = Some(col("id") >= 100L && col("id") < 150L)
+    val kept1 = DeltaInterop.pruneAdds(spark, snap, p1)
+    assert(kept1.size < total,
+      s"stats pruning must drop files (kept ${kept1.size} of $total)")
+    assert(DeltaInterop.readWhere(spark, path, p1).agg(
+      count(lit(1)), sum("v")).as[(Long, Double)].head() ==
+      ((50L, (100L until 150L).map(_.toDouble).sum)))
+
+    // partition pruning: cat = 'even' keeps only even-partition files
+    val p2 = Some(col("cat") === "even")
+    val kept2 = DeltaInterop.pruneAdds(spark, snap, p2)
+    assert(kept2.nonEmpty && kept2.size <= total / 2)
+    assert(kept2.forall(_.partitionValues("cat").contains("even")))
+    assert(DeltaInterop.readWhere(spark, path, p2).count() == 500L)
+
+    // a predicate no file matches plans zero files but still answers
+    val p3 = Some(col("id") > 10000L)
+    assert(DeltaInterop.pruneAdds(spark, snap, p3).isEmpty)
+    assert(DeltaInterop.readWhere(spark, path, p3).count() == 0L)
+
+    // non-prunable shapes (function of a column) keep every file and
+    // still filter rows correctly
+    val p4 = Some(abs(col("v") - 999.0) < 0.5)
+    assert(DeltaInterop.pruneAdds(spark, snap, p4).size == total)
+    assert(DeltaInterop.readWhere(spark, path, p4).count() == 1L)
+  }
+
+  test("a foreign table without stats never prunes but stays correct") {
+    val path = tmp("nostats")
+    DeltaInterop.write(sample.repartitionByRange(2, col("id")), path)
+    // strip the stats field from every add, as a stats-less writer would
+    val log = java.nio.file.Paths.get(s"$path/_delta_log/${"%020d".format(0L)}.json")
+    val rewritten = scala.io.Source.fromFile(log.toFile, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { line =>
+        val j = JsonMethods.parse(line)
+        JsonMethods.compact(JsonMethods.render(j.removeField {
+          case ("stats", _) => true
+          case _ => false
+        }))
+      }.mkString("", "\n", "\n")
+    Files.write(log, rewritten.getBytes("UTF-8"))
+    // drop the stale Hadoop checksum left from the original write
+    new java.io.File(log.getParent.toFile,
+      s".${log.getFileName}.crc").delete()
+    val snap = DeltaInterop.snapshot(spark, path)
+    assert(snap.adds.forall(_.stats.isEmpty))
+    val p = Some(col("id") === 1L)
+    assert(DeltaInterop.pruneAdds(spark, snap, p).size == snap.adds.size,
+      "no stats → no pruning")
+    assert(DeltaInterop.readWhere(spark, path, p).count() == 1L)
+  }
+
+  test("checkpoint replay preserves add.stats for skipping") {
+    val path = tmp("ckptstats")
+    (0 until DeltaInterop.CheckpointEvery + 1).foreach { i =>
+      DeltaInterop.write(
+        Seq((i.toLong, s"c$i", i.toDouble)).toDF("id", "cat", "v")
+          .coalesce(1), path)
+    }
+    assert(new java.io.File(s"$path/_delta_log").listFiles()
+      .exists(_.getName.endsWith(".checkpoint.parquet")))
+    val snap = DeltaInterop.snapshot(spark, path)
+    assert(snap.adds.forall(_.stats.nonEmpty),
+      "stats must survive the parquet checkpoint round trip")
+    val kept = DeltaInterop.pruneAdds(spark, snap, Some(col("id") === 3L))
+    assert(kept.size == 1, s"checkpoint stats must still prune (kept ${kept.size})")
+  }
 }

@@ -149,4 +149,70 @@ class IcebergInteropSpec extends SparkSpec {
       IcebergInterop.read(spark, tmp("empty"))
     }
   }
+
+  test("manifest entries carry spec-shaped bounds and counts per field-id") {
+    val path = tmp("bounds")
+    val df = Seq(
+      (1L, "alpha", Some(10.0)), (2L, "beta", None), (3L, "gamma", Some(30.0)))
+      .toDF("id", "cat", "v").coalesce(1)
+    IcebergInterop.write(df, path)
+    // walk metadata -> manifest list -> manifest with a raw avro reader
+    val metaDir = new java.io.File(s"$path/metadata")
+    val manifest = metaDir.listFiles().find(_.getName.endsWith("-m0.avro")).get
+    val reader = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](manifest,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val entries = new scala.collection.mutable.ArrayBuffer[
+      org.apache.avro.generic.GenericRecord]()
+    while (reader.hasNext) entries += reader.next()
+    reader.close()
+    assert(entries.size == 1)
+    val d = entries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    def kv(field: String): Map[Int, Any] =
+      d.get(field).asInstanceOf[java.util.List[_]].toArray.map { r =>
+        val rec = r.asInstanceOf[org.apache.avro.generic.GenericRecord]
+        rec.get("key").asInstanceOf[Int] -> rec.get("value")
+      }.toMap
+    // field-ids are 1-based by position: 1=id(long) 2=cat(string) 3=v(double)
+    assert(kv("value_counts") == Map(1 -> 3L, 2 -> 3L, 3 -> 3L))
+    assert(kv("null_value_counts") == Map(1 -> 0L, 2 -> 0L, 3 -> 1L))
+    def le(b: Any): java.nio.ByteBuffer =
+      b.asInstanceOf[java.nio.ByteBuffer].duplicate()
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(le(kv("lower_bounds")(1)).getLong == 1L)
+    assert(le(kv("upper_bounds")(1)).getLong == 3L)
+    assert(le(kv("lower_bounds")(3)).getDouble == 10.0)
+    assert(le(kv("upper_bounds")(3)).getDouble == 30.0)
+    // string bounds are plain UTF-8 bytes
+    val catLo = le(kv("lower_bounds")(2))
+    val arr = new Array[Byte](catLo.remaining()); catLo.get(arr)
+    assert(new String(arr, "UTF-8") == "alpha")
+  }
+
+  test("readWhere prunes data files on manifest bounds, results unchanged") {
+    val path = tmp("skip")
+    val df = ss.range(0, 1000)
+      .withColumn("v", col("id").cast("double"))
+      .withColumn("cat", concat(lit("c"), (col("id") % 7).cast("string")))
+    IcebergInterop.write(df.repartitionByRange(8, col("id")), path)
+    val total = IcebergInterop.liveFilesWhere(spark, path, None).size
+    assert(total >= 8)
+    val p1 = Some(col("id") >= 100L && col("id") < 150L)
+    val kept = IcebergInterop.liveFilesWhere(spark, path, p1).size
+    assert(kept < total, s"bounds pruning must drop files (kept $kept of $total)")
+    assert(IcebergInterop.readWhere(spark, path, p1)
+      .agg(count(lit(1)), sum("v")).as[(Long, Double)].head() ==
+      ((50L, (100L until 150L).map(_.toDouble).sum)))
+    // nothing matches → zero planned files, empty result, right schema
+    val p2 = Some(col("id") > 10000L)
+    assert(IcebergInterop.liveFilesWhere(spark, path, p2).isEmpty)
+    val empty = IcebergInterop.readWhere(spark, path, p2)
+    assert(empty.count() == 0L)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "v", "cat"))
+    // string bounds prune too
+    val p3 = Some(col("cat") === "zzz")
+    assert(IcebergInterop.liveFilesWhere(spark, path, p3).isEmpty)
+  }
 }

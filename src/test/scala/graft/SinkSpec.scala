@@ -239,6 +239,41 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("readBatch dispatches all four formats; where prunes delta/iceberg files") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-readbatch").toFile.getAbsolutePath
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val keyRange = col("o_orderkey") < 100L
+
+    orders.write.parquet(s"$base/p")
+    assert(TableSink.readBatch(spark, "parquet", s"$base/p",
+      Some(keyRange)).count() == orders.filter(keyRange).count())
+
+    // range-partitioned delta → the where must reach add.stats pruning
+    TableSink.writeBatch(orders.repartitionByRange(6, col("o_orderkey")),
+      SinkConfig(format = "delta", path = s"$base/d"))
+    val snap = graft.sinks.DeltaInterop.snapshot(spark, s"$base/d")
+    assert(graft.sinks.DeltaInterop.pruneAdds(spark, snap,
+      Some(keyRange)).size < snap.adds.size, "delta readBatch path prunes files")
+    assert(TableSink.readBatch(spark, "delta", s"$base/d",
+      Some(keyRange)).count() == orders.filter(keyRange).count())
+
+    TableSink.writeBatch(orders.repartitionByRange(6, col("o_orderkey")),
+      SinkConfig(format = "iceberg", path = s"$base/i"))
+    assert(graft.sinks.IcebergInterop.liveFilesWhere(spark, s"$base/i",
+      Some(keyRange)).size < graft.sinks.IcebergInterop.liveFilesWhere(
+      spark, s"$base/i", None).size, "iceberg readBatch path prunes files")
+    assert(TableSink.readBatch(spark, "iceberg", s"$base/i",
+      Some(keyRange)).count() == orders.filter(keyRange).count())
+
+    TableSink.writeBatch(orders, SinkConfig(format = "hudi", path = s"$base/h",
+      upsertKey = Some("o_orderkey"), precombine = Some("o_orderkey")))
+    assert(TableSink.readBatch(spark, "hudi", s"$base/h",
+      Some(keyRange)).count() == orders.filter(keyRange).count())
+  }
+
   test("a real stream lands in Delta via streamBatch, exactly-once across restart") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
