@@ -111,7 +111,98 @@ object Tokenize {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** A frozen English merge table for the driver-graded encode query —
+    * tokenizer artifacts are FIXED at encode time (training happens
+    * once, in [[bpeMerges]]; encoding happens on every corpus pass), so
+    * a pinned list is the realistic shape, and it makes the encode
+    * independently recomputable by the DuckDB oracle. Order matters:
+    * later merges consume earlier ones' output tokens (th ← t+h).
+    */
+  val EnglishMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "n", "in" -> "g", "a" -> "l")
+
+  /** One greedy left-to-right application of merge (l, r) over a
+    * separator-delimited symbol string (leading AND trailing separator
+    * present). Plain string replace is non-overlapping left-to-right —
+    * the paper's scan rule — but adjacent matches share a boundary
+    * separator the first replacement consumes, so the pass runs TWICE
+    * (the second pass picks up every blocked neighbor; a third can
+    * never match — proof in TokenizeSpec). No regex, hence
+    * reproducible on RE2 engines (DuckDB) that lack look-around.
+    */
+  private def mergePass(sym: org.apache.spark.sql.Column, l: String, r: String) = {
+    val from = Sep + l + Sep + r + Sep
+    val to = Sep + l + r + Sep
+    val once = call_function("replace", sym, lit(from), lit(to))
+    call_function("replace", once, lit(from), lit(to))
+  }
+
+  /** Encode words under a merge table. Input: a one-column DataFrame of
+    * distinct words; output (w, tokens). The fold builds ONE projection
+    * of 2·|merges| codegen'd string replaces — no per-merge job, no
+    * driver loop over data: encoding is a scan-speed map over the
+    * VOCABULARY, never the corpus.
+    */
+  def encodeVocab(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val boundary = concat(lit(Sep),
+      concat_ws(Sep, array_remove(split(col("w"), ""), "")), lit(Sep))
+    val encoded = merges.foldLeft(boundary) { case (sym, (l, r)) => mergePass(sym, l, r) }
+    vocab.select(col("w"), array_remove(split(encoded, Sep), "").as("tokens"))
+  }
+
+  /** Driver-graded corpus encode under [[EnglishMerges]]: per doc, the
+    * whitespace word count and the BPE token count. Lowercase-alpha
+    * words route through the merge table; anything else counts as one
+    * token (the single-unk convention) — the split keeps the oracle's
+    * character semantics engine-independent. Shape: corpus-sized work
+    * is ONE explode + ONE join + ONE aggregate; the encode itself runs
+    * on the distinct-word vocabulary (Heaps-law bounded) and is
+    * broadcast back — at 100 TB the dictionary side stays ~1e7 rows
+    * while the corpus side never re-tokenizes.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.spread(Tables.documents(spark, dir))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.wsTokens(col("text"))).as("w"))
+    val vocab = words.select(col("w")).filter(col("w").rlike("^[a-z]+$")).distinct()
+    val dict = encodeVocab(vocab, EnglishMerges)
+      .select(col("w"), size(col("tokens")).as("nt"))
+    words
+      .join(broadcast(dict), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("nt"), lit(1)).cast("long")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle's spelling of the same double-replace chain. */
+  private def encodeSqlExpr(merges: Seq[(String, String)]): String = {
+    val base = "regexp_replace(w, '(.)', chr(1)||'\\1', 'g') || chr(1)"
+    merges.foldLeft(base) { case (acc, (l, r)) =>
+      val from = s"chr(1) || '$l' || chr(1) || '$r' || chr(1)"
+      val to = s"chr(1) || '$l$r' || chr(1)"
+      s"replace(replace($acc, $from, $to), $from, $to)"
+    }
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_bpe_encode", bpeEncode,
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents WHERE text IS NOT NULL),
+        v AS (
+          SELECT DISTINCT w FROM w WHERE regexp_matches(w, '^[a-z]+$$')),
+        enc AS (
+          SELECT w, ${encodeSqlExpr(EnglishMerges)} AS sym FROM v),
+        tok AS (
+          SELECT w, len(list_filter(string_split(sym, chr(1)), x -> x <> '')) AS nt
+          FROM enc)
+        SELECT doc_id, count(*) AS n_words,
+          CAST(sum(coalesce(nt, 1)) AS BIGINT) AS n_tokens
+        FROM w LEFT JOIN tok USING (w)
+        GROUP BY doc_id ORDER BY doc_id""")),
     Op("q_bpe_pairs", (s, d) => bpePairCounts(s, d),
       Some("""
         WITH wd AS (
