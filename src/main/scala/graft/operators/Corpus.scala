@@ -283,7 +283,114 @@ object Corpus {
         max(col("n_toks")).as("max_tokens"))
       .orderBy(col("lang"), col("bucket"))
 
+  /** Deterministic global training-order shuffle: every doc gets a
+    * reproducible pseudo-random position (what a training run consumes
+    * as its data order). The rank is computed in TWO levels so no
+    * single-partition window ever sees the corpus: the md5 key's first
+    * byte buckets docs into 256 shards, a per-shard window ranks within
+    * the shard (256-way parallel), and the global position adds the
+    * shard's offset — a 256-row prefix-sum broadcast back. At 100 TB:
+    * one uniform shuffle on the hash key + an O(shards) side table;
+    * raise the shard width for more parallelism, never the per-task
+    * state. Reproducible across engines, runs, and cluster sizes —
+    * the data order of a training run is an auditable artifact, not a
+    * `rand()` that changes under retry.
+    */
+  def shuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(lit("graft-shuffle-1:"), col("doc_id").cast("string")))
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), key.as("skey"),
+        conv(substring(key, 1, 2), 16, 10).cast("int").as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    val ranked = keyed.withColumn("pos_in_shard", row_number().over(w).cast("long"))
+    val offsetW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(offsetW), lit(0L)))
+      .select(col("shard"), col("offset"))
+    ranked.join(broadcast(offsets), "shard")
+      .select(col("doc_id"), col("shard"),
+        (col("offset") + col("pos_in_shard")).as("pos"))
+      .orderBy(col("pos"))
+  }
+
+  /** Source mixing with oversampling — the corpus-mixture step of
+    * training-set construction (curated sources repeated above 1 epoch,
+    * bulk sources downsampled; the LLaMA/Pile mixture-weights shape).
+    * Weights are exact BASIS POINTS per source class (25000 = 2.5
+    * epochs, 2500 = 0.25), full epochs keep every doc, and the single
+    * partial epoch keeps docs whose (doc, epoch)-keyed md5 bucket
+    * clears the fractional threshold — deterministic, monotone, and
+    * engine-reproducible like every sampling op here. A generator
+    * explode + filter: zero shuffle, output size = Σ weights × docs by
+    * construction.
+    */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val bp = when(srcNum % 5 === 0, 25000)
+      .when(srcNum % 5 === 1, 10000)
+      .otherwise(2500)
+    val fullEpochs = (col("bp") / 10000).cast("int")
+    val bucket = conv(substring(md5(concat_ws(":",
+      col("doc_id").cast("string"), col("epoch").cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 10000L
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), bp.as("bp"))
+      .withColumn("epoch", explode(sequence(lit(0),
+        ceil(col("bp").cast("double") / 10000.0).cast("int") - 1)))
+      .filter(col("epoch") < fullEpochs ||
+        (col("epoch") === fullEpochs && bucket < col("bp") % 10000L))
+      .select(col("doc_id"), col("source"), col("epoch").cast("int").as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_shuffle", shuffleOrder,
+      Some("""
+        WITH k AS (
+          SELECT doc_id,
+            md5(concat('graft-shuffle-1:', CAST(doc_id AS VARCHAR))) AS skey
+          FROM documents),
+        s AS (
+          SELECT doc_id, skey,
+            CAST(concat('0x', substr(skey, 1, 2)) AS INTEGER) AS shard
+          FROM k),
+        r AS (
+          SELECT doc_id, shard,
+            CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+              AS BIGINT) AS pos_in_shard
+          FROM s),
+        o AS (
+          SELECT shard,
+            CAST(coalesce(sum(n) OVER (ORDER BY shard
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS shard_offset
+          FROM (SELECT shard, count(*) AS n FROM s GROUP BY shard))
+        SELECT doc_id, shard, shard_offset + pos_in_shard AS pos
+        FROM r JOIN o USING (shard)
+        ORDER BY pos""")),
+    Op("q_mix_sources", sourceMix,
+      Some("""
+        WITH w AS (
+          SELECT doc_id, source,
+            CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0 THEN 25000
+                 WHEN CAST(substr(source, 4) AS INT) % 5 = 1 THEN 10000
+                 ELSE 2500 END AS bp
+          FROM documents),
+        e AS (
+          SELECT doc_id, source, bp,
+            unnest(range(0, CAST(ceil(bp / 10000.0) AS BIGINT))) AS epoch
+          FROM w)
+        SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+        FROM e
+        WHERE epoch < bp // 10000
+           OR (epoch = bp // 10000 AND
+               CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+                 CAST(epoch AS VARCHAR))), 1, 4)) AS INTEGER) % 10000 < bp % 10000)
+        ORDER BY doc_id, epoch""")),
     Op("q_sample_weighted", weightedSample,
       Some("""
         WITH q AS (

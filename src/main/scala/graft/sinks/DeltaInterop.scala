@@ -397,11 +397,35 @@ object DeltaInterop {
     * schema, overwrites may change it (a new metaData action).
     */
   def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
-      overwrite: Boolean = false, txn: Option[(String, Long)] = None): Long =
-    commitStaged(df, path, partitionBy, overwrite, txn, allowEmpty = false)
+      overwrite: Boolean = false, txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Long =
+    commitStaged(df, path, partitionBy, overwrite, txn, allowEmpty = false,
+      mergeSchema = mergeSchema)
+
+  /** Additive schema union for mergeSchema appends: shared columns must
+    * keep their exact type (no widening — refuse loudly), batch-only
+    * columns append as nullable, table-only columns may be absent from
+    * the batch (they read as null from its files). The evolved schema
+    * preserves the table's column order, then the new columns in batch
+    * order — Delta's own mergeSchema contract.
+    */
+  private def unionSchema(table: StructType, batch: StructType): StructType = {
+    batch.fields.foreach { bf =>
+      table.fields.find(_.name == bf.name).foreach { tf =>
+        require(tf.dataType == bf.dataType,
+          s"DeltaInterop mergeSchema: column ${bf.name} would change type " +
+            s"${tf.dataType.simpleString} -> ${bf.dataType.simpleString} " +
+            "(type changes are not additive — refusing)")
+      }
+    }
+    StructType(table.fields ++
+      batch.fields.filterNot(bf => table.fieldNames.contains(bf.name))
+        .map(_.copy(nullable = true)))
+  }
 
   private def commitStaged(df: DataFrame, path: String, partitionBy: Seq[String],
-      overwrite: Boolean, txn: Option[(String, Long)], allowEmpty: Boolean): Long = {
+      overwrite: Boolean, txn: Option[(String, Long)], allowEmpty: Boolean,
+      mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
@@ -409,14 +433,25 @@ object DeltaInterop {
     val prev = if (latestVersion(spark, path) >= 0)
       Some(snapshot(spark, path)) else None
     prev.foreach { s =>
-      require(overwrite ||
+      require(overwrite || mergeSchema ||
           s.schema.map(f => (f.name, f.dataType)) ==
             df.schema.map(f => (f.name, f.dataType)),
         "DeltaInterop append: schema must match the table " +
           s"(table ${s.schema.simpleString}, batch ${df.schema.simpleString}); " +
-          "use overwrite to change it")
+          "use overwrite to change it or mergeSchema for additive drift")
       require(overwrite || s.metaData.partitionColumns == partitionBy,
         "DeltaInterop append: partitionBy must match the table layout")
+    }
+    // additive evolution: compute the union schema up front so the new
+    // metaData action lands IN the same commit as the data
+    val evolved: Option[StructType] = prev.flatMap { s =>
+      if (overwrite || !mergeSchema) None
+      else {
+        val u = unionSchema(s.schema, df.schema)
+        if (u.map(f => (f.name, f.dataType)) == s.schema.map(f => (f.name, f.dataType)))
+          None
+        else Some(u)
+      }
     }
     // replayed streaming batch → no-op, report current version
     txn.foreach { case (appId, v) =>
@@ -462,9 +497,10 @@ object DeltaInterop {
       prev.toSeq.flatMap(_.adds).map(a =>
         RemoveFile(a.path, Some(now), dataChange = true))
     else Nil
-    val meta = prev.map(_.metaData) match {
-      case Some(m) if !overwrite => m
-      case other =>
+    val meta = (prev.map(_.metaData), evolved) match {
+      case (Some(m), Some(u)) => m.copy(schemaString = u.json)
+      case (Some(m), None) if !overwrite => m
+      case (other, _) =>
         MetaData(other.map(_.id).getOrElse(java.util.UUID.randomUUID().toString),
           df.schema.json, partitionBy, Map.empty)
     }
@@ -472,7 +508,8 @@ object DeltaInterop {
     beforePublish()
     val actions: Seq[JObject] =
       (if (prev.isEmpty) Seq(protocolJson(Protocol(1, 2))) else Nil) ++
-        (if (prev.isEmpty || overwrite) Seq(metaJson(meta)) else Nil) ++
+        (if (prev.isEmpty || overwrite || evolved.isDefined)
+          Seq(metaJson(meta)) else Nil) ++
         txn.map { case (a, v) => txnJson(Txn(a, v)) }.toSeq ++
         removes.map(removeJson) ++ adds.map(addJson)
     publish(fs, path, version, actions)

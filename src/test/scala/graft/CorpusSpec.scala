@@ -191,4 +191,43 @@ class CorpusSpec extends SparkSpec {
       2 -> ((1L, 4L, 4L, 4L)),
       3 -> ((1L, 8L, 8L, 8L))), got)
   }
+
+  test("shuffleOrder is a dense deterministic permutation, not id order") {
+    val got = Corpus.shuffleOrder(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")))
+    val n = got.length
+    assert(n > 0)
+    assert(got.map(_._2).toSeq == (1L to n).toSeq,
+      "positions must be the dense range 1..n in output order")
+    assert(got.map(_._1).distinct.length == n, "each doc exactly once")
+    assert(got.map(_._1).toSeq != got.map(_._1).sorted.toSeq,
+      "shuffled order must differ from doc_id order")
+    val again = Corpus.shuffleOrder(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")))
+    assert(got.toSeq == again.toSeq, "same permutation on every run")
+  }
+
+  test("sourceMix repeats docs by their source weight, partial epochs hash-gated") {
+    val got = Corpus.sourceMix(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("epoch")))
+    // 2.5-epoch sources: every doc twice, SOME (not all) a third time
+    val heavy = got.filter(t => t._2.stripPrefix("src").toInt % 5 == 0)
+    val heavyCounts = heavy.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(heavyCounts.nonEmpty)
+    assert(heavyCounts.values.forall(c => c == 2 || c == 3))
+    assert(heavyCounts.values.exists(_ == 3) && heavyCounts.values.exists(_ == 2),
+      "the 0.5 partial epoch must keep some docs and drop others")
+    // 1.0-epoch sources: exactly once
+    val unit = got.filter(t => t._2.stripPrefix("src").toInt % 5 == 1)
+    assert(unit.groupBy(_._1).forall(_._2.length == 1))
+    assert(unit.forall(_._3 == 0))
+    // 0.25-epoch sources: a strict subset at epoch 0 only
+    val lightDocs = got.filter(t => t._2.stripPrefix("src").toInt % 5 >= 2)
+    assert(lightDocs.forall(_._3 == 0))
+    val lightTotal = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("CAST(substr(source, 4, 10) AS INT) % 5 >= 2").count()
+    assert(lightDocs.length > 0 && lightDocs.length < lightTotal,
+      s"0.25 weight keeps a strict subset (${lightDocs.length} of $lightTotal)")
+  }
 }

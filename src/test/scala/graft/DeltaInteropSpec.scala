@@ -215,6 +215,43 @@ class DeltaInteropSpec extends SparkSpec {
       .mkString.contains("x.parquet"))
   }
 
+  test("mergeSchema append: additive drift evolves the log schema, never types") {
+    val path = tmp("evolve")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
+    // a new nullable column lands in the same commit as its data
+    DeltaInterop.write(
+      Seq((5L, "c", 50.0, "eu")).toDF("id", "cat", "v", "region"),
+      path, partitionBy = Seq("cat"), mergeSchema = true)
+    val snap = DeltaInterop.snapshot(spark, path)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "cat", "v", "region"))
+    val back = DeltaInterop.read(spark, path)
+    assert(back.count() == 5)
+    assert(back.filter(col("region").isNull).count() == 4,
+      "pre-evolution files read the new column as null")
+    assert(back.filter(col("region") === "eu").count() == 1)
+    // a batch MISSING an existing column is also additive drift
+    DeltaInterop.write(Seq((6L, "c", 6.0)).toDF("id", "cat", "v"),
+      path, partitionBy = Seq("cat"), mergeSchema = true)
+    val back2 = DeltaInterop.read(spark, path)
+    assert(back2.count() == 6)
+    assert(back2.filter(col("id") === 6L).select("region").head().isNullAt(0))
+    // time travel keeps the pre-evolution schema
+    assert(DeltaInterop.read(spark, path, versionAsOf = Some(0L))
+      .schema.fieldNames.toSeq == Seq("id", "cat", "v"))
+    // a type change is never additive
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.write(Seq((7, "c", 7.0)).toDF("id", "cat", "v"),
+        path, partitionBy = Seq("cat"), mergeSchema = true)
+    }
+    assert(e.getMessage.contains("type"), e.getMessage)
+    // and without the flag, drift still refuses loudly
+    intercept[IllegalArgumentException] {
+      DeltaInterop.write(
+        Seq((8L, "c", 8.0, "x", 1L)).toDF("id", "cat", "v", "region", "extra"),
+        path, partitionBy = Seq("cat"))
+    }
+  }
+
   test("add.stats carries numRecords/min/max/nullCount in the stats JSON domain") {
     val path = tmp("stats")
     val df = Seq(
