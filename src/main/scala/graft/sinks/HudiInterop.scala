@@ -186,6 +186,22 @@ object HudiInterop {
     commitSlices(df, path, recordKey, precombine, partitionBy, tableName,
       carryOver = None)
 
+  /** Write-time dedup of an incoming batch by (key, precombine) —
+    * Hudi's `hoodie.combine.before.insert` semantic: one row per key
+    * survives (highest precombine wins) BEFORE any table state is
+    * consulted. [[upsert]]'s merge window already does this for
+    * existing tables; this is the same contract for the bootstrap
+    * insert, so a duplicate-bearing first batch (the reference's
+    * duplicate repro, README.md:115-122) converges from commit one.
+    */
+  def precombineBatch(df: DataFrame, recordKey: String,
+      precombine: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(recordKey)).orderBy(col(precombine).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Keyed latest-wins upsert: incoming rows replace existing rows with
     * the same record key when their `precombine` is >= (ties to
     * incoming); unaffected partitions keep their file slices untouched,

@@ -190,11 +190,15 @@ object TableSink {
           val persisted = batch.persist()
           try {
             if (persisted.limit(1).count() > 0) {
+              // combine-before-insert: in-batch duplicates resolve by
+              // precombine even on the bootstrap commit (upsert's merge
+              // window covers the existing-table case)
+              val combined = HudiInterop.precombineBatch(persisted, key, pre)
               val exists =
                 HudiInterop.completedInstants(persisted.sparkSession, cfg.path).nonEmpty
-              if (exists) HudiInterop.upsert(persisted, cfg.path, key, pre,
+              if (exists) HudiInterop.upsert(combined, cfg.path, key, pre,
                 cfg.partitionBy, cfg.tableName.getOrElse("graft_table"))
-              else HudiInterop.insert(persisted, cfg.path, key, pre,
+              else HudiInterop.insert(combined, cfg.path, key, pre,
                 cfg.partitionBy, cfg.tableName.getOrElse("graft_table"))
               ()
             }

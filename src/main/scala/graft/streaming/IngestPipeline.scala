@@ -278,6 +278,57 @@ object IngestPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming→Hudi round trip through the wire format, fed the
+    * DUPLICATE-landing feed: the reference's Hudi duplicate repro
+    * (README.md:115-122) is exactly this shape — and here the keyed
+    * upsert (`TableSink.streamBatch`, record key = event_id,
+    * precombine latest-wins) makes re-landed events converge to ONE
+    * copy, the lakehouse fix the reference reached for. Hudi replays
+    * are idempotent rather than txn-skipped, so the oracle equality is
+    * the convergence proof.
+    */
+  def hudiStreamRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.Scratch.dir("graft-hudi-stream-rt")
+    val enriched = transform(source(spark, stagedDupEventsDir(spark, dir)))
+    val cfg = graft.sinks.TableSink.SinkConfig(
+      format = "hudi", path = s"$work/tbl", partitionBy = Seq("event_date"),
+      upsertKey = Some("event_id"), precombine = Some("event_id"))
+    val q = enriched.writeStream
+      .foreachBatch(graft.sinks.TableSink.streamBatch(cfg, appId = "graft-hudi-stream-rt"))
+      .option("checkpointLocation", StreamTuning.scratchDir("graft-hstream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sinks.HudiInterop.read(spark, s"$work/tbl")
+      .select(
+        col("event_id"), col("event_date"), col("event_hour"),
+        col("ingest_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Streaming→Iceberg round trip through the wire format (the
+    * reference's `S3ToIcebergStreamJob` without the runtime jar): one
+    * snapshot per micro-batch, `graft.txn` property exactly-once,
+    * read-back resolves metadata → manifest list → manifests.
+    */
+  def icebergStreamRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.Scratch.dir("graft-iceberg-stream-rt")
+    val enriched = transform(source(spark, stagedEventsDir(spark, dir)))
+    val cfg = graft.sinks.TableSink.SinkConfig(
+      format = "iceberg", path = s"$work/tbl")
+    val q = enriched.writeStream
+      .foreachBatch(graft.sinks.TableSink.streamBatch(cfg, appId = "graft-iceberg-stream-rt"))
+      .option("checkpointLocation", StreamTuning.scratchDir("graft-istream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sinks.IcebergInterop.read(spark, s"$work/tbl")
+      .select(
+        col("event_id"), col("event_date"), col("event_hour"),
+        col("ingest_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** CSV ingest round-trip — the reference's primary pipeline shape
     * (retail CSV with header + explicit schema → string-timestamp parse →
     * two-level hive partitioning (Date, Country) ≙ (event_date,
@@ -388,6 +439,34 @@ object IngestPipeline {
 
   val ops: Seq[Op] = Seq(
     Op("q_stream_delta", deltaStreamRoundTrip,
+      Some("""
+        SELECT event_id,
+          CAST(ts AS DATE) AS event_date,
+          CAST(EXTRACT(HOUR FROM ts) AS INT) AS event_hour,
+          concat_ws('-',
+            substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+            substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS ingest_id,
+          event_type, value
+        FROM events
+        ORDER BY event_id""")),
+    Op("q_stream_hudi", hudiStreamRoundTrip,
+      Some("""
+        SELECT event_id,
+          CAST(ts AS DATE) AS event_date,
+          CAST(EXTRACT(HOUR FROM ts) AS INT) AS event_hour,
+          concat_ws('-',
+            substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+            substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS ingest_id,
+          event_type, value
+        FROM events
+        ORDER BY event_id""")),
+    Op("q_stream_iceberg", icebergStreamRoundTrip,
       Some("""
         SELECT event_id,
           CAST(ts AS DATE) AS event_date,

@@ -125,4 +125,29 @@ class HudiInteropSpec extends SparkSpec {
     assert(HudiInterop.read(spark, path, asOf = Some(i1))
       .filter(col("id") === 1L).select("v").as[Double].collect().toSeq == Seq(10.0))
   }
+
+  test("precombineBatch keeps one row per key (highest precombine wins)") {
+    val dup = Seq(
+      (1L, "a", 10.0, 100L), (1L, "a", 11.0, 200L), // key 1: ts 200 wins
+      (2L, "b", 20.0, 300L),                        // key 2: singleton
+      (3L, "c", 30.0, 50L), (3L, "c", 31.0, 50L))   // key 3: tie → one survives
+      .toDF("id", "cat", "v", "ts")
+    val out = HudiInterop.precombineBatch(dup, "id", "ts")
+      .select("id", "ts").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 200L, 2L -> 300L, 3L -> 50L))
+    assert(HudiInterop.precombineBatch(dup, "id", "ts").count() == 3)
+  }
+
+  test("a duplicate-bearing FIRST batch converges to one copy per key at insert") {
+    // the reference's duplicate repro shape: same key lands twice in the
+    // bootstrap micro-batch, before any table state exists
+    val path = tmp("dupfirst")
+    val dup = Seq((1L, "a", 1.0, 100L), (1L, "a", 2.0, 200L))
+      .toDF("id", "cat", "v", "ts")
+    HudiInterop.insert(HudiInterop.precombineBatch(dup, "id", "ts"),
+      path, "id", "ts", Seq("cat"))
+    val snap = HudiInterop.read(spark, path)
+    assert(snap.count() == 1)
+    assert(snap.select("v").as[Double].collect().toSeq == Seq(2.0))
+  }
 }
