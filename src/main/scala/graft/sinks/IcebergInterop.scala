@@ -28,9 +28,16 @@ import org.json4s.jackson.JsonMethods
   * `schema.name-mapping.default` property that lets REAL Iceberg
   * readers resolve Spark-written parquet (which has no embedded
   * field-ids) by column name — the spec's documented interop path for
-  * foreign files. Partitioned specs are NOT emitted (tables declare
-  * the unpartitioned spec); graft's own hidden-partitioning semantics
-  * live in [[PartitionTransforms]] / [[VersionedTable]].
+  * foreign files. IDENTITY partition specs are emitted when
+  * `partitionBy` is set: the spec's partition fields (field-ids
+  * 1000+), a typed partition record per manifest entry, and
+  * manifest-level partition pruning in [[readWhere]] (partition
+  * values prune as exact min=max bounds through the same
+  * [[FileStats]] evaluator as column stats). Data files KEEP the
+  * identity source columns — the layout real Iceberg writers produce,
+  * so readers never need metadata constants. Non-identity transforms
+  * (day/bucket/truncate) stay with graft's native hidden
+  * partitioning in [[PartitionTransforms]] / [[VersionedTable]].
   *
   * Scale: a commit appends one manifest + one manifest list + one
   * metadata JSON regardless of table size; reads resolve files from
@@ -60,6 +67,7 @@ object IcebergInterop {
     case BooleanType => JString("boolean")
     case DateType => JString("date")
     case TimestampType => JString("timestamptz")
+    case TimestampNTZType => JString("timestamp")
     case d: DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
     case BinaryType => JString("binary")
     case other => throw new IllegalArgumentException(
@@ -76,6 +84,7 @@ object IcebergInterop {
     case "boolean" => BooleanType
     case "date" => DateType
     case "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
     case "binary" => BinaryType
     case d if d.startsWith("decimal") =>
       val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")").split(",\\s*")
@@ -108,14 +117,47 @@ object IcebergInterop {
 
   // ---- avro manifest shapes (field-id props per the spec) ----
 
-  private val ManifestEntrySchema = new org.apache.avro.Schema.Parser().parse(
+  /** Avro type for an identity partition field. The supported set is
+    * the types whose `cast(string)` round-trips exactly (the staging
+    * dir token) — timestamps/decimals/binary must go through graft's
+    * native hidden partitioning instead.
+    */
+  private def avroPartType(dt: DataType): String = dt match {
+    case IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case DoubleType => "\"double\""
+    case FloatType => "\"float\""
+    case StringType => "\"string\""
+    case BooleanType => "\"boolean\""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case other => throw new IllegalArgumentException(
+      s"IcebergInterop: identity partitioning on ${other.simpleString} is not " +
+        "supported (int/long/double/float/string/boolean/date only)")
+  }
+
+  /** The manifest-entry schema with the table's typed partition record
+    * (r102). Unpartitioned tables get the empty record, exactly the
+    * pre-partitioning wire shape.
+    */
+  private def manifestEntrySchema(partFields: Seq[StructField]): org.apache.avro.Schema = {
+    val pf = partFields.zipWithIndex.map { case (f, i) =>
+      require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"IcebergInterop: partition column ${f.name} is not an avro-safe name")
+      s"""{"name":"${f.name}","type":["null",${avroPartType(f.dataType)}],""" +
+        s""""default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    new org.apache.avro.Schema.Parser().parse(
+      ManifestEntryTemplate.replace("\"__PART_FIELDS__\"", pf))
+  }
+
+  private val ManifestEntryTemplate =
     """{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int","field-id":0},
       {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
       {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
         {"name":"file_path","type":"string","field-id":100},
         {"name":"file_format","type":"string","field-id":101},
-        {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+        {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":["__PART_FIELDS__"]}},
         {"name":"record_count","type":"long","field-id":103},
         {"name":"file_size_in_bytes","type":"long","field-id":104},
         {"name":"block_size_in_bytes","type":"long","field-id":105},
@@ -136,7 +178,7 @@ object IcebergInterop {
             {"name":"key","type":"int","field-id":129},
             {"name":"value","type":"bytes","field-id":130}]}}]}
       ]}}
-    ]}""".replace("\n", ""))
+    ]}""".replace("\n", "")
 
   // ---- the spec's single-value serialization (Appendix D) for bounds ----
 
@@ -149,7 +191,8 @@ object IcebergInterop {
       case FloatType => Some(le(4).putFloat(v.asInstanceOf[Float]).flip())
       case DoubleType => Some(le(8).putDouble(v.asInstanceOf[Double]).flip())
       case DateType => Some(le(4).putInt(v.asInstanceOf[Int]).flip())
-      case TimestampType => Some(le(8).putLong(v.asInstanceOf[Long]).flip())
+      case TimestampType | TimestampNTZType =>
+        Some(le(8).putLong(v.asInstanceOf[Long]).flip())
       case StringType =>
         Some(java.nio.ByteBuffer.wrap(v.toString.getBytes(StandardCharsets.UTF_8)))
       case _ => None // decimal/binary bounds out of scope — never pruned on
@@ -161,7 +204,8 @@ object IcebergInterop {
     val buf = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     dt match {
       case IntegerType | DateType if buf.remaining() == 4 => Some(buf.getInt)
-      case LongType | TimestampType if buf.remaining() == 8 => Some(buf.getLong)
+      case LongType | TimestampType | TimestampNTZType if buf.remaining() == 8 =>
+        Some(buf.getLong)
       case FloatType if buf.remaining() == 4 => Some(buf.getFloat)
       case DoubleType if buf.remaining() == 8 => Some(buf.getDouble)
       case StringType =>
@@ -182,7 +226,106 @@ object IcebergInterop {
       {"name":"deleted_data_files_count","type":["null","int"],"default":null,"field-id":506}
     ]}""".replace("\n", ""))
 
-  private final case class DataFileRef(path: String, records: Long, bytes: Long)
+  private final case class DataFileRef(path: String, records: Long, bytes: Long,
+      partValues: Seq[Option[String]] = Nil)
+
+  // ---- identity partitioning plumbing ----
+
+  /** Null marker inside the staging-dir token: `~` cannot appear in
+    * url-encoded output (URLEncoder percent-escapes it), so it is
+    * collision-free.
+    */
+  private val NullToken = "~"
+
+  /** Decode one hive-escaped path segment (`%XX` pairs, the encoding
+    * Spark's partitioned writer applies to directory names). Safe to
+    * run over our url-encoded token because hive escaping always
+    * rewrites a literal `%` to `%25` — decoding consumes exactly the
+    * pairs escaping produced.
+    */
+  private def unescapeDirName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length)
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Staging token → decoded per-column raw string values (None = null).
+    * Inverse of the `__pdir` expression built in [[write]].
+    */
+  private def decodeToken(token: String, n: Int): Seq[Option[String]] = {
+    val parts = unescapeDirName(token).stripPrefix("v").split(",", -1)
+    require(parts.length == n, s"partition token arity ${parts.length} != $n: $token")
+    parts.toSeq.map {
+      case NullToken => None
+      case v => Some(java.net.URLDecoder.decode(v, "UTF-8"))
+    }
+  }
+
+  /** Raw string partition value → the avro-record value for the
+    * manifest's typed partition record (dates as epoch days, per the
+    * spec's date representation).
+    */
+  private def partAvroValue(s: String, dt: DataType): Any = dt match {
+    case IntegerType => s.toInt
+    case LongType => s.toLong
+    case DoubleType => s.toDouble
+    case FloatType => s.toFloat
+    case StringType => s
+    case BooleanType => s.toBoolean
+    case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+    case other => throw new IllegalArgumentException(
+      s"IcebergInterop: unsupported partition type ${other.simpleString}")
+  }
+
+  /** Avro partition-record value → catalyst-internal value for the
+    * pruning evaluator (UTF8String for strings; date epoch-days are
+    * already DateType's internal form).
+    */
+  private def partInternal(v: Any): Any = v match {
+    case u: org.apache.avro.util.Utf8 =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(u.toString)
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case other => other
+  }
+
+  /** The spec's partition-spec fields JSON (identity transforms,
+    * field-ids 1000+, source-id = schema field-id).
+    */
+  private def specFieldsJson(partFields: Seq[StructField],
+      schema: StructType): JArray =
+    JArray(partFields.zipWithIndex.toList.map { case (f, i) =>
+      JObject("name" -> JString(f.name), "transform" -> JString("identity"),
+        "source-id" -> JInt(schema.fieldIndex(f.name) + 1),
+        "field-id" -> JInt(1000 + i))
+    })
+
+  /** Identity partition fields of the table's default spec, resolved
+    * to Spark types via source-id (ids are 1..n by construction).
+    * Non-identity transform fields are skipped — they never prune
+    * here, which is conservative.
+    */
+  private def partFieldsOf(meta: JValue, schema: StructType): Seq[StructField] = {
+    val defId = (meta \ "default-spec-id").extractOrElse[Int](0)
+    (meta \ "partition-specs").extractOrElse[List[JValue]](Nil)
+      .find(s => (s \ "spec-id").extractOrElse[Int](-1) == defId)
+      .toSeq.flatMap { s =>
+        (s \ "fields").extractOrElse[List[JValue]](Nil).flatMap { f =>
+          if ((f \ "transform").extractOrElse[String]("") != "identity") None
+          else {
+            val srcId = (f \ "source-id").extract[Int]
+            schema.fields.lift(srcId - 1)
+              .map(src => StructField((f \ "name").extract[String], src.dataType))
+          }
+        }
+      }
+  }
 
   private def writeAvro(fs: FileSystem, p: Path,
       schema: org.apache.avro.Schema, meta: Map[String, String],
@@ -233,9 +376,19 @@ object IcebergInterop {
     * no-op returning the current snapshot.
     */
   def write(df: DataFrame, path: String, overwrite: Boolean = false,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
+    val partFields = partitionBy.map { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"IcebergInterop: partition column $c not in schema"))
+      avroPartType(f.dataType) // type gate up front
+      StructField(f.name, f.dataType)
+    }
+    require(!df.schema.fieldNames.contains("__pdir"),
+      "IcebergInterop: __pdir is reserved for the staging layout")
     val prev = currentVersion(fs, path).map(v => (v, readMetadata(fs, path, v)))
     prev.foreach { case (_, meta) =>
       val existing = schemaFromJson((meta \ "schemas")(0))
@@ -243,6 +396,11 @@ object IcebergInterop {
           df.schema.map(f => (f.name, f.dataType)),
         s"IcebergInterop append: schema must match the table " +
           s"(table ${existing.simpleString}, batch ${df.schema.simpleString})")
+      require(overwrite ||
+          partFieldsOf(meta, existing).map(_.name) == partitionBy,
+        s"IcebergInterop append: partitionBy (${partitionBy.mkString(",")}) " +
+          "must match the table's partition spec " +
+          s"(${partFieldsOf(meta, existing).map(_.name).mkString(",")})")
     }
     val prevProps: Map[String, String] = prev.map(p =>
       (p._2 \ "properties").extractOrElse[Map[String, String]](Map.empty))
@@ -255,22 +413,48 @@ object IcebergInterop {
     }
     // stage data files, then move into data/ under commit-unique names
     // NOT dot-prefixed: Spark's hidden-path filter would silently skip
-    // a ".stage" dir when reading it back for the per-file record counts
+    // a ".stage" dir when reading it back for the per-file record counts.
+    // Partitioned tables stage under a SINGLE synthetic `__pdir` token
+    // (url-encoded values joined by ','): only __pdir is dropped from
+    // the data files, so identity source columns stay physically
+    // present — the layout the spec expects from real writers.
     val stage = new Path(s"$path/metadata/stage-${java.util.UUID.randomUUID}")
-    df.write.mode("overwrite").parquet(stage.toString)
+    if (partitionBy.isEmpty)
+      df.write.mode("overwrite").parquet(stage.toString)
+    else {
+      val token = concat(lit("v"), concat_ws(",", partitionBy.map(c =>
+        coalesce(url_encode(col(c).cast("string")), lit(NullToken))): _*))
+      df.withColumn("__pdir", token)
+        .write.mode("overwrite").partitionBy("__pdir").parquet(stage.toString)
+    }
     val counts = spark.read.parquet(stage.toString)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect().map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
-    val moved = fs.listStatus(stage).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.map { case (st, i) =>
-        val name = f"00000-$i%05d-${java.util.UUID.randomUUID()}.parquet"
-        val dst = new Path(s"$path/data/$name")
-        fs.mkdirs(dst.getParent)
-        require(fs.rename(st.getPath, dst), s"move failed: $dst")
-        DataFileRef(s"$path/data/$name",
-          counts.getOrElse(st.getPath.getName, 0L), st.getLen)
-      }
+    val stagedFiles: Seq[(org.apache.hadoop.fs.FileStatus, Seq[Option[String]])] =
+      if (partitionBy.isEmpty)
+        fs.listStatus(stage).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => (st, Nil))
+      else fs.listStatus(stage).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__pdir="))
+        .flatMap { d =>
+          val values = decodeToken(
+            d.getPath.getName.stripPrefix("__pdir="), partitionBy.size)
+          fs.listStatus(d.getPath).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet")).map((_, values))
+        }
+    val moved = stagedFiles.zipWithIndex.map { case ((st, values), i) =>
+      val name = f"00000-$i%05d-${java.util.UUID.randomUUID()}.parquet"
+      // cosmetic hive-ish dir per partition tuple (readers use manifests)
+      val subdir = partitionBy.zip(values).map { case (c, v) =>
+        s"$c=${v.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("null")}"
+      }.mkString("/")
+      val dir = if (subdir.isEmpty) s"$path/data" else s"$path/data/$subdir"
+      val dst = new Path(s"$dir/$name")
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(st.getPath, dst), s"move failed: $dst")
+      DataFileRef(s"$dir/$name",
+        counts.getOrElse(st.getPath.getName, 0L), st.getLen, values)
+    }
     fs.delete(stage, true)
 
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
@@ -282,7 +466,8 @@ object IcebergInterop {
     val statsByFile = FileStats.collect(spark, moved.map(_.path), df.schema)
     // one manifest for this commit's files
     val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-m0.avro"
-    val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
+    val entrySchema = manifestEntrySchema(partFields)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
     def kvItemSchema(field: String) =
       dataFileSchema.getField(field).schema().getTypes.get(1).getElementType
     def kvList(field: String, pairs: Seq[(Int, Any)]): java.util.List[GenericRecord] =
@@ -291,14 +476,18 @@ object IcebergInterop {
         r.put("key", k); r.put("value", v); r: GenericRecord
       }.asJava
     val entries = moved.map { f =>
-      val e = new GenericData.Record(ManifestEntrySchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
       val d = new GenericData.Record(dataFileSchema)
       d.put("file_path", f.path)
       d.put("file_format", "PARQUET")
-      d.put("partition", new GenericData.Record(
-        dataFileSchema.getField("partition").schema()))
+      val partRec = new GenericData.Record(
+        dataFileSchema.getField("partition").schema())
+      partFields.zip(f.partValues).foreach { case (pf, v) =>
+        partRec.put(pf.name, v.map(partAvroValue(_, pf.dataType)).orNull)
+      }
+      d.put("partition", partRec)
       d.put("record_count", f.records)
       d.put("file_size_in_bytes", f.bytes)
       d.put("block_size_in_bytes", 67108864L)
@@ -321,9 +510,11 @@ object IcebergInterop {
       e.put("data_file", d)
       e
     }
-    val manifestLen = writeAvro(fs, new Path(manifestPath), ManifestEntrySchema,
+    val manifestLen = writeAvro(fs, new Path(manifestPath), entrySchema,
       Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJ)),
-        "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "partition-spec" -> JsonMethods.compact(JsonMethods.render(
+          specFieldsJson(partFields, df.schema))),
+        "partition-spec-id" -> "0",
         "format-version" -> "1"),
       entries)
 
@@ -375,11 +566,12 @@ object IcebergInterop {
       "schema" -> schemaJ,
       "schemas" -> JArray(List(schemaJ)),
       "current-schema-id" -> JInt(0),
-      "partition-spec" -> JArray(Nil),
+      "partition-spec" -> specFieldsJson(partFields, df.schema),
       "partition-specs" -> JArray(List(JObject(
-        "spec-id" -> JInt(0), "fields" -> JArray(Nil)))),
+        "spec-id" -> JInt(0),
+        "fields" -> specFieldsJson(partFields, df.schema)))),
       "default-spec-id" -> JInt(0),
-      "last-partition-id" -> JInt(999),
+      "last-partition-id" -> JInt(999 + partFields.size),
       "sort-orders" -> JArray(List(JObject(
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
       "default-sort-order-id" -> JInt(0),
@@ -414,9 +606,12 @@ object IcebergInterop {
   /** A manifest entry's column-stats maps → the pruning evaluator's
     * shape. Field-ids resolve by position (ids are 1..n by construction
     * here and by convention for flat v1 schemas); missing or undecodable
-    * bounds never prune.
+    * bounds never prune. Identity partition values fold in as EXACT
+    * min=max bounds (null → all-null), so partition pruning rides the
+    * same conservative evaluator as column stats.
     */
-  private def fileStatOf(d: GenericRecord, schema: StructType): FileStats.FileStat = {
+  private def fileStatOf(d: GenericRecord, schema: StructType,
+      partFields: Seq[StructField]): FileStats.FileStat = {
     def kvMap(field: String): Map[Int, Any] = d.get(field) match {
       case null => Map.empty
       case l: java.util.List[_] => l.asScala.map { r =>
@@ -440,7 +635,21 @@ object IcebergInterop {
       else Some(f.name -> FileStats.ColStats(mn, mx, nc,
         allNull = nc.isDefined && nc == records))
     }.toMap
-    FileStats.FileStat(records, cols)
+    val partCols = d.get("partition") match {
+      case rec: GenericRecord => partFields.flatMap { pf =>
+        if (rec.getSchema.getField(pf.name) == null) None
+        else Some(rec.get(pf.name) match {
+          case null =>
+            pf.name -> FileStats.ColStats(None, None, records, allNull = true)
+          case v =>
+            val iv = partInternal(v)
+            pf.name -> FileStats.ColStats(Some(iv), Some(iv), Some(0L),
+              allNull = false)
+        })
+      }.toMap
+      case _ => Map.empty[String, FileStats.ColStats]
+    }
+    FileStats.FileStat(records, cols ++ partCols)
   }
 
   /** Snapshot read through the metadata → manifest-list → manifest
@@ -480,8 +689,9 @@ object IcebergInterop {
           e.get("data_file").asInstanceOf[GenericRecord]
       }
     }
+    val partFields = partFieldsOf(meta, schema)
     val (kept, _) = FileStats.prune(spark, schema, where, dataFiles,
-      (d: GenericRecord) => fileStatOf(d, schema))
+      (d: GenericRecord) => fileStatOf(d, schema, partFields))
     val files = kept.map(_.get("file_path").toString)
     val out =
       if (files.isEmpty)
@@ -506,7 +716,7 @@ object IcebergInterop {
       .collect { case e if e.get("status").asInstanceOf[Int] != 2 =>
         e.get("data_file").asInstanceOf[GenericRecord] }
     FileStats.prune(spark, schema, where, dataFiles,
-      (d: GenericRecord) => fileStatOf(d, schema))._1
+      (d: GenericRecord) => fileStatOf(d, schema, partFieldsOf(meta, schema)))._1
       .map(_.get("file_path").toString)
   }
 
@@ -531,7 +741,37 @@ object IcebergInterop {
     latest.join(v1, "o_orderstatus").orderBy(col("o_orderstatus"))
   }
 
+  /** Driver-checked identity-partitioned table: write orders
+    * partitioned by status, then a partition-pruned + stats-pruned
+    * read-back — the scan plans only the `F` partition's files (the
+    * pruning itself is spec-asserted; the oracle pins the result).
+    */
+  def icebergPartitionedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-iceberg-part") + "/orders_part"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("o_totalprice"))
+    write(orders, out, partitionBy = Seq("o_orderstatus"))
+    readWhere(spark, out,
+      Some(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price"),
+        min(col("o_orderdate")).as("first_date"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_iceberg_partitioned", icebergPartitionedRoundTrip,
+      Some("""
+        SELECT o_orderstatus, count(*) AS n_rows,
+               cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+               min(o_orderdate) AS first_date
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
     graft.Op("q_iceberg_roundtrip", icebergRoundTrip,
       Some("""
         WITH appended AS (

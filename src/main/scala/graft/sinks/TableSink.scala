@@ -146,7 +146,8 @@ object TableSink {
           cfg.tableName.getOrElse("graft_table"))
         ()
       case "iceberg" =>
-        IcebergInterop.write(df, cfg.path, overwrite = cfg.mode == "overwrite")
+        IcebergInterop.write(df, cfg.path, overwrite = cfg.mode == "overwrite",
+          partitionBy = cfg.partitionBy)
         ()
     }
   }
@@ -210,7 +211,7 @@ object TableSink {
           try {
             if (persisted.limit(1).count() > 0) {
               IcebergInterop.write(persisted, cfg.path,
-                txn = Some((appId, batchId)))
+                txn = Some((appId, batchId)), partitionBy = cfg.partitionBy)
               ()
             }
           } finally { persisted.unpersist(); () }

@@ -215,4 +215,70 @@ class IcebergInteropSpec extends SparkSpec {
     val p3 = Some(col("cat") === "zzz")
     assert(IcebergInterop.liveFilesWhere(spark, path, p3).isEmpty)
   }
+
+  test("identity-partitioned write: spec JSON, typed partition records, pruning") {
+    val path = tmp("part")
+    val df = Seq(
+      (1L, "a", java.sql.Date.valueOf("2024-01-01"), 10.0),
+      (2L, "a", java.sql.Date.valueOf("2024-01-02"), 20.0),
+      (3L, "b", java.sql.Date.valueOf("2024-01-01"), 30.0),
+      (4L, null.asInstanceOf[String], java.sql.Date.valueOf("2024-01-02"), 40.0))
+      .toDF("id", "cat", "d", "v")
+    IcebergInterop.write(df, path, partitionBy = Seq("cat", "d"))
+    implicit val fmts: Formats = DefaultFormats
+    val meta = JsonMethods.parse(
+      scala.io.Source.fromFile(s"$path/metadata/v1.metadata.json").mkString)
+    // the spec's partition fields: identity transforms, field-ids 1000+
+    val specFields = ((meta \ "partition-specs")(0) \ "fields").extract[List[JValue]]
+    assert(specFields.map(f => ((f \ "name").extract[String],
+      (f \ "transform").extract[String], (f \ "field-id").extract[Int])) ==
+      List(("cat", "identity", 1000), ("d", "identity", 1001)))
+    assert(specFields.map(f => (f \ "source-id").extract[Int]) == List(2, 3))
+    // round trip: identity source columns stay physically in data files
+    assert(IcebergInterop.read(spark, path)
+      .select("id", "cat", "v").as[(Long, Option[String], Double)]
+      .collect().toSet ==
+      Set((1L, Some("a"), 10.0), (2L, Some("a"), 20.0),
+        (3L, Some("b"), 30.0), (4L, None, 40.0)))
+    // partition pruning through the manifest partition records
+    val total = IcebergInterop.liveFilesWhere(spark, path, None).size
+    val onA = IcebergInterop.liveFilesWhere(spark, path, Some(col("cat") === "a"))
+    assert(onA.size < total && onA.nonEmpty)
+    val onDay = IcebergInterop.liveFilesWhere(spark, path,
+      Some(col("d") === java.sql.Date.valueOf("2024-01-01")))
+    assert(onDay.size < total && onDay.nonEmpty)
+    // null partition value: IS NULL keeps only the null file, IS NOT NULL drops it
+    val nullFiles = IcebergInterop.liveFilesWhere(spark, path, Some(col("cat").isNull))
+    assert(nullFiles.size == 1)
+    assert(!IcebergInterop.liveFilesWhere(spark, path, Some(col("cat").isNotNull))
+      .exists(nullFiles.contains))
+    assert(IcebergInterop.readWhere(spark, path, Some(col("cat").isNull))
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+    // conjunction of both partition cols prunes to the single tuple's file
+    assert(IcebergInterop.liveFilesWhere(spark, path,
+      Some(col("cat") === "a" && col("d") === java.sql.Date.valueOf("2024-01-02")))
+      .size == 1)
+  }
+
+  test("partitioned append must match the table's spec; values round-trip encoding") {
+    val path = tmp("partspec")
+    val df = Seq((1L, "x,y=z/w %7E~", 1.0), (2L, "plain", 2.0)).toDF("id", "cat", "v")
+    IcebergInterop.write(df, path, partitionBy = Seq("cat"))
+    // hostile partition value (separator, '=', '/', '%', '~') survives the
+    // staging-token encoding into the manifest record and prunes exactly
+    assert(IcebergInterop.read(spark, path)
+      .as[(Long, String, Double)].collect().toSet ==
+      df.as[(Long, String, Double)].collect().toSet)
+    assert(IcebergInterop.liveFilesWhere(spark, path,
+      Some(col("cat") === "x,y=z/w %7E~")).size == 1)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.write(Seq((3L, "c", 3.0)).toDF("id", "cat", "v"), path)
+    }
+    assert(e.getMessage.contains("partition"))
+    // overwrite may change the layout
+    IcebergInterop.write(Seq((9L, "z", 9.0)).toDF("id", "cat", "v"), path,
+      overwrite = true)
+    assert(IcebergInterop.read(spark, path).as[(Long, String, Double)]
+      .collect().toSeq == Seq((9L, "z", 9.0)))
+  }
 }
