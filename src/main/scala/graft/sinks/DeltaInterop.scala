@@ -459,40 +459,9 @@ object DeltaInterop {
         if (s.txns.get(appId).exists(_ >= v)) return s.version
       }
     }
-    // stage data files then move them into the table tree hive-style
-    val stagePath = new Path(s"$path/$StageDir/${java.util.UUID.randomUUID}")
-    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(stagePath.toString)
-    val staged = scala.collection.mutable.ArrayBuffer[(Path, String, Long)]()
-    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
-      if (st.isDirectory) walk(st.getPath)
-      else if (st.getPath.getName.endsWith(".parquet")) {
-        val rel = fs.makeQualified(st.getPath).toString
-          .stripPrefix(fs.makeQualified(stagePath).toString + "/")
-        staged += ((st.getPath, rel, st.getLen))
-      }
-    }
-    walk(stagePath)
-    require(allowEmpty || staged.nonEmpty, "DeltaInterop: write produced no data files")
-    staged.map(s => new Path(s"$path/${s._2}").getParent).distinct
-      .foreach(d => fs.mkdirs(d))
-    staged.foreach { case (src, rel, _) =>
-      require(fs.rename(src, new Path(s"$path/$rel")), s"move failed: $rel") }
-    fs.delete(stagePath, true)
-    fs.delete(new Path(s"$path/$StageDir"), true)
-
+    val adds = stageAdds(df, path, partitionBy)
+    require(allowEmpty || adds.nonEmpty, "DeltaInterop: write produced no data files")
     val now = System.currentTimeMillis()
-    // one distributed pass over the commit's files → add.stats
-    // (numRecords + min/max/nullCount), the protocol's skipping columns
-    val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
-    val statsByFile =
-      FileStats.collect(spark, staged.map(s => s"$path/${s._2}").toSeq, dataSchema)
-    val adds = staged.map { case (_, rel, size) =>
-      val st = statsByFile.get(FileStats.basename(rel))
-      AddFile(encodePath(rel), partitionValuesOf(rel, partitionBy), size, now,
-        dataChange = true,
-        stats = st.map(s => statsJson(s.numRecords.getOrElse(0L),
-          dataSchema.fields.toSeq.flatMap(f => s.cols.get(f.name).map(f -> _)))))
-    }.toSeq
     val removes = if (overwrite)
       prev.toSeq.flatMap(_.adds).map(a =>
         RemoveFile(a.path, Some(now), dataChange = true))
@@ -515,6 +484,107 @@ object DeltaInterop {
     publish(fs, path, version, actions)
     maybeCheckpoint(spark, path, version)
     version
+  }
+
+  /** Stage `df`'s files hive-style, move them into the table tree, and
+    * return their AddFile actions with `add.stats` from one distributed
+    * pass ([[FileStats.collect]]). Files are invisible until a commit
+    * referencing them publishes (the log is the source of truth); a
+    * failed commit leaves only unreferenced debris.
+    */
+  private def stageAdds(df: DataFrame, path: String,
+      partitionBy: Seq[String]): Seq[AddFile] = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, path)
+    val stagePath = new Path(s"$path/$StageDir/${java.util.UUID.randomUUID}")
+    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(stagePath.toString)
+    val staged = scala.collection.mutable.ArrayBuffer[(Path, String, Long)]()
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) {
+        val rel = fs.makeQualified(st.getPath).toString
+          .stripPrefix(fs.makeQualified(stagePath).toString + "/")
+        staged += ((st.getPath, rel, st.getLen))
+      }
+    }
+    walk(stagePath)
+    staged.map(s => new Path(s"$path/${s._2}").getParent).distinct
+      .foreach(d => fs.mkdirs(d))
+    staged.foreach { case (src, rel, _) =>
+      require(fs.rename(src, new Path(s"$path/$rel")), s"move failed: $rel") }
+    fs.delete(stagePath, true)
+    fs.delete(new Path(s"$path/$StageDir"), true)
+    val now = System.currentTimeMillis()
+    // one distributed pass over the commit's files → add.stats
+    // (numRecords + min/max/nullCount), the protocol's skipping columns
+    val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
+    val statsByFile =
+      FileStats.collect(spark, staged.map(s => s"$path/${s._2}").toSeq, dataSchema)
+    staged.map { case (_, rel, size) =>
+      val st = statsByFile.get(FileStats.basename(rel))
+      AddFile(encodePath(rel), partitionValuesOf(rel, partitionBy), size, now,
+        dataChange = true,
+        stats = st.map(s => statsJson(s.numRecords.getOrElse(0L),
+          dataSchema.fields.toSeq.flatMap(f => s.cols.get(f.name).map(f -> _)))))
+    }.toSeq
+  }
+
+  /** A predicate delete's file-level outcome: how much of the table the
+    * rewrite actually touched (the untouched files stayed in the log
+    * byte-for-byte).
+    */
+  final case class DeleteResult(version: Long, rewrittenFiles: Int,
+      untouchedFiles: Int)
+
+  /** DELETE WHERE on the wire format: rewrite ONLY the files whose
+    * `add.stats` / partition values may contain matching rows; every
+    * other live file stays in the log untouched. Rows where `where`
+    * is TRUE are removed; NULL survives (SQL DELETE semantics). One
+    * atomic commit carries the removes + rewritten survivors, so prior
+    * versions stay readable (snapshot isolation) and a concurrent
+    * writer loses loudly at publish.
+    *
+    * Scale: the rewrite set is bounded by stats overlap, not table
+    * size — a delete keyed to a partition or a well-clustered column
+    * rewrites a handful of files of a 100 TB table. A predicate with
+    * no prunable conjunct degrades to a full rewrite, visible in the
+    * returned counts.
+    */
+  def delete(spark: SparkSession, path: String, where: Column): DeleteResult = {
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path)
+    val schema = snap.schema
+    val partCols = snap.metaData.partitionColumns
+    val touched = pruneAdds(spark, snap, Some(where))
+    if (touched.isEmpty) // no file can match: no-op, no commit
+      return DeleteResult(snap.version, 0, snap.adds.size)
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val parts = touched.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(files.map(f => s"$path/${decodePath(f.path)}"): _*)
+      partCols.foldLeft(base) { (df, c) =>
+        val dt = schema(c).dataType
+        val v = pv.getOrElse(c, None)
+        df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+    }
+    val survivors = parts.reduce(_ unionByName _)
+      .select(schema.fieldNames.map(col): _*)
+      .filter(!coalesce(where, lit(false)))
+      .persist()
+    try {
+      val adds =
+        if (survivors.limit(1).count() == 0) Nil
+        else stageAdds(survivors, path, partCols)
+      val now = System.currentTimeMillis()
+      val removes = touched.map(a => RemoveFile(a.path, Some(now), dataChange = true))
+      val version = snap.version + 1
+      beforePublish()
+      publish(fs, path, version,
+        removes.map(removeJson) ++ adds.map(addJson))
+      maybeCheckpoint(spark, path, version)
+      DeleteResult(version, touched.size, snap.adds.size - touched.size)
+    } finally { survivors.unpersist(); () }
   }
 
   /** Test-only injection point: runs after the writer resolved its
@@ -709,7 +779,52 @@ object DeltaInterop {
     latest.join(v0, "o_orderstatus").orderBy(col("o_orderstatus"))
   }
 
+  /** Driver-checked predicate delete: orders land partitioned by
+    * status (v0), DELETE WHERE status='F' OR totalprice>400000 (v1 —
+    * the 'F' partition drops whole, the price conjunct rewrites only
+    * stats-overlapping files in the surviving partitions), then the
+    * result reads BOTH versions back. Statuses deleted whole survive
+    * as zero rows via the v0 left join, pinning "partition removed"
+    * separately from "rows filtered".
+    */
+  def deltaDeleteRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-delta-del") + "/orders_delta"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    write(orders, out, partitionBy = Seq("o_orderstatus"))
+    delete(spark, out,
+      col("o_orderstatus") === "F" || col("o_totalprice") > 400000.0)
+    val latest = read(spark, out).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price"))
+    val v0 = read(spark, out, versionAsOf = Some(0L)).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows_v0"))
+    v0.join(latest, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("sum_price"), lit(0.0)).as("sum_price"),
+        col("n_rows_v0"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_delta_delete", deltaDeleteRoundTrip,
+      Some("""
+        WITH survivors AS (
+          SELECT o_orderstatus, o_totalprice FROM orders
+          WHERE NOT (o_orderstatus = 'F' OR o_totalprice > 400000.0)),
+        latest AS (
+          SELECT o_orderstatus, count(*) AS n_live,
+                 cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+          FROM survivors GROUP BY o_orderstatus),
+        v0 AS (
+          SELECT o_orderstatus, count(*) AS n_rows_v0
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, coalesce(n_live, 0) AS n_live,
+               coalesce(sum_price, 0.0) AS sum_price, n_rows_v0
+        FROM v0 LEFT JOIN latest USING (o_orderstatus)
+        ORDER BY o_orderstatus""")),
     graft.Op("q_delta_roundtrip", deltaRoundTrip,
       Some("""
         WITH appended AS (

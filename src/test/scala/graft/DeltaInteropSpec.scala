@@ -359,4 +359,59 @@ class DeltaInteropSpec extends SparkSpec {
     val kept = DeltaInterop.pruneAdds(spark, snap, Some(col("id") === 3L))
     assert(kept.size == 1, s"checkpoint stats must still prune (kept ${kept.size})")
   }
+
+  test("delete rewrites only stat-overlapping files; untouched adds stay verbatim") {
+    val path = tmp("del")
+    // 8 range-partitioned files over id 0..999 → a narrow id predicate
+    // overlaps 1 file
+    val df = ss.range(0, 1000).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+      .repartitionByRange(8, col("id"))
+    DeltaInterop.write(df, path)
+    val before = DeltaInterop.snapshot(spark, path)
+    assert(before.adds.size >= 8)
+    val r = DeltaInterop.delete(spark, path, col("id") >= 100L && col("id") < 120L)
+    assert(r.version == 1L)
+    assert(r.rewrittenFiles == 1,
+      s"narrow delete must rewrite exactly the overlapping file (got ${r.rewrittenFiles})")
+    assert(r.untouchedFiles == before.adds.size - 1)
+    val after = DeltaInterop.snapshot(spark, path)
+    // untouched files keep their identical AddFile entries (same path, stats)
+    val beforeByPath = before.adds.map(a => a.path -> a).toMap
+    val untouched = after.adds.filter(a => beforeByPath.contains(a.path))
+    assert(untouched.size == before.adds.size - 1)
+    assert(untouched.forall(a => beforeByPath(a.path) == a))
+    // rows: the 20 deleted ids are gone, everything else intact
+    assert(DeltaInterop.read(spark, path).count() == 980L)
+    assert(DeltaInterop.read(spark, path)
+      .filter(col("id") >= 100L && col("id") < 120L).count() == 0L)
+    // time travel still sees v0 complete
+    assert(DeltaInterop.read(spark, path, versionAsOf = Some(0L)).count() == 1000L)
+  }
+
+  test("delete: no-overlap predicate is a no-op commit-wise; full-partition drop adds nothing") {
+    val path = tmp("del2")
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("id", "cat", "v")
+    DeltaInterop.write(df, path, partitionBy = Seq("cat"))
+    // predicate no file can match → version unchanged, no commit written
+    val r0 = DeltaInterop.delete(spark, path, col("id") > 100L)
+    assert(r0.version == 0L && r0.rewrittenFiles == 0)
+    assert(DeltaInterop.latestVersion(spark, path) == 0L)
+    // whole-partition delete: removes only, zero survivor files staged
+    val r1 = DeltaInterop.delete(spark, path, col("cat") === "a")
+    assert(r1.version == 1L && r1.rewrittenFiles >= 1)
+    val snap = DeltaInterop.snapshot(spark, path)
+    assert(snap.adds.forall(_.partitionValues.get("cat").flatten.contains("b")))
+    assert(DeltaInterop.read(spark, path).select("id").as[Long]
+      .collect().toSeq == Seq(3L))
+    // NULL predicate rows survive (SQL DELETE semantics)
+    val path2 = tmp("del3")
+    DeltaInterop.write(
+      Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+        .toDF("id", "v"), path2)
+    DeltaInterop.delete(spark, path2, col("v") > 2.0)
+    assert(DeltaInterop.read(spark, path2).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+  }
 }
