@@ -284,7 +284,120 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Loud ceiling for the driver-collected boilerplate set. Lines
+    * shared verbatim by >= minDocs documents are bounded template
+    * vocabulary by construction (headers, footers, nav chrome), not
+    * corpus-sized content — but if a corpus breaks that assumption the
+    * guard fails loudly instead of OOMing the driver; the join
+    * fallback handles unbounded sets.
+    */
+  private[graft] val MaxBoilerplateLines = 200000
+
+  /** Corpus-level boilerplate-line removal — the line-dedup cleanup
+    * pass of public web-corpus pipelines (CCNet, RefinedWeb): a line
+    * whose trimmed form appears in >= `minDocs` distinct documents is
+    * template chrome and is stripped from EVERY document; remaining
+    * lines keep their original order and spelling. (The reference has
+    * no text-pipeline surface; this extends the mandated LLM family.)
+    *
+    * Scale shape, same discipline as [[Dedup.duplicatedSpans]]:
+    * per-doc distinctness is ROW-LOCAL (`array_distinct` before the
+    * explode), so the ONE aggregation counts docs-per-line with
+    * map-side partials and the shuffle carries only distinct
+    * (line, partial-count) rows. The rewrite is then a PURE PROJECTION
+    * against the collected boilerplate set (bounded, guarded by
+    * [[MaxBoilerplateLines]]) — zero corpus shuffle. `broadcastSet =
+    * false` routes the rewrite through a broadcast anti-join +
+    * ordered re-assembly instead, the path for a corpus whose
+    * template set outgrows a driver literal; the spec pins both
+    * branches equal.
+    */
+  def stripBoilerplate(spark: SparkSession, dir: String,
+      minDocs: Int = 3, broadcastSet: Boolean = true): DataFrame =
+    stripBoilerplateFrame(
+      Tables.documents(spark, dir).filter(col("text").isNotNull),
+      minDocs, broadcastSet)
+
+  private[graft] def stripBoilerplateFrame(docs: DataFrame,
+      minDocs: Int, broadcastSet: Boolean): DataFrame = {
+    require(minDocs >= 2, s"boilerplate needs minDocs >= 2, got $minDocs")
+    val ls = split(col("text"), "\n")
+    val keys = array_distinct(filter(transform(ls, l => trim(l)), k => k =!= ""))
+    val freq = Tables.spread(docs).select(explode(keys).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+    if (broadcastSet) {
+      val bl = freq.select(col("key")).collect().map(_.getString(0)).sorted
+      require(bl.length <= MaxBoilerplateLines,
+        s"boilerplate set ${bl.length} exceeds $MaxBoilerplateLines — " +
+          "use broadcastSet = false (anti-join path) for this corpus")
+      val blLit = typedlit(bl)
+      val kept = filter(ls, l => !array_contains(blLit, trim(l)))
+      docs.select(col("doc_id"),
+          concat_ws("\n", kept).as("cleaned"),
+          size(kept).cast("long").as("n_kept"))
+        .orderBy(col("doc_id"))
+    } else {
+      val lines = Tables.spread(docs)
+        .select(col("doc_id"), posexplode(ls).as(Seq("pos", "line")))
+      val keptLines = lines.join(broadcast(freq.select(col("key"))),
+        trim(col("line")) === col("key"), "left_anti")
+      val rebuilt = keptLines.groupBy(col("doc_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")).as("kls"))
+        .select(col("doc_id"), concat_ws("\n", col("kls")).as("cleaned"),
+          size(col("kls")).cast("long").as("n_kept"))
+      // docs whose every line was boilerplate drop out of the join —
+      // restore them as empty
+      docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cleaned"), lit("")).as("cleaned"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Driver-graded boilerplate strip over a CHROME-WRAPPED corpus: the
+    * synthetic documents have no naturally repeated lines (every
+    * trimmed line is corpus-unique at every SF), so the registered
+    * query plants the template shape web corpora actually have — a
+    * per-source header line and a global footer line around every doc —
+    * and the strip must remove exactly those (every source has >=
+    * minDocs docs) while reconstructing the original text byte-exact.
+    * The DuckDB oracle replays the same wrap + full pipeline from
+    * scratch; nothing about "the chrome is what gets stripped" is
+    * assumed on either side.
+    */
+  def stripBoilerplateStaged(spark: SparkSession, dir: String): DataFrame =
+    stripBoilerplateFrame(
+      Tables.documents(spark, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("== "), col("source"), lit(" =="), lit("\n"),
+            col("text"), lit("\nCorpus chrome footer")).as("text")),
+      minDocs = 3, broadcastSet = true)
+
   val ops: Seq[Op] = Seq(
+    Op("q_strip_boilerplate", stripBoilerplateStaged,
+      Some("""
+        WITH parts AS (
+          SELECT doc_id, string_split(
+            '== ' || source || ' ==' || chr(10) || text || chr(10) ||
+            'Corpus chrome footer', chr(10)) AS ls
+          FROM documents WHERE text IS NOT NULL),
+        keys AS (
+          SELECT doc_id, unnest(list_distinct(list_filter(
+            list_transform(ls, l -> trim(l)), k -> k <> ''))) AS key
+          FROM parts),
+        freq AS (SELECT key, count(*) AS nd FROM keys GROUP BY key),
+        bl AS (
+          SELECT coalesce(list(key), CAST([] AS VARCHAR[])) AS bls
+          FROM freq WHERE nd >= 3),
+        clean AS (
+          SELECT doc_id,
+                 list_filter(ls, l -> NOT list_contains(b.bls, trim(l))) AS kls
+          FROM parts, bl b)
+        SELECT doc_id, array_to_string(kls, chr(10)) AS cleaned,
+               CAST(len(kls) AS BIGINT) AS n_kept
+        FROM clean ORDER BY doc_id""")),
     Op("q_text_normalize", normalizeText,
       Some("""
         WITH n AS (

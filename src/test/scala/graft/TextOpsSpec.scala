@@ -175,4 +175,40 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) == (("already clean", false, 0L)))
     assert(got(2L) == (("padded", true, 4L)))
   }
+
+  test("stripBoilerplate removes corpus-repeated lines, keeps order; branches agree") {
+    // "HEADER" appears (trimmed) in 3 docs -> boilerplate at minDocs=3;
+    // "twice" appears in only 2 -> kept; within-doc repetition of a
+    // unique line must NOT make it boilerplate (row-local distinct)
+    val docs = Seq(
+      (0L, "HEADER\nalpha\nbeta", "en", "s", 1L),
+      (1L, "  HEADER  \ntwice\ngamma", "en", "s", 1L),
+      (2L, "HEADER\ntwice\nself\nself", "en", "s", 1L),
+      (3L, "HEADER only doc? no: unique\n\ndelta", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.stripBoilerplateFrame(docs, minDocs = 3, broadcastSet = true)
+      .as[(Long, String, Long)].collect().map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(out(0L) == (("alpha\nbeta", 2L)))
+    // trimmed-key match strips the padded header; order preserved
+    assert(out(1L) == (("twice\ngamma", 2L)))
+    assert(out(2L) == (("twice\nself\nself", 3L)))
+    // empty lines survive (never boilerplate keys)
+    assert(out(3L) == (("HEADER only doc? no: unique\n\ndelta", 3L)))
+    // a doc that is ALL boilerplate becomes empty, not dropped
+    val allBl = Seq(
+      (0L, "X", "en", "s", 1L), (1L, "X", "en", "s", 1L),
+      (2L, "X", "en", "s", 1L), (3L, "X\nkeep", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val outBl = TextOps.stripBoilerplateFrame(allBl, minDocs = 3, broadcastSet = true)
+      .as[(Long, String, Long)].collect().map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(outBl(0L) == (("", 0L)) && outBl(3L) == (("keep", 1L)))
+    // the anti-join fallback produces the identical frame on both corpora
+    for (d <- Seq(docs, allBl)) {
+      val a = TextOps.stripBoilerplateFrame(d, 3, broadcastSet = true)
+        .as[(Long, String, Long)].collect().toSet
+      val b = TextOps.stripBoilerplateFrame(d, 3, broadcastSet = false)
+        .as[(Long, String, Long)].collect().toSet
+      assert(a == b)
+    }
+  }
 }
