@@ -1,0 +1,144 @@
+package org.apache.spark.sql.graft.lakehouse
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.FilterColumns
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sinks.{DeltaInterop, HudiInterop, IcebergInterop}
+
+/** The native lakehouse wire-format engines behind Spark's STANDARD
+  * datasource API: `spark.read.format("graft-delta" | "graft-hudi" |
+  * "graft-iceberg").option("path", …)` and the matching
+  * `df.write.format(…).mode(…)` — the call shape of the reference's
+  * `S3{Delta,Hudi,Iceberg}BatchReader` / stream-job writers
+  * (S3DeltaBatchReader.scala, S3HudiBatchReader.scala,
+  * S3IcebergBatchReader.scala) with only the format name swapped, and
+  * no connector jar anywhere.
+  *
+  * Read path: V1 pushed-down filters translate into ONE predicate for
+  * each engine's `readWhere`, so Delta `add.stats` skipping, Iceberg
+  * manifest bounds + partition-record pruning, and Hudi slice
+  * resolution all fire through the standard API BEFORE a scan task is
+  * planned; every filter is reported unhandled, so Spark re-applies
+  * them exactly — pruning stays a pure optimization.
+  *
+  * Options — read: `versionAsOf` (delta), `snapshotId` (iceberg),
+  * `asOfInstant` / `beginInstant` incremental pull (hudi). Write:
+  * `partitionBy` (comma-separated; delta + iceberg), `mergeSchema`
+  * (delta), `recordKey`/`precombine` (hudi, required — routes
+  * insert-or-upsert on table existence with combine-before-insert).
+  */
+abstract class GraftLakehouseProvider(format: String) extends DataSourceRegister
+    with RelationProvider with CreatableRelationProvider {
+
+  override def shortName(): String = s"graft-$format"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new LakehouseRelation(sqlContext, format, parameters)
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      s"graft-$format write needs option(\"path\", …)"))
+    val spark = data.sparkSession
+    val partitionBy = parameters.get("partitionBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val exists = LakehouseRelation.tableExists(spark, format, path)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft-$format table already exists: $path")
+      case SaveMode.Ignore if exists => // no-op per SaveMode contract
+        return createRelation(sqlContext, parameters)
+      case _ => ()
+    }
+    val overwrite = mode == SaveMode.Overwrite
+    format match {
+      case "delta" =>
+        DeltaInterop.write(data, path, partitionBy, overwrite = overwrite,
+          mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+        ()
+      case "hudi" =>
+        val key = parameters.getOrElse("recordKey",
+          throw new IllegalArgumentException(
+            "graft-hudi write needs option(\"recordKey\", …)"))
+        val pre = parameters.getOrElse("precombine",
+          throw new IllegalArgumentException(
+            "graft-hudi write needs option(\"precombine\", …)"))
+        require(!overwrite,
+          "graft-hudi: Overwrite is not supported — Hudi tables evolve by " +
+            "keyed upsert (use SaveMode.Append)")
+        val name = parameters.getOrElse("tableName", "graft_table")
+        val combined = HudiInterop.precombineBatch(data, key, pre)
+        if (exists) HudiInterop.upsert(combined, path, key, pre, partitionBy, name)
+        else HudiInterop.insert(combined, path, key, pre, partitionBy, name)
+        ()
+      case "iceberg" =>
+        IcebergInterop.write(data, path, overwrite = overwrite,
+          partitionBy = partitionBy)
+        ()
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+class GraftDeltaProvider extends GraftLakehouseProvider("delta")
+class GraftHudiProvider extends GraftLakehouseProvider("hudi")
+class GraftIcebergProvider extends GraftLakehouseProvider("iceberg")
+
+private[graft] object LakehouseRelation {
+  def tableExists(spark: SparkSession, format: String, path: String): Boolean =
+    format match {
+      case "delta" => DeltaInterop.latestVersion(spark, path) >= 0
+      case "hudi" => HudiInterop.completedInstants(spark, path).nonEmpty
+      case "iceberg" =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/metadata/version-hint.text"))
+    }
+}
+
+/** Batch relation over one wire-format table. Filters push into the
+  * engine's metadata pruning; all are reported unhandled so Spark
+  * re-applies them exactly on the survivors.
+  */
+private[graft] class LakehouseRelation(
+    override val sqlContext: SQLContext,
+    format: String,
+    params: Map[String, String]) extends BaseRelation with PrunedFilteredScan {
+
+  private val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
+  private val path = params.getOrElse("path", throw new IllegalArgumentException(
+    s"graft-$format read needs option(\"path\", …)"))
+
+  private def planned(where: Option[Column]): DataFrame = format match {
+    case "delta" =>
+      DeltaInterop.readWhere(spark, path, where,
+        versionAsOf = params.get("versionAsOf").map(_.toLong))
+    case "hudi" =>
+      val base = params.get("beginInstant") match {
+        case Some(since) => HudiInterop.readIncremental(spark, path, since)
+        case None => HudiInterop.read(spark, path,
+          asOf = params.get("asOfInstant"))
+      }
+      where.map(base.filter).getOrElse(base)
+    case "iceberg" =>
+      IcebergInterop.readWhere(spark, path, where,
+        snapshotId = params.get("snapshotId").map(_.toLong))
+  }
+
+  override val schema: StructType = planned(None).schema
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pred = filters.flatMap(FilterColumns.toColumn(_)).reduceOption(_ && _)
+    planned(pred).select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+
+  override def toString: String = s"LakehouseRelation[graft-$format, $path]"
+}

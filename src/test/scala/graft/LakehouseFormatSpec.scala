@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{DeltaInterop, HudiInterop, IcebergInterop}
+
+/** The wire-format engines through Spark's STANDARD datasource API —
+  * the reference's batch reader/writer call shape with only the format
+  * name swapped (S3DeltaBatchReader.scala:40-52 etc.).
+  */
+class LakehouseFormatSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-lf-$tag").toFile.getAbsolutePath + "/t"
+
+  private def sample = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+    .toDF("id", "cat", "v")
+
+  test("graft-delta: write/read by format name, SaveMode contract, time travel") {
+    val path = tmp("delta")
+    sample.write.format("graft-delta").option("path", path)
+      .option("partitionBy", "cat").save()
+    val back = spark.read.format("graft-delta").option("path", path).load()
+    assert(back.select("id", "cat", "v").as[(Long, String, Double)]
+      .collect().toSet == sample.as[(Long, String, Double)].collect().toSet)
+    // append accumulates; versionAsOf pins the first commit
+    Seq((4L, "b", 40.0)).toDF("id", "cat", "v")
+      .write.format("graft-delta").option("path", path)
+      .option("partitionBy", "cat").mode(SaveMode.Append).save()
+    assert(spark.read.format("graft-delta").option("path", path).load().count() == 4)
+    assert(spark.read.format("graft-delta").option("path", path)
+      .option("versionAsOf", "0").load().count() == 3)
+    // SaveMode semantics
+    intercept[IllegalStateException] {
+      sample.write.format("graft-delta").option("path", path)
+        .mode(SaveMode.ErrorIfExists).save()
+    }
+    sample.write.format("graft-delta").option("path", path)
+      .mode(SaveMode.Ignore).save() // no-op
+    assert(DeltaInterop.latestVersion(spark, path) == 1L)
+    // filters through the standard API stay exact
+    assert(spark.read.format("graft-delta").option("path", path).load()
+      .filter(col("cat") === "a").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+  }
+
+  test("graft-hudi: keyed insert-then-upsert by format name, incremental pull") {
+    val path = tmp("hudi")
+    // duplicate key in the first batch: combine-before-insert keeps ts=200
+    Seq((1L, "a", 1.0, 100L), (1L, "a", 2.0, 200L), (2L, "b", 5.0, 100L))
+      .toDF("id", "cat", "v", "ts")
+      .write.format("graft-hudi").option("path", path)
+      .option("recordKey", "id").option("precombine", "ts")
+      .option("partitionBy", "cat").save()
+    val i1 = HudiInterop.completedInstants(spark, path).last
+    // second save routes to upsert: id=1 advances, id=3 inserts
+    Seq((1L, "a", 9.0, 300L), (3L, "c", 7.0, 100L))
+      .toDF("id", "cat", "v", "ts")
+      .write.format("graft-hudi").option("path", path)
+      .option("recordKey", "id").option("precombine", "ts")
+      .option("partitionBy", "cat").mode(SaveMode.Append).save()
+    val back = spark.read.format("graft-hudi").option("path", path).load()
+    assert(back.select("id", "v").as[(Long, Double)].collect().toSet ==
+      Set((1L, 9.0), (2L, 5.0), (3L, 7.0)))
+    // incremental pull: only the second commit's records
+    assert(spark.read.format("graft-hudi").option("path", path)
+      .option("beginInstant", i1).load()
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // overwrite refuses loudly (Hudi evolves by upsert)
+    intercept[IllegalArgumentException] {
+      sample.write.format("graft-hudi").option("path", path)
+        .option("recordKey", "id").option("precombine", "v")
+        .mode(SaveMode.Overwrite).save()
+    }
+  }
+
+  test("graft-iceberg: partitioned write by format name, snapshot time travel") {
+    val path = tmp("iceberg")
+    sample.write.format("graft-iceberg").option("path", path)
+      .option("partitionBy", "cat").save()
+    val s1 = {
+      // latest snapshot id via a read of the metadata-backed relation
+      IcebergInterop.read(spark, path) // force table existence
+      val meta = scala.io.Source.fromFile(
+        s"$path/metadata/v1.metadata.json").mkString
+      "\"current-snapshot-id\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(meta).get.group(1).toLong
+    }
+    Seq((4L, "b", 40.0)).toDF("id", "cat", "v")
+      .write.format("graft-iceberg").option("path", path)
+      .option("partitionBy", "cat").mode(SaveMode.Append).save()
+    def rel = spark.read.format("graft-iceberg").option("path", path)
+    assert(rel.load().count() == 4)
+    assert(rel.option("snapshotId", s1.toString).load().count() == 3)
+    // filter + projection through the standard API
+    assert(rel.load().filter(col("cat") === "b" && col("v") > 35.0)
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+}
