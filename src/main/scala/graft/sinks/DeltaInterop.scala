@@ -529,6 +529,28 @@ object DeltaInterop {
     }.toSeq
   }
 
+  /** The rows of `files` as one DataFrame in the table's schema and
+    * column order, partition columns rebuilt from `partitionValues`
+    * (group count = distinct partition tuples among the files —
+    * layout-bounded, same shape as [[readWhere]]).
+    */
+  private def frameOver(spark: SparkSession, path: String, snap: Snapshot,
+      files: Seq[AddFile]): DataFrame = {
+    val schema = snap.schema
+    val partCols = snap.metaData.partitionColumns
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val parts = files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(fs.map(f => s"$path/${decodePath(f.path)}"): _*)
+      partCols.foldLeft(base) { (df, c) =>
+        val dt = schema(c).dataType
+        val v = pv.getOrElse(c, None)
+        df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+    }
+    parts.reduce(_ unionByName _).select(schema.fieldNames.map(col): _*)
+  }
+
   /** A predicate delete's file-level outcome: how much of the table the
     * rewrite actually touched (the untouched files stayed in the log
     * byte-for-byte).
@@ -558,18 +580,7 @@ object DeltaInterop {
     val touched = pruneAdds(spark, snap, Some(where))
     if (touched.isEmpty) // no file can match: no-op, no commit
       return DeleteResult(snap.version, 0, snap.adds.size)
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
-    val parts = touched.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
-      val base = spark.read.schema(dataSchema)
-        .parquet(files.map(f => s"$path/${decodePath(f.path)}"): _*)
-      partCols.foldLeft(base) { (df, c) =>
-        val dt = schema(c).dataType
-        val v = pv.getOrElse(c, None)
-        df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt)))
-      }
-    }
-    val survivors = parts.reduce(_ unionByName _)
-      .select(schema.fieldNames.map(col): _*)
+    val survivors = frameOver(spark, path, snap, touched)
       .filter(!coalesce(where, lit(false)))
       .persist()
     try {
@@ -585,6 +596,89 @@ object DeltaInterop {
       maybeCheckpoint(spark, path, version)
       DeleteResult(version, touched.size, snap.adds.size - touched.size)
     } finally { survivors.unpersist(); () }
+  }
+
+  /** UPDATE … SET on the wire format: rows where `where` is TRUE get
+    * `set`'s expressions (cast to the column's declared type); all
+    * other rows — including NULL-predicate rows — pass through
+    * unchanged. Only stats/partition-overlapping files rewrite, one
+    * atomic commit, same isolation story as [[delete]]. Updating a
+    * partition column is allowed: the rewrite re-partitions hive-style,
+    * so moved rows land in their new directory with correct
+    * `partitionValues`.
+    */
+  def update(spark: SparkSession, path: String, where: Column,
+      set: Map[String, Column]): DeleteResult = {
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path)
+    val schema = snap.schema
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"DeltaInterop update: unknown column $c"))
+    require(set.nonEmpty, "DeltaInterop update: empty SET")
+    val touched = pruneAdds(spark, snap, Some(where))
+    if (touched.isEmpty)
+      return DeleteResult(snap.version, 0, snap.adds.size)
+    val hit = coalesce(where, lit(false))
+    val updated = frameOver(spark, path, snap, touched).select(
+      schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(expr) =>
+            when(hit, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*).persist()
+    try {
+      val adds = stageAdds(updated, path, snap.metaData.partitionColumns)
+      val now = System.currentTimeMillis()
+      val removes = touched.map(a => RemoveFile(a.path, Some(now), dataChange = true))
+      val version = snap.version + 1
+      beforePublish()
+      publish(fs, path, version, removes.map(removeJson) ++ adds.map(addJson))
+      maybeCheckpoint(spark, path, version)
+      DeleteResult(version, touched.size, snap.adds.size - touched.size)
+    } finally { updated.unpersist(); () }
+  }
+
+  /** Delta's `replaceWhere`: atomically replace the rows matching
+    * `where` with `df`'s rows — one commit deletes the matching rows
+    * (rewriting only overlapping files, keeping their non-matching
+    * rows) and inserts the new data. Every incoming row must satisfy
+    * `where` (the API's constraint), checked distributed and refused
+    * loudly BEFORE any file moves.
+    */
+  def replaceWhere(df: DataFrame, path: String, where: Column): Long = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path)
+    val schema = snap.schema
+    require(schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)),
+      s"DeltaInterop replaceWhere: schema must match the table " +
+        s"(table ${schema.simpleString}, batch ${df.schema.simpleString})")
+    val violations = df.filter(!coalesce(where, lit(false))).limit(1).count()
+    require(violations == 0L,
+      "DeltaInterop replaceWhere: incoming rows must all satisfy the predicate")
+    val touched = pruneAdds(spark, snap, Some(where))
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(frameOver(spark, path, snap, touched)
+        .filter(!coalesce(where, lit(false))).persist())
+    try {
+      val partCols = snap.metaData.partitionColumns
+      val survivorAdds = survivors match {
+        case Some(s) if s.limit(1).count() > 0 => stageAdds(s, path, partCols)
+        case _ => Nil
+      }
+      val newAdds = stageAdds(df, path, partCols)
+      val now = System.currentTimeMillis()
+      val removes = touched.map(a => RemoveFile(a.path, Some(now), dataChange = true))
+      val version = snap.version + 1
+      beforePublish()
+      publish(fs, path, version,
+        removes.map(removeJson) ++ (survivorAdds ++ newAdds).map(addJson))
+      maybeCheckpoint(spark, path, version)
+      version
+    } finally { survivors.foreach(_.unpersist()); () }
   }
 
   /** Test-only injection point: runs after the writer resolved its

@@ -414,4 +414,59 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, path2).select("id").as[Long]
       .collect().toSet == Set(1L, 2L))
   }
+
+  test("update rewrites matching rows in place; partition-column update moves rows") {
+    val path = tmp("upd")
+    DeltaInterop.write(
+      ss.range(0, 100).toDF("id").withColumn("v", col("id").cast("double"))
+        .repartitionByRange(4, col("id")), path)
+    val r = DeltaInterop.update(spark, path, col("id") < 10L,
+      Map("v" -> (col("v") * 100)))
+    assert(r.rewrittenFiles == 1, s"stats must bound the rewrite (${r.rewrittenFiles})")
+    val got = DeltaInterop.read(spark, path)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(got(5L) == 500.0 && got(50L) == 50.0)
+    assert(got.size == 100)
+    // update that MOVES rows across hive partitions
+    val p2 = tmp("updpart")
+    DeltaInterop.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "cat", "v"),
+      p2, partitionBy = Seq("cat"))
+    DeltaInterop.update(spark, p2, col("id") === 1L, Map("cat" -> lit("c")))
+    val snap = DeltaInterop.snapshot(spark, p2)
+    assert(snap.adds.exists(_.partitionValues.get("cat").flatten.contains("c")))
+    assert(DeltaInterop.read(spark, p2).filter(col("cat") === "c")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // unknown SET column refuses
+    intercept[IllegalArgumentException] {
+      DeltaInterop.update(spark, p2, lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
+  test("replaceWhere: one-commit predicate swap; constraint violations refuse") {
+    val path = tmp("rw")
+    DeltaInterop.write(
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)).toDF("id", "cat", "v"),
+      path, partitionBy = Seq("cat"))
+    // replace partition a's rows with a recomputed slice
+    val v = DeltaInterop.replaceWhere(
+      Seq((10L, "a", 10.0)).toDF("id", "cat", "v"), path, col("cat") === "a")
+    assert(v == 1L)
+    assert(DeltaInterop.read(spark, path).select("id").as[Long]
+      .collect().toSet == Set(10L, 3L))
+    // old version intact
+    assert(DeltaInterop.read(spark, path, versionAsOf = Some(0L)).count() == 3)
+    // incoming rows outside the predicate refuse loudly, nothing committed
+    intercept[IllegalArgumentException] {
+      DeltaInterop.replaceWhere(
+        Seq((11L, "b", 11.0)).toDF("id", "cat", "v"), path, col("cat") === "a")
+    }
+    assert(DeltaInterop.latestVersion(spark, path) == 1L)
+    // predicate cutting THROUGH a file keeps that file's other rows
+    val p2 = tmp("rw2")
+    DeltaInterop.write(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v")
+      .coalesce(1), p2)
+    DeltaInterop.replaceWhere(Seq((9L, 9.0)).toDF("id", "v"), p2, col("id") >= 2L)
+    assert(DeltaInterop.read(spark, p2).select("id").as[Long]
+      .collect().toSet == Set(1L, 9L))
+  }
 }
