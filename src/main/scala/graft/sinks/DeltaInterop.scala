@@ -493,7 +493,7 @@ object DeltaInterop {
     * failed commit leaves only unreferenced debris.
     */
   private def stageAdds(df: DataFrame, path: String,
-      partitionBy: Seq[String]): Seq[AddFile] = {
+      partitionBy: Seq[String], dataChange: Boolean = true): Seq[AddFile] = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val stagePath = new Path(s"$path/$StageDir/${java.util.UUID.randomUUID}")
@@ -523,7 +523,7 @@ object DeltaInterop {
     staged.map { case (_, rel, size) =>
       val st = statsByFile.get(FileStats.basename(rel))
       AddFile(encodePath(rel), partitionValuesOf(rel, partitionBy), size, now,
-        dataChange = true,
+        dataChange = dataChange,
         stats = st.map(s => statsJson(s.numRecords.getOrElse(0L),
           dataSchema.fields.toSeq.flatMap(f => s.cols.get(f.name).map(f -> _)))))
     }.toSeq
@@ -679,6 +679,72 @@ object DeltaInterop {
       maybeCheckpoint(spark, path, version)
       version
     } finally { survivors.foreach(_.unpersist()); () }
+  }
+
+  /** OPTIMIZE (bin-packing compaction): every hive partition holding
+    * more than one live file rewrites into one file per partition
+    * tuple; single-file partitions are untouched. All actions carry
+    * `dataChange = false` — the protocol's signal that the commit is
+    * maintenance, so streaming readers tailing the table skip it
+    * instead of re-emitting rows. This is the operational pair of a
+    * per-micro-batch streaming sink: at 100 TB a compactor runs beside
+    * the stream and the small-file count stays bounded per partition
+    * instead of growing with stream age.
+    */
+  def compact(spark: SparkSession, path: String): DeleteResult = {
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path)
+    val partCols = snap.metaData.partitionColumns
+    val multi = snap.adds.groupBy(_.partitionValues).filter(_._2.size > 1)
+    if (multi.isEmpty) return DeleteResult(snap.version, 0, snap.adds.size)
+    val touched = multi.values.flatten.toSeq
+    val frame = frameOver(spark, path, snap, touched)
+    // one task per partition tuple → one output file per hive dir
+    val packed =
+      if (partCols.isEmpty) frame.coalesce(1)
+      else frame.repartition(multi.size, partCols.map(col): _*)
+    val adds = stageAdds(packed, path, partCols, dataChange = false)
+    val now = System.currentTimeMillis()
+    val removes = touched.map(a => RemoveFile(a.path, Some(now), dataChange = false))
+    val version = snap.version + 1
+    beforePublish()
+    publish(fs, path, version, removes.map(removeJson) ++ adds.map(addJson))
+    maybeCheckpoint(spark, path, version)
+    DeleteResult(version, touched.size, snap.adds.size - touched.size)
+  }
+
+  /** VACUUM: physically delete data files that are no longer referenced
+    * by the CURRENT snapshot and have been unreferenced for at least
+    * `retentionMs` (judged by file modification time, the protocol's
+    * own heuristic). Time travel older than the retention window stops
+    * working after a vacuum — Delta's documented contract — so the
+    * default keeps 7 days. Returns the deleted file count.
+    *
+    * The walk lists the table tree once (driver-side, per maintenance
+    * run — not per query; queries never list).
+    */
+  def vacuum(spark: SparkSession, path: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    require(retentionMs >= 0, "vacuum: negative retention")
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path)
+    val live: Set[String] = snap.adds.map(a => decodePath(a.path)).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val base = fs.makeQualified(new Path(path)).toString
+    var deleted = 0
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) { if (name != LogDir) walk(st.getPath) }
+      else if (name.endsWith(".parquet")) {
+        val rel = fs.makeQualified(st.getPath).toString.stripPrefix(base + "/")
+        if (!live.contains(rel) && st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false)
+          deleted += 1
+        }
+      }
+    }
+    walk(new Path(path))
+    deleted
   }
 
   /** Test-only injection point: runs after the writer resolved its

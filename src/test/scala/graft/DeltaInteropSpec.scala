@@ -469,4 +469,46 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, p2).select("id").as[Long]
       .collect().toSet == Set(1L, 9L))
   }
+
+  test("compact bin-packs multi-file partitions with dataChange=false; vacuum reclaims") {
+    val path = tmp("opt")
+    // 3 appends → 3 files in cat=a, 1 in cat=b
+    Seq((1L, "a", 1.0)).toDF("id", "cat", "v")
+      .write.format("graft-delta").option("path", path)
+      .option("partitionBy", "cat").save()
+    for (i <- 2L to 3L)
+      DeltaInterop.write(Seq((i, "a", i.toDouble)).toDF("id", "cat", "v"),
+        path, partitionBy = Seq("cat"))
+    DeltaInterop.write(Seq((9L, "b", 9.0)).toDF("id", "cat", "v"),
+      path, partitionBy = Seq("cat"))
+    val before = DeltaInterop.snapshot(spark, path)
+    assert(before.adds.count(_.partitionValues.get("cat").flatten.contains("a")) == 3)
+    val bFile = before.adds.find(_.partitionValues.get("cat").flatten.contains("b")).get
+    val r = DeltaInterop.compact(spark, path)
+    assert(r.rewrittenFiles == 3 && r.untouchedFiles == 1)
+    val after = DeltaInterop.snapshot(spark, path)
+    assert(after.adds.count(_.partitionValues.get("cat").flatten.contains("a")) == 1,
+      "cat=a packs to one file")
+    assert(after.adds.contains(bFile), "single-file partition untouched verbatim")
+    // maintenance commit: every action carries dataChange=false
+    val commit = scala.io.Source.fromFile(
+      s"$path/_delta_log/${"%020d".format(r.version)}.json").mkString
+    assert(!commit.contains("\"dataChange\":true"))
+    assert(DeltaInterop.read(spark, path).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 9L), "rows unchanged by compaction")
+    // a second compact is a no-op
+    assert(DeltaInterop.compact(spark, path).rewrittenFiles == 0)
+    // vacuum with zero retention deletes exactly the 3 unreferenced files
+    val dataFiles = (f: String) => {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles).toSeq.flatten.flatMap(x =>
+          if (x.isDirectory) { if (x.getName == "_delta_log") Nil else walk(x) }
+          else if (x.getName.endsWith(".parquet")) Seq(x) else Nil)
+      walk(new java.io.File(f))
+    }
+    val nBefore = dataFiles(path).size
+    assert(DeltaInterop.vacuum(spark, path, retentionMs = 0L) == 3)
+    assert(dataFiles(path).size == nBefore - 3)
+    assert(DeltaInterop.read(spark, path).count() == 4, "live data intact")
+  }
 }
