@@ -229,6 +229,59 @@ object IcebergInterop {
   private final case class DataFileRef(path: String, records: Long, bytes: Long,
       partValues: Seq[Option[String]] = Nil)
 
+  /** Stage `df`'s parquet files, then move them into `data/` under
+    * commit-unique names. NOT dot-prefixed staging: Spark's hidden-path
+    * filter would silently skip a ".stage" dir when reading it back for
+    * the per-file record counts. Partitioned tables stage under a
+    * SINGLE synthetic `__pdir` token (url-encoded values joined by
+    * ','): only __pdir is dropped from the data files, so identity
+    * source columns stay physically present — the layout the spec
+    * expects from real writers.
+    */
+  private def stageDataFiles(df: DataFrame, path: String,
+      partitionBy: Seq[String], fs: FileSystem): Seq[DataFileRef] = {
+    val spark = df.sparkSession
+    val stage = new Path(s"$path/metadata/stage-${java.util.UUID.randomUUID}")
+    if (partitionBy.isEmpty)
+      df.write.mode("overwrite").parquet(stage.toString)
+    else {
+      val token = concat(lit("v"), concat_ws(",", partitionBy.map(c =>
+        coalesce(url_encode(col(c).cast("string")), lit(NullToken))): _*))
+      df.withColumn("__pdir", token)
+        .write.mode("overwrite").partitionBy("__pdir").parquet(stage.toString)
+    }
+    val counts = spark.read.parquet(stage.toString)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
+    val stagedFiles: Seq[(org.apache.hadoop.fs.FileStatus, Seq[Option[String]])] =
+      if (partitionBy.isEmpty)
+        fs.listStatus(stage).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => (st, Nil))
+      else fs.listStatus(stage).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__pdir="))
+        .flatMap { d =>
+          val values = decodeToken(
+            d.getPath.getName.stripPrefix("__pdir="), partitionBy.size)
+          fs.listStatus(d.getPath).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet")).map((_, values))
+        }
+    val moved = stagedFiles.zipWithIndex.map { case ((st, values), i) =>
+      val name = f"00000-$i%05d-${java.util.UUID.randomUUID()}.parquet"
+      // cosmetic hive-ish dir per partition tuple (readers use manifests)
+      val subdir = partitionBy.zip(values).map { case (c, v) =>
+        s"$c=${v.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("null")}"
+      }.mkString("/")
+      val dir = if (subdir.isEmpty) s"$path/data" else s"$path/data/$subdir"
+      val dst = new Path(s"$dir/$name")
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(st.getPath, dst), s"move failed: $dst")
+      DataFileRef(s"$dir/$name",
+        counts.getOrElse(st.getPath.getName, 0L), st.getLen, values)
+    }
+    fs.delete(stage, true)
+    moved
+  }
+
   // ---- identity partitioning plumbing ----
 
   /** Null marker inside the staging-dir token: `~` cannot appear in
@@ -411,51 +464,7 @@ object IcebergInterop {
           return (meta \ "current-snapshot-id").extract[Long]
       }
     }
-    // stage data files, then move into data/ under commit-unique names
-    // NOT dot-prefixed: Spark's hidden-path filter would silently skip
-    // a ".stage" dir when reading it back for the per-file record counts.
-    // Partitioned tables stage under a SINGLE synthetic `__pdir` token
-    // (url-encoded values joined by ','): only __pdir is dropped from
-    // the data files, so identity source columns stay physically
-    // present — the layout the spec expects from real writers.
-    val stage = new Path(s"$path/metadata/stage-${java.util.UUID.randomUUID}")
-    if (partitionBy.isEmpty)
-      df.write.mode("overwrite").parquet(stage.toString)
-    else {
-      val token = concat(lit("v"), concat_ws(",", partitionBy.map(c =>
-        coalesce(url_encode(col(c).cast("string")), lit(NullToken))): _*))
-      df.withColumn("__pdir", token)
-        .write.mode("overwrite").partitionBy("__pdir").parquet(stage.toString)
-    }
-    val counts = spark.read.parquet(stage.toString)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect().map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
-    val stagedFiles: Seq[(org.apache.hadoop.fs.FileStatus, Seq[Option[String]])] =
-      if (partitionBy.isEmpty)
-        fs.listStatus(stage).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
-          .map(st => (st, Nil))
-      else fs.listStatus(stage).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__pdir="))
-        .flatMap { d =>
-          val values = decodeToken(
-            d.getPath.getName.stripPrefix("__pdir="), partitionBy.size)
-          fs.listStatus(d.getPath).toSeq
-            .filter(_.getPath.getName.endsWith(".parquet")).map((_, values))
-        }
-    val moved = stagedFiles.zipWithIndex.map { case ((st, values), i) =>
-      val name = f"00000-$i%05d-${java.util.UUID.randomUUID()}.parquet"
-      // cosmetic hive-ish dir per partition tuple (readers use manifests)
-      val subdir = partitionBy.zip(values).map { case (c, v) =>
-        s"$c=${v.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("null")}"
-      }.mkString("/")
-      val dir = if (subdir.isEmpty) s"$path/data" else s"$path/data/$subdir"
-      val dst = new Path(s"$dir/$name")
-      fs.mkdirs(dst.getParent)
-      require(fs.rename(st.getPath, dst), s"move failed: $dst")
-      DataFileRef(s"$dir/$name",
-        counts.getOrElse(st.getPath.getName, 0L), st.getLen, values)
-    }
-    fs.delete(stage, true)
+    val moved = stageDataFiles(df, path, partitionBy, fs)
 
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val now = System.currentTimeMillis()
@@ -467,49 +476,8 @@ object IcebergInterop {
     // one manifest for this commit's files
     val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-m0.avro"
     val entrySchema = manifestEntrySchema(partFields)
-    val dataFileSchema = entrySchema.getField("data_file").schema()
-    def kvItemSchema(field: String) =
-      dataFileSchema.getField(field).schema().getTypes.get(1).getElementType
-    def kvList(field: String, pairs: Seq[(Int, Any)]): java.util.List[GenericRecord] =
-      pairs.map { case (k, v) =>
-        val r = new GenericData.Record(kvItemSchema(field))
-        r.put("key", k); r.put("value", v); r: GenericRecord
-      }.asJava
-    val entries = moved.map { f =>
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", 1) // ADDED
-      e.put("snapshot_id", snapshotId)
-      val d = new GenericData.Record(dataFileSchema)
-      d.put("file_path", f.path)
-      d.put("file_format", "PARQUET")
-      val partRec = new GenericData.Record(
-        dataFileSchema.getField("partition").schema())
-      partFields.zip(f.partValues).foreach { case (pf, v) =>
-        partRec.put(pf.name, v.map(partAvroValue(_, pf.dataType)).orNull)
-      }
-      d.put("partition", partRec)
-      d.put("record_count", f.records)
-      d.put("file_size_in_bytes", f.bytes)
-      d.put("block_size_in_bytes", 67108864L)
-      statsByFile.get(FileStats.basename(f.path)).foreach { st =>
-        val fields = df.schema.fields.zipWithIndex
-        d.put("value_counts", kvList("value_counts",
-          fields.map { case (_, i) => (i + 1) -> st.numRecords.getOrElse(0L) }.toSeq))
-        d.put("null_value_counts", kvList("null_value_counts",
-          fields.toSeq.flatMap { case (fld, i) =>
-            st.cols.get(fld.name).flatMap(_.nullCount).map((i + 1) -> _) }))
-        d.put("lower_bounds", kvList("lower_bounds",
-          fields.toSeq.flatMap { case (fld, i) =>
-            st.cols.get(fld.name).flatMap(_.min)
-              .flatMap(boundBytes(_, fld.dataType)).map((i + 1) -> _) }))
-        d.put("upper_bounds", kvList("upper_bounds",
-          fields.toSeq.flatMap { case (fld, i) =>
-            st.cols.get(fld.name).flatMap(_.max)
-              .flatMap(boundBytes(_, fld.dataType)).map((i + 1) -> _) }))
-      }
-      e.put("data_file", d)
-      e
-    }
+    val entries = buildEntries(moved, snapshotId, df.schema, partFields,
+      statsByFile, entrySchema)
     val manifestLen = writeAvro(fs, new Path(manifestPath), entrySchema,
       Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJ)),
         "partition-spec" -> JsonMethods.compact(JsonMethods.render(
@@ -739,6 +707,244 @@ object IcebergInterop {
     val v1 = read(spark, out, snapshotId = Some(s1)).groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows_s1"))
     latest.join(v1, "o_orderstatus").orderBy(col("o_orderstatus"))
+  }
+
+  /** ADDED (status 1) manifest entries for freshly staged files: typed
+    * partition record + the spec's column-stats maps (field-id keyed)
+    * from the commit's one distributed stats pass.
+    */
+  private def buildEntries(moved: Seq[DataFileRef], snapshotId: Long,
+      schema: StructType, partFields: Seq[StructField],
+      statsByFile: Map[String, FileStats.FileStat],
+      entrySchema: org.apache.avro.Schema): Seq[GenericRecord] = {
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    def kvItemSchema(field: String) =
+      dataFileSchema.getField(field).schema().getTypes.get(1).getElementType
+    def kvList(field: String, pairs: Seq[(Int, Any)]): java.util.List[GenericRecord] =
+      pairs.map { case (k, v) =>
+        val r = new GenericData.Record(kvItemSchema(field))
+        r.put("key", k); r.put("value", v); r: GenericRecord
+      }.asJava
+    moved.map { f =>
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(dataFileSchema)
+      d.put("file_path", f.path)
+      d.put("file_format", "PARQUET")
+      val partRec = new GenericData.Record(
+        dataFileSchema.getField("partition").schema())
+      partFields.zip(f.partValues).foreach { case (pf, v) =>
+        partRec.put(pf.name, v.map(partAvroValue(_, pf.dataType)).orNull)
+      }
+      d.put("partition", partRec)
+      d.put("record_count", f.records)
+      d.put("file_size_in_bytes", f.bytes)
+      d.put("block_size_in_bytes", 67108864L)
+      statsByFile.get(FileStats.basename(f.path)).foreach { st =>
+        val fields = schema.fields.zipWithIndex
+        d.put("value_counts", kvList("value_counts",
+          fields.map { case (_, i) => (i + 1) -> st.numRecords.getOrElse(0L) }.toSeq))
+        d.put("null_value_counts", kvList("null_value_counts",
+          fields.toSeq.flatMap { case (fld, i) =>
+            st.cols.get(fld.name).flatMap(_.nullCount).map((i + 1) -> _) }))
+        d.put("lower_bounds", kvList("lower_bounds",
+          fields.toSeq.flatMap { case (fld, i) =>
+            st.cols.get(fld.name).flatMap(_.min)
+              .flatMap(boundBytes(_, fld.dataType)).map((i + 1) -> _) }))
+        d.put("upper_bounds", kvList("upper_bounds",
+          fields.toSeq.flatMap { case (fld, i) =>
+            st.cols.get(fld.name).flatMap(_.max)
+              .flatMap(boundBytes(_, fld.dataType)).map((i + 1) -> _) }))
+      }
+      e.put("data_file", d)
+      e
+    }
+  }
+
+  /** The live (status != DELETED) data-file entries of a snapshot,
+    * with their manifest-entry records.
+    */
+  private def liveEntries(fs: FileSystem, snap: JValue): Seq[GenericRecord] =
+    readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
+      .flatMap(r => readAvro(fs, new Path(r.get("manifest_path").toString)))
+      .filter(_.get("status").asInstanceOf[Int] != 2)
+
+  /** Partition tuple of a manifest entry (null-safe), for grouping. */
+  private def partKeyOf(e: GenericRecord,
+      partFields: Seq[StructField]): Seq[Option[Any]] = {
+    val rec = e.get("data_file").asInstanceOf[GenericRecord]
+      .get("partition").asInstanceOf[GenericRecord]
+    partFields.map(pf =>
+      if (rec.getSchema.getField(pf.name) == null) None
+      else Option(rec.get(pf.name)).map {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case v => v
+      })
+  }
+
+  /** Append a snapshot to the EXISTING table metadata (no schema/spec
+    * change — maintenance commits), returning the new version. The
+    * metadata JSON is the previous one with snapshot bookkeeping
+    * updated, so every other field round-trips byte-compatible.
+    */
+  private def commitMaintenance(fs: FileSystem, path: String, version: Int,
+      meta: JValue, snapshotId: Long, listPath: String,
+      operation: String, dropSnapshotIds: Set[Long] = Set.empty): Int = {
+    val now = System.currentTimeMillis()
+    val parent = (meta \ "current-snapshot-id").extract[Long]
+    val snapshot = JObject(
+      "snapshot-id" -> JLong(snapshotId),
+      "parent-snapshot-id" -> JLong(parent),
+      "timestamp-ms" -> JLong(now),
+      "summary" -> JObject("operation" -> JString(operation)),
+      "manifest-list" -> JString(listPath),
+      "schema-id" -> JInt(0))
+    val keptSnaps = (meta \ "snapshots").extract[List[JValue]]
+      .filterNot(s => dropSnapshotIds.contains((s \ "snapshot-id").extract[Long]))
+    val keptLog = (meta \ "snapshot-log").extractOrElse[List[JValue]](Nil)
+      .filterNot(s => dropSnapshotIds.contains((s \ "snapshot-id").extract[Long]))
+    val updated = JObject(meta.asInstanceOf[JObject].obj.map {
+      case ("last-updated-ms", _) => "last-updated-ms" -> (JLong(now): JValue)
+      case ("current-snapshot-id", _) =>
+        "current-snapshot-id" -> (JLong(snapshotId): JValue)
+      case ("snapshots", _) =>
+        "snapshots" -> (JArray(keptSnaps :+ snapshot): JValue)
+      case ("snapshot-log", _) =>
+        "snapshot-log" -> (JArray(keptLog :+ JObject(
+          "timestamp-ms" -> JLong(now),
+          "snapshot-id" -> JLong(snapshotId))): JValue)
+      case other => other
+    })
+    val newVersion = version + 1
+    val metaPath = new Path(s"$path/metadata/v$newVersion.metadata.json")
+    require(!fs.exists(metaPath),
+      s"Iceberg metadata v$newVersion already exists (concurrent writer)")
+    writeFile(fs, metaPath, JsonMethods.pretty(JsonMethods.render(updated))
+      .getBytes(StandardCharsets.UTF_8))
+    writeFile(fs, new Path(s"$path/metadata/version-hint.text"),
+      newVersion.toString.getBytes(StandardCharsets.UTF_8))
+    newVersion
+  }
+
+  /** rewrite_data_files (bin-packing compaction): every partition tuple
+    * holding more than one live file rewrites into one; untouched
+    * files carry into the new snapshot as EXISTING (status 0) entries
+    * keeping their stats verbatim. The new snapshot's manifest list
+    * references ONE manifest covering the whole live file set —
+    * operation `replace`, rows unchanged. The streaming-sink pair:
+    * one snapshot per micro-batch means file count grows with stream
+    * age unless a compactor runs beside it.
+    */
+  def compact(spark: SparkSession, path: String): Long = {
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val schema = schemaFromJson((meta \ "schemas")(0))
+    val partFields = partFieldsOf(meta, schema)
+    val current = (meta \ "current-snapshot-id").extract[Long]
+    val snap = (meta \ "snapshots").extract[List[JValue]]
+      .find(s => (s \ "snapshot-id").extract[Long] == current).get
+    val entries = liveEntries(fs, snap)
+    val grouped = entries.groupBy(partKeyOf(_, partFields))
+    val multi = grouped.filter(_._2.size > 1)
+    if (multi.isEmpty) return current
+    val untouched = grouped.filterNot(g => multi.contains(g._1)).values.flatten.toSeq
+    val touchedPaths = multi.values.flatten.toSeq.map(
+      _.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+    val frame = spark.read.schema(schema).parquet(touchedPaths: _*)
+    val packed =
+      if (partFields.isEmpty) frame.coalesce(1)
+      else frame.repartition(multi.size, partFields.map(f => col(f.name)): _*)
+    val moved = stageDataFiles(packed, path, partFields.map(_.name), fs)
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val statsByFile = FileStats.collect(spark, moved.map(_.path), schema)
+    val entrySchema = manifestEntrySchema(partFields)
+    val newEntries = buildEntries(moved, snapshotId, schema, partFields,
+      statsByFile, entrySchema) ++
+      untouched.map { old =>
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 0) // EXISTING
+        e.put("snapshot_id", old.get("snapshot_id"))
+        e.put("data_file", old.get("data_file"))
+        e
+      }
+    val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-m0.avro"
+    val manifestLen = writeAvro(fs, new Path(manifestPath), entrySchema,
+      Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
+        "partition-spec" -> JsonMethods.compact(JsonMethods.render(
+          specFieldsJson(partFields, schema))),
+        "partition-spec-id" -> "0", "format-version" -> "1"),
+      newEntries)
+    val listPath = s"$path/metadata/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
+    val listRec = new GenericData.Record(ManifestFileSchema)
+    listRec.put("manifest_path", manifestPath)
+    listRec.put("manifest_length", manifestLen)
+    listRec.put("partition_spec_id", 0)
+    listRec.put("added_snapshot_id", snapshotId)
+    writeAvro(fs, new Path(listPath), ManifestFileSchema,
+      Map("format-version" -> "1"), Seq(listRec))
+    commitMaintenance(fs, path, version, meta, snapshotId, listPath, "replace")
+    snapshotId
+  }
+
+  /** expire_snapshots: drop all but the newest `keepLast` snapshots
+    * from the metadata and physically delete every manifest list,
+    * manifest, and data file referenced ONLY by the expired ones.
+    * Time travel to an expired snapshot stops working — the spec's
+    * documented trade; current reads are untouched. Returns
+    * (expired snapshot count, deleted data-file count).
+    */
+  def expireSnapshots(spark: SparkSession, path: String,
+      keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "expireSnapshots: keepLast must be >= 1")
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val all = (meta \ "snapshots").extract[List[JValue]]
+    if (all.size <= keepLast) return (0, 0)
+    val keep = all.takeRight(keepLast)
+    val expired = all.dropRight(keepLast)
+    val current = (meta \ "current-snapshot-id").extract[Long]
+    require(keep.exists(s => (s \ "snapshot-id").extract[Long] == current),
+      "expireSnapshots: the current snapshot must survive")
+    def listsOf(snaps: Seq[JValue]): Seq[String] =
+      snaps.map(s => (s \ "manifest-list").extract[String])
+    def manifestsOf(lists: Seq[String]): Set[String] =
+      lists.flatMap(l => readAvro(fs, new Path(l))
+        .map(_.get("manifest_path").toString)).toSet
+    def filesOf(manifests: Set[String]): Set[String] =
+      manifests.flatMap(m => readAvro(fs, new Path(m)).map(
+        _.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
+    val keepManifests = manifestsOf(listsOf(keep))
+    val keepFiles = filesOf(keepManifests)
+    val deadManifests = manifestsOf(listsOf(expired)) -- keepManifests
+    val deadFiles = filesOf(deadManifests) -- keepFiles
+    deadFiles.foreach(f => fs.delete(new Path(f), false))
+    deadManifests.foreach(m => fs.delete(new Path(m), false))
+    listsOf(expired).foreach(l => fs.delete(new Path(l), false))
+    val expiredIds = expired.map(s => (s \ "snapshot-id").extract[Long]).toSet
+    // a metadata-only commit: same current snapshot, expired ones gone
+    val keptLog = (meta \ "snapshot-log").extractOrElse[List[JValue]](Nil)
+      .filterNot(s => expiredIds.contains((s \ "snapshot-id").extract[Long]))
+    val updated = JObject(meta.asInstanceOf[JObject].obj.map {
+      case ("last-updated-ms", _) =>
+        "last-updated-ms" -> (JLong(System.currentTimeMillis()): JValue)
+      case ("snapshots", _) => "snapshots" -> (JArray(keep.toList): JValue)
+      case ("snapshot-log", _) => "snapshot-log" -> (JArray(keptLog): JValue)
+      case other => other
+    })
+    val newVersion = version + 1
+    val metaPath = new Path(s"$path/metadata/v$newVersion.metadata.json")
+    require(!fs.exists(metaPath),
+      s"Iceberg metadata v$newVersion already exists (concurrent writer)")
+    writeFile(fs, metaPath, JsonMethods.pretty(JsonMethods.render(updated))
+      .getBytes(StandardCharsets.UTF_8))
+    writeFile(fs, new Path(s"$path/metadata/version-hint.text"),
+      newVersion.toString.getBytes(StandardCharsets.UTF_8))
+    (expired.size, deadFiles.size)
   }
 
   /** Driver-checked identity-partitioned table: write orders

@@ -281,4 +281,66 @@ class IcebergInteropSpec extends SparkSpec {
     assert(IcebergInterop.read(spark, path).as[(Long, String, Double)]
       .collect().toSeq == Seq((9L, "z", 9.0)))
   }
+
+  test("compact bin-packs multi-file partitions into a replace snapshot") {
+    val path = tmp("compact")
+    // 3 appends into cat=a (3 files), 1 into cat=b
+    for (i <- 1L to 3L)
+      IcebergInterop.write(Seq((i, "a", i.toDouble)).toDF("id", "cat", "v"),
+        path, partitionBy = Seq("cat"))
+    IcebergInterop.write(Seq((9L, "b", 9.0)).toDF("id", "cat", "v"),
+      path, partitionBy = Seq("cat"))
+    val filesBefore = IcebergInterop.liveFilesWhere(spark, path, None)
+    assert(filesBefore.size == 4)
+    val bFiles = IcebergInterop.liveFilesWhere(spark, path,
+      Some(col("cat") === "b")).toSet
+    IcebergInterop.compact(spark, path)
+    val filesAfter = IcebergInterop.liveFilesWhere(spark, path, None)
+    assert(filesAfter.size == 2, s"a packs to 1, b untouched (${filesAfter.size})")
+    assert(bFiles.subsetOf(filesAfter.toSet), "single-file partition kept verbatim")
+    assert(IcebergInterop.read(spark, path).select("id", "v")
+      .as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.0), (2L, 2.0), (3L, 3.0), (9L, 9.0)), "rows unchanged")
+    // partition pruning still works over the compacted manifest
+    assert(IcebergInterop.liveFilesWhere(spark, path,
+      Some(col("cat") === "a")).size == 1)
+    // idempotent: nothing left to pack → same snapshot comes back
+    val again = IcebergInterop.compact(spark, path)
+    implicit val fmts: Formats = DefaultFormats
+    val hint = scala.io.Source.fromFile(s"$path/metadata/version-hint.text")
+      .mkString.trim.toInt
+    val meta = JsonMethods.parse(scala.io.Source.fromFile(
+      s"$path/metadata/v$hint.metadata.json").mkString)
+    assert((meta \ "current-snapshot-id").extract[Long] == again)
+    assert(((meta \ "snapshots").extract[List[JValue]].last \ "summary" \
+      "operation").extract[String] == "replace")
+  }
+
+  test("expireSnapshots trims metadata and garbage-collects expired-only files") {
+    val path = tmp("expire")
+    for (i <- 1L to 4L)
+      IcebergInterop.write(Seq((i, i.toDouble)).toDF("id", "v"), path)
+    val before = new java.io.File(s"$path/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 4)
+    // overwrite makes the 4 old data files unreachable from the newest snapshot
+    IcebergInterop.write(Seq((99L, 99.0)).toDF("id", "v"), path, overwrite = true)
+    val (expired, deleted) = IcebergInterop.expireSnapshots(spark, path, keepLast = 1)
+    assert(expired == 4 && deleted == 4)
+    assert(new java.io.File(s"$path/data").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(IcebergInterop.read(spark, path).select("id").as[Long]
+      .collect().toSeq == Seq(99L), "current snapshot intact")
+    implicit val fmts: Formats = DefaultFormats
+    val hint = scala.io.Source.fromFile(s"$path/metadata/version-hint.text")
+      .mkString.trim.toInt
+    val meta = JsonMethods.parse(scala.io.Source.fromFile(
+      s"$path/metadata/v$hint.metadata.json").mkString)
+    assert((meta \ "snapshots").extract[List[JValue]].size == 1)
+    // appends still reachable after expiry (append carries the kept manifest)
+    IcebergInterop.write(Seq((100L, 100.0)).toDF("id", "v"), path)
+    assert(IcebergInterop.read(spark, path).count() == 2)
+    // a no-op expiry when everything fits the window
+    assert(IcebergInterop.expireSnapshots(spark, path, keepLast = 5) == ((0, 0)))
+  }
 }
