@@ -162,6 +162,41 @@ object HudiInterop {
       sinceInstant: String): DataFrame =
     read(spark, path).filter(col("_hoodie_commit_time") > sinceInstant)
 
+  /** Hudi's cleaner (KEEP_LATEST_COMMITS policy): per file group, keep
+    * every slice version needed to serve queries as of the newest
+    * `retainCommits` commits — the versions at-or-after the retention
+    * horizon plus the latest one before it — and physically delete the
+    * rest. Upserts rewrite whole slices (copy-on-write), so without a
+    * cleaner a hot key's group accumulates one full file per upsert
+    * forever; with it, disk stays O(live data × retained history).
+    * Time travel older than the horizon stops working, Hudi's
+    * documented trade. A `<instant>.clean` completes on the timeline.
+    * Returns the deleted slice-file count.
+    */
+  def clean(spark: SparkSession, path: String, retainCommits: Int): Int = {
+    require(retainCommits >= 1, s"clean: retainCommits must be >= 1")
+    val fs = fsFor(spark, path)
+    val committed = timelineInstants(fs, path, ".commit")
+    if (committed.size <= retainCommits) return 0
+    val horizon = committed.takeRight(retainCommits).head
+    var deleted = 0
+    slices(fs, path).filter(s => committed.contains(s.instant))
+      .groupBy(s => (s.dir, s.fileId)).values.foreach { group =>
+        val sorted = group.sortBy(_.instant)
+        val keep = (sorted.filter(_.instant >= horizon) ++
+          sorted.filter(_.instant < horizon).lastOption.toSeq).map(_.rel).toSet
+        sorted.filterNot(s => keep.contains(s.rel)).foreach { s =>
+          fs.delete(new Path(s"$path/${s.rel}"), false)
+          deleted += 1
+        }
+      }
+    val instant = nextInstant(timelineInstants(fs, path, ".commit") ++
+      timelineInstants(fs, path, ".clean"))
+    writeFile(fs, new Path(s"$path/$MetaDir/$instant.clean"),
+      s"""{"earliestInstantRetained":"$horizon","filesDeleted":$deleted}""")
+    deleted
+  }
+
   // ---- writers ----
 
   private def hivePath(partitionBy: Seq[String]): org.apache.spark.sql.Column =

@@ -138,6 +138,33 @@ class HudiInteropSpec extends SparkSpec {
     assert(HudiInterop.precombineBatch(dup, "id", "ts").count() == 3)
   }
 
+  test("clean keeps the retained-commit slice versions, deletes the rest") {
+    val path = tmp("clean")
+    HudiInterop.insert(sample, path, "id", "ts", Seq("cat"))
+    // 3 upserts to key 1 → 4 slice versions of cat=a's file group
+    for (i <- 1 to 3)
+      HudiInterop.upsert(Seq((1L, "a", i * 100.0, 100L + i)).toDF("id", "cat", "v", "ts"),
+        path, "id", "ts", Seq("cat"))
+    def sliceFiles(sub: String) = new java.io.File(s"$path/$sub").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(sliceFiles("cat=a") == 4)
+    val commits = HudiInterop.completedInstants(spark, path)
+    val deleted = HudiInterop.clean(spark, path, retainCommits = 2)
+    // horizon = 3rd commit; keep versions >= horizon (2) + latest before it (1)
+    assert(deleted == 1, s"deleted $deleted")
+    assert(sliceFiles("cat=a") == 3)
+    // snapshot read unchanged; time travel within retention unchanged
+    assert(HudiInterop.read(spark, path).filter(col("id") === 1L)
+      .select("v").as[Double].collect().toSeq == Seq(300.0))
+    assert(HudiInterop.read(spark, path, asOf = Some(commits(2)))
+      .filter(col("id") === 1L).select("v").as[Double].collect().toSeq == Seq(200.0))
+    // the clean instant landed on the timeline
+    assert(new java.io.File(s"$path/.hoodie").listFiles()
+      .exists(_.getName.endsWith(".clean")))
+    // nothing more to clean at the same retention
+    assert(HudiInterop.clean(spark, path, retainCommits = 2) == 0)
+  }
+
   test("a duplicate-bearing FIRST batch converges to one copy per key at insert") {
     // the reference's duplicate repro shape: same key lands twice in the
     // bootstrap micro-batch, before any table state exists
