@@ -681,6 +681,52 @@ object DeltaInterop {
     } finally { survivors.foreach(_.unpersist()); () }
   }
 
+  /** One commit file's raw actions. */
+  private def commitActions(fs: FileSystem, path: String, v: Long): Seq[JValue] = {
+    val in = fs.open(commitFile(path, v))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map(JsonMethods.parse(_))
+  }
+
+  /** The rows APPENDED by commits in `(fromVersion, toVersion]` — the
+    * Delta streaming-source contract: only `dataChange = true` adds
+    * count, so maintenance commits ([[compact]]) re-emit nothing. A
+    * commit that REMOVES data with `dataChange = true` (delete, update,
+    * overwrite, replaceWhere) is not expressible as an append and fails
+    * the tail loudly unless `ignoreChanges` (which then re-emits the
+    * rewritten files' rows — Delta's own knob and caveat).
+    */
+  def appendsBetween(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, ignoreChanges: Boolean = false): DataFrame = {
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path, Some(toVersion))
+    val adds = (fromVersion + 1 to toVersion).flatMap { v =>
+      val actions = commitActions(fs, path, v)
+      val rewrites = actions.exists(a =>
+        (a \ "remove" \ "dataChange").extractOpt[Boolean].contains(true))
+      require(!rewrites || ignoreChanges,
+        s"DeltaInterop appendsBetween: commit $v rewrites data " +
+          "(remove with dataChange=true) — not expressible as an append; " +
+          "set ignoreChanges=true to re-emit rewritten rows")
+      actions.flatMap { a =>
+        a \ "add" match {
+          case JNothing => None
+          case ad if !(ad \ "dataChange").extractOrElse[Boolean](true) => None
+          case ad => Some(AddFile((ad \ "path").extract[String],
+            parsePv(ad \ "partitionValues"),
+            (ad \ "size").extractOrElse[Long](0L),
+            (ad \ "modificationTime").extractOrElse[Long](0L),
+            dataChange = true))
+        }
+      }
+    }
+    if (adds.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
+    else frameOver(spark, path, snap, adds)
+  }
+
   /** OPTIMIZE (bin-packing compaction): every hive partition holding
     * more than one live file rewrites into one file per partition
     * tuple; single-file partitions are untouched. All actions carry

@@ -2,9 +2,11 @@ package org.apache.spark.sql.graft.lakehouse
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.FilterColumns
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.sinks.{DeltaInterop, HudiInterop, IcebergInterop}
@@ -85,9 +87,81 @@ abstract class GraftLakehouseProvider(format: String) extends DataSourceRegister
   }
 }
 
+/** Delta additionally streams: `spark.readStream.format("graft-delta")`
+  * tails the log's `dataChange = true` appends — offsets ARE versions,
+  * so recovery is exactly-once with no source state beyond the
+  * checkpointed offset, and [[graft.sinks.DeltaInterop.compact]]'s
+  * maintenance commits re-emit nothing. `startingVersion` replays from
+  * a version (inclusive); the default horizon is the table's latest
+  * version at FIRST stream start, persisted in the checkpoint.
+  */
 class GraftDeltaProvider extends GraftLakehouseProvider("delta")
+    with StreamSourceProvider {
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta source needs option(\"path\", …)"))
+    val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
+    (shortName(), schema.getOrElse(DeltaInterop.snapshot(spark, path).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
+    new DeltaTailSource(spark, parameters,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2, metadataPath)
+  }
+}
 class GraftHudiProvider extends GraftLakehouseProvider("hudi")
 class GraftIcebergProvider extends GraftLakehouseProvider("iceberg")
+
+/** Streaming SOURCE tailing a Delta wire-format table's appends. */
+private[graft] class DeltaTailSource(
+    spark: SparkSession,
+    options: Map[String, String],
+    override val schema: StructType,
+    metadataPath: String) extends Source {
+
+  private val tablePath = options("path")
+  private val ignoreChanges = options.get("ignoreChanges").exists(_.toBoolean)
+
+  // horizon H = emit commits > H; startingVersion=v replays from v
+  // inclusive (Delta's option semantics); default = latest at FIRST
+  // start, persisted so restarts keep the horizon
+  private val startVersion: Long =
+    org.apache.spark.sql.graft.SourceHelpers.persistedStartVersion(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], metadataPath,
+      options.get("startingVersion").map(_.toLong - 1)
+        .getOrElse(DeltaInterop.latestVersion(spark, tablePath)))
+
+  override def getOffset: Option[Offset] = {
+    val latest = DeltaInterop.latestVersion(spark, tablePath)
+    if (latest > startVersion) Some(LongOffset(latest)) else None
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    def asLong(o: Offset): Long = o match {
+      case LongOffset(v) => v
+      case other => other.json.toLong
+    }
+    val from = start.map(asLong).getOrElse(startVersion)
+    val to = asLong(end)
+    val batch =
+      if (to <= from)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else DeltaInterop.appendsBetween(spark, tablePath, from, to, ignoreChanges)
+    org.apache.spark.sql.graft.SourceHelpers.asStreamingFrame(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      batch.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
 
 private[graft] object LakehouseRelation {
   def tableExists(spark: SparkSession, format: String, path: String): Boolean =

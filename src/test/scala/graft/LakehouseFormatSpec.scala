@@ -80,6 +80,43 @@ class LakehouseFormatSpec extends SparkSpec {
     }
   }
 
+  test("graft-delta streaming source tails appends; compaction re-emits nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("tail")
+    val ckpt = tmp("tail-ckpt")
+    val out = tmp("tail-out")
+    sample.write.format("graft-delta").option("path", path)
+      .option("partitionBy", "cat").save()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-delta").option("path", path)
+        .option("startingVersion", "0").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 3, "startingVersion=0 replays v0")
+    // append lands; maintenance commit between drains must re-emit nothing
+    Seq((4L, "a", 40.0)).toDF("id", "cat", "v")
+      .write.format("graft-delta").option("path", path)
+      .option("partitionBy", "cat").mode(org.apache.spark.sql.SaveMode.Append).save()
+    graft.sinks.DeltaInterop.compact(spark, path)
+    drain()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 4, s"one new row, zero re-emits (${got.count()})")
+    assert(got.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // a data-rewriting commit fails the tail loudly
+    graft.sinks.DeltaInterop.delete(spark, path, col("id") === 1L)
+    val q = spark.readStream.format("graft-delta").option("path", path).load()
+      .writeStream.format("noop").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getCause.getMessage.contains("ignoreChanges"))
+  }
+
   test("graft-iceberg: partitioned write by format name, snapshot time travel") {
     val path = tmp("iceberg")
     sample.write.format("graft-iceberg").option("path", path)
