@@ -1014,7 +1014,35 @@ object DeltaInterop {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Driver-checked maintenance round trip: orders land in three
+    * disjoint appends (mod-3 slices → multi-file partitions), OPTIMIZE
+    * packs them, VACUUM(0) reclaims the originals, and the read-back
+    * aggregate must equal plain orders — compaction/vacuum must be
+    * invisible to results. The tail contract (dataChange=false) is
+    * spec-asserted; this pins row preservation under the hash gate.
+    */
+  def deltaMaintenanceRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-delta-maint") + "/orders_delta"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    for (m <- 0L to 2L)
+      write(orders.filter(col("o_orderkey") % 3 === m), out,
+        partitionBy = Seq("o_orderstatus"))
+    compact(spark, out)
+    vacuum(spark, out, retentionMs = 0L)
+    read(spark, out).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_delta_maintenance", deltaMaintenanceRoundTrip,
+      Some("""
+        SELECT o_orderstatus, count(*) AS n_rows,
+               cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
     graft.Op("q_delta_delete", deltaDeleteRoundTrip,
       Some("""
         WITH survivors AS (

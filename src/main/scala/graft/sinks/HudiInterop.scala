@@ -408,7 +408,41 @@ object HudiInterop {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Driver-checked cleaner round trip: insert, upsert a slice TWICE
+    * (each COW rewrite stacks a full slice version on the hot file
+    * groups), clean to the newest 2 commits, and the read-back
+    * aggregate must equal the latest-wins algebra — the cleaner must
+    * be invisible to snapshot results while physically dropping the
+    * stale slice versions (spec-asserted file counts).
+    */
+  def hudiCleanRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-hudi-clean") + "/orders_hudi"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+    insert(orders, out, recordKey = "o_orderkey",
+      precombine = "o_orderdate", partitionBy = Seq("o_orderstatus"))
+    for (mult <- Seq(2, 3))
+      upsert(orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * mult),
+        out, recordKey = "o_orderkey", precombine = "o_orderdate",
+        partitionBy = Seq("o_orderstatus"))
+    clean(spark, out, retainCommits = 2)
+    read(spark, out).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_hudi_clean", hudiCleanRoundTrip,
+      Some("""
+        SELECT o_orderstatus, count(*) AS n_rows,
+               cast(sum(cast(CASE WHEN o_orderkey % 10 = 0
+                 THEN o_totalprice * 3 ELSE o_totalprice END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
     graft.Op("q_hudi_roundtrip", hudiRoundTrip,
       Some("""
         WITH merged AS (

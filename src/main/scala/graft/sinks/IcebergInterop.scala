@@ -968,7 +968,34 @@ object IcebergInterop {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Driver-checked maintenance round trip: three disjoint appends,
+    * rewrite_data_files packs the partitions, expire_snapshots(1)
+    * drops the pre-compaction history and GCs its orphans — the
+    * read-back aggregate must equal plain orders, maintenance
+    * invisible to results.
+    */
+  def icebergMaintenanceRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-iceberg-maint") + "/orders_iceberg"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    for (m <- 0L to 2L)
+      write(orders.filter(col("o_orderkey") % 3 === m), out,
+        partitionBy = Seq("o_orderstatus"))
+    compact(spark, out)
+    expireSnapshots(spark, out, keepLast = 1)
+    read(spark, out).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_iceberg_maintenance", icebergMaintenanceRoundTrip,
+      Some("""
+        SELECT o_orderstatus, count(*) AS n_rows,
+               cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
     graft.Op("q_iceberg_partitioned", icebergPartitionedRoundTrip,
       Some("""
         SELECT o_orderstatus, count(*) AS n_rows,
