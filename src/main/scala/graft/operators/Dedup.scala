@@ -756,7 +756,118 @@ object Dedup {
     SELECT label AS doc_id, count(*) AS n_members
     FROM labels GROUP BY label ORDER BY doc_id"""
 
+  /** INCREMENTAL dedup: a new batch deduped AGAINST a historical
+    * corpus — the continuous-corpus-building production shape, where
+    * yesterday's corpus is fixed and only today's landing must be
+    * checked. Every new doc gets a status: `exact` (verbatim copy of a
+    * corpus doc, 128-bit digest semi-join — 32-byte shuffle rows),
+    * `near` (verified string-shingle Jaccard >= threshold against some
+    * corpus doc), else `kept`; exact wins precedence.
+    *
+    * Scale shape — the asymmetry IS the point: new-batch LSH bands
+    * PROBE the corpus bands, so the corpus×corpus and batch×batch
+    * quadratic spaces never exist; cost is O(batch bands) joined
+    * against a bucketed index the corpus side computes once (at 100 TB
+    * the corpus bands are a precomputed table, re-derived here because
+    * the driver query owns no state between runs). Candidates verify
+    * with EXACT Jaccard over only their shingles, same recall argument
+    * as [[ngramJaccardPairs]] (the spec pins LSH+verify == exact
+    * all-pairs on this data).
+    */
+  private[graft] def dedupAgainstFrame(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0,
+      s"dedupAgainstFrame: threshold must be > 0 (got $threshold)")
+    val exactIds = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpus.select(md5(col("text")).as("h")).distinct(),
+        Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    val nb = capBuckets(bandedSignature(newDocs), Seq("band_id", "band_hash"))
+    val ob = capBuckets(bandedSignature(corpus), Seq("band_id", "band_hash"))
+    val cands = nb.alias("n").join(ob.alias("o"),
+        col("n.band_id") === col("o.band_id") &&
+        col("n.band_hash") === col("o.band_hash"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val sizesN = newDocs.select(col("doc_id").as("new_id"),
+      size(stringShingles(col("text"))).as("sz_n"))
+    val sizesO = corpus.select(col("doc_id").as("old_id"),
+      size(stringShingles(col("text"))).as("sz_o"))
+    val eN = explodedStringShingles(newDocs)
+      .select(col("doc_id").as("new_id"), col("s"))
+    val eO = explodedStringShingles(corpus)
+      .select(col("doc_id").as("old_id"), col("s"))
+    val nearIds = cands
+      .join(eN, "new_id").join(eO, Seq("old_id", "s"))
+      .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("inter"))
+      .join(sizesN, "new_id").join(sizesO, "old_id")
+      .filter(col("inter").cast("double") /
+        (col("sz_n") + col("sz_o") - col("inter")).cast("double") >= threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    newDocs.select(col("doc_id"))
+      .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), lit("exact"))
+          .when(col("is_near"), lit("near"))
+          .otherwise(lit("kept")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver-graded incremental dedup: corpus = docs with id % 7 != 0,
+    * new batch = the id % 7 == 0 docs PLUS planted verbatim copies of
+    * a deterministic corpus slice (id % 50 == 1, re-keyed +1,000,000 —
+    * the synthetic corpus has no natural exact cross-dups, so the
+    * exact branch needs planting; the near branch fires naturally on
+    * the corpus's near-dup groups that straddle the split).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val corpus = all.filter(col("doc_id") % 7 =!= 0)
+    val newDocs = all.filter(col("doc_id") % 7 === 0)
+      .unionByName(corpus.filter(col("doc_id") % 50 === 1)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    dedupAgainstFrame(newDocs, corpus, threshold = 0.5)
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_dedup_incremental", dedupIncremental,
+      Some("""
+        WITH nd AS (
+          SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL AND doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+          WHERE text IS NOT NULL AND doc_id % 7 <> 0 AND doc_id % 50 = 1),
+        cp AS (
+          SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL AND doc_id % 7 <> 0),
+        ex AS (SELECT DISTINCT n.doc_id FROM nd n JOIN cp c ON n.text = c.text),
+        wn AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+                      trim(text) AS tt FROM nd),
+        wc AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+                      trim(text) AS tt FROM cp),
+        sn AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+          THEN list_transform(range(0, len(ws)-2),
+                 i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+          ELSE [tt] END)) AS s FROM wn),
+        sc AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+          THEN list_transform(range(0, len(ws)-2),
+                 i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+          ELSE [tt] END)) AS s FROM wc),
+        szn AS (SELECT doc_id, count(*) AS sz FROM sn GROUP BY doc_id),
+        szc AS (SELECT doc_id, count(*) AS sz FROM sc GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS nid, b.doc_id AS cid, count(*) AS i
+          FROM sn a JOIN sc b ON a.s = b.s GROUP BY 1, 2),
+        near AS (SELECT DISTINCT nid AS doc_id FROM inter
+          JOIN szn ON szn.doc_id = nid JOIN szc ON szc.doc_id = cid
+          WHERE CAST(i AS DOUBLE) / (szn.sz + szc.sz - i) >= 0.5)
+        SELECT nd.doc_id,
+          CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+               WHEN near.doc_id IS NOT NULL THEN 'near' ELSE 'kept' END AS status
+        FROM nd LEFT JOIN ex ON ex.doc_id = nd.doc_id
+                LEFT JOIN near ON near.doc_id = nd.doc_id
+        ORDER BY nd.doc_id""")),
     Op("q_dedup_survivors", (s, d) => survivors(s, d), Some(SurvivorsOracle)),
     Op("q_dedup_survivors_lsh", (s, d) => survivorsLsh(s, d), Some(SurvivorsOracle)),
     Op("q_dedup_exact", exact,

@@ -263,4 +263,28 @@ class DedupSpec extends SparkSpec {
     assert(mean >= 0.4, s"mean ivf recall $mean too low: $recalls")
     assert(ivf.values.forall(_.size <= 10))
   }
+
+  test("incremental dedup: exact beats near; corpus-internal dups never flag the batch") {
+    val corpus = Seq(
+      (1L, base),                                  // near-twin of new doc 100
+      (2L, "identical row twin one two three four five six seven eight nine ten"),
+      (3L, "identical row twin one two three four five six seven eight nine ten"),
+      (4L, "unrelated corpus text about cooking pasta with tomatoes and basil tonight"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base.replace("large", "huge")),       // near-dup of corpus 1
+      (101L, "identical row twin one two three four five six seven eight nine ten"), // exact copy
+      (102L, "entirely novel content about mountain weather stations reporting hourly pressure readings"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstFrame(batch, corpus, threshold = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(100L -> "near", 101L -> "exact", 102L -> "kept"), got)
+    // corpus-internal duplication (2,3) must not appear anywhere: only
+    // batch docs get rows, corpus x corpus pairs never materialize
+    assert(got.keySet == Set(100L, 101L, 102L))
+    // an empty batch yields an empty, well-typed result
+    val empty = Dedup.dedupAgainstFrame(batch.limit(0), corpus, 0.5)
+    assert(empty.collect().isEmpty)
+    assert(empty.schema.fieldNames.toSeq == Seq("doc_id", "status"))
+  }
 }
