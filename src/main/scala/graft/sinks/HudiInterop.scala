@@ -162,6 +162,17 @@ object HudiInterop {
       sinceInstant: String): DataFrame =
     read(spark, path).filter(col("_hoodie_commit_time") > sinceInstant)
 
+  /** The records committed in instant range `(since, until]` — the
+    * incremental-pull window behind the streaming tail. Carried-over
+    * rows keep their original commit time through upsert rewrites, so
+    * only genuinely new/updated row versions land in the window.
+    */
+  def readIncrementalBetween(spark: SparkSession, path: String,
+      since: String, until: String): DataFrame =
+    read(spark, path, asOf = Some(until))
+      .filter(col("_hoodie_commit_time") > since &&
+        col("_hoodie_commit_time") <= until)
+
   /** Hudi's cleaner (KEEP_LATEST_COMMITS policy): per file group, keep
     * every slice version needed to serve queries as of the newest
     * `retainCommits` commits — the versions at-or-after the retention

@@ -827,6 +827,77 @@ object IcebergInterop {
     newVersion
   }
 
+  /** The current snapshot's ancestor chain, root-first (the streaming
+    * tail's clock: position = depth). None for an empty/absent table.
+    */
+  def snapshotChain(spark: SparkSession, path: String): Option[Seq[Long]] = {
+    val fs = fsFor(spark, path)
+    currentVersion(fs, path).map { version =>
+      val meta = readMetadata(fs, path, version)
+      val byId = (meta \ "snapshots").extract[List[JValue]]
+        .map(s => (s \ "snapshot-id").extract[Long] -> s).toMap
+      val chain = scala.collection.mutable.ArrayBuffer[Long]()
+      var cursor: Option[Long] = Some((meta \ "current-snapshot-id").extract[Long])
+      while (cursor.isDefined && byId.contains(cursor.get)) {
+        chain.prepend(cursor.get)
+        cursor = (byId(cursor.get) \ "parent-snapshot-id").extractOpt[Long]
+      }
+      chain.toSeq
+    }
+  }
+
+  /** Rows ADDED by the snapshots in `(fromSnapshot, toSnapshot]`,
+    * resolved by walking the parent chain back from `toSnapshot` — the
+    * streaming-tail window. `append` snapshots emit their status-ADDED
+    * files; `replace` (compaction) snapshots emit nothing; `overwrite`
+    * is not expressible as an append and fails loudly unless
+    * `ignoreChanges`. A broken parent chain (the range was expired)
+    * also fails loudly — restart the stream from a fresh checkpoint.
+    */
+  def appendsBetween(spark: SparkSession, path: String,
+      fromSnapshot: Option[Long], toSnapshot: Long,
+      ignoreChanges: Boolean = false): DataFrame = {
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val schema = schemaFromJson((meta \ "schemas")(0))
+    val byId = (meta \ "snapshots").extract[List[JValue]]
+      .map(s => (s \ "snapshot-id").extract[Long] -> s).toMap
+    // walk to the range start; collect in commit order
+    val chain = scala.collection.mutable.ArrayBuffer[JValue]()
+    var cursor: Option[Long] = Some(toSnapshot)
+    while (cursor.isDefined && !fromSnapshot.contains(cursor.get)) {
+      val s = byId.getOrElse(cursor.get, throw new IllegalStateException(
+        s"IcebergInterop appendsBetween: snapshot ${cursor.get} not in metadata " +
+          "(expired?) — restart the stream from a fresh checkpoint"))
+      chain.prepend(s)
+      cursor = (s \ "parent-snapshot-id").extractOpt[Long]
+    }
+    require(cursor.isDefined == fromSnapshot.isDefined,
+      s"IcebergInterop appendsBetween: $fromSnapshot is not an ancestor of $toSnapshot")
+    val files = chain.toSeq.flatMap { s =>
+      val sid = (s \ "snapshot-id").extract[Long]
+      val op = (s \ "summary" \ "operation").extractOrElse[String]("append")
+      if (op == "replace") Nil // maintenance: no new rows
+      else {
+        require(op == "append" || ignoreChanges,
+          s"IcebergInterop appendsBetween: snapshot $sid is a '$op' — not " +
+            "expressible as an append; set ignoreChanges=true to re-emit rows")
+        readAvro(fs, new Path((s \ "manifest-list").extract[String]))
+          .flatMap(r => readAvro(fs, new Path(r.get("manifest_path").toString)))
+          .filter(e => e.get("status").asInstanceOf[Int] == 1 &&
+            e.get("snapshot_id") == sid)
+          .map(_.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString)
+      }
+    }
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    else spark.read.schema(schema).parquet(files.distinct: _*)
+  }
+
   /** rewrite_data_files (bin-packing compaction): every partition tuple
     * holding more than one live file rewrites into one; untouched
     * files carry into the new snapshot as EXISTING (status 0) entries

@@ -115,8 +115,165 @@ class GraftDeltaProvider extends GraftLakehouseProvider("delta")
       sourceSchema(sqlContext, schema, providerName, parameters)._2, metadataPath)
   }
 }
+/** Hudi additionally streams: the tail is the INCREMENTAL-PULL contract
+  * — offsets are timeline instants (17-digit numerics, so they ride a
+  * LongOffset), each micro-batch emits the row versions committed in
+  * the instant window, and upsert rewrites re-emit only the UPDATED
+  * rows (carried-over rows keep their original commit time and drop
+  * out). Default horizon = latest instant at first start.
+  */
 class GraftHudiProvider extends GraftLakehouseProvider("hudi")
+    with StreamSourceProvider {
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-hudi source needs option(\"path\", …)"))
+    val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
+    (shortName(), schema.getOrElse(HudiInterop.read(spark, path).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
+    new HudiTailSource(spark, parameters,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2, metadataPath)
+  }
+}
+
+/** Iceberg additionally streams: offsets are snapshot DEPTHS (ancestor
+  * count — monotonic where snapshot ids are random), each micro-batch
+  * emits the files ADDED by the snapshots in the window via the parent
+  * chain. Compaction (`replace`) snapshots emit nothing; `overwrite`
+  * fails the tail loudly unless `ignoreChanges`.
+  */
 class GraftIcebergProvider extends GraftLakehouseProvider("iceberg")
+    with StreamSourceProvider {
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-iceberg source needs option(\"path\", …)"))
+    val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
+    (shortName(), schema.getOrElse(IcebergInterop.read(spark, path).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
+    new IcebergTailSource(spark, parameters,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2, metadataPath)
+  }
+}
+
+/** Streaming SOURCE over a Hudi table's incremental pull. */
+private[graft] class HudiTailSource(
+    spark: SparkSession,
+    options: Map[String, String],
+    override val schema: StructType,
+    metadataPath: String) extends Source {
+
+  private val tablePath = options("path")
+
+  private def latestInstant: Long =
+    HudiInterop.completedInstants(spark, tablePath)
+      .lastOption.map(_.toLong).getOrElse(0L)
+
+  // horizon H = emit instants > H; beginInstant replays from just after
+  // it; default = latest at FIRST start, persisted in the checkpoint
+  private val startInstant: Long =
+    org.apache.spark.sql.graft.SourceHelpers.persistedStartVersion(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], metadataPath,
+      options.get("beginInstant").map(_.toLong).getOrElse(latestInstant))
+
+  override def getOffset: Option[Offset] = {
+    val latest = latestInstant
+    if (latest > startInstant) Some(LongOffset(latest)) else None
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    def asLong(o: Offset): Long = o match {
+      case LongOffset(v) => v
+      case other => other.json.toLong
+    }
+    val from = start.map(asLong).getOrElse(startInstant)
+    val to = asLong(end)
+    val batch =
+      if (to <= from)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else HudiInterop.readIncrementalBetween(spark, tablePath,
+        f"$from%017d", f"$to%017d")
+    org.apache.spark.sql.graft.SourceHelpers.asStreamingFrame(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      batch.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** Streaming SOURCE over an Iceberg table's snapshot chain. */
+private[graft] class IcebergTailSource(
+    spark: SparkSession,
+    options: Map[String, String],
+    override val schema: StructType,
+    metadataPath: String) extends Source {
+
+  private val tablePath = options("path")
+  private val ignoreChanges = options.get("ignoreChanges").exists(_.toBoolean)
+
+  /** (depth, snapshot-id) of the current head: depth = ancestor count,
+    * the tail's monotonic clock.
+    */
+  private def head: Option[(Long, Long)] =
+    IcebergInterop.snapshotChain(spark, tablePath)
+      .map(chain => (chain.size.toLong, chain.last))
+
+  private val startDepth: Long =
+    org.apache.spark.sql.graft.SourceHelpers.persistedStartVersion(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], metadataPath,
+      if (options.get("startingSnapshot").contains("earliest")) 0L
+      else head.map(_._1).getOrElse(0L))
+
+  override def getOffset: Option[Offset] = head match {
+    case Some((depth, _)) if depth > startDepth => Some(LongOffset(depth))
+    case _ => None
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    def asLong(o: Offset): Long = o match {
+      case LongOffset(v) => v
+      case other => other.json.toLong
+    }
+    val from = start.map(asLong).getOrElse(startDepth)
+    val to = asLong(end)
+    val chain = IcebergInterop.snapshotChain(spark, tablePath).getOrElse(Nil)
+    // a shrunken chain means expiry rewrote history past the checkpoint —
+    // silent empty batches would wedge the stream; fail loudly instead
+    require(chain.size >= to,
+      s"graft-iceberg tail: checkpointed offset $to is beyond the table's " +
+        s"surviving snapshot chain (${chain.size}) — snapshots were expired; " +
+        "restart from a fresh checkpoint")
+    val batch =
+      if (to <= from)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else IcebergInterop.appendsBetween(spark, tablePath,
+        fromSnapshot = if (from == 0L) None else Some(chain(from.toInt - 1)),
+        toSnapshot = chain(to.toInt - 1), ignoreChanges)
+    org.apache.spark.sql.graft.SourceHelpers.asStreamingFrame(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      batch.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
 
 /** Streaming SOURCE tailing a Delta wire-format table's appends. */
 private[graft] class DeltaTailSource(

@@ -117,6 +117,67 @@ class LakehouseFormatSpec extends SparkSpec {
     assert(e.getCause.getMessage.contains("ignoreChanges"))
   }
 
+  test("graft-hudi streaming source is the incremental pull: updates re-emit, carries don't") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("htail")
+    val ckpt = tmp("htail-ckpt")
+    val out = tmp("htail-out")
+    def save(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("graft-hudi").option("path", path)
+        .option("recordKey", "id").option("precombine", "ts")
+        .option("partitionBy", "cat")
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    save(Seq((1L, "a", 1.0, 100L), (2L, "a", 2.0, 100L)).toDF("id", "cat", "v", "ts"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-hudi").option("path", path)
+        .option("beginInstant", "0").load()
+        .drop(graft.sinks.HudiInterop.MetaCols: _*)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 2, "replay from 0 emits the insert")
+    // upsert updates id=1 and inserts id=3: the window emits exactly those
+    // two row versions; id=2's carried copy keeps its commit time and drops out
+    save(Seq((1L, "a", 9.0, 200L), (3L, "b", 3.0, 100L)).toDF("id", "cat", "v", "ts"))
+    drain()
+    val got = spark.read.parquet(out).select("id", "v").as[(Long, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L) == Set(1.0, 9.0), "the update re-emits id=1's new version")
+    assert(got(2L) == Set(2.0), "the carried row is NOT re-emitted")
+    assert(got(3L) == Set(3.0))
+  }
+
+  test("graft-iceberg streaming source tails the snapshot chain; replace emits nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("itail")
+    val ckpt = tmp("itail-ckpt")
+    val out = tmp("itail-out")
+    sample.write.format("graft-iceberg").option("path", path)
+      .option("partitionBy", "cat").save()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-iceberg").option("path", path)
+        .option("startingSnapshot", "earliest").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 3)
+    // append + compaction between drains: exactly one new row arrives
+    Seq((4L, "a", 40.0)).toDF("id", "cat", "v")
+      .write.format("graft-iceberg").option("path", path)
+      .option("partitionBy", "cat").mode(org.apache.spark.sql.SaveMode.Append).save()
+    graft.sinks.IcebergInterop.compact(spark, path)
+    drain()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 4, s"compaction must re-emit nothing (${got.count()})")
+    assert(got.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("graft-iceberg: partitioned write by format name, snapshot time travel") {
     val path = tmp("iceberg")
     sample.write.format("graft-iceberg").option("path", path)
