@@ -265,8 +265,10 @@ object IngestPipeline {
     val work = graft.Scratch.dir("graft-delta-stream-rt")
     val enriched = transform(source(spark, stagedEventsDir(spark, dir)))
     val q = enriched.writeStream
-      .foreachBatch(graft.sinks.DeltaInterop.streamBatchWriter(
-        s"$work/tbl", Seq("event_date"), appId = "graft-delta-stream-rt"))
+      .format("graft-delta")
+      .option("path", s"$work/tbl")
+      .partitionBy("event_date")
+      .option("appId", "graft-delta-stream-rt")
       .option("checkpointLocation", StreamTuning.scratchDir("graft-dstream-ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
@@ -290,11 +292,13 @@ object IngestPipeline {
   def hudiStreamRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.Scratch.dir("graft-hudi-stream-rt")
     val enriched = transform(source(spark, stagedDupEventsDir(spark, dir)))
-    val cfg = graft.sinks.TableSink.SinkConfig(
-      format = "hudi", path = s"$work/tbl", partitionBy = Seq("event_date"),
-      upsertKey = Some("event_id"), precombine = Some("event_id"))
     val q = enriched.writeStream
-      .foreachBatch(graft.sinks.TableSink.streamBatch(cfg, appId = "graft-hudi-stream-rt"))
+      .format("graft-hudi")
+      .option("path", s"$work/tbl")
+      .partitionBy("event_date")
+      .option("recordKey", "event_id")
+      .option("precombine", "event_id")
+      .option("appId", "graft-hudi-stream-rt")
       .option("checkpointLocation", StreamTuning.scratchDir("graft-hstream-ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
@@ -314,10 +318,10 @@ object IngestPipeline {
   def icebergStreamRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.Scratch.dir("graft-iceberg-stream-rt")
     val enriched = transform(source(spark, stagedEventsDir(spark, dir)))
-    val cfg = graft.sinks.TableSink.SinkConfig(
-      format = "iceberg", path = s"$work/tbl")
     val q = enriched.writeStream
-      .foreachBatch(graft.sinks.TableSink.streamBatch(cfg, appId = "graft-iceberg-stream-rt"))
+      .format("graft-iceberg")
+      .option("path", s"$work/tbl")
+      .option("appId", "graft-iceberg-stream-rt")
       .option("checkpointLocation", StreamTuning.scratchDir("graft-istream-ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()

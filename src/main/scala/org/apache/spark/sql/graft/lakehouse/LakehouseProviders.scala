@@ -6,7 +6,9 @@ import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.FilterColumns
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.sinks.{DeltaInterop, HudiInterop, IcebergInterop}
@@ -34,9 +36,46 @@ import graft.sinks.{DeltaInterop, HudiInterop, IcebergInterop}
   * insert-or-upsert on table existence with combine-before-insert).
   */
 abstract class GraftLakehouseProvider(format: String) extends DataSourceRegister
-    with RelationProvider with CreatableRelationProvider {
+    with RelationProvider with CreatableRelationProvider with StreamSinkProvider {
 
   override def shortName(): String = s"graft-$format"
+
+  /** `writeStream.format("graft-delta" | "graft-hudi" | "graft-iceberg")`
+    * — the reference stream jobs' exact sink call shape
+    * (`S3ToDeltaStreamJob.scala`, `S3ToHudiOptStreamJob.scala:80-105`,
+    * `S3ToIcebergStreamJob.scala`) with only the format name swapped.
+    * Each micro-batch is one wire-format commit with the same
+    * exactly-once discipline as [[graft.sinks.TableSink.streamBatch]]:
+    * delta stamps the protocol's txn action and iceberg a `graft.txn`
+    * property (replayed batches are no-ops), hudi replays are IDEMPOTENT
+    * (keyed precombine upsert converges when a batch re-lands). Hudi
+    * needs `recordKey` + `precombine` options; `writeStream.partitionBy`
+    * (or option("partitionBy")) becomes the table's partition layout.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      s"graft-$format sink needs option(\"path\", …)"))
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
+      s"graft-$format sink supports Append/Update output modes, got: $outputMode")
+    val partitionBy =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitionBy").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val cfg = graft.sinks.TableSink.SinkConfig(
+      format = format, path = path, partitionBy = partitionBy,
+      tableName = parameters.get("tableName"),
+      upsertKey = parameters.get("recordKey"),
+      precombine = parameters.get("precombine"))
+    if (format == "hudi") { // fail at sink construction, not first batch
+      require(cfg.upsertKey.isDefined,
+        "graft-hudi sink needs option(\"recordKey\", …)")
+      require(cfg.precombine.isDefined,
+        "graft-hudi sink needs option(\"precombine\", …)")
+    }
+    new LakehouseStreamSink(cfg, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
@@ -85,6 +124,32 @@ abstract class GraftLakehouseProvider(format: String) extends DataSourceRegister
     }
     createRelation(sqlContext, parameters)
   }
+}
+
+/** Streaming SINK into a native wire-format table: re-wraps each
+  * micro-batch's executed RDD as a batch frame (the V1 file-sink move —
+  * the foreachBatch bodies run batch actions) and hands it to
+  * [[graft.sinks.TableSink.streamBatch]]. The txn appId defaults to the
+  * FULL checkpoint location: stable across restarts of the same query,
+  * unique per query (a truncated hash could collide and make a new
+  * query's early batches replay-skip — silent data loss).
+  */
+private[lakehouse] class LakehouseStreamSink(
+    cfg: graft.sinks.TableSink.SinkConfig,
+    params: Map[String, String]) extends Sink {
+
+  private val appId = params.getOrElse("appId",
+    s"graft-${cfg.format}@" + params("checkpointLocation"))
+  private val body = graft.sinks.TableSink.streamBatch(cfg, appId)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].queryExecution
+    val batch = spark.internalCreateDataFrame(qe.toRdd, data.schema, isStreaming = false)
+    body(batch, batchId)
+  }
+
+  override def toString: String = s"LakehouseStreamSink[graft-${cfg.format}, ${cfg.path}]"
 }
 
 /** Delta additionally streams: `spark.readStream.format("graft-delta")`

@@ -200,4 +200,89 @@ class LakehouseFormatSpec extends SparkSpec {
     assert(rel.load().filter(col("cat") === "b" && col("v") > 35.0)
       .select("id").as[Long].collect().toSeq == Seq(4L))
   }
+
+  // --- streaming SINKS by format name (the reference stream jobs' shape) ---
+
+  /** Stage each row group as its own parquet file and tail the dir with
+    * maxFilesPerTrigger=1, so every file becomes one micro-batch commit.
+    */
+  private def fileFeed(tag: String, batches: Seq[org.apache.spark.sql.DataFrame])
+      : (String, org.apache.spark.sql.DataFrame) = {
+    val feed = tmp(tag)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.parquet(s"$feed/b$i")
+      val f = new java.io.File(s"$feed/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(s"$feed/f$i.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$feed/b$i"))
+    }
+    val src = spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    (feed, src)
+  }
+
+  test("graft-delta streaming sink: one txn commit per micro-batch, replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("dsink")
+    val ckpt = tmp("dsink-ckpt")
+    val (_, src) = fileFeed("dsink-feed", Seq(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0)).toDF("id", "cat", "v"),
+      Seq((3L, "b", 30.0)).toDF("id", "cat", "v")))
+    def run(): Unit = {
+      val q = src.writeStream.format("graft-delta")
+        .option("path", path).partitionBy("cat")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val v1 = DeltaInterop.latestVersion(spark, path)
+    assert(v1 == 1L) // two micro-batches → commits 0 and 1
+    assert(spark.read.format("graft-delta").option("path", path).load()
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // restart on the same checkpoint with no new files: nothing commits
+    run()
+    assert(DeltaInterop.latestVersion(spark, path) == v1)
+  }
+
+  test("graft-hudi streaming sink: duplicate landings converge to one keyed copy") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("hsink")
+    val batch = Seq((1L, "a", 1.0, 100L), (2L, "b", 5.0, 100L))
+      .toDF("id", "cat", "v", "ts")
+    // the SAME rows land twice (two files) — the reference's dup repro
+    val (_, src) = fileFeed("hsink-feed", Seq(batch, batch))
+    val q = src.writeStream.format("graft-hudi")
+      .option("path", path).partitionBy("cat")
+      .option("recordKey", "id").option("precombine", "ts")
+      .option("checkpointLocation", tmp("hsink-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val back = spark.read.format("graft-hudi").option("path", path).load()
+    assert(back.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("graft-iceberg streaming sink: snapshots per batch, missing hudi keys fail at start") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("isink")
+    val (_, src) = fileFeed("isink-feed", Seq(
+      Seq((1L, "a", 10.0)).toDF("id", "cat", "v"),
+      Seq((2L, "b", 20.0)).toDF("id", "cat", "v")))
+    val q = src.writeStream.format("graft-iceberg")
+      .option("path", path)
+      .option("checkpointLocation", tmp("isink-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.format("graft-iceberg").option("path", path).load()
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // hudi sink without recordKey/precombine refuses at sink construction
+    val err = intercept[Exception] {
+      src.writeStream.format("graft-hudi")
+        .option("path", tmp("hbad"))
+        .option("checkpointLocation", tmp("hbad-ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    assert(err.getMessage.contains("recordKey") ||
+      Option(err.getCause).exists(_.getMessage.contains("recordKey")))
+  }
 }
