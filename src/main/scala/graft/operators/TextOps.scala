@@ -265,6 +265,61 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated BIGRAM LM quality score — one model order past
+    * [[unigramLogProb]], the Spark-friendly analog of the KenLM
+    * perplexity filter CCNet uses (Wenzek et al. 2020): score each doc
+    * by the mean ln(0.7·p(tᵢ|tᵢ₋₁) + 0.3·p(tᵢ)) over its bigram
+    * positions, with both model tables estimated FROM the corpus
+    * itself. Jelinek-Mercer interpolation (fixed weights, written as
+    * exact literals in both engines) keeps unseen-context backoff
+    * smooth without discounting state.
+    *
+    * Distributed shape: bigram strings come from the codegen'd
+    * [[graft.functions.GraftFunctions.wordNgrams]] kernel (no
+    * interpreted higher-order functions in the hot path); the bigram /
+    * context / unigram tables are each ONE map-side-partial groupBy.
+    * Scoring joins are broadcast by default — bigram vocabulary grows
+    * sub-linearly (Heaps' law) and the model tables are the same ones a
+    * KenLM job would broadcast as a binary — with `broadcastModel =
+    * false` as the explicit shuffle-join fallback for a corpus whose
+    * bigram table outgrows executor memory; both branches spec-pinned
+    * equal. p(tᵢ|tᵢ₋₁) = c₂(tᵢ₋₁tᵢ) / Σ_b c₂(tᵢ₋₁b): the context
+    * normalizer is derived from the bigram table itself so the two
+    * tables can never disagree about totals. Docs with < 2 tokens have
+    * no bigram positions and drop out (inner-join semantics, same in
+    * the oracle).
+    */
+  def bigramLogProb(spark: SparkSession, dir: String,
+      broadcastModel: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (broadcastModel) broadcast(df) else df
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .filter(col("text").isNotNull)
+    val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
+    val uniFreq = toks.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val bis = docs.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.wordNgrams(col("text"), 2)).as("bg"))
+    val biFreq = bis.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val ctxFreq = biFreq
+      .groupBy(substring_index(col("bg"), " ", 1).as("ctx"))
+      .agg(sum(col("c2")).as("c1ctx"))
+    bis
+      .join(bc(biFreq), "bg")
+      .withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .withColumn("nxt", substring_index(col("bg"), " ", -1))
+      .join(bc(ctxFreq), "ctx")
+      .join(bc(uniFreq.withColumnRenamed("t", "nxt")), "nxt")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(log(
+          lit(0.7) * (col("c2").cast("double") / col("c1ctx").cast("double")) +
+            lit(0.3) * (col("c1").cast("double") / col("n_total").cast("double"))))
+          / count(lit(1))).as("avg_bi_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Text normalization battery — the standard pre-tokenization cleanup
     * pass: Unicode NFC composition (the `graft_nfc` codegen'd kernel —
     * Spark has no built-in normalizer; DuckDB's native `nfc_normalize`
@@ -417,6 +472,33 @@ object TextOps {
         SELECT doc_id, count(*) AS n_tokens,
                sum(ln(CAST(c AS DOUBLE) / n_total)) / count(*) AS avg_logprob
         FROM toks JOIN freq USING (t), tot
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+    Op("q_text_logprob_bi", (s, d) => bigramLogProb(s, d),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE text IS NOT NULL),
+        toks AS (SELECT doc_id, unnest(ts) AS t FROM docs),
+        unifreq AS (SELECT t, count(*) AS c1 FROM toks GROUP BY t),
+        tot AS (SELECT count(*) AS n_total FROM toks),
+        bis AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i + 1])) AS bg
+          FROM docs),
+        bifreq AS (SELECT bg, count(*) AS c2 FROM bis GROUP BY bg),
+        ctxfreq AS (
+          SELECT split_part(bg, ' ', 1) AS ctx, CAST(sum(c2) AS BIGINT) AS c1ctx
+          FROM bifreq GROUP BY 1)
+        SELECT doc_id, count(*) AS n_bigrams,
+               sum(ln(0.7 * (CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE)) +
+                      0.3 * (CAST(c1 AS DOUBLE) / CAST(n_total AS DOUBLE))))
+                 / count(*) AS avg_bi_logprob
+        FROM bis
+        JOIN bifreq USING (bg)
+        JOIN ctxfreq ON split_part(bg, ' ', 1) = ctx
+        JOIN unifreq ON split_part(bg, ' ', 2) = t, tot
         GROUP BY doc_id
         ORDER BY doc_id""")),
     Op("q_text_df", (s, d) => docFrequency(s, d),

@@ -64,6 +64,30 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0L)._2 > got(2L)._2, "common-token doc scores higher")
   }
 
+  test("bigramLogProb interpolates bigram and unigram models; branches agree") {
+    val dir = SparkSpec.plantedDir(
+      "documents" -> Seq(
+        (0L, "the cat sat", "en", "s", 11L),
+        (1L, "the cat ran", "en", "s", 11L),
+        (2L, "solo", "und", "s", 4L)) // < 2 tokens: no bigram positions
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = TextOps.bigramLogProb(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_bi_logprob"))).toMap
+    // bigrams: "the cat"×2, "cat sat", "cat ran"; contexts: the→2, cat→2
+    // unigrams over T=7: the×2 cat×2 sat ran solo
+    def term(p2: Double, c1: Double): Double = math.log(0.7 * p2 + 0.3 * (c1 / 7.0))
+    val doc0 = (term(2.0 / 2.0, 2.0) + term(1.0 / 2.0, 1.0)) / 2.0
+    assert(got(0L)._1 == 2L)
+    assert(math.abs(got(0L)._2 - doc0) < 1e-12)
+    assert(!got.contains(2L), "single-token doc has no bigram rows")
+    assert(got(0L)._2 == got(1L)._2, "symmetric docs score identically")
+    // the shuffle-join fallback is the same function
+    val shuffled = TextOps.bigramLogProb(spark, dir, broadcastModel = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(shuffled == got.map { case (k, (n, s)) => (k, n, s) }.toSet)
+  }
+
   test("assignSplits is a stable pure function of doc_id with ~80/10/10 shape") {
     val got = graft.operators.Corpus.assignSplits(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
