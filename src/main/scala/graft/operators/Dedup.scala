@@ -661,6 +661,121 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SEMANTIC dedup over the embedding table — SemDeDup (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): cluster the embedding space with a coarse
+    * k-means quantizer, then find near-duplicate PAIRS only inside each
+    * cluster and keep one representative per duplicate relation. The
+    * cluster pass is what makes the quadratic pairwise step tractable —
+    * cosine is computed over O(Σ clusterᵢ²) pairs instead of O(n²), and
+    * semantically-duplicate vectors land in the same cluster because
+    * they are, by definition, close in the embedding space.
+    *
+    * Spark shape: assignment is one codegen'd pass through the
+    * [[graft.functions.CentroidKernel]] coarse quantizer (trained on a
+    * BOUNDED driver-side sample, same kernel the IVF ANN path uses —
+    * deterministic init + fixed iterations, so every engine run agrees);
+    * the within-cluster self-join shuffles once on list_id; the keep
+    * rule is the deterministic greedy "drop a vector iff some
+    * smaller-id cluster-mate sits at cosine ≥ threshold". At 100 TB you
+    * tune nLists so clusters stay executor-sized (the paper runs 50k
+    * clusters over 8B embeddings); list_id skew is bounded by the
+    * quantizer's balance, and the vectors cross the exchange once.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, nLists: Int = 16,
+      threshold: Double = 0.9, sampleSize: Int = 4096): DataFrame =
+    semanticDedupFrame(Tables.embeddings(spark, dir), nLists, threshold, sampleSize)
+
+  private[graft] def semanticDedupFrame(embRaw: DataFrame, nLists: Int,
+      threshold: Double, sampleSize: Int): DataFrame = {
+    val emb = Tables.spread(embRaw)
+    val dim = graft.functions.VectorExpressions.Dim
+    val sample = embRaw.select(col("embedding"))
+      .limit(sampleSize).collect().map(_.getSeq[Float](0).toArray)
+    val kernel = graft.functions.CentroidKernel.train(sample, nLists, dim)
+    val assigned = emb.select(col("vec_id"), col("embedding").as("v"),
+      element_at(graft.functions.GraftFunctions.nearestCentroids(col("embedding"), kernel, 1), 1)
+        .as("list_id"))
+    val dropped = assigned.alias("a").join(assigned.alias("b"),
+        col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.GraftFunctions.cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("removed", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("removed"), lit(false)).as("removed"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Driver-checkable audit for [[semanticDedup]], anchored-audit
+    * construction (same contract style as the ANN recall audits): the
+    * exact anchor DuckDB recomputes from scratch is the GLOBAL
+    * brute-force duplicate count — how many vectors have a smaller-id
+    * partner at cosine ≥ threshold anywhere in the corpus. The Spark
+    * side runs the clustered dedup AND the brute-force sweep in one
+    * plan and emits two in-plan contract booleans: `sound_ok` (every
+    * removed vector really has a smaller-id global partner — clustering
+    * can never invent a duplicate) and `recall_ok` (the within-cluster
+    * pass caught ≥ `floor` of the global duplicate set — planted
+    * near-dups are close, so the quantizer co-assigns them). A
+    * quantizer or threshold regression flips a boolean and fails the
+    * driver's hash gate. The brute-force side rides the same
+    * [[EmbedAuditMaxRows]] guard as [[embeddingNearest]]; the dedup
+    * itself has no such bound.
+    */
+  def semanticDedupAudit(spark: SparkSession, dir: String,
+      threshold: Double = 0.9, floor: Double = 0.5): DataFrame =
+    semanticDedupAuditFrame(Tables.embeddings(spark, dir), threshold, floor)
+
+  private[graft] def semanticDedupAuditFrame(embRaw: DataFrame,
+      threshold: Double, floor: Double): DataFrame = {
+    val sem = semanticDedupFrame(embRaw, nLists = 16, threshold = threshold,
+      sampleSize = 4096)
+    val others = embRaw.select(col("vec_id").as("nb"), col("embedding").as("w"))
+    val n = others.count()
+    require(n <= EmbedAuditMaxRows,
+      s"semanticDedupAudit's brute-force anchor is O(n²): $n vectors exceed the " +
+        s"$EmbedAuditMaxRows broadcast ceiling — audit a sample instead.")
+    val globalDup = Tables.spread(embRaw)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .join(broadcast(others), col("nb") < col("vec_id"))
+      .filter(graft.functions.GraftFunctions.cosine(col("v"), col("w")) >= threshold)
+      .select(col("vec_id")).distinct()
+    sem.join(globalDup.withColumn("glob", lit(true)), Seq("vec_id"), "left")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("glob"), 1L).otherwise(0L)).as("n_dup_global"),
+        (sum(when(col("removed") && !coalesce(col("glob"), lit(false)), 1L)
+          .otherwise(0L)) === 0L).as("sound_ok"),
+        (sum(when(col("removed"), 1L).otherwise(0L)).cast("double") >=
+          lit(floor) * sum(when(col("glob"), 1L).otherwise(0L)).cast("double"))
+          .as("recall_ok"))
+  }
+
+  /** Driver-graded semantic dedup over a DUPLICATE-PLANTED embedding
+    * corpus: the synthetic embeddings are independent gaussians (max
+    * pairwise cosine ~0.6 at every SF — no natural semantic duplicates),
+    * so the registered query plants the duplication it must detect:
+    * every tenth vector re-enters with a high id and a small first-
+    * coordinate perturbation (cosine ≈ 0.9999 to its source). The
+    * clustered dedup must then remove EXACTLY the planted copies — the
+    * quantizer has to co-assign each copy with its source for recall,
+    * and must not invent duplicates among the gaussian bulk for
+    * soundness. The DuckDB oracle replays the same staging and
+    * recomputes the global brute-force anchor from scratch.
+    */
+  def semanticDedupStaged(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val dim = graft.functions.VectorExpressions.Dim
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + lit(0.01f)),
+          slice(col("embedding"), 2, dim - 1)).as("embedding"),
+        col("label"))
+    semanticDedupAuditFrame(base.unionByName(planted), threshold = 0.9, floor = 0.5)
+  }
+
   /** Corpus-duplicated span statistics — the exact-substring dedup
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better": verbatim spans repeated across documents
@@ -708,6 +823,87 @@ object Dedup {
           col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
           .otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
+  }
+
+  /** Loud ceiling for the driver-collected duplicated-span set — same
+    * guard discipline as [[TextOps.MaxBoilerplateLines]]: the set is
+    * bounded cross-doc boilerplate by construction, and a corpus that
+    * breaks the assumption should fail loudly, not OOM the driver.
+    */
+  private[graft] val MaxDupSpanSet = 200000
+
+  /** Duplicated-span REMOVAL — the rewrite [[duplicatedSpans]] only
+    * measures: excise every occurrence of a corpus-duplicated k-token
+    * span from every document (Lee et al. 2022's ExactSubstr
+    * deduplication, which cuts the repeated substring but keeps both
+    * containing documents — doc-level dedup misses these because the
+    * documents themselves are not near-duplicates). A token survives iff
+    * NO duplicated span covers its position; survivors rejoin in
+    * original order, single-spaced (the rewrite is a token-stream
+    * operation, same as the suffix-array original).
+    *
+    * Scale shape: the duplicated set comes from the SAME one
+    * map-side-partial groupBy as [[duplicatedSpans]] (per-doc
+    * distinctness is row-local), and the rewrite is a PURE PROJECTION —
+    * span matching, position coverage (`transform` + `flatten` over the
+    * positional n-gram array), and token filtering all happen inside the
+    * row against the broadcast-literal span set, zero corpus shuffle.
+    * `broadcastSet = false` is the join fallback for a corpus whose
+    * duplicated set outgrows a driver literal: positional anti-join on
+    * (doc_id, pos) + ordered re-assembly, one doc_id shuffle. Spec pins
+    * both branches equal.
+    */
+  def removeDuplicatedSpans(spark: SparkSession, dir: String,
+      k: Int = 5, minDocs: Int = 3, broadcastSet: Boolean = true): DataFrame = {
+    require(k >= 1, s"span length must be >= 1, got $k")
+    require(minDocs >= 2, s"duplication needs minDocs >= 2, got $minDocs")
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    def ng = graft.functions.GraftFunctions.wordNgrams(col("text"), k)
+    def ws = split(trim(col("text")), "\\s+")
+    val dupSet = Tables.spread(docs)
+      .select(explode(array_distinct(ng)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs).select(col("s"))
+    if (broadcastSet) {
+      val dl = dupSet.collect().map(_.getString(0)).sorted
+      require(dl.length <= MaxDupSpanSet,
+        s"duplicated-span set ${dl.length} exceeds $MaxDupSpanSet — " +
+          "use broadcastSet = false (anti-join path) for this corpus")
+      val dlLit = typedlit(dl)
+      val covered = array_distinct(flatten(transform(ng, (s, i) =>
+        when(array_contains(dlLit, s), sequence(i, i + lit(k - 1)))
+          .otherwise(array().cast("array<int>")))))
+      val kept = filter(ws, (t, j) => !array_contains(covered, j))
+      docs.select(col("doc_id"),
+          concat_ws(" ", kept).as("cleaned"),
+          size(kept).cast("long").as("n_kept"),
+          (size(ws) - size(kept)).cast("long").as("n_removed"))
+        .orderBy(col("doc_id"))
+    } else {
+      val spread = Tables.spread(docs)
+      val coveredPos = spread
+        .select(col("doc_id"), posexplode(ng).as(Seq("i", "s")))
+        .join(broadcast(dupSet), Seq("s"), "left_semi")
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(k - 1))).as("pos"))
+        .distinct()
+      val toks = spread.select(col("doc_id"), posexplode(ws).as(Seq("pos", "t")))
+      val rebuilt = toks
+        .join(coveredPos, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+          s => s.getField("t")).as("kt"))
+        .select(col("doc_id"), concat_ws(" ", col("kt")).as("cleaned"),
+          size(col("kt")).cast("long").as("n_kept"))
+      // docs whose every token was covered drop out of the anti-join —
+      // restore them as empty rewrites
+      docs.select(col("doc_id"), size(ws).cast("long").as("n_toks"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** Shared DuckDB CTE list: the exact string-shingle pair set at θ=0.5,
@@ -831,6 +1027,52 @@ object Dedup {
   }
 
   val ops: Seq[Op] = Seq(
+    Op("q_dedup_semantic", semanticDedupStaged,
+      Some("""
+        WITH staged AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_prepend(embedding[1] + CAST(0.01 AS FLOAT), embedding[2:])
+          FROM embeddings WHERE vec_id % 10 = 0),
+        dup AS (
+          SELECT b.vec_id AS v
+          FROM staged a JOIN staged b ON a.vec_id < b.vec_id
+            AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+          GROUP BY 1)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM staged) AS n_vectors,
+               (SELECT CAST(count(*) AS BIGINT) FROM dup) AS n_dup_global,
+               true AS sound_ok, true AS recall_ok""")),
+    Op("q_dedup_span_rewrite", (s, d) => removeDuplicatedSpans(s, d),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        ng AS (
+          SELECT doc_id, ws, CASE WHEN len(ws) >= 5
+            THEN list_transform(range(0, len(ws) - 4),
+                   i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                        ws[i+4] || ' ' || ws[i+5])
+            ELSE CAST([] AS VARCHAR[]) END AS ngs
+          FROM w),
+        dup AS (
+          SELECT s FROM (SELECT doc_id, unnest(list_distinct(ngs)) AS s FROM ng)
+          GROUP BY s HAVING count(*) >= 3),
+        dl AS (SELECT coalesce(list(s), CAST([] AS VARCHAR[])) AS ds FROM dup),
+        cov AS (
+          SELECT doc_id, ws, list_distinct(flatten(list_transform(
+            list_filter(range(0, len(ngs)), i -> list_contains(d.ds, ngs[i+1])),
+            i -> range(i, i + 5)))) AS covered
+          FROM ng, dl d),
+        kept AS (
+          SELECT doc_id, len(ws) AS nw, list_transform(
+            list_filter(range(0, len(ws)), j -> NOT list_contains(covered, j)),
+            j -> ws[j+1]) AS kt
+          FROM cov)
+        SELECT doc_id, coalesce(array_to_string(kt, ' '), '') AS cleaned,
+               CAST(len(kt) AS BIGINT) AS n_kept,
+               CAST(nw - len(kt) AS BIGINT) AS n_removed
+        FROM kept ORDER BY doc_id""")),
     Op("q_dedup_incremental", dedupIncremental,
       Some("""
         WITH nd AS (

@@ -411,6 +411,89 @@ object TextOps {
     }
   }
 
+  /** In-engine multinomial Naive Bayes text classifier — the relational
+    * spelling of the fastText-style quality classifier every public
+    * LLM-data pipeline trains and applies at corpus scale (CCNet's
+    * fastText langid, GPT-3/LLaMA/Gopher's quality classifier over web
+    * pages vs curated reference text). Training IS aggregation here:
+    * the model is the per-token class-conditional count table, so one
+    * map-side-partial groupBy over the labeled split trains it, and
+    * scoring is a broadcast join + per-doc log-sum — no driver-side
+    * learning loop, no collect of anything unbounded.
+    *
+    * `labeled` carries (doc_id, pos, text). Docs with `doc_id % 5 != 0`
+    * are the labeled training split; ALL docs are scored (so the
+    * `doc_id % 5 == 0` rows are genuine held-out predictions). Laplace
+    * add-one smoothing on both the token table and the class prior;
+    * unseen tokens get the smoothed floor via the left join's coalesce.
+    * Per-token weight is the log-likelihood ratio
+    * ln p(t|pos) − ln p(t|neg), so the doc score is one sum and the
+    * decision is `log_odds > 0`.
+    *
+    * Scale shape: the model table is vocabulary-sized (Heaps' law —
+    * sub-linear in corpus size) and broadcast by default, exactly the
+    * artifact a fastText job ships to executors as a binary;
+    * `broadcastModel = false` is the shuffle-join fallback for a vocab
+    * that outgrows executor memory, spec-pinned equal. The three scalar
+    * side-frames (token totals, vocab size, prior) are one-row
+    * broadcasts. Everything else is scan + ONE partial-agg shuffle per
+    * table — the same plan at 100 TB, with the scoring pass remaining
+    * embarrassingly parallel.
+    */
+  private[graft] def nbClassifierFrame(labeled: DataFrame,
+      broadcastModel: Boolean): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (broadcastModel) broadcast(df) else df
+    val docs = Tables.spread(labeled)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("pos"), wsTokens(lower(col("text"))).as("ts"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val model = train.select(col("pos"), explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("cneg"))
+    val tot = model.agg(
+      sum(col("cpos")).as("tpos"), sum(col("cneg")).as("tneg"),
+      count(lit(1)).as("v"))
+    val prior = train.agg(
+      log((sum(when(col("pos"), 1L).otherwise(0L)) + lit(1.0)) /
+        (sum(when(!col("pos"), 1L).otherwise(0L)) + lit(1.0))).as("lp"))
+    val llr =
+      log((coalesce(col("cpos"), lit(0L)) + lit(1.0)) / (col("tpos") + col("v"))) -
+        log((coalesce(col("cneg"), lit(0L)) + lit(1.0)) / (col("tneg") + col("v")))
+    docs.select(col("doc_id"), col("pos"), explode(col("ts")).as("t"))
+      .join(bc(model), Seq("t"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(count(lit(1)).as("n_tokens"), sum(llr).as("s"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s") + col("lp")).as("log_odds"),
+        (col("s") + col("lp") > 0).as("predicted"),
+        ((col("s") + col("lp") > 0) === col("pos")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver-graded classifier run over a SPAM-PLANTED corpus: the
+    * synthetic documents draw from one shared vocabulary regardless of
+    * their `lang`/`source` columns (no metadata label is learnable from
+    * tokens), so the registered query plants the separable signal a real
+    * quality-classification job has — every third document gets the
+    * low-quality chrome suffix web spam actually carries, and the label
+    * is that planting. The classifier must learn the spam vocabulary
+    * from the training split and flag the held-out planted docs. The
+    * DuckDB oracle replays the same staging and the full
+    * train-smooth-score pipeline from scratch.
+    */
+  def nbClassifier(spark: SparkSession, dir: String,
+      broadcastModel: Boolean = true): DataFrame =
+    nbClassifierFrame(
+      Tables.documents(spark, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), (col("doc_id") % 3 === 0).as("pos"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" click here buy now free offer")))
+            .otherwise(col("text")).as("text")),
+      broadcastModel)
+
   /** Driver-graded boilerplate strip over a CHROME-WRAPPED corpus: the
     * synthetic documents have no naturally repeated lines (every
     * trimmed line is corpus-unique at every SF), so the registered
@@ -431,6 +514,46 @@ object TextOps {
       minDocs = 3, broadcastSet = true)
 
   val ops: Seq[Op] = Seq(
+    Op("q_text_classify", (s, d) => nbClassifier(s, d),
+      Some("""
+        WITH staged AS (
+          SELECT doc_id, doc_id % 3 = 0 AS pos,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' click here buy now free offer'
+                      ELSE text END AS text
+          FROM documents WHERE text IS NOT NULL),
+        docs AS (
+          SELECT doc_id, pos,
+                 string_split_regex(trim(lower(text)), '\s+') AS ts
+          FROM staged),
+        train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+        model AS (
+          SELECT t,
+                 sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+                 sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+          FROM (SELECT pos, unnest(ts) AS t FROM train) GROUP BY t),
+        tot AS (
+          SELECT CAST(sum(cpos) AS BIGINT) AS tpos,
+                 CAST(sum(cneg) AS BIGINT) AS tneg,
+                 count(*) AS v
+          FROM model),
+        prior AS (
+          SELECT ln((sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
+                    (sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1.0)) AS lp
+          FROM train),
+        scored AS (
+          SELECT doc_id, pos, count(*) AS n_tokens,
+            sum(ln((coalesce(cpos, 0) + 1.0) / (tpos + v)) -
+                ln((coalesce(cneg, 0) + 1.0) / (tneg + v))) AS s
+          FROM (SELECT doc_id, pos, unnest(ts) AS t FROM docs)
+          LEFT JOIN model USING (t), tot
+          GROUP BY doc_id, pos)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               s + lp AS log_odds,
+               (s + lp) > 0 AS predicted,
+               ((s + lp) > 0) = pos AS correct
+        FROM scored, prior
+        ORDER BY doc_id""")),
     Op("q_strip_boilerplate", stripBoilerplateStaged,
       Some("""
         WITH parts AS (

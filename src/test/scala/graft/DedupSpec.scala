@@ -60,6 +60,35 @@ class DedupSpec extends SparkSpec {
       got.map { case (d, (a, b, c)) => (d, a, b, c) }.toSet)
   }
 
+  test("removeDuplicatedSpans excises every covered token, keeps order, restores all-boilerplate docs") {
+    val boiler = "subscribe to our newsletter for more updates" // 7 words → 3 5-grams
+    val dir = SparkSpec.plantedDir(
+      "documents" -> Seq(
+        (0L, s"alpha beta gamma delta epsilon zeta $boiler", "en", "s", 1L),
+        (1L, s"one two three four five six $boiler", "en", "s", 1L),
+        (2L, s"red orange yellow green blue indigo $boiler", "en", "s", 1L),
+        (3L, "entirely unique text with nothing shared across the corpus at all", "en", "s", 1L),
+        (4L, "too short", "en", "s", 1L),
+        (5L, boiler, "en", "s", 1L)) // pure boilerplate: rewrites to empty
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = Dedup.removeDuplicatedSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("cleaned"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"))))
+      .toMap
+    // the 3 interior boilerplate 5-grams cover the whole 7-token tail;
+    // the 2 bridge spans are per-doc unique so the prefix survives intact
+    assert(got(0L) == (("alpha beta gamma delta epsilon zeta", 6L, 7L)))
+    assert(got(1L) == (("one two three four five six", 6L, 7L)))
+    assert(got(2L) == (("red orange yellow green blue indigo", 6L, 7L)))
+    assert(got(3L) == (("entirely unique text with nothing shared across the corpus at all", 11L, 0L)))
+    assert(got(4L) == (("too short", 2L, 0L)), "sub-k doc passes through untouched")
+    assert(got(5L) == (("", 0L, 7L)), "all-boilerplate doc becomes empty, not dropped")
+    // the positional anti-join fallback produces the identical frame
+    val shuffled = Dedup.removeDuplicatedSpans(spark, dir, broadcastSet = false)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(shuffled == got.map { case (d, (c, k, rm)) => (d, c, k, rm) }.toSet)
+  }
+
   test("minhash signature estimates jaccard ≈ exact on near-dup pair") {
     val rows = spark.read.parquet(s"$planted/documents.parquet")
       .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"),
@@ -182,6 +211,38 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == (0L, 2L), s"tie must break low for 1: $got")
     assert(got(2L) == (0L, 2L), s"identical twin (lowest id) wins for 2: $got")
     assert(got.filter(_._1 >= 3L).values.forall(_._2 == 0L), "random vectors are not near-dups")
+  }
+
+  test("semanticDedup removes higher-id cluster-mates above threshold, keeps the gaussian bulk") {
+    val dim = 64
+    val rnd = new scala.util.Random(3)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val v0 = vec()
+    val v0close = v0.clone(); v0close(0) = v0close(0) + 0.01f
+    val rows = Seq(
+      (0L, v0.toSeq, 0), (1L, v0close.toSeq, 0), (2L, v0.toSeq, 0)) ++
+      (3L to 40L).map(i => (i, vec().toSeq, 1))
+    val dir = SparkSpec.plantedDir("embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+    val got = Dedup.semanticDedup(spark, dir, nLists = 4, threshold = 0.95).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("removed")).toMap
+    assert(got.size == 41)
+    assert(!got(0L), "lowest id of the planted trio survives")
+    assert(got(1L) && got(2L), s"higher-id near-identical twins removed: $got")
+    assert(got.filter(_._1 >= 3L).values.forall(!_), "gaussian bulk untouched")
+    // deterministic across runs (fixed quantizer init + greedy rule)
+    val again = Dedup.semanticDedup(spark, dir, nLists = 4, threshold = 0.95).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("removed")).toMap
+    assert(again == got)
+  }
+
+  test("semanticDedupStaged audit: planted copies all caught, soundness holds") {
+    val out = Dedup.semanticDedupStaged(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_vectors") == 550)
+    assert(r.getAs[Long]("n_dup_global") == 50, "each planted copy pairs with its source only")
+    assert(r.getAs[Boolean]("sound_ok"), "no invented duplicates")
+    assert(r.getAs[Boolean]("recall_ok"), "the quantizer co-assigns copies with sources")
   }
 
   test("components link transitive chains; survivors keep the min id") {

@@ -235,4 +235,57 @@ class TextOpsSpec extends SparkSpec {
       assert(a == b)
     }
   }
+
+  test("nbClassifier learns the planted spam vocabulary and flags held-out planted docs") {
+    val out = TextOps.nbClassifier(spark, sf)
+      .select("doc_id", "log_odds", "predicted", "correct")
+      .as[(Long, Double, Boolean, Boolean)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, lo, _, _) => !lo.isNaN && !lo.isInfinite })
+    val acc = out.count(_._4).toDouble / out.length
+    assert(acc >= 0.95, s"accuracy $acc < 0.95 on a separable planted vocabulary")
+    // the held-out split (docs never seen in training) must generalize
+    val heldOut = out.filter(_._1 % 5 == 0)
+    val hoAcc = heldOut.count(_._4).toDouble / heldOut.length
+    assert(hoAcc >= 0.9, s"held-out accuracy $hoAcc < 0.9")
+    // both classes actually get predicted (no degenerate always-one-class)
+    assert(out.exists(_._3) && out.exists(!_._3))
+  }
+
+  test("nbClassifierFrame handles overlapping vocabularies and unseen tokens via smoothing") {
+    // spam and ham share 'common'; 'novel' appears only at scoring time
+    val labeled = Seq(
+      (1L, true, "buy now common deal"),
+      (2L, true, "buy deal common now"),
+      (3L, false, "common words about tables"),
+      (4L, false, "plain common words here"),
+      (6L, false, "tables words plain common"),
+      (0L, true, "buy now novel common"), // held out: spam tokens dominate
+      (5L, false, "plain words novel common")) // held out: ham tokens dominate
+      .toDF("doc_id", "pos", "text")
+    val got = TextOps.nbClassifierFrame(labeled, broadcastModel = true)
+      .select("doc_id", "predicted", "correct")
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 7)
+    assert(got(0L) == ((true, true)), s"held-out spam flagged: $got")
+    assert(got(5L) == ((false, true)), s"held-out ham passes: $got")
+    assert(got.forall(_._2._2), s"separable corpus classifies fully: $got")
+  }
+
+  test("nbClassifier shuffle-join fallback equals the broadcast-model branch") {
+    def run(bc: Boolean): Map[Long, (Long, Double, Boolean, Boolean)] =
+      TextOps.nbClassifier(spark, sf, broadcastModel = bc)
+        .as[(Long, Long, Double, Boolean, Boolean)].collect()
+        .map { case (id, n, lo, p, c) => id -> ((n, lo, p, c)) }.toMap
+    val a = run(true)
+    val b = run(false)
+    assert(a.keySet == b.keySet)
+    // token order under the shuffle join differs, so the log-odds sum is
+    // equal only up to fp association; decisions must match exactly
+    a.foreach { case (id, (n, lo, p, c)) =>
+      val (n2, lo2, p2, c2) = b(id)
+      assert(n == n2 && p == p2 && c == c2, s"doc $id decision drifted")
+      assert(math.abs(lo - lo2) < 1e-9, s"doc $id log_odds $lo vs $lo2")
+    }
+  }
 }
