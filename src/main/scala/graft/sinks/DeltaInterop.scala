@@ -376,7 +376,7 @@ object DeltaInterop {
     val groups = live.groupBy(_.partitionValues)
     val parts = groups.toSeq.map { case (pv, files) =>
       val base = spark.read.schema(dataSchema)
-        .parquet(files.map(f => s"$path/${decodePath(f.path)}"): _*)
+        .parquet(files.map(f => resolveAddPath(path, f.path)): _*)
       partCols.foldLeft(base) { (df, c) =>
         val dt = schema(c).dataType
         val v = pv.getOrElse(c, None)
@@ -529,6 +529,38 @@ object DeltaInterop {
     }.toSeq
   }
 
+  /** Adopt data files that already exist OUTSIDE this table's tree as
+    * commit 0 — the metadata-only half of a cross-format CONVERT
+    * (delta-spark's `CONVERT TO DELTA` shape): no data is copied; the
+    * log's add actions reference the donor files by ABSOLUTE path (the
+    * protocol's absolute-URI form, resolved by [[resolveAddPath]]), and
+    * `add.stats` comes from ONE distributed [[FileStats]] pass so file
+    * skipping works immediately on the converted table. Fresh locations
+    * only — the donor format still owns those files' lifecycle (see
+    * [[FormatConvert]] for the ownership contract).
+    */
+  private[sinks] def commitExternal(spark: SparkSession, path: String,
+      schema: StructType, files: Seq[(String, Long)]): Long = {
+    require(latestVersion(spark, path) < 0,
+      s"DeltaInterop.commitExternal: $path is already a Delta table " +
+        "(metadata-only adoption targets a fresh location)")
+    require(files.nonEmpty, "DeltaInterop.commitExternal: no data files")
+    val fs = fsFor(spark, path)
+    val now = System.currentTimeMillis()
+    val statsByFile = FileStats.collect(spark, files.map(_._1), schema)
+    val adds = files.map { case (abs, size) =>
+      val st = statsByFile.get(FileStats.basename(abs))
+      AddFile(encodePath(abs), Map.empty, size, now, dataChange = true,
+        stats = st.map(s => statsJson(s.numRecords.getOrElse(0L),
+          schema.fields.toSeq.flatMap(f => s.cols.get(f.name).map(f -> _)))))
+    }
+    val meta = MetaData(java.util.UUID.randomUUID().toString,
+      schema.json, Nil, Map.empty)
+    publish(fs, path, 0L,
+      Seq(protocolJson(Protocol(1, 2)), metaJson(meta)) ++ adds.map(addJson))
+    0L
+  }
+
   /** The rows of `files` as one DataFrame in the table's schema and
     * column order, partition columns rebuilt from `partitionValues`
     * (group count = distinct partition tuples among the files —
@@ -541,7 +573,7 @@ object DeltaInterop {
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
     val parts = files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
       val base = spark.read.schema(dataSchema)
-        .parquet(fs.map(f => s"$path/${decodePath(f.path)}"): _*)
+        .parquet(fs.map(f => resolveAddPath(path, f.path)): _*)
       partCols.foldLeft(base) { (df, c) =>
         val dt = schema(c).dataType
         val v = pv.getOrElse(c, None)
@@ -845,6 +877,21 @@ object DeltaInterop {
     new java.net.URI(null, null, rel, null).getRawPath
   private def decodePath(p: String): String =
     new java.net.URI(p).getPath
+
+  /** An `add.path` resolved against the table root. PROTOCOL.md allows
+    * the path to be RELATIVE to the root (the writer's own files) or an
+    * ABSOLUTE URI — the shape `CONVERT`-style metadata-only adoption
+    * produces, where the log references donor files that live outside
+    * the table tree (delta-spark writes exactly this for converted
+    * tables). [[vacuum]] is safe by construction for absolute adds: it
+    * only walks the table tree, so donor files can never be reclaimed
+    * by this table's retention.
+    */
+  private[sinks] def resolveAddPath(tableRoot: String, p: String): String = {
+    val d = decodePath(p)
+    if (d.startsWith("/") || p.matches("[A-Za-z][A-Za-z0-9+.-]*://.*")) d
+    else s"$tableRoot/$d"
+  }
 
   // ---- checkpoints ----
 

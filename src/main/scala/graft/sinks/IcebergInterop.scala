@@ -226,7 +226,7 @@ object IcebergInterop {
       {"name":"deleted_data_files_count","type":["null","int"],"default":null,"field-id":506}
     ]}""".replace("\n", ""))
 
-  private final case class DataFileRef(path: String, records: Long, bytes: Long,
+  private[sinks] final case class DataFileRef(path: String, records: Long, bytes: Long,
       partValues: Seq[Option[String]] = Nil)
 
   /** Stage `df`'s parquet files, then move them into `data/` under
@@ -465,23 +465,35 @@ object IcebergInterop {
       }
     }
     val moved = stageDataFiles(df, path, partitionBy, fs)
+    commitRefs(spark, fs, path, df.schema, moved, overwrite, txn, partFields,
+      prev, prevProps)
+  }
 
+  /** Commit a set of already-materialized data files as the next
+    * snapshot — the shared metadata tail of [[write]] (which stages
+    * `df`'s files first) and [[commitExternal]] (which adopts files
+    * that already exist elsewhere, the metadata-only CONVERT path).
+    */
+  private def commitRefs(spark: SparkSession, fs: FileSystem, path: String,
+      schema: StructType, moved: Seq[DataFileRef], overwrite: Boolean,
+      txn: Option[(String, Long)], partFields: Seq[StructField],
+      prev: Option[(Int, JValue)], prevProps: Map[String, String]): Long = {
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val now = System.currentTimeMillis()
-    val schemaJ = schemaJson(df.schema)
+    val schemaJ = schemaJson(schema)
     // one distributed pass over the commit's files → the spec's
     // column-stats maps (keyed by field-id), the skipping metadata
     // real Iceberg planners prune on
-    val statsByFile = FileStats.collect(spark, moved.map(_.path), df.schema)
+    val statsByFile = FileStats.collect(spark, moved.map(_.path), schema)
     // one manifest for this commit's files
     val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-m0.avro"
     val entrySchema = manifestEntrySchema(partFields)
-    val entries = buildEntries(moved, snapshotId, df.schema, partFields,
+    val entries = buildEntries(moved, snapshotId, schema, partFields,
       statsByFile, entrySchema)
     val manifestLen = writeAvro(fs, new Path(manifestPath), entrySchema,
       Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJ)),
         "partition-spec" -> JsonMethods.compact(JsonMethods.render(
-          specFieldsJson(partFields, df.schema))),
+          specFieldsJson(partFields, schema))),
         "partition-spec-id" -> "0",
         "format-version" -> "1"),
       entries)
@@ -530,14 +542,14 @@ object IcebergInterop {
         .getOrElse(java.util.UUID.randomUUID().toString)),
       "location" -> JString(path),
       "last-updated-ms" -> JLong(now),
-      "last-column-id" -> JInt(df.schema.size),
+      "last-column-id" -> JInt(schema.size),
       "schema" -> schemaJ,
       "schemas" -> JArray(List(schemaJ)),
       "current-schema-id" -> JInt(0),
-      "partition-spec" -> specFieldsJson(partFields, df.schema),
+      "partition-spec" -> specFieldsJson(partFields, schema),
       "partition-specs" -> JArray(List(JObject(
         "spec-id" -> JInt(0),
-        "fields" -> specFieldsJson(partFields, df.schema)))),
+        "fields" -> specFieldsJson(partFields, schema)))),
       "default-spec-id" -> JInt(0),
       "last-partition-id" -> JInt(999 + partFields.size),
       "sort-orders" -> JArray(List(JObject(
@@ -546,7 +558,7 @@ object IcebergInterop {
       "properties" -> JObject(
         (prevProps ++
           txn.map { case (a, v) => s"graft.txn.$a" -> v.toString } +
-          ("schema.name-mapping.default" -> nameMapping(df.schema)))
+          ("schema.name-mapping.default" -> nameMapping(schema)))
           .toList.map { case (k, v) => k -> (JString(v): JValue) }),
       "current-snapshot-id" -> JLong(snapshotId),
       "snapshots" -> JArray((prevSnapshots :+ snapshot).toList),
@@ -564,6 +576,57 @@ object IcebergInterop {
     writeFile(fs, new Path(s"$path/metadata/version-hint.text"),
       newVersion.toString.getBytes(StandardCharsets.UTF_8))
     snapshotId
+  }
+
+  /** Adopt data files that already exist OUTSIDE this table's tree as
+    * its first snapshot — the metadata-only half of a cross-format
+    * CONVERT (Iceberg's own `snapshot`/`migrate` procedures): no data
+    * is copied; one manifest + manifest list + metadata JSON reference
+    * the donor files by absolute path, and column stats come from ONE
+    * distributed [[FileStats]] pass over them. Fresh locations only —
+    * adopting into a live table would mix lifecycle owners (the donor
+    * format still owns those files; see [[FormatConvert]] for the
+    * ownership contract).
+    */
+  private[sinks] def commitExternal(spark: SparkSession, path: String,
+      schema: StructType, files: Seq[DataFileRef]): Long = {
+    val fs = fsFor(spark, path)
+    require(currentVersion(fs, path).isEmpty,
+      s"IcebergInterop.commitExternal: $path is already an Iceberg table " +
+        "(metadata-only adoption targets a fresh location)")
+    require(files.nonEmpty, "IcebergInterop.commitExternal: no data files")
+    commitRefs(spark, fs, path, schema, files, overwrite = false, txn = None,
+      partFields = Nil, prev = None, prevProps = Map.empty)
+  }
+
+  /** The current snapshot's live data files as (path, records, bytes),
+    * plus the table schema — the inventory a metadata-only CONVERT
+    * consumes. Identity-partitioned tables are fine: graft's writer
+    * keeps identity source columns physically in the data files (the
+    * real-writer layout), so the files are self-contained.
+    */
+  private[sinks] def currentDataFiles(spark: SparkSession,
+      path: String): (StructType, Seq[DataFileRef]) = {
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"not an Iceberg table (no metadata/version-hint.text): $path"))
+    val meta = readMetadata(fs, path, version)
+    val target = (meta \ "current-snapshot-id").extract[Long]
+    val snap = (meta \ "snapshots").extract[List[JValue]]
+      .find(s => (s \ "snapshot-id").extract[Long] == target)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $target not found in $path"))
+    val schema = schemaFromJson((meta \ "schemas")(0))
+    val refs = readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
+      .flatMap(r => readAvro(fs, new Path(r.get("manifest_path").toString)))
+      .collect { case e if e.get("status").asInstanceOf[Int] != 2 =>
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        DataFileRef(d.get("file_path").toString,
+          d.get("record_count").asInstanceOf[Long],
+          d.get("file_size_in_bytes").asInstanceOf[Long])
+      }
+    (schema, refs)
   }
 
   private implicit class JObjOps(private val o: JObject) {
