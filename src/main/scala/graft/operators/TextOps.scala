@@ -473,6 +473,48 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 keyword search over the corpus (Robertson-Spärck Jones
+    * probabilistic ranking, the Okapi BM25 form with Lucene's
+    * +1-inside-the-log IDF so scores stay positive) — the retrieval
+    * primitive a training-data pipeline uses for corpus inspection and
+    * keyword-driven decontamination sweeps. Standard constants k1=1.2,
+    * b=0.75.
+    *
+    * Scale shape: term frequencies are computed ONLY for the query's
+    * terms (the isin filter lands before the aggregation, so the
+    * (doc, term) shuffle carries hits, not the corpus vocabulary);
+    * document lengths are row-local; the per-term df table and the
+    * two corpus scalars broadcast. One ranking sort of the hit set.
+    * avgdl is derived as exact-integer sum/count so both engines
+    * compute the identical double; the final score rounds to 9
+    * decimals so last-ulp log/summation drift can never reorder the
+    * ranking across engines (doc_id breaks genuine ties).
+    */
+  def bm25(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("filter", "merge", "dup"), k: Int = 20): DataFrame = {
+    require(query.nonEmpty, "bm25: empty query")
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("ts"))
+    val lens = docs.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    val tot = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
+    val tf = docs.select(col("doc_id"), explode(col("ts")).as("t"))
+      .filter(col("t").isin(query: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sumdl").cast("double") / col("n_docs")
+    val contrib =
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
+    tf.join(broadcast(dfreq), "t")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id")).agg(round(sum(contrib), 9).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Driver-graded classifier run over a SPAM-PLANTED corpus: the
     * synthetic documents draw from one shared vocabulary regardless of
     * their `lang`/`source` columns (no metadata label is learnable from
@@ -514,6 +556,30 @@ object TextOps {
       minDocs = 3, broadcastSet = true)
 
   val ops: Seq[Op] = Seq(
+    Op("q_text_bm25", (s, d) => bm25(s, d),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+          FROM documents WHERE text IS NOT NULL),
+        lens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM docs),
+        tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sumdl
+                FROM lens),
+        tf AS (
+          SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+          FROM (SELECT doc_id, unnest(ts) AS t FROM docs)
+          WHERE t IN ('filter', 'merge', 'dup')
+          GROUP BY doc_id, t),
+        dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t)
+        SELECT doc_id,
+               round(sum(
+                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                   (tf * 2.2) /
+                   (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                     (CAST(sumdl AS DOUBLE) / n_docs)))), 9) AS score
+        FROM tf JOIN dfreq USING (t) JOIN lens USING (doc_id), tot
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20""")),
     Op("q_text_classify", (s, d) => nbClassifier(s, d),
       Some("""
         WITH staged AS (

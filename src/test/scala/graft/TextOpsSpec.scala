@@ -236,6 +236,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 ranks by tf and term rarity; non-matching docs never appear") {
+    val dir = SparkSpec.plantedDir(
+      "documents" -> Seq(
+        (0L, "apple banana banana pear pear pear pear pear", "en", "s", 1L),
+        (1L, "banana pear pear pear pear pear pear pear", "en", "s", 1L),
+        (2L, "pear pear pear pear pear pear pear pear", "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = TextOps.bm25(spark, dir, Seq("apple", "banana"))
+      .as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L), s"doc 2 has no hits: ${got.toSeq}")
+    // hand-computed: N=3, avgdl=8, dl=8 → length norm is exactly 1
+    val idfA = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0) // df(apple)=1
+    val idfB = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0) // df(banana)=2
+    val s0 = idfA * 2.2 / (1 + 1.2) + idfB * (2 * 2.2) / (2 + 1.2)
+    val s1 = idfB * 2.2 / (1 + 1.2)
+    assert(math.abs(got(0)._2 - s0) < 1e-8, s"${got(0)._2} vs $s0")
+    assert(math.abs(got(1)._2 - s1) < 1e-8, s"${got(1)._2} vs $s1")
+    assert(got(0)._2 > got(1)._2)
+  }
+
   test("nbClassifier learns the planted spam vocabulary and flags held-out planted docs") {
     val out = TextOps.nbClassifier(spark, sf)
       .select("doc_id", "log_odds", "predicted", "correct")
