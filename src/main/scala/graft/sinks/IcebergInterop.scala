@@ -220,6 +220,8 @@ object IcebergInterop {
       {"name":"manifest_path","type":"string","field-id":500},
       {"name":"manifest_length","type":"long","field-id":501},
       {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"content","type":["null","int"],"default":null,"field-id":517},
+      {"name":"sequence_number","type":["null","long"],"default":null,"field-id":515},
       {"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503},
       {"name":"added_data_files_count","type":["null","int"],"default":null,"field-id":504},
       {"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},
@@ -228,6 +230,53 @@ object IcebergInterop {
 
   private[sinks] final case class DataFileRef(path: String, records: Long, bytes: Long,
       partValues: Seq[Option[String]] = Nil)
+
+  /** Manifest-list record with the v2 fields stamped. `addedSnapshotId`
+    * is boxed because carried foreign records may hold null.
+    */
+  private def listEntryRecord(path: String, len: Long,
+      addedSnapshotId: java.lang.Long, content: Int, seq: Long): GenericRecord = {
+    val r = new GenericData.Record(ManifestFileSchema)
+    r.put("manifest_path", path)
+    r.put("manifest_length", len)
+    r.put("partition_spec_id", 0)
+    r.put("content", content)
+    r.put("sequence_number", seq)
+    r.put("added_snapshot_id", addedSnapshotId)
+    r
+  }
+
+  /** content of a manifest-list record: null/absent (v1) reads as 0 = data. */
+  private def listContentOf(r: GenericRecord): Int =
+    r.getSchema.getField("content") match {
+      case null => 0
+      case _ => Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+    }
+
+  /** sequence number of a manifest-list record: null/absent (v1) is 0. */
+  private def listSeqOf(r: GenericRecord): Long =
+    r.getSchema.getField("sequence_number") match {
+      case null => 0L
+      case _ => Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
+
+  /** Manifest-entry schema for POSITION-DELETE manifests (v2 content=1):
+    * the data_file record carries the spec's delete-file shape —
+    * content=1 and the (file_path, pos) parquet the entry points at.
+    */
+  private val DeleteManifestEntrySchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int","field-id":0},
+      {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+        {"name":"content","type":"int","field-id":134},
+        {"name":"file_path","type":"string","field-id":100},
+        {"name":"file_format","type":"string","field-id":101},
+        {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+        {"name":"record_count","type":"long","field-id":103},
+        {"name":"file_size_in_bytes","type":"long","field-id":104}
+      ]}}
+    ]}""".replace("\n", ""))
 
   /** Stage `df`'s parquet files, then move them into `data/` under
     * commit-unique names. NOT dot-prefixed staging: Spark's hidden-path
@@ -498,29 +547,36 @@ object IcebergInterop {
         "format-version" -> "1"),
       entries)
 
-    // manifest list: this manifest + (append) every prior live manifest
-    val carried: Seq[(String, Long)] = if (overwrite) Nil else prev.toSeq.flatMap {
+    // sequence machinery: v1 tables stay seq-free; once a row-level
+    // delete upgraded the table to format-version 2, every commit bumps
+    // the sequence and stamps its manifest with it (the spec's ordering
+    // rule that scopes deletes to files that existed before them)
+    val prevFormat = prev.map(p => (p._2 \ "format-version").extract[Int])
+      .getOrElse(1)
+    val newSeq = if (prevFormat >= 2)
+      prev.map(p => (p._2 \ "last-sequence-number").extractOrElse[Long](0L))
+        .getOrElse(0L) + 1
+    else 0L
+    // manifest list: this manifest + (append) every prior live manifest,
+    // each carried record keeping its content kind and sequence number
+    val carried: Seq[GenericRecord] = if (overwrite) Nil else prev.toSeq.flatMap {
       case (_, meta) =>
         val currentSnap = (meta \ "current-snapshot-id").extract[Long]
         (meta \ "snapshots").extract[List[JValue]]
           .find(s => (s \ "snapshot-id").extract[Long] == currentSnap)
-          .toSeq.flatMap { s =>
-            readAvro(fs, new Path((s \ "manifest-list").extract[String])).map(r =>
-              (r.get("manifest_path").toString,
-                r.get("manifest_length").asInstanceOf[Long]))
-          }
+          .toSeq.flatMap(s =>
+            readAvro(fs, new Path((s \ "manifest-list").extract[String])))
     }
     val listPath = s"$path/metadata/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
-    val listRecords = ((manifestPath, manifestLen) +: carried).map { case (p, len) =>
-      val r = new GenericData.Record(ManifestFileSchema)
-      r.put("manifest_path", p)
-      r.put("manifest_length", len)
-      r.put("partition_spec_id", 0)
-      r.put("added_snapshot_id", snapshotId)
-      r
-    }
+    val added = listEntryRecord(manifestPath, manifestLen, snapshotId,
+      content = 0, seq = newSeq)
+    val listRecords = added +: carried.map(r => listEntryRecord(
+      r.get("manifest_path").toString,
+      r.get("manifest_length").asInstanceOf[Long],
+      r.get("added_snapshot_id").asInstanceOf[java.lang.Long],
+      content = listContentOf(r), seq = listSeqOf(r)))
     writeAvro(fs, new Path(listPath), ManifestFileSchema,
-      Map("format-version" -> "1"), listRecords)
+      Map("format-version" -> prevFormat.toString), listRecords)
 
     // new table metadata version
     val prevSnapshots = prev.toSeq.flatMap(_._2 \ "snapshots" match {
@@ -535,13 +591,16 @@ object IcebergInterop {
         JString(if (overwrite) "overwrite" else "append")),
       "manifest-list" -> JString(listPath),
       "schema-id" -> JInt(0)) ~~ parentId.map(p =>
-        JObject("parent-snapshot-id" -> JLong(p)))
+        JObject("parent-snapshot-id" -> JLong(p))) ~~
+      (if (prevFormat >= 2) Some(JObject("sequence-number" -> JLong(newSeq)))
+       else None)
     val meta = JObject(
-      "format-version" -> JInt(1),
+      "format-version" -> JInt(prevFormat),
       "table-uuid" -> JString(prev.map(p => (p._2 \ "table-uuid").extract[String])
         .getOrElse(java.util.UUID.randomUUID().toString)),
       "location" -> JString(path),
       "last-updated-ms" -> JLong(now),
+      "last-sequence-number" -> JLong(newSeq),
       "last-column-id" -> JInt(schema.size),
       "schema" -> schemaJ,
       "schemas" -> JArray(List(schemaJ)),
@@ -712,24 +771,84 @@ object IcebergInterop {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $target not found in $path"))
     val schema = schemaFromJson((meta \ "schemas")(0))
-    val manifests = readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
-      .map(_.get("manifest_path").toString)
-    val dataFiles = manifests.flatMap { m =>
-      readAvro(fs, new Path(m)).collect {
+    val listRecs = readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
+    val (delRecs, dataRecs) = listRecs.partition(r => listContentOf(r) == 1)
+    val dataFilesWithSeq = dataRecs.flatMap { r =>
+      val seq = listSeqOf(r)
+      readAvro(fs, new Path(r.get("manifest_path").toString)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
-          e.get("data_file").asInstanceOf[GenericRecord]
+          (e.get("data_file").asInstanceOf[GenericRecord], seq)
       }
     }
+    val seqByPath = dataFilesWithSeq
+      .map { case (d, q) => d.get("file_path").toString -> q }.toMap
     val partFields = partFieldsOf(meta, schema)
-    val (kept, _) = FileStats.prune(spark, schema, where, dataFiles,
+    val (kept, _) = FileStats.prune(spark, schema, where, dataFilesWithSeq.map(_._1),
       (d: GenericRecord) => fileStatOf(d, schema, partFields))
     val files = kept.map(_.get("file_path").toString)
+    // position-delete files (v2 content=1 manifests), with their sequence
+    val deletes = delRecs.flatMap { r =>
+      val seq = listSeqOf(r)
+      readAvro(fs, new Path(r.get("manifest_path").toString)).collect {
+        case e if e.get("status").asInstanceOf[Int] != 2 =>
+          (e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString, seq)
+      }
+    }
     val out =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema)
-      else spark.read.schema(schema).parquet(files: _*)
+      else if (deletes.isEmpty) spark.read.schema(schema).parquet(files: _*)
+      else applyPositionDeletes(spark, schema, files,
+        files.map(f => f -> seqByPath.getOrElse(f, 0L)).toMap, deletes)
     where.map(out.filter).getOrElse(out)
+  }
+
+  /** Delete-file parquet shape per the spec (2147483546/2147483545 are
+    * the reserved field-ids; column NAMES are what Spark parquet
+    * resolves by).
+    */
+  private val DeleteFileSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** `_metadata.file_path` comes back URI-form (`file:///tmp/x`);
+    * manifests store the writer's plain string. One normalization used
+    * by BOTH the delete writer and the merge-on-read join, so the two
+    * sides can never disagree about spelling.
+    */
+  private def normalizedFilePath: Column =
+    regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+
+  /** Merge-on-read: anti-join the data rows against the position
+    * deletes on (file path, row position), scoped by the spec's
+    * sequence rule — a delete applies only to files whose data
+    * sequence is <= the delete's. Row positions come from Spark's
+    * `_metadata.row_index` (exact parquet row ordinals); the delete
+    * set rides a broadcast (bounded: deletes are maintenance-compacted
+    * away, never corpus-sized).
+    */
+  private def applyPositionDeletes(spark: SparkSession, schema: StructType,
+      files: Seq[String], dataSeqByPath: Map[String, Long],
+      deletes: Seq[(String, Long)]): DataFrame = {
+    val base = spark.read.schema(schema).parquet(files: _*)
+      .withColumn("__fp", normalizedFilePath)
+      .withColumn("__pos", col("_metadata.row_index"))
+    val seqDf = spark.createDataFrame(
+      dataSeqByPath.toSeq.map { case (p, q) => org.apache.spark.sql.Row(p, q) }.asJava,
+      StructType(Seq(StructField("__fp", StringType), StructField("__dseq", LongType))))
+    val delDf = deletes.map { case (p, q) =>
+      spark.read.schema(DeleteFileSchema).parquet(p)
+        .select(col("file_path").as("__del_fp"), col("pos").as("__del_pos"),
+          lit(q).as("__mseq"))
+    }.reduce(_ unionByName _)
+    base.join(broadcast(seqDf), Seq("__fp"), "left")
+      .join(broadcast(delDf),
+        col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos") &&
+          coalesce(col("__dseq"), lit(0L)) <= col("__mseq"),
+        "left_anti")
+      .select(schema.fieldNames.map(col): _*)
   }
 
   /** The data files `where` cannot prune — spec/test introspection. */
