@@ -113,16 +113,21 @@ object Bench {
     })
     val total = warm.map(_._2._1).filter(_ >= 0).sum
     val coldTotal = cold.flatMap(_._2).sum
-    // Per-query scheduler metrics and error details go to a SIDE FILE:
-    // the stdout JSON line must stay short — the harness that captures it
-    // keeps only a bounded tail of the run output, and a multi-kB line
-    // gets its head (the "metric"/"value" keys) truncated away.
+    // Per-query times, scheduler metrics, and error details go to a SIDE
+    // FILE: the harness that captures stdout keeps only a bounded tail of
+    // the run output, and a multi-kB line gets its head (the
+    // "metric"/"value" keys) truncated away — so the stdout line must
+    // stay bounded REGARDLESS of how many queries are registered. It
+    // carries the totals plus only the top-10 slowest queries (~600 B at
+    // any query count); the full per-query map lives in the side file.
     val sideFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "target/bench-details.json"))
     java.nio.file.Files.createDirectories(sideFile.toAbsolutePath.getParent)
     java.nio.file.Files.write(sideFile,
-      s"""{"errors":$errJson,"details":$details}""".getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_sec":${r3(coldTotal)},"n_errors":${errors.size},"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"queries":$qs,"errors":$errJson,"details":$details}""".getBytes("UTF-8"))
+    val slowest = jsonMap(warm.sortBy(-_._2._1).take(10)
+      .map { case (k, (v, _)) => k -> r3(v) })
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_sec":${r3(coldTotal)},"n_queries":${warm.size},"n_errors":${errors.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -172,6 +172,59 @@ object TextKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** Excise every occurrence of a corpus-duplicated k-token span from
+    * one document, in ONE pass: tokenize (identically to
+    * `split(trim(text), "\\s+")`, see [[wordNgrams]]), probe each
+    * positional k-gram against the broadcast hash set (O(1) per probe —
+    * the interpreted `array_contains`-over-literal spelling this kernel
+    * replaces was an O(|dupSet|) linear scan per n-gram), mark covered
+    * token positions, and rejoin the survivors single-spaced. Returns
+    * (cleaned, n_kept, n_removed) as one struct so the caller's
+    * projection stays single-pass.
+    */
+  def removeSpans(text: UTF8String, k: Int,
+      spans: java.util.HashSet[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val toks = s.substring(b, e).split("\\s+", -1)
+    val n = toks.length
+    val covered = new Array[Boolean](n)
+    if (n >= k && !spans.isEmpty) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + k <= n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        if (spans.contains(sb.toString)) {
+          var p = i
+          while (p < i + k) { covered(p) = true; p += 1 }
+        }
+        i += 1
+      }
+    }
+    val out = new java.lang.StringBuilder
+    var kept = 0
+    var i = 0
+    while (i < n) {
+      if (!covered(i)) {
+        if (kept > 0) out.append(' ')
+        out.append(toks(i))
+        kept += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(out.toString), kept.toLong, (n - kept).toLong))
+  }
+
   /** Unicode NFC normalization (canonical composition) with two
     * zero-allocation fast paths: pure-ASCII strings are detected with
     * one byte scan (no String materialization at all — the overwhelming

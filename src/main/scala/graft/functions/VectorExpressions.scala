@@ -167,6 +167,56 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Duplicated-span removal kernel: probes each positional k-gram of the
+  * document against a BROADCAST hash set of corpus-duplicated spans and
+  * excises every covered token — see [[TextKernels.removeSpans]]. The
+  * span set rides a `Broadcast` handle (one torrent-shipped copy per
+  * executor, not one array copy per task closure) and materializes as a
+  * per-executor `HashSet` on first probe; inside whole-stage codegen the
+  * per-row cost is O(tokens) hash probes, replacing the interpreted
+  * `transform`/`array_contains`-over-literal spelling whose cost was
+  * O(tokens × |dupSet|) string comparisons per document.
+  */
+case class RemoveSpans(child: Expression,
+    spans: org.apache.spark.broadcast.Broadcast[Array[String]], k: Int)
+  extends UnaryExpression {
+  require(k >= 1, "span length must be positive")
+  override def dataType: DataType = StructType(Seq(
+    StructField("cleaned", StringType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+  override def prettyName: String = "graft_remove_spans"
+
+  @transient private lazy val spanSet = {
+    val arr = spans.value
+    val h = new java.util.HashSet[String](math.max(16, arr.length * 2))
+    arr.foreach(h.add)
+    h
+  }
+
+  def kernel(text: org.apache.spark.unsafe.types.UTF8String): Any =
+    TextKernels.removeSpans(text, k, spanSet)
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("removeSpans", this,
+        classOf[RemoveSpans].getName)
+      s"${ev.value} = (InternalRow) $ref.kernel($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RemoveSpans =
+    copy(child = newChild)
+}
+
 /** Single-pass stopword-hit counts per language plus the CJK codepoint
   * count, as a struct (s_en, s_de, s_fr, s_es, s_zh) — see
   * [[TextKernels.stopwordHits]].

@@ -845,13 +845,15 @@ object Dedup {
     * Scale shape: the duplicated set comes from the SAME one
     * map-side-partial groupBy as [[duplicatedSpans]] (per-doc
     * distinctness is row-local), and the rewrite is a PURE PROJECTION —
-    * span matching, position coverage (`transform` + `flatten` over the
-    * positional n-gram array), and token filtering all happen inside the
-    * row against the broadcast-literal span set, zero corpus shuffle.
-    * `broadcastSet = false` is the join fallback for a corpus whose
-    * duplicated set outgrows a driver literal: positional anti-join on
-    * (doc_id, pos) + ordered re-assembly, one doc_id shuffle. Spec pins
-    * both branches equal.
+    * the codegen'd [[graft.functions.RemoveSpans]] kernel probes each
+    * positional k-gram against a broadcast hash set (O(tokens) hash
+    * probes per doc, zero corpus shuffle; the earlier interpreted
+    * `transform`/`array_contains`-over-literal spelling was
+    * O(tokens × |dupSet|) string comparisons per doc and ran 182 s at
+    * sf0.1). `broadcastSet = false` is the join fallback for a corpus
+    * whose duplicated set outgrows executor memory: positional
+    * anti-join on (doc_id, pos) + ordered re-assembly, one doc_id
+    * shuffle. Spec pins both branches equal.
     */
   def removeDuplicatedSpans(spark: SparkSession, dir: String,
       k: Int = 5, minDocs: Int = 3, broadcastSet: Boolean = true): DataFrame = {
@@ -865,19 +867,17 @@ object Dedup {
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs).select(col("s"))
     if (broadcastSet) {
-      val dl = dupSet.collect().map(_.getString(0)).sorted
+      val dl = dupSet.collect().map(_.getString(0))
       require(dl.length <= MaxDupSpanSet,
         s"duplicated-span set ${dl.length} exceeds $MaxDupSpanSet — " +
           "use broadcastSet = false (anti-join path) for this corpus")
-      val dlLit = typedlit(dl)
-      val covered = array_distinct(flatten(transform(ng, (s, i) =>
-        when(array_contains(dlLit, s), sequence(i, i + lit(k - 1)))
-          .otherwise(array().cast("array<int>")))))
-      val kept = filter(ws, (t, j) => !array_contains(covered, j))
-      docs.select(col("doc_id"),
-          concat_ws(" ", kept).as("cleaned"),
-          size(kept).cast("long").as("n_kept"),
-          (size(ws) - size(kept)).cast("long").as("n_removed"))
+      val bc = spark.sparkContext.broadcast(dl)
+      val r = org.apache.spark.sql.GraftShim.column(
+        graft.functions.RemoveSpans(
+          org.apache.spark.sql.GraftShim.expression(col("text")), bc, k))
+      docs.select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"), col("r.cleaned").as("cleaned"),
+          col("r.n_kept").as("n_kept"), col("r.n_removed").as("n_removed"))
         .orderBy(col("doc_id"))
     } else {
       val spread = Tables.spread(docs)
