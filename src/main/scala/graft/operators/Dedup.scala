@@ -690,8 +690,13 @@ object Dedup {
       threshold: Double, sampleSize: Int): DataFrame = {
     val emb = Tables.spread(embRaw)
     val dim = graft.functions.VectorExpressions.Dim
-    val sample = embRaw.select(col("embedding"))
-      .limit(sampleSize).collect().map(_.getSeq[Float](0).toArray)
+    // orderBy before limit: a bare limit is partition-layout dependent,
+    // and the quantizer sample must be identical on every engine run for
+    // cluster assignment (hence the caught-duplicate set) to be
+    // reproducible
+    val sample = embRaw.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
     val kernel = graft.functions.CentroidKernel.train(sample, nLists, dim)
     val assigned = emb.select(col("vec_id"), col("embedding").as("v"),
       element_at(graft.functions.GraftFunctions.nearestCentroids(col("embedding"), kernel, 1), 1)

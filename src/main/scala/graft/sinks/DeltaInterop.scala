@@ -2,6 +2,8 @@ package graft.sinks
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -521,7 +523,7 @@ object DeltaInterop {
     val statsByFile =
       FileStats.collect(spark, staged.map(s => s"$path/${s._2}").toSeq, dataSchema)
     staged.map { case (_, rel, size) =>
-      val st = statsByFile.get(FileStats.basename(rel))
+      val st = statsByFile.get(FileStats.canon(s"$path/$rel"))
       AddFile(encodePath(rel), partitionValuesOf(rel, partitionBy), size, now,
         dataChange = dataChange,
         stats = st.map(s => statsJson(s.numRecords.getOrElse(0L),
@@ -549,7 +551,7 @@ object DeltaInterop {
     val now = System.currentTimeMillis()
     val statsByFile = FileStats.collect(spark, files.map(_._1), schema)
     val adds = files.map { case (abs, size) =>
-      val st = statsByFile.get(FileStats.basename(abs))
+      val st = statsByFile.get(FileStats.canon(abs))
       AddFile(encodePath(abs), Map.empty, size, now, dataChange = true,
         stats = st.map(s => statsJson(s.numRecords.getOrElse(0L),
           schema.fields.toSeq.flatMap(f => s.cols.get(f.name).map(f -> _)))))
@@ -887,11 +889,17 @@ object DeltaInterop {
     * only walks the table tree, so donor files can never be reclaimed
     * by this table's retention.
     */
-  private[sinks] def resolveAddPath(tableRoot: String, p: String): String = {
-    val d = decodePath(p)
-    if (d.startsWith("/") || p.matches("[A-Za-z][A-Za-z0-9+.-]*://.*")) d
-    else s"$tableRoot/$d"
-  }
+  private[sinks] def resolveAddPath(tableRoot: String, p: String): String =
+    if (p.matches("[A-Za-z][A-Za-z0-9+.-]*://.*")) {
+      // full absolute URI: keep scheme AND authority — stripping to
+      // getPath would turn s3://bucket/key into /key and read the wrong
+      // filesystem. Local empty-authority forms (file:///x) collapse to
+      // the bare path; [[FileStats.canon]] is exactly this rule.
+      FileStats.canon(p)
+    } else {
+      val d = decodePath(p)
+      if (d.startsWith("/")) d else s"$tableRoot/$d"
+    }
 
   // ---- checkpoints ----
 
@@ -960,11 +968,30 @@ object DeltaInterop {
     finally out.close()
   }
 
+  /** Default ceiling on checkpoint actions replayed onto the driver —
+    * override with `graft.delta.maxCheckpointActions`. The replay state
+    * is bounded by live FILE COUNT (same order as delta-spark's own
+    * driver-side snapshot), not data volume, but a runaway small-files
+    * table at 100× scale (millions of adds × stats JSON strings) should
+    * fail loudly at a named bound, not OOM the driver.
+    */
+  private[sinks] val DefaultMaxCheckpointActions = 2000000L
+
   private def applyCheckpoint(spark: SparkSession, path: String, version: Long,
       replay: Replay): Unit = {
     val df = spark.read.schema(CheckpointSchema)
       .parquet(checkpointFile(path, version).toString)
-    df.collect().foreach { r =>
+    val bound = spark.conf.getOption("graft.delta.maxCheckpointActions")
+      .map(_.toLong).getOrElse(DefaultMaxCheckpointActions)
+    // toLocalIterator streams one partition at a time: the full action
+    // array never materializes on the driver alongside the replay map
+    var n = 0L
+    df.toLocalIterator().asScala.foreach { r =>
+      n += 1
+      require(n <= bound,
+        s"DeltaInterop: checkpoint $version of $path exceeds $bound " +
+          "actions — compact the table (OPTIMIZE) or raise " +
+          "graft.delta.maxCheckpointActions")
       Option(r.getAs[Row]("protocol")).foreach(p =>
         replay.protocol = Protocol(p.getInt(0), p.getInt(1)))
       Option(r.getAs[Row]("metaData")).foreach(m =>

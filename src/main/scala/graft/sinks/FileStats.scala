@@ -53,9 +53,13 @@ object FileStats {
 
   /** One Spark job over `files` (all sharing `schema`, no partition
     * columns): per file, row count + min/max/nullCount for every
-    * bound-eligible column. Keys are file BASENAMES — Spark's
-    * part-file names are job-unique, so basenames stay unique across
-    * hive partition subdirectories of one commit.
+    * bound-eligible column. Keys are CANONICAL FULL PATHS ([[canon]]) —
+    * basenames are NOT unique when the file list mixes hive partition
+    * dirs or donor files gathered from arbitrary commits (a task reuses
+    * its part filename in every partition dir it touches), and a
+    * basename collision would cross-assign stats, making stats-based
+    * pruning silently drop matching rows. Look results up with
+    * `statsByFile.get(FileStats.canon(path))`.
     */
   def collect(spark: SparkSession, files: Seq[String],
       schema: StructType): Map[String, FileStat] = {
@@ -80,11 +84,28 @@ object FileStats {
             .map(v => toInternal(v, f.dataType))
           f.name -> ColStats(mn, mx, Some(nc), allNull = nc == n)
         }.toMap
-        basename(r.getAs[String]("_file")) -> FileStat(Some(n), cols)
+        canon(r.getAs[String]("_file")) -> FileStat(Some(n), cols)
       }.toMap
   }
 
   def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Canonical form of a file path for stats-map keying: URI forms
+    * percent-decode their path; scheme+authority survive when present
+    * (s3://bucket/key stays bucket-qualified), while local URI shapes
+    * (`file:///x`, `file:/x`) and bare paths all collapse to `/x` — so
+    * `input_file_name()`'s URI spelling and a caller's plain path
+    * spelling of the same file agree. Undecodable strings pass through
+    * verbatim.
+    */
+  def canon(p: String): String =
+    if (p.matches("[A-Za-z][A-Za-z0-9+.-]*:/.*"))
+      try {
+        val u = java.net.URI.create(p)
+        val auth = Option(u.getAuthority).getOrElse("")
+        if (auth.isEmpty) u.getPath else s"${u.getScheme}://$auth${u.getPath}"
+      } catch { case _: IllegalArgumentException => p }
+    else p
 
   /** External (Row) value → catalyst internal value, the domain all
     * comparisons run in (UTF8String for strings, days for dates,

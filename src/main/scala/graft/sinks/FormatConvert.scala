@@ -64,11 +64,11 @@ object FormatConvert {
       if (missing.isEmpty) Map.empty
       else spark.read.parquet(missing: _*)
         .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-        .collect().map(r => FileStats.basename(r.getString(0)) -> r.getLong(1))
+        .collect().map(r => FileStats.canon(r.getString(0)) -> r.getLong(1))
         .toMap
     val refs = withCounts.map { case (p, size, rec) =>
       IcebergInterop.DataFileRef(p,
-        rec.orElse(counted.get(FileStats.basename(p))).getOrElse(0L), size)
+        rec.orElse(counted.get(FileStats.canon(p))).getOrElse(0L), size)
     }
     IcebergInterop.commitExternal(spark, icebergPath, snap.schema, refs)
   }

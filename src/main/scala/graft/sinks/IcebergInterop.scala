@@ -534,7 +534,15 @@ object IcebergInterop {
     // column-stats maps (keyed by field-id), the skipping metadata
     // real Iceberg planners prune on
     val statsByFile = FileStats.collect(spark, moved.map(_.path), schema)
-    // one manifest for this commit's files
+    // sequence machinery: v1 tables stay seq-free; once a row-level
+    // delete upgraded the table to format-version 2, every commit bumps
+    // the sequence and stamps its manifest with it (the spec's ordering
+    // rule that scopes deletes to files that existed before them)
+    val prevFormat = prev.map(p => (p._2 \ "format-version").extract[Int])
+      .getOrElse(1)
+    // one manifest for this commit's files, headers stamped with the
+    // TABLE's format version (an upgraded table must not emit v1-tagged
+    // manifests next to a v2 manifest list)
     val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-m0.avro"
     val entrySchema = manifestEntrySchema(partFields)
     val entries = buildEntries(moved, snapshotId, schema, partFields,
@@ -544,15 +552,8 @@ object IcebergInterop {
         "partition-spec" -> JsonMethods.compact(JsonMethods.render(
           specFieldsJson(partFields, schema))),
         "partition-spec-id" -> "0",
-        "format-version" -> "1"),
+        "format-version" -> prevFormat.toString),
       entries)
-
-    // sequence machinery: v1 tables stay seq-free; once a row-level
-    // delete upgraded the table to format-version 2, every commit bumps
-    // the sequence and stamps its manifest with it (the spec's ordering
-    // rule that scopes deletes to files that existed before them)
-    val prevFormat = prev.map(p => (p._2 \ "format-version").extract[Int])
-      .getOrElse(1)
     val newSeq = if (prevFormat >= 2)
       prev.map(p => (p._2 \ "last-sequence-number").extractOrElse[Long](0L))
         .getOrElse(0L) + 1
@@ -677,14 +678,13 @@ object IcebergInterop {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $target not found in $path"))
     val schema = schemaFromJson((meta \ "schemas")(0))
-    val refs = readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
-      .flatMap(r => readAvro(fs, new Path(r.get("manifest_path").toString)))
-      .collect { case e if e.get("status").asInstanceOf[Int] != 2 =>
-        val d = e.get("data_file").asInstanceOf[GenericRecord]
-        DataFileRef(d.get("file_path").toString,
-          d.get("record_count").asInstanceOf[Long],
-          d.get("file_size_in_bytes").asInstanceOf[Long])
-      }
+    requireNoDeleteManifests(fs, snap, "convert") // adoption is verbatim
+    val refs = liveEntries(fs, snap).map { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      DataFileRef(d.get("file_path").toString,
+        d.get("record_count").asInstanceOf[Long],
+        d.get("file_size_in_bytes").asInstanceOf[Long])
+    }
     (schema, refs)
   }
 
@@ -861,10 +861,8 @@ object IcebergInterop {
     val snap = (meta \ "snapshots").extract[List[JValue]]
       .find(s => (s \ "snapshot-id").extract[Long] == target).get
     val schema = schemaFromJson((meta \ "schemas")(0))
-    val dataFiles = readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
-      .flatMap(r => readAvro(fs, new Path(r.get("manifest_path").toString)))
-      .collect { case e if e.get("status").asInstanceOf[Int] != 2 =>
-        e.get("data_file").asInstanceOf[GenericRecord] }
+    val dataFiles = liveEntries(fs, snap)
+      .map(_.get("data_file").asInstanceOf[GenericRecord])
     FileStats.prune(spark, schema, where, dataFiles,
       (d: GenericRecord) => fileStatOf(d, schema, partFieldsOf(meta, schema)))._1
       .map(_.get("file_path").toString)
@@ -923,7 +921,7 @@ object IcebergInterop {
       d.put("record_count", f.records)
       d.put("file_size_in_bytes", f.bytes)
       d.put("block_size_in_bytes", 67108864L)
-      statsByFile.get(FileStats.basename(f.path)).foreach { st =>
+      statsByFile.get(FileStats.canon(f.path)).foreach { st =>
         val fields = schema.fields.zipWithIndex
         d.put("value_counts", kvList("value_counts",
           fields.map { case (_, i) => (i + 1) -> st.numRecords.getOrElse(0L) }.toSeq))
@@ -949,8 +947,25 @@ object IcebergInterop {
     */
   private def liveEntries(fs: FileSystem, snap: JValue): Seq[GenericRecord] =
     readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
+      .filter(listContentOf(_) == 0) // data manifests only, never content=1
       .flatMap(r => readAvro(fs, new Path(r.get("manifest_path").toString)))
       .filter(_.get("status").asInstanceOf[Int] != 2)
+
+  /** Refuse loudly when a v2 snapshot carries position-delete manifests:
+    * callers that rewrite or adopt data files wholesale (compaction,
+    * metadata-only CONVERT) would orphan the deletes and resurrect
+    * deleted rows — silent corruption. The delete-aware read path
+    * ([[readIceberg]]) applies them instead of refusing.
+    */
+  private def requireNoDeleteManifests(fs: FileSystem, snap: JValue,
+      what: String): Unit = {
+    val dels = readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
+      .count(listContentOf(_) == 1)
+    require(dels == 0,
+      s"IcebergInterop $what: snapshot carries $dels position-delete " +
+        "manifest(s) (v2 content=1); rewrite the table through the " +
+        "delete-aware reader first")
+  }
 
   /** Partition tuple of a manifest entry (null-safe), for grouping. */
   private def partKeyOf(e: GenericRecord,
@@ -1067,6 +1082,7 @@ object IcebergInterop {
           s"IcebergInterop appendsBetween: snapshot $sid is a '$op' — not " +
             "expressible as an append; set ignoreChanges=true to re-emit rows")
         readAvro(fs, new Path((s \ "manifest-list").extract[String]))
+          .filter(listContentOf(_) == 0) // never adopt delete parquet as data
           .flatMap(r => readAvro(fs, new Path(r.get("manifest_path").toString)))
           .filter(e => e.get("status").asInstanceOf[Int] == 1 &&
             e.get("snapshot_id") == sid)
@@ -1099,6 +1115,7 @@ object IcebergInterop {
     val current = (meta \ "current-snapshot-id").extract[Long]
     val snap = (meta \ "snapshots").extract[List[JValue]]
       .find(s => (s \ "snapshot-id").extract[Long] == current).get
+    requireNoDeleteManifests(fs, snap, "compact") // rewrite orphans deletes
     val entries = liveEntries(fs, snap)
     val grouped = entries.groupBy(partKeyOf(_, partFields))
     val multi = grouped.filter(_._2.size > 1)

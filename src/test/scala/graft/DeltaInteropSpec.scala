@@ -127,6 +127,26 @@ class DeltaInteropSpec extends SparkSpec {
     assert(back.agg(sum("v")).as[Double].collect()(0) == (0 to 11).sum.toDouble)
   }
 
+  test("checkpoint replay fails loudly at the named action bound") {
+    val path = tmp("ckpt-bound")
+    (0 to 10).foreach { i =>
+      DeltaInterop.write(Seq((i.toLong, "a", i.toDouble)).toDF("id", "cat", "v"),
+        path, partitionBy = Seq("cat"))
+    }
+    assert(new java.io.File(
+      s"$path/_delta_log/${"%020d".format(10L)}.checkpoint.parquet").exists())
+    spark.conf.set("graft.delta.maxCheckpointActions", "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DeltaInterop.read(spark, path).count()
+      }
+      assert(e.getMessage.contains("maxCheckpointActions"),
+        s"error must name the knob: ${e.getMessage}")
+    } finally spark.conf.unset("graft.delta.maxCheckpointActions")
+    // default bound: same replay succeeds
+    assert(DeltaInterop.read(spark, path).count() == 11)
+  }
+
   test("streaming batches are exactly-once via the txn action") {
     val path = tmp("txn")
     val writer = DeltaInterop.streamBatchWriter(path, Seq("cat"), appId = "app-1")
