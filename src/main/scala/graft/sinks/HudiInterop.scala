@@ -104,9 +104,50 @@ object HudiInterop {
     }
   }
 
+  /** Parsed `hoodie.properties` — the table's self-description. Real
+    * writers add many more keys (checksum, key generator, etc.);
+    * unknown keys pass through untouched.
+    */
+  private[sinks] def tableProps(fs: FileSystem, path: String): Map[String, String] = {
+    val p = new Path(s"$path/$MetaDir/hoodie.properties")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filterNot(l => l.startsWith("#") || !l.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+      finally in.close()
+    }
+  }
+
+  /** Refuse table shapes this COW engine cannot serve correctly:
+    * MERGE_ON_READ base files without their log files are silently
+    * stale data, and table version >= 8 (Hudi 1.x) moves the timeline
+    * under `.hoodie/timeline/`, which would read as "no commits".
+    * Absent properties (graft's own minimal fixtures) default to COW v6.
+    */
+  private def requireReadable(fs: FileSystem, path: String): Unit = {
+    val props = tableProps(fs, path)
+    val typ = props.getOrElse("hoodie.table.type", "COPY_ON_WRITE")
+    require(typ == "COPY_ON_WRITE",
+      s"HudiInterop: table type $typ is not supported — MERGE_ON_READ " +
+        "snapshots need log-file merging; compact the table to COW first")
+    val ver = props.get("hoodie.table.version").map(_.trim.toInt).getOrElse(6)
+    require(ver <= 7,
+      s"HudiInterop: table version $ver uses the 1.x timeline layout " +
+        "(.hoodie/timeline/) this reader does not speak")
+  }
+
   // ---- file slices ----
 
-  private val SliceName = "([0-9a-f-]{36})_([0-9-]+)_(\\d{17})\\.parquet".r
+  /** Base-file name per the spec: `<fileId>_<writeToken>_<instant>.parquet`.
+    * Real writers' fileId is a 36-char UUID PLUS a `-<index>` suffix
+    * (38+ chars), the write token is `p-s-a`, and pre-0.13 writers
+    * stamp 14-digit (second-resolution) instants — all accepted here;
+    * graft's own writer emits bare-UUID fileIds and 17-digit instants.
+    */
+  private val SliceName =
+    "([0-9a-f-]{36}(?:-\\d+)?)_([0-9-]+)_(\\d{14}(?:\\d{3})?)\\.parquet".r
 
   private final case class Slice(dir: String, fileId: String, instant: String,
       rel: String)
@@ -132,6 +173,7 @@ object HudiInterop {
   private def liveSlices(spark: SparkSession, path: String,
       asOf: Option[String]): Seq[Slice] = {
     val fs = fsFor(spark, path)
+    requireReadable(fs, path)
     val committed = timelineInstants(fs, path, ".commit")
       .filter(i => asOf.forall(i <= _)).toSet
     require(committed.nonEmpty, s"no completed commits in $path (asOf=$asOf)")
@@ -187,20 +229,32 @@ object HudiInterop {
   def clean(spark: SparkSession, path: String, retainCommits: Int): Int = {
     require(retainCommits >= 1, s"clean: retainCommits must be >= 1")
     val fs = fsFor(spark, path)
+    requireReadable(fs, path) // a MOR table's logs still reference base files
     val committed = timelineInstants(fs, path, ".commit")
     if (committed.size <= retainCommits) return 0
     val horizon = committed.takeRight(retainCommits).head
-    var deleted = 0
-    slices(fs, path).filter(s => committed.contains(s.instant))
-      .groupBy(s => (s.dir, s.fileId)).values.foreach { group =>
+    val doomed = slices(fs, path).filter(s => committed.contains(s.instant))
+      .groupBy(s => (s.dir, s.fileId)).values.flatMap { group =>
         val sorted = group.sortBy(_.instant)
         val keep = (sorted.filter(_.instant >= horizon) ++
           sorted.filter(_.instant < horizon).lastOption.toSeq).map(_.rel).toSet
-        sorted.filterNot(s => keep.contains(s.rel)).foreach { s =>
-          fs.delete(new Path(s"$path/${s.rel}"), false)
-          deleted += 1
+        sorted.filterNot(s => keep.contains(s.rel))
+      }.toSeq
+    // one batched FS pass: the doomed set is computed first, then
+    // deleted with bounded concurrency — serial per-file round trips
+    // are what makes cleaning slow on object stores (which batch
+    // deletes natively; concurrency is the portable spelling)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, doomed.size)))
+    val deleted = try {
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(doomed.map { s =>
+        new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean =
+            fs.delete(new Path(s"$path/${s.rel}"), false)
         }
-      }
+      }.asJava).asScala.count(_.get())
+    } finally pool.shutdown()
     val instant = nextInstant(timelineInstants(fs, path, ".commit") ++
       timelineInstants(fs, path, ".clean"))
     writeFile(fs, new Path(s"$path/$MetaDir/$instant.clean"),
@@ -282,6 +336,7 @@ object HudiInterop {
     require(df.schema.fieldNames.contains(recordKey), s"missing key col $recordKey")
     require(df.schema.fieldNames.contains(precombine), s"missing precombine $precombine")
     ensureTable(fs, path, tableName)
+    requireReadable(fs, path) // never write COW slices into a MOR/1.x table
     val instant = nextInstant(
       timelineInstants(fs, path, ".commit") ++
         timelineInstants(fs, path, ".commit.requested"))
@@ -290,12 +345,30 @@ object HudiInterop {
     writeFile(fs, new Path(s"$path/$MetaDir/$instant.inflight"), "{}")
 
     val dirCol = hivePath(partitionBy)
+    // one file group per dir: REUSE the dir's existing live group id (a
+    // foreign writer's fileId is not graft's deterministic one, and
+    // writing a parallel group would leave the old slice live — every
+    // carried row duplicated). Fresh dirs derive a stable id from the
+    // dir name; multi-group foreign partitions are out of this writer's
+    // one-group contract and refuse loudly.
+    val committedSet = timelineInstants(fs, path, ".commit").toSet
+    val liveGroupByDir = slices(fs, path)
+      .filter(s => committedSet.contains(s.instant))
+      .groupBy(_.dir).map { case (d, ss) => d -> ss.map(_.fileId).distinct }
+    def resolveFid(d: String): String = liveGroupByDir.getOrElse(d, Nil) match {
+      case Seq() => fileIdFor(d)
+      case Seq(one) => one
+      case many => throw new IllegalArgumentException(
+        s"HudiInterop: partition dir '$d' holds ${many.size} live file " +
+          "groups; this writer maintains one group per dir — compact " +
+          "the partition first")
+    }
     val fileIdUdfFree = {
       // fileId is a pure function of the dir; spell it as a join against
       // the distinct dir set so the map stays codegen'd (no UDF)
       val dirs = df.select(dirCol.as("__dir")).distinct().collect()
         .map(_.getString(0))
-      val mapping = dirs.flatMap(d => Seq(lit(d), lit(fileIdFor(d))))
+      val mapping = dirs.flatMap(d => Seq(lit(d), lit(resolveFid(d))))
       if (mapping.isEmpty) lit("") else {
         import org.apache.spark.sql.Column
         val m: Column = map(mapping.toIndexedSeq: _*)
@@ -357,11 +430,11 @@ object HudiInterop {
       val parts = fs.listStatus(dirStatus.getPath)
         .filter(_.getPath.getName.endsWith(".parquet"))
       parts.zipWithIndex.foreach { case (p, i) =>
-        val name = s"${fileIdFor(dir)}_$i-0-0_$instant.parquet"
+        val name = s"${resolveFid(dir)}_$i-0-0_$instant.parquet"
         val dst = new Path(destDir, name)
         require(fs.rename(p.getPath, dst), s"slice move failed: $dst")
         stats(dir) = stats.getOrElse(dir, Nil) :+
-          ((fileIdFor(dir), (if (dir.isEmpty) name else s"$dir/$name"), p.getLen))
+          ((resolveFid(dir), (if (dir.isEmpty) name else s"$dir/$name"), p.getLen))
       }
     }
     fs.delete(stage, true)

@@ -115,6 +115,19 @@ object IcebergInterop {
         nullable = !(f \ "required").extract[Boolean])
     })
 
+  /** The metadata's CURRENT schema: real writers append evolved schemas
+    * to the `schemas` list and point `current-schema-id` at the live
+    * one — reading `schemas[0]` unconditionally would resurrect the
+    * original schema on any foreign table that ever evolved. Falls back
+    * to the head for graft-written (single-schema) metadata.
+    */
+  private def currentSchema(meta: JValue): StructType = {
+    val schemas = (meta \ "schemas").extract[List[JValue]]
+    schemaFromJson((meta \ "current-schema-id").extractOpt[Int]
+      .flatMap(id => schemas.find(s => (s \ "schema-id").extractOpt[Int].contains(id)))
+      .getOrElse(schemas.head))
+  }
+
   // ---- avro manifest shapes (field-id props per the spec) ----
 
   /** Avro type for an identity partition field. The supported set is
@@ -493,7 +506,7 @@ object IcebergInterop {
       "IcebergInterop: __pdir is reserved for the staging layout")
     val prev = currentVersion(fs, path).map(v => (v, readMetadata(fs, path, v)))
     prev.foreach { case (_, meta) =>
-      val existing = schemaFromJson((meta \ "schemas")(0))
+      val existing = currentSchema(meta)
       require(overwrite || existing.map(f => (f.name, f.dataType)) ==
           df.schema.map(f => (f.name, f.dataType)),
         s"IcebergInterop append: schema must match the table " +
@@ -677,7 +690,7 @@ object IcebergInterop {
       .find(s => (s \ "snapshot-id").extract[Long] == target)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $target not found in $path"))
-    val schema = schemaFromJson((meta \ "schemas")(0))
+    val schema = currentSchema(meta)
     requireNoDeleteManifests(fs, snap, "convert") // adoption is verbatim
     val refs = liveEntries(fs, snap).map { e =>
       val d = e.get("data_file").asInstanceOf[GenericRecord]
@@ -770,7 +783,7 @@ object IcebergInterop {
       .find(s => (s \ "snapshot-id").extract[Long] == target)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $target not found in $path"))
-    val schema = schemaFromJson((meta \ "schemas")(0))
+    val schema = currentSchema(meta)
     val listRecs = readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
     val (delRecs, dataRecs) = listRecs.partition(r => listContentOf(r) == 1)
     val dataFilesWithSeq = dataRecs.flatMap { r =>
@@ -832,16 +845,23 @@ object IcebergInterop {
   private def applyPositionDeletes(spark: SparkSession, schema: StructType,
       files: Seq[String], dataSeqByPath: Map[String, Long],
       deletes: Seq[(String, Long)]): DataFrame = {
+    // every spelling of a path (manifest strings, delete-file columns,
+    // _metadata.file_path) must normalize through the SAME rule before
+    // joining — a real writer's `file:/...` URI spelling on one side and
+    // the plain-path spelling on another would otherwise silently skip
+    // the delete (a resurrected row, not an error)
+    def norm(s: String): String = s.replaceFirst("^file:/+", "/")
     val base = spark.read.schema(schema).parquet(files: _*)
       .withColumn("__fp", normalizedFilePath)
       .withColumn("__pos", col("_metadata.row_index"))
     val seqDf = spark.createDataFrame(
-      dataSeqByPath.toSeq.map { case (p, q) => org.apache.spark.sql.Row(p, q) }.asJava,
+      dataSeqByPath.toSeq.map { case (p, q) =>
+        org.apache.spark.sql.Row(norm(p), q) }.asJava,
       StructType(Seq(StructField("__fp", StringType), StructField("__dseq", LongType))))
     val delDf = deletes.map { case (p, q) =>
       spark.read.schema(DeleteFileSchema).parquet(p)
-        .select(col("file_path").as("__del_fp"), col("pos").as("__del_pos"),
-          lit(q).as("__mseq"))
+        .select(regexp_replace(col("file_path"), "^file:/+", "/").as("__del_fp"),
+          col("pos").as("__del_pos"), lit(q).as("__mseq"))
     }.reduce(_ unionByName _)
     base.join(broadcast(seqDf), Seq("__fp"), "left")
       .join(broadcast(delDf),
@@ -860,7 +880,7 @@ object IcebergInterop {
     val target = (meta \ "current-snapshot-id").extract[Long]
     val snap = (meta \ "snapshots").extract[List[JValue]]
       .find(s => (s \ "snapshot-id").extract[Long] == target).get
-    val schema = schemaFromJson((meta \ "schemas")(0))
+    val schema = currentSchema(meta)
     val dataFiles = liveEntries(fs, snap)
       .map(_.get("data_file").asInstanceOf[GenericRecord])
     FileStats.prune(spark, schema, where, dataFiles,
@@ -1058,7 +1078,7 @@ object IcebergInterop {
     val version = currentVersion(fs, path).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $path"))
     val meta = readMetadata(fs, path, version)
-    val schema = schemaFromJson((meta \ "schemas")(0))
+    val schema = currentSchema(meta)
     val byId = (meta \ "snapshots").extract[List[JValue]]
       .map(s => (s \ "snapshot-id").extract[Long] -> s).toMap
     // walk to the range start; collect in commit order
@@ -1110,7 +1130,7 @@ object IcebergInterop {
     val version = currentVersion(fs, path).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $path"))
     val meta = readMetadata(fs, path, version)
-    val schema = schemaFromJson((meta \ "schemas")(0))
+    val schema = currentSchema(meta)
     val partFields = partFieldsOf(meta, schema)
     val current = (meta \ "current-snapshot-id").extract[Long]
     val snap = (meta \ "snapshots").extract[List[JValue]]

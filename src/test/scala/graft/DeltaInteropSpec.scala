@@ -192,6 +192,31 @@ class DeltaInteropSpec extends SparkSpec {
     assert(back == Set((1L, 10.0), (2L, 20.0)))
   }
 
+  test("foreign log with absolute-URI adds reads donor files outside the tree") {
+    // the protocol's absolute-path form (CONVERT-style adoption): the
+    // add references a file that does NOT live under the table root
+    val donorDir = tmp("donor-data")
+    Seq((1L, 1.5), (2L, 2.5)).toDF("id", "v").coalesce(1).write.parquet(donorDir)
+    val donor = new java.io.File(donorDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val path = tmp("abs-uri")
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType))).json.replace("\"", "\\\"")
+    new java.io.File(s"$path/_delta_log").mkdirs()
+    val log =
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"abs-1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}
+         |{"add":{"path":"file://${donor.getAbsolutePath}","partitionValues":{},"size":${donor.length()},"modificationTime":1700000000000,"dataChange":true}}
+         |""".stripMargin
+    Files.write(java.nio.file.Paths.get(
+      s"$path/_delta_log/${"%020d".format(0L)}.json"), log.getBytes("UTF-8"))
+    val back = DeltaInterop.read(spark, path).as[(Long, Double)].collect().toSet
+    assert(back == Set((1L, 1.5), (2L, 2.5)))
+  }
+
   test("reader refuses tables whose features it does not implement") {
     val path = tmp("gate")
     new java.io.File(s"$path/_delta_log").mkdirs()

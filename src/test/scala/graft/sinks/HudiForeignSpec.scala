@@ -1,0 +1,196 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Adversarial FOREIGN-writer Hudi fixture: a COW table whose
+  * `.hoodie` timeline, properties file, and data files are hand-written
+  * the way the reference Hudi writer lays them out — fileIds carrying
+  * the real writer's `-<index>` suffix (38 chars, not graft's bare
+  * 36-char UUID), `p-s-a` write tokens, requested/inflight/commit
+  * instant triplets with JSON commit metadata, clean instants, a
+  * `.hoodie/metadata` table dir, `.hoodie_partition_metadata` markers,
+  * hive-style partition dirs, and a properties file full of keys graft
+  * never writes. Plus the refusal surface: MERGE_ON_READ tables and
+  * 1.x timeline layouts must fail loudly, never return stale rows.
+  * Offline proxy for real-reader interop while connector jars are
+  * environment-blocked (reference: jobs/S3HudiBatchReader.scala).
+  */
+class HudiForeignSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  private def writeProps(root: String, extra: Map[String, String] = Map.empty): Unit = {
+    val base = Map(
+      "hoodie.table.name" -> "foreign_tbl",
+      "hoodie.table.type" -> "COPY_ON_WRITE",
+      "hoodie.table.version" -> "6",
+      "hoodie.timeline.layout.version" -> "1",
+      "hoodie.table.checksum" -> "3101069148",
+      "hoodie.datasource.write.hive_style_partitioning" -> "true",
+      "hoodie.table.keygenerator.class" ->
+        "org.apache.hudi.keygen.SimpleKeyGenerator",
+      "hoodie.table.recordkey.fields" -> "id",
+      "hoodie.table.precombine.field" -> "ts",
+      "hoodie.partition.metafile.use.base.format" -> "false",
+      "hoodie.archivelog.folder" -> "archived",
+      "hoodie.populate.meta.fields" -> "true")
+    val body = "#Updated at 2024-01-01T00:00:00Z\n" +
+      (base ++ extra).map { case (k, v) => s"$k=$v" }.mkString("\n") + "\n"
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/.hoodie"))
+    Files.write(java.nio.file.Paths.get(s"$root/.hoodie/hoodie.properties"),
+      body.getBytes("UTF-8"))
+  }
+
+  /** Plant one base file under a partition dir with the real writer's
+    * name shape and the five meta columns inside.
+    */
+  private def plantSlice(root: String, dir: String, fileId: String,
+      token: String, instant: String,
+      rows: Seq[(Long, String, Double)]): Unit = {
+    val name = s"${fileId}_${token}_$instant.parquet"
+    val df = rows.toDF("id", "cat", "v")
+      .withColumn("_hoodie_commit_time", lit(instant))
+      .withColumn("_hoodie_commit_seqno",
+        concat_ws("_", lit(instant), lit("0"), monotonically_increasing_id()))
+      .withColumn("_hoodie_record_key", col("id").cast("string"))
+      .withColumn("_hoodie_partition_path", lit(dir))
+      .withColumn("_hoodie_file_name", lit(name))
+      .select(HudiInterop.MetaCols.map(col) ++ Seq(col("id"), col("cat"), col("v")): _*)
+    val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dstDir = new java.io.File(if (dir.isEmpty) root else s"$root/$dir")
+    dstDir.mkdirs()
+    assert(part.renameTo(new java.io.File(dstDir, name)))
+    Files.write(java.nio.file.Paths.get(dstDir.getPath, ".hoodie_partition_metadata"),
+      s"#partition metadata\ncommitTime=$instant\npartitionDepth=1\n".getBytes("UTF-8"))
+  }
+
+  private def commitInstant(root: String, instant: String): Unit = {
+    Files.write(java.nio.file.Paths.get(s"$root/.hoodie/$instant.commit.requested"),
+      Array.empty[Byte])
+    Files.write(java.nio.file.Paths.get(s"$root/.hoodie/$instant.inflight"),
+      "{}".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$root/.hoodie/$instant.commit"),
+      s"""{"partitionToWriteStats":{},"compacted":false,"operationType":"UPSERT",
+         |"extraMetadata":{"schema":"{}"},"totalRecordsDeleted":0}"""
+        .stripMargin.getBytes("UTF-8"))
+  }
+
+  // real-writer fileId: 36-char uuid + "-0" group index = 38 chars
+  private val fidA = "11111111-2222-4333-8444-555555555555-0"
+  private val fidB = "66666666-7777-4888-9999-aaaaaaaaaaaa-0"
+
+  private lazy val table: String = {
+    val root = Files.createTempDirectory("graft-hudi-foreign").toFile.getAbsolutePath
+    writeProps(root)
+    // commit 1: both partitions
+    val i1 = "20240101010101123"
+    plantSlice(root, "cat=a", fidA, "1-10-25", i1,
+      Seq((1L, "a", 10.0), (2L, "a", 20.0)))
+    plantSlice(root, "cat=b", fidB, "1-11-26", i1,
+      Seq((3L, "b", 30.0)))
+    commitInstant(root, i1)
+    // commit 2: upsert rewrites group A (id 2 updated, id 1 carried
+    // with its ORIGINAL commit time — the incremental-pull contract)
+    val i2 = "20240102010101456"
+    val name2 = s"${fidA}_2-20-30_$i2.parquet"
+    val df2 = Seq((1L, "a", 10.0, i1), (2L, "a", 25.0, i2))
+      .toDF("id", "cat", "v", "ct")
+      .withColumn("_hoodie_commit_time", col("ct")).drop("ct")
+      .withColumn("_hoodie_commit_seqno",
+        concat_ws("_", col("_hoodie_commit_time"), lit("0"),
+          monotonically_increasing_id()))
+      .withColumn("_hoodie_record_key", col("id").cast("string"))
+      .withColumn("_hoodie_partition_path", lit("cat=a"))
+      .withColumn("_hoodie_file_name", lit(name2))
+      .select(HudiInterop.MetaCols.map(col) ++ Seq(col("id"), col("cat"), col("v")): _*)
+    val stage = s"$root/stage-c2"
+    df2.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    assert(part.renameTo(new java.io.File(s"$root/cat=a", name2)))
+    commitInstant(root, i2)
+    // a clean instant (digits stem, different suffix) must not confuse
+    // the timeline
+    Files.write(java.nio.file.Paths.get(s"$root/.hoodie/20240103010101000.clean"),
+      """{"earliestInstantRetained":"20240101010101123"}""".getBytes("UTF-8"))
+    // crash debris: slice landed, instant never completed — INVISIBLE
+    val i3 = "20240104010101789"
+    plantSlice(root, "cat=b", fidB, "1-12-27", i3, Seq((99L, "b", 999.0)))
+    Files.write(java.nio.file.Paths.get(s"$root/.hoodie/$i3.commit.requested"),
+      Array.empty[Byte])
+    Files.write(java.nio.file.Paths.get(s"$root/.hoodie/$i3.inflight"),
+      "{}".getBytes("UTF-8"))
+    // the metadata-table dir under .hoodie must be skipped by the walk
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/.hoodie/metadata/files"))
+    Files.write(java.nio.file.Paths.get(s"$root/.hoodie/metadata/files/marker"),
+      "not-a-parquet".getBytes("UTF-8"))
+    root
+  }
+
+  test("foreign COW table reads: latest slice per group, debris invisible") {
+    val got = HudiInterop.read(spark, table)
+      .select(col("id"), col("cat"), col("v"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "a", 25.0), (3L, "b", 30.0)),
+      s"expected latest committed slices only, got $got")
+  }
+
+  test("foreign table time travel + incremental pull honor real instants") {
+    val asOf = HudiInterop.read(spark, table, asOf = Some("20240101999999999"))
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(asOf == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // incremental: only records whose slice stamped a NEWER commit time
+    val inc = HudiInterop.readIncremental(spark, table, "20240101010101123")
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(inc == Set((2L, 25.0)), s"carried-over id 1 must not re-emit: $inc")
+  }
+
+  test("graft upsert composes onto the foreign table") {
+    // copy the fixture so the shared lazy table stays pristine
+    val root = Files.createTempDirectory("graft-hudi-upsert").toFile.getAbsolutePath
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(table), new java.io.File(root))
+    HudiInterop.upsert(
+      Seq((3L, "b", 31.0, 5L), (4L, "b", 40.0, 5L)).toDF("id", "cat", "v", "ts"),
+      root, recordKey = "id", precombine = "ts", partitionBy = Seq("cat"))
+    val got = HudiInterop.read(spark, root)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 10.0), (2L, 25.0), (3L, 31.0), (4L, 40.0)), got.toString)
+  }
+
+  test("14-digit (pre-0.13 writer) instants read fine") {
+    val root = Files.createTempDirectory("graft-hudi-old").toFile.getAbsolutePath
+    writeProps(root, Map("hoodie.table.version" -> "4"))
+    val i = "20230101010101" // second resolution, 14 digits
+    plantSlice(root, "cat=a", fidA, "0-1-2", i, Seq((7L, "a", 70.0)))
+    commitInstant(root, i)
+    val got = HudiInterop.read(spark, root)
+      .select(col("id")).as[Long].collect().toSeq
+    assert(got == Seq(7L))
+  }
+
+  test("MERGE_ON_READ and 1.x-layout tables refuse loudly") {
+    val mor = Files.createTempDirectory("graft-hudi-mor").toFile.getAbsolutePath
+    writeProps(mor, Map("hoodie.table.type" -> "MERGE_ON_READ"))
+    val i = "20240101010101123"
+    plantSlice(mor, "cat=a", fidA, "1-1-1", i, Seq((1L, "a", 1.0)))
+    commitInstant(mor, i)
+    val e = intercept[IllegalArgumentException](HudiInterop.read(spark, mor))
+    assert(e.getMessage.contains("MERGE_ON_READ"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      HudiInterop.clean(spark, mor, retainCommits = 1))
+    assert(e2.getMessage.contains("MERGE_ON_READ"), e2.getMessage)
+
+    val v8 = Files.createTempDirectory("graft-hudi-v8").toFile.getAbsolutePath
+    writeProps(v8, Map("hoodie.table.version" -> "8"))
+    val e3 = intercept[IllegalArgumentException](HudiInterop.read(spark, v8))
+    assert(e3.getMessage.contains("version 8"), e3.getMessage)
+  }
+}

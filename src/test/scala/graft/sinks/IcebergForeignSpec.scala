@@ -1,0 +1,349 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Adversarial FOREIGN-writer Iceberg fixture: a v2 table whose
+  * metadata, manifest lists, and manifests are hand-written the way the
+  * reference Iceberg Java writer emits them — absolute `file:` URI
+  * paths, entry/record fields graft's own writer never writes
+  * (content, sequence numbers, sort_order_id, split_offsets, partition
+  * field summaries), snapshots listed out of order, an EVOLVED schema
+  * list where `schemas[0]` is stale and only `current-schema-id` points
+  * at the live one, unknown table properties, and v2 position-delete
+  * manifests. This is the closest offline proxy for "a real engine
+  * wrote this table" while connector jars are environment-blocked:
+  * graft must read it (deletes applied), travel it, prune it — and
+  * refuse the operations that would corrupt it (compaction/conversion
+  * that would orphan the deletes, format versions it doesn't know).
+  */
+class IcebergForeignSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  // ---- avro schemas, spelled like the Java writer's (superset of graft's) ----
+
+  private val listSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string","field-id":500},
+      {"name":"manifest_length","type":"long","field-id":501},
+      {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"content","type":"int","field-id":517},
+      {"name":"sequence_number","type":"long","field-id":515},
+      {"name":"min_sequence_number","type":"long","field-id":516},
+      {"name":"added_snapshot_id","type":"long","field-id":503},
+      {"name":"added_data_files_count","type":"int","field-id":504},
+      {"name":"existing_data_files_count","type":"int","field-id":505},
+      {"name":"deleted_data_files_count","type":"int","field-id":506},
+      {"name":"added_rows_count","type":"long","field-id":512},
+      {"name":"existing_rows_count","type":"long","field-id":513},
+      {"name":"deleted_rows_count","type":"long","field-id":514},
+      {"name":"partitions","type":["null",{"type":"array","items":
+        {"type":"record","name":"r508","fields":[
+          {"name":"contains_null","type":"boolean","field-id":509}]}}],
+        "default":null,"field-id":507}
+    ]}""".replace("\n", ""))
+
+  private val entrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int","field-id":0},
+      {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+        {"name":"content","type":"int","field-id":134},
+        {"name":"file_path","type":"string","field-id":100},
+        {"name":"file_format","type":"string","field-id":101},
+        {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+        {"name":"record_count","type":"long","field-id":103},
+        {"name":"file_size_in_bytes","type":"long","field-id":104},
+        {"name":"column_sizes","type":["null",{"type":"array","logicalType":"map",
+          "items":{"type":"record","name":"k117_v118","fields":[
+            {"name":"key","type":"int","field-id":117},
+            {"name":"value","type":"long","field-id":118}]}}],"default":null,"field-id":108},
+        {"name":"value_counts","type":["null",{"type":"array","logicalType":"map",
+          "items":{"type":"record","name":"k119_v120","fields":[
+            {"name":"key","type":"int","field-id":119},
+            {"name":"value","type":"long","field-id":120}]}}],"default":null,"field-id":109},
+        {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map",
+          "items":{"type":"record","name":"k121_v122","fields":[
+            {"name":"key","type":"int","field-id":121},
+            {"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
+        {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map",
+          "items":{"type":"record","name":"k126_v127","fields":[
+            {"name":"key","type":"int","field-id":126},
+            {"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
+        {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map",
+          "items":{"type":"record","name":"k129_v130","fields":[
+            {"name":"key","type":"int","field-id":129},
+            {"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
+        {"name":"split_offsets","type":["null",{"type":"array","items":"long"}],
+          "default":null,"field-id":132},
+        {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
+      ]}}
+    ]}""".replace("\n", ""))
+
+  private def writeAvro(path: String, schema: Schema,
+      meta: Map[String, String], recs: Seq[GenericRecord]): Long = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, f)
+    recs.foreach(w.append)
+    w.close()
+    f.length()
+  }
+
+  private def leLong(v: Long): java.nio.ByteBuffer = {
+    val b = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putLong(v); b.flip(); b
+  }
+
+  private def kv(schema: Schema, field: String,
+      pairs: (Int, Any)*): java.util.List[GenericRecord] = {
+    val items = schema.getField("data_file").schema()
+      .getField(field).schema().getTypes.get(1).getElementType
+    pairs.map { case (k, v) =>
+      val r = new GenericData.Record(items)
+      r.put("key", k); r.put("value", v); r: GenericRecord
+    }.asJava
+  }
+
+  /** One data parquet written by a plain Spark job, renamed to a
+    * foreign-looking name.
+    */
+  private def plantParquet(dir: String, name: String,
+      rows: Seq[(Long, Double)]): java.io.File = {
+    val stage = s"$dir/stage-$name"
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(s"$dir/data/$name")
+    dst.getParentFile.mkdirs()
+    assert(part.renameTo(dst))
+    dst
+  }
+
+  private def dataEntry(snapId: Long, uri: String, records: Long, bytes: Long,
+      idMin: Long, idMax: Long): GenericRecord = {
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1) // ADDED
+    e.put("snapshot_id", snapId)
+    e.put("sequence_number", null) // real writers leave ADDED entries null
+    e.put("file_sequence_number", null)
+    val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+    d.put("content", 0)
+    d.put("file_path", uri)
+    d.put("file_format", "PARQUET")
+    d.put("partition", new GenericData.Record(
+      entrySchema.getField("data_file").schema().getField("partition").schema()))
+    d.put("record_count", records)
+    d.put("file_size_in_bytes", bytes)
+    d.put("value_counts", kv(entrySchema, "value_counts", 1 -> records, 2 -> records))
+    d.put("null_value_counts", kv(entrySchema, "null_value_counts", 1 -> 0L, 2 -> 0L))
+    d.put("lower_bounds", kv(entrySchema, "lower_bounds", 1 -> leLong(idMin)))
+    d.put("upper_bounds", kv(entrySchema, "upper_bounds", 1 -> leLong(idMax)))
+    d.put("split_offsets", Seq(java.lang.Long.valueOf(4L)).asJava)
+    d.put("sort_order_id", 0)
+    e.put("data_file", d)
+    e
+  }
+
+  private def listEntry(manifestUri: String, len: Long, content: Int,
+      seq: Long, snapId: Long, rows: Long): GenericRecord = {
+    val r = new GenericData.Record(listSchema)
+    r.put("manifest_path", manifestUri)
+    r.put("manifest_length", len)
+    r.put("partition_spec_id", 0)
+    r.put("content", content)
+    r.put("sequence_number", seq)
+    r.put("min_sequence_number", seq)
+    r.put("added_snapshot_id", snapId)
+    r.put("added_data_files_count", 1)
+    r.put("existing_data_files_count", 0)
+    r.put("deleted_data_files_count", 0)
+    r.put("added_rows_count", rows)
+    r.put("existing_rows_count", 0L)
+    r.put("deleted_rows_count", 0L)
+    r.put("partitions", null)
+    r
+  }
+
+  /** Build the full foreign table; returns its root. */
+  private def buildForeignTable(): String = {
+    val root = Files.createTempDirectory("graft-ice-foreign").toFile.getAbsolutePath
+    val f1 = plantParquet(root, "00000-0-foreign-a.parquet",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+    val f2 = plantParquet(root, "00001-0-foreign-b.parquet",
+      Seq((5L, 50.0), (6L, 60.0), (7L, 70.0), (8L, 80.0)))
+    def uri(f: java.io.File) = "file:" + f.getAbsolutePath // Java writer spelling
+
+    // snapshot 1 (append, seq 1): both data files
+    val m1 = s"$root/metadata/m-data.avro"
+    val m1Len = writeAvro(m1, entrySchema,
+      Map("schema" -> "{}", "partition-spec" -> "[]",
+        "partition-spec-id" -> "0", "format-version" -> "2",
+        "content" -> "data"),
+      Seq(dataEntry(101L, uri(f1), 4L, f1.length(), 1L, 4L),
+        dataEntry(101L, uri(f2), 4L, f2.length(), 5L, 8L)))
+    writeAvro(s"$root/metadata/snap-101.avro", listSchema, Map.empty,
+      Seq(listEntry("file:" + m1, m1Len, content = 0, seq = 1L, 101L, 8L)))
+
+    // position-delete parquet (spec shape: file_path, pos), URI spelling
+    val delStage = s"$root/stage-del"
+    Seq((uri(f1), 0L), (uri(f2), 1L)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(delStage)
+    val delPart = new java.io.File(delStage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val delFile = new java.io.File(s"$root/data/00002-0-deletes.parquet")
+    assert(delPart.renameTo(delFile))
+
+    // snapshot 2 (delete, seq 2): data manifest carried + delete manifest
+    val m2 = s"$root/metadata/m-del.avro"
+    val delEntry = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", 102L)
+      e.put("sequence_number", null)
+      e.put("file_sequence_number", null)
+      val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+      d.put("content", 1) // POSITION_DELETES
+      d.put("file_path", uri(delFile))
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(
+        entrySchema.getField("data_file").schema().getField("partition").schema()))
+      d.put("record_count", 2L)
+      d.put("file_size_in_bytes", delFile.length())
+      d.put("sort_order_id", null)
+      e.put("data_file", d)
+      e
+    }
+    val m2Len = writeAvro(m2, entrySchema,
+      Map("schema" -> "{}", "partition-spec" -> "[]",
+        "partition-spec-id" -> "0", "format-version" -> "2",
+        "content" -> "deletes"),
+      Seq(delEntry))
+    writeAvro(s"$root/metadata/snap-102.avro", listSchema, Map.empty,
+      Seq(listEntry("file:" + m2, m2Len, content = 1, seq = 2L, 102L, 0L),
+        listEntry("file:" + m1, m1Len, content = 0, seq = 1L, 101L, 8L)))
+
+    // v3.metadata.json: snapshots OUT OF ORDER, stale schemas[0], unknown
+    // properties, v2 bookkeeping fields
+    val metaJson =
+      s"""{
+        "format-version": 2,
+        "table-uuid": "0f7cbd6e-0000-4000-8000-000000000042",
+        "location": "file:$root",
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000002000,
+        "last-column-id": 2,
+        "current-schema-id": 1,
+        "schemas": [
+          {"type":"struct","schema-id":0,"fields":[
+            {"id":1,"name":"id_old","required":true,"type":"long"}]},
+          {"type":"struct","schema-id":1,"fields":[
+            {"id":1,"name":"id","required":false,"type":"long"},
+            {"id":2,"name":"v","required":false,"type":"double"}]}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id":0,"fields":[]}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id":0,"fields":[]}],
+        "properties": {"write.parquet.compression-codec":"zstd",
+          "commit.retry.num-retries":"4",
+          "some.engine.specific.knob":"true"},
+        "current-snapshot-id": 102,
+        "refs": {"main":{"snapshot-id":102,"type":"branch"}},
+        "snapshots": [
+          {"sequence-number":2,"snapshot-id":102,"parent-snapshot-id":101,
+           "timestamp-ms":1700000002000,
+           "summary":{"operation":"delete","deleted-position-delete-files":"0"},
+           "manifest-list":"file:$root/metadata/snap-102.avro","schema-id":1},
+          {"sequence-number":1,"snapshot-id":101,
+           "timestamp-ms":1700000001000,
+           "summary":{"operation":"append","spark.app.id":"foreign-app"},
+           "manifest-list":"file:$root/metadata/snap-101.avro","schema-id":1}
+        ],
+        "statistics": [],
+        "snapshot-log": [
+          {"timestamp-ms":1700000001000,"snapshot-id":101},
+          {"timestamp-ms":1700000002000,"snapshot-id":102}],
+        "metadata-log": [
+          {"timestamp-ms":1700000001000,
+           "metadata-file":"file:$root/metadata/v2.metadata.json"}]
+      }"""
+    Files.write(java.nio.file.Paths.get(s"$root/metadata/v3.metadata.json"),
+      metaJson.getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$root/metadata/version-hint.text"),
+      "3".getBytes("UTF-8"))
+    root
+  }
+
+  private lazy val table = buildForeignTable()
+
+  test("foreign v2 read: current schema resolved by id, deletes applied") {
+    val got = IcebergInterop.read(spark, table)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"),
+      "must resolve current-schema-id=1, not the stale schemas[0]")
+    // pos 0 of file a (id 1) and pos 1 of file b (id 6) are deleted
+    assert(got.as[(Long, Double)].collect().toSet ==
+      Set((2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0), (7L, 70.0), (8L, 80.0)))
+  }
+
+  test("foreign v2 time travel: pre-delete snapshot sees all rows") {
+    val got = IcebergInterop.read(spark, table, snapshotId = Some(101L))
+    assert(got.count() == 8)
+  }
+
+  test("foreign v2 pruning composes with merge-on-read deletes") {
+    // id <= 4 prunes file b on manifest bounds; the delete of id 1 must
+    // still apply to the surviving file
+    val pruned = IcebergInterop.liveFilesWhere(spark, table,
+      Some(col("id") <= 4))
+    assert(pruned.size == 1 && pruned.head.contains("foreign-a"),
+      s"bounds must prune file b, got $pruned")
+    val got = IcebergInterop.readWhere(spark, table, Some(col("id") <= 4))
+    assert(got.as[(Long, Double)].collect().toSet ==
+      Set((2L, 20.0), (3L, 30.0), (4L, 40.0)))
+  }
+
+  test("liveFilesWhere never lists delete parquet as data") {
+    val all = IcebergInterop.liveFilesWhere(spark, table, None)
+    assert(all.size == 2 && all.forall(_.contains("foreign")),
+      s"delete file must not appear in the data inventory: $all")
+  }
+
+  test("compact and convert refuse a table carrying position deletes") {
+    val e1 = intercept[IllegalArgumentException](
+      IcebergInterop.compact(spark, table))
+    assert(e1.getMessage.contains("position-delete"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      FormatConvert.icebergToDelta(spark, table,
+        Files.createTempDirectory("graft-ice-conv").toFile.getAbsolutePath + "/d"))
+    assert(e2.getMessage.contains("position-delete"), e2.getMessage)
+  }
+
+  test("unknown format-version refuses loudly") {
+    val root = Files.createTempDirectory("graft-ice-v9").toFile.getAbsolutePath
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/metadata"))
+    Files.write(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      """{"format-version":3,"current-snapshot-id":-1,"schemas":[
+        {"type":"struct","schema-id":0,"fields":[]}],"snapshots":[]}"""
+        .getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$root/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](IcebergInterop.read(spark, root))
+    assert(e.getMessage.contains("format-version"), e.getMessage)
+  }
+}
