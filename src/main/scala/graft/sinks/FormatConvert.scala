@@ -88,6 +88,39 @@ object FormatConvert {
       refs.map(r => (r.path, r.bytes)))
   }
 
+  /** CONVERT a Hudi COW table TO DELTA: adopt the current snapshot's
+    * live base files (latest committed slice per file group). The
+    * `_hoodie_*` meta columns stay physically in the donor files but
+    * the Delta schema omits them — by-name parquet projection never
+    * reads them again. Partitioned Hudi sources convert fine (Hudi
+    * writes partition columns INTO the data files); the partition
+    * column rides along as a plain column whose recomputed per-file
+    * stats prune exactly where dir pruning did.
+    */
+  def hudiToDelta(spark: SparkSession, hudiPath: String,
+      deltaPath: String): Long = {
+    val (schema, files) = HudiInterop.currentDataFiles(spark, hudiPath)
+    DeltaInterop.commitExternal(spark, deltaPath, schema, files)
+  }
+
+  /** CONVERT a Hudi COW table TO ICEBERG — same adoption contract as
+    * [[hudiToDelta]]; per-file record counts (Iceberg manifests carry
+    * them) come from ONE distributed count job over the adopted files.
+    */
+  def hudiToIceberg(spark: SparkSession, hudiPath: String,
+      icebergPath: String): Long = {
+    val (schema, files) = HudiInterop.currentDataFiles(spark, hudiPath)
+    val counted: Map[String, Long] =
+      spark.read.schema(schema).parquet(files.map(_._1): _*)
+        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+        .collect().map(r => FileStats.canon(r.getString(0)) -> r.getLong(1))
+        .toMap
+    val refs = files.map { case (p, size) =>
+      IcebergInterop.DataFileRef(p, counted.getOrElse(FileStats.canon(p), 0L), size)
+    }
+    IcebergInterop.commitExternal(spark, icebergPath, schema, refs)
+  }
+
   private def parseNumRecords(stats: String): Option[Long] =
     try {
       import org.json4s._
@@ -146,6 +179,39 @@ object FormatConvert {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Driver-checked CONVERT FROM HUDI round trip: orders land as a
+    * partitioned Hudi COW table, an upsert doubles the %10 keys (so
+    * conversion must resolve LATEST slices, not all files), convert
+    * metadata-only to Delta, then a derived slice appends through the
+    * Delta writer — adopted + native files in one log. The oracle
+    * replays the same algebra over raw orders; Hudi meta columns and
+    * both metadata layers must be invisible to results.
+    */
+  def convertFromHudiRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("graft-convert-hudi")
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+    HudiInterop.insert(orders, s"$base/orders_hudi", recordKey = "o_orderkey",
+      precombine = "o_orderdate", partitionBy = Seq("o_orderstatus"))
+    HudiInterop.upsert(
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      s"$base/orders_hudi", recordKey = "o_orderkey",
+      precombine = "o_orderdate", partitionBy = Seq("o_orderstatus"))
+    hudiToDelta(spark, s"$base/orders_hudi", s"$base/orders_delta")
+    DeltaInterop.write(
+      orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3),
+      s"$base/orders_delta")
+    DeltaInterop.read(spark, s"$base/orders_delta")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   private val ConvertOracle = """
     WITH staged AS (
       SELECT o_orderstatus, o_totalprice FROM orders
@@ -158,5 +224,19 @@ object FormatConvert {
 
   val ops: Seq[Op] = Seq(
     Op("q_convert_to_iceberg", convertToIcebergRoundTrip, Some(ConvertOracle)),
-    Op("q_convert_to_delta", convertToDeltaRoundTrip, Some(ConvertOracle)))
+    Op("q_convert_to_delta", convertToDeltaRoundTrip, Some(ConvertOracle)),
+    Op("q_convert_from_hudi", convertFromHudiRoundTrip, Some("""
+      WITH hudi_latest AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS p
+        FROM orders),
+      appended AS (
+        SELECT o_orderstatus, p FROM hudi_latest
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice * 3 FROM orders
+        WHERE o_orderkey % 7 = 0)
+      SELECT o_orderstatus, count(*) AS n_rows,
+             cast(sum(cast(p AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      FROM appended GROUP BY o_orderstatus ORDER BY o_orderstatus""")))
 }

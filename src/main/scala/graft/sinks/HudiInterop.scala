@@ -182,6 +182,31 @@ object HudiInterop {
       .map { case (_, ss) => ss.maxBy(_.instant) }.toSeq
   }
 
+  /** The current snapshot's live base files as (absolutePath, bytes)
+    * plus the DATA schema (meta columns dropped) — the inventory a
+    * metadata-only CONVERT consumes. Partitioned Hudi tables convert
+    * fine: Hudi writes partition columns physically into the data
+    * files, so every adopted file is self-contained and the target's
+    * recomputed per-file stats make partition-column predicates prune
+    * exactly where dir pruning did.
+    */
+  private[graft] def currentDataFiles(spark: SparkSession,
+      path: String): (org.apache.spark.sql.types.StructType, Seq[(String, Long)]) = {
+    val fs = fsFor(spark, path)
+    val live = liveSlices(spark, path, None)
+    val files = live.map { s =>
+      val p = fs.makeQualified(new Path(s"$path/${s.rel}"))
+      (p.toUri.getPath, fs.getFileStatus(p).getLen)
+    }
+    // the DATA schema: meta columns stay physically in the donor files
+    // but an adopting format's schema simply omits them — by-name
+    // parquet projection never reads them again
+    val schema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(files.head._1).schema.filterNot(f =>
+        MetaCols.contains(f.name)))
+    (schema, files)
+  }
+
   /** Snapshot read (latest committed file slices), meta columns
     * included — project them away with `.drop(HudiInterop.MetaCols: _*)`
     * for pure data. Partition columns live IN the data files (Hudi
@@ -409,7 +434,11 @@ object HudiInterop {
     val dataCols = stamped.columns.filterNot(c =>
       MetaCols.contains(c) || c.startsWith("__"))
     val ordered = stamped.select(
-      (MetaCols.map(col) ++ dataCols.map(col) :+ col("__dir") :+ col("__file_id")): _*)
+      // __file_id is consumed by the _hoodie_file_name stamp above and
+      // must NOT reach the parquet: the wire format has exactly the five
+      // meta columns + data columns (a stray engine column would leak
+      // into every reader's schema, including metadata-only conversions)
+      (MetaCols.map(col) ++ dataCols.map(col) :+ col("__dir")): _*)
 
     // one writer per partition dir (file-group granularity), then
     // rename each part file to its Hudi slice name

@@ -678,7 +678,7 @@ object IcebergInterop {
     * keeps identity source columns physically in the data files (the
     * real-writer layout), so the files are self-contained.
     */
-  private[sinks] def currentDataFiles(spark: SparkSession,
+  private[graft] def currentDataFiles(spark: SparkSession,
       path: String): (StructType, Seq[DataFileRef]) = {
     val fs = fsFor(spark, path)
     val version = currentVersion(fs, path).getOrElse(

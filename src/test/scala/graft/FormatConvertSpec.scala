@@ -85,6 +85,38 @@ class FormatConvertSpec extends SparkSpec {
     assert(viaDelta.map(_._2) == Set("a", "b"))
   }
 
+  test("hudiToDelta / hudiToIceberg: latest slices adopted, meta columns gone, partitioned source prunes") {
+    import graft.sinks.HudiInterop
+    val base = tmp("h2x")
+    val rows = Seq((1L, "a", 10.0, 1L), (2L, "a", 20.0, 1L),
+      (3L, "b", 30.0, 1L), (4L, "b", 40.0, 1L)).toDF("id", "cat", "v", "ts")
+    HudiInterop.insert(rows, s"$base/h", recordKey = "id", precombine = "ts",
+      partitionBy = Seq("cat"))
+    // upsert rewrites group a: conversion must adopt the LATEST slice only
+    HudiInterop.upsert(Seq((2L, "a", 25.0, 2L)).toDF("id", "cat", "v", "ts"),
+      s"$base/h", recordKey = "id", precombine = "ts", partitionBy = Seq("cat"))
+    val expect = Set((1L, "a", 10.0, 1L), (2L, "a", 25.0, 2L),
+      (3L, "b", 30.0, 1L), (4L, "b", 40.0, 1L))
+
+    FormatConvert.hudiToDelta(spark, s"$base/h", s"$base/d")
+    val viaDelta = DeltaInterop.read(spark, s"$base/d")
+    assert(!viaDelta.schema.fieldNames.exists(_.startsWith("_hoodie")),
+      "meta columns must not surface in the converted schema")
+    assert(viaDelta.as[(Long, String, Double, Long)].collect().toSet == expect)
+    // the partition column rides as a plain column; stats prune on it
+    val snap = DeltaInterop.snapshot(spark, s"$base/d")
+    val kept = DeltaInterop.pruneAdds(spark, snap, Some(col("cat") === "b"))
+    assert(kept.size == 1, s"cat stats must prune partition a's file: $kept")
+
+    FormatConvert.hudiToIceberg(spark, s"$base/h", s"$base/i")
+    val viaIce = IcebergInterop.read(spark, s"$base/i")
+    assert(!viaIce.schema.fieldNames.exists(_.startsWith("_hoodie")))
+    assert(viaIce.as[(Long, String, Double, Long)].collect().toSet == expect)
+    // record counts landed in the manifests (not zero)
+    val (_, refs) = IcebergInterop.currentDataFiles(spark, s"$base/i")
+    assert(refs.map(_.records).sum == 4L, refs.toString)
+  }
+
   test("both driver round-trip queries match the oracle algebra on sf0.001") {
     val expected = graft.sources.Tables.orders(spark, sf)
       .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
