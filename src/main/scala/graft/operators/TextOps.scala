@@ -515,6 +515,42 @@ object TextOps {
       .limit(k)
   }
 
+  /** EXACT corpus-wide heavy hitters at sketch cost — the classic
+    * two-pass protocol over [[graft.functions.FreqItemsAgg]]
+    * (Misra–Gries, mergeable): pass 1 reduces the corpus to ≤ k
+    * candidate tokens with ONE O(k)-per-task aggregate (no
+    * vocabulary-sized shuffle — each partition ships one k-entry
+    * summary), pass 2 recounts ONLY the candidates exactly (broadcast
+    * isin filter, the [[bm25]] shuffle shape: hits, not vocabulary).
+    * The MG guarantee — every token with true count > total/(k+1) is in
+    * the candidate set — makes the final top-N EXACT whenever rank N
+    * clears that threshold; `capture_ok` carries the proof in-plan, and
+    * the DuckDB oracle recomputes the exact top-N from scratch. At
+    * 100 TB this is hot-token/hot-domain detection without ever
+    * materializing the vocabulary.
+    */
+  def heavyHitters(spark: SparkSession, dir: String,
+      k: Int = 4096, topN: Int = 50): DataFrame = {
+    require(k >= topN, s"sketch width $k must cover topN=$topN")
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .filter(col("text").isNotNull)
+      .select(explode(wsTokens(col("text"))).as("tok"))
+    val first = toks.agg(
+      org.apache.spark.sql.GraftShim.column(
+        graft.functions.FreqItemsAgg(
+          org.apache.spark.sql.GraftShim.expression(col("tok")), k)
+          .toAggregateExpression()).as("cand"),
+      count(lit(1)).as("total")).collect()(0)
+    val cands = first.getSeq[String](0)
+    val total = first.getLong(1)
+    toks.filter(col("tok").isin(cands: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topN)
+      .withColumn("capture_ok",
+        col("cnt").cast("double") > lit(total.toDouble / (k + 1)))
+  }
+
   /** Driver-graded classifier run over a SPAM-PLANTED corpus: the
     * synthetic documents draw from one shared vocabulary regardless of
     * their `lang`/`source` columns (no metadata label is learnable from
@@ -556,6 +592,15 @@ object TextOps {
       minDocs = 3, broadcastSet = true)
 
   val ops: Seq[Op] = Seq(
+    Op("q_text_heavy", (s, d) => heavyHitters(s, d),
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+        cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+        SELECT tok, cnt, CAST(cnt AS DOUBLE) > total / 4097 AS capture_ok
+        FROM cnts, tot ORDER BY cnt DESC, tok LIMIT 50""")),
     Op("q_text_bm25", (s, d) => bm25(s, d),
       Some("""
         WITH docs AS (

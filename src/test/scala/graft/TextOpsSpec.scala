@@ -308,4 +308,43 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(lo - lo2) < 1e-9, s"doc $id log_odds $lo vs $lo2")
     }
   }
+
+  test("Misra-Gries sketch: guarantee holds on a planted heavy hitter; two-pass top-N is exact") {
+    // corpus where one token dominates and the tail is wide: the sketch
+    // (k far below vocabulary size) must still surface the hitters
+    val rows = (0L until 400L).map { i =>
+      val filler = s"tail${i}a tail${i}b tail${i}c tail${i}d"
+      val hot = if (i % 2 == 0) "alpha alpha alpha" else "beta beta"
+      (i, s"$hot $filler", "en", "s", 1L)
+    }
+    val dir = SparkSpec.plantedDir(
+      "documents" -> rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = TextOps.heavyHitters(spark, dir, k = 8, topN = 2)
+      .as[(String, Long, Boolean)].collect().toSeq
+    // alpha: 200*3=600, beta: 200*2=400, every tail token: 1
+    assert(got == Seq(("alpha", 600L, true), ("beta", 400L, true)), got.toString)
+  }
+
+  test("FreqSketch offer/merge keep the n/(k+1) guarantee and O(k) size") {
+    import graft.functions.FreqSketch
+    val rnd = new scala.util.Random(11)
+    val k = 16
+    // stream with two genuine hitters buried in noise, split across two
+    // "partitions" merged via weighted offers (the aggregate's merge path)
+    def stream() = scala.util.Random.shuffle(
+      (Seq.fill(500)("hot1") ++ Seq.fill(300)("hot2") ++
+        (0 until 900).map(i => s"noise${rnd.nextInt(400)}")).toList)
+    val parts = Seq.fill(3) {
+      val m = new java.util.HashMap[String, Long]()
+      stream().foreach(t => FreqSketch.offer(m, k, t, 1L))
+      assert(m.size <= k, s"summary exceeded k: ${m.size}")
+      m
+    }
+    val merged = new java.util.HashMap[String, Long]()
+    parts.foreach(_.forEach((t, c) => FreqSketch.offer(merged, k, t, c)))
+    assert(merged.size <= k)
+    // total stream = 3*1700 = 5100; guarantee: count > 5100/17 = 300
+    assert(merged.containsKey("hot1"), "hot1 (1500 > n/(k+1)) must survive")
+    assert(merged.containsKey("hot2"), "hot2 (900 > n/(k+1)) must survive")
+  }
 }
