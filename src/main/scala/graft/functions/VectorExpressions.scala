@@ -354,3 +354,102 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
 }
+
+/** int8 scalar quantization: per-dimension affine codes
+  * `code_i = round((v_i - min_i) / scale_i)` clamped to 0..255, packed
+  * as one byte per dimension — a 4× footprint cut for float vectors
+  * (16× vs doubles) that turns a 100 TB embedding scan into a 25 TB
+  * one. `mins`/`scales` are the corpus-trained per-dimension affine
+  * table (64 floats — rides in the expression itself, no broadcast
+  * machinery needed).
+  */
+case class QuantizeVec(child: Expression,
+    mins: Array[Float], scales: Array[Float]) extends UnaryExpression {
+  require(mins.length == scales.length, "quantizer table shape mismatch")
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkVector(child.dataType, prettyName)
+  override def prettyName: String = "graft_quantize"
+
+  private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  def kernel(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n = math.min(arr.numElements(), mins.length)
+    val out = new Array[Byte](mins.length)
+    var i = 0
+    while (i < n) {
+      val s = scales(i)
+      val c =
+        if (s <= 0f) 0
+        else {
+          val x = math.round(
+            (VectorExpressions.elementAt(arr, i, elem) - mins(i)) / s).toInt
+          if (x < 0) 0 else if (x > 255) 255 else x
+        }
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("quantizeVec", this, classOf[QuantizeVec].getName)
+      s"${ev.value} = $ref.kernel($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
+}
+
+/** Asymmetric cosine (ADC): the FULL-precision query against a
+  * RECONSTRUCTED corpus code (`min_i + code_i·scale_i`) — the standard
+  * quantized-search scoring, one fused loop over 64 bytes per row. The
+  * candidate scan reads codes only; raw vectors are touched again only
+  * for the exact re-rank of the shortlist.
+  */
+case class QuantizedCosine(left: Expression, right: Expression,
+    mins: Array[Float], scales: Array[Float]) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    left.dataType match {
+      case BinaryType => VectorExpressions.checkVector(right.dataType, prettyName)
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary code, vector), got ${other.simpleString}")
+    }
+  override def prettyName: String = "graft_quantized_cosine"
+
+  private lazy val qElem = right.dataType.asInstanceOf[ArrayType].elementType
+
+  def kernel(code: Array[Byte],
+      q: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(code.length, q.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val a = mins(i) + (code(i) & 0xFF) * scales(i)
+      val b = VectorExpressions.elementAt(q, i, qElem)
+      dot += a * b; na += a * a; nb += b * b
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("quantizedCosine", this,
+        classOf[QuantizedCosine].getName)
+      s"${ev.value} = $ref.kernel($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedCosine =
+    copy(left = newLeft, right = newRight)
+}

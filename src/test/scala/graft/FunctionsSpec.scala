@@ -147,4 +147,42 @@ class FunctionsSpec extends SparkSpec {
     val fp = absent.count { case (a, b) => BloomKernel.mightContain(bits, m, k, a, b) }
     assert(fp <= 20, s"false-positive rate implausibly high: $fp/1000")
   }
+
+  test("int8 quantize/ADC: reconstruction error bounded, codes 4x smaller, ranking agrees") {
+    import org.apache.spark.sql.GraftShim
+    import graft.functions.{QuantizeVec, QuantizedCosine}
+    val rnd = new scala.util.Random(3)
+    val dim = graft.functions.VectorExpressions.Dim
+    val vecs = (0 until 50).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val df = vecs.toDF("id", "v")
+    val mins = Array.tabulate(dim)(j => vecs.map(_._2(j)).min)
+    val scales = Array.tabulate(dim)(j => (vecs.map(_._2(j)).max - mins(j)) / 255f)
+    val q = vecs.head._2
+    val rows = df.select(col("id"),
+        GraftShim.column(QuantizeVec(GraftShim.expression(col("v")), mins, scales)).as("code"))
+      .withColumn("acos", GraftShim.column(QuantizedCosine(
+        GraftShim.expression(col("code")), GraftShim.expression(typedlit(q)), mins, scales)))
+      .collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val code = r.getAs[Array[Byte]]("code")
+      assert(code.length == dim, "one byte per dimension")
+      // reconstruction error per dim is at most half a quantization step
+      val orig = vecs(id.toInt)._2
+      (0 until dim).foreach { j =>
+        val rec = mins(j) + (code(j) & 0xFF) * scales(j)
+        assert(math.abs(rec - orig(j)) <= scales(j) * 0.5 + 1e-6,
+          s"dim $j of vec $id off by more than half a step")
+      }
+      // ADC cosine is within quantization distance of exact cosine
+      val exact = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        (0 until dim).foreach { j =>
+          d += orig(j).toDouble * q(j); na += orig(j).toDouble * orig(j); nb += q(j).toDouble * q(j) }
+        d / math.sqrt(na * nb)
+      }
+      assert(math.abs(r.getAs[Double]("acos") - exact) < 0.02,
+        s"vec $id: adc ${r.getAs[Double]("acos")} vs exact $exact")
+    }
+  }
 }
