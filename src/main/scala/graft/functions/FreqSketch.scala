@@ -64,7 +64,14 @@ case class FreqItemsAgg(child: Expression, k: Int,
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.forEach { (t, c) => out.writeUTF(t); out.writeLong(c) }
+    // length-prefixed raw UTF-8, NOT writeUTF: modified-UTF-8 caps one
+    // string at 64 KB and a web corpus tokenized on whitespace will
+    // eventually carry a longer unbroken run (base64 blob, minified JS)
+    // — the sketch must summarize it, not crash the shuffle
+    buf.forEach { (t, c) =>
+      val b = t.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -74,7 +81,13 @@ case class FreqItemsAgg(child: Expression, k: Int,
     val n = in.readInt()
     val m = new java.util.HashMap[String, Long](n * 2)
     var i = 0
-    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      m.put(new String(b, "UTF-8"), in.readLong())
+      i += 1
+    }
     m
   }
 

@@ -60,12 +60,22 @@ object HudiInterop {
 
   /** 17-digit Hudi instant (yyyyMMddHHmmssSSS), strictly greater than
     * every existing instant so same-millisecond commits stay ordered.
+    * A 14-digit (pre-0.13 writer) existing instant RIGHT-scales to its
+    * 17-digit millisecond form (×1000) before the floor compare —
+    * left-padding would shrink it ~1000× and a write onto such a table
+    * could commit an instant that string-sorts BEFORE the existing
+    * latest, making the new slice silently lose latest-slice
+    * resolution.
     */
   private def nextInstant(existing: Seq[String]): String = {
     val now = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
       .format(new java.util.Date())
     val floor = existing.sorted.lastOption
-      .map(i => (BigInt(i) + 1).toString.reverse.padTo(17, '0').reverse.mkString)
+      .map { i =>
+        val next = (if (i.length == 14) BigInt(i) * 1000 else BigInt(i)) + 1
+        val s = next.toString
+        if (s.length >= 17) s else "0" * (17 - s.length) + s
+      }
       .getOrElse(now)
     if (BigInt(now) > BigInt(floor)) now else floor
   }
@@ -196,14 +206,20 @@ object HudiInterop {
     val live = liveSlices(spark, path, None)
     val files = live.map { s =>
       val p = fs.makeQualified(new Path(s"$path/${s.rel}"))
-      (p.toUri.getPath, fs.getFileStatus(p).getLen)
+      // FileStats.canon keeps scheme+authority of non-local filesystems
+      // (s3a://bucket/…) — toUri.getPath would strip them and the
+      // adopting format's metadata would point at the wrong filesystem
+      (FileStats.canon(p.toString), fs.getFileStatus(p).getLen)
     }
     // the DATA schema: meta columns stay physically in the donor files
     // but an adopting format's schema simply omits them — by-name
-    // parquet projection never reads them again
+    // parquet projection never reads them again. mergeSchema unions the
+    // footers of ALL live files: under additive evolution different
+    // file groups carry different column sets, and one arbitrary
+    // footer would nondeterministically drop the newer columns
     val schema = org.apache.spark.sql.types.StructType(
-      spark.read.parquet(files.head._1).schema.filterNot(f =>
-        MetaCols.contains(f.name)))
+      spark.read.option("mergeSchema", "true").parquet(files.map(_._1): _*)
+        .schema.filterNot(f => MetaCols.contains(f.name)))
     (schema, files)
   }
 

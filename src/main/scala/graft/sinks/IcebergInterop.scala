@@ -122,10 +122,16 @@ object IcebergInterop {
     * to the head for graft-written (single-schema) metadata.
     */
   private def currentSchema(meta: JValue): StructType = {
-    val schemas = (meta \ "schemas").extract[List[JValue]]
-    schemaFromJson((meta \ "current-schema-id").extractOpt[Int]
+    val schemas = (meta \ "schemas").extractOrElse[List[JValue]](Nil)
+    val chosen = (meta \ "current-schema-id").extractOpt[Int]
       .flatMap(id => schemas.find(s => (s \ "schema-id").extractOpt[Int].contains(id)))
-      .getOrElse(schemas.head))
+      .orElse(schemas.headOption)
+      // v1 writers may carry only the singular `schema` field (the
+      // `schemas` list arrived with v2) — fall back before refusing
+      .orElse(Some(meta \ "schema").filter(_ != JNothing))
+      .getOrElse(throw new IllegalArgumentException(
+        "IcebergInterop: metadata carries neither a schemas list nor a schema field"))
+    schemaFromJson(chosen)
   }
 
   // ---- avro manifest shapes (field-id props per the spec) ----
@@ -272,6 +278,24 @@ object IcebergInterop {
       case null => 0L
       case _ => Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
     }
+
+  /** Data sequence of a manifest ENTRY: the spec's inheritance rule —
+    * an explicit entry-level `sequence_number` (or, for v2 rewritten
+    * manifests, `file_sequence_number`) wins; null/absent inherits the
+    * manifest-list record's sequence. Ignoring the entry level would
+    * inflate EXISTING entries carried into a compacted manifest to the
+    * NEW manifest's sequence and silently skip the position deletes
+    * that legitimately target them.
+    */
+  private def entrySeqOf(e: GenericRecord, inherited: Long): Long = {
+    def field(name: String): Option[Long] =
+      e.getSchema.getField(name) match {
+        case null => None
+        case _ => Option(e.get(name)).map(_.asInstanceOf[Long])
+      }
+    field("sequence_number").orElse(field("file_sequence_number"))
+      .getOrElse(inherited)
+  }
 
   /** Manifest-entry schema for POSITION-DELETE manifests (v2 content=1):
     * the data_file record carries the spec's delete-file shape —
@@ -790,7 +814,7 @@ object IcebergInterop {
       val seq = listSeqOf(r)
       readAvro(fs, new Path(r.get("manifest_path").toString)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
-          (e.get("data_file").asInstanceOf[GenericRecord], seq)
+          (e.get("data_file").asInstanceOf[GenericRecord], entrySeqOf(e, seq))
       }
     }
     val seqByPath = dataFilesWithSeq
@@ -805,7 +829,7 @@ object IcebergInterop {
       readAvro(fs, new Path(r.get("manifest_path").toString)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 =>
           (e.get("data_file").asInstanceOf[GenericRecord]
-            .get("file_path").toString, seq)
+            .get("file_path").toString, entrySeqOf(e, seq))
       }
     }
     val out =
@@ -826,13 +850,22 @@ object IcebergInterop {
     StructField("file_path", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
-  /** `_metadata.file_path` comes back URI-form (`file:///tmp/x`);
-    * manifests store the writer's plain string. One normalization used
-    * by BOTH the delete writer and the merge-on-read join, so the two
-    * sides can never disagree about spelling.
+  /** ONE path-normalization rule for every side of the merge-on-read
+    * join (`_metadata.file_path` URIs, manifest strings, delete-file
+    * columns): the merge anti-join silently skips deletes if any side
+    * spells a path differently, so the rule exists exactly once, in a
+    * column and a string spelling sharing the same regex. (This is the
+    * column-expressible subset of [[FileStats.canon]] — local `file:`
+    * URIs collapse to plain paths; object-store URIs pass through
+    * verbatim on every side, staying consistent.)
     */
+  private val LocalUriPrefix = "^file:/+"
+  private def normPathCol(c: Column): Column =
+    regexp_replace(c, LocalUriPrefix, "/")
+  private def normPathStr(s: String): String =
+    s.replaceFirst(LocalUriPrefix, "/")
   private def normalizedFilePath: Column =
-    regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+    normPathCol(col("_metadata.file_path"))
 
   /** Merge-on-read: anti-join the data rows against the position
     * deletes on (file path, row position), scoped by the spec's
@@ -845,22 +878,16 @@ object IcebergInterop {
   private def applyPositionDeletes(spark: SparkSession, schema: StructType,
       files: Seq[String], dataSeqByPath: Map[String, Long],
       deletes: Seq[(String, Long)]): DataFrame = {
-    // every spelling of a path (manifest strings, delete-file columns,
-    // _metadata.file_path) must normalize through the SAME rule before
-    // joining — a real writer's `file:/...` URI spelling on one side and
-    // the plain-path spelling on another would otherwise silently skip
-    // the delete (a resurrected row, not an error)
-    def norm(s: String): String = s.replaceFirst("^file:/+", "/")
     val base = spark.read.schema(schema).parquet(files: _*)
       .withColumn("__fp", normalizedFilePath)
       .withColumn("__pos", col("_metadata.row_index"))
     val seqDf = spark.createDataFrame(
       dataSeqByPath.toSeq.map { case (p, q) =>
-        org.apache.spark.sql.Row(norm(p), q) }.asJava,
+        org.apache.spark.sql.Row(normPathStr(p), q) }.asJava,
       StructType(Seq(StructField("__fp", StringType), StructField("__dseq", LongType))))
     val delDf = deletes.map { case (p, q) =>
       spark.read.schema(DeleteFileSchema).parquet(p)
-        .select(regexp_replace(col("file_path"), "^file:/+", "/").as("__del_fp"),
+        .select(normPathCol(col("file_path")).as("__del_fp"),
           col("pos").as("__del_pos"), lit(q).as("__mseq"))
     }.reduce(_ unionByName _)
     base.join(broadcast(seqDf), Seq("__fp"), "left")

@@ -237,6 +237,30 @@ class IcebergForeignSpec extends SparkSpec {
       Seq(listEntry("file:" + m2, m2Len, content = 1, seq = 2L, 102L, 0L),
         listEntry("file:" + m1, m1Len, content = 0, seq = 1L, 101L, 8L)))
 
+    // snapshot 3 (a foreign maintenance rewrite, seq 3): the data
+    // manifest is REWRITTEN carrying both files as EXISTING (status 0)
+    // entries with their ORIGINAL data sequence stamped at entry level
+    // — the spec's inheritance rule. A reader that wrongly inherited
+    // the new manifest's list-level seq (3) would conclude the deletes
+    // (seq 2) no longer apply and resurrect the deleted rows.
+    val m3 = s"$root/metadata/m-rewrite.avro"
+    def existingEntry(uri: String, bytes: Long, idMin: Long, idMax: Long): GenericRecord = {
+      val e = dataEntry(101L, uri, 4L, bytes, idMin, idMax)
+      e.put("status", 0) // EXISTING
+      e.put("sequence_number", 1L)
+      e.put("file_sequence_number", 1L)
+      e
+    }
+    val m3Len = writeAvro(m3, entrySchema,
+      Map("schema" -> "{}", "partition-spec" -> "[]",
+        "partition-spec-id" -> "0", "format-version" -> "2",
+        "content" -> "data"),
+      Seq(existingEntry(uri(f1), f1.length(), 1L, 4L),
+        existingEntry(uri(f2), f2.length(), 5L, 8L)))
+    writeAvro(s"$root/metadata/snap-103.avro", listSchema, Map.empty,
+      Seq(listEntry("file:" + m3, m3Len, content = 0, seq = 3L, 103L, 0L),
+        listEntry("file:" + m2, m2Len, content = 1, seq = 2L, 102L, 0L)))
+
     // v3.metadata.json: snapshots OUT OF ORDER, stale schemas[0], unknown
     // properties, v2 bookkeeping fields
     val metaJson =
@@ -270,6 +294,10 @@ class IcebergForeignSpec extends SparkSpec {
            "timestamp-ms":1700000002000,
            "summary":{"operation":"delete","deleted-position-delete-files":"0"},
            "manifest-list":"file:$root/metadata/snap-102.avro","schema-id":1},
+          {"sequence-number":3,"snapshot-id":103,"parent-snapshot-id":102,
+           "timestamp-ms":1700000003000,
+           "summary":{"operation":"replace","rewritten-data-files":"2"},
+           "manifest-list":"file:$root/metadata/snap-103.avro","schema-id":1},
           {"sequence-number":1,"snapshot-id":101,
            "timestamp-ms":1700000001000,
            "summary":{"operation":"append","spark.app.id":"foreign-app"},
@@ -304,6 +332,15 @@ class IcebergForeignSpec extends SparkSpec {
   test("foreign v2 time travel: pre-delete snapshot sees all rows") {
     val got = IcebergInterop.read(spark, table, snapshotId = Some(101L))
     assert(got.count() == 8)
+  }
+
+  test("rewritten-manifest EXISTING entries keep their entry-level sequence: deletes still apply") {
+    // snapshot 103 carries the data files as EXISTING entries (entry seq
+    // 1) inside a seq-3 manifest; the seq-2 deletes must STILL apply —
+    // inheriting the list-level seq would resurrect ids 1 and 6
+    val got = IcebergInterop.read(spark, table, snapshotId = Some(103L))
+    assert(got.as[(Long, Double)].collect().toSet ==
+      Set((2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0), (7L, 70.0), (8L, 80.0)))
   }
 
   test("foreign v2 pruning composes with merge-on-read deletes") {
