@@ -265,6 +265,70 @@ object Similarity {
       bruteForceTopK(spark, dir, k, nQueries),
       ivfTopK(spark, dir, k, nQueries), floor)
 
+  /** The composed IVF-PQ-style shape: IVF list pruning bounds WHICH
+    * rows are scanned (~nProbe/nLists of the corpus), int8 codes bound
+    * how many BYTES each scanned row costs (4×), and exact cosine
+    * re-ranks the shortlist against raw vectors. This is the full
+    * 100 TB ANN deployment shape; the components are the ones proven
+    * individually by `q_sim_ivf` / `q_sim_quantized`, composed without
+    * modification (spec pins the recall floor).
+    */
+  def ivfQuantizedTopK(
+      spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      nLists: Int = 16, nProbe: Int = 4, sampleSize: Int = 4096,
+      shortlistFactor: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+    val dim = VectorExpressions.Dim
+    val sample = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val kernel = graft.functions.CentroidKernel.train(sample, nLists, dim)
+    def lists(v: Column, p: Int): Column = GraftFunctions.nearestCentroids(v, kernel, p)
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    val mins = new Array[Float](dim)
+    val scales = new Array[Float](dim)
+    stats.foreach { r =>
+      val i = r.getInt(0)
+      if (i < dim) { mins(i) = r.getFloat(1); scales(i) = (r.getFloat(2) - mins(i)) / 255f }
+    }
+    // the persisted index shape: (vec_id, list_id, 64-byte code) — raw
+    // vectors appear nowhere in the candidate scan
+    val index = emb.select(col("vec_id"),
+      element_at(lists(col("embedding"), 1), 1).as("list_id"),
+      GraftShim.column(graft.functions.QuantizeVec(
+        GraftShim.expression(col("embedding")), mins, scales)).as("code"))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(lists(col("embedding"), nProbe)).as("list_id"))
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("vec_id"))
+    val short = index.join(broadcast(q),
+        q("list_id") === index("list_id") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftShim.column(graft.functions.QuantizedCosine(
+          GraftShim.expression(col("code")), GraftShim.expression(col("qv")),
+          mins, scales)).as("acos"))
+      .withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k * shortlistFactor)
+      .select(col("query_id"), col("vec_id"))
+    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wE = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    emb.select(col("vec_id"), col("embedding").as("v"))
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** int8 reconstruction error is tiny relative to gaussian-corpus
     * cosine gaps, so the quantized path's recall floor sits far above
     * the hash/centroid paths' (measured ≥ 0.9 across scales; floored
@@ -276,8 +340,19 @@ object Similarity {
       bruteForceTopK(spark, dir, k, nQueries),
       quantizedTopK(spark, dir, k, nQueries), floor)
 
+  /** IVF pruning composed with int8 codes loses no recall vs plain IVF
+    * on this corpus (FunctionsSpec pins ≥); floored at IVF's own 0.3.
+    */
+  def ivfQuantizedRecallAudit(spark: SparkSession, dir: String,
+      k: Int = 10, nQueries: Int = 5, floor: Double = 0.3): DataFrame =
+    recallAudit(
+      bruteForceTopK(spark, dir, k, nQueries),
+      ivfQuantizedTopK(spark, dir, k, nQueries), floor)
+
   val ops: Seq[Op] = Seq(
     Op("q_sim_quantized", (s, d) => quantizedRecallAudit(s, d),
+      Some(RecallAuditOracle)),
+    Op("q_sim_ivfpq", (s, d) => ivfQuantizedRecallAudit(s, d),
       Some(RecallAuditOracle)),
     Op("q_sim_ivf", (s, d) => ivfRecallAudit(s, d), Some(RecallAuditOracle)),
     Op("q_sim_topk", (s, d) => bruteForceTopK(s, d),

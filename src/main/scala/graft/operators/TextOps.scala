@@ -260,7 +260,10 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
-        (sum(log(col("c").cast("double") / col("n_total"))) / count(lit(1)))
+        // round like [[bm25]]: the driver compare sorts rows with this
+        // float as the FIRST key, and last-ulp sum-association drift
+        // between engines would reorder near-tied docs
+        round(sum(log(col("c").cast("double") / col("n_total"))) / count(lit(1)), 9)
           .as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
@@ -313,10 +316,11 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        (sum(log(
+        // rounded for the same row-sort-stability reason as avg_logprob
+        round(sum(log(
           lit(0.7) * (col("c2").cast("double") / col("c1ctx").cast("double")) +
             lit(0.3) * (col("c1").cast("double") / col("n_total").cast("double"))))
-          / count(lit(1))).as("avg_bi_logprob"))
+          / count(lit(1)), 9).as("avg_bi_logprob"))
       .orderBy(col("doc_id"))
   }
 
@@ -704,7 +708,7 @@ object TextOps {
         freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
         tot AS (SELECT count(*) AS n_total FROM toks)
         SELECT doc_id, count(*) AS n_tokens,
-               sum(ln(CAST(c AS DOUBLE) / n_total)) / count(*) AS avg_logprob
+               round(sum(ln(CAST(c AS DOUBLE) / n_total)) / count(*), 9) AS avg_logprob
         FROM toks JOIN freq USING (t), tot
         GROUP BY doc_id
         ORDER BY doc_id""")),
@@ -726,9 +730,9 @@ object TextOps {
           SELECT split_part(bg, ' ', 1) AS ctx, CAST(sum(c2) AS BIGINT) AS c1ctx
           FROM bifreq GROUP BY 1)
         SELECT doc_id, count(*) AS n_bigrams,
-               sum(ln(0.7 * (CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE)) +
-                      0.3 * (CAST(c1 AS DOUBLE) / CAST(n_total AS DOUBLE))))
-                 / count(*) AS avg_bi_logprob
+               round(sum(ln(0.7 * (CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE)) +
+                            0.3 * (CAST(c1 AS DOUBLE) / CAST(n_total AS DOUBLE))))
+                 / count(*), 9) AS avg_bi_logprob
         FROM bis
         JOIN bifreq USING (bg)
         JOIN ctxfreq ON split_part(bg, ' ', 1) = ctx

@@ -185,4 +185,20 @@ class FunctionsSpec extends SparkSpec {
         s"vec $id: adc ${r.getAs[Double]("acos")} vs exact $exact")
     }
   }
+
+  test("IVF x int8 composition: list-pruned code scan matches the plain-IVF candidates' recall") {
+    val exact = graft.operators.Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.operators.Similarity.ivfTopK(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composed = graft.operators.Similarity.ivfQuantizedTopK(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    // quantization loses nothing measurable on this corpus (int8 recall
+    // is 1.0 stand-alone), so composing it with the SAME list pruning
+    // must not cost recall vs plain IVF
+    assert(recall(composed) >= recall(ivf) - 1e-9,
+      s"composed ${recall(composed)} vs ivf ${recall(ivf)}")
+    assert(recall(composed) >= 0.3, s"composed recall ${recall(composed)} under IVF floor")
+  }
 }
