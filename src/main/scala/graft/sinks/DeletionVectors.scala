@@ -1,0 +1,353 @@
+package graft.sinks
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.UUID
+import java.util.zip.CRC32
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Delta Lake DELETION VECTORS, from scratch against the public specs —
+  * the delta-io `PROTOCOL.md` "Deletion Vectors" section (descriptor
+  * JSON, Z85 path/inline encoding, on-disk file framing) and the
+  * RoaringBitmap `RoaringFormatSpec` (the 32-bit standard serialization
+  * plus its 64-bit portable extension). No connector or roaring jar.
+  *
+  * A DV marks rows of one parquet data file as deleted by their
+  * physical row index, so DELETE/UPDATE touch O(deleted rows) bytes
+  * instead of rewriting whole files — the soft-delete half of
+  * merge-on-read, as real Delta writers (Spark/DBR, delta-rs) emit it.
+  * The reference consumes such tables through the connector
+  * (`jobs/S3DeltaBatchReader.scala`); graft implements the format
+  * itself: [[Roaring64]] the bitmap wire format, [[Z85]] the protocol's
+  * base-85 variant, [[DvDescriptor]] the `add.deletionVector` struct,
+  * and [[DeletionVectors.positions]] the decode used by the read path's
+  * anti-join on `_metadata.row_index`.
+  */
+object Z85 {
+
+  /** The ZeroMQ Z85 alphabet, as referenced by the Delta protocol. */
+  private val Alphabet =
+    ("0123456789abcdefghijklmnopqrstuvwxyz" +
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#").toCharArray
+  private val Inverse: Array[Int] = {
+    val inv = Array.fill(128)(-1)
+    Alphabet.zipWithIndex.foreach { case (c, i) => inv(c.toInt) = i }
+    inv
+  }
+
+  /** 4 bytes → 5 chars; input length must be a multiple of 4 (the
+    * protocol only encodes 16-byte UUIDs and already-padded inline
+    * blobs, so no partial-group handling exists in the format).
+    */
+  def encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0,
+      s"Z85 encodes whole 4-byte groups, got ${bytes.length} bytes")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      var div = 85L * 85 * 85 * 85
+      while (div > 0) { sb.append(Alphabet(((v / div) % 85).toInt)); div /= 85 }
+      i += 4
+    }
+    sb.toString
+  }
+
+  def decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"Z85 decodes whole 5-char groups, got ${s.length}")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        val d = if (c < 128) Inverse(c.toInt) else -1
+        require(d >= 0, s"invalid Z85 character '$c'")
+        v = v * 85 + d
+        j += 1
+      }
+      var j2 = 0
+      while (j2 < 4) { out(i / 5 * 4 + j2) = ((v >>> (8 * (3 - j2))) & 0xff).toByte; j2 += 1 }
+      i += 5
+    }
+    out
+  }
+
+  /** The protocol's 20-char UUID form (big-endian msb,lsb — the order
+    * `ByteBuffer.putLong(msb).putLong(lsb)` produces).
+    */
+  def encodeUuid(u: UUID): String = {
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+    encode(bb.array())
+  }
+
+  def decodeUuid(s: String): UUID = {
+    val bb = ByteBuffer.wrap(decode(s))
+    new UUID(bb.getLong(), bb.getLong())
+  }
+}
+
+/** The RoaringBitmapArray wire format Delta DVs carry: a 4-byte
+  * little-endian magic number (1681511377), an 8-byte little-endian
+  * count of 32-bit bitmaps, then per bitmap a 4-byte little-endian high
+  * key followed by a standard `RoaringFormatSpec` 32-bit serialization
+  * (the spec's "extension for 64-bit implementations", keys ascending).
+  *
+  * The writer always emits the no-run-container layout (cookie 12346,
+  * array containers ≤ 4096 values, bitmap containers above — spec-legal
+  * for any content); the reader additionally accepts run containers
+  * (cookie 12347), which foreign writers produce via `runOptimize()`.
+  */
+object Roaring64 {
+
+  val MagicNumber = 1681511377
+  private val SerialCookieNoRun = 12346
+  private val SerialCookie = 12347
+  private val NoOffsetThreshold = 4
+  private val ArrayMaxCardinality = 4096
+
+  /** `positions` must be sorted ascending, distinct, non-negative. */
+  def serialize(positions: Array[Long]): Array[Byte] = {
+    var i = 1
+    while (i < positions.length) {
+      require(positions(i) > positions(i - 1), "positions must be sorted distinct")
+      i += 1
+    }
+    require(positions.isEmpty || positions.head >= 0, "negative row index")
+    // group by high 32 bits; each group serializes as one 32-bit bitmap
+    val byHigh = positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
+    val res = new java.io.ByteArrayOutputStream()
+    val head = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    head.putInt(MagicNumber).putLong(byHigh.size.toLong)
+    res.write(head.array())
+    byHigh.foreach { case (hk, vals) =>
+      val kb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(hk)
+      res.write(kb.array())
+      res.write(serialize32(vals.map(v => (v & 0xffffffffL).toInt)))
+    }
+    res.toByteArray
+  }
+
+  private def serialize32(low: Array[Int]): Array[Byte] = {
+    val byKey = low.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+    val n = byKey.size
+    val header = ByteBuffer.allocate(8 + 4 * n + 4 * n).order(ByteOrder.LITTLE_ENDIAN)
+    header.putInt(SerialCookieNoRun).putInt(n)
+    byKey.foreach { case (k, cv) =>
+      header.putShort((k & 0xffff).toShort)
+      header.putShort(((cv.length - 1) & 0xffff).toShort)
+    }
+    var off = 8 + 4 * n + 4 * n
+    val containers = byKey.map { case (_, cv) =>
+      val c = containerBytes(cv)
+      val o = off; off += c.length; (o, c)
+    }
+    containers.foreach { case (o, _) => header.putInt(o) }
+    val res = new java.io.ByteArrayOutputStream()
+    res.write(header.array())
+    containers.foreach { case (_, c) => res.write(c) }
+    res.toByteArray
+  }
+
+  private def containerBytes(containerVals: Array[Int]): Array[Byte] = {
+    val lows = containerVals.map(_ & 0xffff).sorted
+    if (lows.length <= ArrayMaxCardinality) {
+      val bb = ByteBuffer.allocate(2 * lows.length).order(ByteOrder.LITTLE_ENDIAN)
+      lows.foreach(v => bb.putShort(v.toShort))
+      bb.array()
+    } else {
+      val words = new Array[Long](1024)
+      lows.foreach(v => words(v >>> 6) |= (1L << (v & 63)))
+      val bb = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+      words.foreach(bb.putLong)
+      bb.array()
+    }
+  }
+
+  /** Sorted ascending positions. Accepts array, bitmap and run
+    * containers, with and without the offsets header, per the spec.
+    */
+  def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt()
+    require(magic == MagicNumber,
+      s"not a portable RoaringBitmapArray (magic $magic, want $MagicNumber)")
+    val nBitmaps = bb.getLong()
+    require(nBitmaps >= 0 && nBitmaps <= Int.MaxValue, s"bitmap count $nBitmaps")
+    val out = Array.newBuilder[Long]
+    var b = 0L
+    while (b < nBitmaps) {
+      val high = bb.getInt().toLong & 0xffffffffL
+      deserialize32(bb, v => out += (high << 32) | (v.toLong & 0xffffffffL))
+      b += 1
+    }
+    out.result()
+  }
+
+  /** Reads one 32-bit roaring serialization from `bb` (positioned at
+    * its cookie), advancing past it; emits values ascending.
+    */
+  private def deserialize32(bb: ByteBuffer, emit: Int => Unit): Unit = {
+    val start = bb.position()
+    val cookie = bb.getInt()
+    val (n, runBitset) =
+      if ((cookie & 0xffff) == SerialCookie) {
+        val size = (cookie >>> 16) + 1
+        val bits = new Array[Byte]((size + 7) / 8)
+        bb.get(bits)
+        (size, Some(bits))
+      } else {
+        require(cookie == SerialCookieNoRun,
+          s"unknown roaring cookie $cookie")
+        (bb.getInt(), None)
+      }
+    val keys = new Array[Int](n)
+    val cards = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      keys(i) = bb.getShort() & 0xffff
+      cards(i) = (bb.getShort() & 0xffff) + 1
+      i += 1
+    }
+    val hasOffsets = runBitset.isEmpty || n >= NoOffsetThreshold
+    val offsets = if (hasOffsets) Array.fill(n)(bb.getInt()) else null
+    def isRun(i: Int): Boolean =
+      runBitset.exists(bits => (bits(i / 8) & (1 << (i % 8))) != 0)
+    i = 0
+    while (i < n) {
+      if (hasOffsets) bb.position(start + offsets(i))
+      val keyHigh = keys(i) << 16
+      if (isRun(i)) {
+        val nRuns = bb.getShort() & 0xffff
+        var r = 0
+        while (r < nRuns) {
+          val s = bb.getShort() & 0xffff
+          val len = bb.getShort() & 0xffff
+          var v = s
+          while (v <= s + len) { emit(keyHigh | v); v += 1 }
+          r += 1
+        }
+      } else if (cards(i) <= ArrayMaxCardinality) {
+        var j = 0
+        while (j < cards(i)) { emit(keyHigh | (bb.getShort() & 0xffff)); j += 1 }
+      } else {
+        val base = bb.position()
+        var w = 0
+        while (w < 1024) {
+          var word = bb.getLong()
+          val wordBase = keyHigh | (w << 6)
+          while (word != 0) {
+            val t = java.lang.Long.numberOfTrailingZeros(word)
+            emit(wordBase | t)
+            word &= word - 1
+          }
+          w += 1
+        }
+        require(bb.position() == base + 8192, "bitmap container size drift")
+      }
+      i += 1
+    }
+  }
+}
+
+/** The `add.deletionVector` struct — field names ARE the wire format.
+  * `storageType`: "u" = UUID-named file under the table root (an
+  * optional random prefix directory precedes the 20-char Z85 UUID in
+  * `pathOrInlineDv`), "p" = absolute path, "i" = inline (Z85 of the
+  * serialized bitmap). `offset` points at the 4-byte length that frames
+  * the DV inside its file; absent for inline.
+  */
+final case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+    offset: Option[Int], sizeInBytes: Int, cardinality: Long) {
+
+  /** Identity of the logical file's DV, per protocol (uniqueId). */
+  def uniqueId: String = storageType + pathOrInlineDv + offset.fold("")(o => s"@$o")
+
+  /** Absolute file path for "u"/"p"; None for inline. */
+  def filePath(tableRoot: String): Option[String] = storageType match {
+    case "p" => Some(pathOrInlineDv)
+    case "u" =>
+      val enc = pathOrInlineDv.substring(pathOrInlineDv.length - 20)
+      val prefix = pathOrInlineDv.substring(0, pathOrInlineDv.length - 20)
+      val name = s"deletion_vector_${Z85.decodeUuid(enc)}.bin"
+      Some(if (prefix.isEmpty) s"$tableRoot/$name" else s"$tableRoot/$prefix/$name")
+    case "i" => None
+    case other => throw new IllegalArgumentException(
+      s"unknown deletion vector storageType '$other'")
+  }
+}
+
+object DeletionVectors {
+
+  /** On-disk DV file framing (delta-io `DeletionVectorStore`): the file
+    * opens with a 1-byte format version (1); each DV within is
+    * [4-byte big-endian length][bitmap bytes][4-byte big-endian CRC-32
+    * of the bitmap bytes]; descriptors' `offset` points at the length.
+    */
+  val FileFormatVersion: Byte = 1
+
+  /** Writes one DV file holding `dvs` (serialized bitmap payloads) into
+    * `dir`, returning the descriptor pieces: the file's UUID name and
+    * each payload's offset. One file per commit amortizes the create.
+    */
+  def writeDvFile(fs: FileSystem, dir: Path, dvs: Seq[Array[Byte]]): (UUID, Seq[Int]) = {
+    val uuid = UUID.randomUUID()
+    val p = new Path(dir, s"deletion_vector_$uuid.bin")
+    val out = new DataOutputStream(fs.create(p, false))
+    val offsets = Seq.newBuilder[Int]
+    try {
+      out.writeByte(FileFormatVersion.toInt)
+      var off = 1
+      dvs.foreach { data =>
+        offsets += off
+        out.writeInt(data.length)
+        out.write(data)
+        val crc = new CRC32(); crc.update(data)
+        out.writeInt(crc.getValue.toInt)
+        off += 4 + data.length + 4
+      }
+    } finally out.close()
+    (uuid, offsets.result())
+  }
+
+  /** Reads and checks one DV's bitmap payload from its file. */
+  def readDvPayload(fs: FileSystem, file: Path, offset: Int, sizeInBytes: Int): Array[Byte] = {
+    val in = new DataInputStream(fs.open(file))
+    try {
+      var toSkip = offset.toLong
+      while (toSkip > 0) toSkip -= in.skip(toSkip)
+      val len = in.readInt()
+      require(len == sizeInBytes,
+        s"DV length $len at offset $offset != descriptor sizeInBytes $sizeInBytes")
+      val data = new Array[Byte](len)
+      in.readFully(data)
+      val stored = in.readInt()
+      val crc = new CRC32(); crc.update(data)
+      require(stored == crc.getValue.toInt,
+        s"DV checksum mismatch in $file at offset $offset")
+      data
+    } finally in.close()
+  }
+
+  /** Decoded deleted row indexes of one descriptor. FS access happens
+    * where this is called — on executors in the read path's flatMap, so
+    * DV decode work distributes with the files.
+    */
+  def positions(fs: FileSystem, tableRoot: String, d: DvDescriptor): Array[Long] = {
+    val payload = d.storageType match {
+      case "i" => Z85.decode(d.pathOrInlineDv)
+      case _ =>
+        val p = new Path(d.filePath(tableRoot).get)
+        readDvPayload(fs, p, d.offset.getOrElse(1), d.sizeInBytes)
+    }
+    val pos = Roaring64.deserialize(payload)
+    require(pos.length == d.cardinality,
+      s"DV cardinality ${pos.length} != descriptor ${d.cardinality}")
+    pos
+  }
+}

@@ -28,10 +28,12 @@ import org.json4s.jackson.JsonMethods
   * checkpoints, and a reader replaying foreign logs.
   *
   * Honest coverage note (enforced, not assumed): the reader supports
-  * protocol v1 tables plus v2/v3 tables that do not actually use
-  * column mapping / reader features (deletion vectors etc.) — anything
-  * else fails LOUDLY at replay time naming the unsupported feature,
-  * never silently misreads.
+  * protocol v1 tables, v3 tables using DELETION VECTORS (read via
+  * [[scanGroup]]'s row-index anti-join, written by [[deleteDv]] —
+  * bitmap wire format in [[DeletionVectors]]), and v2/v3 tables that
+  * do not actually use column mapping — anything else fails LOUDLY at
+  * replay time naming the unsupported feature, never silently
+  * misreads.
   *
   * Scale: replay reads the latest checkpoint + at most
   * [[CheckpointEvery]]−1 JSON commits (bounded driver work independent
@@ -61,9 +63,10 @@ object DeltaInterop {
       partitionColumns: Seq[String], configuration: Map[String, String])
   final case class AddFile(path: String, partitionValues: Map[String, Option[String]],
       size: Long, modificationTime: Long, dataChange: Boolean,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      deletionVector: Option[DvDescriptor] = None)
   final case class RemoveFile(path: String, deletionTimestamp: Option[Long],
-      dataChange: Boolean)
+      dataChange: Boolean, deletionVector: Option[DvDescriptor] = None)
   final case class Txn(appId: String, version: Long)
 
   final case class Snapshot(version: Long, protocol: Protocol, metaData: MetaData,
@@ -86,13 +89,32 @@ object DeltaInterop {
       "size" -> JLong(a.size),
       "modificationTime" -> JLong(a.modificationTime),
       "dataChange" -> JBool(a.dataChange),
-      "stats" -> a.stats.map(JString(_): JValue).getOrElse(JNothing)))
+      "stats" -> a.stats.map(JString(_): JValue).getOrElse(JNothing),
+      "deletionVector" -> a.deletionVector.map(dvJson).getOrElse(JNothing: JValue)))
+
+  private def dvJson(d: DvDescriptor): JValue = JObject(
+    "storageType" -> JString(d.storageType),
+    "pathOrInlineDv" -> JString(d.pathOrInlineDv),
+    "offset" -> d.offset.map(o => JInt(BigInt(o)): JValue).getOrElse(JNothing),
+    "sizeInBytes" -> JInt(BigInt(d.sizeInBytes)),
+    "cardinality" -> JLong(d.cardinality))
+
+  private def parseDv(v: JValue): Option[DvDescriptor] = v match {
+    case JNothing => None
+    case d => Some(DvDescriptor(
+      (d \ "storageType").extract[String],
+      (d \ "pathOrInlineDv").extract[String],
+      (d \ "offset").extractOpt[Int],
+      (d \ "sizeInBytes").extract[Int],
+      (d \ "cardinality").extract[Long]))
+  }
 
   private def removeJson(r: RemoveFile): JObject = JObject(
     "remove" -> JObject(
       "path" -> JString(r.path),
       "deletionTimestamp" -> r.deletionTimestamp.map(JLong(_): JValue).getOrElse(JNothing),
-      "dataChange" -> JBool(r.dataChange)))
+      "dataChange" -> JBool(r.dataChange),
+      "deletionVector" -> r.deletionVector.map(dvJson).getOrElse(JNothing: JValue)))
 
   private def metaJson(m: MetaData): JObject = JObject(
     "metaData" -> JObject(
@@ -108,7 +130,12 @@ object DeltaInterop {
   private def protocolJson(p: Protocol): JObject =
     JObject("protocol" -> JObject(
       "minReaderVersion" -> JInt(p.minReaderVersion),
-      "minWriterVersion" -> JInt(p.minWriterVersion)))
+      "minWriterVersion" -> JInt(p.minWriterVersion),
+      // v3/v7 tables MUST list their features explicitly
+      "readerFeatures" -> p.readerFeatures
+        .map(fs => JArray(fs.toList.map(JString(_))): JValue).getOrElse(JNothing),
+      "writerFeatures" -> p.writerFeatures
+        .map(fs => JArray(fs.toList.map(JString(_))): JValue).getOrElse(JNothing)))
 
   private def txnJson(t: Txn): JObject = JObject(
     "txn" -> JObject("appId" -> JString(t.appId), "version" -> JLong(t.version)))
@@ -145,8 +172,14 @@ object DeltaInterop {
   private final class Replay {
     var protocol: Protocol = Protocol(1, 2)
     var metaData: Option[MetaData] = None
+    // keyed by the protocol's LOGICAL file identity (path, DV uniqueId):
+    // a DV-update commit removes (path, oldDv) and adds (path, newDv),
+    // and reconciliation must be order-insensitive within the commit
     val adds = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.Map[String, Long]()
+    private def key(path: String, dv: Option[DvDescriptor]): String =
+      path + "\u0000" + dv.fold("")(_.uniqueId)
+    def keyOf(a: AddFile): String = key(a.path, a.deletionVector)
     def apply(action: JValue): Unit = {
       (action \ "add") match {
         case JNothing => case a =>
@@ -154,12 +187,14 @@ object DeltaInterop {
             (a \ "size").extractOrElse[Long](0L),
             (a \ "modificationTime").extractOrElse[Long](0L),
             (a \ "dataChange").extractOrElse[Boolean](true),
-            (a \ "stats").extractOpt[String].filter(_.nonEmpty))
-          adds(add.path) = add
+            (a \ "stats").extractOpt[String].filter(_.nonEmpty),
+            parseDv(a \ "deletionVector"))
+          adds(key(add.path, add.deletionVector)) = add
       }
       (action \ "remove") match {
         case JNothing => case r =>
-          adds.remove((r \ "path").extract[String]); ()
+          adds.remove(key((r \ "path").extract[String],
+            parseDv(r \ "deletionVector"))); ()
       }
       (action \ "metaData") match {
         case JNothing => case m =>
@@ -187,7 +222,8 @@ object DeltaInterop {
     * when the table doesn't enable it); v3 tables list readerFeatures
     * explicitly — every listed feature must be one we support.
     */
-  private val SupportedReaderFeatures = Set("timestampNtz", "columnMapping")
+  private val SupportedReaderFeatures =
+    Set("timestampNtz", "columnMapping", "deletionVectors")
   private def gate(p: Protocol, m: MetaData): Unit = {
     val mapping = m.configuration.getOrElse("delta.columnMapping.mode", "none")
     require(mapping == "none",
@@ -375,10 +411,9 @@ object DeltaInterop {
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     if (live.isEmpty)
       return where.map(empty.filter).getOrElse(empty)
-    val groups = live.groupBy(_.partitionValues)
-    val parts = groups.toSeq.map { case (pv, files) =>
-      val base = spark.read.schema(dataSchema)
-        .parquet(files.map(f => resolveAddPath(path, f.path)): _*)
+    val groups = live.groupBy(a => (a.partitionValues, a.deletionVector.isDefined))
+    val parts = groups.toSeq.map { case ((pv, _), files) =>
+      val base = scanGroup(spark, path, dataSchema, files)
       partCols.foldLeft(base) { (df, c) =>
         val dt = schema(c).dataType
         val v = pv.getOrElse(c, None)
@@ -387,6 +422,55 @@ object DeltaInterop {
     }
     val out = parts.reduce(_ unionByName _).select(schema.fieldNames.map(col): _*)
     where.map(out.filter).getOrElse(out)
+  }
+
+  /** One partition group's scan, honoring deletion vectors: files
+    * without a DV scan plainly; files WITH one scan alongside their
+    * physical row identity and anti-join the deleted (file, row) pairs
+    * away. Positions decode on EXECUTORS (one task per DV'd file) so DV
+    * work distributes with the files; AQE broadcasts the usually-small
+    * deleted side. `_metadata.file_path` is the qualified FileStatus
+    * path — the same string `makeQualified` yields on the driver.
+    * `files` must all share one partition tuple and one DV-presence
+    * state is NOT required: the split happens here.
+    */
+  private def scanGroup(spark: SparkSession, path: String,
+      dataSchema: StructType, files: Seq[AddFile]): DataFrame = {
+    val (dvFiles, plain) = files.partition(_.deletionVector.isDefined)
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(spark.read.schema(dataSchema)
+        .parquet(plain.map(f => resolveAddPath(path, f.path)): _*))
+    val dvDf =
+      if (dvFiles.isEmpty) None
+      else {
+        import spark.implicits._
+        val fsq = fsFor(spark, path)
+        val root = path
+        val tasks = dvFiles.map(a =>
+          (fsq.makeQualified(new Path(resolveAddPath(path, a.path))).toString,
+            a.deletionVector.get))
+        val deleted = spark.createDataset(tasks)
+          .repartition(math.min(tasks.size, 32))
+          .flatMap { case (fileKey, dv) =>
+            val fs = new Path(root)
+              .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            DeletionVectors.positions(fs, root, dv).map(p => (fileKey, p))
+          }.toDF("__dv_file", "__dv_row")
+        Some(spark.read.schema(dataSchema)
+          .parquet(dvFiles.map(f => resolveAddPath(path, f.path)): _*)
+          .withColumn("__dv_file", col("_metadata.file_path"))
+          .withColumn("__dv_row", col("_metadata.row_index"))
+          .join(deleted, Seq("__dv_file", "__dv_row"), "left_anti")
+          .drop("__dv_file", "__dv_row"))
+      }
+    (plainDf, dvDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+    }
   }
 
   // ---- writer ----
@@ -466,7 +550,7 @@ object DeltaInterop {
     val now = System.currentTimeMillis()
     val removes = if (overwrite)
       prev.toSeq.flatMap(_.adds).map(a =>
-        RemoveFile(a.path, Some(now), dataChange = true))
+        RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector))
     else Nil
     val meta = (prev.map(_.metaData), evolved) match {
       case (Some(m), Some(u)) => m.copy(schemaString = u.json)
@@ -574,8 +658,10 @@ object DeltaInterop {
     val partCols = snap.metaData.partitionColumns
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
     val parts = files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
-      val base = spark.read.schema(dataSchema)
-        .parquet(fs.map(f => resolveAddPath(path, f.path)): _*)
+      // scanGroup applies each file's deletion vector, so a rewrite
+      // (DELETE/UPDATE/replaceWhere) of DV'd files never resurrects
+      // their soft-deleted rows
+      val base = scanGroup(spark, path, dataSchema, fs)
       partCols.foldLeft(base) { (df, c) =>
         val dt = schema(c).dataType
         val v = pv.getOrElse(c, None)
@@ -622,7 +708,8 @@ object DeltaInterop {
         if (survivors.limit(1).count() == 0) Nil
         else stageAdds(survivors, path, partCols)
       val now = System.currentTimeMillis()
-      val removes = touched.map(a => RemoveFile(a.path, Some(now), dataChange = true))
+      val removes = touched.map(a =>
+        RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector))
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version,
@@ -630,6 +717,107 @@ object DeltaInterop {
       maybeCheckpoint(spark, path, version)
       DeleteResult(version, touched.size, snap.adds.size - touched.size)
     } finally { survivors.unpersist(); () }
+  }
+
+  /** Conf key bounding how many deleted row indexes a single
+    * [[deleteDv]] may materialize on the driver while building the
+    * bitmaps (default 10M ≈ 80 MB of longs). A DELETE that soft-deletes
+    * more than that should be a rewriting [[delete]] anyway — the DV
+    * trade (skip-at-read) only pays while deleted rows are a small
+    * fraction of each file.
+    */
+  private[sinks] val DefaultMaxDvRows = 10000000L
+
+  /** Soft DELETE via DELETION VECTORS — the merge-on-read half of the
+    * protocol, what `delta.enableDeletionVectors` writers do. Matching
+    * files keep their parquet bytes untouched; the commit swaps each
+    * one's logical (path, DV) pair for (path, newDV) where newDV is the
+    * set-union of the old DV and the newly matching physical row
+    * indexes. Cost is O(matched rows) instead of O(bytes of touched
+    * files) — at 100 TB, deleting a few thousand scattered rows writes
+    * one small `.bin` file instead of rewriting gigabytes of parquet.
+    * First DV commit upgrades the table protocol to v3/v7 with the
+    * `deletionVectors` feature (plus the legacy writer features the old
+    * version implied), exactly as real writers do.
+    *
+    * Matching row indexes are found distributed (one scan of the
+    * stats-pruned file set carrying `_metadata.row_index`); only the
+    * per-file index arrays land on the driver, bounded loudly by
+    * `graft.delta.maxDvRows`.
+    */
+  def deleteDv(spark: SparkSession, path: String, where: Column): DeleteResult = {
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path)
+    val schema = snap.schema
+    val partCols = snap.metaData.partitionColumns
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val touched = pruneAdds(spark, snap, Some(where))
+    if (touched.isEmpty)
+      return DeleteResult(snap.version, 0, snap.adds.size)
+    def qualified(a: AddFile): String =
+      fs.makeQualified(new Path(resolveAddPath(path, a.path))).toString
+    val byQual = touched.map(a => qualified(a) -> a).toMap
+    // scan WITHOUT applying existing DVs: an already-deleted row that
+    // matches again just re-enters the set union below
+    val hit = coalesce(where, lit(false))
+    val scans = touched.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(files.map(f => resolveAddPath(path, f.path)): _*)
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_row", col("_metadata.row_index"))
+      partCols.foldLeft(base) { (df, c) =>
+        val dt = schema(c).dataType
+        val v = pv.getOrElse(c, None)
+        df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+    }
+    val matching = scans.reduce(_ unionByName _).filter(hit)
+      .select(col("__dv_file"), col("__dv_row")).persist()
+    try {
+      val bound = spark.conf.getOption("graft.delta.maxDvRows")
+        .map(_.toLong).getOrElse(DefaultMaxDvRows)
+      val total = matching.count()
+      require(total <= bound,
+        s"DeltaInterop deleteDv: $total matching rows exceeds $bound " +
+          "(graft.delta.maxDvRows) — use the rewriting delete() for bulk deletes")
+      if (total == 0L)
+        return DeleteResult(snap.version, 0, snap.adds.size)
+      val matches = matching
+        .groupBy(col("__dv_file"))
+        .agg(sort_array(collect_list(col("__dv_row"))).as("rows"))
+        .collect()
+      val newPerFile = matches.toSeq.map { r =>
+        val a = byQual(r.getString(0))
+        val fresh = r.getSeq[Long](1).toArray
+        val old = a.deletionVector
+          .map(d => DeletionVectors.positions(fs, path, d))
+          .getOrElse(Array.empty[Long])
+        (a, (old ++ fresh).distinct.sorted)
+      }
+      val payloads = newPerFile.map { case (_, pos) => Roaring64.serialize(pos) }
+      val (uuid, offsets) = DeletionVectors.writeDvFile(fs, new Path(path), payloads)
+      val now = System.currentTimeMillis()
+      val removes = newPerFile.map { case (a, _) =>
+        RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector) }
+      val adds = newPerFile.zip(offsets).zip(payloads).map {
+        case (((a, pos), off), payload) =>
+          a.copy(dataChange = true, deletionVector = Some(DvDescriptor(
+            "u", Z85.encodeUuid(uuid), Some(off), payload.length, pos.length)))
+      }
+      // first DV commit: upgrade to table features, carrying forward
+      // what protocol (1,2) implied
+      val proto: Seq[JObject] =
+        if (snap.protocol.readerFeatures.exists(_.contains("deletionVectors"))) Nil
+        else Seq(protocolJson(Protocol(3, 7,
+          Some(Seq("deletionVectors")),
+          Some(Seq("deletionVectors", "appendOnly", "invariants")))))
+      val version = snap.version + 1
+      beforePublish()
+      publish(fs, path, version,
+        proto ++ removes.map(removeJson) ++ adds.map(addJson))
+      maybeCheckpoint(spark, path, version)
+      DeleteResult(version, newPerFile.size, snap.adds.size - newPerFile.size)
+    } finally { matching.unpersist(); () }
   }
 
   /** UPDATE … SET on the wire format: rows where `where` is TRUE get
@@ -664,7 +852,8 @@ object DeltaInterop {
     try {
       val adds = stageAdds(updated, path, snap.metaData.partitionColumns)
       val now = System.currentTimeMillis()
-      val removes = touched.map(a => RemoveFile(a.path, Some(now), dataChange = true))
+      val removes = touched.map(a =>
+        RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector))
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version, removes.map(removeJson) ++ adds.map(addJson))
@@ -705,7 +894,8 @@ object DeltaInterop {
       }
       val newAdds = stageAdds(df, path, partCols)
       val now = System.currentTimeMillis()
-      val removes = touched.map(a => RemoveFile(a.path, Some(now), dataChange = true))
+      val removes = touched.map(a =>
+        RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector))
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version,
@@ -752,7 +942,9 @@ object DeltaInterop {
             parsePv(ad \ "partitionValues"),
             (ad \ "size").extractOrElse[Long](0L),
             (ad \ "modificationTime").extractOrElse[Long](0L),
-            dataChange = true))
+            dataChange = true,
+            // carry the DV so frameOver's scan drops soft-deleted rows
+            deletionVector = parseDv(ad \ "deletionVector")))
         }
       }
     }
@@ -775,7 +967,11 @@ object DeltaInterop {
     val fs = fsFor(spark, path)
     val snap = snapshot(spark, path)
     val partCols = snap.metaData.partitionColumns
-    val multi = snap.adds.groupBy(_.partitionValues).filter(_._2.size > 1)
+    // a partition qualifies if it can be packed smaller OR any of its
+    // files carries a deletion vector — OPTIMIZE is also the operation
+    // that collapses accumulated DVs back into clean parquet
+    val multi = snap.adds.groupBy(_.partitionValues)
+      .filter { case (_, fs) => fs.size > 1 || fs.exists(_.deletionVector.isDefined) }
     if (multi.isEmpty) return DeleteResult(snap.version, 0, snap.adds.size)
     val touched = multi.values.flatten.toSeq
     val frame = frameOver(spark, path, snap, touched)
@@ -785,7 +981,8 @@ object DeltaInterop {
       else frame.repartition(multi.size, partCols.map(col): _*)
     val adds = stageAdds(packed, path, partCols, dataChange = false)
     val now = System.currentTimeMillis()
-    val removes = touched.map(a => RemoveFile(a.path, Some(now), dataChange = false))
+    val removes = touched.map(a =>
+        RemoveFile(a.path, Some(now), dataChange = false, a.deletionVector))
     val version = snap.version + 1
     beforePublish()
     publish(fs, path, version, removes.map(removeJson) ++ adds.map(addJson))
@@ -808,14 +1005,19 @@ object DeltaInterop {
     require(retentionMs >= 0, "vacuum: negative retention")
     val fs = fsFor(spark, path)
     val snap = snapshot(spark, path)
-    val live: Set[String] = snap.adds.map(a => decodePath(a.path)).toSet
+    val live: Set[String] = snap.adds.map(a => decodePath(a.path)).toSet ++
+      // deletion-vector .bin files referenced by the current snapshot
+      snap.adds.flatMap(_.deletionVector.flatMap(_.filePath(path)))
+        .map(p => fs.makeQualified(new Path(p)).toString
+          .stripPrefix(fs.makeQualified(new Path(path)).toString + "/"))
     val cutoff = System.currentTimeMillis() - retentionMs
     val base = fs.makeQualified(new Path(path)).toString
     var deleted = 0
     def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory) { if (name != LogDir) walk(st.getPath) }
-      else if (name.endsWith(".parquet")) {
+      else if (name.endsWith(".parquet") ||
+          name.startsWith("deletion_vector_")) {
         val rel = fs.makeQualified(st.getPath).toString.stripPrefix(base + "/")
         if (!live.contains(rel) && st.getModificationTime < cutoff) {
           fs.delete(st.getPath, false)
@@ -913,7 +1115,13 @@ object DeltaInterop {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -926,7 +1134,9 @@ object DeltaInterop {
       StructField("configuration", MapType(StringType, StringType))))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType))))))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType)))))))
 
   /** Every [[CheckpointEvery]] commits: one parquet file holding the
     * full replay state (protocol, metaData, live adds, txns) + the
@@ -942,14 +1152,18 @@ object DeltaInterop {
       Row(txn, add, remove, meta, protocol)
     val rows =
       Seq(row(protocol = Row(snap.protocol.minReaderVersion,
-          snap.protocol.minWriterVersion)),
+          snap.protocol.minWriterVersion,
+          snap.protocol.readerFeatures.orNull,
+          snap.protocol.writerFeatures.orNull)),
         row(meta = Row(snap.metaData.id, Row("parquet"),
           snap.metaData.schemaString, snap.metaData.partitionColumns,
           snap.metaData.configuration))) ++
         snap.txns.toSeq.map { case (a, v) => row(txn = Row(a, v)) } ++
         snap.adds.map(a => row(add = Row(a.path,
           a.partitionValues.map { case (k, v) => k -> v.orNull },
-          a.size, a.modificationTime, a.dataChange, a.stats.orNull)))
+          a.size, a.modificationTime, a.dataChange, a.stats.orNull,
+          a.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull)))
     val fs = fsFor(spark, path)
     val tmp = new Path(s"$path/$LogDir/.ckpt-${java.util.UUID.randomUUID}")
     spark.createDataFrame(
@@ -993,7 +1207,9 @@ object DeltaInterop {
           "actions — compact the table (OPTIMIZE) or raise " +
           "graft.delta.maxCheckpointActions")
       Option(r.getAs[Row]("protocol")).foreach(p =>
-        replay.protocol = Protocol(p.getInt(0), p.getInt(1)))
+        replay.protocol = Protocol(p.getInt(0), p.getInt(1),
+          if (p.length > 2) Option(p.getSeq[String](2)) else None,
+          if (p.length > 3) Option(p.getSeq[String](3)) else None))
       Option(r.getAs[Row]("metaData")).foreach(m =>
         replay.metaData = Some(MetaData(m.getString(0), m.getString(2),
           m.getSeq[String](3), Option(m.getAs[Map[String, String]](4))
@@ -1003,9 +1219,13 @@ object DeltaInterop {
       Option(r.getAs[Row]("add")).foreach { a =>
         val pv = Option(a.getAs[Map[String, String]](1)).getOrElse(Map.empty)
           .map { case (k, v) => k -> Option(v) }
-        replay.adds(a.getString(0)) = AddFile(a.getString(0), pv,
+        val dv = (if (a.length > 6) Option(a.getAs[Row](6)) else None).map(d =>
+          DvDescriptor(d.getString(0), d.getString(1),
+            Option(d.getAs[Integer](2)).map(_.intValue), d.getInt(3), d.getLong(4)))
+        val add = AddFile(a.getString(0), pv,
           a.getLong(2), a.getLong(3), a.getBoolean(4),
-          if (a.length > 5) Option(a.getString(5)) else None)
+          if (a.length > 5) Option(a.getString(5)) else None, dv)
+        replay.adds(replay.keyOf(add)) = add
       }
     }
   }
@@ -1088,6 +1308,35 @@ object DeltaInterop {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Driver-checked DELETION-VECTOR round trip: orders land as a Delta
+    * table; two successive soft deletes (the second overlapping the
+    * first, forcing the DV set-union supersede on every touched file)
+    * mark rows deleted WITHOUT rewriting any parquet; the latest read
+    * must see exactly the surviving rows while v0 still reads
+    * everything — the merge-on-read contract under the hash gate.
+    */
+  def deltaDvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-delta-dv") + "/orders_delta"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    write(orders, out, partitionBy = Seq("o_orderstatus"))
+    deleteDv(spark, out, col("o_totalprice") > 400000.0)
+    deleteDv(spark, out,
+      col("o_totalprice") > 300000.0 || col("o_orderkey") % 7 === 0)
+    val latest = read(spark, out).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price"))
+    val v0 = read(spark, out, versionAsOf = Some(0L)).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows_v0"))
+    v0.join(latest, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("sum_price"), lit(0.0)).as("sum_price"),
+        col("n_rows_v0"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Driver-checked maintenance round trip: orders land in three
     * disjoint appends (mod-3 slices → multi-file partitions), OPTIMIZE
     * packs them, VACUUM(0) reclaims the originals, and the read-back
@@ -1122,6 +1371,22 @@ object DeltaInterop {
         WITH survivors AS (
           SELECT o_orderstatus, o_totalprice FROM orders
           WHERE NOT (o_orderstatus = 'F' OR o_totalprice > 400000.0)),
+        latest AS (
+          SELECT o_orderstatus, count(*) AS n_live,
+                 cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+          FROM survivors GROUP BY o_orderstatus),
+        v0 AS (
+          SELECT o_orderstatus, count(*) AS n_rows_v0
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, coalesce(n_live, 0) AS n_live,
+               coalesce(sum_price, 0.0) AS sum_price, n_rows_v0
+        FROM v0 LEFT JOIN latest USING (o_orderstatus)
+        ORDER BY o_orderstatus""")),
+    graft.Op("q_delta_dv", deltaDvRoundTrip,
+      Some("""
+        WITH survivors AS (
+          SELECT o_orderstatus, o_totalprice FROM orders
+          WHERE NOT (o_totalprice > 300000.0 OR o_orderkey % 7 = 0)),
         latest AS (
           SELECT o_orderstatus, count(*) AS n_live,
                  cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price

@@ -49,6 +49,10 @@ object FormatConvert {
   def deltaToIceberg(spark: SparkSession, deltaPath: String,
       icebergPath: String): Long = {
     val snap = DeltaInterop.snapshot(spark, deltaPath)
+    require(snap.adds.forall(_.deletionVector.isEmpty),
+      "deltaToIceberg: source carries deletion vectors — a metadata-only " +
+        "adoption of the parquet files would resurrect soft-deleted rows; " +
+        "rewrite (DeltaInterop.compact collapses DVs) and re-convert")
     require(snap.metaData.partitionColumns.isEmpty,
       "deltaToIceberg: partitioned Delta sources are not metadata-convertible " +
         "(hive layout strips partition columns from data files) — rewrite via " +

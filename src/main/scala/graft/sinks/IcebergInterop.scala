@@ -616,7 +616,23 @@ object IcebergInterop {
     writeAvro(fs, new Path(listPath), ManifestFileSchema,
       Map("format-version" -> prevFormat.toString), listRecords)
 
-    // new table metadata version
+    publishMetadata(fs, path, prev, schema, partFields,
+      prevProps ++ txn.map { case (a, v) => s"graft.txn.$a" -> v.toString },
+      prevFormat, newSeq, snapshotId, now, listPath,
+      if (overwrite) "overwrite" else "append")
+  }
+
+  /** The shared metadata-JSON publish tail of every snapshot commit
+    * ([[commitRefs]] appends/overwrites, [[deletePositions]] delete
+    * snapshots): builds the new `vN.metadata.json` + version hint,
+    * refusing a concurrent writer's already-claimed version.
+    */
+  private def publishMetadata(fs: FileSystem, path: String,
+      prev: Option[(Int, JValue)], schema: StructType,
+      partFields: Seq[StructField], props: Map[String, String],
+      formatVersion: Int, newSeq: Long, snapshotId: Long, now: Long,
+      listPath: String, operation: String): Long = {
+    val schemaJ = schemaJson(schema)
     val prevSnapshots = prev.toSeq.flatMap(_._2 \ "snapshots" match {
       case JArray(xs) => xs
       case _ => Nil
@@ -625,15 +641,14 @@ object IcebergInterop {
     val snapshot = JObject(
       "snapshot-id" -> JLong(snapshotId),
       "timestamp-ms" -> JLong(now),
-      "summary" -> JObject("operation" ->
-        JString(if (overwrite) "overwrite" else "append")),
+      "summary" -> JObject("operation" -> JString(operation)),
       "manifest-list" -> JString(listPath),
       "schema-id" -> JInt(0)) ~~ parentId.map(p =>
         JObject("parent-snapshot-id" -> JLong(p))) ~~
-      (if (prevFormat >= 2) Some(JObject("sequence-number" -> JLong(newSeq)))
+      (if (formatVersion >= 2) Some(JObject("sequence-number" -> JLong(newSeq)))
        else None)
     val meta = JObject(
-      "format-version" -> JInt(prevFormat),
+      "format-version" -> JInt(formatVersion),
       "table-uuid" -> JString(prev.map(p => (p._2 \ "table-uuid").extract[String])
         .getOrElse(java.util.UUID.randomUUID().toString)),
       "location" -> JString(path),
@@ -653,9 +668,7 @@ object IcebergInterop {
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
       "default-sort-order-id" -> JInt(0),
       "properties" -> JObject(
-        (prevProps ++
-          txn.map { case (a, v) => s"graft.txn.$a" -> v.toString } +
-          ("schema.name-mapping.default" -> nameMapping(schema)))
+        (props + ("schema.name-mapping.default" -> nameMapping(schema)))
           .toList.map { case (k, v) => k -> (JString(v): JValue) }),
       "current-snapshot-id" -> JLong(snapshotId),
       "snapshots" -> JArray((prevSnapshots :+ snapshot).toList),
@@ -898,6 +911,108 @@ object IcebergInterop {
       .select(schema.fieldNames.map(col): _*)
   }
 
+  /** Merge-on-read DELETE for the wire format — Iceberg v2 POSITION
+    * DELETES, the sibling of [[DeltaInterop.deleteDv]]: matching rows
+    * are marked deleted in a sorted (file_path, pos) parquet delete
+    * file + one content=1 manifest; the data parquet is never touched,
+    * so cost is O(matched rows), not O(bytes of touched files). The
+    * commit bumps the table's sequence number and (for a v1 table)
+    * upgrades format-version to 2 — carried data manifests keep their
+    * lower sequence, which is exactly what scopes the delete to files
+    * that existed before it (later appends get a higher sequence and
+    * are untouched, the spec's ordering rule [[applyPositionDeletes]]
+    * enforces at read). Matching rows are found distributed over the
+    * stats-pruned file set via `_metadata.row_index`; nothing
+    * row-sized lands on the driver.
+    *
+    * Honest format note: the delete parquet carries the spec's column
+    * NAMES (file_path, pos) but Spark does not stamp the reserved
+    * parquet field-ids (2147483546/2147483545); graft's own reader and
+    * name-mapping readers resolve it, strict field-id-only readers
+    * would not.
+    */
+  def deletePositions(spark: SparkSession, path: String, where: Column): Long = {
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val schema = currentSchema(meta)
+    val partFields = partFieldsOf(meta, schema)
+    val curId = (meta \ "current-snapshot-id").extract[Long]
+    val snap = (meta \ "snapshots").extract[List[JValue]]
+      .find(s => (s \ "snapshot-id").extract[Long] == curId)
+      .getOrElse(throw new IllegalStateException(s"snapshot $curId not in $path"))
+    val listRecs = readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
+    val dataFiles = listRecs.filter(listContentOf(_) == 0).flatMap { r =>
+      readAvro(fs, new Path(r.get("manifest_path").toString)).collect {
+        case e if e.get("status").asInstanceOf[Int] != 2 =>
+          e.get("data_file").asInstanceOf[GenericRecord]
+      }
+    }
+    val (pruned, _) = FileStats.prune(spark, schema, Some(where), dataFiles,
+      (d: GenericRecord) => fileStatOf(d, schema, partFields))
+    if (pruned.isEmpty) return curId // no file can match: no-op
+    val files = pruned.map(_.get("file_path").toString)
+    val matches = spark.read.schema(schema).parquet(files: _*)
+      .filter(coalesce(where, lit(false)))
+      .select(normalizedFilePath.as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    // the spec requires delete files sorted by (file_path, pos)
+    val stage = new Path(s"$path/metadata/delstage-${java.util.UUID.randomUUID()}")
+    matches.coalesce(1).sortWithinPartitions(col("file_path"), col("pos"))
+      .write.parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("delete-file write produced no file"))
+    val nDeleted = spark.read.parquet(part.toString).count()
+    if (nDeleted == 0L) { fs.delete(stage, true); return curId }
+    val delPath = s"$path/data/delete-${java.util.UUID.randomUUID()}.parquet"
+    fs.mkdirs(new Path(delPath).getParent)
+    require(fs.rename(part, new Path(delPath)), "delete-file rename failed")
+    fs.delete(stage, true)
+    val delLen = fs.getFileStatus(new Path(delPath)).getLen
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val dfSchema = DeleteManifestEntrySchema.getField("data_file").schema()
+    val dfRec = new GenericData.Record(dfSchema)
+    dfRec.put("content", 1)
+    dfRec.put("file_path", delPath)
+    dfRec.put("file_format", "PARQUET")
+    dfRec.put("partition",
+      new GenericData.Record(dfSchema.getField("partition").schema()))
+    dfRec.put("record_count", nDeleted)
+    dfRec.put("file_size_in_bytes", delLen)
+    val entry = new GenericData.Record(DeleteManifestEntrySchema)
+    entry.put("status", 1) // ADDED
+    entry.put("snapshot_id", snapshotId)
+    entry.put("data_file", dfRec)
+    val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-d0.avro"
+    val manifestLen = writeAvro(fs, new Path(manifestPath),
+      DeleteManifestEntrySchema,
+      Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
+        "partition-spec" -> JsonMethods.compact(JsonMethods.render(
+          specFieldsJson(partFields, schema))),
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> "deletes"),
+      Seq(entry))
+    val newSeq = (meta \ "last-sequence-number").extractOrElse[Long](0L) + 1
+    val listPath =
+      s"$path/metadata/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
+    val added = listEntryRecord(manifestPath, manifestLen, snapshotId,
+      content = 1, seq = newSeq)
+    val carried = listRecs.map(r => listEntryRecord(
+      r.get("manifest_path").toString,
+      r.get("manifest_length").asInstanceOf[Long],
+      r.get("added_snapshot_id").asInstanceOf[java.lang.Long],
+      content = listContentOf(r), seq = listSeqOf(r)))
+    writeAvro(fs, new Path(listPath), ManifestFileSchema,
+      Map("format-version" -> "2"), added +: carried)
+    val prevProps = (meta \ "properties").extractOrElse[Map[String, String]](Map.empty)
+    publishMetadata(fs, path, Some((version, meta)), schema, partFields,
+      prevProps, formatVersion = 2, newSeq, snapshotId,
+      System.currentTimeMillis(), listPath, "delete")
+  }
+
   /** The data files `where` cannot prune — spec/test introspection. */
   private[graft] def liveFilesWhere(spark: SparkSession, path: String,
       where: Option[Column]): Seq[String] = {
@@ -934,6 +1049,31 @@ object IcebergInterop {
     val v1 = read(spark, out, snapshotId = Some(s1)).groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows_s1"))
     latest.join(v1, "o_orderstatus").orderBy(col("o_orderstatus"))
+  }
+
+  /** Driver-checked POSITION-DELETE round trip: orders land as a v1
+    * table; a soft delete (v2 upgrade, no parquet rewritten) drops the
+    * high-value rows; a fresh append adds NEW rows matching the same
+    * predicate, which the sequence rule must leave alive; a second
+    * delete then prunes by key. The final aggregate pins the full
+    * merge-on-read read path under the hash gate, including the
+    * delete-scoping-by-sequence semantics.
+    */
+  def icebergPosDeleteRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-iceberg-posdel") + "/orders_iceberg"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    write(orders, out)
+    deletePositions(spark, out, col("o_totalprice") > 300000.0)
+    // re-append the high-value slice: same values, HIGHER sequence —
+    // the existing delete must not touch these rows
+    write(orders.filter(col("o_totalprice") > 300000.0), out)
+    deletePositions(spark, out, col("o_orderkey") % 5 === 0)
+    read(spark, out).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus"))
   }
 
   /** ADDED (status 1) manifest entries for freshly staged files: typed
@@ -1320,6 +1460,18 @@ object IcebergInterop {
                min(o_orderdate) AS first_date
         FROM orders
         WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+    // delete (price>300k), re-append that slice at a higher sequence,
+    // delete key%5==0: the net live set is exactly orders minus the
+    // key%5 rows — anything else means the sequence rule or the
+    // merge-on-read join is wrong
+    graft.Op("q_iceberg_posdelete", icebergPosDeleteRoundTrip,
+      Some("""
+        SELECT o_orderstatus, count(*) AS n_live,
+               cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderkey % 5 <> 0
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus""")),
     graft.Op("q_iceberg_roundtrip", icebergRoundTrip,

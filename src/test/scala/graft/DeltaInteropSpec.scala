@@ -221,13 +221,16 @@ class DeltaInteropSpec extends SparkSpec {
     val path = tmp("gate")
     new java.io.File(s"$path/_delta_log").mkdirs()
     val log =
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}
         |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{}}}
         |""".stripMargin
     Files.write(java.nio.file.Paths.get(
       s"$path/_delta_log/${"%020d".format(0L)}.json"), log.getBytes("UTF-8"))
+    // deletionVectors is implemented (r7) and passes the gate; the
+    // unimplemented v2Checkpoint must still refuse by name
     val e = intercept[IllegalArgumentException](DeltaInterop.read(spark, path))
-    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    assert(!e.getMessage.contains("deletionVectors"), e.getMessage)
     // column-mapping tables refuse too (physical-name resolution only)
     val path2 = tmp("gate2")
     new java.io.File(s"$path2/_delta_log").mkdirs()

@@ -343,4 +343,72 @@ class IcebergInteropSpec extends SparkSpec {
     // a no-op expiry when everything fits the window
     assert(IcebergInterop.expireSnapshots(spark, path, keepLast = 5) == ((0, 0)))
   }
+
+  test("deletePositions: merge-on-read delete, v2 upgrade, data bytes untouched") {
+    val path = tmp("posdel")
+    val six = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "b", 40.0), (5L, "a", 50.0), (6L, "b", 60.0)).toDF("id", "cat", "v")
+    IcebergInterop.write(six, path)
+    val v0Snap = IcebergInterop.read(spark, path) // force table exists
+    val dataBytes = new java.io.File(path + "/data").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("delete-"))
+      .map(f => f.getName -> f.length).toMap
+    IcebergInterop.deletePositions(spark, path, col("id") % 2 === 0)
+    val after = new java.io.File(path + "/data").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("delete-"))
+      .map(f => f.getName -> f.length).toMap
+    assert(after == dataBytes, "position delete must not rewrite data parquet")
+    assert(new java.io.File(path + "/data").listFiles()
+      .exists(_.getName.startsWith("delete-")), "delete parquet written")
+    assert(IcebergInterop.read(spark, path).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 5L))
+    // metadata upgraded to format-version 2 with a sequence number
+    val metaTxt = scala.io.Source.fromFile(
+      new java.io.File(path + "/metadata").listFiles()
+        .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+        .maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt),
+      "UTF-8").mkString
+    implicit val fmts: Formats = DefaultFormats
+    val meta = JsonMethods.parse(metaTxt)
+    assert((meta \ "format-version").extract[Int] == 2)
+    assert((meta \ "last-sequence-number").extract[Long] == 1L)
+    // predicate read path agrees
+    assert(IcebergInterop.readWhere(spark, path, Some(col("id") <= 3))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("deletePositions: sequence rule scopes the delete to pre-existing files") {
+    val path = tmp("posdel-seq")
+    IcebergInterop.write(Seq((1L, "x"), (2L, "x")).toDF("id", "s"), path)
+    IcebergInterop.deletePositions(spark, path, col("id") === 2)
+    // append a NEW row that would match the same predicate values: its
+    // file's data sequence (2) is above the delete's (1), so the delete
+    // must not touch it even though (file ordinal, pos) could collide
+    IcebergInterop.write(Seq((2L, "y")).toDF("id", "s"), path)
+    val got = IcebergInterop.read(spark, path).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "x"), (2L, "y")),
+      "old id=2 deleted; appended id=2 survives (higher sequence)")
+    // a second delete accumulates and hits the new file too
+    IcebergInterop.deletePositions(spark, path, col("s") === "y")
+    assert(IcebergInterop.read(spark, path).as[(Long, String)].collect().toSet ==
+      Set((1L, "x")))
+  }
+
+  test("deletePositions on an identity-partitioned table; maintenance refuses MOR") {
+    val path = tmp("posdel-part")
+    val six = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "b", 40.0), (5L, "a", 50.0), (6L, "b", 60.0)).toDF("id", "cat", "v")
+    IcebergInterop.write(six, path, partitionBy = Seq("cat"))
+    IcebergInterop.deletePositions(spark, path, col("cat") === "a" && col("id") > 1)
+    assert(IcebergInterop.read(spark, path).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 4L, 6L))
+    // partition pruning on the predicate read path still works
+    assert(IcebergInterop.readWhere(spark, path, Some(col("cat") === "a"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L))
+    // compaction refuses rather than resurrecting soft-deleted rows
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.compact(spark, path)
+    }
+    assert(e.getMessage.contains("position-delete"))
+  }
 }
