@@ -555,6 +555,43 @@ object TextOps {
         col("cnt").cast("double") > lit(total.toDouble / (k + 1)))
   }
 
+  /** Count-min frequency estimates, ANCHORED AUDIT: one fixed-size
+    * sketch absorbs every whitespace token of the corpus (the shuffle
+    * carries depth·width counters per partition, never the
+    * vocabulary), then the exact top-N tokens — the anchor, recomputed
+    * in the SAME plan — probe it. The contract a driver oracle can
+    * hash: estimates are one-sided (`est >= exact` always) and within
+    * the CM guarantee's additive slack ceil((e/width)·N) (holds
+    * deterministically for the fixed seed + corpus; probability
+    * ≤ depth·e^(−depth) per probe in general). Collecting the sketch
+    * is O(depth·width) ≈ 80 KB — the point of a sketch is that this
+    * never grows with the corpus.
+    */
+  def cmFrequencies(spark: SparkSession, dir: String,
+      depth: Int = 5, width: Int = 2048, topN: Int = 20): DataFrame = {
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .filter(col("text").isNotNull)
+      .select(explode(wsTokens(col("text"))).as("tok"))
+    val cells = toks.agg(
+      org.apache.spark.sql.GraftShim.column(
+        graft.functions.CountMinAgg(
+          org.apache.spark.sql.GraftShim.expression(col("tok")), depth, width)
+          .toAggregateExpression()).as("sketch"))
+      .collect()(0).getSeq[Long](0)
+    val slack = graft.functions.CountMin.slack(cells, depth, width)
+    val est = udf((t: String) =>
+      graft.functions.CountMin.estimate(cells, depth, width, t))
+    // exact anchor: top-N by true count, deterministic tie-break
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok"))
+      .limit(topN)
+      .withColumn("within_bounds",
+        est(col("tok")) >= col("n_exact") &&
+          est(col("tok")) <= col("n_exact") + lit(slack))
+      .select(col("tok"), col("n_exact"), col("within_bounds"))
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
   /** Driver-graded classifier run over a SPAM-PLANTED corpus: the
     * synthetic documents draw from one shared vocabulary regardless of
     * their `lang`/`source` columns (no metadata label is learnable from
@@ -605,6 +642,14 @@ object TextOps {
         cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
         SELECT tok, cnt, CAST(cnt AS DOUBLE) > total / 4097 AS capture_ok
         FROM cnts, tot ORDER BY cnt DESC, tok LIMIT 50""")),
+    Op("q_text_cms", (s, d) => cmFrequencies(s, d),
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents WHERE text IS NOT NULL)
+        SELECT tok, count(*) AS n_exact, true AS within_bounds
+        FROM toks GROUP BY tok
+        ORDER BY n_exact DESC, tok LIMIT 20""")),
     Op("q_text_bm25", (s, d) => bm25(s, d),
       Some("""
         WITH docs AS (

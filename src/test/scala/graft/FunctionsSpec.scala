@@ -201,4 +201,32 @@ class FunctionsSpec extends SparkSpec {
       s"composed ${recall(composed)} vs ivf ${recall(ivf)}")
     assert(recall(composed) >= 0.3, s"composed recall ${recall(composed)} under IVF floor")
   }
+
+  test("count-min sketch: one-sided estimates, partition-invariant merge, CM bound") {
+    import graft.functions.{CountMin, CountMinAgg}
+    import org.apache.spark.sql.GraftShim
+    val words = Seq.tabulate(500)(i => s"w${i % 37}") ++ Seq.fill(200)("hot")
+    def sketchOf(parts: Int): Seq[Long] = {
+      val df = spark.createDataFrame(
+        words.map(Tuple1(_)).toDF("tok").rdd.repartition(parts),
+        new org.apache.spark.sql.types.StructType()
+          .add("tok", org.apache.spark.sql.types.StringType))
+      df.agg(GraftShim.column(CountMinAgg(
+        GraftShim.expression(org.apache.spark.sql.functions.col("tok")), 5, 256)
+        .toAggregateExpression()).as("s")).collect()(0).getSeq[Long](0)
+    }
+    val s1 = sketchOf(1)
+    val s8 = sketchOf(8)
+    assert(s1 == s8, "cell-wise merge must make the sketch partition-invariant")
+    val exact = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    assert(CountMin.total(s1, 5, 256) == words.size.toLong)
+    val slack = CountMin.slack(s1, 5, 256)
+    exact.foreach { case (w, n) =>
+      val est = CountMin.estimate(s1, 5, 256, w)
+      assert(est >= n, s"$w: $est < exact $n (CM must never undercount)")
+      assert(est <= n + slack, s"$w: $est > $n + $slack")
+    }
+    // an absent item estimates at most the slack
+    assert(CountMin.estimate(s1, 5, 256, "never-seen") <= slack)
+  }
 }
