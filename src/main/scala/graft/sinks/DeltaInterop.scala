@@ -820,6 +820,101 @@ object DeltaInterop {
     } finally { matching.unpersist(); () }
   }
 
+  /** Merge-on-read UPDATE — the other half of [[deleteDv]]'s trade:
+    * matching rows are soft-deleted via deletion vectors (data parquet
+    * untouched) and their updated copies land as a normal append, all
+    * in ONE commit. Cost is O(matched rows) written + O(matched rows)
+    * DV bits, instead of rewriting every touched file — what
+    * `delta.enableDeletionVectors` writers do for UPDATE. The updated
+    * copies are computed over the DV-APPLIED frame, so rows an earlier
+    * soft delete removed can never resurrect as "updated" versions.
+    * Partition-column updates re-partition hive-style like [[update]].
+    */
+  def updateDv(spark: SparkSession, path: String, where: Column,
+      set: Map[String, Column]): DeleteResult = {
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path)
+    val schema = snap.schema
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"DeltaInterop updateDv: unknown column $c"))
+    require(set.nonEmpty, "DeltaInterop updateDv: empty SET")
+    val partCols = snap.metaData.partitionColumns
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val touched = pruneAdds(spark, snap, Some(where))
+    if (touched.isEmpty)
+      return DeleteResult(snap.version, 0, snap.adds.size)
+    def qualified(a: AddFile): String =
+      fs.makeQualified(new Path(resolveAddPath(path, a.path))).toString
+    val byQual = touched.map(a => qualified(a) -> a).toMap
+    val hit = coalesce(where, lit(false))
+    // DV side: scan WITHOUT existing DVs (the set union absorbs overlap)
+    val scans = touched.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(files.map(f => resolveAddPath(path, f.path)): _*)
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_row", col("_metadata.row_index"))
+      partCols.foldLeft(base) { (df, c) =>
+        val dt = schema(c).dataType
+        val v = pv.getOrElse(c, None)
+        df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+    }
+    val matching = scans.reduce(_ unionByName _).filter(hit)
+      .select(col("__dv_file"), col("__dv_row")).persist()
+    // append side: DV-APPLIED frame → matched rows with SET applied
+    val updated = frameOver(spark, path, snap, touched).filter(hit).select(
+      schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(expr) => expr.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*).persist()
+    try {
+      val bound = spark.conf.getOption("graft.delta.maxDvRows")
+        .map(_.toLong).getOrElse(DefaultMaxDvRows)
+      val total = matching.count()
+      require(total <= bound,
+        s"DeltaInterop updateDv: $total matching rows exceeds $bound " +
+          "(graft.delta.maxDvRows) — use the rewriting update() for bulk updates")
+      if (total == 0L)
+        return DeleteResult(snap.version, 0, snap.adds.size)
+      val matches = matching
+        .groupBy(col("__dv_file"))
+        .agg(sort_array(collect_list(col("__dv_row"))).as("rows"))
+        .collect()
+      val newPerFile = matches.toSeq.map { r =>
+        val a = byQual(r.getString(0))
+        val fresh = r.getSeq[Long](1).toArray
+        val old = a.deletionVector
+          .map(d => DeletionVectors.positions(fs, path, d))
+          .getOrElse(Array.empty[Long])
+        (a, (old ++ fresh).distinct.sorted)
+      }
+      val payloads = newPerFile.map { case (_, pos) => Roaring64.serialize(pos) }
+      val (uuid, offsets) = DeletionVectors.writeDvFile(fs, new Path(path), payloads)
+      val now = System.currentTimeMillis()
+      val removes = newPerFile.map { case (a, _) =>
+        RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector) }
+      val dvAdds = newPerFile.zip(offsets).zip(payloads).map {
+        case (((a, pos), off), payload) =>
+          a.copy(dataChange = true, deletionVector = Some(DvDescriptor(
+            "u", Z85.encodeUuid(uuid), Some(off), payload.length, pos.length)))
+      }
+      val newAdds = stageAdds(updated, path, partCols)
+      val proto: Seq[JObject] =
+        if (snap.protocol.readerFeatures.exists(_.contains("deletionVectors"))) Nil
+        else Seq(protocolJson(Protocol(3, 7,
+          Some(Seq("deletionVectors")),
+          Some(Seq("deletionVectors", "appendOnly", "invariants")))))
+      val version = snap.version + 1
+      beforePublish()
+      publish(fs, path, version,
+        proto ++ removes.map(removeJson) ++ (dvAdds ++ newAdds).map(addJson))
+      maybeCheckpoint(spark, path, version)
+      DeleteResult(version, newPerFile.size, snap.adds.size - newPerFile.size)
+    } finally { matching.unpersist(); updated.unpersist(); () }
+  }
+
   /** UPDATE … SET on the wire format: rows where `where` is TRUE get
     * `set`'s expressions (cast to the column's declared type); all
     * other rows — including NULL-predicate rows — pass through

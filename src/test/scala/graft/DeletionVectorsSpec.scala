@@ -251,4 +251,28 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(ids.toSeq == Seq(0L, 1L, 3L, 4L, 11L, 12L, 13L),
       "inline DV drops row 2 of file1; prefixed-u DV drops rows 0 and 4 of file2")
   }
+
+  test("updateDv: matched rows soft-delete + updated copies append in one commit") {
+    val path = tmp("dvu")
+    DeltaInterop.write(sample.coalesce(2), path) // files (1,2,3) and (4,5,6)
+    // soft-delete id=2 first: its row must NOT resurrect as an update
+    DeltaInterop.deleteDv(spark, path, col("id") === 2)
+    val dataBefore = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val r = DeltaInterop.updateDv(spark, path, col("v") < 35.0,
+      Map("v" -> (col("v") + lit(1000.0))))
+    assert(r.rewrittenFiles == 1, "only the (1,2,3) file overlaps v<35")
+    // old parquet kept; ONE new file appended with the updated copies
+    val dataAfter = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(dataBefore.subsetOf(dataAfter), "updateDv must not delete parquet")
+    val got = DeltaInterop.read(spark, path).select("id", "v").as[(Long, Double)]
+      .collect().toMap
+    assert(got == Map(1L -> 1010.0, 3L -> 1030.0, 4L -> 40.0,
+      5L -> 50.0, 6L -> 60.0), s"got $got")
+    // version 1 (deleteDv) still shows the pre-update values minus id=2
+    val v1 = DeltaInterop.read(spark, path, versionAsOf = Some(1L))
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(v1 == Map(1L -> 10.0, 3L -> 30.0, 4L -> 40.0, 5L -> 50.0, 6L -> 60.0))
+  }
 }
