@@ -376,4 +376,25 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"INSERT INTO graft.$ns.g VERSION AS OF 1 VALUES (2)")
     }
   }
+
+  test("SqlShell: quote-aware splitting and a scripted DDL->DML->SELECT lifecycle") {
+    import graft.tools.SqlShell
+    assert(SqlShell.split("SELECT 1; SELECT ';';\n-- comment; not a stmt\nSELECT 2") ==
+      Seq("SELECT 1", "SELECT ';'", "SELECT 2"))
+    val ns = "shell" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val script =
+      s"""CREATE NAMESPACE graft.$ns;
+         |CREATE TABLE graft.$ns.t (id BIGINT, s STRING, v DOUBLE);
+         |INSERT INTO graft.$ns.t VALUES (1, 'a;b', 10.0), (2, 'c', 20.0), (3, 'd', 30.0);
+         |DELETE FROM graft.$ns.t WHERE id = 2;
+         |UPDATE graft.$ns.t SET v = v * 2 WHERE id = 1;
+         |SELECT id, s, v FROM graft.$ns.t ORDER BY id;
+         |""".stripMargin
+    val results = SqlShell.runScript(spark, script)
+    assert(results.size == 6)
+    val got = results.last.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a;b", 20.0), (3L, "d", 30.0)),
+      "the quoted ';' must survive splitting and the DML must apply")
+  }
 }
