@@ -340,6 +340,64 @@ object Similarity {
       bruteForceTopK(spark, dir, k, nQueries),
       quantizedTopK(spark, dir, k, nQueries), floor)
 
+  /** PCA-reduced ANN — the dimensionality-reduction scale path: the
+    * fit is ONE distributed moments aggregation (fixed ~17 KB buffer
+    * per task, [[graft.functions.VecMomentsAgg]]), the 64×64
+    * eigensolve runs on the driver in microseconds, and the corpus
+    * scans 4× fewer floats (nComponents/dim) during candidate ranking;
+    * exact cosine re-ranks the k·factor shortlist against raw vectors.
+    * Composes with the IVF/int8 routes (project-then-index is the
+    * standard 100 TB recipe); recall floor pinned by the same anchored
+    * audit as the other ANN paths.
+    */
+  def pcaTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      nComponents: Int = 16, shortlistFactor: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+    val dim = VectorExpressions.Dim
+    val buf = Tables.embeddings(spark, dir)
+      .agg(GraftShim.column(graft.functions.VecMomentsAgg(
+        GraftShim.expression(col("embedding")), dim)
+        .toAggregateExpression()).as("m"))
+      .collect()(0).getSeq[Double](0).toArray
+    val model = graft.functions.Pca.fit(buf, dim, nComponents)
+    def proj(c: Column): Column = GraftShim.column(graft.functions.ProjectVec(
+      GraftShim.expression(c), model.mean, model.components))
+    val reduced = emb.select(col("vec_id"), proj(col("embedding")).as("rv"))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), proj(col("embedding")).as("qrv"))
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("rcos").desc, col("vec_id"))
+    val short = reduced.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine(col("rv"), col("qrv")).as("rcos"))
+      .withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k * shortlistFactor)
+      .select(col("query_id"), col("vec_id"))
+    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wE = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    emb.select(col("vec_id"), col("embedding").as("v"))
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Gaussian-synthetic embeddings spread variance evenly, the WORST
+    * case for PCA (no dominant directions), so the floor sits at the
+    * conservative 0.3 the other coarse routes use; real embedding
+    * corpora concentrate variance and do far better.
+    */
+  def pcaRecallAudit(spark: SparkSession, dir: String,
+      k: Int = 10, nQueries: Int = 5, floor: Double = 0.3): DataFrame =
+    recallAudit(
+      bruteForceTopK(spark, dir, k, nQueries),
+      pcaTopK(spark, dir, k, nQueries), floor)
+
   /** IVF pruning composed with int8 codes loses no recall vs plain IVF
     * on this corpus (FunctionsSpec pins ≥); floored at IVF's own 0.3.
     */
@@ -353,6 +411,8 @@ object Similarity {
     Op("q_sim_quantized", (s, d) => quantizedRecallAudit(s, d),
       Some(RecallAuditOracle)),
     Op("q_sim_ivfpq", (s, d) => ivfQuantizedRecallAudit(s, d),
+      Some(RecallAuditOracle)),
+    Op("q_sim_pca", (s, d) => pcaRecallAudit(s, d),
       Some(RecallAuditOracle)),
     Op("q_sim_ivf", (s, d) => ivfRecallAudit(s, d), Some(RecallAuditOracle)),
     Op("q_sim_topk", (s, d) => bruteForceTopK(s, d),

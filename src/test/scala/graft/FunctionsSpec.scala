@@ -229,4 +229,60 @@ class FunctionsSpec extends SparkSpec {
     // an absent item estimates at most the slack
     assert(CountMin.estimate(s1, 5, 256, "never-seen") <= slack)
   }
+
+  test("PCA: Jacobi eigensolve is exact on a known matrix; moments merge partition-invariant") {
+    import graft.functions.{Pca, VecMomentsAgg}
+    import org.apache.spark.sql.GraftShim
+    // known 2x2: [[2,1],[1,2]] -> eigenvalues 3,1; vectors (1,1)/sqrt2, (-1,1)/sqrt2
+    val (vals, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-9 && math.abs(vals(1) - 1.0) < 1e-9)
+    assert(math.abs(math.abs(vecs(0)(0)) - math.sqrt(0.5)) < 1e-9)
+    // random symmetric 8x8: A v = lambda v for every pair, trace preserved
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val m = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val x = rnd.nextGaussian(); m(i)(j) = x; m(j)(i) = x
+    }
+    val (ev, evec) = Pca.jacobiEigen(m)
+    assert(math.abs(ev.sum - (0 until dim).map(i => m(i)(i)).sum) < 1e-8, "trace")
+    for (r <- 0 until dim) {
+      val av = (0 until dim).map(i => (0 until dim).map(j => m(i)(j) * evec(r)(j)).sum)
+      val resid = (0 until dim).map(i => math.abs(av(i) - ev(r) * evec(r)(i))).max
+      assert(resid < 1e-7, s"eigenpair $r residual $resid")
+    }
+    // distributed moments: planted dominant direction along (1,1,0,...)/sqrt2
+    val vdim = graft.functions.VectorExpressions.Dim
+    val rows = Seq.tabulate(400) { i =>
+      val t = rnd.nextGaussian() * 10.0
+      val v = Array.tabulate(vdim)(d =>
+        (if (d == 0 || d == 1) t / math.sqrt(2.0) else 0.0).toFloat +
+          rnd.nextGaussian().toFloat * 0.1f)
+      Tuple1(v.toSeq)
+    }
+    def buf(parts: Int): Seq[Double] = rows.toDF("embedding")
+      .repartition(parts)
+      .agg(GraftShim.column(VecMomentsAgg(
+        GraftShim.expression(org.apache.spark.sql.functions.col("embedding")), vdim)
+        .toAggregateExpression()).as("m")).collect()(0).getSeq[Double](0)
+    val b1 = buf(1); val b8 = buf(8)
+    assert(b1.zip(b8).forall { case (x, y) => math.abs(x - y) < 1e-6 * (1 + math.abs(x)) },
+      "moments must be partition-invariant")
+    val model = Pca.fit(b1.toArray, vdim, 2)
+    val c0 = model.components(0)
+    val align = math.abs(c0(0) * math.sqrt(0.5) + c0(1) * math.sqrt(0.5))
+    assert(align > 0.99, s"first component must find the planted direction, align=$align")
+    assert(model.explainedRatio > 0.9, s"2 components capture the planted variance")
+    // projection kernel: out = (x - mean) . component, float-rounded
+    val probe = rows.head._1.toArray
+    val proj = graft.functions.ProjectVec(
+      org.apache.spark.sql.catalyst.expressions.Literal(probe),
+      model.mean, model.components)
+    val got = proj.kernel(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(probe))
+    val want = model.components.map(c =>
+      c.indices.map(j => (probe(j) - model.mean(j)) * c(j)).sum)
+    (0 until 2).foreach(r =>
+      assert(math.abs(got.getFloat(r) - want(r)) < 1e-3, s"component $r"))
+  }
 }
