@@ -121,9 +121,9 @@ object IcebergInterop {
     * original schema on any foreign table that ever evolved. Falls back
     * to the head for graft-written (single-schema) metadata.
     */
-  private def currentSchema(meta: JValue): StructType = {
+  private def currentSchemaJson(meta: JValue): JValue = {
     val schemas = (meta \ "schemas").extractOrElse[List[JValue]](Nil)
-    val chosen = (meta \ "current-schema-id").extractOpt[Int]
+    (meta \ "current-schema-id").extractOpt[Int]
       .flatMap(id => schemas.find(s => (s \ "schema-id").extractOpt[Int].contains(id)))
       .orElse(schemas.headOption)
       // v1 writers may carry only the singular `schema` field (the
@@ -131,8 +131,18 @@ object IcebergInterop {
       .orElse(Some(meta \ "schema").filter(_ != JNothing))
       .getOrElse(throw new IllegalArgumentException(
         "IcebergInterop: metadata carries neither a schemas list nor a schema field"))
-    schemaFromJson(chosen)
   }
+
+  private def currentSchema(meta: JValue): StructType =
+    schemaFromJson(currentSchemaJson(meta))
+
+  /** field-id → column name for the current schema — how an equality
+    * delete's `equality_ids` resolve to join columns.
+    */
+  private def fieldIdToName(meta: JValue): Map[Int, String] =
+    (currentSchemaJson(meta) \ "fields").extract[List[JValue]].map { f =>
+      (f \ "id").extract[Int] -> (f \ "name").extract[String]
+    }.toMap
 
   // ---- avro manifest shapes (field-id props per the spec) ----
 
@@ -836,22 +846,56 @@ object IcebergInterop {
     val (kept, _) = FileStats.prune(spark, schema, where, dataFilesWithSeq.map(_._1),
       (d: GenericRecord) => fileStatOf(d, schema, partFields))
     val files = kept.map(_.get("file_path").toString)
-    // position-delete files (v2 content=1 manifests), with their sequence
-    val deletes = delRecs.flatMap { r =>
+    // row-level delete files from content=1 manifests: each ENTRY says
+    // whether it is a POSITION delete (data_file.content=1: a
+    // (file_path,pos) parquet) or an EQUALITY delete (content=2: rows
+    // of the equality_ids columns, how Flink CDC writers delete).
+    // Conflating them — or ignoring an unknown kind — would silently
+    // resurrect deleted rows, so anything else refuses by value.
+    val delEntries = delRecs.flatMap { r =>
       val seq = listSeqOf(r)
       readAvro(fs, new Path(r.get("manifest_path").toString)).collect {
         case e if e.get("status").asInstanceOf[Int] != 2 =>
-          (e.get("data_file").asInstanceOf[GenericRecord]
-            .get("file_path").toString, entrySeqOf(e, seq))
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = (d.getSchema.getField("content") match {
+            case null => None
+            case _ => Option(d.get("content")).map(_.asInstanceOf[Int])
+          }).getOrElse(1)
+          val eqIds: Seq[Int] = (d.getSchema.getField("equality_ids") match {
+            case null => None
+            case _ => Option(d.get("equality_ids"))
+          }).map {
+            case l: java.util.List[_] =>
+              l.asScala.toSeq.map(x => x.asInstanceOf[Number].intValue)
+            case a: org.apache.avro.generic.GenericData.Array[_] =>
+              a.asScala.toSeq.map(x => x.asInstanceOf[Number].intValue)
+          }.getOrElse(Nil)
+          (d.get("file_path").toString, entrySeqOf(e, seq), content, eqIds)
       }
+    }
+    delEntries.foreach { case (p2, _, c, _) =>
+      require(c == 1 || c == 2,
+        s"IcebergInterop: unknown delete-file content kind $c ($p2) — " +
+          "refusing rather than resurrecting deleted rows")
+    }
+    val posDeletes = delEntries.collect { case (p2, q, 1, _) => (p2, q) }
+    val eqDeletes = delEntries.collect { case (p2, q, 2, ids) =>
+      require(ids.nonEmpty,
+        s"IcebergInterop: equality delete $p2 lists no equality_ids")
+      val idMap = fieldIdToName(meta)
+      (p2, q, ids.map(id => idMap.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"IcebergInterop: equality delete $p2 references unknown field id $id"))))
     }
     val out =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema)
-      else if (deletes.isEmpty) spark.read.schema(schema).parquet(files: _*)
-      else applyPositionDeletes(spark, schema, files,
-        files.map(f => f -> seqByPath.getOrElse(f, 0L)).toMap, deletes)
+      else if (posDeletes.isEmpty && eqDeletes.isEmpty)
+        spark.read.schema(schema).parquet(files: _*)
+      else applyRowDeletes(spark, schema, files,
+        files.map(f => f -> seqByPath.getOrElse(f, 0L)).toMap,
+        posDeletes, eqDeletes)
     where.map(out.filter).getOrElse(out)
   }
 
@@ -888,9 +932,10 @@ object IcebergInterop {
     * set rides a broadcast (bounded: deletes are maintenance-compacted
     * away, never corpus-sized).
     */
-  private def applyPositionDeletes(spark: SparkSession, schema: StructType,
+  private def applyRowDeletes(spark: SparkSession, schema: StructType,
       files: Seq[String], dataSeqByPath: Map[String, Long],
-      deletes: Seq[(String, Long)]): DataFrame = {
+      posDeletes: Seq[(String, Long)],
+      eqDeletes: Seq[(String, Long, Seq[String])]): DataFrame = {
     val base = spark.read.schema(schema).parquet(files: _*)
       .withColumn("__fp", normalizedFilePath)
       .withColumn("__pos", col("_metadata.row_index"))
@@ -898,17 +943,35 @@ object IcebergInterop {
       dataSeqByPath.toSeq.map { case (p, q) =>
         org.apache.spark.sql.Row(normPathStr(p), q) }.asJava,
       StructType(Seq(StructField("__fp", StringType), StructField("__dseq", LongType))))
-    val delDf = deletes.map { case (p, q) =>
-      spark.read.schema(DeleteFileSchema).parquet(p)
-        .select(normPathCol(col("file_path")).as("__del_fp"),
-          col("pos").as("__del_pos"), lit(q).as("__mseq"))
-    }.reduce(_ unionByName _)
-    base.join(broadcast(seqDf), Seq("__fp"), "left")
-      .join(broadcast(delDf),
-        col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos") &&
-          coalesce(col("__dseq"), lit(0L)) <= col("__mseq"),
-        "left_anti")
-      .select(schema.fieldNames.map(col): _*)
+    val seqd = base.join(broadcast(seqDf), Seq("__fp"), "left")
+    val afterPos =
+      if (posDeletes.isEmpty) seqd
+      else {
+        val delDf = posDeletes.map { case (p, q) =>
+          spark.read.schema(DeleteFileSchema).parquet(p)
+            .select(normPathCol(col("file_path")).as("__del_fp"),
+              col("pos").as("__del_pos"), lit(q).as("__mseq"))
+        }.reduce(_ unionByName _)
+        seqd.join(broadcast(delDf),
+          col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos") &&
+            coalesce(col("__dseq"), lit(0L)) <= col("__mseq"),
+          "left_anti")
+      }
+    // equality deletes: drop data rows whose equality columns match a
+    // delete row (null-safely — the spec's IS NOT DISTINCT FROM
+    // semantics) and whose data sequence is STRICTLY BELOW the
+    // delete's (position deletes use <=, equality deletes use < —
+    // an equality delete in the same commit as an insert must not
+    // kill it)
+    val afterEq = eqDeletes.foldLeft(afterPos) { case (df, (p, q, cols)) =>
+      val eqSchema = StructType(cols.map(c => schema(c)))
+      val delRows = spark.read.schema(eqSchema).parquet(p)
+        .select(cols.map(c => col(c).as(s"__eq_$c")): _*)
+      val cond = cols.map(c => col(c) <=> col(s"__eq_$c"))
+        .reduce(_ && _) && coalesce(col("__dseq"), lit(0L)) < lit(q)
+      df.join(broadcast(delRows), cond, "left_anti")
+    }
+    afterEq.select(schema.fieldNames.map(col): _*)
   }
 
   /** Merge-on-read DELETE for the wire format — Iceberg v2 POSITION

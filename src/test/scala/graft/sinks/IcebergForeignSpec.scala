@@ -87,6 +87,8 @@ class IcebergForeignSpec extends SparkSpec {
             {"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
         {"name":"split_offsets","type":["null",{"type":"array","items":"long"}],
           "default":null,"field-id":132},
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+          "default":null,"field-id":135},
         {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
       ]}}
     ]}""".replace("\n", ""))
@@ -382,5 +384,122 @@ class IcebergForeignSpec extends SparkSpec {
       "1".getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](IcebergInterop.read(spark, root))
     assert(e.getMessage.contains("format-version"), e.getMessage)
+  }
+
+  /** Separate fixture: EQUALITY deletes (Flink CDC's delete shape) with
+    * the strict-inequality sequence rule — a re-append of the same key
+    * at a HIGHER sequence must survive the older delete.
+    */
+  private def buildEqualityTable(): String = {
+    val root = Files.createTempDirectory("graft-ice-eq").toFile.getAbsolutePath
+    val fA = plantParquet(root, "00000-0-eq-a.parquet",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+    val fB = plantParquet(root, "00001-0-eq-b.parquet",
+      Seq((2L, 222.0), (9L, 90.0)))
+    def uri(f: java.io.File) = "file:" + f.getAbsolutePath
+    // equality-delete parquet: rows of the equality column (id)
+    val delStage = s"$root/stage-eqdel"
+    Seq(Tuple1(2L), Tuple1(3L)).toDF("id")
+      .coalesce(1).write.mode("overwrite").parquet(delStage)
+    val delFile = new java.io.File(s"$root/data/00002-0-eqdeletes.parquet")
+    assert(new java.io.File(delStage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.renameTo(delFile))
+
+    val mData1 = s"$root/metadata/meq-data1.avro"
+    val mData1Len = writeAvro(mData1, entrySchema,
+      Map("schema" -> "{}", "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "format-version" -> "2", "content" -> "data"),
+      Seq(dataEntry(201L, uri(fA), 4L, fA.length(), 1L, 4L)))
+    val mEq = s"$root/metadata/meq-del.avro"
+    val eqEntry = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1); e.put("snapshot_id", 202L)
+      e.put("sequence_number", null); e.put("file_sequence_number", null)
+      val d = new GenericData.Record(entrySchema.getField("data_file").schema())
+      d.put("content", 2) // EQUALITY_DELETES
+      d.put("file_path", uri(delFile))
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(
+        entrySchema.getField("data_file").schema().getField("partition").schema()))
+      d.put("record_count", 2L)
+      d.put("file_size_in_bytes", delFile.length())
+      d.put("equality_ids", Seq(Integer.valueOf(1)).asJava)
+      d.put("sort_order_id", null)
+      e.put("data_file", d); e
+    }
+    val mEqLen = writeAvro(mEq, entrySchema,
+      Map("schema" -> "{}", "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "format-version" -> "2", "content" -> "deletes"), Seq(eqEntry))
+    val mData2 = s"$root/metadata/meq-data2.avro"
+    val mData2Len = writeAvro(mData2, entrySchema,
+      Map("schema" -> "{}", "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "format-version" -> "2", "content" -> "data"),
+      Seq(dataEntry(203L, uri(fB), 2L, fB.length(), 2L, 9L)))
+    writeAvro(s"$root/metadata/snap-203.avro", listSchema, Map.empty,
+      Seq(listEntry("file:" + mData2, mData2Len, content = 0, seq = 3L, 203L, 2L),
+        listEntry("file:" + mEq, mEqLen, content = 1, seq = 2L, 202L, 0L),
+        listEntry("file:" + mData1, mData1Len, content = 0, seq = 1L, 201L, 4L)))
+    val metaJson =
+      s"""{
+        "format-version": 2,
+        "table-uuid": "0f7cbd6e-0000-4000-8000-0000000000eq",
+        "location": "file:$root",
+        "last-sequence-number": 3,
+        "last-updated-ms": 1700000003000,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+          {"type":"struct","schema-id":0,"fields":[
+            {"id":1,"name":"id","required":false,"type":"long"},
+            {"id":2,"name":"v","required":false,"type":"double"}]}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id":0,"fields":[]}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id":0,"fields":[]}],
+        "properties": {},
+        "current-snapshot-id": 203,
+        "snapshots": [
+          {"sequence-number":3,"snapshot-id":203,
+           "timestamp-ms":1700000003000,
+           "summary":{"operation":"append"},
+           "manifest-list":"file:$root/metadata/snap-203.avro","schema-id":0}
+        ],
+        "snapshot-log": [], "metadata-log": []
+      }"""
+    Files.write(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      metaJson.getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$root/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    root
+  }
+
+  test("foreign equality deletes: keyed rows drop, higher-sequence re-append survives") {
+    val got = IcebergInterop.read(spark, buildEqualityTable())
+      .as[(Long, Double)].collect().toSet
+    // seq-1 file loses ids 2 and 3 (eq delete at seq 2, strict <);
+    // the seq-3 file's id=2 row is ABOVE the delete and must survive
+    assert(got == Set((1L, 10.0), (4L, 40.0), (2L, 222.0), (9L, 90.0)), got.toString)
+  }
+
+  test("unknown delete-file content kind refuses by value") {
+    val root = buildEqualityTable()
+    // rewrite the equality manifest with a bogus content kind
+    val m = new java.io.File(root + "/metadata").listFiles()
+      .find(_.getName == "meq-del.avro").get
+    val recs = {
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        m, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    }
+    recs.foreach(_.get("data_file").asInstanceOf[GenericRecord].put("content", 7))
+    writeAvro(m.getAbsolutePath, entrySchema,
+      Map("schema" -> "{}", "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "format-version" -> "2", "content" -> "deletes"), recs)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.read(spark, root).collect()
+    }
+    assert(e.getMessage.contains("unknown delete-file content kind 7"), e.getMessage)
   }
 }
