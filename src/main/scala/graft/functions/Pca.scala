@@ -81,10 +81,9 @@ object Pca {
           off += apq * apq
           if (math.abs(apq) > 1e-15) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
-              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
-              case x => x
-            }
+            // stable tan(rotation): sign(θ) / (|θ| + sqrt(θ²+1)), never 0
+            val sign = if (theta >= 0.0) 1.0 else -1.0
+            val t = sign / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var k = 0

@@ -131,4 +131,38 @@ class PropertySpec extends SparkSpec {
       assert(got.toList == want, texts.toString)
     }
   }
+
+  test("Roaring64 round-trips arbitrary sorted position sets") {
+    val genPositions: Gen[List[Long]] = Gen.listOf(Gen.oneOf(
+      Gen.choose(0L, 200000L), // dense low range: array+bitmap containers
+      Gen.choose(0L, 1L << 40))) // sparse high words
+    forAllSeeded(genPositions, n = 12) { raw =>
+      val pos = raw.distinct.sorted.toArray
+      val back = graft.sinks.Roaring64.deserialize(
+        graft.sinks.Roaring64.serialize(pos))
+      assert(back.toSeq == pos.toSeq, s"n=${pos.length}")
+    }
+  }
+
+  test("Z85 round-trips arbitrary 4-aligned byte payloads") {
+    val genBytes: Gen[List[Byte]] =
+      Gen.choose(0, 64).flatMap(g => Gen.listOfN(g * 4, Gen.choose(-128, 127).map(_.toByte)))
+    forAllSeeded(genBytes, n = 12) { bs =>
+      val arr = bs.toArray
+      assert(graft.sinks.Z85.decode(graft.sinks.Z85.encode(arr)).toSeq == arr.toSeq)
+    }
+  }
+
+  test("count-min estimates never undercount on random weighted corpora") {
+    val genWords: Gen[List[String]] = Gen.listOfN(300,
+      Gen.choose(0, 40).map(i => s"t$i"))
+    forAllSeeded(genWords, n = 6) { words =>
+      val buf = new Array[Long](4 * 64 + 1)
+      words.foreach(w => graft.functions.CountMin.add(buf, 4, 64, w, 1L))
+      val exact = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      exact.foreach { case (w, n) =>
+        assert(graft.functions.CountMin.estimate(buf, 4, 64, w) >= n)
+      }
+    }
+  }
 }
