@@ -321,7 +321,9 @@ object IcebergInterop {
         {"name":"file_format","type":"string","field-id":101},
         {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
         {"name":"record_count","type":"long","field-id":103},
-        {"name":"file_size_in_bytes","type":"long","field-id":104}
+        {"name":"file_size_in_bytes","type":"long","field-id":104},
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+         "default":null,"field-id":135}
       ]}}
     ]}""".replace("\n", ""))
 
@@ -1033,17 +1035,35 @@ object IcebergInterop {
     fs.mkdirs(new Path(delPath).getParent)
     require(fs.rename(part, new Path(delPath)), "delete-file rename failed")
     fs.delete(stage, true)
+    commitDeleteFile(fs, path, version, meta, schema, partFields,
+      listRecs, delPath, nDeleted, contentKind = 1, eqIds = Nil)
+  }
+
+  /** Shared commit tail of [[deletePositions]] and [[deleteEquality]]:
+    * one content=1 manifest referencing the freshly written delete
+    * parquet (`contentKind` 1 = position, 2 = equality with its
+    * `equality_ids`), the carried manifest list, a bumped sequence, and
+    * the format-version-2 metadata publish.
+    */
+  private def commitDeleteFile(fs: FileSystem, path: String, version: Int,
+      meta: JValue, schema: StructType, partFields: Seq[StructField],
+      listRecs: Seq[GenericRecord], delPath: String, nRows: Long,
+      contentKind: Int, eqIds: Seq[Int]): Long = {
     val delLen = fs.getFileStatus(new Path(delPath)).getLen
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val dfSchema = DeleteManifestEntrySchema.getField("data_file").schema()
     val dfRec = new GenericData.Record(dfSchema)
-    dfRec.put("content", 1)
+    dfRec.put("content", contentKind)
     dfRec.put("file_path", delPath)
     dfRec.put("file_format", "PARQUET")
     dfRec.put("partition",
       new GenericData.Record(dfSchema.getField("partition").schema()))
-    dfRec.put("record_count", nDeleted)
+    dfRec.put("record_count", nRows)
     dfRec.put("file_size_in_bytes", delLen)
+    if (eqIds.nonEmpty)
+      dfRec.put("equality_ids",
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          eqIds.map(Integer.valueOf)).asJava)
     val entry = new GenericData.Record(DeleteManifestEntrySchema)
     entry.put("status", 1) // ADDED
     entry.put("snapshot_id", snapshotId)
@@ -1074,6 +1094,61 @@ object IcebergInterop {
     publishMetadata(fs, path, Some((version, meta)), schema, partFields,
       prevProps, formatVersion = 2, newSeq, snapshotId,
       System.currentTimeMillis(), listPath, "delete")
+  }
+
+  /** EQUALITY-delete write — the CDC-keyed DELETE, and the whole point
+    * of the shape: every row whose `keys` columns match a row of
+    * `keys` is deleted WITHOUT READING A SINGLE DATA FILE. On a 100 TB
+    * table, deleting a set of primary keys writes one small parquet of
+    * key rows + one manifest and commits; the cost is O(|keys|),
+    * independent of table size (position deletes still scan the
+    * stats-pruned files to find row ordinals; equality deletes don't
+    * even do that). Readers apply it null-safely with the spec's
+    * STRICT-< sequence rule, so later re-inserts of a deleted key
+    * survive — exactly the upsert-stream semantics Flink CDC relies
+    * on. Like [[deletePositions]], the commit bumps the sequence and
+    * upgrades v1 tables to format-version 2.
+    */
+  def deleteEquality(spark: SparkSession, path: String, keys: DataFrame): Long = {
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val schema = currentSchema(meta)
+    val partFields = partFieldsOf(meta, schema)
+    val idByName = fieldIdToName(meta).map(_.swap)
+    val eqIds = keys.schema.fields.toSeq.map { f =>
+      val tf = schema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"IcebergInterop deleteEquality: key column ${f.name} not in table schema"))
+      require(tf.dataType == f.dataType,
+        s"IcebergInterop deleteEquality: key ${f.name} is ${f.dataType.simpleString}, " +
+          s"table has ${tf.dataType.simpleString}")
+      idByName.getOrElse(f.name, throw new IllegalStateException(
+        s"no field id for ${f.name}"))
+    }
+    require(eqIds.nonEmpty, "IcebergInterop deleteEquality: no key columns")
+    val curId = (meta \ "current-snapshot-id").extract[Long]
+    // the spec wants delete files sorted; keys dedup for cleanliness
+    val stage = new Path(s"$path/metadata/eqstage-${java.util.UUID.randomUUID()}")
+    keys.distinct().coalesce(1)
+      .sortWithinPartitions(keys.schema.fieldNames.map(col): _*)
+      .write.parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("eq-delete write produced no file"))
+    val nKeys = spark.read.parquet(part.toString).count()
+    if (nKeys == 0L) { fs.delete(stage, true); return curId }
+    val delPath = s"$path/data/eqdelete-${java.util.UUID.randomUUID()}.parquet"
+    fs.mkdirs(new Path(delPath).getParent)
+    require(fs.rename(part, new Path(delPath)), "eq-delete rename failed")
+    fs.delete(stage, true)
+    val snap = (meta \ "snapshots").extract[List[JValue]]
+      .find(s => (s \ "snapshot-id").extract[Long] == curId)
+      .getOrElse(throw new IllegalStateException(s"snapshot $curId not in $path"))
+    val listRecs = readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
+    commitDeleteFile(fs, path, version, meta, schema, partFields,
+      listRecs, delPath, nKeys, contentKind = 2, eqIds = eqIds)
   }
 
   /** The data files `where` cannot prune — spec/test introspection. */
@@ -1132,6 +1207,27 @@ object IcebergInterop {
     // the existing delete must not touch these rows
     write(orders.filter(col("o_totalprice") > 300000.0), out)
     deletePositions(spark, out, col("o_orderkey") % 5 === 0)
+    read(spark, out).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Driver-checked EQUALITY-DELETE round trip: keyed delete of the
+    * mod-9 orderkeys (no data file read), then a high-value re-append
+    * whose rows — including re-inserted deleted keys — sit above the
+    * delete's sequence and must all survive (strict-< rule). The final
+    * aggregate pins the keyed merge-on-read path under the hash gate.
+    */
+  def icebergEqDeleteRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-iceberg-eqdel") + "/orders_iceberg"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    write(orders, out)
+    deleteEquality(spark, out,
+      orders.filter(col("o_orderkey") % 9 === 0).select(col("o_orderkey")))
+    write(orders.filter(col("o_totalprice") > 400000.0), out)
     read(spark, out).groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_live"),
         sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
@@ -1535,6 +1631,19 @@ object IcebergInterop {
                cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         FROM orders
         WHERE o_orderkey % 5 <> 0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+    graft.Op("q_iceberg_eqdelete", icebergEqDeleteRoundTrip,
+      Some("""
+        WITH survivors AS (
+          SELECT o_orderstatus, o_totalprice FROM orders
+          WHERE o_orderkey % 9 <> 0
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice FROM orders
+          WHERE o_totalprice > 400000.0)
+        SELECT o_orderstatus, count(*) AS n_live,
+               cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM survivors
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus""")),
     graft.Op("q_iceberg_roundtrip", icebergRoundTrip,

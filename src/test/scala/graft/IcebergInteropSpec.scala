@@ -411,4 +411,30 @@ class IcebergInteropSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("position-delete"))
   }
+
+  test("deleteEquality: keyed delete with NO data-file reads; re-insert survives") {
+    val path = tmp("eqdel")
+    val six = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "b", 40.0), (5L, "a", 50.0), (6L, "b", 60.0)).toDF("id", "cat", "v")
+    IcebergInterop.write(six, path)
+    IcebergInterop.deleteEquality(spark, path, Seq(2L, 4L, 99L).toDF("id"))
+    assert(IcebergInterop.read(spark, path).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 5L, 6L))
+    // re-insert a deleted key at a higher sequence: the old delete
+    // must not touch it (strict-< rule)
+    IcebergInterop.write(Seq((2L, "z", 222.0)).toDF("id", "cat", "v"), path)
+    assert(IcebergInterop.read(spark, path).as[(Long, String, Double)].collect().toSet
+      .contains((2L, "z", 222.0)))
+    // composes with a position delete on the same table
+    IcebergInterop.deletePositions(spark, path, col("id") === 5)
+    assert(IcebergInterop.read(spark, path).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L, 6L))
+    // unknown key column / type mismatch refuse loudly
+    intercept[IllegalArgumentException] {
+      IcebergInterop.deleteEquality(spark, path, Seq(1L).toDF("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergInterop.deleteEquality(spark, path, Seq("x").toDF("id"))
+    }
+  }
 }
