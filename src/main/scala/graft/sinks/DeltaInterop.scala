@@ -226,9 +226,12 @@ object DeltaInterop {
     Set("timestampNtz", "columnMapping", "deletionVectors")
   private def gate(p: Protocol, m: MetaData): Unit = {
     val mapping = m.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(mapping == "none",
-      s"DeltaInterop: column mapping mode '$mapping' is not supported — " +
-        "this reader resolves columns by physical name only")
+    // READS support name/id mapping via per-field physicalName
+    // resolution ([[physicalName]] — id-mode writers also stamp
+    // physical names, which is what this reader resolves by); WRITES
+    // to mapped tables refuse in [[requireUnmapped]].
+    require(Set("none", "name", "id").contains(mapping),
+      s"DeltaInterop: unknown column mapping mode '$mapping'")
     p.minReaderVersion match {
       case 1 | 2 => ()
       case 3 =>
@@ -240,6 +243,31 @@ object DeltaInterop {
         s"DeltaInterop: unknown minReaderVersion $v")
     }
   }
+
+  /** The parquet-side spelling of a mapped column. Unmapped fields are
+    * their own physical name, so every lookup below goes through this.
+    */
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Schema with physical field names — what the data files carry. */
+  private def physicalSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physicalName(f))))
+
+  private def isMapped(snap: Snapshot): Boolean =
+    snap.metaData.configuration
+      .getOrElse("delta.columnMapping.mode", "none") != "none"
+
+  /** Writers refuse mapped tables: appending/rewriting would have to
+    * emit physical-named parquet and mapped stats, which this writer
+    * does not do — refusing loudly beats writing a file real readers
+    * resolve to all-nulls.
+    */
+  private def requireUnmapped(snap: Snapshot, what: String): Unit =
+    require(!isMapped(snap),
+      s"DeltaInterop $what: table uses column mapping — read-only here")
 
   // ---- file statistics (the protocol's data-skipping columns) ----
 
@@ -309,9 +337,11 @@ object DeltaInterop {
     val numRecords = parsed.flatMap(j => (j \ "numRecords").extractOpt[Long])
     val dataCols = parsed.toSeq.flatMap { j =>
       schema.fields.filterNot(f => partCols.contains(f.name)).flatMap { f =>
-        val mn = parseValue(j \ "minValues" \ f.name, f.dataType)
-        val mx = parseValue(j \ "maxValues" \ f.name, f.dataType)
-        val nc = (j \ "nullCount" \ f.name).extractOpt[Long]
+        // mapped tables key stats by physical name
+        val k = physicalName(f)
+        val mn = parseValue(j \ "minValues" \ k, f.dataType)
+        val mx = parseValue(j \ "maxValues" \ k, f.dataType)
+        val nc = (j \ "nullCount" \ k).extractOpt[Long]
         if (mn.isEmpty && mx.isEmpty && nc.isEmpty) None
         else Some(f.name -> FileStats.ColStats(mn, mx, nc,
           allNull = nc.isDefined && nc == numRecords))
@@ -319,7 +349,9 @@ object DeltaInterop {
     }
     val pvCols = partCols.flatMap { c =>
       schema.fields.find(_.name == c).map { f =>
-        a.partitionValues.getOrElse(c, None) match {
+        // mapped tables key partitionValues by physical name too
+        a.partitionValues.getOrElse(physicalName(f),
+            a.partitionValues.getOrElse(c, None)) match {
           case None => c -> FileStats.ColStats(None, None, None, allNull = true)
           case Some(raw) =>
             val v = Option(org.apache.spark.sql.catalyst.expressions.Cast(
@@ -415,9 +447,10 @@ object DeltaInterop {
     val parts = groups.toSeq.map { case ((pv, _), files) =>
       val base = scanGroup(spark, path, dataSchema, files)
       partCols.foldLeft(base) { (df, c) =>
-        val dt = schema(c).dataType
-        val v = pv.getOrElse(c, None)
-        df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt)))
+        val f = schema(c)
+        val v = pv.getOrElse(physicalName(f), pv.getOrElse(c, None))
+        df.withColumn(c,
+          v.map(s => lit(s).cast(f.dataType)).getOrElse(lit(null).cast(f.dataType)))
       }
     }
     val out = parts.reduce(_ unionByName _).select(schema.fieldNames.map(col): _*)
@@ -436,11 +469,18 @@ object DeltaInterop {
     */
   private def scanGroup(spark: SparkSession, path: String,
       dataSchema: StructType, files: Seq[AddFile]): DataFrame = {
+    // data files carry PHYSICAL names (identical to logical when the
+    // table is unmapped); scan physical, project back to logical
+    val physSchema = physicalSchema(dataSchema)
+    def toLogical(df: DataFrame): DataFrame =
+      if (physSchema == dataSchema) df
+      else df.select(dataSchema.fields.zip(physSchema.fields).map {
+        case (lf, pf) => df.col(pf.name).as(lf.name) }.toSeq: _*)
     val (dvFiles, plain) = files.partition(_.deletionVector.isDefined)
     val plainDf =
       if (plain.isEmpty) None
-      else Some(spark.read.schema(dataSchema)
-        .parquet(plain.map(f => resolveAddPath(path, f.path)): _*))
+      else Some(toLogical(spark.read.schema(physSchema)
+        .parquet(plain.map(f => resolveAddPath(path, f.path)): _*)))
     val dvDf =
       if (dvFiles.isEmpty) None
       else {
@@ -457,12 +497,12 @@ object DeltaInterop {
               .getFileSystem(new org.apache.hadoop.conf.Configuration())
             DeletionVectors.positions(fs, root, dv).map(p => (fileKey, p))
           }.toDF("__dv_file", "__dv_row")
-        Some(spark.read.schema(dataSchema)
+        Some(toLogical(spark.read.schema(physSchema)
           .parquet(dvFiles.map(f => resolveAddPath(path, f.path)): _*)
           .withColumn("__dv_file", col("_metadata.file_path"))
           .withColumn("__dv_row", col("_metadata.row_index"))
           .join(deleted, Seq("__dv_file", "__dv_row"), "left_anti")
-          .drop("__dv_file", "__dv_row"))
+          .drop("__dv_file", "__dv_row")))
       }
     (plainDf, dvDf) match {
       case (Some(a), Some(b)) => a.unionByName(b)
@@ -518,6 +558,7 @@ object DeltaInterop {
       s"partition column $c not in schema"))
     val prev = if (latestVersion(spark, path) >= 0)
       Some(snapshot(spark, path)) else None
+    prev.foreach(requireUnmapped(_, "write"))
     prev.foreach { s =>
       require(overwrite || mergeSchema ||
           s.schema.map(f => (f.name, f.dataType)) ==
@@ -663,9 +704,10 @@ object DeltaInterop {
       // their soft-deleted rows
       val base = scanGroup(spark, path, dataSchema, fs)
       partCols.foldLeft(base) { (df, c) =>
-        val dt = schema(c).dataType
-        val v = pv.getOrElse(c, None)
-        df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt)))
+        val f = schema(c)
+        val v = pv.getOrElse(physicalName(f), pv.getOrElse(c, None))
+        df.withColumn(c,
+          v.map(s => lit(s).cast(f.dataType)).getOrElse(lit(null).cast(f.dataType)))
       }
     }
     parts.reduce(_ unionByName _).select(schema.fieldNames.map(col): _*)
@@ -695,6 +737,7 @@ object DeltaInterop {
   def delete(spark: SparkSession, path: String, where: Column): DeleteResult = {
     val fs = fsFor(spark, path)
     val snap = snapshot(spark, path)
+    requireUnmapped(snap, "delete")
     val schema = snap.schema
     val partCols = snap.metaData.partitionColumns
     val touched = pruneAdds(spark, snap, Some(where))
@@ -748,6 +791,7 @@ object DeltaInterop {
   def deleteDv(spark: SparkSession, path: String, where: Column): DeleteResult = {
     val fs = fsFor(spark, path)
     val snap = snapshot(spark, path)
+    requireUnmapped(snap, "deleteDv")
     val schema = snap.schema
     val partCols = snap.metaData.partitionColumns
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
@@ -834,6 +878,7 @@ object DeltaInterop {
       set: Map[String, Column]): DeleteResult = {
     val fs = fsFor(spark, path)
     val snap = snapshot(spark, path)
+    requireUnmapped(snap, "updateDv")
     val schema = snap.schema
     set.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"DeltaInterop updateDv: unknown column $c"))
@@ -928,6 +973,7 @@ object DeltaInterop {
       set: Map[String, Column]): DeleteResult = {
     val fs = fsFor(spark, path)
     val snap = snapshot(spark, path)
+    requireUnmapped(snap, "update")
     val schema = snap.schema
     set.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"DeltaInterop update: unknown column $c"))
@@ -968,6 +1014,7 @@ object DeltaInterop {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val snap = snapshot(spark, path)
+    requireUnmapped(snap, "replaceWhere")
     val schema = snap.schema
     require(schema.map(f => (f.name, f.dataType)) ==
         df.schema.map(f => (f.name, f.dataType)),
@@ -1061,6 +1108,7 @@ object DeltaInterop {
   def compact(spark: SparkSession, path: String): DeleteResult = {
     val fs = fsFor(spark, path)
     val snap = snapshot(spark, path)
+    requireUnmapped(snap, "compact")
     val partCols = snap.metaData.partitionColumns
     // a partition qualifies if it can be packed smaller OR any of its
     // files carries a deletion vector — OPTIMIZE is also the operation

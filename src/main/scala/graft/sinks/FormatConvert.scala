@@ -49,6 +49,10 @@ object FormatConvert {
   def deltaToIceberg(spark: SparkSession, deltaPath: String,
       icebergPath: String): Long = {
     val snap = DeltaInterop.snapshot(spark, deltaPath)
+    require(snap.metaData.configuration
+        .getOrElse("delta.columnMapping.mode", "none") == "none",
+      "deltaToIceberg: source uses column mapping — its parquet carries " +
+        "physical column names the adopted Iceberg schema would not resolve")
     require(snap.adds.forall(_.deletionVector.isEmpty),
       "deltaToIceberg: source carries deletion vectors — a metadata-only " +
         "adoption of the parquet files would resurrect soft-deleted rows; " +

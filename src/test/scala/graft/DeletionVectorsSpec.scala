@@ -275,4 +275,19 @@ class DeletionVectorsSpec extends SparkSpec {
       .select("id", "v").as[(Long, Double)].collect().toMap
     assert(v1 == Map(1L -> 10.0, 3L -> 30.0, 4L -> 40.0, 5L -> 50.0, 6L -> 60.0))
   }
+
+  test("DV read plan: pushed filters reach the scan, deleted side broadcasts") {
+    val path = tmp("dvplan")
+    DeltaInterop.write(Seq.tabulate(1000)(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      path)
+    DeltaInterop.deleteDv(spark, path, col("id") % 7 === 0)
+    val df = DeltaInterop.readWhere(spark, path, Some(col("id") < 500))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), LessThan(id,500)]") ||
+      plan.contains("PushedFilters: [*IsNotNull(id), *LessThan(id,500)]"),
+      s"predicate must reach the parquet scan despite the DV anti-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the deleted (file,row) side must broadcast:\n$plan")
+    assert(df.count() == 500 - (500 + 6) / 7)
+  }
 }

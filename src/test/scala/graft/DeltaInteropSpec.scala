@@ -231,17 +231,17 @@ class DeltaInteropSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](DeltaInterop.read(spark, path))
     assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
     assert(!e.getMessage.contains("deletionVectors"), e.getMessage)
-    // column-mapping tables refuse too (physical-name resolution only)
+    // name/id mapping now READS (r7); an unknown future mode refuses
     val path2 = tmp("gate2")
     new java.io.File(s"$path2/_delta_log").mkdirs()
     val log2 =
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
-        |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}
+        |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"someFutureMode"}}}
         |""".stripMargin
     Files.write(java.nio.file.Paths.get(
       s"$path2/_delta_log/${"%020d".format(0L)}.json"), log2.getBytes("UTF-8"))
     val e2 = intercept[IllegalArgumentException](DeltaInterop.read(spark, path2))
-    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+    assert(e2.getMessage.contains("someFutureMode"), e2.getMessage)
   }
 
   test("concurrent commit to the same version loses loudly, never clobbers") {
@@ -558,5 +558,57 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.vacuum(spark, path, retentionMs = 0L) == 3)
     assert(dataFiles(path).size == nBefore - 3)
     assert(DeltaInterop.read(spark, path).count() == 4, "live data intact")
+  }
+
+  test("foreign column-mapped table: physical names resolve, stats prune, writes refuse") {
+    val path = tmp("colmap")
+    new java.io.File(s"$path/_delta_log").mkdirs()
+    // data parquet carries PHYSICAL column names, hive-partitioned by
+    // the physical partition column name
+    val phys = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("col-aaaa1111", "col-bbbb2222")
+    val dataDir = s"$path/pcol-cccc=x"
+    phys.coalesce(1).write.parquet(dataDir)
+    val part = new java.io.File(dataDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    // schemaString: logical names with columnMapping metadata
+    val schemaJson =
+      """{"type":"struct","fields":[
+        {"name":"id","type":"long","nullable":true,"metadata":
+          {"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaaa1111"}},
+        {"name":"v","type":"double","nullable":true,"metadata":
+          {"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-bbbb2222"}},
+        {"name":"cat","type":"string","nullable":true,"metadata":
+          {"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"pcol-cccc"}}
+      ]}""".replaceAll("\\s+", "")
+    implicit val fmts: Formats = DefaultFormats
+    val schemaStr = JsonMethods.compact(JsonMethods.render(JString(schemaJson)))
+    // stats + partitionValues keyed by PHYSICAL names, as real writers do
+    val log =
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"cm-1","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":["cat"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}
+         |{"add":{"path":"pcol-cccc=x/${part.getName}","partitionValues":{"pcol-cccc":"x"},"size":${part.length},"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":3,\\"minValues\\":{\\"col-aaaa1111\\":1},\\"maxValues\\":{\\"col-aaaa1111\\":3},\\"nullCount\\":{\\"col-aaaa1111\\":0}}"}}
+         |""".stripMargin
+    Files.write(java.nio.file.Paths.get(
+      s"$path/_delta_log/${"%020d".format(0L)}.json"), log.getBytes("UTF-8"))
+    val back = DeltaInterop.read(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v", "cat"),
+      "logical names must come back, not physical")
+    assert(back.as[(Long, Double, String)].collect().toSet ==
+      Set((1L, 10.0, "x"), (2L, 20.0, "x"), (3L, 30.0, "x")))
+    // stats keyed by physical name still prune: a disjoint predicate
+    // reads zero files
+    assert(DeltaInterop.readWhere(spark, path, Some(col("id") > 100)).count() == 0)
+    assert(DeltaInterop.readWhere(spark, path, Some(col("id") <= 2))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // writes refuse rather than emit logical-named parquet
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.delete(spark, path, col("id") === 1)
+    }
+    assert(e.getMessage.contains("column mapping"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.write(Seq((9L, 9.0, "y")).toDF("id", "v", "cat"), path)
+    }
+    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
   }
 }
