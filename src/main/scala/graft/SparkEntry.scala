@@ -17,6 +17,7 @@ object SparkEntry {
       graft.operators.Dedup.ops ++
       graft.plans.NearDupJoin.ops ++
       graft.operators.Similarity.ops ++
+      graft.operators.KMeans.ops ++
       graft.operators.Multimodal.ops ++
       graft.operators.Enrich.ops ++
       graft.operators.JsonOps.ops ++

@@ -18,6 +18,36 @@ final class CentroidKernel(val centroids: Array[Double], val dim: Int)
   require(centroids.length % dim == 0, "centroid matrix shape mismatch")
   val nLists: Int = centroids.length / dim
 
+
+  /** Squared L2 distance (normalized input) to the nearest centroid —
+    * the per-row inertia contribution of a Lloyd iteration.
+    */
+  def nearestDist(v: ArrayData, elemFloat: Boolean): Double = {
+    val n = math.min(v.numElements(), dim)
+    var norm = 0.0
+    var j = 0
+    while (j < n) {
+      val x = if (v.isNullAt(j)) 0.0 else if (elemFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      norm += x * x; j += 1
+    }
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    var best = Double.MaxValue
+    var c = 0
+    while (c < nLists) {
+      var d = 0.0
+      var k = 0
+      val base = c * dim
+      while (k < n) {
+        val x = (if (v.isNullAt(k)) 0.0 else if (elemFloat) v.getFloat(k).toDouble else v.getDouble(k)) * inv
+        val diff = x - centroids(base + k)
+        d += diff * diff; k += 1
+      }
+      if (d < best) best = d
+      c += 1
+    }
+    best
+  }
+
   /** Indices of the `nProbe` nearest centroids (ascending distance,
     * deterministic index tiebreak), as an int array.
     */
@@ -124,5 +154,36 @@ case class NearestCentroids(child: Expression, kernel: CentroidKernel, nProbe: I
     })
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+/** `nearest_centroid_dist(v)` → double: squared L2 distance of the
+  * normalized vector to its nearest coarse-quantizer centroid — the
+  * per-row inertia term of a distributed Lloyd iteration, codegen'd
+  * like [[NearestCentroids]].
+  */
+case class NearestCentroidDist(child: Expression, kernel: CentroidKernel)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkVector(child.dataType, prettyName)
+  override def prettyName: String = "graft_nearest_centroid_dist"
+
+  private lazy val elemFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def eval0(arr: ArrayData): Double = kernel.nearestDist(arr, elemFloat)
+
+  override protected def nullSafeEval(input: Any): Any =
+    eval0(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("centroidDist", this,
+        classOf[NearestCentroidDist].getName)
+      s"${ev.value} = $ref.eval0($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidDist =
     copy(child = newChild)
 }

@@ -453,3 +453,50 @@ case class QuantizedCosine(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): QuantizedCosine =
     copy(left = newLeft, right = newRight)
 }
+
+/** `l2_normalize(v)` → array<float>: the unit-norm copy of a vector
+  * (zero vectors pass through as zeros) — one fused loop, codegen'd.
+  * The centroid-update half of a Lloyd iteration aggregates THESE, so
+  * cluster means live in the same normalized space the assignment
+  * kernel measures distances in.
+  */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkVector(child.dataType, prettyName)
+  override def prettyName: String = "graft_l2_normalize"
+
+  private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  def kernel(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Float](n)
+    var norm = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VectorExpressions.elementAt(arr, i, elem)
+      out(i) = x.toFloat
+      norm += x * x
+      i += 1
+    }
+    if (norm > 0.0) {
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      i = 0
+      while (i < n) { out(i) *= inv; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("l2normalize", this, classOf[L2Normalize].getName)
+      s"${ev.value} = $ref.kernel($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}

@@ -285,4 +285,40 @@ class FunctionsSpec extends SparkSpec {
     (0 until 2).foreach(r =>
       assert(math.abs(got.getFloat(r) - want(r)) < 1e-3, s"component $r"))
   }
+
+  test("distributed Lloyd refinement: inertia non-increasing, planted clusters found") {
+    import graft.functions.VectorExpressions
+    val dim = VectorExpressions.Dim
+    val rnd = new scala.util.Random(11)
+    // 3 well-separated planted clusters on the unit sphere
+    val centers = Seq(0, 1, 2).map { c =>
+      Array.tabulate(dim)(j => if (j == c) 1.0f else 0.0f)
+    }
+    val rows = Seq.tabulate(600) { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.indices.map(j => c(j) + rnd.nextGaussian().toFloat * 0.05f))
+    }
+    val dir = SparkSpec.plantedDir("embeddings" ->
+      rows.toDF("vec_id", "embedding"))
+    val r = graft.operators.KMeans.refine(spark, dir, nLists = 3, iters = 5,
+      sampleSize = 30)
+    assert(r.inertia.size == 5)
+    r.inertia.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1.0 + 1e-9), s"inertia must not increase: ${r.inertia}")
+    }
+    // refined centroids sit on the planted directions: every planted
+    // center has a centroid within cosine > 0.95
+    val cents = r.kernel.centroids.grouped(dim).toSeq
+    centers.foreach { c =>
+      val best = cents.map { k =>
+        val dot = c.indices.map(j => c(j) * k(j)).sum
+        val nk = math.sqrt(k.map(x => x * x).sum)
+        if (nk == 0) 0.0 else dot / nk
+      }.max
+      assert(best > 0.95, s"planted direction not recovered (best cos $best)")
+    }
+    // refinement actually helped: final inertia well below the first pass
+    assert(r.inertia.last < r.inertia.head * 0.95,
+      s"refinement should cut inertia on a clustered corpus: ${r.inertia}")
+  }
 }
