@@ -392,14 +392,31 @@ object DeltaInterop {
     val target = versionAsOf.getOrElse(commits.last)
     require(commits.contains(target),
       s"version $target not in log (have ${commits.headOption.getOrElse(-1L)}..${commits.last})")
-    val ckpts = names.collect {
+    // single-part (graft + classic writers) and MULTI-PART checkpoints
+    // (real writers with spark.databricks.delta.checkpoint.partSize —
+    // and log-cleaned tables often retain ONLY these, so they are the
+    // only way back to a readable snapshot). A multi-part set counts
+    // only when every declared part is present.
+    val single = names.collect {
       case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
-        n.stripSuffix(".checkpoint.parquet").toLong
-    }.filter(_ <= target).sorted
+        n.stripSuffix(".checkpoint.parquet").toLong -> Seq(n)
+    }
+    val MultiPart = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+    val multi = names.collect { case n @ MultiPart(v, part, total) =>
+      (v.toLong, part.toInt, total.toInt, n)
+    }.groupBy(_._1).flatMap { case (v, parts) =>
+      val total = parts.head._3
+      val complete = parts.map(_._2).distinct.size == total &&
+        parts.forall(_._3 == total)
+      if (complete) Some(v -> parts.sortBy(_._2).map(_._4)) else None
+    }
+    val ckpts = (single ++ multi).filter(_._1 <= target).toSeq.sortBy(_._1)
     val replay = new Replay
     val from = ckpts.lastOption match {
-      case Some(cv) =>
-        applyCheckpoint(spark, path, cv, replay); cv + 1
+      case Some((cv, partNames)) =>
+        applyCheckpoint(spark, path,
+          partNames.map(n => new Path(s"$path/$LogDir/$n")), replay)
+        cv + 1
       case None => 0L
     }
     (from to target).foreach { v =>
@@ -1334,10 +1351,10 @@ object DeltaInterop {
     */
   private[sinks] val DefaultMaxCheckpointActions = 2000000L
 
-  private def applyCheckpoint(spark: SparkSession, path: String, version: Long,
-      replay: Replay): Unit = {
+  private def applyCheckpoint(spark: SparkSession, path: String,
+      parts: Seq[Path], replay: Replay): Unit = {
     val df = spark.read.schema(CheckpointSchema)
-      .parquet(checkpointFile(path, version).toString)
+      .parquet(parts.map(_.toString): _*)
     val bound = spark.conf.getOption("graft.delta.maxCheckpointActions")
       .map(_.toLong).getOrElse(DefaultMaxCheckpointActions)
     // toLocalIterator streams one partition at a time: the full action
@@ -1346,7 +1363,7 @@ object DeltaInterop {
     df.toLocalIterator().asScala.foreach { r =>
       n += 1
       require(n <= bound,
-        s"DeltaInterop: checkpoint $version of $path exceeds $bound " +
+        s"DeltaInterop: checkpoint ${parts.head} exceeds $bound " +
           "actions — compact the table (OPTIMIZE) or raise " +
           "graft.delta.maxCheckpointActions")
       Option(r.getAs[Row]("protocol")).foreach(p =>

@@ -611,4 +611,46 @@ class DeltaInteropSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("column mapping"), e2.getMessage)
   }
+
+  test("multi-part foreign checkpoint: replay resumes when JSONs are log-cleaned") {
+    val path = tmp("ckpt-multi")
+    (0 to 10).foreach { i =>
+      DeltaInterop.write(Seq((i.toLong, "a", i.toDouble)).toDF("id", "cat", "v"),
+        path, partitionBy = Seq("cat"))
+    }
+    val logDir = new java.io.File(s"$path/_delta_log")
+    val single = new java.io.File(logDir,
+      s"${"%020d".format(10L)}.checkpoint.parquet")
+    assert(single.exists())
+    // split the single-part checkpoint into a 2-part set, as a real
+    // writer with checkpoint.partSize would have written it
+    val rows = spark.read.parquet(single.getAbsolutePath)
+    val half = rows.count() / 2
+    def writePart(df: org.apache.spark.sql.DataFrame, part: Int): Unit = {
+      val stage = s"$path/stage-ckpt-$part"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      assert(f.renameTo(new java.io.File(logDir,
+        s"${"%020d".format(10L)}.checkpoint.${"%010d".format(part)}.${"%010d".format(2)}.parquet")))
+    }
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    val numbered = rows.withColumn("__n", monotonically_increasing_id())
+    writePart(numbered.filter(org.apache.spark.sql.functions.col("__n") < half).drop("__n"), 1)
+    writePart(numbered.filter(org.apache.spark.sql.functions.col("__n") >= half).drop("__n"), 2)
+    assert(single.delete())
+    // log-clean everything the checkpoint covers
+    (0L to 9L).foreach { v =>
+      assert(new java.io.File(logDir, s"${"%020d".format(v)}.json").delete())
+    }
+    val back = DeltaInterop.read(spark, path)
+    assert(back.count() == 11)
+    assert(back.agg(sum("v")).as[Double].collect()(0) == (0 to 10).sum.toDouble)
+    // an INCOMPLETE multi-part set must be ignored, not half-replayed:
+    // with part 2 of 2 missing and no JSONs before v10, replay cannot
+    // reach v10 and must fail loudly rather than return partial data
+    assert(new java.io.File(logDir,
+      s"${"%020d".format(10L)}.checkpoint.${"%010d".format(2)}.${"%010d".format(2)}.parquet").delete())
+    intercept[Exception] { DeltaInterop.read(spark, path).count() }
+  }
 }
