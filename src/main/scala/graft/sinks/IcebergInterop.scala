@@ -1451,6 +1451,25 @@ object IcebergInterop {
     * one snapshot per micro-batch means file count grows with stream
     * age unless a compactor runs beside it.
     */
+  /** Collapse accumulated row-level deletes into clean parquet: the
+    * current state (position AND equality deletes applied by the read
+    * path) rewrites as an overwrite snapshot with no carried
+    * manifests, so [[compact]] and [[expireSnapshots]] — which refuse
+    * delete-bearing snapshots rather than orphan/resurrect — can run
+    * again. The Iceberg spelling of `rewrite_data_files` with
+    * delete-file removal, and the operational pair of
+    * [[deletePositions]]/[[deleteEquality]]: soft deletes accumulate
+    * cheaply between collapses, then one rewrite amortizes them.
+    */
+  def collapseDeletes(spark: SparkSession, path: String): Long = {
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val partCols = partFieldsOf(meta, currentSchema(meta)).map(_.name)
+    write(read(spark, path), path, overwrite = true, partitionBy = partCols)
+  }
+
   def compact(spark: SparkSession, path: String): Long = {
     val fs = fsFor(spark, path)
     val version = currentVersion(fs, path).getOrElse(

@@ -410,6 +410,12 @@ class IcebergInteropSpec extends SparkSpec {
       IcebergInterop.compact(spark, path)
     }
     assert(e.getMessage.contains("position-delete"))
+    // ...until collapseDeletes rewrites the live state clean — then
+    // maintenance runs again and results are unchanged
+    IcebergInterop.collapseDeletes(spark, path)
+    IcebergInterop.compact(spark, path)
+    assert(IcebergInterop.read(spark, path).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 4L, 6L))
   }
 
   test("deleteEquality: keyed delete with NO data-file reads; re-insert survives") {
