@@ -134,19 +134,63 @@ object Similarity {
     * candidate generation is a broadcast join on list_id; one shuffle on
     * query_id for the ranking window.
     */
-  def ivfTopK(
-      spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
-      nLists: Int = 16, nProbe: Int = 4, sampleSize: Int = 4096): DataFrame = {
-    val emb = Tables.spread(Tables.embeddings(spark, dir))
-    val dim = graft.functions.VectorExpressions.Dim
-    // orderBy before limit: a bare limit is partition-layout dependent
-    // and the trained centroids (hence list assignment) must be
-    // identical on every run
+  /** Deterministic coarse-quantizer training: the sample is ordered by
+    * vec_id before limit (a bare limit is partition-layout dependent,
+    * and the trained centroids — hence list assignment — must be
+    * identical on every run), then Lloyd-trained on the driver.
+    */
+  private def trainedKernel(spark: SparkSession, dir: String,
+      nLists: Int, sampleSize: Int): graft.functions.CentroidKernel = {
     val sample = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(sampleSize)
       .collect().map(_.getSeq[Float](1).toArray)
-    val kernel = graft.functions.CentroidKernel.train(sample, nLists, dim)
+    graft.functions.CentroidKernel.train(
+      sample, nLists, VectorExpressions.Dim)
+  }
+
+  /** Per-dimension affine quantization table `(mins, scales)`: one
+    * corpus min/max aggregate whose shuffle carries `dim` rows.
+    */
+  private def affineTable(emb: DataFrame): (Array[Float], Array[Float]) = {
+    val dim = VectorExpressions.Dim
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    val mins = new Array[Float](dim)
+    val scales = new Array[Float](dim)
+    stats.foreach { r =>
+      val i = r.getInt(0)
+      if (i < dim) { mins(i) = r.getFloat(1); scales(i) = (r.getFloat(2) - mins(i)) / 255f }
+    }
+    (mins, scales)
+  }
+
+  /** Exact-cosine re-rank of a `(query_id, vec_id)` shortlist against
+    * raw vectors. Both joined sides broadcast (the shortlist is
+    * ~k·factor·nQueries rows, `queries` is `(query_id, qv)` and tiny),
+    * so raw vectors are touched shortlist-only.
+    */
+  private def exactRerank(emb: DataFrame, short: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    emb.select(col("vec_id"), col("embedding").as("v"))
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def ivfTopK(
+      spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      nLists: Int = 16, nProbe: Int = 4, sampleSize: Int = 4096): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+    val kernel = trainedKernel(spark, dir, nLists, sampleSize)
     def lists(v: Column, p: Int): Column = GraftFunctions.nearestCentroids(v, kernel, p)
 
     val c = emb.select(col("vec_id"), col("embedding").as("v"),
@@ -185,17 +229,7 @@ object Similarity {
       nQueries: Int = 5, shortlistFactor: Int = 4): DataFrame = {
     import org.apache.spark.sql.GraftShim
     val emb = Tables.spread(Tables.embeddings(spark, dir))
-    val dim = VectorExpressions.Dim
-    val stats = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .collect()
-    val mins = new Array[Float](dim)
-    val scales = new Array[Float](dim)
-    stats.foreach { r =>
-      val i = r.getInt(0)
-      if (i < dim) { mins(i) = r.getFloat(1); scales(i) = (r.getFloat(2) - mins(i)) / 255f }
-    }
+    val (mins, scales) = affineTable(emb)
     val codes = emb.select(col("vec_id"),
       GraftShim.column(graft.functions.QuantizeVec(
         GraftShim.expression(col("embedding")), mins, scales)).as("code"))
@@ -210,16 +244,7 @@ object Similarity {
       .withColumn("r", row_number().over(wA))
       .filter(col("r") <= k * shortlistFactor)
       .select(col("query_id"), col("vec_id"))
-    val wE = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    emb.select(col("vec_id"), col("embedding").as("v"))
-      .join(broadcast(short), "vec_id") // raw vectors touched shortlist-only
-      .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        GraftFunctions.cosine(col("v"), col("qv")).as("cos"))
-      .withColumn("rank", row_number().over(wE))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"))
-      .orderBy(col("query_id"), col("rank"))
+    exactRerank(emb, short, q, k)
   }
 
   /** Driver-checkable recall audit: does the approximate top-k cover, on
@@ -279,23 +304,9 @@ object Similarity {
       shortlistFactor: Int = 4): DataFrame = {
     import org.apache.spark.sql.GraftShim
     val emb = Tables.spread(Tables.embeddings(spark, dir))
-    val dim = VectorExpressions.Dim
-    val sample = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(sampleSize)
-      .collect().map(_.getSeq[Float](1).toArray)
-    val kernel = graft.functions.CentroidKernel.train(sample, nLists, dim)
+    val kernel = trainedKernel(spark, dir, nLists, sampleSize)
     def lists(v: Column, p: Int): Column = GraftFunctions.nearestCentroids(v, kernel, p)
-    val stats = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .collect()
-    val mins = new Array[Float](dim)
-    val scales = new Array[Float](dim)
-    stats.foreach { r =>
-      val i = r.getInt(0)
-      if (i < dim) { mins(i) = r.getFloat(1); scales(i) = (r.getFloat(2) - mins(i)) / 255f }
-    }
+    val (mins, scales) = affineTable(emb)
     // the persisted index shape: (vec_id, list_id, 64-byte code) — raw
     // vectors appear nowhere in the candidate scan
     val index = emb.select(col("vec_id"),
@@ -317,16 +328,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
     val qv = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val wE = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    emb.select(col("vec_id"), col("embedding").as("v"))
-      .join(broadcast(short), "vec_id")
-      .join(broadcast(qv), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        GraftFunctions.cosine(col("v"), col("qv")).as("cos"))
-      .withColumn("rank", row_number().over(wE))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"))
-      .orderBy(col("query_id"), col("rank"))
+    exactRerank(emb, short, qv, k)
   }
 
   /** int8 reconstruction error is tiny relative to gaussian-corpus
@@ -375,16 +377,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
     val qv = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val wE = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    emb.select(col("vec_id"), col("embedding").as("v"))
-      .join(broadcast(short), "vec_id")
-      .join(broadcast(qv), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        GraftFunctions.cosine(col("v"), col("qv")).as("cos"))
-      .withColumn("rank", row_number().over(wE))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"))
-      .orderBy(col("query_id"), col("rank"))
+    exactRerank(emb, short, qv, k)
   }
 
   /** Gaussian-synthetic embeddings spread variance evenly, the WORST

@@ -507,11 +507,15 @@ object DeltaInterop {
         val tasks = dvFiles.map(a =>
           (fsq.makeQualified(new Path(resolveAddPath(path, a.path))).toString,
             a.deletionVector.get))
+        // ship the SESSION Hadoop conf — a bare `new Configuration()` on
+        // the executor would drop custom FS settings (endpoints,
+        // credential providers) for non-local table roots
+        val sconf = new SerializableHadoopConf(
+          spark.sparkContext.hadoopConfiguration)
         val deleted = spark.createDataset(tasks)
           .repartition(math.min(tasks.size, 32))
           .flatMap { case (fileKey, dv) =>
-            val fs = new Path(root)
-              .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val fs = new Path(root).getFileSystem(sconf.value)
             DeletionVectors.positions(fs, root, dv).map(p => (fileKey, p))
           }.toDF("__dv_file", "__dv_row")
         Some(toLogical(spark.read.schema(physSchema)
@@ -788,6 +792,47 @@ object DeltaInterop {
     */
   private[sinks] val DefaultMaxDvRows = 10000000L
 
+
+  /** Shared tail of [[deleteDv]] and [[updateDv]]: per-file set-union
+    * of fresh deleted row indexes with any existing DV, one DV file
+    * for the commit, the (remove old pair, add new pair) action list,
+    * and — on the FIRST DV commit — the protocol upgrade to v3/v7,
+    * UNIONING the feature lists the table already declared (a foreign
+    * v3 table's timestampNtz etc. must survive the upgrade).
+    */
+  private def dvSwapActions(fs: FileSystem, path: String, snap: Snapshot,
+      matches: Seq[(AddFile, Array[Long])])
+      : (Seq[RemoveFile], Seq[AddFile], Seq[JObject]) = {
+    val newPerFile = matches.map { case (a, fresh) =>
+      val old = a.deletionVector
+        .map(d => DeletionVectors.positions(fs, path, d))
+        .getOrElse(Array.empty[Long])
+      (a, (old ++ fresh).distinct.sorted)
+    }
+    val payloads = newPerFile.map { case (_, pos) => Roaring64.serialize(pos) }
+    val (uuid, offsets) = DeletionVectors.writeDvFile(fs, new Path(path), payloads)
+    val now = System.currentTimeMillis()
+    val removes = newPerFile.map { case (a, _) =>
+      RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector) }
+    val adds = newPerFile.zip(offsets).zip(payloads).map {
+      case (((a, pos), off), payload) =>
+        a.copy(dataChange = true, deletionVector = Some(DvDescriptor(
+          "u", Z85.encodeUuid(uuid), Some(off), payload.length, pos.length)))
+    }
+    val proto: Seq[JObject] =
+      if (snap.protocol.readerFeatures.exists(_.contains("deletionVectors"))) Nil
+      else {
+        val prevReader = snap.protocol.readerFeatures.getOrElse(Nil)
+        val prevWriter = snap.protocol.writerFeatures.getOrElse(
+          // legacy (1,2) implied writer features
+          Seq("appendOnly", "invariants"))
+        Seq(protocolJson(Protocol(3, 7,
+          Some((prevReader :+ "deletionVectors").distinct),
+          Some((prevWriter :+ "deletionVectors").distinct))))
+      }
+    (removes, adds, proto)
+  }
+
   /** Soft DELETE via DELETION VECTORS — the merge-on-read half of the
     * protocol, what `delta.enableDeletionVectors` writers do. Matching
     * files keep their parquet bytes untouched; the commit swaps each
@@ -847,37 +892,15 @@ object DeltaInterop {
         .groupBy(col("__dv_file"))
         .agg(sort_array(collect_list(col("__dv_row"))).as("rows"))
         .collect()
-      val newPerFile = matches.toSeq.map { r =>
-        val a = byQual(r.getString(0))
-        val fresh = r.getSeq[Long](1).toArray
-        val old = a.deletionVector
-          .map(d => DeletionVectors.positions(fs, path, d))
-          .getOrElse(Array.empty[Long])
-        (a, (old ++ fresh).distinct.sorted)
-      }
-      val payloads = newPerFile.map { case (_, pos) => Roaring64.serialize(pos) }
-      val (uuid, offsets) = DeletionVectors.writeDvFile(fs, new Path(path), payloads)
-      val now = System.currentTimeMillis()
-      val removes = newPerFile.map { case (a, _) =>
-        RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector) }
-      val adds = newPerFile.zip(offsets).zip(payloads).map {
-        case (((a, pos), off), payload) =>
-          a.copy(dataChange = true, deletionVector = Some(DvDescriptor(
-            "u", Z85.encodeUuid(uuid), Some(off), payload.length, pos.length)))
-      }
-      // first DV commit: upgrade to table features, carrying forward
-      // what protocol (1,2) implied
-      val proto: Seq[JObject] =
-        if (snap.protocol.readerFeatures.exists(_.contains("deletionVectors"))) Nil
-        else Seq(protocolJson(Protocol(3, 7,
-          Some(Seq("deletionVectors")),
-          Some(Seq("deletionVectors", "appendOnly", "invariants")))))
+      val (removes, adds, proto) = dvSwapActions(fs, path, snap,
+        matches.toSeq.map(r =>
+          (byQual(r.getString(0)), r.getSeq[Long](1).toArray)))
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version,
         proto ++ removes.map(removeJson) ++ adds.map(addJson))
       maybeCheckpoint(spark, path, version)
-      DeleteResult(version, newPerFile.size, snap.adds.size - newPerFile.size)
+      DeleteResult(version, removes.size, snap.adds.size - removes.size)
     } finally { matching.unpersist(); () }
   }
 
@@ -944,36 +967,16 @@ object DeltaInterop {
         .groupBy(col("__dv_file"))
         .agg(sort_array(collect_list(col("__dv_row"))).as("rows"))
         .collect()
-      val newPerFile = matches.toSeq.map { r =>
-        val a = byQual(r.getString(0))
-        val fresh = r.getSeq[Long](1).toArray
-        val old = a.deletionVector
-          .map(d => DeletionVectors.positions(fs, path, d))
-          .getOrElse(Array.empty[Long])
-        (a, (old ++ fresh).distinct.sorted)
-      }
-      val payloads = newPerFile.map { case (_, pos) => Roaring64.serialize(pos) }
-      val (uuid, offsets) = DeletionVectors.writeDvFile(fs, new Path(path), payloads)
-      val now = System.currentTimeMillis()
-      val removes = newPerFile.map { case (a, _) =>
-        RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector) }
-      val dvAdds = newPerFile.zip(offsets).zip(payloads).map {
-        case (((a, pos), off), payload) =>
-          a.copy(dataChange = true, deletionVector = Some(DvDescriptor(
-            "u", Z85.encodeUuid(uuid), Some(off), payload.length, pos.length)))
-      }
+      val (removes, dvAdds, proto) = dvSwapActions(fs, path, snap,
+        matches.toSeq.map(r =>
+          (byQual(r.getString(0)), r.getSeq[Long](1).toArray)))
       val newAdds = stageAdds(updated, path, partCols)
-      val proto: Seq[JObject] =
-        if (snap.protocol.readerFeatures.exists(_.contains("deletionVectors"))) Nil
-        else Seq(protocolJson(Protocol(3, 7,
-          Some(Seq("deletionVectors")),
-          Some(Seq("deletionVectors", "appendOnly", "invariants")))))
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version,
         proto ++ removes.map(removeJson) ++ (dvAdds ++ newAdds).map(addJson))
       maybeCheckpoint(spark, path, version)
-      DeleteResult(version, newPerFile.size, snap.adds.size - newPerFile.size)
+      DeleteResult(version, removes.size, snap.adds.size - removes.size)
     } finally { matching.unpersist(); updated.unpersist(); () }
   }
 

@@ -88,8 +88,6 @@ object FileStats {
       }.toMap
   }
 
-  def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-
   /** Canonical form of a file path for stats-map keying: URI forms
     * percent-decode their path; scheme+authority survive when present
     * (s3://bucket/key stays bucket-qualified), while local URI shapes

@@ -183,6 +183,8 @@ object IcebergInterop {
     """{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int","field-id":0},
       {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
       {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
         {"name":"file_path","type":"string","field-id":100},
         {"name":"file_format","type":"string","field-id":101},
@@ -1292,10 +1294,21 @@ object IcebergInterop {
     * with their manifest-entry records.
     */
   private def liveEntries(fs: FileSystem, snap: JValue): Seq[GenericRecord] =
+    liveEntriesWithSeq(fs, snap).map(_._1)
+
+  /** Live entries paired with their DATA sequence (entry-level override
+    * or list-level inheritance) — what a v2 rewrite must carry forward.
+    */
+  private def liveEntriesWithSeq(fs: FileSystem, snap: JValue)
+      : Seq[(GenericRecord, Long)] =
     readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
       .filter(listContentOf(_) == 0) // data manifests only, never content=1
-      .flatMap(r => readAvro(fs, new Path(r.get("manifest_path").toString)))
-      .filter(_.get("status").asInstanceOf[Int] != 2)
+      .flatMap { r =>
+        val seq = listSeqOf(r)
+        readAvro(fs, new Path(r.get("manifest_path").toString))
+          .map(e => (e, entrySeqOf(e, seq)))
+      }
+      .filter(_._1.get("status").asInstanceOf[Int] != 2)
 
   /** Refuse loudly when a v2 snapshot carries position-delete manifests:
     * callers that rewrite or adopt data files wholesale (compaction,
@@ -1333,7 +1346,8 @@ object IcebergInterop {
     */
   private def commitMaintenance(fs: FileSystem, path: String, version: Int,
       meta: JValue, snapshotId: Long, listPath: String,
-      operation: String, dropSnapshotIds: Set[Long] = Set.empty): Int = {
+      operation: String, dropSnapshotIds: Set[Long] = Set.empty,
+      newSeq: Option[Long] = None): Int = {
     val now = System.currentTimeMillis()
     val parent = (meta \ "current-snapshot-id").extract[Long]
     val snapshot = JObject(
@@ -1342,13 +1356,17 @@ object IcebergInterop {
       "timestamp-ms" -> JLong(now),
       "summary" -> JObject("operation" -> JString(operation)),
       "manifest-list" -> JString(listPath),
-      "schema-id" -> JInt(0))
+      "schema-id" -> JInt(0)) ~~
+      // v2 requires a sequence-number on every snapshot
+      newSeq.map(q => JObject("sequence-number" -> JLong(q)))
     val keptSnaps = (meta \ "snapshots").extract[List[JValue]]
       .filterNot(s => dropSnapshotIds.contains((s \ "snapshot-id").extract[Long]))
     val keptLog = (meta \ "snapshot-log").extractOrElse[List[JValue]](Nil)
       .filterNot(s => dropSnapshotIds.contains((s \ "snapshot-id").extract[Long]))
     val updated = JObject(meta.asInstanceOf[JObject].obj.map {
       case ("last-updated-ms", _) => "last-updated-ms" -> (JLong(now): JValue)
+      case ("last-sequence-number", v) =>
+        "last-sequence-number" -> newSeq.map(q => JLong(q): JValue).getOrElse(v)
       case ("current-snapshot-id", _) =>
         "current-snapshot-id" -> (JLong(snapshotId): JValue)
       case ("snapshots", _) =>
@@ -1481,13 +1499,16 @@ object IcebergInterop {
     val snap = (meta \ "snapshots").extract[List[JValue]]
       .find(s => (s \ "snapshot-id").extract[Long] == current).get
     requireNoDeleteManifests(fs, snap, "compact") // rewrite orphans deletes
-    val entries = liveEntries(fs, snap)
-    val grouped = entries.groupBy(partKeyOf(_, partFields))
+    val prevFormat = (meta \ "format-version").extract[Int]
+    val newSeq = if (prevFormat >= 2)
+      (meta \ "last-sequence-number").extractOrElse[Long](0L) + 1 else 0L
+    val entries = liveEntriesWithSeq(fs, snap)
+    val grouped = entries.groupBy(e => partKeyOf(e._1, partFields))
     val multi = grouped.filter(_._2.size > 1)
     if (multi.isEmpty) return current
     val untouched = grouped.filterNot(g => multi.contains(g._1)).values.flatten.toSeq
     val touchedPaths = multi.values.flatten.toSeq.map(
-      _.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+      _._1.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
     val frame = spark.read.schema(schema).parquet(touchedPaths: _*)
     val packed =
       if (partFields.isEmpty) frame.coalesce(1)
@@ -1498,10 +1519,19 @@ object IcebergInterop {
     val entrySchema = manifestEntrySchema(partFields)
     val newEntries = buildEntries(moved, snapshotId, schema, partFields,
       statsByFile, entrySchema) ++
-      untouched.map { old =>
+      untouched.map { case (old, oldSeq) =>
         val e = new GenericData.Record(entrySchema)
         e.put("status", 0) // EXISTING
         e.put("snapshot_id", old.get("snapshot_id"))
+        // entry-level sequence: an EXISTING entry carried into the
+        // rewritten manifest must keep its ORIGINAL data sequence, or
+        // v2 readers would inflate it to the new list-level sequence
+        // and skip the deletes that legitimately target it (the rule
+        // the foreign fixture pins)
+        if (prevFormat >= 2) {
+          e.put("sequence_number", oldSeq)
+          e.put("file_sequence_number", oldSeq)
+        }
         e.put("data_file", old.get("data_file"))
         e
       }
@@ -1510,17 +1540,15 @@ object IcebergInterop {
       Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
         "partition-spec" -> JsonMethods.compact(JsonMethods.render(
           specFieldsJson(partFields, schema))),
-        "partition-spec-id" -> "0", "format-version" -> "1"),
+        "partition-spec-id" -> "0", "format-version" -> prevFormat.toString),
       newEntries)
     val listPath = s"$path/metadata/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
-    val listRec = new GenericData.Record(ManifestFileSchema)
-    listRec.put("manifest_path", manifestPath)
-    listRec.put("manifest_length", manifestLen)
-    listRec.put("partition_spec_id", 0)
-    listRec.put("added_snapshot_id", snapshotId)
+    val listRec = listEntryRecord(manifestPath, manifestLen, snapshotId,
+      content = 0, seq = newSeq)
     writeAvro(fs, new Path(listPath), ManifestFileSchema,
-      Map("format-version" -> "1"), Seq(listRec))
-    commitMaintenance(fs, path, version, meta, snapshotId, listPath, "replace")
+      Map("format-version" -> prevFormat.toString), Seq(listRec))
+    commitMaintenance(fs, path, version, meta, snapshotId, listPath, "replace",
+      newSeq = if (prevFormat >= 2) Some(newSeq) else None)
     snapshotId
   }
 
@@ -1538,7 +1566,12 @@ object IcebergInterop {
     val version = currentVersion(fs, path).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $path"))
     val meta = readMetadata(fs, path, version)
+    // foreign metadata lists snapshots in ARBITRARY order (the foreign
+    // fixture pins one out of order) — "last" means newest by sequence
+    // then timestamp, never list position
     val all = (meta \ "snapshots").extract[List[JValue]]
+      .sortBy(s => ((s \ "sequence-number").extractOrElse[Long](0L),
+        (s \ "timestamp-ms").extractOrElse[Long](0L)))
     if (all.size <= keepLast) return (0, 0)
     val keep = all.takeRight(keepLast)
     val expired = all.dropRight(keepLast)
