@@ -205,10 +205,17 @@ object DeltaInterop {
       }
       (action \ "protocol") match {
         case JNothing => case p =>
+          // NOT extractOpt[Seq[_]]: json4s extracts a MISSING field as
+          // Some(Nil), and a legacy protocol would replay as a features
+          // table with an empty feature list
+          def features(v: JValue): Option[Seq[String]] = v match {
+            case JNothing | JNull => None
+            case x => Some(x.extract[Seq[String]])
+          }
           protocol = Protocol((p \ "minReaderVersion").extract[Int],
             (p \ "minWriterVersion").extract[Int],
-            (p \ "readerFeatures").extractOpt[Seq[String]],
-            (p \ "writerFeatures").extractOpt[Seq[String]])
+            features(p \ "readerFeatures"),
+            features(p \ "writerFeatures"))
       }
       (action \ "txn") match {
         case JNothing => case t =>
@@ -621,6 +628,22 @@ object DeltaInterop {
         MetaData(other.map(_.id).getOrElse(java.util.UUID.randomUUID().toString),
           df.schema.json, partitionBy, Map.empty)
     }
+    // overwrite on a CDF table: the whole diff lands as CDC (old live
+    // rows delete, incoming insert) — unless the overwrite also changes
+    // the schema, in which case no single-schema CDC file can describe
+    // both sides and the commit stays cdc-less (readChangeFeed refuses
+    // it loudly). Plain appends never need cdc: readers synthesize
+    // inserts from the dataChange adds.
+    val cdc: Seq[JObject] =
+      if (!overwrite) Nil
+      else prev.filter(cdfEnabled).toSeq.flatMap { s =>
+        val ins = df.withColumn(ChangeTypeCol, lit("insert"))
+        if (s.adds.isEmpty) stageCdc(ins, path, partitionBy)
+        else if (s.schema.fieldNames.toSeq != df.schema.fieldNames.toSeq) Nil
+        else stageCdc(frameOver(spark, path, s, s.adds)
+          .withColumn(ChangeTypeCol, lit("delete"))
+          .unionByName(ins), path, partitionBy)
+      }
     val version = prev.map(_.version + 1).getOrElse(0L)
     beforePublish()
     val actions: Seq[JObject] =
@@ -628,7 +651,7 @@ object DeltaInterop {
         (if (prev.isEmpty || overwrite || evolved.isDefined)
           Seq(metaJson(meta)) else Nil) ++
         txn.map { case (a, v) => txnJson(Txn(a, v)) }.toSeq ++
-        removes.map(removeJson) ++ adds.map(addJson)
+        removes.map(removeJson) ++ adds.map(addJson) ++ cdc
     publish(fs, path, version, actions)
     maybeCheckpoint(spark, path, version)
     version
@@ -643,6 +666,30 @@ object DeltaInterop {
   private def stageAdds(df: DataFrame, path: String,
       partitionBy: Seq[String], dataChange: Boolean = true): Seq[AddFile] = {
     val spark = df.sparkSession
+    val staged = stageFiles(df, path, partitionBy)
+    val now = System.currentTimeMillis()
+    // one distributed pass over the commit's files → add.stats
+    // (numRecords + min/max/nullCount), the protocol's skipping columns
+    val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
+    val statsByFile =
+      FileStats.collect(spark, staged.map(s => s"$path/${s._1}"), dataSchema)
+    staged.map { case (rel, size) =>
+      val st = statsByFile.get(FileStats.canon(s"$path/$rel"))
+      AddFile(encodePath(rel), partitionValuesOf(rel, partitionBy), size, now,
+        dataChange = dataChange,
+        stats = st.map(s => statsJson(s.numRecords.getOrElse(0L),
+          dataSchema.fields.toSeq.flatMap(f => s.cols.get(f.name).map(f -> _)))))
+    }
+  }
+
+  /** Write `df`'s files hive-style into the table tree under `prefix`
+    * (empty for data files, `_change_data/` for CDC) and return their
+    * (relative path incl. prefix, size) pairs. Shared tail of
+    * [[stageAdds]] and [[stageCdc]].
+    */
+  private def stageFiles(df: DataFrame, path: String,
+      partitionBy: Seq[String], prefix: String = ""): Seq[(String, Long)] = {
+    val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val stagePath = new Path(s"$path/$StageDir/${java.util.UUID.randomUUID}")
     df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(stagePath.toString)
@@ -652,7 +699,7 @@ object DeltaInterop {
       else if (st.getPath.getName.endsWith(".parquet")) {
         val rel = fs.makeQualified(st.getPath).toString
           .stripPrefix(fs.makeQualified(stagePath).toString + "/")
-        staged += ((st.getPath, rel, st.getLen))
+        staged += ((st.getPath, prefix + rel, st.getLen))
       }
     }
     walk(stagePath)
@@ -662,19 +709,7 @@ object DeltaInterop {
       require(fs.rename(src, new Path(s"$path/$rel")), s"move failed: $rel") }
     fs.delete(stagePath, true)
     fs.delete(new Path(s"$path/$StageDir"), true)
-    val now = System.currentTimeMillis()
-    // one distributed pass over the commit's files → add.stats
-    // (numRecords + min/max/nullCount), the protocol's skipping columns
-    val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
-    val statsByFile =
-      FileStats.collect(spark, staged.map(s => s"$path/${s._2}").toSeq, dataSchema)
-    staged.map { case (_, rel, size) =>
-      val st = statsByFile.get(FileStats.canon(s"$path/$rel"))
-      AddFile(encodePath(rel), partitionValuesOf(rel, partitionBy), size, now,
-        dataChange = dataChange,
-        stats = st.map(s => statsJson(s.numRecords.getOrElse(0L),
-          dataSchema.fields.toSeq.flatMap(f => s.cols.get(f.name).map(f -> _)))))
-    }.toSeq
+    staged.map(s => (s._2, s._3)).toSeq
   }
 
   /** Adopt data files that already exist OUTSIDE this table's tree as
@@ -764,23 +799,29 @@ object DeltaInterop {
     val touched = pruneAdds(spark, snap, Some(where))
     if (touched.isEmpty) // no file can match: no-op, no commit
       return DeleteResult(snap.version, 0, snap.adds.size)
-    val survivors = frameOver(spark, path, snap, touched)
-      .filter(!coalesce(where, lit(false)))
-      .persist()
+    val hit = coalesce(where, lit(false))
+    val frame = frameOver(spark, path, snap, touched).persist()
     try {
+      // stats overestimated and nothing actually matches: no-op — also
+      // keeps the CDF contract (a change-free commit must write no cdc)
+      if (frame.filter(hit).limit(1).count() == 0)
+        return DeleteResult(snap.version, 0, snap.adds.size)
+      val survivors = frame.filter(!hit)
       val adds =
         if (survivors.limit(1).count() == 0) Nil
         else stageAdds(survivors, path, partCols)
+      val cdc = cdcIfEnabled(snap, path, partCols)(
+        frame.filter(hit).withColumn(ChangeTypeCol, lit("delete")))
       val now = System.currentTimeMillis()
       val removes = touched.map(a =>
         RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector))
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version,
-        removes.map(removeJson) ++ adds.map(addJson))
+        removes.map(removeJson) ++ adds.map(addJson) ++ cdc)
       maybeCheckpoint(spark, path, version)
       DeleteResult(version, touched.size, snap.adds.size - touched.size)
-    } finally { survivors.unpersist(); () }
+    } finally { frame.unpersist(); () }
   }
 
   /** Conf key bounding how many deleted row indexes a single
@@ -798,17 +839,23 @@ object DeltaInterop {
     * for the commit, the (remove old pair, add new pair) action list,
     * and — on the FIRST DV commit — the protocol upgrade to v3/v7,
     * UNIONING the feature lists the table already declared (a foreign
-    * v3 table's timestampNtz etc. must survive the upgrade).
+    * v3 table's timestampNtz etc. must survive the upgrade). Files
+    * whose union equals their existing DV (every fresh match was
+    * already deleted) are DROPPED — all-Nil means the whole operation
+    * is a logical no-op and the caller must not commit (a change-free
+    * commit would also poison the CDF synthesis rule).
     */
   private def dvSwapActions(fs: FileSystem, path: String, snap: Snapshot,
       matches: Seq[(AddFile, Array[Long])])
       : (Seq[RemoveFile], Seq[AddFile], Seq[JObject]) = {
-    val newPerFile = matches.map { case (a, fresh) =>
+    val newPerFile = matches.flatMap { case (a, fresh) =>
       val old = a.deletionVector
         .map(d => DeletionVectors.positions(fs, path, d))
         .getOrElse(Array.empty[Long])
-      (a, (old ++ fresh).distinct.sorted)
+      val union = (old ++ fresh).distinct.sorted
+      if (union.length == old.length) None else Some((a, union))
     }
+    if (newPerFile.isEmpty) return (Nil, Nil, Nil)
     val payloads = newPerFile.map { case (_, pos) => Roaring64.serialize(pos) }
     val (uuid, offsets) = DeletionVectors.writeDvFile(fs, new Path(path), payloads)
     val now = System.currentTimeMillis()
@@ -895,10 +942,17 @@ object DeltaInterop {
       val (removes, adds, proto) = dvSwapActions(fs, path, snap,
         matches.toSeq.map(r =>
           (byQual(r.getString(0)), r.getSeq[Long](1).toArray)))
+      if (removes.isEmpty) // every match was already soft-deleted
+        return DeleteResult(snap.version, 0, snap.adds.size)
+      // CDC: the DV-APPLIED frame, so rows an earlier soft delete
+      // already removed are not re-reported as deleted
+      val cdc = cdcIfEnabled(snap, path, partCols)(
+        frameOver(spark, path, snap, touched).filter(hit)
+          .withColumn(ChangeTypeCol, lit("delete")))
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version,
-        proto ++ removes.map(removeJson) ++ adds.map(addJson))
+        proto ++ removes.map(removeJson) ++ adds.map(addJson) ++ cdc)
       maybeCheckpoint(spark, path, version)
       DeleteResult(version, removes.size, snap.adds.size - removes.size)
     } finally { matching.unpersist(); () }
@@ -970,11 +1024,22 @@ object DeltaInterop {
       val (removes, dvAdds, proto) = dvSwapActions(fs, path, snap,
         matches.toSeq.map(r =>
           (byQual(r.getString(0)), r.getSeq[Long](1).toArray)))
+      if (removes.isEmpty) // every match was already soft-deleted, and
+        // the DV-applied update frame is therefore empty too
+        return DeleteResult(snap.version, 0, snap.adds.size)
       val newAdds = stageAdds(updated, path, partCols)
+      // CDC: preimage is the DV-applied matched frame, postimage is the
+      // appended updated copies themselves
+      val cdc = cdcIfEnabled(snap, path, partCols)(
+        frameOver(spark, path, snap, touched).filter(hit)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(updated
+            .withColumn(ChangeTypeCol, lit("update_postimage"))))
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version,
-        proto ++ removes.map(removeJson) ++ (dvAdds ++ newAdds).map(addJson))
+        proto ++ removes.map(removeJson) ++ (dvAdds ++ newAdds).map(addJson)
+          ++ cdc)
       maybeCheckpoint(spark, path, version)
       DeleteResult(version, removes.size, snap.adds.size - removes.size)
     } finally { matching.unpersist(); updated.unpersist(); () }
@@ -1002,25 +1067,36 @@ object DeltaInterop {
     if (touched.isEmpty)
       return DeleteResult(snap.version, 0, snap.adds.size)
     val hit = coalesce(where, lit(false))
-    val updated = frameOver(spark, path, snap, touched).select(
+    val frame = frameOver(spark, path, snap, touched).persist()
+    def applySet(df: DataFrame, always: Boolean): DataFrame = df.select(
       schema.fields.toSeq.map { f =>
         set.get(f.name) match {
+          case Some(expr) if always => expr.cast(f.dataType).as(f.name)
           case Some(expr) =>
             when(hit, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
-      }: _*).persist()
+      }: _*)
     try {
-      val adds = stageAdds(updated, path, snap.metaData.partitionColumns)
+      // stats overestimated and nothing matches: no-op (CDF contract)
+      if (frame.filter(hit).limit(1).count() == 0)
+        return DeleteResult(snap.version, 0, snap.adds.size)
+      val adds = stageAdds(applySet(frame, always = false), path,
+        snap.metaData.partitionColumns)
+      val cdc = cdcIfEnabled(snap, path, snap.metaData.partitionColumns)(
+        frame.filter(hit).withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(applySet(frame.filter(hit), always = true)
+            .withColumn(ChangeTypeCol, lit("update_postimage"))))
       val now = System.currentTimeMillis()
       val removes = touched.map(a =>
         RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector))
       val version = snap.version + 1
       beforePublish()
-      publish(fs, path, version, removes.map(removeJson) ++ adds.map(addJson))
+      publish(fs, path, version,
+        removes.map(removeJson) ++ adds.map(addJson) ++ cdc)
       maybeCheckpoint(spark, path, version)
       DeleteResult(version, touched.size, snap.adds.size - touched.size)
-    } finally { updated.unpersist(); () }
+    } finally { frame.unpersist(); () }
   }
 
   /** Delta's `replaceWhere`: atomically replace the rows matching
@@ -1055,13 +1131,21 @@ object DeltaInterop {
         case _ => Nil
       }
       val newAdds = stageAdds(df, path, partCols)
+      val cdc = cdcIfEnabled(snap, path, partCols) {
+        val ins = df.withColumn(ChangeTypeCol, lit("insert"))
+        if (touched.isEmpty) ins
+        else frameOver(spark, path, snap, touched)
+          .filter(coalesce(where, lit(false)))
+          .withColumn(ChangeTypeCol, lit("delete"))
+          .unionByName(ins)
+      }
       val now = System.currentTimeMillis()
       val removes = touched.map(a =>
         RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector))
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version,
-        removes.map(removeJson) ++ (survivorAdds ++ newAdds).map(addJson))
+        removes.map(removeJson) ++ (survivorAdds ++ newAdds).map(addJson) ++ cdc)
       maybeCheckpoint(spark, path, version)
       version
     } finally { survivors.foreach(_.unpersist()); () }
@@ -1190,6 +1274,230 @@ object DeltaInterop {
     }
     walk(new Path(path))
     deleted
+  }
+
+  // ---- change data feed (CDF) ----
+
+  /** Directory for CDC files, `_change_type` column name, and the table
+    * property that turns the feed on — all protocol-fixed names.
+    */
+  private[sinks] val CdcDir = "_change_data"
+  private[sinks] val CdfProp = "delta.enableChangeDataFeed"
+  private[sinks] val ChangeTypeCol = "_change_type"
+
+  private def cdfEnabled(snap: Snapshot): Boolean =
+    snap.metaData.configuration.get(CdfProp).exists(_.equalsIgnoreCase("true"))
+
+  /** ALTER TABLE SET TBLPROPERTIES: a metaData-only commit layering
+    * `props` over the existing configuration. Enabling
+    * `delta.enableChangeDataFeed` also upgrades the protocol the way
+    * real writers do — legacy tables to writer version 4, feature
+    * tables by appending the `changeDataFeed` writer feature.
+    */
+  def setTableProperties(spark: SparkSession, path: String,
+      props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setTableProperties: empty property map")
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path)
+    val meta = snap.metaData.copy(
+      configuration = snap.metaData.configuration ++ props)
+    val p = snap.protocol
+    val proto: Seq[JObject] =
+      if (!props.get(CdfProp).exists(_.equalsIgnoreCase("true"))) Nil
+      else if (p.minWriterVersion >= 7) {
+        val wf = p.writerFeatures.getOrElse(Nil)
+        if (wf.contains("changeDataFeed")) Nil
+        else Seq(protocolJson(p.copy(writerFeatures =
+          Some(wf :+ "changeDataFeed"))))
+      } else if (p.minWriterVersion < 4)
+        Seq(protocolJson(p.copy(minWriterVersion = 4)))
+      else Nil
+    val version = snap.version + 1
+    beforePublish()
+    publish(fs, path, version, proto ++ Seq(metaJson(meta)))
+    maybeCheckpoint(spark, path, version)
+    version
+  }
+
+  /** Stage change rows (data columns + partition columns +
+    * `_change_type`) under `_change_data/` and return their `cdc`
+    * actions. CDC files are partitioned like the table and carry the
+    * SAME physical schema as data files plus `_change_type` — the
+    * protocol's layout. No stats pass: CDC files describe changes,
+    * data queries never scan them.
+    */
+  private def stageCdc(changes: DataFrame, path: String,
+      partCols: Seq[String]): Seq[JObject] =
+    stageFiles(changes, path, partCols, prefix = s"$CdcDir/").map {
+      case (rel, size) =>
+        JObject("cdc" -> JObject(
+          "path" -> JString(encodePath(rel)),
+          "partitionValues" -> pvJson(
+            partitionValuesOf(rel.stripPrefix(s"$CdcDir/"), partCols)),
+          "size" -> JLong(size),
+          "dataChange" -> JBool(false)))
+    }
+
+  /** The change rows a DELETE/UPDATE commit must describe when the feed
+    * is on: Nil when it isn't (one branchy call site per writer).
+    */
+  private def cdcIfEnabled(snap: Snapshot, path: String,
+      partCols: Seq[String])(changes: => DataFrame): Seq[JObject] =
+    if (!cdfEnabled(snap)) Nil else stageCdc(changes, path, partCols)
+
+  private final case class CdcFile(path: String,
+      partitionValues: Map[String, Option[String]])
+
+  /** CHANGE DATA FEED read: every change committed in `(fromVersion,
+    * toVersion]` as the table's columns plus `_change_type`
+    * (`insert` / `delete` / `update_preimage` / `update_postimage`),
+    * `_commit_version`, and `_commit_timestamp` — delta-spark's
+    * `table_changes` surface. Per the protocol, a commit that wrote
+    * `cdc` actions is read from its `_change_data` files ALONE (they
+    * describe all of its changes); a commit without them synthesizes
+    * inserts from `dataChange` adds and deletes from `dataChange`
+    * removes. A commit that both adds and removes data without `cdc`
+    * (a rewrite from a non-CDF writer) is ambiguous and refuses
+    * loudly rather than fabricate change rows.
+    *
+    * Scale: one scan per commit over exactly that commit's CDC/added
+    * files; removed-file synthesis replays the prior version's log to
+    * recover partition values (metadata-bounded). CDC files age out
+    * with [[vacuum]]'s retention, the protocol's own availability
+    * bound.
+    */
+  def readChangeFeed(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path, Some(toVersion))
+    requireUnmapped(snap, "readChangeFeed")
+    val schema = snap.schema
+    val partCols = snap.metaData.partitionColumns
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val cdcSchema = StructType(dataSchema.fields :+
+      StructField(ChangeTypeCol, org.apache.spark.sql.types.StringType))
+    val outCols = schema.fieldNames.toSeq :+ ChangeTypeCol
+    def withParts(df: DataFrame, pv: Map[String, Option[String]]): DataFrame =
+      partCols.foldLeft(df) { (d, c) =>
+        val f = schema(c)
+        val v = pv.getOrElse(physicalName(f), pv.getOrElse(c, None))
+        d.withColumn(c,
+          v.map(s => lit(s).cast(f.dataType)).getOrElse(lit(null).cast(f.dataType)))
+      }.select(outCols.map(col): _*)
+    val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val actions = commitActions(fs, path, v)
+      val ts = fs.getFileStatus(commitFile(path, v)).getModificationTime
+      val cdcs = actions.flatMap { a =>
+        a \ "cdc" match {
+          case JNothing => None
+          case c => Some(CdcFile((c \ "path").extract[String],
+            parsePv(c \ "partitionValues")))
+        }
+      }
+      val changes: Seq[DataFrame] =
+        if (cdcs.nonEmpty)
+          cdcs.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
+            withParts(spark.read.schema(cdcSchema)
+              .parquet(files.map(f => resolveAddPath(path, f.path)): _*), pv)
+          }
+        else {
+          val adds = actions.flatMap { a =>
+            a \ "add" match {
+              case JNothing => None
+              case ad if !(ad \ "dataChange").extractOrElse[Boolean](true) => None
+              case ad => Some(AddFile((ad \ "path").extract[String],
+                parsePv(ad \ "partitionValues"),
+                (ad \ "size").extractOrElse[Long](0L), 0L, dataChange = true,
+                deletionVector = parseDv(ad \ "deletionVector")))
+            }
+          }
+          val removedPaths = actions.flatMap { a =>
+            a \ "remove" match {
+              case JNothing => None
+              case r if !(r \ "dataChange").extractOrElse[Boolean](true) => None
+              case r => Some((r \ "path").extract[String])
+            }
+          }
+          require(adds.isEmpty || removedPaths.isEmpty,
+            s"DeltaInterop readChangeFeed: commit $v rewrites data without " +
+              "cdc actions (written before delta.enableChangeDataFeed?) — " +
+              "its change rows cannot be synthesized")
+          // removed files' partition values / DVs come from the log AS OF
+          // the version that still referenced them
+          val removes =
+            if (removedPaths.isEmpty) Nil
+            else {
+              val prevByPath = snapshot(spark, path, Some(v - 1)).adds
+                .map(a => a.path -> a).toMap
+              removedPaths.flatMap(prevByPath.get)
+            }
+          Seq(
+            adds -> "insert",
+            removes -> "delete"
+          ).filter(_._1.nonEmpty).map { case (files, kind) =>
+            frameOver(spark, path, snap, files)
+              .withColumn(ChangeTypeCol, lit(kind))
+              .select(outCols.map(col): _*)
+          }
+        }
+      changes.map(_
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", timestamp_millis(lit(ts))))
+    }
+    if (frames.isEmpty) {
+      val empty = StructType(schema.fields ++ Seq(
+        StructField(ChangeTypeCol, org.apache.spark.sql.types.StringType),
+        StructField("_commit_version", org.apache.spark.sql.types.LongType,
+          nullable = false),
+        StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], empty)
+    } else frames.reduce(_ unionByName _)
+  }
+
+  /** RESTORE TABLE TO VERSION AS OF: one commit whose live file set
+    * (and metaData) becomes exactly `version`'s — current-only files
+    * are removed, target-only files re-added (their parquet must still
+    * exist; restoring past a vacuum horizon fails on read, Delta's own
+    * caveat). History is preserved: restore is itself a commit, prior
+    * versions stay readable. With CDF on, the diff lands as CDC
+    * (re-added rows `insert`, dropped rows `delete`).
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path)
+    require(version <= snap.version,
+      s"restore: version $version is beyond latest ${snap.version}")
+    if (version == snap.version) return snap.version
+    val target = snapshot(spark, path, Some(version))
+    requireUnmapped(snap, "restore")
+    def key(a: AddFile) = (a.path, a.deletionVector.map(_.pathOrInlineDv))
+    val curKeys = snap.adds.map(key).toSet
+    val tgtKeys = target.adds.map(key).toSet
+    val toAdd = target.adds.filterNot(a => curKeys.contains(key(a)))
+    val toRemove = snap.adds.filterNot(a => tgtKeys.contains(key(a)))
+    val now = System.currentTimeMillis()
+    val removes = toRemove.map(a =>
+      RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector))
+    val cdc =
+      if (toAdd.isEmpty && toRemove.isEmpty) Nil
+      else cdcIfEnabled(snap, path, target.metaData.partitionColumns) {
+        val ins =
+          if (toAdd.isEmpty) None
+          else Some(frameOver(spark, path, target, toAdd)
+            .withColumn(ChangeTypeCol, lit("insert")))
+        val del =
+          if (toRemove.isEmpty) None
+          else Some(frameOver(spark, path, snap, toRemove)
+            .withColumn(ChangeTypeCol, lit("delete")))
+        (ins.toSeq ++ del.toSeq).reduce(_ unionByName _)
+      }
+    val newVersion = snap.version + 1
+    beforePublish()
+    publish(fs, path, newVersion,
+      Seq(metaJson(target.metaData)) ++ removes.map(removeJson) ++
+        toAdd.map(a => addJson(a.copy(dataChange = true))) ++ cdc)
+    maybeCheckpoint(spark, path, newVersion)
+    newVersion
   }
 
   /** Test-only injection point: runs after the writer resolved its
@@ -1523,7 +1831,55 @@ object DeltaInterop {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Driver-checked CHANGE DATA FEED round trip: orders land (v0), the
+    * feed turns on (v1), the held-out slice appends (v2 — inserts
+    * synthesized from the dataChange adds, no CDC files), a rewriting
+    * DELETE (v3) and an UPDATE (v4) write real `_change_data` parquet +
+    * `cdc` actions, and the feed over (−1, 4] aggregates per
+    * `_change_type`. The oracle recomputes all four change classes from
+    * the source table, so a missing, duplicated, or misclassified
+    * change row anywhere in the feed fails the hash gate.
+    */
+  def deltaCdfRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-delta-cdf") + "/orders_delta"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    write(orders.filter(col("o_orderkey") % 3 =!= 0), out,
+      partitionBy = Seq("o_orderstatus"))                            // v0
+    setTableProperties(spark, out, Map(CdfProp -> "true"))           // v1
+    write(orders.filter(col("o_orderkey") % 3 === 0), out,
+      partitionBy = Seq("o_orderstatus"))                            // v2
+    delete(spark, out, col("o_totalprice") > 400000.0)               // v3
+    update(spark, out, col("o_orderkey") % 10 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(1000.0))))    // v4
+    readChangeFeed(spark, out, fromVersion = -1L, toVersion = 4L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price"))
+      .orderBy(col("_change_type"))
+  }
+
   val ops: Seq[graft.Op] = Seq(
+    graft.Op("q_delta_cdf", deltaCdfRoundTrip,
+      Some("""
+        WITH survivors AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE NOT (o_totalprice > 400000.0)),
+        changes AS (
+          SELECT 'insert' AS _change_type, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'delete', o_totalprice FROM orders
+          WHERE o_totalprice > 400000.0
+          UNION ALL
+          SELECT 'update_preimage', o_totalprice FROM survivors
+          WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT 'update_postimage', o_totalprice + 1000.0 FROM survivors
+          WHERE o_orderkey % 10 = 0)
+        SELECT _change_type, count(*) AS n_rows,
+               cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM changes GROUP BY _change_type ORDER BY _change_type""")),
     graft.Op("q_delta_maintenance", deltaMaintenanceRoundTrip,
       Some("""
         SELECT o_orderstatus, count(*) AS n_rows,

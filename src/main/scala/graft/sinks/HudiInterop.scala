@@ -303,6 +303,41 @@ object HudiInterop {
     deleted
   }
 
+  /** Hudi's RESTORE (`restore_to_instant`): physically delete every
+    * file slice written by instants AFTER `instant`, drop those
+    * instants from the timeline, and complete a `<ts>.restore` instant
+    * recording the rollback. COW restore IS file deletion — later
+    * upserts carried every surviving row forward into their own
+    * slices, so removing those slices resurfaces the as-of state
+    * exactly. Unlike Delta/Iceberg rollback, the rolled-past history
+    * is GONE afterwards — Hudi's documented destructive semantic.
+    * Returns the deleted slice-file count.
+    */
+  def restoreToInstant(spark: SparkSession, path: String,
+      instant: String): Int = {
+    val fs = fsFor(spark, path)
+    requireReadable(fs, path)
+    val committed = timelineInstants(fs, path, ".commit")
+    require(committed.contains(instant),
+      s"restoreToInstant: $instant is not a completed commit " +
+        s"(have ${committed.mkString(", ")})")
+    val doomedInstants = committed.filter(_ > instant)
+    if (doomedInstants.isEmpty) return 0
+    val doomedSet = doomedInstants.toSet
+    val doomed = slices(fs, path).filter(s => doomedSet.contains(s.instant))
+    doomed.foreach(s => fs.delete(new Path(s"$path/${s.rel}"), false))
+    doomedInstants.foreach(i =>
+      fs.delete(new Path(s"$path/$MetaDir/$i.commit"), false))
+    val ts = nextInstant(timelineInstants(fs, path, ".commit") ++
+      timelineInstants(fs, path, ".clean") ++
+      timelineInstants(fs, path, ".restore"))
+    writeFile(fs, new Path(s"$path/$MetaDir/$ts.restore"),
+      s"""{"restoredToInstant":"$instant",""" +
+        s""""instantsRolledBack":${doomedInstants.size},""" +
+        s""""filesDeleted":${doomed.size}}""")
+    doomed.size
+  }
+
   // ---- writers ----
 
   private def hivePath(partitionBy: Seq[String]): org.apache.spark.sql.Column =

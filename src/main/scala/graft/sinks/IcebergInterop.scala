@@ -1615,6 +1615,113 @@ object IcebergInterop {
     (expired.size, deadFiles.size)
   }
 
+  /** `remove_orphan_files`: physically delete data/manifest files under
+    * the table root that NO retained metadata version references —
+    * crash debris a failed stage or lost commit race left behind (the
+    * rename-based commit protocol makes such debris unreferenced by
+    * construction, never corrupt). The reachable set unions EVERY
+    * `vN.metadata.json`'s snapshots (manifest list → manifests → data +
+    * delete files, all statuses and content kinds), so time travel to
+    * any retained version stays intact; [[expireSnapshots]] is the op
+    * that shrinks that set first. `olderThanMs` (default 3 days, the
+    * real procedure's default) protects still-uncommitted writers.
+    * Candidates are `.parquet`/`.avro` files only — `*.metadata.json` /
+    * `version-hint.text` are the log itself. Returns the deleted count.
+    *
+    * Scale: one driver-side metadata walk (bounded by manifest count,
+    * memoized per manifest) + one tree listing per maintenance run.
+    */
+  def removeOrphanFiles(spark: SparkSession, path: String,
+      olderThanMs: Long = 3L * 24 * 3600 * 1000): Int = {
+    require(olderThanMs >= 0, "removeOrphanFiles: negative grace period")
+    val fs = fsFor(spark, path)
+    require(currentVersion(fs, path).isDefined,
+      s"not an Iceberg table (no metadata/version-hint.text): $path")
+    def keyOf(p: String): String =
+      FileStats.canon(fs.makeQualified(new Path(p)).toString)
+    val reachable = scala.collection.mutable.Set[String]()
+    val visitedManifests = scala.collection.mutable.Set[String]()
+    val metaDir = new Path(s"$path/metadata")
+    val versions = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+\\.metadata\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".metadata.json").toInt).sorted
+    versions.foreach { v =>
+      val meta = readMetadata(fs, path, v)
+      (meta \ "snapshots").extractOrElse[List[JValue]](Nil).foreach { s =>
+        val list = (s \ "manifest-list").extract[String]
+        reachable += keyOf(list)
+        readAvro(fs, new Path(list)).foreach { r =>
+          val m = r.get("manifest_path").toString
+          reachable += keyOf(m)
+          if (visitedManifests.add(keyOf(m)))
+            readAvro(fs, new Path(m)).foreach { e =>
+              reachable += keyOf(e.get("data_file")
+                .asInstanceOf[GenericRecord].get("file_path").toString)
+            }
+        }
+      }
+    }
+    // files the manifests marked visited already contributed their
+    // entries; now walk the tree for unreferenced candidates
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var deleted = 0
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) walk(st.getPath)
+      else if ((name.endsWith(".parquet") || name.endsWith(".avro")) &&
+          !reachable.contains(keyOf(st.getPath.toString)) &&
+          st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false)
+        deleted += 1
+      }
+    }
+    walk(new Path(path))
+    deleted
+  }
+
+  /** `rollback_to_snapshot`: a metadata-only new version whose
+    * `current-snapshot-id` points back at `snapshotId` (which must
+    * still be retained). Nothing is deleted — the rolled-past snapshots
+    * stay in the list and remain time-travelable until
+    * [[expireSnapshots]]. Returns the new metadata version.
+    */
+  def rollbackTo(spark: SparkSession, path: String, snapshotId: Long): Int = {
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val ids = (meta \ "snapshots").extractOrElse[List[JValue]](Nil)
+      .map(s => (s \ "snapshot-id").extract[Long])
+    require(ids.contains(snapshotId),
+      s"rollbackTo: snapshot $snapshotId not retained " +
+        s"(have ${ids.mkString(", ")})")
+    val now = System.currentTimeMillis()
+    val logEntry: JValue = JObject(
+      "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(snapshotId))
+    val hadLog = (meta \ "snapshot-log") != JNothing
+    val updated0 = JObject(meta.asInstanceOf[JObject].obj.map {
+      case ("last-updated-ms", _) =>
+        "last-updated-ms" -> (JLong(now): JValue)
+      case ("current-snapshot-id", _) =>
+        "current-snapshot-id" -> (JLong(snapshotId): JValue)
+      case ("snapshot-log", v) => "snapshot-log" ->
+        (JArray(v.extractOrElse[List[JValue]](Nil) :+ logEntry): JValue)
+      case other => other
+    })
+    val updated = if (hadLog) updated0
+      else JObject(updated0.obj :+
+        ("snapshot-log" -> (JArray(List(logEntry)): JValue)))
+    val newVersion = version + 1
+    val metaPath = new Path(s"$path/metadata/v$newVersion.metadata.json")
+    require(!fs.exists(metaPath),
+      s"Iceberg metadata v$newVersion already exists (concurrent writer)")
+    writeFile(fs, metaPath, JsonMethods.pretty(JsonMethods.render(updated))
+      .getBytes(StandardCharsets.UTF_8))
+    writeFile(fs, new Path(s"$path/metadata/version-hint.text"),
+      newVersion.toString.getBytes(StandardCharsets.UTF_8))
+    newVersion
+  }
+
   /** Driver-checked identity-partitioned table: write orders
     * partitioned by status, then a partition-pruned + stats-pruned
     * read-back — the scan plans only the `F` partition's files (the

@@ -653,4 +653,125 @@ class DeltaInteropSpec extends SparkSpec {
       s"${"%020d".format(10L)}.checkpoint.${"%010d".format(2)}.${"%010d".format(2)}.parquet").delete())
     intercept[Exception] { DeltaInterop.read(spark, path).count() }
   }
+
+  test("CDF: property commit upgrades protocol; DML writes cdc actions + _change_data") {
+    val path = tmp("cdf")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))          // v0
+    DeltaInterop.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                      // v1
+    implicit val fmts: Formats = DefaultFormats
+    val v1 = scala.io.Source.fromFile(
+      s"$path/_delta_log/${"%020d".format(1L)}.json", "UTF-8")
+      .getLines().filter(_.nonEmpty).map(JsonMethods.parse(_)).toList
+    // legacy (1,2) table upgrades to writer version 4, Delta's CDF floor
+    val proto = v1.map(_ \ "protocol").find(_ != JNothing).get
+    assert((proto \ "minWriterVersion").extract[Int] == 4)
+    val meta = v1.map(_ \ "metaData").find(_ != JNothing).get
+    assert((meta \ "configuration" \ "delta.enableChangeDataFeed")
+      .extract[String] == "true")
+    DeltaInterop.delete(spark, path, col("id") === 2L)                  // v2
+    val v2 = scala.io.Source.fromFile(
+      s"$path/_delta_log/${"%020d".format(2L)}.json", "UTF-8")
+      .getLines().filter(_.nonEmpty).map(JsonMethods.parse(_)).toList
+    val cdcs = v2.map(_ \ "cdc").filter(_ != JNothing)
+    assert(cdcs.nonEmpty, "a CDF-enabled DELETE must write cdc actions")
+    cdcs.foreach { c =>
+      assert((c \ "path").extract[String].startsWith("_change_data/"))
+      assert(!(c \ "dataChange").extract[Boolean])
+    }
+    // cdc files are invisible to data reads
+    assert(DeltaInterop.read(spark, path).count() == 3)
+    // the feed classifies every commit: v0 appends synthesize inserts
+    val feed = DeltaInterop.readChangeFeed(spark, path, -1L, 2L)
+    val byType = feed.groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 4L, "delete" -> 1L))
+    assert(feed.filter(col("_change_type") === "delete")
+      .select(col("id")).as[Long].collect().toSeq == Seq(2L))
+    // _commit_version tags the originating commit
+    assert(feed.filter(col("_change_type") === "delete")
+      .select(col("_commit_version")).as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("CDF: update pre/postimages, DV-path changes, overwrite as delete+insert") {
+    val path = tmp("cdf-upd")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))          // v0
+    DeltaInterop.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                      // v1
+    DeltaInterop.update(spark, path, col("id") === 3L,
+      Map("v" -> lit(99.0)))                                            // v2
+    DeltaInterop.deleteDv(spark, path, col("id") === 4L)                // v3 (soft)
+    // a re-match of ONLY already-soft-deleted rows is a logical no-op:
+    // no commit (a change-free commit would poison CDF synthesis)
+    val r = DeltaInterop.deleteDv(spark, path, col("id") >= 4L)
+    assert(r.version == 3L && r.rewrittenFiles == 0)
+    assert(DeltaInterop.latestVersion(spark, path) == 3L)
+    val feed = DeltaInterop.readChangeFeed(spark, path, 1L, 3L)
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSeq
+    val post = feed.filter(col("_change_type") === "update_postimage")
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSeq
+    assert(pre == Seq((3L, 30.0)) && post == Seq((3L, 99.0)))
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select(col("id"), col("_commit_version")).as[(Long, Long)].collect().toSeq
+    assert(dels == Seq((4L, 3L)))
+    // overwrite on a CDF table: old rows delete + new rows insert
+    DeltaInterop.write(Seq((9L, "z", 1.0)).toDF("id", "cat", "v"), path,
+      partitionBy = Seq("cat"), overwrite = true)                       // v4
+    val ow = DeltaInterop.readChangeFeed(spark, path, 3L, 4L)
+      .groupBy(col("_change_type")).count().as[(String, Long)].collect().toMap
+    assert(ow == Map("delete" -> 3L, "insert" -> 1L))
+  }
+
+  test("CDF: a pre-enablement rewrite refuses; zero-match DML is a no-op commit-wise") {
+    val path = tmp("cdf-refuse")
+    // one multi-row file so the delete is a genuine REWRITE (remove +
+    // survivor add); a remove-only commit would synthesize fine
+    DeltaInterop.write(sample.coalesce(1), path)                        // v0
+    DeltaInterop.delete(spark, path, col("id") === 1L)                  // v1, no cdc
+    // the rewrite commit has adds+removes and no cdc — not synthesizable
+    val e = intercept[Exception] {
+      DeltaInterop.readChangeFeed(spark, path, -1L, 1L).count()
+    }
+    assert(e.getMessage.contains("cdc"))
+    // a range that stops before the rewrite still reads
+    assert(DeltaInterop.readChangeFeed(spark, path, -1L, 0L).count() == 4)
+    // zero actual matches (stats overlap, no row): no commit published
+    val before = DeltaInterop.latestVersion(spark, path)
+    val r = DeltaInterop.delete(spark, path, col("id") === 2L && col("v") < 0.0)
+    assert(r.version == before && r.rewrittenFiles == 0)
+    assert(DeltaInterop.latestVersion(spark, path) == before)
+  }
+
+  test("RESTORE: file set and metaData revert in one commit, history preserved") {
+    val path = tmp("restore")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))          // v0
+    DeltaInterop.delete(spark, path, col("cat") === "a")                // v1
+    DeltaInterop.write(Seq((5L, "c", 50.0)).toDF("id", "cat", "v"),
+      path, partitionBy = Seq("cat"))                                   // v2
+    val rv = DeltaInterop.restore(spark, path, 0L)                      // v3
+    assert(rv == 3L)
+    // latest equals v0 exactly
+    assert(DeltaInterop.read(spark, path).as[(Long, String, Double)]
+      .collect().toSet == sample.as[(Long, String, Double)].collect().toSet)
+    // restore is a commit, not a rewind: v2 still reads
+    assert(DeltaInterop.read(spark, path, versionAsOf = Some(2L)).count() == 3)
+    // restoring to the current version is a no-op
+    assert(DeltaInterop.restore(spark, path, 3L) == 3L)
+    assert(DeltaInterop.latestVersion(spark, path) == 3L)
+  }
+
+  test("RESTORE on a CDF table lands the diff as insert/delete changes") {
+    val path = tmp("restore-cdf")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))          // v0
+    DeltaInterop.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                      // v1
+    DeltaInterop.delete(spark, path, col("id") <= 2L)                   // v2
+    DeltaInterop.restore(spark, path, 1L)                               // v3
+    val feed = DeltaInterop.readChangeFeed(spark, path, 2L, 3L)
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select(col("id")).as[Long].collect().toSet
+    assert(ins == Set(1L, 2L), "restore must re-report the resurrected rows")
+    assert(feed.filter(col("_change_type") === "delete").count() == 0)
+  }
 }

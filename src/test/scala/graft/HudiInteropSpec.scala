@@ -177,4 +177,35 @@ class HudiInteropSpec extends SparkSpec {
     assert(snap.count() == 1)
     assert(snap.select("v").as[Double].collect().toSeq == Seq(2.0))
   }
+
+  test("restoreToInstant deletes later slices and instants; as-of state returns") {
+    val path = tmp("restore")
+    val i1 = HudiInterop.insert(sample, path, "id", "ts", Seq("cat"))
+    HudiInterop.upsert(
+      Seq((2L, "a", 999.0, 200L), (5L, "b", 50.0, 200L))
+        .toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    assert(HudiInterop.read(spark, path).count() == 5)
+    // restore-to-latest is a no-op
+    val latest = HudiInterop.completedInstants(spark, path).last
+    assert(HudiInterop.restoreToInstant(spark, path, latest) == 0)
+    val deleted = HudiInterop.restoreToInstant(spark, path, i1)
+    assert(deleted > 0)
+    // snapshot is the as-of-i1 state exactly
+    val back = HudiInterop.read(spark, path)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(back == Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+    // rolled-back instants left the timeline; a .restore instant landed
+    assert(HudiInterop.completedInstants(spark, path) == Seq(i1))
+    val meta = new java.io.File(s"$path/.hoodie").listFiles().map(_.getName)
+    assert(meta.exists(_.endsWith(".restore")))
+    // the table stays writable after a restore
+    HudiInterop.upsert(Seq((6L, "a", 60.0, 300L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    assert(HudiInterop.read(spark, path).count() == 5)
+    // an unknown instant refuses loudly
+    intercept[IllegalArgumentException] {
+      HudiInterop.restoreToInstant(spark, path, "00000000000000000")
+    }
+  }
 }

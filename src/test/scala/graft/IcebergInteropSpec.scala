@@ -443,4 +443,56 @@ class IcebergInteropSpec extends SparkSpec {
       IcebergInterop.deleteEquality(spark, path, Seq("x").toDF("id"))
     }
   }
+
+  test("removeOrphanFiles deletes only unreferenced debris; history stays readable") {
+    val path = tmp("orphan")
+    val s1 = IcebergInterop.write(sample, path)
+    IcebergInterop.write(Seq((4L, "c", 44.0)).toDF("id", "cat", "v"), path)
+    // plant crash debris: an unreferenced parquet in data/ and an
+    // unreferenced avro in metadata/ (a failed commit's leftovers)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"$path/data/orphan-debris.parquet",
+        s"$path/metadata/orphan-debris.avro").foreach { p =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(p), false)
+      out.write(Array[Byte](1, 2, 3)); out.close()
+    }
+    // a fresh orphan survives the grace period...
+    assert(IcebergInterop.removeOrphanFiles(spark, path) == 0)
+    // ...and dies without one
+    assert(IcebergInterop.removeOrphanFiles(spark, path, olderThanMs = 0L) == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/data/orphan-debris.parquet")))
+    // every retained metadata version keeps its files: latest AND the
+    // first snapshot still read in full
+    assert(IcebergInterop.read(spark, path).count() == 4)
+    assert(IcebergInterop.read(spark, path, snapshotId = Some(s1)).count() == 3)
+    // idempotent second run
+    assert(IcebergInterop.removeOrphanFiles(spark, path, olderThanMs = 0L) == 0)
+  }
+
+  test("rollbackTo flips the current snapshot metadata-only; nothing deleted") {
+    val path = tmp("rollback")
+    val s1 = IcebergInterop.write(sample, path)
+    val s2 = IcebergInterop.write(Seq((4L, "c", 44.0)).toDF("id", "cat", "v"), path)
+    assert(IcebergInterop.read(spark, path).count() == 4)
+    IcebergInterop.rollbackTo(spark, path, s1)
+    // current is the rolled-back snapshot...
+    assert(IcebergInterop.read(spark, path).as[(Long, String, Double)]
+      .collect().toSet == sample.as[(Long, String, Double)].collect().toSet)
+    // ...and the rolled-past snapshot is still retained + travelable
+    assert(IcebergInterop.read(spark, path, snapshotId = Some(s2)).count() == 4)
+    implicit val fmts: Formats = DefaultFormats
+    val hint = scala.io.Source.fromFile(s"$path/metadata/version-hint.text")
+      .mkString.trim.toInt
+    val meta = JsonMethods.parse(scala.io.Source.fromFile(
+      s"$path/metadata/v$hint.metadata.json").mkString)
+    assert((meta \ "current-snapshot-id").extract[Long] == s1)
+    // the snapshot-log records the rollback as its newest entry
+    val log = (meta \ "snapshot-log").extract[List[JValue]]
+    assert((log.last \ "snapshot-id").extract[Long] == s1)
+    // unknown snapshot refuses loudly
+    intercept[IllegalArgumentException] {
+      IcebergInterop.rollbackTo(spark, path, 12345L)
+    }
+  }
 }
