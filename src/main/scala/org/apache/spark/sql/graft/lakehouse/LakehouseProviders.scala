@@ -169,7 +169,19 @@ class GraftDeltaProvider extends GraftLakehouseProvider("delta")
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-delta source needs option(\"path\", …)"))
     val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
-    (shortName(), schema.getOrElse(DeltaInterop.snapshot(spark, path).schema))
+    val base = schema.getOrElse(DeltaInterop.snapshot(spark, path).schema)
+    // option("readChangeFeed","true"): the tail emits CHANGES (delta's
+    // own streaming-CDF spelling) — data columns + the three CDF columns
+    val out =
+      if (!parameters.get("readChangeFeed").exists(_.toBoolean)) base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType)))
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -349,6 +361,7 @@ private[graft] class DeltaTailSource(
 
   private val tablePath = options("path")
   private val ignoreChanges = options.get("ignoreChanges").exists(_.toBoolean)
+  private val readCdf = options.get("readChangeFeed").exists(_.toBoolean)
 
   // horizon H = emit commits > H; startingVersion=v replays from v
   // inclusive (Delta's option semantics); default = latest at FIRST
@@ -374,6 +387,8 @@ private[graft] class DeltaTailSource(
     val batch =
       if (to <= from)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else if (readCdf)
+        DeltaInterop.readChangeFeed(spark, tablePath, from, to)
       else DeltaInterop.appendsBetween(spark, tablePath, from, to, ignoreChanges)
     org.apache.spark.sql.graft.SourceHelpers.asStreamingFrame(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],

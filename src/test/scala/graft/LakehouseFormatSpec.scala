@@ -117,6 +117,36 @@ class LakehouseFormatSpec extends SparkSpec {
     assert(e.getCause.getMessage.contains("ignoreChanges"))
   }
 
+  test("graft-delta streaming CDF source: the tail emits typed changes, not rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("cdf-tail")
+    val ckpt = tmp("cdf-tail-ckpt")
+    val out = tmp("cdf-tail-out")
+    sample.write.format("graft-delta").option("path", path)
+      .option("partitionBy", "cat").save()                              // v0
+    DeltaInterop.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                      // v1
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-delta").option("path", path)
+        .option("startingVersion", "0").option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(out)
+    assert(first.schema.fieldNames.contains("_change_type"))
+    assert(first.count() == 3, "v0's rows arrive as synthesized inserts")
+    // a rewrite that would fail the plain tail streams FINE as changes
+    DeltaInterop.delete(spark, path, col("id") === 2L)                  // v2
+    drain()
+    val got = spark.read.parquet(out)
+      .groupBy(col("_change_type")).count().as[(String, Long)].collect().toMap
+    assert(got == Map("insert" -> 3L, "delete" -> 1L))
+  }
+
   test("graft-hudi streaming source is the incremental pull: updates re-emit, carries don't") {
     import org.apache.spark.sql.streaming.Trigger
     val path = tmp("htail")
