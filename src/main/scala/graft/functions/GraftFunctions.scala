@@ -140,6 +140,16 @@ object GraftFunctions {
           SparkSession.active, str(fn, args(0)), lng(fn, args(1)), lng(fn, args(2)),
           key = str(fn, args(3)),
           partitionCols = args.drop(4).map(str(fn, _)).toSeq))
+      }),
+    // delta-spark's table_changes(...) over the WIRE format
+    (new FunctionIdentifier("delta_changes"),
+      new ExpressionInfo("graft.sinks.DeltaInterop", "delta_changes"),
+      { args =>
+        val fn = "delta_changes(path, fromVersion, toVersion)"
+        require(args.length == 3, fn)
+        GraftShim.analyzed(graft.sinks.DeltaInterop.readChangeFeed(
+          SparkSession.active, str(fn, args(0)), lng(fn, args(1)),
+          lng(fn, args(2))))
       }))
 
   /** Register into an existing session's function registry (idempotent).

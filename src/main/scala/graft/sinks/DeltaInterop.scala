@@ -625,21 +625,28 @@ object DeltaInterop {
       case (Some(m), Some(u)) => m.copy(schemaString = u.json)
       case (Some(m), None) if !overwrite => m
       case (other, _) =>
+        // overwrite replaces schema + layout but PRESERVES the table's
+        // configuration (real Delta keeps TBLPROPERTIES — silently
+        // dropping delta.enableChangeDataFeed would turn the feed off)
         MetaData(other.map(_.id).getOrElse(java.util.UUID.randomUUID().toString),
-          df.schema.json, partitionBy, Map.empty)
+          df.schema.json, partitionBy,
+          other.map(_.configuration).getOrElse(Map.empty))
     }
     // overwrite on a CDF table: the whole diff lands as CDC (old live
     // rows delete, incoming insert) — unless the overwrite also changes
-    // the schema, in which case no single-schema CDC file can describe
-    // both sides and the commit stays cdc-less (readChangeFeed refuses
-    // it loudly). Plain appends never need cdc: readers synthesize
-    // inserts from the dataChange adds.
+    // the schema (names OR types: a same-name type change would write
+    // CDC parquet whose types disagree with the committed schema), in
+    // which case no single-schema CDC file can describe both sides and
+    // the commit stays cdc-less (readChangeFeed refuses it loudly).
+    // Plain appends never need cdc: readers synthesize inserts from the
+    // dataChange adds.
     val cdc: Seq[JObject] =
       if (!overwrite) Nil
       else prev.filter(cdfEnabled).toSeq.flatMap { s =>
         val ins = df.withColumn(ChangeTypeCol, lit("insert"))
         if (s.adds.isEmpty) stageCdc(ins, path, partitionBy)
-        else if (s.schema.fieldNames.toSeq != df.schema.fieldNames.toSeq) Nil
+        else if (s.schema.map(f => (f.name, f.dataType)) !=
+            df.schema.map(f => (f.name, f.dataType))) Nil
         else stageCdc(frameOver(spark, path, s, s.adds)
           .withColumn(ChangeTypeCol, lit("delete"))
           .unionByName(ins), path, partitionBy)
@@ -1384,6 +1391,14 @@ object DeltaInterop {
         d.withColumn(c,
           v.map(s => lit(s).cast(f.dataType)).getOrElse(lit(null).cast(f.dataType)))
       }.select(outCols.map(col): _*)
+    // removed files' partition values / DVs come from the log AS OF the
+    // version that still referenced them — maintained INCREMENTALLY
+    // across the range (one snapshot at the range start, then each
+    // commit's own actions), never one full log replay per commit
+    var live: scala.collection.immutable.Map[String, AddFile] =
+      if (fromVersion < 0) Map.empty
+      else snapshot(spark, path, Some(fromVersion)).adds
+        .map(a => a.path -> a).toMap
     val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
       val actions = commitActions(fs, path, v)
       val ts = fs.getFileStatus(commitFile(path, v)).getModificationTime
@@ -1394,6 +1409,27 @@ object DeltaInterop {
             parsePv(c \ "partitionValues")))
         }
       }
+      // ALL adds/removes (dataChange or not) — maintenance commits move
+      // files too and the live map must track them
+      val allAdds = actions.flatMap { a =>
+        a \ "add" match {
+          case JNothing => None
+          case ad => Some(AddFile((ad \ "path").extract[String],
+            parsePv(ad \ "partitionValues"),
+            (ad \ "size").extractOrElse[Long](0L), 0L,
+            dataChange = (ad \ "dataChange").extractOrElse[Boolean](true),
+            deletionVector = parseDv(ad \ "deletionVector")))
+        }
+      }
+      val allRemovedPaths = actions.flatMap { a =>
+        a \ "remove" match {
+          case JNothing => None
+          case r => Some(((r \ "path").extract[String],
+            (r \ "dataChange").extractOrElse[Boolean](true)))
+        }
+      }
+      val prevLive = live
+      live = live -- allRemovedPaths.map(_._1) ++ allAdds.map(a => a.path -> a)
       val changes: Seq[DataFrame] =
         if (cdcs.nonEmpty)
           cdcs.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
@@ -1401,36 +1437,13 @@ object DeltaInterop {
               .parquet(files.map(f => resolveAddPath(path, f.path)): _*), pv)
           }
         else {
-          val adds = actions.flatMap { a =>
-            a \ "add" match {
-              case JNothing => None
-              case ad if !(ad \ "dataChange").extractOrElse[Boolean](true) => None
-              case ad => Some(AddFile((ad \ "path").extract[String],
-                parsePv(ad \ "partitionValues"),
-                (ad \ "size").extractOrElse[Long](0L), 0L, dataChange = true,
-                deletionVector = parseDv(ad \ "deletionVector")))
-            }
-          }
-          val removedPaths = actions.flatMap { a =>
-            a \ "remove" match {
-              case JNothing => None
-              case r if !(r \ "dataChange").extractOrElse[Boolean](true) => None
-              case r => Some((r \ "path").extract[String])
-            }
-          }
+          val adds = allAdds.filter(_.dataChange)
+          val removedPaths = allRemovedPaths.collect { case (p, true) => p }
           require(adds.isEmpty || removedPaths.isEmpty,
             s"DeltaInterop readChangeFeed: commit $v rewrites data without " +
               "cdc actions (written before delta.enableChangeDataFeed?) — " +
               "its change rows cannot be synthesized")
-          // removed files' partition values / DVs come from the log AS OF
-          // the version that still referenced them
-          val removes =
-            if (removedPaths.isEmpty) Nil
-            else {
-              val prevByPath = snapshot(spark, path, Some(v - 1)).adds
-                .map(a => a.path -> a).toMap
-              removedPaths.flatMap(prevByPath.get)
-            }
+          val removes = removedPaths.flatMap(prevLive.get)
           Seq(
             adds -> "insert",
             removes -> "delete"
@@ -1478,8 +1491,15 @@ object DeltaInterop {
     val now = System.currentTimeMillis()
     val removes = toRemove.map(a =>
       RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector))
+    // CDC spans BOTH schemas (dropped rows read with the current one,
+    // resurrected rows with the target's) — when the restore crosses a
+    // schema change, no single-schema CDC file can describe the diff
+    // and the commit stays cdc-less (same escape hatch as overwrite;
+    // readChangeFeed refuses it loudly instead of fabricating)
+    val schemasAgree = snap.schema.map(f => (f.name, f.dataType)) ==
+      target.schema.map(f => (f.name, f.dataType))
     val cdc =
-      if (toAdd.isEmpty && toRemove.isEmpty) Nil
+      if ((toAdd.isEmpty && toRemove.isEmpty) || !schemasAgree) Nil
       else cdcIfEnabled(snap, path, target.metaData.partitionColumns) {
         val ins =
           if (toAdd.isEmpty) None

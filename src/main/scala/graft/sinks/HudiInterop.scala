@@ -321,6 +321,25 @@ object HudiInterop {
     require(committed.contains(instant),
       s"restoreToInstant: $instant is not a completed commit " +
         s"(have ${committed.mkString(", ")})")
+    // a cleaner may have deleted the pre-target slice versions a restore
+    // would resurface — restoring past ANY clean horizon silently loses
+    // whole file groups, so refuse loudly (Hudi's own restore rule).
+    // Our cleans record earliestInstantRetained; a foreign clean whose
+    // body doesn't parse is bounded by its own instant (a clean at c
+    // only deletes slice versions below a horizon <= c).
+    timelineInstants(fs, path, ".clean").foreach { c =>
+      val horizon = (try {
+        val in = fs.open(new Path(s"$path/$MetaDir/$c.clean"))
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        "\"earliestInstantRetained\"\\s*:\\s*\"(\\d+)\"".r
+          .findFirstMatchIn(body).map(_.group(1))
+      } catch { case _: Exception => None }).getOrElse(c)
+      require(instant >= horizon,
+        s"restoreToInstant: $instant is older than clean horizon $horizon " +
+          "— the cleaner already deleted slice versions a restore would " +
+          "need (restore before clean, not after)")
+    }
     val doomedInstants = committed.filter(_ > instant)
     if (doomedInstants.isEmpty) return 0
     val doomedSet = doomedInstants.toSet

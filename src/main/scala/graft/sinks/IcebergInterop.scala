@@ -1650,15 +1650,21 @@ object IcebergInterop {
       (meta \ "snapshots").extractOrElse[List[JValue]](Nil).foreach { s =>
         val list = (s \ "manifest-list").extract[String]
         reachable += keyOf(list)
-        readAvro(fs, new Path(list)).foreach { r =>
-          val m = r.get("manifest_path").toString
-          reachable += keyOf(m)
-          if (visitedManifests.add(keyOf(m)))
-            readAvro(fs, new Path(m)).foreach { e =>
-              reachable += keyOf(e.get("data_file")
-                .asInstanceOf[GenericRecord].get("file_path").toString)
-            }
-        }
+        // an OLD metadata version may reference lists/manifests a later
+        // expireSnapshots already deleted — skip those: every file that
+        // was reachable ONLY through an expired snapshot was that
+        // expire's GC target already, and files still live re-enter the
+        // set through the current snapshots' intact lists
+        if (fs.exists(new Path(list)))
+          readAvro(fs, new Path(list)).foreach { r =>
+            val m = r.get("manifest_path").toString
+            reachable += keyOf(m)
+            if (visitedManifests.add(keyOf(m)) && fs.exists(new Path(m)))
+              readAvro(fs, new Path(m)).foreach { e =>
+                reachable += keyOf(e.get("data_file")
+                  .asInstanceOf[GenericRecord].get("file_path").toString)
+              }
+          }
       }
     }
     // files the manifests marked visited already contributed their

@@ -41,6 +41,40 @@ private[graft] object SourceHelpers {
     }
   }
 
+  /** Small atomically-replaced marker holding one line of text under the
+    * checkpoint — the Iceberg tail's (depth, snapshot-id) head guard.
+    */
+  def writeMarker(spark: SparkSession, metadataPath: String, name: String,
+      value: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(metadataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(metadataPath, name)
+    fs.mkdirs(marker.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
+      s".${marker.getName}.${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"cannot persist marker at $marker")
+  }
+
+  def readMarker(spark: SparkSession, metadataPath: String,
+      name: String): Option[String] = {
+    val fs = new org.apache.hadoop.fs.Path(metadataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(metadataPath, name)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
   /** V1 contract: getBatch must return a STREAMING frame — but version
     * diffs/tails must be PLANNED as batch (tagging their leaves streaming
     * would give joins/unions streaming semantics: null-side rows wait on

@@ -336,12 +336,30 @@ private[graft] class IcebergTailSource(
       s"graft-iceberg tail: checkpointed offset $to is beyond the table's " +
         s"surviving snapshot chain (${chain.size}) — snapshots were expired; " +
         "restart from a fresh checkpoint")
+    // depth offsets are only meaningful against ONE history: a rollback
+    // rewrites the ancestor chain, so the same depths now name different
+    // snapshots and a tail would silently skip the post-rollback commits.
+    // The committed head marker ((depth, id) of the last batch served)
+    // detects the rewrite and fails the stream loudly.
+    org.apache.spark.sql.graft.SourceHelpers.readMarker(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      metadataPath, "graft-iceberg-head").foreach { m =>
+      val Array(d, id) = m.split(":", 2)
+      require(chain.size >= d.toInt && chain(d.toInt - 1) == id.toLong,
+        s"graft-iceberg tail: the snapshot at checkpointed depth $d is no " +
+          s"longer $id — table history was rewritten (rollback_to_snapshot?); " +
+          "restart from a fresh checkpoint")
+    }
     val batch =
       if (to <= from)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else IcebergInterop.appendsBetween(spark, tablePath,
         fromSnapshot = if (from == 0L) None else Some(chain(from.toInt - 1)),
         toSnapshot = chain(to.toInt - 1), ignoreChanges)
+    if (to > 0 && to <= chain.size)
+      org.apache.spark.sql.graft.SourceHelpers.writeMarker(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        metadataPath, "graft-iceberg-head", s"$to:${chain(to.toInt - 1)}")
     org.apache.spark.sql.graft.SourceHelpers.asStreamingFrame(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       batch.select(schema.fieldNames.toIndexedSeq.map(col): _*))

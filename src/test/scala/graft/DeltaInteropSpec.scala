@@ -743,6 +743,19 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.latestVersion(spark, path) == before)
   }
 
+  test("delta_changes SQL table function serves the wire-format feed") {
+    val path = tmp("cdf-tvf")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
+    DeltaInterop.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaInterop.delete(spark, path, col("id") === 2L)
+    val got = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM delta_changes('$path', -1, 2) " +
+        "GROUP BY _change_type ORDER BY _change_type")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("delete", 1L), ("insert", 4L)))
+  }
+
   test("RESTORE: file set and metaData revert in one commit, history preserved") {
     val path = tmp("restore")
     DeltaInterop.write(sample, path, partitionBy = Seq("cat"))          // v0

@@ -208,4 +208,23 @@ class HudiInteropSpec extends SparkSpec {
       HudiInterop.restoreToInstant(spark, path, "00000000000000000")
     }
   }
+
+  test("restoreToInstant refuses past a clean horizon (slices already deleted)") {
+    val path = tmp("restore-clean")
+    val i1 = HudiInterop.insert(sample, path, "id", "ts", Seq("cat"))
+    HudiInterop.upsert(Seq((2L, "a", 21.0, 200L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    HudiInterop.upsert(Seq((2L, "a", 22.0, 300L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    // cleaner deletes i1's slice version in the hot group
+    assert(HudiInterop.clean(spark, path, retainCommits = 1) > 0)
+    // restoring to i1 would resurface slices the cleaner deleted: refuse
+    val e = intercept[IllegalArgumentException] {
+      HudiInterop.restoreToInstant(spark, path, i1)
+    }
+    assert(e.getMessage.contains("clean horizon"))
+    // restore within the retained window still works
+    val latest = HudiInterop.completedInstants(spark, path).last
+    assert(HudiInterop.restoreToInstant(spark, path, latest) == 0)
+  }
 }

@@ -208,6 +208,44 @@ class LakehouseFormatSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("graft-iceberg tail fails loudly when rollback rewrites the snapshot chain") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("rb-tail")
+    val ckpt = tmp("rb-tail-ckpt")
+    val out = tmp("rb-tail-out")
+    sample.write.format("graft-iceberg").option("path", path).save()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-iceberg").option("path", path)
+        .option("startingSnapshot", "earliest").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val s1 = IcebergInterop.snapshotChain(spark, path).get.head
+    Seq((4L, "c", 44.0)).toDF("id", "cat", "v")
+      .write.format("graft-iceberg").option("path", path)
+      .mode(SaveMode.Append).save()
+    drain()
+    assert(spark.read.parquet(out).count() == 4)
+    // rollback rewrites the ancestor chain; enough appends rebuild the
+    // depth past the checkpoint — the tail must refuse, never skip
+    IcebergInterop.rollbackTo(spark, path, s1)
+    (0 to 2).foreach { i =>
+      Seq((10L + i, "r", 1.0)).toDF("id", "cat", "v")
+        .write.format("graft-iceberg").option("path", path)
+        .mode(SaveMode.Append).save()
+    }
+    val q = spark.readStream.format("graft-iceberg").option("path", path)
+      .option("startingSnapshot", "earliest").load()
+      .writeStream.format("noop").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getCause.getMessage.contains("rewritten"))
+  }
+
   test("graft-iceberg: partitioned write by format name, snapshot time travel") {
     val path = tmp("iceberg")
     sample.write.format("graft-iceberg").option("path", path)
