@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // INT64-micros timestamps (not legacy INT96): the lakehouse
+      // interop standard, and the only encoding whose footers carry
+      // usable min/max for FileStats.fromFooters
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // Spill-aware sizing: 128 MB scan splits and 64 MB post-shuffle
       // (AQE advisory) partitions keep per-task working sets far below
       // executor memory at any scale factor; AQE coalesces the long tail.

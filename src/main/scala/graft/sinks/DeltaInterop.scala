@@ -40,8 +40,9 @@ import org.json4s.jackson.JsonMethods
   * of table age); data reads go file-group-per-partition-tuple through
   * the standard parquet scan, so pushdown/pruning apply per group.
   * Every commit writes the protocol's `add.stats` skipping columns
-  * (numRecords/minValues/maxValues/nullCount, one distributed pass via
-  * [[FileStats.collect]]), and [[readWhere]] prunes the FILE LIST on
+  * (numRecords/minValues/maxValues/nullCount, read straight from the
+  * staged parquet footers via [[FileStats.fromFooters]] — no second
+  * pass over data bytes), and [[readWhere]] prunes the FILE LIST on
   * them before planning a single scan task.
   */
 object DeltaInterop {
@@ -282,7 +283,7 @@ object DeltaInterop {
     * numRecords/minValues/maxValues/nullCount. Values are serialized in
     * the stats JSON's value domain: numbers as numbers, strings as
     * strings, dates as `yyyy-MM-dd`, timestamps as ISO-8601 instants.
-    * Input min/max are catalyst-internal (from [[FileStats.collect]]).
+    * Input min/max are catalyst-internal (from [[FileStats.fromFooters]]).
     */
   private def statsJson(numRecords: Long,
       cols: Seq[(StructField, FileStats.ColStats)]): String = {
@@ -665,8 +666,8 @@ object DeltaInterop {
   }
 
   /** Stage `df`'s files hive-style, move them into the table tree, and
-    * return their AddFile actions with `add.stats` from one distributed
-    * pass ([[FileStats.collect]]). Files are invisible until a commit
+    * return their AddFile actions with `add.stats` from the staged
+    * footers ([[FileStats.fromFooters]]). Files are invisible until a commit
     * referencing them publishes (the log is the source of truth); a
     * failed commit leaves only unreferenced debris.
     */
@@ -679,7 +680,7 @@ object DeltaInterop {
     // (numRecords + min/max/nullCount), the protocol's skipping columns
     val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
     val statsByFile =
-      FileStats.collect(spark, staged.map(s => s"$path/${s._1}"), dataSchema)
+      FileStats.fromFooters(spark, staged.map(s => s"$path/${s._1}"), dataSchema)
     staged.map { case (rel, size) =>
       val st = statsByFile.get(FileStats.canon(s"$path/$rel"))
       AddFile(encodePath(rel), partitionValuesOf(rel, partitionBy), size, now,
@@ -737,7 +738,7 @@ object DeltaInterop {
     require(files.nonEmpty, "DeltaInterop.commitExternal: no data files")
     val fs = fsFor(spark, path)
     val now = System.currentTimeMillis()
-    val statsByFile = FileStats.collect(spark, files.map(_._1), schema)
+    val statsByFile = FileStats.fromFooters(spark, files.map(_._1), schema)
     val adds = files.map { case (abs, size) =>
       val st = statsByFile.get(FileStats.canon(abs))
       AddFile(encodePath(abs), Map.empty, size, now, dataChange = true,

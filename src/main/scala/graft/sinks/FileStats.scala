@@ -20,9 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * this from the connector jars (Delta/Hudi/Iceberg all ship it); here
   * it is implemented against the open formats directly.
   *
-  * Collection is ONE distributed aggregation over the freshly staged
-  * files (grouped by `input_file_name`), not a driver loop over parquet
-  * footers — per-commit cost, scales with the commit's executor count.
+  * Collection reads the parquet FOOTERS the writer already computed
+  * ([[fromFooters]] — KBs per file, zero data bytes re-read); the
+  * distributed re-scan ([[collect]]) remains for callers whose inputs
+  * may carry untrustworthy footers and as the spec's ground truth.
   *
   * Pruning is CONSERVATIVE by construction: only simple conjuncts of
   * comparisons between a column and a literal participate; anything
@@ -86,6 +87,136 @@ object FileStats {
         }.toMap
         canon(r.getAs[String]("_file")) -> FileStat(Some(n), cols)
       }.toMap
+  }
+
+  /** Footer route — the same per-file stats read straight from the
+    * parquet footers the writer already computed, NEVER re-reading a
+    * data byte. [[collect]]'s distributed re-scan reads the whole
+    * commit a second time (at 100 TB that doubles every write's I/O);
+    * footers are a few KB per file, so a commit's stats cost is
+    * O(files), IO-bound, and runs on a small thread pool. Used by the
+    * lakehouse writers for freshly-staged commits; [[collect]] remains
+    * for callers that must scan anyway.
+    *
+    * Conservative by construction: a column chunk without trustworthy
+    * stats (INT96 timestamps, unknown logical units, stats dropped by
+    * the writer, NaN-poisoned floats) yields NO bounds for that file —
+    * pruning then keeps the file. Truncated binary bounds are still
+    * valid bounds (parquet rounds the max UP), so pruning stays sound.
+    * A spec pins this route equal to [[collect]] across the type
+    * battery.
+    */
+  def fromFooters(spark: SparkSession, files: Seq[String],
+      schema: StructType): Map[String, FileStat] = {
+    if (files.isEmpty) return Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statCols = schema.fields.filter(f => boundEligible(f.dataType)).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(files.map { f =>
+        new java.util.concurrent.Callable[(String, FileStat)] {
+          override def call(): (String, FileStat) =
+            canon(f) -> readFooterStats(conf, f, statCols)
+        }
+      }.asJava).asScala.map(_.get()).toMap
+    } finally pool.shutdown()
+  }
+
+  private def readFooterStats(conf: org.apache.hadoop.conf.Configuration,
+      file: String, statCols: Seq[StructField]): FileStat = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      val cols = statCols.flatMap { f =>
+        // merge this column's chunk stats across row groups; any chunk
+        // without trustworthy stats makes the whole column unknown
+        var mn: Option[Any] = None
+        var mx: Option[Any] = None
+        var nulls: Option[Long] = Some(0L)
+        var boundsOk = true
+        blocks.foreach { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == f.name) match {
+            case None => boundsOk = false; nulls = None
+            case Some(c) =>
+              val st = c.getStatistics
+              if (st == null) { boundsOk = false; nulls = None }
+              else {
+                nulls =
+                  if (st.isNumNullsSet) nulls.map(_ + st.getNumNulls)
+                  else None
+                if (st.hasNonNullValue) {
+                  (fromParquet(st.genericGetMin, f.dataType, c),
+                    fromParquet(st.genericGetMax, f.dataType, c)) match {
+                    case (Some(lo), Some(hi)) =>
+                      mn = Some(mn.filter(m => cmp(m, lo).exists(_ <= 0))
+                        .getOrElse(lo))
+                      mx = Some(mx.filter(m => cmp(m, hi).exists(_ >= 0))
+                        .getOrElse(hi))
+                    case _ => boundsOk = false
+                  }
+                } else if (!st.isNumNullsSet ||
+                    st.getNumNulls < c.getValueCount) {
+                  // values exist but no min/max recorded
+                  boundsOk = false
+                } // else: an all-null chunk constrains nothing
+              }
+          }
+        }
+        val allNull = nulls.contains(numRecords) && numRecords > 0
+        if (!boundsOk && nulls.isEmpty) None
+        else Some(f.name -> ColStats(
+          if (boundsOk) mn else None,
+          if (boundsOk) mx else None,
+          nulls, allNull))
+      }.toMap
+      FileStat(Some(numRecords), cols)
+    } finally reader.close()
+  }
+
+  /** Parquet chunk-statistics value → catalyst internal, keyed on the
+    * SPARK type the file was written with. Unknown pairings (INT96
+    * timestamps, non-micro units, foreign encodings) → None.
+    */
+  private def fromParquet(v: Any,
+      dt: DataType,
+      chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[Any] = {
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    def tsIsMicros: Boolean =
+      chunk.getPrimitiveType.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        case _ => false
+      }
+    (dt, v) match {
+      case (ByteType, i: java.lang.Integer) => Some(i.byteValue())
+      case (ShortType, i: java.lang.Integer) => Some(i.shortValue())
+      case (IntegerType, i: java.lang.Integer) => Some(i.intValue())
+      case (DateType, i: java.lang.Integer) => Some(i.intValue()) // days
+      case (LongType, l: java.lang.Long) => Some(l.longValue())
+      case (TimestampType, l: java.lang.Long) if tsIsMicros =>
+        Some(l.longValue()) // micros
+      case (FloatType, f: java.lang.Float) if !f.isNaN => Some(f.floatValue())
+      case (DoubleType, d: java.lang.Double) if !d.isNaN => Some(d.doubleValue())
+      case (StringType, b: Binary) => Some(UTF8String.fromBytes(b.getBytes))
+      case (d: DecimalType, i: java.lang.Integer) =>
+        Some(Decimal(BigDecimal(BigInt(i.longValue()), d.scale), d.precision, d.scale))
+      case (d: DecimalType, l: java.lang.Long) =>
+        Some(Decimal(BigDecimal(BigInt(l.longValue()), d.scale), d.precision, d.scale))
+      case (d: DecimalType, b: Binary) =>
+        Some(Decimal(BigDecimal(
+          BigInt(new java.math.BigInteger(b.getBytes)), d.scale),
+          d.precision, d.scale))
+      case _ => None
+    }
   }
 
   /** Canonical form of a file path for stats-map keying: URI forms

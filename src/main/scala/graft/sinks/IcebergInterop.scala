@@ -584,7 +584,7 @@ object IcebergInterop {
     // one distributed pass over the commit's files → the spec's
     // column-stats maps (keyed by field-id), the skipping metadata
     // real Iceberg planners prune on
-    val statsByFile = FileStats.collect(spark, moved.map(_.path), schema)
+    val statsByFile = FileStats.fromFooters(spark, moved.map(_.path), schema)
     // sequence machinery: v1 tables stay seq-free; once a row-level
     // delete upgraded the table to format-version 2, every commit bumps
     // the sequence and stamps its manifest with it (the spec's ordering
@@ -1515,7 +1515,7 @@ object IcebergInterop {
       else frame.repartition(multi.size, partFields.map(f => col(f.name)): _*)
     val moved = stageDataFiles(packed, path, partFields.map(_.name), fs)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
-    val statsByFile = FileStats.collect(spark, moved.map(_.path), schema)
+    val statsByFile = FileStats.fromFooters(spark, moved.map(_.path), schema)
     val entrySchema = manifestEntrySchema(partFields)
     val newEntries = buildEntries(moved, snapshotId, schema, partFields,
       statsByFile, entrySchema) ++

@@ -71,4 +71,55 @@ class FileStatsSpec extends SparkSpec {
     assert(DeltaInterop.resolveAddPath("/tbl", "cat%3Da/part-0.parquet") ==
       "/tbl/cat=a/part-0.parquet")
   }
+
+  test("fromFooters equals the distributed scan across the type battery") {
+    val spark = ss
+    val dir = Files.createTempDirectory("graft-footer-stats").toString
+    val schema = StructType(Seq(
+      StructField("i8", ByteType), StructField("i16", ShortType),
+      StructField("i32", IntegerType), StructField("i64", LongType),
+      StructField("f32", FloatType), StructField("f64", DoubleType),
+      StructField("s", StringType), StructField("d", DateType),
+      StructField("ts", TimestampType),
+      StructField("dec_small", DecimalType(9, 2)),   // parquet INT32/64
+      StructField("dec_big", DecimalType(38, 6)),    // parquet FIXED/BINARY
+      StructField("all_null", StringType),
+      StructField("some_null", LongType)))
+    val rows = (1 to 500).map { i =>
+      org.apache.spark.sql.Row(
+        (i % 100).toByte, (i * 3).toShort, i * 7, i.toLong * 1000003L,
+        i / 7.0f, i / 13.0d,
+        if (i % 11 == 0) null else s"str-${"%04d".format(i)}",
+        java.sql.Date.valueOf(s"2024-01-${1 + i % 28}"),
+        java.sql.Timestamp.valueOf(s"2024-02-0${1 + i % 9} 03:04:05.12345"),
+        BigDecimal(i * 37, 2).bigDecimal,
+        BigDecimal(i.toLong * 982451653L, 6).bigDecimal,
+        null,
+        if (i % 3 == 0) null else i.toLong)
+    }
+    // two row groups per file: tiny block size forces a mid-file split,
+    // exercising the cross-block merge
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.option("parquet.block.size", (64 * 1024).toString)
+      .mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size >= 2)
+    val scanned = FileStats.collect(spark, files, schema)
+    val footers = FileStats.fromFooters(spark, files, schema)
+    assert(footers.keySet == scanned.keySet)
+    scanned.foreach { case (k, sStat) =>
+      val fStat = footers(k)
+      assert(fStat.numRecords == sStat.numRecords, s"numRecords of $k")
+      sStat.cols.foreach { case (c, sc) =>
+        val fc = fStat.cols(c)
+        def show(v: Option[Any]) = v.map(x => s"${x.getClass.getSimpleName}:$x")
+        assert(show(fc.min) == show(sc.min), s"min of $c in $k")
+        assert(show(fc.max) == show(sc.max), s"max of $c in $k")
+        assert(fc.nullCount == sc.nullCount, s"nullCount of $c in $k")
+        assert(fc.allNull == sc.allNull, s"allNull of $c in $k")
+      }
+    }
+  }
 }
