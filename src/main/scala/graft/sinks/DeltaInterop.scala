@@ -1217,23 +1217,55 @@ object DeltaInterop {
     * the stream and the small-file count stays bounded per partition
     * instead of growing with stream age.
     */
-  def compact(spark: SparkSession, path: String): DeleteResult = {
+  def compact(spark: SparkSession, path: String): DeleteResult =
+    compact(spark, path, zorderBy = Nil)
+
+  /** OPTIMIZE … ZORDER BY when `zorderBy` is non-empty: every live file
+    * rewrites sorted by the interleaved quantile-bucketed Morton key of
+    * the z-columns ([[graft.functions.ZOrder]]), so each output file
+    * covers a small hyper-rectangle and range predicates on ANY
+    * z-column — not just a leading sort column — prune through
+    * `add.stats`. One COW rewrite buys every later scan's skipping,
+    * Delta's own OPTIMIZE ZORDER trade. Still `dataChange = false`:
+    * streaming tails re-emit nothing.
+    */
+  def compact(spark: SparkSession, path: String, zorderBy: Seq[String],
+      filesPerPartition: Int = 16): DeleteResult = {
     val fs = fsFor(spark, path)
     val snap = snapshot(spark, path)
     requireUnmapped(snap, "compact")
     val partCols = snap.metaData.partitionColumns
+    zorderBy.foreach(c => require(
+      snap.schema.fieldNames.contains(c) && !partCols.contains(c),
+      s"compact zorderBy: $c must be a non-partition data column"))
     // a partition qualifies if it can be packed smaller OR any of its
     // files carries a deletion vector — OPTIMIZE is also the operation
-    // that collapses accumulated DVs back into clean parquet
-    val multi = snap.adds.groupBy(_.partitionValues)
-      .filter { case (_, fs) => fs.size > 1 || fs.exists(_.deletionVector.isDefined) }
+    // that collapses accumulated DVs back into clean parquet. A z-order
+    // rewrite re-clusters EVERYTHING: global clustering is the point.
+    val multi =
+      if (zorderBy.nonEmpty) snap.adds.groupBy(_.partitionValues)
+      else snap.adds.groupBy(_.partitionValues)
+        .filter { case (_, fs) => fs.size > 1 || fs.exists(_.deletionVector.isDefined) }
     if (multi.isEmpty) return DeleteResult(snap.version, 0, snap.adds.size)
     val touched = multi.values.flatten.toSeq
     val frame = frameOver(spark, path, snap, touched)
-    // one task per partition tuple → one output file per hive dir
     val packed =
-      if (partCols.isEmpty) frame.coalesce(1)
-      else frame.repartition(multi.size, partCols.map(col): _*)
+      if (zorderBy.isEmpty) {
+        // one task per partition tuple → one output file per hive dir
+        if (partCols.isEmpty) frame.coalesce(1)
+        else frame.repartition(multi.size, partCols.map(col): _*)
+      } else {
+        import graft.functions.ZOrder
+        val bounds = zorderBy.map(c => ZOrder.quantileBoundaries(frame, c))
+        val zkey = ZOrder.zorderKey(zorderBy.map(col), bounds,
+          bits = math.min(8, 63 / zorderBy.size))
+        val keys = partCols.map(col) :+ col("__z")
+        frame.withColumn("__z", zkey)
+          .repartitionByRange(
+            math.max(multi.size, filesPerPartition) , keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .drop("__z")
+      }
     val adds = stageAdds(packed, path, partCols, dataChange = false)
     val now = System.currentTimeMillis()
     val removes = touched.map(a =>

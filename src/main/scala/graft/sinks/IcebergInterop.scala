@@ -1488,13 +1488,26 @@ object IcebergInterop {
     write(read(spark, path), path, overwrite = true, partitionBy = partCols)
   }
 
-  def compact(spark: SparkSession, path: String): Long = {
+  def compact(spark: SparkSession, path: String): Long =
+    compact(spark, path, zorderBy = Nil)
+
+  /** `rewrite_data_files` with the SORT/Z-ORDER strategy when `zorderBy`
+    * is non-empty: every live file rewrites clustered on the interleaved
+    * quantile-bucketed Morton key, so manifest bounds become tight
+    * hyper-rectangles and range predicates on any z-column prune through
+    * [[readWhere]] — Iceberg's own zorder rewrite trade.
+    */
+  def compact(spark: SparkSession, path: String, zorderBy: Seq[String],
+      filesPerPartition: Int = 16): Long = {
     val fs = fsFor(spark, path)
     val version = currentVersion(fs, path).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $path"))
     val meta = readMetadata(fs, path, version)
     val schema = currentSchema(meta)
     val partFields = partFieldsOf(meta, schema)
+    zorderBy.foreach(c => require(
+      schema.fieldNames.contains(c) && !partFields.exists(_.name == c),
+      s"compact zorderBy: $c must be a non-partition data column"))
     val current = (meta \ "current-snapshot-id").extract[Long]
     val snap = (meta \ "snapshots").extract[List[JValue]]
       .find(s => (s \ "snapshot-id").extract[Long] == current).get
@@ -1504,14 +1517,30 @@ object IcebergInterop {
       (meta \ "last-sequence-number").extractOrElse[Long](0L) + 1 else 0L
     val entries = liveEntriesWithSeq(fs, snap)
     val grouped = entries.groupBy(e => partKeyOf(e._1, partFields))
-    val multi = grouped.filter(_._2.size > 1)
+    // z-order re-clusters EVERYTHING; plain bin-packing touches only
+    // partitions that can pack smaller
+    val multi =
+      if (zorderBy.nonEmpty) grouped
+      else grouped.filter(_._2.size > 1)
     if (multi.isEmpty) return current
     val untouched = grouped.filterNot(g => multi.contains(g._1)).values.flatten.toSeq
     val touchedPaths = multi.values.flatten.toSeq.map(
       _._1.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
     val frame = spark.read.schema(schema).parquet(touchedPaths: _*)
     val packed =
-      if (partFields.isEmpty) frame.coalesce(1)
+      if (zorderBy.nonEmpty) {
+        import graft.functions.ZOrder
+        val bounds = zorderBy.map(c => ZOrder.quantileBoundaries(frame, c))
+        val zkey = ZOrder.zorderKey(zorderBy.map(col), bounds,
+          bits = math.min(8, 63 / zorderBy.size))
+        val keys = partFields.map(f => col(f.name)) :+ col("__z")
+        frame.withColumn("__z", zkey)
+          .repartitionByRange(
+            math.max(multi.size, filesPerPartition), keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .drop("__z")
+      }
+      else if (partFields.isEmpty) frame.coalesce(1)
       else frame.repartition(multi.size, partFields.map(f => col(f.name)): _*)
     val moved = stageDataFiles(packed, path, partFields.map(_.name), fs)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)

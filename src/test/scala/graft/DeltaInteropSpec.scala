@@ -654,6 +654,41 @@ class DeltaInteropSpec extends SparkSpec {
     intercept[Exception] { DeltaInterop.read(spark, path).count() }
   }
 
+  test("compact ZORDER BY: files become tight boxes, range scans prune, rows exact") {
+    val path = tmp("zorder")
+    val r = new scala.util.Random(7)
+    // rows land SHUFFLED so pre-compaction files span the full (x, y)
+    // range and nothing prunes
+    val rows = r.shuffle((0 until 4096).map(i => (i.toLong, i % 64, i / 64)))
+    rows.grouped(1024).foreach { chunk =>
+      DeltaInterop.write(chunk.toDF("id", "x", "y").repartition(4), path)
+    }
+    val before = DeltaInterop.snapshot(spark, path)
+    val q = col("x") < 8 && col("y") < 8
+    assert(DeltaInterop.pruneAdds(spark, before, Some(q)).size == before.adds.size,
+      "shuffled landing: no file is prunable before the rewrite")
+    val res = DeltaInterop.compact(spark, path, zorderBy = Seq("x", "y"),
+      filesPerPartition = 16)
+    assert(res.rewrittenFiles == before.adds.size)
+    val after = DeltaInterop.snapshot(spark, path)
+    // z-clustering makes the corner query prune most files
+    val kept = DeltaInterop.pruneAdds(spark, after, Some(q))
+    assert(kept.size < after.adds.size / 2,
+      s"${kept.size} of ${after.adds.size} files kept — z-order should prune")
+    // rows exact under the hash-style check
+    assert(DeltaInterop.readWhere(spark, path, Some(q))
+      .agg(count(lit(1)), sum(col("id"))).as[(Long, Long)].collect()(0) ==
+      (64L, rows.filter(t => t._2 < 8 && t._3 < 8).map(_._1).sum))
+    assert(DeltaInterop.read(spark, path).count() == 4096)
+    // maintenance commit: dataChange=false everywhere (tails skip it)
+    implicit val fmts: Formats = DefaultFormats
+    val lines = scala.io.Source.fromFile(
+      s"$path/_delta_log/${"%020d".format(after.version)}.json", "UTF-8")
+      .getLines().filter(_.nonEmpty).map(JsonMethods.parse(_)).toList
+    lines.flatMap(l => Seq(l \ "add", l \ "remove")).filter(_ != JNothing)
+      .foreach(a => assert(!(a \ "dataChange").extract[Boolean]))
+  }
+
   test("CDF: property commit upgrades protocol; DML writes cdc actions + _change_data") {
     val path = tmp("cdf")
     DeltaInterop.write(sample, path, partitionBy = Seq("cat"))          // v0

@@ -444,6 +444,25 @@ class IcebergInteropSpec extends SparkSpec {
     }
   }
 
+  test("compact zorderBy clusters files into tight boxes; manifest bounds prune") {
+    val path = tmp("zorder")
+    val r = new scala.util.Random(11)
+    val rows = r.shuffle((0 until 4096).map(i => (i.toLong, i % 64, i / 64)))
+    rows.grouped(1024).foreach { chunk =>
+      IcebergInterop.write(chunk.toDF("id", "x", "y").repartition(4), path)
+    }
+    val q = col("x") < 8 && col("y") < 8
+    IcebergInterop.compact(spark, path, zorderBy = Seq("x", "y"),
+      filesPerPartition = 16)
+    // the corner query reads the right rows through manifest-bound
+    // pruning (liveFilesWhere is exercised by readWhere)
+    assert(IcebergInterop.readWhere(spark, path, Some(q))
+      .agg(count(lit(1)), sum(col("id")))
+      .as[(Long, Long)].collect()(0) ==
+      (64L, rows.filter(t => t._2 < 8 && t._3 < 8).map(_._1).sum))
+    assert(IcebergInterop.read(spark, path).count() == 4096)
+  }
+
   test("removeOrphanFiles deletes only unreferenced debris; history stays readable") {
     val path = tmp("orphan")
     val s1 = IcebergInterop.write(sample, path)
