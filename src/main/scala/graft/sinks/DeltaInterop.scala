@@ -1220,6 +1220,32 @@ object DeltaInterop {
   def compact(spark: SparkSession, path: String): DeleteResult =
     compact(spark, path, zorderBy = Nil)
 
+  /** Per-partition output-file count for a byte-targeted compaction:
+    * `ceil(partition's live bytes / targetFileBytes)` — the knob that
+    * keeps OPTIMIZE from packing a 1 TB partition into one 1 TB file.
+    * Returned as a salt EXPRESSION (a when-chain over the bounded
+    * partition-tuple list) so one shuffle splits every partition into
+    * its own file count.
+    */
+  private def sizeSalt(schema: StructType,
+      groups: Map[Map[String, Option[String]], Seq[AddFile]],
+      partCols: Seq[String], targetFileBytes: Long): (Column, Int) = {
+    val nOut = groups.map { case (pv, fs) =>
+      pv -> math.max(1L, (fs.map(_.size).sum + targetFileBytes - 1)
+        / targetFileBytes).toInt
+    }
+    val modExpr = nOut.foldLeft(lit(1)) { case (acc, (pv, n)) =>
+      val hit = partCols.map { c =>
+        val f = schema(c)
+        val v = pv.getOrElse(physicalName(f), pv.getOrElse(c, None))
+        col(c) <=> v.map(s => lit(s).cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType))
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      when(hit, lit(n)).otherwise(acc)
+    }
+    (pmod((rand(7) * 1000000).cast("int"), modExpr), nOut.values.sum)
+  }
+
   /** OPTIMIZE … ZORDER BY when `zorderBy` is non-empty: every live file
     * rewrites sorted by the interleaved quantile-bucketed Morton key of
     * the z-columns ([[graft.functions.ZOrder]]), so each output file
@@ -1230,7 +1256,8 @@ object DeltaInterop {
     * streaming tails re-emit nothing.
     */
   def compact(spark: SparkSession, path: String, zorderBy: Seq[String],
-      filesPerPartition: Int = 16): DeleteResult = {
+      filesPerPartition: Int = 16,
+      targetFileBytes: Option[Long] = None): DeleteResult = {
     val fs = fsFor(spark, path)
     val snap = snapshot(spark, path)
     requireUnmapped(snap, "compact")
@@ -1251,9 +1278,20 @@ object DeltaInterop {
     val frame = frameOver(spark, path, snap, touched)
     val packed =
       if (zorderBy.isEmpty) {
-        // one task per partition tuple → one output file per hive dir
-        if (partCols.isEmpty) frame.coalesce(1)
-        else frame.repartition(multi.size, partCols.map(col): _*)
+        targetFileBytes match {
+          case Some(target) =>
+            // byte-targeted bin-packing: ceil(bytes/target) files per
+            // partition — a huge partition never packs into one file.
+            // Range partitioning keeps distinct (partition, salt) keys
+            // in their own tasks (hash would birthday-collide them)
+            val (salt, totalOut) = sizeSalt(snap.schema, multi, partCols, target)
+            frame.withColumn("__salt", salt)
+              .repartitionByRange(totalOut, (partCols.map(col) :+ col("__salt")): _*)
+              .drop("__salt")
+          case None if partCols.isEmpty => frame.coalesce(1)
+          // one task per partition tuple → one output file per hive dir
+          case None => frame.repartition(multi.size, partCols.map(col): _*)
+        }
       } else {
         import graft.functions.ZOrder
         val bounds = zorderBy.map(c => ZOrder.quantileBoundaries(frame, c))

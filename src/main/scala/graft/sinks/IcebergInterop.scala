@@ -1498,7 +1498,8 @@ object IcebergInterop {
     * [[readWhere]] — Iceberg's own zorder rewrite trade.
     */
   def compact(spark: SparkSession, path: String, zorderBy: Seq[String],
-      filesPerPartition: Int = 16): Long = {
+      filesPerPartition: Int = 16,
+      targetFileBytes: Option[Long] = None): Long = {
     val fs = fsFor(spark, path)
     val version = currentVersion(fs, path).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $path"))
@@ -1540,8 +1541,35 @@ object IcebergInterop {
           .sortWithinPartitions(keys: _*)
           .drop("__z")
       }
-      else if (partFields.isEmpty) frame.coalesce(1)
-      else frame.repartition(multi.size, partFields.map(f => col(f.name)): _*)
+      else targetFileBytes match {
+        case Some(target) =>
+          // byte-targeted bin-packing: ceil(bytes/target) files per
+          // partition — a huge partition never packs into one file.
+          // Range partitioning keeps distinct (partition, salt) keys
+          // apart (hash would birthday-collide them).
+          val nOut = multi.map { case (pv, es) =>
+            val bytes = es.map(_._1.get("data_file")
+              .asInstanceOf[GenericRecord].get("file_size_in_bytes")
+              .asInstanceOf[java.lang.Long].longValue()).sum
+            pv -> math.max(1L, (bytes + target - 1) / target).toInt
+          }
+          val modExpr = nOut.foldLeft(lit(1)) { case (acc, (pv, n)) =>
+            val hit = partFields.zip(pv).map { case (pf, v) =>
+              col(pf.name) <=> v.map(x => lit(x).cast(pf.dataType))
+                .getOrElse(lit(null).cast(pf.dataType))
+            }.reduceOption(_ && _).getOrElse(lit(true))
+            when(hit, lit(n)).otherwise(acc)
+          }
+          frame
+            .withColumn("__salt",
+              pmod((rand(7) * 1000000).cast("int"), modExpr))
+            .repartitionByRange(nOut.values.sum,
+              (partFields.map(f => col(f.name)) :+ col("__salt")): _*)
+            .drop("__salt")
+        case None if partFields.isEmpty => frame.coalesce(1)
+        case None =>
+          frame.repartition(multi.size, partFields.map(f => col(f.name)): _*)
+      }
     val moved = stageDataFiles(packed, path, partFields.map(_.name), fs)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val statsByFile = FileStats.fromFooters(spark, moved.map(_.path), schema)

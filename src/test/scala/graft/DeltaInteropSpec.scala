@@ -689,6 +689,36 @@ class DeltaInteropSpec extends SparkSpec {
       .foreach(a => assert(!(a \ "dataChange").extract[Boolean]))
   }
 
+  test("compact targetFileBytes: a big partition splits instead of packing to one file") {
+    val path = tmp("binpack")
+    // one hot partition with real volume, one cold partition
+    val hot = (0 until 60000).map(i => (i.toLong, "hot", s"payload-$i-${"x" * 40}"))
+    val cold = (0 until 10).map(i => (i.toLong, "cold", "small"))
+    (hot ++ cold).grouped(20000).foreach { chunk =>
+      DeltaInterop.write(chunk.toDF("id", "cat", "s").repartition(2), path,
+        partitionBy = Seq("cat"))
+    }
+    val before = DeltaInterop.snapshot(spark, path)
+    val hotBytes = before.adds
+      .filter(_.partitionValues.get("cat").flatten.contains("hot"))
+      .map(_.size).sum
+    val target = hotBytes / 4 // expect ~4 hot output files
+    val res = DeltaInterop.compact(spark, path, zorderBy = Nil,
+      targetFileBytes = Some(target))
+    assert(res.rewrittenFiles == before.adds.size)
+    val after = DeltaInterop.snapshot(spark, path)
+    val hotFiles = after.adds
+      .filter(_.partitionValues.get("cat").flatten.contains("hot"))
+    val coldFiles = after.adds
+      .filter(_.partitionValues.get("cat").flatten.contains("cold"))
+    assert(hotFiles.size > 1, s"hot partition must split (${hotFiles.size})")
+    assert(coldFiles.size == 1, s"cold partition packs to one (${coldFiles.size})")
+    // no output file wildly overshoots the target
+    assert(hotFiles.forall(_.size < target * 3),
+      s"max hot file ${hotFiles.map(_.size).max} vs target $target")
+    assert(DeltaInterop.read(spark, path).count() == 60010)
+  }
+
   test("CDF: property commit upgrades protocol; DML writes cdc actions + _change_data") {
     val path = tmp("cdf")
     DeltaInterop.write(sample, path, partitionBy = Seq("cat"))          // v0
