@@ -493,19 +493,27 @@ object DeltaInterop {
     * state is NOT required: the split happens here.
     */
   private def scanGroup(spark: SparkSession, path: String,
-      dataSchema: StructType, files: Seq[AddFile]): DataFrame = {
+      dataSchema: StructType, files: Seq[AddFile],
+      fileCol: Option[String] = None): DataFrame = {
     // data files carry PHYSICAL names (identical to logical when the
     // table is unmapped); scan physical, project back to logical
     val physSchema = physicalSchema(dataSchema)
-    def toLogical(df: DataFrame): DataFrame =
-      if (physSchema == dataSchema) df
-      else df.select(dataSchema.fields.zip(physSchema.fields).map {
-        case (lf, pf) => df.col(pf.name).as(lf.name) }.toSeq: _*)
+    def toLogical(df: DataFrame): DataFrame = {
+      val base =
+        if (physSchema == dataSchema) dataSchema.fields.toSeq.map(f => df.col(f.name))
+        else dataSchema.fields.zip(physSchema.fields).toSeq.map {
+          case (lf, pf) => df.col(pf.name).as(lf.name) }
+      df.select(base ++ fileCol.map(df.col): _*)
+    }
     val (dvFiles, plain) = files.partition(_.deletionVector.isDefined)
+    def withFile(df: DataFrame): DataFrame = fileCol match {
+      case Some(fc) => df.withColumn(fc, col("_metadata.file_path"))
+      case None => df
+    }
     val plainDf =
       if (plain.isEmpty) None
-      else Some(toLogical(spark.read.schema(physSchema)
-        .parquet(plain.map(f => resolveAddPath(path, f.path)): _*)))
+      else Some(toLogical(withFile(spark.read.schema(physSchema)
+        .parquet(plain.map(f => resolveAddPath(path, f.path)): _*))))
     val dvDf =
       if (dvFiles.isEmpty) None
       else {
@@ -526,8 +534,8 @@ object DeltaInterop {
             val fs = new Path(root).getFileSystem(sconf.value)
             DeletionVectors.positions(fs, root, dv).map(p => (fileKey, p))
           }.toDF("__dv_file", "__dv_row")
-        Some(toLogical(spark.read.schema(physSchema)
-          .parquet(dvFiles.map(f => resolveAddPath(path, f.path)): _*)
+        Some(toLogical(withFile(spark.read.schema(physSchema)
+          .parquet(dvFiles.map(f => resolveAddPath(path, f.path)): _*))
           .withColumn("__dv_file", col("_metadata.file_path"))
           .withColumn("__dv_row", col("_metadata.row_index"))
           .join(deleted, Seq("__dv_file", "__dv_row"), "left_anti")
@@ -538,7 +546,9 @@ object DeltaInterop {
       case (Some(a), None) => a
       case (None, Some(b)) => b
       case (None, None) =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(dataSchema.fields ++
+            fileCol.map(fc => StructField(fc, StringType))))
     }
   }
 
@@ -758,7 +768,7 @@ object DeltaInterop {
     * layout-bounded, same shape as [[readWhere]]).
     */
   private def frameOver(spark: SparkSession, path: String, snap: Snapshot,
-      files: Seq[AddFile]): DataFrame = {
+      files: Seq[AddFile], fileCol: Option[String] = None): DataFrame = {
     val schema = snap.schema
     val partCols = snap.metaData.partitionColumns
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
@@ -766,7 +776,7 @@ object DeltaInterop {
       // scanGroup applies each file's deletion vector, so a rewrite
       // (DELETE/UPDATE/replaceWhere) of DV'd files never resurrects
       // their soft-deleted rows
-      val base = scanGroup(spark, path, dataSchema, fs)
+      val base = scanGroup(spark, path, dataSchema, fs, fileCol)
       partCols.foldLeft(base) { (df, c) =>
         val f = schema(c)
         val v = pv.getOrElse(physicalName(f), pv.getOrElse(c, None))
@@ -774,7 +784,8 @@ object DeltaInterop {
           v.map(s => lit(s).cast(f.dataType)).getOrElse(lit(null).cast(f.dataType)))
       }
     }
-    parts.reduce(_ unionByName _).select(schema.fieldNames.map(col): _*)
+    parts.reduce(_ unionByName _)
+      .select((schema.fieldNames.toSeq ++ fileCol).map(col): _*)
   }
 
   /** A predicate delete's file-level outcome: how much of the table the
@@ -1157,6 +1168,113 @@ object DeltaInterop {
       maybeCheckpoint(spark, path, version)
       version
     } finally { survivors.foreach(_.unpersist()); () }
+  }
+
+  /** MERGE INTO on the wire format — the conditional upsert Delta
+    * itself runs as two jobs, spelled the same way here: (1) FIND the
+    * touched files — source key [min,max] envelope prunes the live set
+    * on `add.stats` (one bounded aggregate over the source), then one
+    * scan of the candidates' ON columns semi-joined to the source keys
+    * yields the files that actually hold a matched row; (2) REWRITE
+    * exactly those files through a full-outer join with the source,
+    * applying `clauses` in order, first match wins ([[VersionedTable]]'s
+    * clause ADT and semantics: conditions/values reference `t.<col>` /
+    * `s.<col>`). Unmatched target rows in touched files carry over
+    * byte-identical in value; untouched files stay in the log untouched.
+    * More than one source row matching the same target key fails in the
+    * plan (`raise_error` — Delta's multiple-source-rows-matched error).
+    * One atomic commit: removes for touched files, adds for the
+    * rewritten + inserted rows, CDC actions when the table has CDF
+    * enabled.
+    *
+    * Scale: write amplification is bounded by files with GENUINE
+    * matches, not stats overlap — on a 100 TB table a merge keyed to a
+    * well-clustered column rewrites only the hit files, and the extra
+    * detection pass reads just the ON columns of the stats-pruned
+    * candidates.
+    */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+      on: Seq[String], clauses: Seq[VersionedTable.MergeClause]): DeleteResult = {
+    import org.apache.spark.sql.expressions.Window
+    require(clauses.nonEmpty, "DeltaInterop merge: no clauses")
+    require(on.nonEmpty, "DeltaInterop merge: empty ON key list")
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path)
+    requireUnmapped(snap, "merge")
+    val schema = snap.schema
+    val partCols = snap.metaData.partitionColumns
+    on.foreach(c => require(schema.fieldNames.contains(c),
+      s"DeltaInterop merge: ON column $c not in table schema"))
+    on.foreach(c => require(source.columns.contains(c),
+      s"DeltaInterop merge: ON column $c not in source"))
+    val sourceCols = source.columns.toSet
+    val candidates = FileStats.keyEnvelope(source.select(on.map(col): _*), on) match {
+      case FileStats.Unmatchable => Nil // no source key can equal anything
+      case FileStats.Unbounded => snap.adds
+      case FileStats.Bounds(p) => pruneAdds(spark, snap, Some(p))
+    }
+    val src = source.persist()
+    try {
+      val srcKeys = src.select(on.map(col): _*).distinct()
+      val touched: Seq[AddFile] =
+        if (candidates.isEmpty) Nil
+        else {
+          val byPath = candidates.map(a =>
+            fs.makeQualified(new Path(resolveAddPath(path, a.path)))
+              .toUri.getPath -> a).toMap
+          frameOver(spark, path, snap, candidates, fileCol = Some("__file"))
+            .join(srcKeys, on, "left_semi")
+            .select(col("__file")).distinct().collect()
+            .flatMap(r => byPath.get(new Path(r.getString(0)).toUri.getPath))
+            .toSeq
+        }
+      val t0 =
+        if (touched.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else frameOver(spark, path, snap, touched)
+      val t = t0.withColumn("__te", lit(1)).alias("t")
+      val s = src
+        .withColumn("__scnt", count(lit(1)).over(
+          Window.partitionBy(on.map(col): _*)))
+        .withColumn("__se", lit(1)).alias("s")
+      val j = t.join(s,
+        on.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+        "full_outer").persist()
+      try {
+        val mc = MergeKernel.columns(schema, sourceCols, on, clauses,
+          "DeltaInterop merge")
+        val resolved = j.select(mc.picked.as("__r"))
+          .filter(col("__r").isNotNull).select("__r.*")
+        if (touched.isEmpty && resolved.limit(1).count() == 0)
+          return DeleteResult(snap.version, 0, snap.adds.size) // full no-op
+        val adds = stageAdds(resolved, path, partCols)
+        val cdc = cdcIfEnabled(snap, path, partCols) {
+          val mt = j.filter(mc.matched).withColumn("__tag", mc.matchTag)
+          val pre = mt.filter(col("__tag") === "update")
+            .select(mc.fromTarget.as("__r")).select("__r.*")
+            .withColumn(ChangeTypeCol, lit("update_preimage"))
+          val post = mt.filter(col("__tag") === "update")
+            .select(mc.matchedResult.as("__r")).select("__r.*")
+            .withColumn(ChangeTypeCol, lit("update_postimage"))
+          val del = mt.filter(col("__tag") === "delete")
+            .select(mc.fromTarget.as("__r")).select("__r.*")
+            .withColumn(ChangeTypeCol, lit("delete"))
+          val ins = j.filter(col("t.__te").isNull)
+            .select(mc.notMatchedResult.as("__r")).filter(col("__r").isNotNull)
+            .select("__r.*").withColumn(ChangeTypeCol, lit("insert"))
+          pre.unionByName(post).unionByName(del).unionByName(ins)
+        }
+        val now = System.currentTimeMillis()
+        val removes = touched.map(a =>
+          RemoveFile(a.path, Some(now), dataChange = true, a.deletionVector))
+        val version = snap.version + 1
+        beforePublish()
+        publish(fs, path, version,
+          removes.map(removeJson) ++ adds.map(addJson) ++ cdc)
+        maybeCheckpoint(spark, path, version)
+        DeleteResult(version, touched.size, snap.adds.size - touched.size)
+      } finally { j.unpersist(); () }
+    } finally { src.unpersist(); () }
   }
 
   /** One commit file's raw actions. */
@@ -1870,6 +1988,38 @@ object DeltaInterop {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Driver-checked MERGE INTO on the wire format: ONE statement
+    * against the Delta-partitioned orders table updates every 100th
+    * key (+100000 price), deletes every (100k+50)th, and inserts a
+    * negated copy of every (100k+25)th — the same deterministic merge
+    * the graft-table `q_merge` runs, now through the protocol's
+    * remove/add commit. The oracle reconstructs the end state
+    * relationally.
+    */
+  def deltaMergeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-delta-merge") + "/orders_delta"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    write(orders, out, partitionBy = Seq("o_orderstatus"))
+    val src = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("op", lit("U"))
+      .unionByName(orders.filter(col("o_orderkey") % 100 === 50)
+        .withColumn("op", lit("D")))
+      .unionByName(orders.filter(col("o_orderkey") % 100 === 25)
+        .withColumn("o_orderkey", -col("o_orderkey")).withColumn("op", lit("I")))
+    merge(spark, out, src, on = Seq("o_orderkey"), clauses = Seq(
+      VersionedTable.MatchedDelete(Some(col("s.op") === "D")),
+      VersionedTable.MatchedUpdate(
+        Map("o_totalprice" -> (col("s.o_totalprice") + lit(100000.0))),
+        Some(col("s.op") === "U")),
+      VersionedTable.NotMatchedInsert(cond = Some(col("s.op") === "I"))))
+    read(spark, out)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Driver-checked DELETION-VECTOR round trip: orders land as a Delta
     * table; two successive soft deletes (the second overlapping the
     * first, forcing the DV set-union supersede on every touched file)
@@ -1976,6 +2126,17 @@ object DeltaInterop {
         SELECT o_orderstatus, count(*) AS n_rows,
                cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+    graft.Op("q_delta_merge", deltaMergeRoundTrip,
+      Some("""
+        SELECT * FROM (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 100000
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 100 <> 50
+          UNION ALL
+          SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 100 = 25)
+        ORDER BY o_orderkey""")),
     graft.Op("q_delta_delete", deltaDeleteRoundTrip,
       Some("""
         WITH survivors AS (

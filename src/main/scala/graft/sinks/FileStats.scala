@@ -373,4 +373,46 @@ object FileStats {
         (kept, files.size - kept.size)
       }
   }
+
+  /** Outcome of [[keyEnvelope]]: can the source's join keys be turned
+    * into a file-prunable range predicate?
+    */
+  sealed trait Envelope
+  /** Some key column has no non-null source value: equality can never
+    * hold, so NO target row matches any source row.
+    */
+  case object Unmatchable extends Envelope
+  /** No orderable key column: every file is a candidate. */
+  case object Unbounded extends Envelope
+  /** Conjunction of per-column `key BETWEEN min AND max` ranges —
+    * conservative: a file outside the envelope cannot hold a match.
+    */
+  final case class Bounds(pred: Column) extends Envelope
+
+  /** The [min, max] envelope of `source`'s `on` columns as ONE bounded
+    * driver aggregate (2·|on| scalars), for MERGE-style touched-file
+    * pruning: a target file whose stats lie outside every source key's
+    * range cannot contain a matched row. Non-orderable key types simply
+    * drop out of the conjunction (still conservative).
+    */
+  private[sinks] def keyEnvelope(source: DataFrame, on: Seq[String]): Envelope = {
+    val fields = source.schema.fields.filter(f => on.contains(f.name))
+    val orderable = fields.filter(_.dataType match {
+      case _: NumericType | StringType | DateType | TimestampType |
+           TimestampNTZType | BooleanType => true
+      case _ => false
+    })
+    if (orderable.isEmpty) return Unbounded
+    val aggs = orderable.flatMap(f =>
+      Seq(min(col(f.name)).as(s"__lo_${f.name}"),
+        max(col(f.name)).as(s"__hi_${f.name}")))
+    val row = source.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+    val bounds = orderable.map { f =>
+      (f, row.getAs[Any](s"__lo_${f.name}"), row.getAs[Any](s"__hi_${f.name}"))
+    }
+    if (bounds.exists(b => b._2 == null || b._3 == null)) Unmatchable
+    else Bounds(bounds.map { case (f, lo, hi) =>
+      col(f.name) >= lit(lo) && col(f.name) <= lit(hi)
+    }.reduce(_ && _))
+  }
 }

@@ -1153,6 +1153,177 @@ object IcebergInterop {
       listRecs, delPath, nKeys, contentKind = 2, eqIds = eqIds)
   }
 
+  /** MERGE INTO on the Iceberg wire format — the MERGE-ON-READ shape
+    * v2 engines write (Flink CDC's upsert spelling): instead of
+    * rewriting matched files, ONE snapshot carries (a) an
+    * EQUALITY-delete file holding the ON-key rows of every matched row
+    * a clause updated or deleted, and (b) new data files with the
+    * updated + inserted rows. The spec's sequence rule does the rest:
+    * an equality delete applies only to data files with a STRICTLY
+    * lower sequence, so the same snapshot's appends survive while
+    * every older version of the touched keys dies. Cost is
+    * O(matched + inserted rows) — no data file is rewritten, the true
+    * 100 TB merge shape ([[DeltaInterop.merge]] is the COW spelling).
+    *
+    * Matched rows are found over the source keys' [min,max] envelope
+    * ([[FileStats.keyEnvelope]], stats-pruned through [[readWhere]],
+    * which also applies existing row-level deletes so a dead row can
+    * never match). Clause semantics, `t.`/`s.` value references, and
+    * the multiple-source-rows `raise_error` guard are
+    * [[VersionedTable.merge]]'s, shared via [[MergeKernel]]. Returns
+    * the committed snapshot id (the current id when a full no-op).
+    */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+      on: Seq[String], clauses: Seq[VersionedTable.MergeClause]): Long = {
+    import org.apache.spark.sql.expressions.Window
+    require(clauses.nonEmpty, "IcebergInterop merge: no clauses")
+    require(on.nonEmpty, "IcebergInterop merge: empty ON key list")
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val schema = currentSchema(meta)
+    val partFields = partFieldsOf(meta, schema)
+    val curId = (meta \ "current-snapshot-id").extract[Long]
+    on.foreach(c => require(schema.fieldNames.contains(c),
+      s"IcebergInterop merge: ON column $c not in table schema"))
+    on.foreach(c => require(source.columns.contains(c),
+      s"IcebergInterop merge: ON column $c not in source"))
+    val idByName = fieldIdToName(meta).map(_.swap)
+    val eqIds = on.map(c => idByName.getOrElse(c,
+      throw new IllegalStateException(s"no field id for $c")))
+    val t0 = FileStats.keyEnvelope(source.select(on.map(col): _*), on) match {
+      case FileStats.Unmatchable =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case FileStats.Unbounded => readWhere(spark, path, None)
+      case FileStats.Bounds(p) => readWhere(spark, path, Some(p))
+    }
+    val src = source.persist()
+    try {
+      val t = t0.withColumn("__te", lit(1)).alias("t")
+      val s = src
+        .withColumn("__scnt", count(lit(1)).over(
+          Window.partitionBy(on.map(col): _*)))
+        .withColumn("__se", lit(1)).alias("s")
+      val j = t.join(s,
+        on.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+        "full_outer").persist()
+      val mc = MergeKernel.columns(schema, source.columns.toSet, on, clauses,
+        "IcebergInterop merge")
+      // keys to equality-delete: every matched row some clause acted on
+      // (the filter's guard raises on duplicate source rows even when
+      // nothing is appended — delete-only merges still validate)
+      val dupGuard = when(col("s.__scnt") > 1,
+        raise_error(concat(
+          lit("IcebergInterop merge: multiple source rows match target key "),
+          concat_ws(",", on.map(k => col(s"s.$k").cast("string")): _*)))
+          .cast("boolean")).otherwise(lit(true))
+      val delKeys = j.filter(mc.matched && mc.matchTag =!= "keep" && dupGuard)
+        .select(on.map(k => col(s"t.$k").as(k)): _*).distinct().persist()
+      try {
+        // append set: updated matched rows + inserted rows (the dup
+        // guard is `picked`'s first branch and fires during staging)
+        val appendRows = j.select(
+          when(mc.matched && col("s.__scnt") > 1, mc.picked)
+            .when(mc.matched && mc.matchTag === "update", mc.matchedResult)
+            .when(col("t.__te").isNull, mc.notMatchedResult)
+            .otherwise(lit(null).cast(StructType(schema.fields))).as("__r"))
+          .filter(col("__r").isNotNull).select("__r.*")
+        val nDel = delKeys.count()
+        val moved =
+          if (appendRows.limit(1).count() == 0) Nil
+          else stageDataFiles(appendRows, path, partFields.map(_.name), fs)
+        if (nDel == 0 && moved.isEmpty) return curId // full no-op
+        val prevFormat = (meta \ "format-version").extract[Int]
+        val fmt = if (nDel > 0) 2 else prevFormat
+        val newSeq = if (fmt >= 2)
+          (meta \ "last-sequence-number").extractOrElse[Long](0L) + 1 else 0L
+        val snapshotId =
+          math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+        val snap = (meta \ "snapshots").extract[List[JValue]]
+          .find(x => (x \ "snapshot-id").extract[Long] == curId)
+          .getOrElse(throw new IllegalStateException(
+            s"snapshot $curId not in $path"))
+        val listRecs = readAvro(fs,
+          new Path((snap \ "manifest-list").extract[String]))
+        val fresh = scala.collection.mutable.ArrayBuffer[GenericRecord]()
+        if (moved.nonEmpty) {
+          val statsByFile = FileStats.fromFooters(spark, moved.map(_.path), schema)
+          val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-m0.avro"
+          val entrySchema = manifestEntrySchema(partFields)
+          val len = writeAvro(fs, new Path(manifestPath), entrySchema,
+            Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
+              "partition-spec" -> JsonMethods.compact(JsonMethods.render(
+                specFieldsJson(partFields, schema))),
+              "partition-spec-id" -> "0",
+              "format-version" -> fmt.toString),
+            buildEntries(moved, snapshotId, schema, partFields,
+              statsByFile, entrySchema))
+          fresh += listEntryRecord(manifestPath, len, snapshotId,
+            content = 0, seq = newSeq)
+        }
+        if (nDel > 0) {
+          // sorted equality-delete parquet of the ON-key rows
+          val stage = new Path(s"$path/metadata/eqstage-${java.util.UUID.randomUUID()}")
+          delKeys.coalesce(1).sortWithinPartitions(on.map(col): _*)
+            .write.parquet(stage.toString)
+          val part = fs.listStatus(stage).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              "merge eq-delete write produced no file"))
+          val delPath = s"$path/data/eqdelete-${java.util.UUID.randomUUID()}.parquet"
+          fs.mkdirs(new Path(delPath).getParent)
+          require(fs.rename(part, new Path(delPath)), "eq-delete rename failed")
+          fs.delete(stage, true)
+          val delLen = fs.getFileStatus(new Path(delPath)).getLen
+          val dfSchema = DeleteManifestEntrySchema.getField("data_file").schema()
+          val dfRec = new GenericData.Record(dfSchema)
+          dfRec.put("content", 2)
+          dfRec.put("file_path", delPath)
+          dfRec.put("file_format", "PARQUET")
+          dfRec.put("partition",
+            new GenericData.Record(dfSchema.getField("partition").schema()))
+          dfRec.put("record_count", nDel)
+          dfRec.put("file_size_in_bytes", delLen)
+          dfRec.put("equality_ids",
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              eqIds.map(Integer.valueOf)).asJava)
+          val entry = new GenericData.Record(DeleteManifestEntrySchema)
+          entry.put("status", 1) // ADDED
+          entry.put("snapshot_id", snapshotId)
+          entry.put("data_file", dfRec)
+          val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-d0.avro"
+          val len = writeAvro(fs, new Path(manifestPath),
+            DeleteManifestEntrySchema,
+            Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
+              "partition-spec" -> JsonMethods.compact(JsonMethods.render(
+                specFieldsJson(partFields, schema))),
+              "partition-spec-id" -> "0",
+              "format-version" -> "2",
+              "content" -> "deletes"),
+            Seq(entry))
+          fresh += listEntryRecord(manifestPath, len, snapshotId,
+            content = 1, seq = newSeq)
+        }
+        val carried = listRecs.map(r => listEntryRecord(
+          r.get("manifest_path").toString,
+          r.get("manifest_length").asInstanceOf[Long],
+          r.get("added_snapshot_id").asInstanceOf[java.lang.Long],
+          content = listContentOf(r), seq = listSeqOf(r)))
+        val listPath =
+          s"$path/metadata/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
+        writeAvro(fs, new Path(listPath), ManifestFileSchema,
+          Map("format-version" -> fmt.toString), fresh.toSeq ++ carried)
+        val prevProps =
+          (meta \ "properties").extractOrElse[Map[String, String]](Map.empty)
+        publishMetadata(fs, path, Some((version, meta)), schema, partFields,
+          prevProps, fmt, newSeq, snapshotId, System.currentTimeMillis(),
+          listPath, "overwrite")
+      } finally { delKeys.unpersist(); j.unpersist(); () }
+    } finally { src.unpersist(); () }
+  }
+
   /** The data files `where` cannot prune — spec/test introspection. */
   private[graft] def liveFilesWhere(spark: SparkSession, path: String,
       where: Option[Column]): Seq[String] = {
@@ -1235,6 +1406,39 @@ object IcebergInterop {
         sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
           .as("sum_price"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** Driver-checked MERGE INTO on the wire format: ONE statement
+    * against the Iceberg orders table updates every 100th key (+100000
+    * price), deletes every (100k+50)th, and inserts a negated copy of
+    * every (100k+25)th — the same deterministic merge as `q_merge` /
+    * `q_delta_merge`, here as one merge-on-read snapshot (equality
+    * delete + appends, nothing rewritten). The read back applies the
+    * sequence-scoped delete chain; the oracle reconstructs the end
+    * state relationally.
+    */
+  def icebergMergeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-iceberg-merge") + "/orders_iceberg"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    write(orders, out, partitionBy = Seq("o_orderstatus"))
+    val src = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("op", lit("U"))
+      .unionByName(orders.filter(col("o_orderkey") % 100 === 50)
+        .withColumn("op", lit("D")))
+      .unionByName(orders.filter(col("o_orderkey") % 100 === 25)
+        .withColumn("o_orderkey", -col("o_orderkey")).withColumn("op", lit("I")))
+    merge(spark, out, src, on = Seq("o_orderkey"), clauses = Seq(
+      VersionedTable.MatchedDelete(Some(col("s.op") === "D")),
+      VersionedTable.MatchedUpdate(
+        Map("o_totalprice" -> (col("s.o_totalprice") + lit(100000.0))),
+        Some(col("s.op") === "U")),
+      VersionedTable.NotMatchedInsert(cond = Some(col("s.op") === "I"))))
+    read(spark, out)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
   }
 
   /** ADDED (status 1) manifest entries for freshly staged files: typed
@@ -1847,6 +2051,17 @@ object IcebergInterop {
     // delete key%5==0: the net live set is exactly orders minus the
     // key%5 rows — anything else means the sequence rule or the
     // merge-on-read join is wrong
+    graft.Op("q_iceberg_merge", icebergMergeRoundTrip,
+      Some("""
+        SELECT * FROM (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 100000
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 100 <> 50
+          UNION ALL
+          SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 100 = 25)
+        ORDER BY o_orderkey""")),
     graft.Op("q_iceberg_posdelete", icebergPosDeleteRoundTrip,
       Some("""
         SELECT o_orderstatus, count(*) AS n_live,

@@ -2871,3 +2871,75 @@ object VersionedTable {
         ()
       }
 }
+
+/** Clause evaluation shared by the WIRE-FORMAT MERGE implementations
+  * ([[DeltaInterop.merge]], [[IcebergInterop.merge]]) over the
+  * convention both build: target aliased `t` with presence marker
+  * `__te`, source aliased `s` with `__se` and a windowed per-key count
+  * `__scnt`, full-outer joined on the ON keys. All results are COLUMNS
+  * over that join — clause application stays one declarative plan, the
+  * multiple-source-rows guard is an in-plan `raise_error`.
+  * ([[VersionedTable.merge]] itself keeps its own copy: its output
+  * schema can evolve past the table's, a shape the wire formats
+  * don't support.)
+  */
+private[sinks] object MergeKernel {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.StructType
+  import VersionedTable.{MatchedDelete, MatchedUpdate, MergeClause, NotMatchedInsert}
+
+  final case class Cols(matched: Column, matchedResult: Column,
+      notMatchedResult: Column, fromTarget: Column, matchTag: Column,
+      picked: Column)
+
+  def columns(schema: StructType, sourceCols: Set[String], on: Seq[String],
+      clauses: Seq[MergeClause], errPrefix: String): Cols = {
+    val outType = StructType(schema.fields)
+    def fromTarget: Column = struct(schema.fields.toSeq.map(f =>
+      col(s"t.${f.name}").as(f.name)): _*)
+    def fromMap(m: Map[String, Column], default: String => Column): Column = {
+      val unknown = m.keySet.filterNot(schema.fieldNames.contains)
+      require(unknown.isEmpty, s"$errPrefix: unknown target columns $unknown")
+      struct(schema.fields.toSeq.map { f =>
+        m.getOrElse(f.name, default(f.name)).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    def fromSource(name: String): Column =
+      if (sourceCols(name)) col(s"s.$name") else lit(null)
+    val dropRow = lit(null).cast(outType)
+    val matchedResult = clauses.foldRight(fromTarget) {
+      case (MatchedUpdate(set, cond), acc) =>
+        when(cond.getOrElse(lit(true)),
+          fromMap(set, c => col(s"t.$c"))).otherwise(acc)
+      case (MatchedDelete(cond), acc) =>
+        when(cond.getOrElse(lit(true)), dropRow).otherwise(acc)
+      case (_, acc) => acc
+    }
+    val notMatchedResult = clauses.foldRight(dropRow) {
+      case (NotMatchedInsert(values, cond), acc) =>
+        when(cond.getOrElse(lit(true)),
+          fromMap(values.getOrElse(Map.empty), fromSource)).otherwise(acc)
+      case (_, acc) => acc
+    }
+    // first holding matched clause as a tag, for CDC rows / delete keys
+    val matchTag = clauses.foldRight(lit("keep")) {
+      case (MatchedUpdate(_, cond), acc) =>
+        when(cond.getOrElse(lit(true)), lit("update")).otherwise(acc)
+      case (MatchedDelete(cond), acc) =>
+        when(cond.getOrElse(lit(true)), lit("delete")).otherwise(acc)
+      case (_, acc) => acc
+    }
+    val matched = col("t.__te").isNotNull && col("s.__se").isNotNull
+    val picked =
+      when(matched && col("s.__scnt") > 1,
+        raise_error(concat(
+          lit(s"$errPrefix: multiple source rows match target key "),
+          concat_ws(",", on.map(k => col(s"s.$k").cast("string")): _*)))
+          .cast(outType))
+        .when(matched, matchedResult)
+        .when(col("t.__te").isNotNull, fromTarget)
+        .otherwise(notMatchedResult)
+    Cols(matched, matchedResult, notMatchedResult, fromTarget, matchTag, picked)
+  }
+}

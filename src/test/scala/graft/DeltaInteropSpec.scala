@@ -719,6 +719,87 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, path).count() == 60010)
   }
 
+  test("merge: clause-ordered update/delete/insert; only genuinely matched files rewrite") {
+    val path = tmp("merge")
+    val rows = (0 until 100).map(i => (i.toLong, s"p${i / 25}", i * 1.0))
+    DeltaInterop.write(rows.toDF("id", "cat", "v").repartition(col("cat")),
+      path, partitionBy = Seq("cat"))
+    val before = DeltaInterop.snapshot(spark, path)
+    assert(before.adds.size == 4)
+    // keys 3/7/11 live in p0 only; 200 matches nothing (insert)
+    val src = Seq((3L, 99.0, "U"), (7L, 0.0, "D"), (200L, 42.0, "I"),
+      (11L, -1.0, "X")).toDF("id", "v", "op")
+    val res = DeltaInterop.merge(spark, path, src, on = Seq("id"), clauses = Seq(
+      graft.sinks.VersionedTable.MatchedDelete(Some(col("s.op") === "D")),
+      graft.sinks.VersionedTable.MatchedUpdate(Map("v" -> col("s.v")),
+        Some(col("s.op") === "U")),
+      graft.sinks.VersionedTable.NotMatchedInsert(
+        values = Some(Map("id" -> col("s.id"), "cat" -> lit("pX"),
+          "v" -> col("s.v"))),
+        cond = Some(col("s.op") === "I"))))
+    // stats envelope [3,200] overlaps every file, but only p0 holds a
+    // genuine match — the other three files carry over untouched
+    assert(res.rewrittenFiles == 1, s"touched ${res.rewrittenFiles}")
+    val after = DeltaInterop.snapshot(spark, path)
+    val keptPaths = before.adds.filterNot(_.partitionValues
+      .get("cat").flatten.contains("p0")).map(_.path).toSet
+    assert(keptPaths.subsetOf(after.adds.map(_.path).toSet))
+    val got = DeltaInterop.read(spark, path)
+      .select("id", "cat", "v").as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 100) // -1 delete +1 insert
+    assert(got(3L) == ("p0", 99.0)) // updated
+    assert(!got.contains(7L)) // deleted
+    assert(got(11L) == ("p0", 11.0)) // matched, no clause held: kept
+    assert(got(200L) == ("pX", 42.0)) // inserted
+  }
+
+  test("merge: multiple source rows per target key fail in the plan") {
+    val path = tmp("mergedup")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
+    val src = Seq((1L, 1.0), (1L, 2.0)).toDF("id", "v")
+    val e = intercept[Exception] {
+      DeltaInterop.merge(spark, path, src, on = Seq("id"), clauses = Seq(
+        graft.sinks.VersionedTable.MatchedUpdate(Map("v" -> col("s.v")))))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("multiple source rows")), msgs(e).mkString)
+  }
+
+  test("merge: no matches and no insert clause is a version-preserving no-op") {
+    val path = tmp("mergenoop")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
+    val src = Seq((100L, 1.0)).toDF("id", "v")
+    val res = DeltaInterop.merge(spark, path, src, on = Seq("id"), clauses = Seq(
+      graft.sinks.VersionedTable.MatchedUpdate(Map("v" -> col("s.v")))))
+    assert(res.version == 0L && res.rewrittenFiles == 0)
+    assert(DeltaInterop.read(spark, path).count() == 4)
+  }
+
+  test("merge on a CDF table writes pre/post-image, delete, and insert cdc rows") {
+    val path = tmp("mergecdf")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))          // v0
+    DeltaInterop.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                      // v1
+    val src = Seq((1L, 99.0, "U"), (3L, 0.0, "D"), (9L, 5.0, "I"))
+      .toDF("id", "v", "op")
+    DeltaInterop.merge(spark, path, src, on = Seq("id"), clauses = Seq(
+      graft.sinks.VersionedTable.MatchedUpdate(Map("v" -> col("s.v")),
+        Some(col("s.op") === "U")),
+      graft.sinks.VersionedTable.MatchedDelete(Some(col("s.op") === "D")),
+      graft.sinks.VersionedTable.NotMatchedInsert(
+        values = Some(Map("id" -> col("s.id"), "cat" -> lit("c"),
+          "v" -> col("s.v"))),
+        cond = Some(col("s.op") === "I"))))                             // v2
+    val feed = DeltaInterop.readChangeFeed(spark, path, 1L, 2L)
+      .select(col("_change_type"), col("id"), col("v"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(feed == Set(
+      ("update_preimage", 1L, 10.0), ("update_postimage", 1L, 99.0),
+      ("delete", 3L, 30.0), ("insert", 9L, 5.0)))
+  }
+
   test("CDF: property commit upgrades protocol; DML writes cdc actions + _change_data") {
     val path = tmp("cdf")
     DeltaInterop.write(sample, path, partitionBy = Seq("cat"))          // v0

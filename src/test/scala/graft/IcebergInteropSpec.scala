@@ -463,6 +463,85 @@ class IcebergInteropSpec extends SparkSpec {
     assert(IcebergInterop.read(spark, path).count() == 4096)
   }
 
+  test("merge: one MOR snapshot (eq-delete + appends), data parquet untouched") {
+    val path = tmp("merge")
+    val rows = (0 until 100).map(i => (i.toLong, s"p${i / 25}", i * 1.0))
+    IcebergInterop.write(rows.toDF("id", "cat", "v").repartition(col("cat")),
+      path, partitionBy = Seq("cat"))
+    val dataDir = new java.io.File(s"$path/data")
+    def dataParquet() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(dataDir)
+    }
+    val before = dataParquet()
+      .filterNot(_.getName.startsWith("eqdelete"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+    val src = Seq((3L, 99.0, "U"), (7L, 0.0, "D"), (200L, 42.0, "I"),
+      (11L, -1.0, "X")).toDF("id", "v", "op")
+    IcebergInterop.merge(spark, path, src, on = Seq("id"), clauses = Seq(
+      graft.sinks.VersionedTable.MatchedDelete(Some(col("s.op") === "D")),
+      graft.sinks.VersionedTable.MatchedUpdate(Map("v" -> col("s.v")),
+        Some(col("s.op") === "U")),
+      graft.sinks.VersionedTable.NotMatchedInsert(
+        values = Some(Map("id" -> col("s.id"), "cat" -> lit("pX"),
+          "v" -> col("s.v"))),
+        cond = Some(col("s.op") === "I"))))
+    // no pre-existing data parquet rewritten or removed — MOR contract
+    before.foreach { case (p, mtime) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.lastModified() == mtime, s"rewritten: $p")
+    }
+    val got = IcebergInterop.read(spark, path)
+      .select("id", "cat", "v").as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 100) // -1 delete +1 insert
+    assert(got(3L) == ("p0", 99.0)) // updated
+    assert(!got.contains(7L)) // deleted
+    assert(got(11L) == ("p0", 11.0)) // matched, no clause held: kept
+    assert(got(200L) == ("pX", 42.0)) // inserted
+    // sequence rule: a LATER append of a merge-deleted key survives
+    IcebergInterop.write(Seq((7L, "p0", 7.0)).toDF("id", "cat", "v"), path,
+      partitionBy = Seq("cat"))
+    val again = IcebergInterop.read(spark, path)
+    assert(again.filter(col("id") === 7L).count() == 1)
+    assert(again.count() == 101)
+  }
+
+  test("merge: multiple source rows per key raise; unmatched-only merge appends") {
+    val path = tmp("mergedup")
+    IcebergInterop.write(sample, path)
+    val dup = Seq((1L, 1.0), (1L, 2.0)).toDF("id", "v")
+    val e = intercept[Exception] {
+      IcebergInterop.merge(spark, path, dup, on = Seq("id"), clauses = Seq(
+        graft.sinks.VersionedTable.MatchedUpdate(Map("v" -> col("s.v")))))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("multiple source rows")), msgs(e).mkString)
+    // no matches + no insert clause: version-preserving no-op
+    val cur = IcebergInterop.merge(spark, path,
+      Seq((100L, 1.0)).toDF("id", "v"), on = Seq("id"),
+      clauses = Seq(graft.sinks.VersionedTable.MatchedUpdate(
+        Map("v" -> col("s.v")))))
+    assert(IcebergInterop.read(spark, path).count() == 3)
+    // insert-only merge on a v1 table stays a plain v1 append
+    IcebergInterop.merge(spark, path,
+      Seq((9L, "c", 90.0)).toDF("id", "cat", "v"), on = Seq("id"),
+      clauses = Seq(graft.sinks.VersionedTable.NotMatchedInsert()))
+    implicit val fmts: Formats = DefaultFormats
+    val hint = scala.io.Source.fromFile(s"$path/metadata/version-hint.text")
+      .mkString.trim.toInt
+    val meta = JsonMethods.parse(scala.io.Source.fromFile(
+      s"$path/metadata/v$hint.metadata.json").mkString)
+    assert((meta \ "format-version").extract[Int] == 1,
+      "insert-only merge must not upgrade the format version")
+    assert(IcebergInterop.read(spark, path)
+      .filter(col("id") === 9L).count() == 1)
+    assert(cur != 0L)
+  }
+
   test("compact targetFileBytes splits a big partition across several files") {
     val path = tmp("binpack")
     val hot = (0 until 60000).map(i => (i.toLong, "hot", s"payload-$i-${"x" * 40}"))
