@@ -347,7 +347,87 @@ object Corpus {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * public): weight every raw document by how target-domain-like its
+    * HASHED N-GRAM features are, w(doc) = Σ_features ln p̂_target(b) −
+    * ln p̂_raw(b) over the doc's hashed-bigram buckets, with add-one
+    * smoothing on both bucket tables. Selecting the top-weighted (or
+    * sampling ∝ exp w) docs is the paper's recipe for matching a
+    * pretraining mix to a target domain; here the target is the
+    * corpus's own `source = targetSource` slice so the op is
+    * self-contained and oracle-exact.
+    *
+    * Scale shape — the reason DSIR beats classifier-based selection at
+    * 100 TB: the "model" is two B-entry count tables (B = `buckets`,
+    * fixed), built by ONE map-side-partial groupBy each over hashed
+    * bigrams (md5-derived, engine-reproducible like [[assignSplits]]),
+    * then broadcast; scoring is a broadcast join + per-doc sum — the
+    * corpus never shuffles on a text key and nothing grows with corpus
+    * size except the one (doc_id, bucket) aggregation. Zero-feature
+    * docs (< 2 tokens) keep weight 0.
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+      targetSource: String = "src1", buckets: Int = 1024,
+      smoothing: Double = 1.0): DataFrame = {
+    require(buckets > 0 && smoothing > 0,
+      s"dsirWeights: need buckets > 0 and smoothing > 0, got ($buckets, $smoothing)")
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .filter(col("text").isNotNull)
+    val feats = docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.GraftFunctions.wordNgrams(col("text"), 2)).as("bg"))
+      .withColumn("b",
+        conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("long") % buckets)
+    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+    val tgt = feats.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    val tbl = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+    val tot = tbl.agg(sum(col("c_raw")).as("n_raw"), sum(col("c_tgt")).as("n_tgt"))
+    val lr = tbl.crossJoin(broadcast(tot)).select(col("b"),
+      (log((col("c_tgt") + lit(smoothing)) /
+          (col("n_tgt") + lit(smoothing * buckets))) -
+        log((col("c_raw") + lit(smoothing)) /
+          (col("n_raw") + lit(smoothing * buckets)))).as("lr"))
+    val scored = feats.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("w"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        // rounded for cross-engine float equality, same as avg_logprob
+        round(coalesce(col("w"), lit(0.0)), 9).as("dsir_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("q_dsir", (s, d) => dsirWeights(s, d),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE text IS NOT NULL),
+        feats AS (
+          SELECT doc_id, source,
+                 CAST(concat('0x', substr(md5(bg), 1, 4)) AS INTEGER) % 1024 AS b
+          FROM (SELECT doc_id, source, unnest(list_transform(
+                  generate_series(1, len(ts) - 1),
+                  i -> ts[i] || ' ' || ts[i + 1])) AS bg
+                FROM docs)),
+        raw AS (SELECT b, count(*) AS c_raw FROM feats GROUP BY b),
+        tgt AS (SELECT b, count(*) AS c_tgt FROM feats
+                WHERE source = 'src1' GROUP BY b),
+        tbl AS (SELECT b, c_raw, coalesce(c_tgt, 0) AS c_tgt
+                FROM raw LEFT JOIN tgt USING (b)),
+        tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM tbl),
+        w AS (
+          SELECT doc_id, count(*) AS n_feats,
+                 sum(ln((c_tgt + 1.0) / (n_tgt + 1024.0)) -
+                     ln((c_raw + 1.0) / (n_raw + 1024.0))) AS w
+          FROM feats JOIN tbl USING (b), tot
+          GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+               round(coalesce(w, 0.0), 9) AS dsir_weight
+        FROM (SELECT doc_id FROM docs) d LEFT JOIN w USING (doc_id)
+        ORDER BY doc_id""")),
     Op("q_shuffle", shuffleOrder,
       Some("""
         WITH k AS (

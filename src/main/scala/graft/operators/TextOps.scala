@@ -324,6 +324,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity BUCKETING (Wenzek et al. 2020 §4.3): score
+    * every document by LM perplexity — here the corpus-estimated
+    * unigram model of [[unigramLogProb]], ppl = −mean ln p(token) —
+    * and split the corpus into `head` / `middle` / `tail` at the
+    * corpus's own `lo`/`hi` perplexity quantiles. The head (lowest
+    * perplexity = most corpus-typical) is what CCNet keeps for LM
+    * training data; the tail is the noise shelf.
+    *
+    * Scale shape: scoring is [[unigramLogProb]]'s broadcast-vocabulary
+    * plan (no token-key shuffle); the thresholds are ONE aggregation
+    * over a single double per document broadcast back, and bucket
+    * assignment is a pure projection — no global sort, no single-
+    * partition `ntile` window. `exactThresholds = true` (default) uses
+    * Spark's exact interpolated `percentile` — distinct-score-bounded
+    * memory, right for oracle-exact equality and fine into the TB
+    * range; `false` swaps in `approx_percentile` (a fixed-memory
+    * sketch) for a corpus where even the distinct score set is huge —
+    * CCNet itself fits thresholds on a sample. The spec pins the two
+    * branches' bucket counts within tolerance.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String,
+      lo: Double = 1.0 / 3, hi: Double = 2.0 / 3,
+      exactThresholds: Boolean = true): DataFrame = {
+    require(0 < lo && lo < hi && hi < 1,
+      s"perplexityBuckets: need 0 < lo < hi < 1, got ($lo, $hi)")
+    val scored = unigramLogProb(spark, dir)
+      .withColumn("ppl", -col("avg_logprob"))
+    val th =
+      if (exactThresholds)
+        scored.agg(percentile(col("ppl"), array(lit(lo), lit(hi))).as("th"))
+      else
+        scored.agg(approx_percentile(col("ppl"), array(lit(lo), lit(hi)),
+          lit(10000)).as("th"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_tokens"), col("ppl"),
+        when(col("ppl") <= col("th")(0), lit("head"))
+          .when(col("ppl") <= col("th")(1), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Text normalization battery — the standard pre-tokenization cleanup
     * pass: Unicode NFC composition (the `graft_nfc` codegen'd kernel —
     * Spark has no built-in normalizer; DuckDB's native `nfc_normalize`
@@ -745,6 +786,25 @@ object TextOps {
         SELECT doc_id, norm, norm <> text AS changed,
                CAST(length(text) - length(norm) AS BIGINT) AS len_delta
         FROM n ORDER BY doc_id""")),
+    Op("q_ppl_buckets", (s, d) => perplexityBuckets(s, d),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+          FROM documents WHERE text IS NOT NULL),
+        freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        tot AS (SELECT count(*) AS n_total FROM toks),
+        scored AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 -round(sum(ln(CAST(c AS DOUBLE) / n_total)) / count(*), 9) AS ppl
+          FROM toks JOIN freq USING (t), tot
+          GROUP BY doc_id),
+        th AS (SELECT quantile_cont(ppl, 1.0/3) AS t1,
+                      quantile_cont(ppl, 2.0/3) AS t2 FROM scored)
+        SELECT doc_id, n_tokens, ppl,
+               CASE WHEN ppl <= t1 THEN 'head'
+                    WHEN ppl <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored, th ORDER BY doc_id""")),
     Op("q_text_logprob", (s, d) => unigramLogProb(s, d),
       Some("""
         WITH toks AS (

@@ -207,6 +207,34 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq, "same permutation on every run")
   }
 
+  test("dsirWeights ranks target-like docs above off-domain; zero-feature docs get 0") {
+    // two distinct vocabularies: 'wiki' (the target) and 'spamish' noise,
+    // plus a raw doc written in the target's vocabulary and one written
+    // in the noise vocabulary — DSIR must rank the former higher
+    val dir = SparkSpec.plantedDir(
+      "documents" -> (
+        (0 until 8).map(i =>
+          (i.toLong, "alpha beta gamma delta epsilon zeta", "en", "wiki", 30L)) ++
+        (8 until 16).map(i =>
+          (i.toLong, "buy now click here free pills", "en", "ads", 25L)) :+
+        (100L, "alpha beta gamma delta", "en", "raw", 20L) :+
+        (101L, "buy now click here", "en", "raw", 15L) :+
+        (102L, "one", "en", "raw", 3L) // < 2 tokens: no features
+      ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = Corpus.dsirWeights(spark, dir, targetSource = "wiki")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("dsir_weight"))).toMap
+    assert(got.size == 19)
+    assert(got(100L)._2 > got(101L)._2,
+      s"target-vocabulary doc must outweigh noise doc: $got")
+    assert(got(102L) == (0L, 0.0))
+    // determinism: second run identical
+    val again = Corpus.dsirWeights(spark, dir, targetSource = "wiki")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("dsir_weight"))).toMap
+    assert(again == got)
+  }
+
   test("sourceMix repeats docs by their source weight, partial epochs hash-gated") {
     val got = Corpus.sourceMix(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),

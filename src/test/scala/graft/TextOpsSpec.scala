@@ -64,6 +64,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0L)._2 > got(2L)._2, "common-token doc scores higher")
   }
 
+  test("perplexityBuckets splits ~thirds; approx thresholds agree with exact") {
+    val exact = TextOps.perplexityBuckets(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("ppl"), r.getAs[String]("bucket"))).toMap
+    val n = exact.size
+    val byBucket = exact.values.groupBy(_._2).view.mapValues(_.size).toMap
+    // corpus-relative terciles: each bucket within one doc of n/3
+    Seq("head", "middle", "tail").foreach { b =>
+      assert(math.abs(byBucket(b) - n / 3.0) <= 1.0, s"$b -> ${byBucket(b)}")
+    }
+    // ordering contract: every head doc is less perplexed than every tail doc
+    val maxHead = exact.values.filter(_._2 == "head").map(_._1).max
+    val minTail = exact.values.filter(_._2 == "tail").map(_._1).min
+    assert(maxHead <= minTail)
+    // approx branch: same rows, near-identical assignment
+    val approx = TextOps.perplexityBuckets(spark, sf, exactThresholds = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+      .toMap
+    assert(approx.size == n)
+    val agree = exact.count { case (id, (_, b)) => approx(id) == b }
+    assert(agree >= (n * 0.95).toInt, s"approx agrees on $agree/$n")
+  }
+
   test("bigramLogProb interpolates bigram and unigram models; branches agree") {
     val dir = SparkSpec.plantedDir(
       "documents" -> Seq(
