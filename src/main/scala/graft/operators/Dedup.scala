@@ -406,11 +406,20 @@ object Dedup {
     */
   def minhashAudit(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sigs = signatures(docs)
+    // tiny by construction (the near-dup pair set); cached so the
+    // paired-id semi-join below doesn't recompute the Σ df² anchor
+    val pairs = exactJaccardPairs(docs, threshold).persist()
+    // the 64-permutation signature pass runs over PAIRED docs only —
+    // the audit joins signatures to pair rows, so signing the rest of
+    // the corpus is pure waste (measured: the whole-corpus signature
+    // pass was ~70% of this query's cost at sf0.1)
+    val ids = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val sigs = signatures(docs.join(ids, Seq("doc_id"), "left_semi"))
     val matched = (0 until NumPerms)
       .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    exactJaccardPairs(docs, threshold)
+    pairs
       .join(sigs.alias("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sigs.alias("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
@@ -432,10 +441,16 @@ object Dedup {
     */
   def simhashAudit(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // same paired-docs restriction as [[minhashAudit]]: the exact-cosine
+    // recount and the signature pass both serve only pair rows
+    val pairs0 = exactJaccardPairs(docs, threshold).persist()
+    val ids = pairs0
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val paired = docs.join(ids, Seq("doc_id"), "left_semi")
     def toks = array_distinct(split(trim(lower(col("text"))), "\\s+"))
-    val sizes = docs.select(col("doc_id"), size(toks).as("nt"))
-    val e = Tables.spread(docs).select(col("doc_id"), explode(toks).as("t"))
-    val withCos = exactJaccardPairs(docs, threshold)
+    val sizes = paired.select(col("doc_id"), size(toks).as("nt"))
+    val e = Tables.spread(paired).select(col("doc_id"), explode(toks).as("t"))
+    val withCos = pairs0
       .select(col("doc_a"), col("doc_b"))
       .join(e.select(col("doc_id").as("doc_a"), col("t")), "doc_a")
       .join(e.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
@@ -446,7 +461,7 @@ object Dedup {
       .withColumn("cos_exact",
         col("ti").cast("double") /
           sqrt(col("na").cast("double") * col("nb").cast("double")))
-    val sh = simhashSignatures(docs)
+    val sh = simhashSignatures(paired)
     val est = cos(lit(math.Pi) *
       bit_count(col("sha").bitwiseXOR(col("shb"))).cast("double") / lit(64.0))
     withCos
