@@ -1194,13 +1194,19 @@ object DeltaInterop {
     * candidates.
     */
   def merge(spark: SparkSession, path: String, source: DataFrame,
-      on: Seq[String], clauses: Seq[VersionedTable.MergeClause]): DeleteResult = {
+      on: Seq[String], clauses: Seq[VersionedTable.MergeClause],
+      txn: Option[(String, Long)] = None): DeleteResult = {
     import org.apache.spark.sql.expressions.Window
     require(clauses.nonEmpty, "DeltaInterop merge: no clauses")
     require(on.nonEmpty, "DeltaInterop merge: empty ON key list")
     val fs = fsFor(spark, path)
     val snap = snapshot(spark, path)
     requireUnmapped(snap, "merge")
+    // replayed streaming batch → no-op (protocol txn action)
+    txn.foreach { case (appId, v) =>
+      if (snap.txns.get(appId).exists(_ >= v))
+        return DeleteResult(snap.version, 0, snap.adds.size)
+    }
     val schema = snap.schema
     val partCols = snap.metaData.partitionColumns
     on.foreach(c => require(schema.fieldNames.contains(c),
@@ -1270,11 +1276,31 @@ object DeltaInterop {
         val version = snap.version + 1
         beforePublish()
         publish(fs, path, version,
-          removes.map(removeJson) ++ adds.map(addJson) ++ cdc)
+          txn.map { case (a, v) => txnJson(Txn(a, v)) }.toSeq ++
+            removes.map(removeJson) ++ adds.map(addJson) ++ cdc)
         maybeCheckpoint(spark, path, version)
         DeleteResult(version, touched.size, snap.adds.size - touched.size)
       } finally { j.unpersist(); () }
     } finally { src.unpersist(); () }
+  }
+
+  /** `foreachBatch` body for a STREAMING MERGE into the wire format —
+    * the CDC-upsert sink shape ([[VersionedTable.streamMerger]]'s
+    * sibling): each micro-batch merges under its (appId, batchId) txn
+    * action, so a replayed batch after recovery is a no-op and the
+    * sink stays exactly-once end to end. Empty batches commit nothing.
+    */
+  def streamBatchMerger(path: String, on: Seq[String],
+      clauses: Seq[VersionedTable.MergeClause],
+      appId: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val persisted = batch.persist()
+    try {
+      if (persisted.limit(1).count() > 0) {
+        merge(persisted.sparkSession, path, persisted, on, clauses,
+          txn = Some((appId, batchId)))
+        ()
+      }
+    } finally { persisted.unpersist(); () }
   }
 
   /** One commit file's raw actions. */

@@ -1174,7 +1174,8 @@ object IcebergInterop {
     * the committed snapshot id (the current id when a full no-op).
     */
   def merge(spark: SparkSession, path: String, source: DataFrame,
-      on: Seq[String], clauses: Seq[VersionedTable.MergeClause]): Long = {
+      on: Seq[String], clauses: Seq[VersionedTable.MergeClause],
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.expressions.Window
     require(clauses.nonEmpty, "IcebergInterop merge: no clauses")
     require(on.nonEmpty, "IcebergInterop merge: empty ON key list")
@@ -1185,6 +1186,14 @@ object IcebergInterop {
     val schema = currentSchema(meta)
     val partFields = partFieldsOf(meta, schema)
     val curId = (meta \ "current-snapshot-id").extract[Long]
+    // replayed streaming batch → no-op (graft.txn table property,
+    // the same exactly-once token [[write]] stamps)
+    val metaProps =
+      (meta \ "properties").extractOrElse[Map[String, String]](Map.empty)
+    txn.foreach { case (appId, v) =>
+      if (metaProps.get(s"graft.txn.$appId").exists(_.toLong >= v))
+        return curId
+    }
     on.foreach(c => require(schema.fieldNames.contains(c),
       s"IcebergInterop merge: ON column $c not in table schema"))
     on.foreach(c => require(source.columns.contains(c),
@@ -1315,13 +1324,32 @@ object IcebergInterop {
           s"$path/metadata/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
         writeAvro(fs, new Path(listPath), ManifestFileSchema,
           Map("format-version" -> fmt.toString), fresh.toSeq ++ carried)
-        val prevProps =
-          (meta \ "properties").extractOrElse[Map[String, String]](Map.empty)
         publishMetadata(fs, path, Some((version, meta)), schema, partFields,
-          prevProps, fmt, newSeq, snapshotId, System.currentTimeMillis(),
+          metaProps ++
+            txn.map { case (a, v) => s"graft.txn.$a" -> v.toString },
+          fmt, newSeq, snapshotId, System.currentTimeMillis(),
           listPath, "overwrite")
       } finally { delKeys.unpersist(); j.unpersist(); () }
     } finally { src.unpersist(); () }
+  }
+
+  /** `foreachBatch` body for a STREAMING MERGE into the Iceberg wire
+    * format — the Flink-CDC-style upsert sink: each micro-batch
+    * commits one merge-on-read snapshot under its (appId, batchId)
+    * `graft.txn` property, so replayed batches are no-ops and the
+    * sink is exactly-once. Empty batches commit nothing.
+    */
+  def streamBatchMerger(path: String, on: Seq[String],
+      clauses: Seq[VersionedTable.MergeClause],
+      appId: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val persisted = batch.persist()
+    try {
+      if (persisted.limit(1).count() > 0) {
+        merge(persisted.sparkSession, path, persisted, on, clauses,
+          txn = Some((appId, batchId)))
+        ()
+      }
+    } finally { persisted.unpersist(); () }
   }
 
   /** The data files `where` cannot prune — spec/test introspection. */

@@ -333,6 +333,55 @@ object IngestPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming MERGE→Delta round trip through the wire format, fed the
+    * DUPLICATE-landing feed one file per micro-batch: batch 0 bootstraps
+    * the table, each later batch first collapses in-batch copies
+    * (MERGE's multiple-source-rows contract) and then merges keyed on
+    * event_id — matched rows update, new rows insert — under an
+    * (appId, batchId) txn action ([[graft.sinks.DeltaInterop.merge]]).
+    * Re-landed events converge to ONE copy whatever the batch split,
+    * and a recovery-replayed batch is a no-op: the CDC-upsert sink,
+    * exactly-once end to end (the third convergence spelling next to
+    * Hudi's idempotent-replay upsert and the dropDuplicates guard).
+    */
+  def deltaStreamMergeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{DeltaInterop, VersionedTable}
+    val work = graft.Scratch.dir("graft-delta-merge-stream")
+    val path = s"$work/tbl"
+    val enriched = transform(
+      source(spark, stagedDupEventsDir(spark, dir), maxFilesPerTrigger = 1))
+    val q = enriched.writeStream
+      .option("checkpointLocation", StreamTuning.scratchDir("graft-dmstream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.dropDuplicates("event_id").persist()
+        try {
+          if (b.limit(1).count() > 0) {
+            if (DeltaInterop.latestVersion(b.sparkSession, path) < 0)
+              DeltaInterop.write(b, path, partitionBy = Seq("event_date"),
+                txn = Some(("graft-delta-merge-stream", batchId)))
+            else {
+              val set = b.columns.filterNot(_ == "event_id").toSeq
+                .map(c => c -> col(s"s.$c")).toMap
+              DeltaInterop.merge(b.sparkSession, path, b,
+                on = Seq("event_id"),
+                clauses = Seq(VersionedTable.MatchedUpdate(set),
+                  VersionedTable.NotMatchedInsert()),
+                txn = Some(("graft-delta-merge-stream", batchId)))
+            }
+            ()
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+    q.awaitTermination()
+    DeltaInterop.read(spark, path)
+      .select(
+        col("event_id"), col("event_date"), col("event_hour"),
+        col("ingest_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** CSV ingest round-trip — the reference's primary pipeline shape
     * (retail CSV with header + explicit schema → string-timestamp parse →
     * two-level hive partitioning (Date, Country) ≙ (event_date,
@@ -457,6 +506,20 @@ object IngestPipeline {
         FROM events
         ORDER BY event_id""")),
     Op("q_stream_hudi", hudiStreamRoundTrip,
+      Some("""
+        SELECT event_id,
+          CAST(ts AS DATE) AS event_date,
+          CAST(EXTRACT(HOUR FROM ts) AS INT) AS event_hour,
+          concat_ws('-',
+            substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+            substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS ingest_id,
+          event_type, value
+        FROM events
+        ORDER BY event_id""")),
+    Op("q_stream_delta_merge", deltaStreamMergeRoundTrip,
       Some("""
         SELECT event_id,
           CAST(ts AS DATE) AS event_date,

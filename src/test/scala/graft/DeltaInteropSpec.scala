@@ -777,6 +777,28 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, path).count() == 4)
   }
 
+  test("merge with a txn token is exactly-once: the replayed batch is a no-op") {
+    val path = tmp("mergetxn")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
+    val src = Seq((1L, 99.0)).toDF("id", "v")
+    val clauses = Seq(graft.sinks.VersionedTable.MatchedUpdate(
+      Map("v" -> (col("t.v") + col("s.v")))))
+    val first = DeltaInterop.merge(spark, path, src, on = Seq("id"),
+      clauses = clauses, txn = Some(("app", 7L)))
+    assert(first.version == 1L)
+    // replay with the same (appId, batchId): nothing commits, v stays +99 once
+    val replay = DeltaInterop.merge(spark, path, src, on = Seq("id"),
+      clauses = clauses, txn = Some(("app", 7L)))
+    assert(replay.version == 1L && replay.rewrittenFiles == 0)
+    assert(DeltaInterop.read(spark, path).filter(col("id") === 1L)
+      .select("v").as[Double].head() == 109.0)
+    // a NEWER batch id applies
+    DeltaInterop.merge(spark, path, src, on = Seq("id"),
+      clauses = clauses, txn = Some(("app", 8L)))
+    assert(DeltaInterop.read(spark, path).filter(col("id") === 1L)
+      .select("v").as[Double].head() == 208.0)
+  }
+
   test("merge on a CDF table writes pre/post-image, delete, and insert cdc rows") {
     val path = tmp("mergecdf")
     DeltaInterop.write(sample, path, partitionBy = Seq("cat"))          // v0

@@ -542,6 +542,25 @@ class IcebergInteropSpec extends SparkSpec {
     assert(cur != 0L)
   }
 
+  test("merge with a txn token is exactly-once across replayed batches") {
+    val path = tmp("mergetxn")
+    IcebergInterop.write(sample, path)
+    val src = Seq((1L, 99.0)).toDF("id", "v")
+    val clauses = Seq(graft.sinks.VersionedTable.MatchedUpdate(
+      Map("v" -> (col("t.v") + col("s.v")))))
+    val s1 = IcebergInterop.merge(spark, path, src, on = Seq("id"),
+      clauses = clauses, txn = Some(("app", 7L)))
+    val s2 = IcebergInterop.merge(spark, path, src, on = Seq("id"),
+      clauses = clauses, txn = Some(("app", 7L)))
+    assert(s2 == s1, "replayed batch must return the same snapshot, commit nothing")
+    def v1(): Double = IcebergInterop.read(spark, path)
+      .filter(col("id") === 1L).select("v").as[Double].head()
+    assert(v1() == 109.0)
+    IcebergInterop.merge(spark, path, src, on = Seq("id"),
+      clauses = clauses, txn = Some(("app", 8L)))
+    assert(v1() == 208.0)
+  }
+
   test("compact targetFileBytes splits a big partition across several files") {
     val path = tmp("binpack")
     val hot = (0 until 60000).map(i => (i.toLong, "hot", s"payload-$i-${"x" * 40}"))
