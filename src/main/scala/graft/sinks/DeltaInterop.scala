@@ -588,6 +588,91 @@ object DeltaInterop {
         .map(_.copy(nullable = true)))
   }
 
+  /** The protocol's CHECK-constraint property prefix (`ALTER TABLE …
+    * ADD CONSTRAINT` stores the SQL text as
+    * `delta.constraints.<name>`); minWriterVersion 3 obliges writers
+    * to enforce it.
+    */
+  private[sinks] val ConstraintPrefix = "delta.constraints."
+
+  /** ADD CONSTRAINT … CHECK on the wire format: validates the EXISTING
+    * rows first (delta-spark's own contract — one distributed probe),
+    * then commits the expression under `delta.constraints.<name>` and
+    * bumps the protocol so other writers must enforce it too
+    * (minWriterVersion 3, or the `checkConstraints` feature on v7
+    * tables).
+    */
+  def addCheckConstraint(spark: SparkSession, path: String, name: String,
+      exprSql: String): Long = {
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path)
+    requireUnmapped(snap, "addCheckConstraint")
+    val key = ConstraintPrefix + name.toLowerCase(java.util.Locale.ROOT)
+    require(!snap.metaData.configuration.contains(key),
+      s"DeltaInterop: constraint $name already exists")
+    if (snap.adds.nonEmpty) {
+      val bad = frameOver(spark, path, snap, snap.adds)
+        .filter(!coalesce(expr(exprSql), lit(true))).limit(1).count()
+      require(bad == 0L,
+        s"DeltaInterop: existing rows violate CHECK constraint $name ($exprSql)")
+    }
+    val meta = snap.metaData.copy(
+      configuration = snap.metaData.configuration + (key -> exprSql))
+    val p = snap.protocol
+    val proto: Seq[JObject] =
+      if (p.minWriterVersion >= 7) {
+        val wf = p.writerFeatures.getOrElse(Nil)
+        if (wf.contains("checkConstraints")) Nil
+        else Seq(protocolJson(p.copy(writerFeatures =
+          Some(wf :+ "checkConstraints"))))
+      } else if (p.minWriterVersion < 3)
+        Seq(protocolJson(p.copy(minWriterVersion = 3)))
+      else Nil
+    val version = snap.version + 1
+    beforePublish()
+    publish(fs, path, version, proto ++ Seq(metaJson(meta)),
+      "ADD CONSTRAINT", Map("name" -> name, "expr" -> exprSql))
+    maybeCheckpoint(spark, path, version)
+    version
+  }
+
+  /** DROP CONSTRAINT: removes the property (the protocol downgrade is
+    * never rolled back — real writers leave it too).
+    */
+  def dropCheckConstraint(spark: SparkSession, path: String,
+      name: String): Long = {
+    val fs = fsFor(spark, path)
+    val snap = snapshot(spark, path)
+    val key = ConstraintPrefix + name.toLowerCase(java.util.Locale.ROOT)
+    require(snap.metaData.configuration.contains(key),
+      s"DeltaInterop: no CHECK constraint named $name")
+    val meta = snap.metaData.copy(
+      configuration = snap.metaData.configuration - key)
+    val version = snap.version + 1
+    beforePublish()
+    publish(fs, path, version, Seq(metaJson(meta)),
+      "DROP CONSTRAINT", Map("name" -> name))
+    maybeCheckpoint(spark, path, version)
+    version
+  }
+
+  /** Probe incoming/rewritten rows against the table's CHECK
+    * constraints — writer-v3 territory: a writer that cannot enforce
+    * them must not commit, so violations refuse LOUDLY naming the
+    * constraint. NULL passes (SQL CHECK semantics). One limit(1) probe
+    * per constraint, and none at all on constraint-free tables. This
+    * also makes graft honor constraints on FOREIGN tables it appends
+    * to — the interop obligation, not just its own feature.
+    */
+  private def enforceConstraints(snap: Snapshot, df: DataFrame): Unit =
+    snap.metaData.configuration.foreach { case (k, v) =>
+      if (k.startsWith(ConstraintPrefix)) {
+        val bad = df.filter(!coalesce(expr(v), lit(true))).limit(1).count()
+        require(bad == 0L, "DeltaInterop: rows violate CHECK constraint " +
+          s"${k.stripPrefix(ConstraintPrefix)} ($v)")
+      }
+    }
+
   private def commitStaged(df: DataFrame, path: String, partitionBy: Seq[String],
       overwrite: Boolean, txn: Option[(String, Long)], allowEmpty: Boolean,
       mergeSchema: Boolean = false): Long = {
@@ -625,6 +710,9 @@ object DeltaInterop {
         if (s.txns.get(appId).exists(_ >= v)) return s.version
       }
     }
+    // overwrite preserves configuration, so constraints survive it —
+    // both paths must hold the incoming batch to them
+    prev.foreach(enforceConstraints(_, df))
     val adds = stageAdds(df, path, partitionBy)
     require(allowEmpty || adds.nonEmpty, "DeltaInterop: write produced no data files")
     val now = System.currentTimeMillis()
@@ -670,7 +758,9 @@ object DeltaInterop {
           Seq(metaJson(meta)) else Nil) ++
         txn.map { case (a, v) => txnJson(Txn(a, v)) }.toSeq ++
         removes.map(removeJson) ++ adds.map(addJson) ++ cdc
-    publish(fs, path, version, actions)
+    publish(fs, path, version, actions,
+      if (overwrite) "WRITE" else if (txn.isDefined) "STREAMING UPDATE" else "WRITE",
+      Map("mode" -> (if (overwrite) "Overwrite" else "Append")))
     maybeCheckpoint(spark, path, version)
     version
   }
@@ -758,7 +848,8 @@ object DeltaInterop {
     val meta = MetaData(java.util.UUID.randomUUID().toString,
       schema.json, Nil, Map.empty)
     publish(fs, path, 0L,
-      Seq(protocolJson(Protocol(1, 2)), metaJson(meta)) ++ adds.map(addJson))
+      Seq(protocolJson(Protocol(1, 2)), metaJson(meta)) ++ adds.map(addJson),
+      "CONVERT")
     0L
   }
 
@@ -837,7 +928,7 @@ object DeltaInterop {
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version,
-        removes.map(removeJson) ++ adds.map(addJson) ++ cdc)
+        removes.map(removeJson) ++ adds.map(addJson) ++ cdc, "DELETE")
       maybeCheckpoint(spark, path, version)
       DeleteResult(version, touched.size, snap.adds.size - touched.size)
     } finally { frame.unpersist(); () }
@@ -971,7 +1062,7 @@ object DeltaInterop {
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version,
-        proto ++ removes.map(removeJson) ++ adds.map(addJson) ++ cdc)
+        proto ++ removes.map(removeJson) ++ adds.map(addJson) ++ cdc, "DELETE")
       maybeCheckpoint(spark, path, version)
       DeleteResult(version, removes.size, snap.adds.size - removes.size)
     } finally { matching.unpersist(); () }
@@ -1046,6 +1137,7 @@ object DeltaInterop {
       if (removes.isEmpty) // every match was already soft-deleted, and
         // the DV-applied update frame is therefore empty too
         return DeleteResult(snap.version, 0, snap.adds.size)
+      enforceConstraints(snap, updated)
       val newAdds = stageAdds(updated, path, partCols)
       // CDC: preimage is the DV-applied matched frame, postimage is the
       // appended updated copies themselves
@@ -1058,7 +1150,7 @@ object DeltaInterop {
       beforePublish()
       publish(fs, path, version,
         proto ++ removes.map(removeJson) ++ (dvAdds ++ newAdds).map(addJson)
-          ++ cdc)
+          ++ cdc, "UPDATE")
       maybeCheckpoint(spark, path, version)
       DeleteResult(version, removes.size, snap.adds.size - removes.size)
     } finally { matching.unpersist(); updated.unpersist(); () }
@@ -1100,6 +1192,7 @@ object DeltaInterop {
       // stats overestimated and nothing matches: no-op (CDF contract)
       if (frame.filter(hit).limit(1).count() == 0)
         return DeleteResult(snap.version, 0, snap.adds.size)
+      enforceConstraints(snap, applySet(frame.filter(hit), always = true))
       val adds = stageAdds(applySet(frame, always = false), path,
         snap.metaData.partitionColumns)
       val cdc = cdcIfEnabled(snap, path, snap.metaData.partitionColumns)(
@@ -1112,7 +1205,7 @@ object DeltaInterop {
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version,
-        removes.map(removeJson) ++ adds.map(addJson) ++ cdc)
+        removes.map(removeJson) ++ adds.map(addJson) ++ cdc, "UPDATE")
       maybeCheckpoint(spark, path, version)
       DeleteResult(version, touched.size, snap.adds.size - touched.size)
     } finally { frame.unpersist(); () }
@@ -1138,6 +1231,7 @@ object DeltaInterop {
     val violations = df.filter(!coalesce(where, lit(false))).limit(1).count()
     require(violations == 0L,
       "DeltaInterop replaceWhere: incoming rows must all satisfy the predicate")
+    enforceConstraints(snap, df)
     val touched = pruneAdds(spark, snap, Some(where))
     val survivors =
       if (touched.isEmpty) None
@@ -1164,7 +1258,8 @@ object DeltaInterop {
       val version = snap.version + 1
       beforePublish()
       publish(fs, path, version,
-        removes.map(removeJson) ++ (survivorAdds ++ newAdds).map(addJson) ++ cdc)
+        removes.map(removeJson) ++ (survivorAdds ++ newAdds).map(addJson) ++ cdc,
+        "WRITE", Map("mode" -> "Overwrite", "predicate" -> "replaceWhere"))
       maybeCheckpoint(spark, path, version)
       version
     } finally { survivors.foreach(_.unpersist()); () }
@@ -1253,6 +1348,7 @@ object DeltaInterop {
           .filter(col("__r").isNotNull).select("__r.*")
         if (touched.isEmpty && resolved.limit(1).count() == 0)
           return DeleteResult(snap.version, 0, snap.adds.size) // full no-op
+        enforceConstraints(snap, resolved)
         val adds = stageAdds(resolved, path, partCols)
         val cdc = cdcIfEnabled(snap, path, partCols) {
           val mt = j.filter(mc.matched).withColumn("__tag", mc.matchTag)
@@ -1277,7 +1373,7 @@ object DeltaInterop {
         beforePublish()
         publish(fs, path, version,
           txn.map { case (a, v) => txnJson(Txn(a, v)) }.toSeq ++
-            removes.map(removeJson) ++ adds.map(addJson) ++ cdc)
+            removes.map(removeJson) ++ adds.map(addJson) ++ cdc, "MERGE")
         maybeCheckpoint(spark, path, version)
         DeleteResult(version, touched.size, snap.adds.size - touched.size)
       } finally { j.unpersist(); () }
@@ -1454,7 +1550,8 @@ object DeltaInterop {
         RemoveFile(a.path, Some(now), dataChange = false, a.deletionVector))
     val version = snap.version + 1
     beforePublish()
-    publish(fs, path, version, removes.map(removeJson) ++ adds.map(addJson))
+    publish(fs, path, version, removes.map(removeJson) ++ adds.map(addJson),
+      "OPTIMIZE")
     maybeCheckpoint(spark, path, version)
     DeleteResult(version, touched.size, snap.adds.size - touched.size)
   }
@@ -1536,7 +1633,8 @@ object DeltaInterop {
       else Nil
     val version = snap.version + 1
     beforePublish()
-    publish(fs, path, version, proto ++ Seq(metaJson(meta)))
+    publish(fs, path, version, proto ++ Seq(metaJson(meta)),
+      "SET TBLPROPERTIES")
     maybeCheckpoint(spark, path, version)
     version
   }
@@ -1730,7 +1828,8 @@ object DeltaInterop {
     beforePublish()
     publish(fs, path, newVersion,
       Seq(metaJson(target.metaData)) ++ removes.map(removeJson) ++
-        toAdd.map(a => addJson(a.copy(dataChange = true))) ++ cdc)
+        toAdd.map(a => addJson(a.copy(dataChange = true))) ++ cdc,
+      "RESTORE", Map("version" -> version.toString))
     maybeCheckpoint(spark, path, newVersion)
     newVersion
   }
@@ -1747,8 +1846,57 @@ object DeltaInterop {
     * error instead of a clobbered log (same discipline as
     * [[VersionedTable]]'s publish).
     */
+  /** The protocol's `commitInfo` action — optional per PROTOCOL.md but
+    * emitted by every real writer, and what DESCRIBE HISTORY reads.
+    * Always FIRST in the commit file (the conventional position).
+    */
+  private def commitInfoJson(operation: String,
+      params: Map[String, String]): JObject =
+    JObject("commitInfo" -> JObject(
+      "timestamp" -> JLong(System.currentTimeMillis()),
+      "operation" -> JString(operation),
+      "operationParameters" -> JObject(
+        params.toList.map { case (k, v) => k -> (JString(v): JValue) }),
+      "engineInfo" -> JString("graft/0.1.0 Apache-Spark/4.1.2"),
+      "txnId" -> JString(java.util.UUID.randomUUID().toString)))
+
+  /** DESCRIBE HISTORY: one row per retained JSON commit — version,
+    * commit timestamp, operation, operationParameters, engineInfo —
+    * from the `commitInfo` actions ([[commitInfoJson]]); foreign
+    * commits without one yield nulls (the protocol makes commitInfo
+    * optional). Driver-side work is log-retention-bounded, exactly
+    * like delta-spark's own history call.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    val dir = new Path(s"$path/$LogDir")
+    require(fs.exists(dir), s"not a Delta table (no $LogDir): $path")
+    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong
+    }.sorted
+    val rows = versions.map { v =>
+      val ci = commitActions(fs, path, v)
+        .map(_ \ "commitInfo").find(_ != JNothing)
+      Row(v,
+        ci.flatMap(c => (c \ "timestamp").extractOpt[Long])
+          .map(new java.sql.Timestamp(_)).orNull,
+        ci.flatMap(c => (c \ "operation").extractOpt[String]).orNull,
+        ci.map(c => (c \ "operationParameters")
+            .extractOrElse[Map[String, String]](Map.empty)).orNull,
+        ci.flatMap(c => (c \ "engineInfo").extractOpt[String]).orNull)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("timestamp", TimestampType),
+      StructField("operation", StringType),
+      StructField("operationParameters", MapType(StringType, StringType)),
+      StructField("engineInfo", StringType))))
+  }
+
   private def publish(fs: FileSystem, path: String, version: Long,
-      actions: Seq[JObject]): Unit = {
+      actions0: Seq[JObject], operation: String,
+      operationParameters: Map[String, String] = Map.empty): Unit = {
+    val actions = commitInfoJson(operation, operationParameters) +: actions0
     val dst = commitFile(path, version)
     fs.mkdirs(dst.getParent)
     val tmp = new Path(dst.getParent, s".${dst.getName}.${java.util.UUID.randomUUID}.tmp")
@@ -2046,6 +2194,27 @@ object DeltaInterop {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Driver-checked DESCRIBE HISTORY: a deterministic commit sequence
+    * (write, append, delete, update) must surface as exactly those
+    * `commitInfo.operation` rows in version order — the audit-trail
+    * surface every real Delta writer exposes. Timestamps/txnIds are
+    * non-deterministic and excluded.
+    */
+  def deltaHistoryRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-delta-history") + "/orders_delta"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    write(orders, out, partitionBy = Seq("o_orderstatus"))              // v0
+    write(orders.filter(col("o_orderkey") % 10 === 0), out,
+      partitionBy = Seq("o_orderstatus"))                               // v1
+    delete(spark, out, col("o_orderkey") % 7 === 0)                     // v2
+    update(spark, out, col("o_orderkey") % 5 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(1.0))))          // v3
+    history(spark, out)
+      .select(col("version"), col("operation"))
+      .orderBy(col("version"))
+  }
+
   /** Driver-checked DELETION-VECTOR round trip: orders land as a Delta
     * table; two successive soft deletes (the second overlapping the
     * first, forcing the DV set-union supersede on every touched file)
@@ -2152,6 +2321,14 @@ object DeltaInterop {
         SELECT o_orderstatus, count(*) AS n_rows,
                cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+    graft.Op("q_delta_history", deltaHistoryRoundTrip,
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), 'WRITE'),
+          (CAST(1 AS BIGINT), 'WRITE'),
+          (CAST(2 AS BIGINT), 'DELETE'),
+          (CAST(3 AS BIGINT), 'UPDATE')) AS t(version, operation)
+        ORDER BY version""")),
     graft.Op("q_delta_merge", deltaMergeRoundTrip,
       Some("""
         SELECT * FROM (

@@ -505,6 +505,12 @@ object IcebergInterop {
 
   // ---- table metadata ----
 
+  /** Does an Iceberg table exist at `path`? The bootstrap probe for
+    * streaming upsert sinks (write the first batch, merge the rest).
+    */
+  def tableExists(spark: SparkSession, path: String): Boolean =
+    currentVersion(fsFor(spark, path), path).isDefined
+
   private def currentVersion(fs: FileSystem, path: String): Option[Int] = {
     val hint = new Path(s"$path/metadata/version-hint.text")
     if (!fs.exists(hint)) None
@@ -633,7 +639,11 @@ object IcebergInterop {
     publishMetadata(fs, path, prev, schema, partFields,
       prevProps ++ txn.map { case (a, v) => s"graft.txn.$a" -> v.toString },
       prevFormat, newSeq, snapshotId, now, listPath,
-      if (overwrite) "overwrite" else "append")
+      if (overwrite) "overwrite" else "append",
+      summaryExtra = Map(
+        "added-data-files" -> moved.size.toString,
+        "added-records" -> moved.map(_.records).sum.toString,
+        "added-files-size" -> moved.map(_.bytes).sum.toString))
   }
 
   /** The shared metadata-JSON publish tail of every snapshot commit
@@ -645,7 +655,8 @@ object IcebergInterop {
       prev: Option[(Int, JValue)], schema: StructType,
       partFields: Seq[StructField], props: Map[String, String],
       formatVersion: Int, newSeq: Long, snapshotId: Long, now: Long,
-      listPath: String, operation: String): Long = {
+      listPath: String, operation: String,
+      summaryExtra: Map[String, String] = Map.empty): Long = {
     val schemaJ = schemaJson(schema)
     val prevSnapshots = prev.toSeq.flatMap(_._2 \ "snapshots" match {
       case JArray(xs) => xs
@@ -655,7 +666,8 @@ object IcebergInterop {
     val snapshot = JObject(
       "snapshot-id" -> JLong(snapshotId),
       "timestamp-ms" -> JLong(now),
-      "summary" -> JObject("operation" -> JString(operation)),
+      "summary" -> JObject(("operation" -> JString(operation)) ::
+        summaryExtra.toList.map { case (k, v) => k -> (JString(v): JValue) }),
       "manifest-list" -> JString(listPath),
       "schema-id" -> JInt(0)) ~~ parentId.map(p =>
         JObject("parent-snapshot-id" -> JLong(p))) ~~
@@ -1902,6 +1914,92 @@ object IcebergInterop {
     writeFile(fs, new Path(s"$path/metadata/version-hint.text"),
       newVersion.toString.getBytes(StandardCharsets.UTF_8))
     (expired.size, deadFiles.size)
+  }
+
+  /** `rewrite_manifests`: collapse the current snapshot's DATA
+    * manifests into ONE, as a metadata-only `replace` snapshot — no
+    * data parquet moves. Every merged entry lands status=EXISTING with
+    * its EXPLICIT per-entry `sequence_number` (entry field-id 3), so
+    * the v2 delete-scoping rule keeps working: an equality delete
+    * still applies only to data files whose original sequence is
+    * strictly below it, wherever their entry now lives. Delete
+    * manifests are carried untouched.
+    *
+    * This is the planning-cost maintenance op: a streaming table that
+    * commits once a minute accrues 1440 manifests a day, and every
+    * read opens ALL of them before pruning a single data file — at
+    * 100 TB the manifest walk, not the data, becomes the read
+    * planner's bottleneck. Collapsing restores O(1) metadata reads;
+    * the superseded manifests age out via [[expireSnapshots]] /
+    * [[removeOrphanFiles]].
+    *
+    * Honest coverage note: entries are re-encoded through graft's own
+    * entry schema; a foreign manifest whose record shape diverges
+    * fails the deep-copy loudly rather than dropping fields.
+    * Returns the number of manifests merged (0 = nothing to do).
+    */
+  def rewriteManifests(spark: SparkSession, path: String): Int = {
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val schema = currentSchema(meta)
+    val partFields = partFieldsOf(meta, schema)
+    val curId = (meta \ "current-snapshot-id").extract[Long]
+    val snap = (meta \ "snapshots").extract[List[JValue]]
+      .find(s => (s \ "snapshot-id").extract[Long] == curId)
+      .getOrElse(throw new IllegalStateException(s"snapshot $curId not in $path"))
+    val listRecs = readAvro(fs, new Path((snap \ "manifest-list").extract[String]))
+    val (delRecs, dataRecs) = listRecs.partition(r => listContentOf(r) == 1)
+    if (dataRecs.size <= 1) return 0
+    val entrySchema = manifestEntrySchema(partFields)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val gd = org.apache.avro.generic.GenericData.get()
+    val merged: Seq[GenericRecord] = dataRecs.flatMap { r =>
+      val inherited = listSeqOf(r)
+      readAvro(fs, new Path(r.get("manifest_path").toString)).collect {
+        case e if e.get("status").asInstanceOf[Int] != 2 => // not DELETED
+          val ne = new GenericData.Record(entrySchema)
+          ne.put("status", 0) // EXISTING
+          ne.put("snapshot_id", e.get("snapshot_id"))
+          ne.put("sequence_number", entrySeqOf(e, inherited))
+          ne.put("data_file",
+            try gd.deepCopy(dfSchema,
+              e.get("data_file").asInstanceOf[GenericRecord])
+            catch { case ex: Exception => throw new IllegalArgumentException(
+              "IcebergInterop rewriteManifests: foreign manifest entry " +
+                s"shape diverges from the table schema (${ex.getMessage}) — " +
+                "refusing rather than dropping fields", ex) })
+          ne: GenericRecord
+      }
+    }
+    val fmt = (meta \ "format-version").extract[Int]
+    val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-m0.avro"
+    val manifestLen = writeAvro(fs, new Path(manifestPath), entrySchema,
+      Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
+        "partition-spec" -> JsonMethods.compact(JsonMethods.render(
+          specFieldsJson(partFields, schema))),
+        "partition-spec-id" -> "0",
+        "format-version" -> fmt.toString),
+      merged)
+    val newSeq = if (fmt >= 2)
+      Some((meta \ "last-sequence-number").extractOrElse[Long](0L) + 1)
+    else None
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val listPath =
+      s"$path/metadata/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
+    val mergedEntry = listEntryRecord(manifestPath, manifestLen, snapshotId,
+      content = 0, seq = newSeq.getOrElse(0L))
+    val carried = delRecs.map(r => listEntryRecord(
+      r.get("manifest_path").toString,
+      r.get("manifest_length").asInstanceOf[Long],
+      r.get("added_snapshot_id").asInstanceOf[java.lang.Long],
+      content = listContentOf(r), seq = listSeqOf(r)))
+    writeAvro(fs, new Path(listPath), ManifestFileSchema,
+      Map("format-version" -> fmt.toString), mergedEntry +: carried)
+    commitMaintenance(fs, path, version, meta, snapshotId, listPath,
+      "replace", newSeq = newSeq)
+    dataRecs.size
   }
 
   /** `remove_orphan_files`: physically delete data/manifest files under

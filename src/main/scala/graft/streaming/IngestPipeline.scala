@@ -382,6 +382,52 @@ object IngestPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming MERGE→Iceberg round trip — the Flink-CDC upsert-stream
+    * shape on the wire format: the duplicate-landing feed, one file per
+    * micro-batch, each batch one MERGE-ON-READ snapshot (equality
+    * delete + appends at one sequence) keyed on event_id under a
+    * `graft.txn` token ([[graft.sinks.IcebergInterop.merge]]). The
+    * read-back resolves the sequence-scoped delete chain; convergence
+    * to one copy per event IS the oracle equality.
+    */
+  def icebergStreamMergeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{IcebergInterop, VersionedTable}
+    val work = graft.Scratch.dir("graft-iceberg-merge-stream")
+    val path = s"$work/tbl"
+    val enriched = transform(
+      source(spark, stagedDupEventsDir(spark, dir), maxFilesPerTrigger = 1))
+    val q = enriched.writeStream
+      .option("checkpointLocation", StreamTuning.scratchDir("graft-imstream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.dropDuplicates("event_id").persist()
+        try {
+          if (b.limit(1).count() > 0) {
+            if (!IcebergInterop.tableExists(b.sparkSession, path))
+              IcebergInterop.write(b, path,
+                txn = Some(("graft-iceberg-merge-stream", batchId)))
+            else {
+              val set = b.columns.filterNot(_ == "event_id").toSeq
+                .map(c => c -> col(s"s.$c")).toMap
+              IcebergInterop.merge(b.sparkSession, path, b,
+                on = Seq("event_id"),
+                clauses = Seq(VersionedTable.MatchedUpdate(set),
+                  VersionedTable.NotMatchedInsert()),
+                txn = Some(("graft-iceberg-merge-stream", batchId)))
+            }
+            ()
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+    q.awaitTermination()
+    IcebergInterop.read(spark, path)
+      .select(
+        col("event_id"), col("event_date"), col("event_hour"),
+        col("ingest_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** CSV ingest round-trip — the reference's primary pipeline shape
     * (retail CSV with header + explicit schema → string-timestamp parse →
     * two-level hive partitioning (Date, Country) ≙ (event_date,
@@ -520,6 +566,20 @@ object IngestPipeline {
         FROM events
         ORDER BY event_id""")),
     Op("q_stream_delta_merge", deltaStreamMergeRoundTrip,
+      Some("""
+        SELECT event_id,
+          CAST(ts AS DATE) AS event_date,
+          CAST(EXTRACT(HOUR FROM ts) AS INT) AS event_hour,
+          concat_ws('-',
+            substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+            substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS ingest_id,
+          event_type, value
+        FROM events
+        ORDER BY event_id""")),
+    Op("q_stream_iceberg_merge", icebergStreamMergeRoundTrip,
       Some("""
         SELECT event_id,
           CAST(ts AS DATE) AS event_date,

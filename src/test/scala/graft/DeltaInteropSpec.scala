@@ -777,6 +777,69 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, path).count() == 4)
   }
 
+  test("CHECK constraints: v3 protocol, existing-row validation, every DML enforces") {
+    val path = tmp("constraints")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
+    // existing rows violate → refuse to add
+    val e0 = intercept[IllegalArgumentException] {
+      DeltaInterop.addCheckConstraint(spark, path, "vCap", "v < 20.0")
+    }
+    assert(e0.getMessage.contains("vCap"))
+    DeltaInterop.addCheckConstraint(spark, path, "vPos", "v > 0.0")
+    val snap = DeltaInterop.snapshot(spark, path)
+    assert(snap.protocol.minWriterVersion >= 3,
+      "CHECK constraints oblige writer v3")
+    assert(snap.metaData.configuration
+      .get("delta.constraints.vpos").contains("v > 0.0"))
+    // append of a violating batch refuses loudly, naming the constraint
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaInterop.write(Seq((9L, "a", -1.0)).toDF("id", "cat", "v"), path,
+        partitionBy = Seq("cat"))
+    }
+    assert(e1.getMessage.contains("vpos"), e1.getMessage)
+    // UPDATE that would push a row out of bounds refuses too
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.update(spark, path, col("id") === 1L,
+        Map("v" -> lit(-5.0)))
+    }
+    assert(e2.getMessage.contains("vpos"))
+    // a NULL result passes (SQL CHECK semantics): valid appends still land
+    DeltaInterop.write(
+      Seq((10L, "c", 5.0), (11L, "c", Double.NaN)).toDF("id", "cat", "v")
+        .withColumn("v", when(col("id") === 11L, lit(null).cast("double"))
+          .otherwise(col("v"))),
+      path, partitionBy = Seq("cat"))
+    assert(DeltaInterop.read(spark, path).count() == 6)
+    // drop → the violating append becomes legal
+    DeltaInterop.dropCheckConstraint(spark, path, "vPos")
+    DeltaInterop.write(Seq((12L, "a", -1.0)).toDF("id", "cat", "v"), path,
+      partitionBy = Seq("cat"))
+    assert(DeltaInterop.read(spark, path).count() == 7)
+  }
+
+  test("history reads commitInfo; a foreign commit without one yields null op") {
+    val path = tmp("history")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))          // v0
+    DeltaInterop.delete(spark, path, col("id") === 1L)                  // v1
+    // strip v1's commitInfo the way a minimal foreign writer would omit it
+    val f = new java.io.File(s"$path/_delta_log/${"%020d".format(1L)}.json")
+    val kept = scala.io.Source.fromFile(f, "UTF-8").getLines()
+      .filter(l => l.nonEmpty && !l.contains("\"commitInfo\"")).toList
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try kept.foreach(w.println) finally w.close()
+    // drop the checksum sidecar the local Hadoop FS wrote for the old bytes
+    new java.io.File(f.getParent, s".${f.getName}.crc").delete()
+    val h = DeltaInterop.history(spark, path).orderBy(col("version"))
+      .collect().map(r => (r.getAs[Long]("version"),
+        Option(r.getAs[String]("operation")), Option(r.getAs[String]("engineInfo"))))
+    assert(h.length == 2)
+    assert(h(0)._1 == 0L && h(0)._2.contains("WRITE"))
+    assert(h(0)._3.exists(_.startsWith("graft/")))
+    assert(h(1) == (1L, None, None), "commitInfo is optional; nulls, not a refusal")
+    // the stripped log still replays (commitInfo is informational only)
+    assert(DeltaInterop.read(spark, path).count() == 3)
+  }
+
   test("merge with a txn token is exactly-once: the replayed batch is a no-op") {
     val path = tmp("mergetxn")
     DeltaInterop.write(sample, path, partitionBy = Seq("cat"))

@@ -638,4 +638,68 @@ class IcebergInteropSpec extends SparkSpec {
       IcebergInterop.rollbackTo(spark, path, 12345L)
     }
   }
+
+  /** Reads the CURRENT snapshot's manifest list as (content, path) pairs. */
+  private def currentManifests(path: String): List[(Int, String)] = {
+    implicit val fmts: Formats = DefaultFormats
+    val hint = scala.io.Source.fromFile(s"$path/metadata/version-hint.text")
+      .mkString.trim.toInt
+    val meta = JsonMethods.parse(scala.io.Source.fromFile(
+      s"$path/metadata/v$hint.metadata.json").mkString)
+    val curId = (meta \ "current-snapshot-id").extract[Long]
+    val listPath = (meta \ "snapshots").extract[List[JValue]]
+      .find(s => (s \ "snapshot-id").extract[Long] == curId)
+      .map(s => (s \ "manifest-list").extract[String]).get
+    val reader = new org.apache.avro.file.DataFileReader(
+      new java.io.File(listPath),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    import scala.jdk.CollectionConverters._
+    val out = reader.iterator().asScala.toList.map { r =>
+      val c = Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+      (c, r.get("manifest_path").toString)
+    }
+    reader.close()
+    out
+  }
+
+  test("rewriteManifests collapses data manifests; time travel + data untouched") {
+    val path = tmp("rwm")
+    val s1 = IcebergInterop.write(sample, path)
+    IcebergInterop.write(Seq((4L, "c", 40.0)).toDF("id", "cat", "v"), path)
+    IcebergInterop.write(Seq((5L, "d", 50.0)).toDF("id", "cat", "v"), path)
+    assert(currentManifests(path).size == 3, "one manifest per append")
+    val dataFiles = IcebergInterop.read(spark, path)
+      .select(input_file_name()).distinct().as[String].collect().sorted.toSeq
+    assert(IcebergInterop.rewriteManifests(spark, path) == 3)
+    val after = currentManifests(path)
+    assert(after.size == 1 && after.head._1 == 0, "ONE data manifest")
+    // rows exact, and the very same parquet files back them (metadata-only)
+    assert(IcebergInterop.read(spark, path).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(IcebergInterop.read(spark, path)
+      .select(input_file_name()).distinct().as[String].collect().sorted.toSeq
+      == dataFiles)
+    // old snapshots' lists untouched — time travel still works
+    assert(IcebergInterop.read(spark, path, Some(s1)).count() == 3)
+    // idempotent: a single manifest has nothing to merge
+    assert(IcebergInterop.rewriteManifests(spark, path) == 0)
+  }
+
+  test("rewriteManifests on v2 carries delete manifests; sequence scoping holds") {
+    val path = tmp("rwm2")
+    IcebergInterop.write(Seq((1L, "x"), (2L, "x")).toDF("id", "s"), path)
+    IcebergInterop.deleteEquality(spark, path, Seq(2L).toDF("id"))   // seq 2
+    IcebergInterop.write(Seq((2L, "y")).toDF("id", "s"), path)       // seq 3
+    assert(IcebergInterop.rewriteManifests(spark, path) == 2)
+    val after = currentManifests(path)
+    assert(after.count(_._1 == 0) == 1, "data manifests collapsed")
+    assert(after.count(_._1 == 1) == 1, "delete manifest carried untouched")
+    // the strict-< rule must still hold: old id=2 (seq 1) dead, new (seq 3) alive
+    assert(IcebergInterop.read(spark, path).as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (2L, "y")))
+    // readWhere still prunes/reads correctly through the merged manifest
+    assert(IcebergInterop.readWhere(spark, path, Some(col("id") === 2L))
+      .as[(Long, String)].collect().toSet == Set((2L, "y")))
+  }
 }
