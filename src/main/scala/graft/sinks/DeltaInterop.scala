@@ -772,9 +772,27 @@ object DeltaInterop {
     * failed commit leaves only unreferenced debris.
     */
   private def stageAdds(df: DataFrame, path: String,
-      partitionBy: Seq[String], dataChange: Boolean = true): Seq[AddFile] = {
+      partitionBy: Seq[String], dataChange: Boolean = true,
+      shape: Boolean = true): Seq[AddFile] = {
     val spark = df.sparkSession
-    val staged = stageFiles(df, path, partitionBy)
+    // ONE writer task per partition dir (VersionedTable.byPartitions —
+    // the graft-table write shape, with the same tasksPerPartition salt
+    // knob for 100 TB dirs): without it, every upstream task writes a
+    // sliver into every dir it holds rows for — N_tasks × N_dirs tiny
+    // files per commit, which at any scale turns the NEXT read/merge
+    // into a small-file storm (delta-spark ships the same default as
+    // optimized writes). OPTIMIZE passes shape=false: its frames
+    // arrive pre-shaped (byte-targeted bins, z-order ranges) and a
+    // reshape here would undo exactly what it computed. Callers that
+    // deliberately range-cluster their input for write-time stats
+    // pruning opt out via `graft.write.shape=false` (session conf).
+    val confShape = spark.conf.getOption("graft.write.shape")
+      .forall(_.trim.toBoolean)
+    val shaped =
+      if (shape && confShape && partitionBy.nonEmpty)
+        VersionedTable.byPartitions(df, partitionBy)
+      else df
+    val staged = stageFiles(shaped, path, partitionBy)
     val now = System.currentTimeMillis()
     // one distributed pass over the commit's files → add.stats
     // (numRecords + min/max/nullCount), the protocol's skipping columns
@@ -863,6 +881,42 @@ object DeltaInterop {
     val schema = snap.schema
     val partCols = snap.metaData.partitionColumns
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    // FAST PATH — one scan for the whole file list. A union with one arm
+    // per distinct partition tuple makes the PLAN grow with partition
+    // count (a daily-partitioned year is a 365-way union: quadratic
+    // analyzer cost, hundreds of scan nodes), which turns every DML
+    // rewrite of a well-partitioned table into a planner bottleneck.
+    // When every file is DV-free and its RELATIVE hive-style path parses
+    // to exactly the log's partitionValues (graft's own layout; also
+    // delta-spark's), Spark's native partition-dir inference rebuilds
+    // the partition columns in ONE file-source relation — same
+    // string→type cast as the literal fold below. The log stays
+    // authoritative: any file whose path disagrees (foreign writers may
+    // put files anywhere) drops the whole list to the per-tuple path.
+    val hiveFast = partCols.nonEmpty && files.nonEmpty &&
+      partCols.forall(c => physicalName(schema(c)) == c) &&
+      files.forall { a =>
+        a.deletionVector.isEmpty &&
+          !a.path.matches("[A-Za-z][A-Za-z0-9+.-]*://.*") && {
+            val rel = decodePath(a.path)
+            !rel.startsWith("/") &&
+              partitionValuesOf(rel, partCols) == a.partitionValues
+          }
+      }
+    if (hiveFast) {
+      val physSchema = physicalSchema(dataSchema)
+      val readSchema = StructType(physSchema.fields ++
+        partCols.map(c => schema(c)))
+      val base = spark.read.schema(readSchema).option("basePath", path)
+        .parquet(files.map(f => s"$path/${decodePath(f.path)}"): _*)
+      val withF = fileCol.map(fc =>
+        base.withColumn(fc, col("_metadata.file_path"))).getOrElse(base)
+      val logical = dataSchema.fields.zip(physSchema.fields).toSeq.map {
+        case (lf, pf) => withF.col(pf.name).as(lf.name)
+      } ++ partCols.map(withF.col) ++ fileCol.map(withF.col)
+      return withF.select(logical: _*)
+        .select((schema.fieldNames.toSeq ++ fileCol).map(col): _*)
+    }
     val parts = files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
       // scanGroup applies each file's deletion vector, so a rewrite
       // (DELETE/UPDATE/replaceWhere) of DV'd files never resurrects
@@ -1544,7 +1598,8 @@ object DeltaInterop {
           .sortWithinPartitions(keys: _*)
           .drop("__z")
       }
-    val adds = stageAdds(packed, path, partCols, dataChange = false)
+    val adds = stageAdds(packed, path, partCols, dataChange = false,
+      shape = false)
     val now = System.currentTimeMillis()
     val removes = touched.map(a =>
         RemoveFile(a.path, Some(now), dataChange = false, a.deletionVector))
@@ -1648,7 +1703,10 @@ object DeltaInterop {
     */
   private def stageCdc(changes: DataFrame, path: String,
       partCols: Seq[String]): Seq[JObject] =
-    stageFiles(changes, path, partCols, prefix = s"$CdcDir/").map {
+    stageFiles(
+      if (partCols.nonEmpty) VersionedTable.byPartitions(changes, partCols)
+      else changes,
+      path, partCols, prefix = s"$CdcDir/").map {
       case (rel, size) =>
         JObject("cdc" -> JObject(
           "path" -> JString(encodePath(rel)),

@@ -339,7 +339,8 @@ object IcebergInterop {
     * expects from real writers.
     */
   private def stageDataFiles(df: DataFrame, path: String,
-      partitionBy: Seq[String], fs: FileSystem): Seq[DataFileRef] = {
+      partitionBy: Seq[String], fs: FileSystem,
+      shape: Boolean = true): Seq[DataFileRef] = {
     val spark = df.sparkSession
     val stage = new Path(s"$path/metadata/stage-${java.util.UUID.randomUUID}")
     if (partitionBy.isEmpty)
@@ -347,7 +348,14 @@ object IcebergInterop {
     else {
       val token = concat(lit("v"), concat_ws(",", partitionBy.map(c =>
         coalesce(url_encode(col(c).cast("string")), lit(NullToken))): _*))
-      df.withColumn("__pdir", token)
+      // one writer task per partition dir (same shape + tasksPerPartition
+      // salt knob as the Delta/graft-table writers): scattered upstream
+      // tasks would otherwise write N_tasks × N_dirs sliver files, and
+      // every later manifest walk/scan pays for them. OPTIMIZE passes
+      // shape=false — its frames arrive pre-shaped (byte-targeted bins)
+      // and a reshape would undo the binning.
+      val tokened = df.withColumn("__pdir", token)
+      (if (shape) VersionedTable.byPartitions(tokened, Seq("__pdir")) else tokened)
         .write.mode("overwrite").partitionBy("__pdir").parquet(stage.toString)
     }
     val counts = spark.read.parquet(stage.toString)
@@ -1814,7 +1822,8 @@ object IcebergInterop {
         case None =>
           frame.repartition(multi.size, partFields.map(f => col(f.name)): _*)
       }
-    val moved = stageDataFiles(packed, path, partFields.map(_.name), fs)
+    val moved = stageDataFiles(packed, path, partFields.map(_.name), fs,
+      shape = false)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val statsByFile = FileStats.fromFooters(spark, moved.map(_.path), schema)
     val entrySchema = manifestEntrySchema(partFields)

@@ -1361,7 +1361,7 @@ object VersionedTable {
     * (xxhash64 of all columns — stable under task retry, unlike
     * round-robin): N files per touched dir, written in parallel.
     */
-  private def byPartitions(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+  private[sinks] def byPartitions(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
     val tasksPerPartition = df.sparkSession.conf
       .getOption("graft.write.tasksPerPartition").map(_.trim).map { v =>
         val n = scala.util.Try(v.toLong).getOrElse(-1L)

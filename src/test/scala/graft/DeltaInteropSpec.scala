@@ -329,12 +329,16 @@ class DeltaInteropSpec extends SparkSpec {
 
   test("readWhere skips files by stats and partitions, results unchanged") {
     val path = tmp("skip")
-    // range-partitioned by id → disjoint per-file min/max ranges
+    // range-partitioned by id → disjoint per-file min/max ranges; the
+    // deliberate clustering must survive the write, so the writer's
+    // default one-file-per-dir shaping is opted out of
     val df = ss.range(0, 1000)
       .withColumn("cat", when(col("id") % 2 === 0, "even").otherwise("odd"))
       .withColumn("v", col("id").cast("double"))
-    DeltaInterop.write(df.repartitionByRange(8, col("id")), path,
+    spark.conf.set("graft.write.shape", "false")
+    try DeltaInterop.write(df.repartitionByRange(8, col("id")), path,
       partitionBy = Seq("cat"))
+    finally spark.conf.unset("graft.write.shape")
     val snap = DeltaInterop.snapshot(spark, path)
     val total = snap.adds.size
     assert(total >= 8, s"expected >=8 files, got $total")
@@ -705,7 +709,11 @@ class DeltaInteropSpec extends SparkSpec {
     val target = hotBytes / 4 // expect ~4 hot output files
     val res = DeltaInterop.compact(spark, path, zorderBy = Nil,
       targetFileBytes = Some(target))
-    assert(res.rewrittenFiles == before.adds.size)
+    // the cold partition landed as ONE file (the writer's per-dir
+    // shaping), so compaction rightly leaves it untouched
+    val hotBefore = before.adds
+      .count(_.partitionValues.get("cat").flatten.contains("hot"))
+    assert(res.rewrittenFiles == hotBefore)
     val after = DeltaInterop.snapshot(spark, path)
     val hotFiles = after.adds
       .filter(_.partitionValues.get("cat").flatten.contains("hot"))
