@@ -595,6 +595,33 @@ object IcebergInterop {
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val now = System.currentTimeMillis()
     val schemaJ = schemaJson(schema)
+    val baseId =
+      if (overwrite) None
+      else prev.map(p => (p._2 \ "current-snapshot-id").extract[Long])
+    val (listPath, newSeq, prevFormat) = writeSnapshotList(spark, fs, path,
+      schema, partFields, moved, snapshotId, prev.map(_._2), baseId)
+
+    publishMetadata(fs, path, prev, schema, partFields,
+      prevProps ++ txn.map { case (a, v) => s"graft.txn.$a" -> v.toString },
+      prevFormat, newSeq, snapshotId, now, listPath,
+      if (overwrite) "overwrite" else "append",
+      summaryExtra = Map(
+        "added-data-files" -> moved.size.toString,
+        "added-records" -> moved.map(_.records).sum.toString,
+        "added-files-size" -> moved.map(_.bytes).sum.toString))
+  }
+
+  /** Write one append/overwrite snapshot's manifest + manifest list:
+    * ONE distributed stats pass over `moved`, one new manifest stamped
+    * with the TABLE's format version, and a manifest list carrying
+    * `baseSnapshotId`'s live records (None = fresh table / overwrite).
+    * The base is a parameter because a branch write carries the BRANCH
+    * head's list, not main's. Returns (listPath, newSeq, formatVersion).
+    */
+  private def writeSnapshotList(spark: SparkSession, fs: FileSystem,
+      path: String, schema: StructType, partFields: Seq[StructField],
+      moved: Seq[DataFileRef], snapshotId: Long, prevMeta: Option[JValue],
+      baseSnapshotId: Option[Long]): (String, Long, Int) = {
     // one distributed pass over the commit's files → the spec's
     // column-stats maps (keyed by field-id), the skipping metadata
     // real Iceberg planners prune on
@@ -602,16 +629,16 @@ object IcebergInterop {
     // sequence machinery: v1 tables stay seq-free; once a row-level
     // delete upgraded the table to format-version 2, every commit bumps
     // the sequence and stamps its manifest with it (the spec's ordering
-    // rule that scopes deletes to files that existed before them)
-    val prevFormat = prev.map(p => (p._2 \ "format-version").extract[Int])
+    // rule that scopes deletes to files that existed before them).
+    // Sequences are TABLE-global (the spec's rule), so branch commits
+    // bump the same counter as main commits.
+    val prevFormat = prevMeta.map(m => (m \ "format-version").extract[Int])
       .getOrElse(1)
-    // one manifest for this commit's files, headers stamped with the
-    // TABLE's format version (an upgraded table must not emit v1-tagged
-    // manifests next to a v2 manifest list)
     val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-m0.avro"
     val entrySchema = manifestEntrySchema(partFields)
     val entries = buildEntries(moved, snapshotId, schema, partFields,
       statsByFile, entrySchema)
+    val schemaJ = schemaJson(schema)
     val manifestLen = writeAvro(fs, new Path(manifestPath), entrySchema,
       Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJ)),
         "partition-spec" -> JsonMethods.compact(JsonMethods.render(
@@ -620,18 +647,19 @@ object IcebergInterop {
         "format-version" -> prevFormat.toString),
       entries)
     val newSeq = if (prevFormat >= 2)
-      prev.map(p => (p._2 \ "last-sequence-number").extractOrElse[Long](0L))
+      prevMeta.map(m => (m \ "last-sequence-number").extractOrElse[Long](0L))
         .getOrElse(0L) + 1
     else 0L
-    // manifest list: this manifest + (append) every prior live manifest,
-    // each carried record keeping its content kind and sequence number
-    val carried: Seq[GenericRecord] = if (overwrite) Nil else prev.toSeq.flatMap {
-      case (_, meta) =>
-        val currentSnap = (meta \ "current-snapshot-id").extract[Long]
+    // manifest list: this manifest + every live manifest of the base
+    // snapshot, each carried record keeping its content kind and
+    // sequence number
+    val carried: Seq[GenericRecord] = (prevMeta, baseSnapshotId) match {
+      case (Some(meta), Some(base)) =>
         (meta \ "snapshots").extract[List[JValue]]
-          .find(s => (s \ "snapshot-id").extract[Long] == currentSnap)
+          .find(s => (s \ "snapshot-id").extract[Long] == base)
           .toSeq.flatMap(s =>
             readAvro(fs, new Path((s \ "manifest-list").extract[String])))
+      case _ => Nil
     }
     val listPath = s"$path/metadata/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
     val added = listEntryRecord(manifestPath, manifestLen, snapshotId,
@@ -643,15 +671,7 @@ object IcebergInterop {
       content = listContentOf(r), seq = listSeqOf(r)))
     writeAvro(fs, new Path(listPath), ManifestFileSchema,
       Map("format-version" -> prevFormat.toString), listRecords)
-
-    publishMetadata(fs, path, prev, schema, partFields,
-      prevProps ++ txn.map { case (a, v) => s"graft.txn.$a" -> v.toString },
-      prevFormat, newSeq, snapshotId, now, listPath,
-      if (overwrite) "overwrite" else "append",
-      summaryExtra = Map(
-        "added-data-files" -> moved.size.toString,
-        "added-records" -> moved.map(_.records).sum.toString,
-        "added-files-size" -> moved.map(_.bytes).sum.toString))
+    (listPath, newSeq, prevFormat)
   }
 
   /** The shared metadata-JSON publish tail of every snapshot commit
@@ -705,6 +725,10 @@ object IcebergInterop {
         (props + ("schema.name-mapping.default" -> nameMapping(schema)))
           .toList.map { case (k, v) => k -> (JString(v): JValue) }),
       "current-snapshot-id" -> JLong(snapshotId),
+      // refs: carry branches/tags through, main follows the commit
+      // (the spec keeps `main` = current snapshot)
+      "refs" -> refsJson(prev.map(p => refsOf(p._2))
+        .getOrElse(Map.empty) + ("main" -> (snapshotId, "branch"))),
       "snapshots" -> JArray((prevSnapshots :+ snapshot).toList),
       "snapshot-log" -> JArray((prev.toSeq.flatMap(_._2 \ "snapshot-log" match {
         case JArray(xs) => xs
@@ -1410,6 +1434,36 @@ object IcebergInterop {
     latest.join(v1, "o_orderstatus").orderBy(col("o_orderstatus"))
   }
 
+  /** Driver-checked WRITE-AUDIT-PUBLISH round trip: orders bootstrap
+    * `main`; a high-value slice stages on an `audit` BRANCH (spec v2
+    * refs) — the pre-publish read of main proving the staged data is
+    * invisible is pinned INTO the result — then [[fastForward]]
+    * publishes atomically and the final read sees both. The staging
+    * lane every production ingest wants: validate a candidate batch on
+    * a branch, publish metadata-only or drop the ref, never a
+    * half-visible table.
+    */
+  def icebergWapRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft-iceberg-wap") + "/orders_iceberg"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    write(orders, out)
+    createBranch(spark, out, "audit")
+    writeToBranch(orders.filter(col("o_totalprice") > 300000.0), out, "audit")
+    val pre = read(spark, out).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_pre"))
+    val audit = readRef(spark, out, "audit").groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_audit"))
+    fastForward(spark, out, "audit")
+    val published = read(spark, out).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_price"))
+    published.join(pre, "o_orderstatus").join(audit, "o_orderstatus")
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Driver-checked POSITION-DELETE round trip: orders land as a v1
     * table; a soft delete (v2 upgrade, no parquet rewritten) drops the
     * high-value rows; a fresh append adds NEW rows matching the same
@@ -1615,12 +1669,19 @@ object IcebergInterop {
       .filterNot(s => dropSnapshotIds.contains((s \ "snapshot-id").extract[Long]))
     val keptLog = (meta \ "snapshot-log").extractOrElse[List[JValue]](Nil)
       .filterNot(s => dropSnapshotIds.contains((s \ "snapshot-id").extract[Long]))
+    refsOf(meta).foreach { case (name, (id, _)) =>
+      require(name == "main" || !dropSnapshotIds.contains(id),
+        s"IcebergInterop: maintenance would drop snapshot $id still " +
+          s"referenced by ref '$name' — dropRef first")
+    }
     val updated = JObject(meta.asInstanceOf[JObject].obj.map {
       case ("last-updated-ms", _) => "last-updated-ms" -> (JLong(now): JValue)
       case ("last-sequence-number", v) =>
         "last-sequence-number" -> newSeq.map(q => JLong(q): JValue).getOrElse(v)
       case ("current-snapshot-id", _) =>
         "current-snapshot-id" -> (JLong(snapshotId): JValue)
+      case ("refs", _) => // `main` follows current (spec rule)
+        "refs" -> refsJson(refsOf(meta) + ("main" -> (snapshotId, "branch")))
       case ("snapshots", _) =>
         "snapshots" -> (JArray(keptSnaps :+ snapshot): JValue)
       case ("snapshot-log", _) =>
@@ -1883,8 +1944,19 @@ object IcebergInterop {
       .sortBy(s => ((s \ "sequence-number").extractOrElse[Long](0L),
         (s \ "timestamp-ms").extractOrElse[Long](0L)))
     if (all.size <= keepLast) return (0, 0)
-    val keep = all.takeRight(keepLast)
-    val expired = all.dropRight(keepLast)
+    // branch heads / tags survive expiry regardless of age — a ref is a
+    // promise the snapshot stays readable until the ref itself drops
+    val refHeads = refsOf(meta).values.map(_._1).toSet
+    val (keepRefd, rest) = all.partition(s =>
+      refHeads.contains((s \ "snapshot-id").extract[Long]))
+    val keep = (keepRefd ++ rest.takeRight(
+      math.max(0, keepLast - keepRefd.size)))
+      .sortBy(s => ((s \ "sequence-number").extractOrElse[Long](0L),
+        (s \ "timestamp-ms").extractOrElse[Long](0L)))
+    val keepIds = keep.map(s => (s \ "snapshot-id").extract[Long]).toSet
+    val expired = all.filterNot(s =>
+      keepIds.contains((s \ "snapshot-id").extract[Long]))
+    if (expired.isEmpty) return (0, 0)
     val current = (meta \ "current-snapshot-id").extract[Long]
     require(keep.exists(s => (s \ "snapshot-id").extract[Long] == current),
       "expireSnapshots: the current snapshot must survive")
@@ -2106,6 +2178,8 @@ object IcebergInterop {
         "last-updated-ms" -> (JLong(now): JValue)
       case ("current-snapshot-id", _) =>
         "current-snapshot-id" -> (JLong(snapshotId): JValue)
+      case ("refs", _) => // `main` follows current (spec rule)
+        "refs" -> refsJson(refsOf(meta) + ("main" -> (snapshotId, "branch")))
       case ("snapshot-log", v) => "snapshot-log" ->
         (JArray(v.extractOrElse[List[JValue]](Nil) :+ logEntry): JValue)
       case other => other
@@ -2122,6 +2196,230 @@ object IcebergInterop {
     writeFile(fs, new Path(s"$path/metadata/version-hint.text"),
       newVersion.toString.getBytes(StandardCharsets.UTF_8))
     newVersion
+  }
+
+  // ---- refs: branches and tags (spec v2 `refs`) ----
+
+  /** The metadata's `refs` map as name → (snapshot-id, type). A table
+    * written before refs existed has none; `main` is implicitly the
+    * current snapshot (the spec's rule), surfaced here explicitly.
+    */
+  private def refsOf(meta: JValue): Map[String, (Long, String)] = {
+    val explicit = (meta \ "refs") match {
+      case JObject(fields) => fields.map { case (name, r) =>
+        name -> ((r \ "snapshot-id").extract[Long],
+          (r \ "type").extractOrElse[String]("branch"))
+      }.toMap
+      case _ => Map.empty[String, (Long, String)]
+    }
+    explicit.get("main") match {
+      case Some(_) => explicit
+      case None => (meta \ "current-snapshot-id").extractOpt[Long]
+        .fold(explicit)(c => explicit + ("main" -> (c, "branch")))
+    }
+  }
+
+  private def refsJson(refs: Map[String, (Long, String)]): JValue =
+    JObject(refs.toList.sortBy(_._1).map { case (name, (id, tpe)) =>
+      name -> (JObject("snapshot-id" -> JLong(id),
+        "type" -> JString(tpe)): JValue)
+    })
+
+  /** All refs of the table, `main` included. */
+  def refs(spark: SparkSession, path: String): Map[String, (Long, String)] = {
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    refsOf(readMetadata(fs, path, version))
+  }
+
+  /** Field-preserving metadata-only commit that replaces the refs map —
+    * the shared tail of create/drop/fast-forward. `alsoCurrent`
+    * additionally flips current-snapshot-id + snapshot-log (the
+    * fast-forward spelling).
+    */
+  private def commitRefsOnly(fs: FileSystem, path: String, version: Int,
+      meta: JValue, newRefs: Map[String, (Long, String)],
+      alsoCurrent: Option[Long]): Int = {
+    val now = System.currentTimeMillis()
+    val hadRefs = (meta \ "refs") != JNothing
+    val logEntry = alsoCurrent.map(id => JObject(
+      "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(id)))
+    val updated0 = JObject(meta.asInstanceOf[JObject].obj.map {
+      case ("last-updated-ms", _) => "last-updated-ms" -> (JLong(now): JValue)
+      case ("refs", _) => "refs" -> refsJson(newRefs)
+      case ("current-snapshot-id", v) => "current-snapshot-id" ->
+        alsoCurrent.map(id => JLong(id): JValue).getOrElse(v)
+      case ("snapshot-log", v) => "snapshot-log" -> (JArray(
+        v.extractOrElse[List[JValue]](Nil) ++ logEntry.toList): JValue)
+      case other => other
+    })
+    val updated = if (hadRefs) updated0
+      else JObject(updated0.obj :+ ("refs" -> refsJson(newRefs)))
+    val newVersion = version + 1
+    val metaPath = new Path(s"$path/metadata/v$newVersion.metadata.json")
+    require(!fs.exists(metaPath),
+      s"Iceberg metadata v$newVersion already exists (concurrent writer)")
+    writeFile(fs, metaPath, JsonMethods.pretty(JsonMethods.render(updated))
+      .getBytes(StandardCharsets.UTF_8))
+    writeFile(fs, new Path(s"$path/metadata/version-hint.text"),
+      newVersion.toString.getBytes(StandardCharsets.UTF_8))
+    newVersion
+  }
+
+  private def createRef(spark: SparkSession, path: String, name: String,
+      tpe: String, at: Option[Long]): Long = {
+    require(name.nonEmpty && name != "main",
+      s"IcebergInterop: cannot create ref '$name'")
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val existing = refsOf(meta)
+    require(!existing.contains(name),
+      s"IcebergInterop: ref '$name' already exists")
+    val target = at.getOrElse((meta \ "current-snapshot-id").extract[Long])
+    val ids = (meta \ "snapshots").extractOrElse[List[JValue]](Nil)
+      .map(s => (s \ "snapshot-id").extract[Long])
+    require(ids.contains(target),
+      s"IcebergInterop: snapshot $target not retained; cannot ref it")
+    commitRefsOnly(fs, path, version, meta,
+      existing + (name -> (target, tpe)), alsoCurrent = None)
+    target
+  }
+
+  /** A BRANCH: an independently-advancing head ([[writeToBranch]]) —
+    * the write-audit-publish staging lane. Metadata-only; returns the
+    * snapshot the branch starts at.
+    */
+  def createBranch(spark: SparkSession, path: String, name: String,
+      at: Option[Long] = None): Long = createRef(spark, path, name, "branch", at)
+
+  /** A TAG: an immutable named snapshot (release pinning). */
+  def createTag(spark: SparkSession, path: String, name: String,
+      at: Option[Long] = None): Long = createRef(spark, path, name, "tag", at)
+
+  def dropRef(spark: SparkSession, path: String, name: String): Unit = {
+    require(name != "main", "IcebergInterop: cannot drop 'main'")
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val existing = refsOf(meta)
+    require(existing.contains(name), s"IcebergInterop: no ref '$name'")
+    commitRefsOnly(fs, path, version, meta, existing - name,
+      alsoCurrent = None)
+    ()
+  }
+
+  /** Read the table as of a named ref (`main`, a branch head, a tag). */
+  def readRef(spark: SparkSession, path: String, name: String): DataFrame = {
+    val r = refs(spark, path).getOrElse(name,
+      throw new IllegalArgumentException(s"IcebergInterop: no ref '$name'"))
+    read(spark, path, snapshotId = Some(r._1))
+  }
+
+  /** Append `df` to a BRANCH: the new snapshot's parent and carried
+    * manifest list are the branch head's, the branch ref advances, and
+    * `main`/current-snapshot-id/snapshot-log stay untouched — readers
+    * of the table see nothing until [[fastForward]] publishes. The
+    * write-audit-publish lane: stage candidate data on an `audit`
+    * branch, validate it there ([[readRef]]), then publish atomically.
+    * Sequence numbers stay table-global per the spec. Returns the new
+    * snapshot id.
+    */
+  def writeToBranch(df: DataFrame, path: String, branch: String): Long = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"not an Iceberg table: $path (bootstrap main with write first)"))
+    val meta = readMetadata(fs, path, version)
+    val allRefs = refsOf(meta)
+    val (head, tpe) = allRefs.getOrElse(branch,
+      throw new IllegalArgumentException(
+        s"IcebergInterop: no branch '$branch' (createBranch first)"))
+    require(tpe == "branch", s"IcebergInterop: ref '$branch' is a $tpe — " +
+      "tags are immutable")
+    val schema = currentSchema(meta)
+    val partFields = partFieldsOf(meta, schema)
+    require(schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)),
+      s"IcebergInterop branch append: schema must match the table " +
+        s"(table ${schema.simpleString}, batch ${df.schema.simpleString})")
+    val moved = stageDataFiles(df, path, partFields.map(_.name), fs)
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val now = System.currentTimeMillis()
+    val (listPath, newSeq, fmt) = writeSnapshotList(spark, fs, path, schema,
+      partFields, moved, snapshotId, Some(meta), baseSnapshotId = Some(head))
+    val snapshot = JObject(
+      "snapshot-id" -> JLong(snapshotId),
+      "parent-snapshot-id" -> JLong(head),
+      "timestamp-ms" -> JLong(now),
+      "summary" -> JObject(
+        "operation" -> JString("append"),
+        "added-data-files" -> JString(moved.size.toString),
+        "added-records" -> JString(moved.map(_.records).sum.toString),
+        "added-files-size" -> JString(moved.map(_.bytes).sum.toString)),
+      "manifest-list" -> JString(listPath),
+      "schema-id" -> JInt(0)) ~~
+      (if (fmt >= 2) Some(JObject("sequence-number" -> JLong(newSeq))) else None)
+    val hadRefs = (meta \ "refs") != JNothing
+    val newRefs = allRefs + (branch -> (snapshotId, "branch"))
+    val updated0 = JObject(meta.asInstanceOf[JObject].obj.map {
+      case ("last-updated-ms", _) => "last-updated-ms" -> (JLong(now): JValue)
+      case ("last-sequence-number", v) => "last-sequence-number" ->
+        (if (fmt >= 2) JLong(newSeq): JValue else v)
+      case ("snapshots", v) => "snapshots" -> (JArray(
+        v.extractOrElse[List[JValue]](Nil) :+ (snapshot: JValue)): JValue)
+      case ("refs", _) => "refs" -> refsJson(newRefs)
+      case other => other
+    })
+    val updated = if (hadRefs) updated0
+      else JObject(updated0.obj :+ ("refs" -> refsJson(newRefs)))
+    val newVersion = version + 1
+    val metaPath = new Path(s"$path/metadata/v$newVersion.metadata.json")
+    require(!fs.exists(metaPath),
+      s"Iceberg metadata v$newVersion already exists (concurrent writer)")
+    writeFile(fs, metaPath, JsonMethods.pretty(JsonMethods.render(updated))
+      .getBytes(StandardCharsets.UTF_8))
+    writeFile(fs, new Path(s"$path/metadata/version-hint.text"),
+      newVersion.toString.getBytes(StandardCharsets.UTF_8))
+    snapshotId
+  }
+
+  /** PUBLISH a branch: fast-forward `main` to the branch head —
+    * metadata-only, atomic, and only when main is an ancestor of the
+    * head (anything else is not a fast-forward; refuse rather than
+    * silently dropping main-side commits). Returns the published
+    * snapshot id.
+    */
+  def fastForward(spark: SparkSession, path: String, branch: String): Long = {
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val allRefs = refsOf(meta)
+    val (head, tpe) = allRefs.getOrElse(branch,
+      throw new IllegalArgumentException(s"IcebergInterop: no ref '$branch'"))
+    require(tpe == "branch", s"IcebergInterop: '$branch' is a $tpe")
+    val current = (meta \ "current-snapshot-id").extract[Long]
+    if (head == current) return current // already published
+    val byId = (meta \ "snapshots").extractOrElse[List[JValue]](Nil)
+      .map(s => (s \ "snapshot-id").extract[Long] -> s).toMap
+    var cursor = Option(head)
+    var isAncestor = false
+    while (cursor.isDefined && !isAncestor) {
+      if (cursor.get == current) isAncestor = true
+      else cursor = byId.get(cursor.get)
+        .flatMap(s => (s \ "parent-snapshot-id").extractOpt[Long])
+    }
+    require(isAncestor,
+      s"IcebergInterop fastForward: main ($current) is not an ancestor of " +
+        s"'$branch' ($head) — diverged histories need a real merge")
+    commitRefsOnly(fs, path, version, meta,
+      allRefs + ("main" -> (head, "branch")), alsoCurrent = Some(head))
+    head
   }
 
   /** Driver-checked identity-partitioned table: write orders
@@ -2217,6 +2515,23 @@ object IcebergInterop {
                cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         FROM survivors
         GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+    graft.Op("q_iceberg_wap", icebergWapRoundTrip,
+      Some("""
+        WITH staged AS (
+          SELECT o_orderstatus, o_totalprice FROM orders
+          WHERE o_totalprice > 300000.0),
+        published AS (
+          SELECT o_orderstatus, o_totalprice FROM orders
+          UNION ALL SELECT o_orderstatus, o_totalprice FROM staged)
+        SELECT p.o_orderstatus, p.n_rows, p.sum_price, b.n_pre, a.n_audit
+        FROM (SELECT o_orderstatus, count(*) AS n_rows,
+                cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+              FROM published GROUP BY o_orderstatus) p
+        JOIN (SELECT o_orderstatus, count(*) AS n_pre
+              FROM orders GROUP BY o_orderstatus) b USING (o_orderstatus)
+        JOIN (SELECT o_orderstatus, count(*) AS n_audit
+              FROM published GROUP BY o_orderstatus) a USING (o_orderstatus)
         ORDER BY o_orderstatus""")),
     graft.Op("q_iceberg_roundtrip", icebergRoundTrip,
       Some("""

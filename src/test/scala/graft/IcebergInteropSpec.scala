@@ -686,6 +686,65 @@ class IcebergInteropSpec extends SparkSpec {
     assert(IcebergInterop.rewriteManifests(spark, path) == 0)
   }
 
+  test("branches: write-audit-publish — main blind until fastForward") {
+    val path = tmp("wap")
+    IcebergInterop.write(sample, path)
+    IcebergInterop.createBranch(spark, path, "audit")
+    IcebergInterop.writeToBranch(
+      Seq((4L, "c", 40.0), (5L, "d", 50.0)).toDF("id", "cat", "v"), path, "audit")
+    // main / plain read: unchanged (the staged data is invisible)
+    assert(IcebergInterop.read(spark, path).count() == 3)
+    assert(IcebergInterop.readRef(spark, path, "main").count() == 3)
+    // the branch sees base + staged
+    assert(IcebergInterop.readRef(spark, path, "audit")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // second staged batch advances the branch only
+    IcebergInterop.writeToBranch(
+      Seq((6L, "d", 60.0)).toDF("id", "cat", "v"), path, "audit")
+    assert(IcebergInterop.read(spark, path).count() == 3)
+    // publish: atomic metadata-only fast-forward
+    val published = IcebergInterop.fastForward(spark, path, "audit")
+    assert(IcebergInterop.read(spark, path).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(IcebergInterop.refs(spark, path)("main")._1 == published)
+    // idempotent republish
+    assert(IcebergInterop.fastForward(spark, path, "audit") == published)
+  }
+
+  test("refs: tags immutable + expiry-proof; diverged fast-forward refuses") {
+    val path = tmp("refs")
+    IcebergInterop.write(sample, path)
+    val s1 = IcebergInterop.refs(spark, path)("main")._1
+    IcebergInterop.createTag(spark, path, "v1.0")
+    IcebergInterop.createBranch(spark, path, "dev", at = Some(s1))
+    // a tag is not writable
+    intercept[IllegalArgumentException] {
+      IcebergInterop.writeToBranch(sample, path, "v1.0")
+    }
+    // plain appends carry the refs map through untouched
+    IcebergInterop.write(Seq((4L, "c", 40.0)).toDF("id", "cat", "v"), path)
+    val r = IcebergInterop.refs(spark, path)
+    assert(r("v1.0") == (s1, "tag") && r("dev") == (s1, "branch"))
+    assert(r("main")._1 != s1, "main advanced with the append")
+    // main moved past the branch point AND the branch moved: diverged
+    IcebergInterop.writeToBranch(
+      Seq((9L, "z", 90.0)).toDF("id", "cat", "v"), path, "dev")
+    intercept[IllegalArgumentException] {
+      IcebergInterop.fastForward(spark, path, "dev")
+    }
+    // expiry keeps the tagged snapshot alive and readable
+    IcebergInterop.write(Seq((5L, "c", 50.0)).toDF("id", "cat", "v"), path)
+    IcebergInterop.expireSnapshots(spark, path, keepLast = 2)
+    assert(IcebergInterop.readRef(spark, path, "v1.0").count() == 3)
+    // dropRef then re-expire: the old snapshot may now go
+    IcebergInterop.dropRef(spark, path, "v1.0")
+    IcebergInterop.dropRef(spark, path, "dev")
+    intercept[IllegalArgumentException] {
+      IcebergInterop.readRef(spark, path, "v1.0")
+    }
+    assert(IcebergInterop.read(spark, path).count() == 5)
+  }
+
   test("rewriteManifests on v2 carries delete manifests; sequence scoping holds") {
     val path = tmp("rwm2")
     IcebergInterop.write(Seq((1L, "x"), (2L, "x")).toDF("id", "s"), path)
