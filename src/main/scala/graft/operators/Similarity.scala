@@ -400,7 +400,57 @@ object Similarity {
       bruteForceTopK(spark, dir, k, nQueries),
       ivfQuantizedTopK(spark, dir, k, nQueries), floor)
 
+  /** Product-quantized ANN — the extreme-compression scale path: the
+    * corpus compresses dim·4/m × (32× at m=8 on 64-dim float32) into
+    * m-byte codes via per-subspace codebooks
+    * ([[graft.functions.PqKernel]], trained on the same deterministic
+    * driver sample as the IVF quantizer), the candidate scan ranks
+    * every code by codegen'd ADC cosine reading m BYTES per corpus row,
+    * and exact cosine re-ranks the k·factor shortlist against raw
+    * vectors. At 100 TB this is the only route whose index fits in
+    * cluster RAM (100 TB of float32 → ~3 TB of codes); recall is
+    * coarser than int8's, recovered by the wider shortlist.
+    */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      m: Int = 8, ks: Int = 32, sampleSize: Int = 4096,
+      shortlistFactor: Int = 8): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+    val sample = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val kernel = graft.functions.PqKernel.train(
+      sample, VectorExpressions.Dim, m, ks)
+    val codes = emb.select(col("vec_id"),
+      GraftShim.column(graft.functions.PqEncode(
+        GraftShim.expression(col("embedding")), kernel)).as("code"))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("vec_id"))
+    val short = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftShim.column(graft.functions.PqCosine(
+          GraftShim.expression(col("code")), GraftShim.expression(col("qv")),
+          kernel)).as("acos"))
+      .withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k * shortlistFactor)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(emb, short, q, k)
+  }
+
+  /** m-byte codes are the coarsest route here; the wide shortlist
+    * (8×k) pulls mean recall back to the coarse-route floor.
+    */
+  def pqRecallAudit(spark: SparkSession, dir: String,
+      k: Int = 10, nQueries: Int = 5, floor: Double = 0.3): DataFrame =
+    recallAudit(
+      bruteForceTopK(spark, dir, k, nQueries),
+      pqTopK(spark, dir, k, nQueries), floor)
+
   val ops: Seq[Op] = Seq(
+    Op("q_sim_pq", (s, d) => pqRecallAudit(s, d),
+      Some(RecallAuditOracle)),
     Op("q_sim_quantized", (s, d) => quantizedRecallAudit(s, d),
       Some(RecallAuditOracle)),
     Op("q_sim_ivfpq", (s, d) => ivfQuantizedRecallAudit(s, d),

@@ -66,14 +66,14 @@ object FormatConvert {
       val records = a.stats.flatMap(parseNumRecords)
       (abs, a.size, records)
     }
-    // foreign logs may omit add.stats — count the stragglers in ONE job
+    // foreign logs may omit add.stats — the stragglers' counts come from
+    // their parquet FOOTERS (KBs each), never a re-scan of the data
     val missing = withCounts.collect { case (p, _, None) => p }
     val counted: Map[String, Long] =
       if (missing.isEmpty) Map.empty
-      else spark.read.parquet(missing: _*)
-        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-        .collect().map(r => FileStats.canon(r.getString(0)) -> r.getLong(1))
-        .toMap
+      else FileStats.fromFooters(spark, missing,
+        org.apache.spark.sql.types.StructType(Nil))
+        .map { case (p, st) => p -> st.numRecords.getOrElse(0L) }
     val refs = withCounts.map { case (p, size, rec) =>
       IcebergInterop.DataFileRef(p,
         rec.orElse(counted.get(FileStats.canon(p))).getOrElse(0L), size)
@@ -119,10 +119,9 @@ object FormatConvert {
       icebergPath: String): Long = {
     val (schema, files) = HudiInterop.currentDataFiles(spark, hudiPath)
     val counted: Map[String, Long] =
-      spark.read.schema(schema).parquet(files.map(_._1): _*)
-        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-        .collect().map(r => FileStats.canon(r.getString(0)) -> r.getLong(1))
-        .toMap
+      FileStats.fromFooters(spark, files.map(_._1),
+        org.apache.spark.sql.types.StructType(Nil))
+        .map { case (p, st) => p -> st.numRecords.getOrElse(0L) }
     val refs = files.map { case (p, size) =>
       IcebergInterop.DataFileRef(p, counted.getOrElse(FileStats.canon(p), 0L), size)
     }

@@ -358,9 +358,6 @@ object IcebergInterop {
       (if (shape) VersionedTable.byPartitions(tokened, Seq("__pdir")) else tokened)
         .write.mode("overwrite").partitionBy("__pdir").parquet(stage.toString)
     }
-    val counts = spark.read.parquet(stage.toString)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect().map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
     val stagedFiles: Seq[(org.apache.hadoop.fs.FileStatus, Seq[Option[String]])] =
       if (partitionBy.isEmpty)
         fs.listStatus(stage).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
@@ -373,6 +370,12 @@ object IcebergInterop {
           fs.listStatus(d.getPath).toSeq
             .filter(_.getPath.getName.endsWith(".parquet")).map((_, values))
         }
+    // record counts from the parquet FOOTERS the writer just produced
+    // (KBs per file on an IO thread pool) — a distributed re-scan of the
+    // staged bytes would read every commit's data a SECOND time
+    val counts = FileStats.fromFooters(spark,
+      stagedFiles.map(_._1.getPath.toString), StructType(Nil))
+      .map { case (p, st) => p -> st.numRecords.getOrElse(0L) }
     val moved = stagedFiles.zipWithIndex.map { case ((st, values), i) =>
       val name = f"00000-$i%05d-${java.util.UUID.randomUUID()}.parquet"
       // cosmetic hive-ish dir per partition tuple (readers use manifests)
@@ -384,7 +387,8 @@ object IcebergInterop {
       fs.mkdirs(dst.getParent)
       require(fs.rename(st.getPath, dst), s"move failed: $dst")
       DataFileRef(s"$dir/$name",
-        counts.getOrElse(st.getPath.getName, 0L), st.getLen, values)
+        counts.getOrElse(FileStats.canon(st.getPath.toString), 0L), st.getLen,
+        values)
     }
     fs.delete(stage, true)
     moved

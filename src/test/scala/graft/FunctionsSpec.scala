@@ -202,6 +202,50 @@ class FunctionsSpec extends SparkSpec {
     assert(recall(composed) >= 0.3, s"composed recall ${recall(composed)} under IVF floor")
   }
 
+  test("PQ: codes are m bytes, encode/ADC round trip tracks cosine, recall holds") {
+    import org.apache.spark.sql.GraftShim
+    import graft.functions.{PqKernel, PqEncode, PqCosine}
+    val rnd = new scala.util.Random(7)
+    val dim = graft.functions.VectorExpressions.Dim
+    val m = 8
+    val vecs = (0 until 400).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val kernel = PqKernel.train(vecs.map(_._2).toArray, dim, m, ks = 32)
+    val q = vecs.head._2
+    val df = vecs.toDF("id", "v")
+    val rows = df.select(col("id"),
+        GraftShim.column(PqEncode(GraftShim.expression(col("v")), kernel)).as("code"))
+      .withColumn("acos", GraftShim.column(PqCosine(
+        GraftShim.expression(col("code")), GraftShim.expression(typedlit(q)), kernel)))
+      .collect()
+    def exactCos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until dim).foreach { j =>
+        d += a(j).toDouble * b(j); na += a(j).toDouble * a(j); nb += b(j).toDouble * b(j) }
+      d / math.sqrt(na * nb)
+    }
+    val errs = rows.map { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[Array[Byte]]("code").length == m, "m bytes per vector")
+      math.abs(r.getAs[Double]("acos") - exactCos(vecs(id.toInt)._2, q))
+    }
+    // PQ is coarse by design; ADC must still track cosine closely in the
+    // mean (the shortlist re-rank absorbs per-vector noise)
+    assert(errs.sum / errs.length < 0.25,
+      s"mean ADC error ${errs.sum / errs.length}")
+    // the encoder is deterministic: re-encoding agrees byte-for-byte
+    val again = df.select(GraftShim.column(
+      PqEncode(GraftShim.expression(col("v")), kernel)).as("code")).collect()
+    assert(rows.map(_.getAs[Array[Byte]]("code").toSeq) ===
+      again.map(_.getAs[Array[Byte]]("code").toSeq))
+    // end-to-end recall on the real corpus holds the audit floor
+    val exact = graft.operators.Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.operators.Similarity.pqTopK(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall $recall under floor")
+  }
+
   test("count-min sketch: one-sided estimates, partition-invariant merge, CM bound") {
     import graft.functions.{CountMin, CountMinAgg}
     import org.apache.spark.sql.GraftShim
