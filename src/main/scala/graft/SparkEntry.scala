@@ -30,6 +30,7 @@ object SparkEntry {
       graft.sinks.IcebergInterop.ops ++
       graft.sinks.FormatConvert.ops ++
       graft.streaming.IngestPipeline.ops ++
+      graft.streaming.StreamNearDup.ops ++
       graft.streaming.StreamJoin.ops ++
       graft.streaming.EventRollup.ops ++
       graft.streaming.Sessionize.ops

@@ -289,11 +289,19 @@ object Dedup {
     require(threshold > 0,
       s"ngramJaccardPairs: threshold must be > 0 (got $threshold) — " +
         "empty-intersection pairs drop out of the inner join by design")
-    // Set sizes: size() collapses the shingle array before any shuffle,
-    // so only (doc_id, int) rows move.
+    verifyCandidates(docs, candidatePairs(docs), threshold)
+  }
+
+  /** Exact-Jaccard verification of an arbitrary `(doc_a, doc_b)`
+    * candidate set — the shared tail of [[ngramJaccardPairs]] and the
+    * streaming LSH route. Set sizes: size() collapses the shingle array
+    * before any shuffle, so only (doc_id, int) rows move.
+    */
+  private[graft] def verifyCandidates(docs: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = docs.select(col("doc_id"), size(stringShingles(col("text"))).as("sz"))
     val e = explodedStringShingles(docs)
-    candidatePairs(docs)
+    candidates
       .join(e.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
       .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -306,6 +314,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** The per-row banded-signature column ([[graft.functions.MinHashBands]])
+    * over THIS pipeline's permutation tables — what a streaming stateless
+    * projection uses in place of the [[signatures]] aggregate.
+    */
+  private[graft] def minHashBandsCol(text: Column): Column =
+    org.apache.spark.sql.GraftShim.column(graft.functions.MinHashBands(
+      org.apache.spark.sql.GraftShim.expression(text),
+      permA, permB, Prime, NumBands))
 
   /** EXACT all-pairs n-gram Jaccard at a threshold — the audit anchor of
     * the near-dup family. Same explode-and-count shape as

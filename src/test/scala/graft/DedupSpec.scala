@@ -348,4 +348,32 @@ class DedupSpec extends SparkSpec {
     assert(empty.collect().isEmpty)
     assert(empty.schema.fieldNames.toSeq == Seq("doc_id", "status"))
   }
+
+  test("streaming LSH finds the batch pipeline's pair set across batch boundaries") {
+    val sf = "/root/testdata/sf0.001"
+    // the per-row banded kernel and the aggregate pipeline agree on the
+    // candidate set (same perms, same shingles — banding only groups
+    // equal min-tuples)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val perRow = docs.select(col("doc_id"),
+        posexplode(Dedup.minHashBandsCol(col("text"))))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "h")
+    val rowCand = perRow.alias("l").join(perRow.alias("r"),
+        col("l.band_id") === col("r.band_id") && col("l.h") === col("r.h") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val batchCand = Dedup.candidatePairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(rowCand == batchCand,
+      s"per-row kernel candidates diverge: ${rowCand.size} vs ${batchCand.size}")
+    // the streamed round trip (4 micro-batches, per-bucket state)
+    // converges to the batch verify's exact pair set
+    val streamed = graft.streaming.StreamNearDup.nearDupRoundTrip(spark, sf)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val batch = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(streamed.nonEmpty, "testdata should contain near-dup pairs")
+  }
 }
