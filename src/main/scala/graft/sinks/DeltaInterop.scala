@@ -1846,6 +1846,70 @@ object DeltaInterop {
     * versions stay readable. With CDF on, the diff lands as CDC
     * (re-added rows `insert`, dropped rows `delete`).
     */
+  /** SHALLOW CLONE: a new Delta table at `dst` whose commit 0 references
+    * the SOURCE's current data files by absolute URI — zero data copied,
+    * metadata-only, exactly delta-spark's `CLONE` semantics. The clone
+    * then lives its own life: writes/DML land clone-local files, removes
+    * only drop references (the donor is never touched — its files sit
+    * outside the clone's root, so the clone's VACUUM tree-walk cannot
+    * reach them), and time travel restarts at v0. Schema, partition
+    * columns, table properties (CHECK constraints included) and add
+    * stats carry over verbatim; the table id is NEW (two histories must
+    * not share an identity). DV-bearing sources refuse loudly — a clone
+    * would need absolute-path DV descriptors this writer does not emit.
+    *
+    * The 100 TB use: fork a production table for an experiment in O(file
+    * count) metadata, not O(bytes).
+    */
+  def shallowClone(spark: SparkSession, src: String, dst: String): Long = {
+    val srcFs = fsFor(spark, src)
+    val fs = fsFor(spark, dst)
+    require(!fs.exists(new Path(s"$dst/$LogDir")),
+      s"DeltaInterop shallowClone: $dst is already a Delta table")
+    val snap = snapshot(spark, src)
+    require(snap.adds.forall(_.deletionVector.isEmpty),
+      "DeltaInterop shallowClone: source carries deletion vectors — " +
+        "OPTIMIZE the source first (clone would need absolute-path DVs)")
+    val adds = snap.adds.map { a =>
+      val abs = srcFs.makeQualified(new Path(resolveAddPath(src, a.path)))
+      a.copy(path = abs.toUri.toString, dataChange = true)
+    }
+    val meta = snap.metaData.copy(id = java.util.UUID.randomUUID().toString)
+    beforePublish()
+    publish(fs, dst, 0L,
+      Seq(protocolJson(snap.protocol), metaJson(meta)) ++ adds.map(addJson),
+      "CLONE", Map("source" -> src, "sourceVersion" -> snap.version.toString))
+    maybeCheckpoint(spark, dst, 0L)
+    0L
+  }
+
+  /** Driver-checked shallow-clone round trip: orders land as a
+    * partitioned Delta table, the clone forks it metadata-only, an
+    * UPDATE mutates ONLY the clone (rewriting touched donor references
+    * into clone-local files), and one frame reads both tables' aggregates
+    * — the donor's must be untouched by the clone's DML.
+    */
+  def deltaCloneRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.Scratch.dir("graft-delta-clone")
+    val srcPath = s"$work/src"
+    val dstPath = s"$work/clone"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    write(orders, srcPath, partitionBy = Seq("o_orderstatus"))
+    shallowClone(spark, srcPath, dstPath)
+    update(spark, dstPath, col("o_orderkey") % 10 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(1000.0))))
+    val cloneAgg = read(spark, dstPath).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_clone"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_clone"))
+    val srcAgg = read(spark, srcPath).groupBy(col("o_orderstatus"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+        .as("sum_src"))
+    cloneAgg.join(srcAgg, "o_orderstatus").orderBy(col("o_orderstatus"))
+  }
+
   def restore(spark: SparkSession, path: String, version: Long): Long = {
     val fs = fsFor(spark, path)
     val snap = snapshot(spark, path)
@@ -2379,6 +2443,21 @@ object DeltaInterop {
         SELECT o_orderstatus, count(*) AS n_rows,
                cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+    graft.Op("q_delta_clone", deltaCloneRoundTrip,
+      Some("""
+        WITH cl AS (
+          SELECT o_orderstatus,
+                 CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                      ELSE o_totalprice END AS p
+          FROM orders)
+        SELECT c.o_orderstatus, c.n_clone, c.sum_clone, s.sum_src
+        FROM (SELECT o_orderstatus, count(*) AS n_clone,
+                cast(sum(cast(p AS DECIMAL(38,6))) AS DOUBLE) AS sum_clone
+              FROM cl GROUP BY o_orderstatus) c
+        JOIN (SELECT o_orderstatus,
+                cast(sum(cast(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_src
+              FROM orders GROUP BY o_orderstatus) s USING (o_orderstatus)
+        ORDER BY o_orderstatus""")),
     graft.Op("q_delta_history", deltaHistoryRoundTrip,
       Some("""
         SELECT * FROM (VALUES

@@ -848,6 +848,48 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, path).count() == 3)
   }
 
+  test("shallow clone: metadata-only fork, clone DML never touches the donor") {
+    val path = tmp("clonesrc")
+    val clone = new java.io.File(new java.io.File(path).getParent, "clonedst").getAbsolutePath
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
+    DeltaInterop.addCheckConstraint(spark, path, "vPos", "v > 0.0")
+    val donorFiles = new java.io.File(path).listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    DeltaInterop.shallowClone(spark, path, clone)
+    // zero data under the clone root; adds are absolute donor URIs
+    val snap = DeltaInterop.snapshot(spark, clone)
+    assert(snap.adds.nonEmpty &&
+      snap.adds.forall(_.path.matches("[A-Za-z][A-Za-z0-9+.-]*://.*")))
+    assert(DeltaInterop.read(spark, clone).count() == 4)
+    // the table id forked, the constraint carried (and still enforces)
+    assert(snap.metaData.id != DeltaInterop.snapshot(spark, path).metaData.id)
+    intercept[IllegalArgumentException] {
+      DeltaInterop.write(Seq((9L, "a", -1.0)).toDF("id", "cat", "v"), clone,
+        partitionBy = Seq("cat"))
+    }
+    // clone DML rewrites donor references into clone-local files
+    DeltaInterop.update(spark, clone, col("id") === 1L, Map("v" -> lit(99.0)))
+    assert(DeltaInterop.read(spark, clone).filter(col("id") === 1L)
+      .select("v").as[Double].head() == 99.0)
+    assert(DeltaInterop.read(spark, path).filter(col("id") === 1L)
+      .select("v").as[Double].head() == 10.0, "donor rows unchanged")
+    // donor bytes untouched; clone VACUUM cannot reach donor files
+    DeltaInterop.vacuum(spark, clone, retentionMs = 0)
+    donorFiles.foreach { case (f, mt) =>
+      val cur = new java.io.File(f)
+      assert(cur.exists() && cur.lastModified() == mt, s"donor file touched: $f")
+    }
+    assert(DeltaInterop.read(spark, path).count() == 4)
+    // a DV-bearing source refuses loudly
+    DeltaInterop.deleteDv(spark, path, col("id") === 2L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.shallowClone(spark, path, clone + "2")
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
   test("merge with a txn token is exactly-once: the replayed batch is a no-op") {
     val path = tmp("mergetxn")
     DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
