@@ -201,5 +201,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(graft.plans.ResolveNearDupJoin(_))
     ext.injectResolutionRule(
       org.apache.spark.sql.graft.catalog.ResolveGraftTableReads(_))
+    // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
+    // DESCRIBE HISTORY); everything else delegates verbatim
+    ext.injectParser((_, delegate) =>
+      new org.apache.spark.sql.graft.catalog.GraftSqlParser(delegate))
   }
 }

@@ -82,6 +82,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def tablePath(ident: Identifier): Path =
     pathOf(ident.namespace.toIndexedSeq :+ ident.name)
 
+  /** The ident → warehouse-path mapping, for the maintenance SQL
+    * commands ([[GraftSqlParser]]) — one source of truth with reads.
+    */
+  private[catalog] def resolvedTablePath(ident: Identifier): String =
+    tablePath(ident).toString
+
   private def isTable(p: Path): Boolean =
     fs.exists(new Path(p, "_graft_log")) || fs.exists(new Path(p, GraftCatalog.MetaFile))
 

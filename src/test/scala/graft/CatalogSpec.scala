@@ -397,4 +397,26 @@ class CatalogSpec extends SparkSpec {
     assert(got == Seq((1L, "a;b", 20.0), (3L, "d", 30.0)),
       "the quoted ';' must survive splitting and the DML must apply")
   }
+
+  test("maintenance SQL: OPTIMIZE, DESCRIBE HISTORY, VACUUM RETAIN") {
+    spark.sql(s"CREATE TABLE graft.$ns.mx (id BIGINT, p STRING) PARTITIONED BY (p)")
+    // 6 single-partition inserts fragment partition 'a' into 6 files
+    (1 to 6).foreach(i =>
+      spark.sql(s"INSERT INTO graft.$ns.mx VALUES ($i, 'a')"))
+    val hist0 = rows(s"DESCRIBE HISTORY graft.$ns.mx")
+    assert(hist0.size == 7 && hist0.map(_.getString(2)).count(_ == "append") == 6)
+    val v = rows(s"OPTIMIZE graft.$ns.mx").head.getLong(0)
+    assert(v > 0, "optimize commits a compaction version")
+    assert(rows(s"SELECT sum(id) FROM graft.$ns.mx").head.getLong(0) == 21L)
+    // vacuum keeps only the latest version's files; old reads now refuse,
+    // current reads are untouched
+    val deleted = rows(s"VACUUM graft.$ns.mx RETAIN 1 VERSIONS").head.getLong(0)
+    assert(deleted > 0, "fragmented pre-compaction files must be reclaimed")
+    assert(rows(s"SELECT sum(id) FROM graft.$ns.mx").head.getLong(0) == 21L)
+    // history survives the vacuum (the log is not data files)
+    assert(rows(s"DESCRIBE HISTORY graft.$ns.mx").size == 8)
+    // a non-graft ident refuses loudly; plain SQL still parses through
+    intercept[Exception] { spark.sql(s"OPTIMIZE graft.$ns.absent").collect() }
+    assert(rows("SELECT 1 + 1").head.getInt(0) == 2)
+  }
 }
