@@ -324,6 +324,73 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser-Ney trigram scoring (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated formulation, single discount
+    * D=0.75) — the LM the n-gram-era quality filters actually used,
+    * trained on the corpus and scoring it in one plan. Definitions the
+    * DuckDB oracle mirrors term for term:
+    *
+    *  - c3(w1w2w3), c2(w1w2)=Σ c3, b3(w1w2)=|{w3: c3>0}|
+    *  - n3(w2w3)=|{w1: c3>0}|, n3mid(w2)=Σ_w3 n3, b2(w2)=|{w3: n3>0}|
+    *  - n2(w3)=|{w: corpus bigram (w,w3) occurs}|, N=|bigram types|
+    *  - P1(w3)=n2/N (the continuation unigram — KN's defining idea:
+    *    "how many contexts does w3 complete", not "how often")
+    *  - P2(w3|w2)=(max(n3−D,0)+D·b2·P1)/n3mid
+    *  - P3(w3|w1w2)=(max(c3−D,0)+D·b3·P2)/c2
+    *
+    * Scored trigrams come from the training corpus itself, so every
+    * denominator is positive by construction. Scale shape: the model
+    * tables are n-gram-TYPE-bounded aggregations (broadcast by default,
+    * `broadcastModel=false` for the shuffle-join route when the type
+    * tables outgrow the driver), scoring is per-occurrence joins — the
+    * [[bigramLogProb]] plan one order higher.
+    */
+  def knTrigramLogProb(spark: SparkSession, dir: String,
+      discount: Double = 0.75, broadcastModel: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (broadcastModel) broadcast(df) else df
+    val d = lit(discount)
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .filter(col("text").isNotNull)
+    val tris = docs.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordNgrams(col("text"), 3)).as("tg"))
+      .select(col("doc_id"),
+        substring_index(col("tg"), " ", 1).as("w1"),
+        substring_index(substring_index(col("tg"), " ", 2), " ", -1).as("w2"),
+        substring_index(col("tg"), " ", -1).as("w3"))
+    val c3 = tris.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val ctx3 = c3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("b3"))
+    val n3 = c3.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("n3"))
+    val mid = n3.groupBy(col("w2"))
+      .agg(sum(col("n3")).as("n3mid"), count(lit(1)).as("b2"))
+    val bis = docs.select(
+      explode(graft.functions.GraftFunctions.wordNgrams(col("text"), 2)).as("bg"))
+    val bgTypes = bis.select(
+        substring_index(col("bg"), " ", 1).as("bw1"),
+        substring_index(col("bg"), " ", -1).as("bw2"))
+      .distinct()
+    val n2 = bgTypes.groupBy(col("bw2").as("w3")).agg(count(lit(1)).as("n2"))
+    val nTypes = bgTypes.agg(count(lit(1)).as("n_bg_types"))
+    val p1 = col("n2").cast("double") / col("n_bg_types").cast("double")
+    val p2 = (greatest(col("n3").cast("double") - d, lit(0.0)) +
+      d * col("b2").cast("double") * p1) / col("n3mid").cast("double")
+    val p3 = (greatest(col("c3").cast("double") - d, lit(0.0)) +
+      d * col("b3").cast("double") * p2) / col("c2").cast("double")
+    tris
+      .join(bc(c3), Seq("w1", "w2", "w3"))
+      .join(bc(ctx3), Seq("w1", "w2"))
+      .join(bc(n3), Seq("w2", "w3"))
+      .join(bc(mid), Seq("w2"))
+      .join(bc(n2), Seq("w3"))
+      .crossJoin(broadcast(nTypes))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        round(sum(log(p3)) / count(lit(1)), 9).as("avg_kn_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style perplexity BUCKETING (Wenzek et al. 2020 §4.3): score
     * every document by LM perplexity — here the corpus-estimated
     * unigram model of [[unigramLogProb]], ppl = −mean ln p(token) —
@@ -815,6 +882,45 @@ object TextOps {
         SELECT doc_id, count(*) AS n_tokens,
                round(sum(ln(CAST(c AS DOUBLE) / n_total)) / count(*), 9) AS avg_logprob
         FROM toks JOIN freq USING (t), tot
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+    Op("q_text_logprob_kn", (s, d) => knTrigramLogProb(s, d),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE text IS NOT NULL),
+        tris AS (
+          SELECT doc_id,
+            ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+          FROM docs, unnest(generate_series(1, len(ts) - 2)) AS g(i)),
+        c3t AS (
+          SELECT w1, w2, w3, count(*) AS c3 FROM tris GROUP BY 1, 2, 3),
+        ctx3 AS (
+          SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2, count(*) AS b3
+          FROM c3t GROUP BY 1, 2),
+        n3t AS (
+          SELECT w2, w3, count(*) AS n3 FROM c3t GROUP BY 1, 2),
+        mid AS (
+          SELECT w2, CAST(sum(n3) AS BIGINT) AS n3mid, count(*) AS b2
+          FROM n3t GROUP BY 1),
+        bgt AS (
+          SELECT DISTINCT ts[i] AS bw1, ts[i + 1] AS bw2
+          FROM docs, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+        n2t AS (SELECT bw2 AS w3, count(*) AS n2 FROM bgt GROUP BY 1),
+        nbg AS (SELECT count(*) AS n_bg_types FROM bgt)
+        SELECT doc_id, count(*) AS n_trigrams,
+          round(sum(ln(
+            (greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) +
+             0.75 * b3 * (
+               (greatest(CAST(n3 AS DOUBLE) - 0.75, 0.0) +
+                0.75 * b2 * (CAST(n2 AS DOUBLE) / n_bg_types)) / n3mid))
+            / c2)) / count(*), 9) AS avg_kn_logprob
+        FROM tris
+        JOIN c3t USING (w1, w2, w3)
+        JOIN ctx3 USING (w1, w2)
+        JOIN n3t USING (w2, w3)
+        JOIN mid USING (w2)
+        JOIN n2t USING (w3), nbg
         GROUP BY doc_id
         ORDER BY doc_id""")),
     Op("q_text_logprob_bi", (s, d) => bigramLogProb(s, d),

@@ -111,6 +111,60 @@ class TextOpsSpec extends SparkSpec {
     assert(shuffled == got.map { case (k, (n, s)) => (k, n, s) }.toSet)
   }
 
+  test("knTrigramLogProb matches an independent naive KN; mass normalizes") {
+    val dir = SparkSpec.plantedDir(
+      "documents" -> Seq(
+        (0L, "the cat sat on the mat", "en", "s", 22L),
+        (1L, "the cat ran on the mat", "en", "s", 22L),
+        (2L, "the dog sat on a rug", "en", "s", 20L),
+        (3L, "so lo", "und", "s", 5L)) // < 3 tokens: no trigram rows
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // independent naive implementation over plain maps
+    val texts = Seq("the cat sat on the mat", "the cat ran on the mat",
+      "the dog sat on a rug", "so lo").map(_.split(" ").toSeq)
+    val tris = texts.flatMap(_.sliding(3).collect { case Seq(a, b, c) => (a, b, c) })
+    val bgs = texts.flatMap(_.sliding(2).collect { case Seq(a, b) => (a, b) })
+    val c3 = tris.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val c2 = tris.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toDouble).toMap
+    val b3 = c3.keys.toSeq.groupBy(t => (t._1, t._2)).view.mapValues(_.distinct.size.toDouble).toMap
+    val n3 = c3.keys.toSeq.groupBy(t => (t._2, t._3)).view.mapValues(_.map(_._1).distinct.size.toDouble).toMap
+    val n3mid = n3.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val b2 = n3.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val bgTypes = bgs.distinct
+    val n2 = bgTypes.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val nBg = bgTypes.size.toDouble
+    val D = 0.75
+    def p1(w3: String) = n2.getOrElse(w3, 0.0) / nBg
+    def p2(w2: String, w3: String) =
+      (math.max(n3.getOrElse((w2, w3), 0.0) - D, 0.0) +
+        D * b2(w2) * p1(w3)) / n3mid(w2)
+    def p3(t: (String, String, String)) =
+      (math.max(c3.getOrElse(t, 0.0) - D, 0.0) +
+        D * b3((t._1, t._2)) * p2(t._2, t._3)) / c2((t._1, t._2))
+    val got = graft.operators.TextOps.knTrigramLogProb(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Double]("avg_kn_logprob"))).toMap
+    texts.zipWithIndex.take(3).foreach { case (ts, i) =>
+      val docTris = ts.sliding(3).map { case Seq(a, b, c) => (a, b, c) }.toSeq
+      val want = docTris.map(t => math.log(p3(t))).sum / docTris.size
+      assert(got(i.toLong)._1 == docTris.size.toLong)
+      assert(math.abs(got(i.toLong)._2 - want) < 1e-9, s"doc $i")
+    }
+    assert(!got.contains(3L), "2-token doc has no trigram rows")
+    // KN's defining property: conditional mass over the continuation
+    // vocabulary sums to 1 for every observed context
+    val vocab = n2.keys.toSeq
+    c2.keys.foreach { case (w1, w2) =>
+      val mass = vocab.map(w3 => p3((w1, w2, w3))).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context ($w1,$w2) mass $mass")
+    }
+    // shuffle-join fallback is the same function
+    val shuffled = graft.operators.TextOps
+      .knTrigramLogProb(spark, dir, broadcastModel = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(shuffled == got.map { case (k, (n, s)) => (k, n, s) }.toSet)
+  }
+
   test("assignSplits is a stable pure function of doc_id with ~80/10/10 shape") {
     val got = graft.operators.Corpus.assignSplits(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
