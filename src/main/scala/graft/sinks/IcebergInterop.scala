@@ -93,9 +93,12 @@ object IcebergInterop {
       s"IcebergInterop: unsupported Iceberg type $other")
   }
 
-  private def schemaJson(schema: StructType): JObject = JObject(
+  private def schemaJson(schema: StructType, schemaId: Int = 0): JObject = JObject(
     "type" -> JString("struct"),
-    "schema-id" -> JInt(0),
+    "schema-id" -> JInt(schemaId),
+    // field-ids are POSITIONAL (1..n) — additive evolution only ever
+    // appends fields, so existing ids stay stable and old manifests'
+    // id-keyed stats remain valid
     "fields" -> JArray(schema.fields.zipWithIndex.toList.map { case (f, i) =>
       JObject("id" -> JInt(i + 1), "name" -> JString(f.name),
         "required" -> JBool(!f.nullable), "type" -> icebergType(f.dataType))
@@ -548,7 +551,7 @@ object IcebergInterop {
     */
   def write(df: DataFrame, path: String, overwrite: Boolean = false,
       txn: Option[(String, Long)] = None,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val partFields = partitionBy.map { c =>
@@ -563,10 +566,23 @@ object IcebergInterop {
     val prev = currentVersion(fs, path).map(v => (v, readMetadata(fs, path, v)))
     prev.foreach { case (_, meta) =>
       val existing = currentSchema(meta)
-      require(overwrite || existing.map(f => (f.name, f.dataType)) ==
+      // mergeSchema accepts STRICTLY ADDITIVE drift: the table schema is
+      // a prefix of the batch's and every new field is nullable (old
+      // data files read the new columns as null). Appending at the end
+      // keeps the positional field-ids of existing columns stable, so
+      // old manifests' id-keyed stats stay valid — the evolution rule
+      // the spec's id discipline exists for. Anything else refuses.
+      val additive = mergeSchema &&
+        df.schema.size > existing.size &&
+        df.schema.take(existing.size).map(f => (f.name, f.dataType)) ==
+          existing.map(f => (f.name, f.dataType)) &&
+        df.schema.drop(existing.size).forall(_.nullable)
+      require(overwrite || additive || existing.map(f => (f.name, f.dataType)) ==
           df.schema.map(f => (f.name, f.dataType)),
         s"IcebergInterop append: schema must match the table " +
-          s"(table ${existing.simpleString}, batch ${df.schema.simpleString})")
+          s"(table ${existing.simpleString}, batch ${df.schema.simpleString})" +
+          (if (mergeSchema) " — mergeSchema accepts only nullable fields APPENDED at the end"
+           else ""))
       require(overwrite ||
           partFieldsOf(meta, existing).map(_.name) == partitionBy,
         s"IcebergInterop append: partitionBy (${partitionBy.mkString(",")}) " +
@@ -689,7 +705,33 @@ object IcebergInterop {
       formatVersion: Int, newSeq: Long, snapshotId: Long, now: Long,
       listPath: String, operation: String,
       summaryExtra: Map[String, String] = Map.empty): Long = {
-    val schemaJ = schemaJson(schema)
+    // schema lineage: an unchanged schema carries the prior `schemas`
+    // list verbatim; a changed one (additive evolution, or overwrite's
+    // schema replace) APPENDS under a fresh schema-id and points
+    // current-schema-id at it — old snapshots keep their resolvable
+    // history, the way real writers evolve
+    val prevSchemaList = prev.toSeq.flatMap { p =>
+      (p._2 \ "schemas").extractOrElse[List[JValue]](Nil) match {
+        case Nil => (p._2 \ "schema") match {
+          case JNothing => Nil
+          case s => List(s)
+        }
+        case xs => xs
+      }
+    }
+    val unchanged = prev.exists(p => currentSchema(p._2)
+      .map(f => (f.name, f.dataType)) == schema.map(f => (f.name, f.dataType)))
+    val (schemasJ, curSchemaId, schemaJ) =
+      if (unchanged && prevSchemaList.nonEmpty) {
+        val id = prev.flatMap(p =>
+          (p._2 \ "current-schema-id").extractOpt[Int]).getOrElse(0)
+        (prevSchemaList, id, currentSchemaJson(prev.get._2))
+      } else if (prevSchemaList.nonEmpty) {
+        val id = prevSchemaList
+          .flatMap(s => (s \ "schema-id").extractOpt[Int]).foldLeft(-1)(_ max _) + 1
+        val j = schemaJson(schema, id)
+        (prevSchemaList :+ (j: JValue), id, j: JValue)
+      } else (List(schemaJson(schema): JValue), 0, schemaJson(schema): JValue)
     val prevSnapshots = prev.toSeq.flatMap(_._2 \ "snapshots" match {
       case JArray(xs) => xs
       case _ => Nil
@@ -701,7 +743,7 @@ object IcebergInterop {
       "summary" -> JObject(("operation" -> JString(operation)) ::
         summaryExtra.toList.map { case (k, v) => k -> (JString(v): JValue) }),
       "manifest-list" -> JString(listPath),
-      "schema-id" -> JInt(0)) ~~ parentId.map(p =>
+      "schema-id" -> JInt(curSchemaId)) ~~ parentId.map(p =>
         JObject("parent-snapshot-id" -> JLong(p))) ~~
       (if (formatVersion >= 2) Some(JObject("sequence-number" -> JLong(newSeq)))
        else None)
@@ -714,8 +756,8 @@ object IcebergInterop {
       "last-sequence-number" -> JLong(newSeq),
       "last-column-id" -> JInt(schema.size),
       "schema" -> schemaJ,
-      "schemas" -> JArray(List(schemaJ)),
-      "current-schema-id" -> JInt(0),
+      "schemas" -> JArray(schemasJ.toList),
+      "current-schema-id" -> JInt(curSchemaId),
       "partition-spec" -> specFieldsJson(partFields, schema),
       "partition-specs" -> JArray(List(JObject(
         "spec-id" -> JInt(0),

@@ -686,6 +686,59 @@ class IcebergInteropSpec extends SparkSpec {
     assert(IcebergInterop.rewriteManifests(spark, path) == 0)
   }
 
+  test("mergeSchema: additive evolution, stable field-ids, old stats still prune") {
+    val path = tmp("evolve")
+    IcebergInterop.write(sample, path)
+    // non-additive drift still refuses, mergeSchema or not
+    intercept[IllegalArgumentException] {
+      IcebergInterop.write(Seq((9L, 1.0)).toDF("id", "v"), path, mergeSchema = true)
+    }
+    intercept[IllegalArgumentException] { // required (non-nullable) new field
+      IcebergInterop.write(
+        Seq((9L, "c", 90.0, 1L)).toDF("id", "cat", "v", "extra")
+          .withColumn("extra", col("extra") + 0), // still non-nullable
+        path, mergeSchema = false)
+    }
+    // additive evolution: nullable column appended at the end
+    val evolved = Seq((9L, "c", 90.0, Some("web")), (10L, "d", 100.0, None))
+      .toDF("id", "cat", "v", "src")
+    IcebergInterop.write(evolved, path, mergeSchema = true)
+    val back = IcebergInterop.read(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "cat", "v", "src"))
+    // pre-evolution rows read the new column as null
+    assert(back.filter(col("id") === 1L).select("src").collect().head.isNullAt(0))
+    assert(back.filter(col("id") === 9L).select("src").as[String].head() == "web")
+    assert(back.count() == 5)
+    // metadata: schemas list accumulated, current-schema-id points at v1,
+    // existing field-ids stable (positional prefix)
+    implicit val fmts: Formats = DefaultFormats
+    val hint = scala.io.Source.fromFile(s"$path/metadata/version-hint.text")
+      .mkString.trim.toInt
+    val meta = JsonMethods.parse(scala.io.Source.fromFile(
+      s"$path/metadata/v$hint.metadata.json").mkString)
+    val schemas = (meta \ "schemas").extract[List[JValue]]
+    assert(schemas.size == 2)
+    assert((meta \ "current-schema-id").extract[Int] == 1)
+    val ids = (schemas(1) \ "fields").extract[List[JValue]]
+      .map(f => ((f \ "name").extract[String], (f \ "id").extract[Int]))
+    assert(ids == List(("id", 1), ("cat", 2), ("v", 3), ("src", 4)))
+    // stats pruning through PRE-evolution manifests stays valid: an id
+    // predicate prunes to the old file set, and predicates on the new
+    // column stay conservative but correct
+    assert(IcebergInterop.readWhere(spark, path, Some(col("id") <= 2L))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(IcebergInterop.readWhere(spark, path, Some(col("src") === "web"))
+      .select("id").as[Long].collect().toSeq == Seq(9L))
+    // a same-shape append AFTER evolution carries the schema list through
+    IcebergInterop.write(Seq((11L, "e", 110.0, Some("api")))
+      .toDF("id", "cat", "v", "src"), path)
+    val meta2 = JsonMethods.parse(scala.io.Source.fromFile(
+      s"$path/metadata/v${hint + 1}.metadata.json").mkString)
+    assert((meta2 \ "schemas").extract[List[JValue]].size == 2)
+    assert((meta2 \ "current-schema-id").extract[Int] == 1)
+    assert(IcebergInterop.read(spark, path).count() == 6)
+  }
+
   test("branches: write-audit-publish — main blind until fastForward") {
     val path = tmp("wap")
     IcebergInterop.write(sample, path)
