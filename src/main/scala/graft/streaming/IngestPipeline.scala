@@ -382,6 +382,103 @@ object IngestPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** CDC REPLICATION end to end: a Delta source table takes real DML
+    * (append, predicate delete, keyed update, late inserts), and a
+    * REPLICA converges to the identical end state by consuming ONLY the
+    * source's change feed — `readStream.format("graft-delta")
+    * .option("readChangeFeed")` tail → per-batch last-change-per-key
+    * collapse (`_commit_version` ordering; a batch may carry many
+    * commits) → txn-stamped MERGE (update/insert) + delete clauses into
+    * the replica. Runs the stream TWICE against one checkpoint — the
+    * second pass resumes from the persisted offset and applies only the
+    * new commits, which is the restart contract a production replica
+    * lives by. The oracle pins the replica's full row set equal to the
+    * source's end-state algebra.
+    *
+    * 100 TB shape: the feed moves only changed rows; the collapse is one
+    * bounded window per batch; the merge prunes the replica by the
+    * batch's key envelope. This is the cross-region-replica / dev-mirror
+    * pattern, wire-format only — no connector jars.
+    */
+  def deltaCdcReplicationRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{DeltaInterop, VersionedTable}
+    import org.apache.spark.sql.expressions.Window
+    val work = graft.Scratch.dir("graft-delta-repl")
+    val src = s"$work/src"
+    val dst = s"$work/replica"
+    val ckpt = StreamTuning.scratchDir("graft-repl-ckpt")
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val dataCols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+
+    def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      val sparkB = batch.sparkSession
+      // a batch may span several commits touching one key: the LAST
+      // change wins; preimages are bookkeeping, never state
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("_commit_version").desc)
+      val last = batch
+        .filter(col("_change_type") =!= "update_preimage")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(dataCols.map(col) :+
+          (col("_change_type") === "delete").as("__del"): _*)
+        .persist()
+      try {
+        if (last.limit(1).count() > 0) {
+          if (DeltaInterop.latestVersion(sparkB, dst) < 0) {
+            DeltaInterop.write(
+              last.filter(!col("__del")).select(dataCols.map(col): _*), dst,
+              txn = Some(("graft-delta-repl", batchId)))
+            ()
+          } else {
+            val set = dataCols.filterNot(_ == "o_orderkey")
+              .map(c => c -> col(s"s.$c")).toMap
+            DeltaInterop.merge(sparkB, dst, last, on = Seq("o_orderkey"),
+              clauses = Seq(
+                VersionedTable.MatchedDelete(Some(col("s.__del"))),
+                VersionedTable.MatchedUpdate(set, Some(!col("s.__del"))),
+                VersionedTable.NotMatchedInsert(
+                  values = Some(dataCols.map(c => c -> col(s"s.$c")).toMap),
+                  cond = Some(!col("s.__del")))),
+              txn = Some(("graft-delta-repl", batchId)))
+            ()
+          }
+        }
+      } finally { last.unpersist(); () }
+    }
+
+    def runFeed(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("path", src).option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(applyBatch _)
+        .start()
+      q.awaitTermination()
+    }
+
+    // phase 1: bootstrap + CDF on + predicate delete, then replicate
+    DeltaInterop.write(orders, src)                                   // v0
+    DeltaInterop.setTableProperties(spark, src,
+      Map("delta.enableChangeDataFeed" -> "true"))                    // v1
+    DeltaInterop.delete(spark, src, col("o_totalprice") > 400000.0)   // v2
+    runFeed()
+    // phase 2: keyed update + fresh inserts land AFTER the first pass;
+    // the resumed stream applies only the new commits
+    DeltaInterop.update(spark, src, col("o_orderkey") % 10 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(1000.0))))     // v3
+    DeltaInterop.write(orders.filter(col("o_totalprice") > 450000.0)
+      .withColumn("o_orderkey", -col("o_orderkey")), src)             // v4
+    runFeed()
+    DeltaInterop.read(spark, dst)
+      .select(dataCols.map(col): _*)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Streaming MERGE→Iceberg round trip — the Flink-CDC upsert-stream
     * shape on the wire format: the duplicate-landing feed, one file per
     * micro-batch, each batch one MERGE-ON-READ snapshot (equality
@@ -579,6 +676,22 @@ object IngestPipeline {
           event_type, value
         FROM events
         ORDER BY event_id""")),
+    Op("q_stream_cdc_replica", deltaCdcReplicationRoundTrip,
+      Some("""
+        WITH survivors AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+          WHERE NOT (o_totalprice > 400000.0)),
+        updated AS (
+          SELECT o_orderkey, o_orderstatus,
+            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                 ELSE o_totalprice END AS o_totalprice
+          FROM survivors),
+        late AS (
+          SELECT -o_orderkey AS o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_totalprice > 450000.0)
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM (SELECT * FROM updated UNION ALL SELECT * FROM late)
+        ORDER BY o_orderkey""")),
     Op("q_stream_iceberg_merge", icebergStreamMergeRoundTrip,
       Some("""
         SELECT event_id,
