@@ -440,6 +440,13 @@ object DeltaInterop {
     Snapshot(target, replay.protocol, meta, replay.adds.values.toSeq, replay.txns.toMap)
   }
 
+  /** Live data bytes at a snapshot, straight from `add.size` — the
+    * planner-statistics number (broadcast decisions), zero data IO.
+    */
+  def liveBytes(spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None): Long =
+    snapshot(spark, path, versionAsOf).adds.map(_.size).sum
+
   /** The snapshot as a DataFrame: file groups per distinct partition
     * tuple, partition columns rebuilt from `partitionValues` casts
     * (Delta serializes them as strings), columns reordered to the

@@ -200,6 +200,15 @@ object HudiInterop {
     * recomputed per-file stats make partition-column predicates prune
     * exactly where dir pruning did.
     */
+  /** Live data bytes of the current snapshot (one getFileStatus per
+    * live slice, no data IO) — the planner-statistics number.
+    */
+  def liveBytes(spark: SparkSession, path: String): Long = {
+    val fs = fsFor(spark, path)
+    liveSlices(spark, path, None)
+      .map(s => fs.getFileStatus(new Path(s"$path/${s.rel}")).getLen).sum
+  }
+
   private[graft] def currentDataFiles(spark: SparkSession,
       path: String): (org.apache.spark.sql.types.StructType, Seq[(String, Long)]) = {
     val fs = fsFor(spark, path)

@@ -2244,6 +2244,25 @@ object IcebergInterop {
     newVersion
   }
 
+  /** Live data bytes at a snapshot from the manifests'
+    * `file_size_in_bytes` (metadata only) — the planner-statistics
+    * number for broadcast decisions.
+    */
+  def liveBytes(spark: SparkSession, path: String,
+      snapshotId: Option[Long] = None): Long = {
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val target = snapshotId.getOrElse((meta \ "current-snapshot-id").extract[Long])
+    (meta \ "snapshots").extract[List[JValue]]
+      .find(s => (s \ "snapshot-id").extract[Long] == target)
+      .map(snap => liveEntries(fs, snap).map(_.get("data_file")
+        .asInstanceOf[GenericRecord].get("file_size_in_bytes")
+        .asInstanceOf[Long]).sum)
+      .getOrElse(0L)
+  }
+
   // ---- refs: branches and tags (spec v2 `refs`) ----
 
   /** The metadata's `refs` map as name → (snapshot-id, type). A table

@@ -450,6 +450,32 @@ object VersionedTable {
     live.toSeq
   }
 
+  /** Live bytes of a snapshot — what the V1 relation reports as
+    * `sizeInBytes` so Catalyst's broadcast-threshold decision sees the
+    * TABLE's size, not `defaultSizeInBytes` (which is Long.Max-ish and
+    * silently forbids broadcasting ANY catalog-table join side).
+    * Metadata + one listStatus per live DIRECTORY (never per file,
+    * never data bytes); a file a concurrent writer just removed counts
+    * 0 — an estimate is exactly what the planner wants here.
+    */
+  def liveBytes(spark: SparkSession, path: String,
+      asOf: Option[Long]): Long = {
+    val fs = fsFor(spark, path)
+    val (upTo, live) = snapshot(fs, path, asOf, None)
+    val deltas = liveDeltaEntries(upTo).map(_.file)
+    val wanted = (live ++ deltas).toSet
+    wanted.groupBy(rel => rel.lastIndexOf('/') match {
+      case -1 => ""; case i => rel.substring(0, i)
+    }).iterator.map { case (dir, rels) =>
+      val d = if (dir.isEmpty) new Path(path) else new Path(s"$path/$dir")
+      val names = rels.map(r => r.substring(r.lastIndexOf('/') + 1))
+      if (!fs.exists(d)) 0L
+      else fs.listStatus(d).iterator
+        .filter(st => names.contains(st.getPath.getName))
+        .map(_.getLen).sum
+    }.sum
+  }
+
   /** Live merge-on-read delta files at a snapshot, each with its adding
     * commit's version. Replays from the latest commit carrying a
     * `checkpointDeltas` manifest ≤ the snapshot (stamped with every

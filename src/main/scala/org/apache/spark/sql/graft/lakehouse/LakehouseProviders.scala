@@ -463,6 +463,18 @@ private[graft] class LakehouseRelation(
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
+  // table bytes from the format's OWN metadata (add.size / write stats /
+  // manifest file_size_in_bytes — zero data IO): without the override
+  // BaseRelation reports defaultSizeInBytes and a lakehouse join side
+  // never auto-broadcasts, however small the table
+  override val sizeInBytes: Long = format match {
+    case "delta" => DeltaInterop.liveBytes(spark, path,
+      params.get("versionAsOf").map(_.toLong))
+    case "hudi" => HudiInterop.liveBytes(spark, path)
+    case "iceberg" => IcebergInterop.liveBytes(spark, path,
+      params.get("snapshotId").map(_.toLong))
+  }
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val pred = filters.flatMap(FilterColumns.toColumn(_)).reduceOption(_ && _)

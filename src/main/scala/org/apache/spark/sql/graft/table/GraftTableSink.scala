@@ -174,6 +174,13 @@ private[graft] class GraftTableRelation(
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
+  // live bytes from the log + one listStatus per live dir: without this,
+  // BaseRelation reports defaultSizeInBytes (effectively infinite) and a
+  // catalog-table join side NEVER auto-broadcasts — a tiny dimension
+  // table would shuffle the fact side at any scale
+  override val sizeInBytes: Long =
+    graft.sinks.VersionedTable.liveBytes(spark, path, asOfVersion)
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     // translate the pushed-down source filters into ONE Column predicate
     // for readPruned; untranslatable nodes drop out conservatively (the

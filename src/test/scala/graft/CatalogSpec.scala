@@ -398,6 +398,29 @@ class CatalogSpec extends SparkSpec {
       "the quoted ';' must survive splitting and the DML must apply")
   }
 
+  test("catalog tables report live bytes; small join sides auto-broadcast") {
+    spark.sql(s"CREATE TABLE graft.$ns.dim (k BIGINT, name STRING)")
+    spark.sql(s"INSERT INTO graft.$ns.dim VALUES (1, 'one'), (2, 'two')")
+    spark.sql(s"CREATE TABLE graft.$ns.fact (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.$ns.fact VALUES (1, 1.0), (2, 2.0), (1, 3.0)")
+    val joined = spark.table(s"graft.$ns.fact")
+      .join(spark.table(s"graft.$ns.dim"), "k")
+    // the stats fix is WHAT makes this a BroadcastHashJoin: without the
+    // sizeInBytes override both sides report defaultSizeInBytes and the
+    // planner falls back to sort-merge
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"expected an auto-broadcast join, got:\n$physical")
+    assert(joined.count() == 3)
+    // the wire formats report through their own metadata too
+    val dims = java.nio.file.Files.createTempDirectory("graft-szd").toFile + "/t"
+    Seq((1L, "a")).toDF("k", "s").write.format("graft-delta")
+      .option("path", dims).save()
+    val rel = spark.read.format("graft-delta").option("path", dims).load()
+    val sz = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sz > 0 && sz < 1000000, s"delta relation should report ~file bytes, got $sz")
+  }
+
   test("maintenance SQL: OPTIMIZE, DESCRIBE HISTORY, VACUUM RETAIN") {
     spark.sql(s"CREATE TABLE graft.$ns.mx (id BIGINT, p STRING) PARTITIONED BY (p)")
     // 6 single-partition inserts fragment partition 'a' into 6 files
