@@ -2263,6 +2263,72 @@ object IcebergInterop {
       .getOrElse(0L)
   }
 
+  /** Iceberg's INSPECTION tables (`t.snapshots`, `t.files`,
+    * `t.manifests`, `t.refs`, `t.history`) as DataFrames — the
+    * operational surface every Iceberg runbook scripts against
+    * (retention audits, small-file monitoring, ref inventories).
+    * Metadata-only: snapshots/history/refs read the table JSON,
+    * manifests reads the current manifest list, files walks the current
+    * snapshot's manifests — never a data byte.
+    */
+  def metadataTable(spark: SparkSession, path: String, table: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsFor(spark, path)
+    val version = currentVersion(fs, path).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $path"))
+    val meta = readMetadata(fs, path, version)
+    val curId = (meta \ "current-snapshot-id").extract[Long]
+    def snaps = (meta \ "snapshots").extractOrElse[List[JValue]](Nil)
+    def currentSnap = snaps.find(s => (s \ "snapshot-id").extract[Long] == curId)
+    table match {
+      case "snapshots" =>
+        snaps.map { s =>
+          ((s \ "snapshot-id").extract[Long],
+            (s \ "parent-snapshot-id").extractOpt[Long],
+            (s \ "timestamp-ms").extractOrElse[Long](0L),
+            (s \ "summary" \ "operation").extractOrElse[String]("append"),
+            (s \ "sequence-number").extractOpt[Long],
+            (s \ "manifest-list").extract[String])
+        }.toDF("snapshot_id", "parent_id", "committed_at_ms", "operation",
+          "sequence_number", "manifest_list")
+          .orderBy(col("committed_at_ms"), col("snapshot_id"))
+      case "history" =>
+        (meta \ "snapshot-log").extractOrElse[List[JValue]](Nil).map { e =>
+          ((e \ "timestamp-ms").extract[Long],
+            (e \ "snapshot-id").extract[Long])
+        }.zipWithIndex
+          .map { case ((ts, id), i) => (i, ts, id, snaps.exists(s =>
+            (s \ "snapshot-id").extract[Long] == id)) }
+          .toDF("ordinal", "made_current_at_ms", "snapshot_id", "is_retained")
+      case "refs" =>
+        refsOf(meta).toSeq.sortBy(_._1).map { case (n, (id, t)) => (n, t, id) }
+          .toDF("name", "type", "snapshot_id")
+      case "manifests" =>
+        currentSnap.toSeq.flatMap { s =>
+          readAvro(fs, new Path((s \ "manifest-list").extract[String])).map { r =>
+            (r.get("manifest_path").toString,
+              r.get("manifest_length").asInstanceOf[Long],
+              listContentOf(r), listSeqOf(r),
+              Option(r.get("added_snapshot_id"))
+                .map(_.asInstanceOf[Long]).getOrElse(0L))
+          }
+        }.toDF("path", "length", "content", "sequence_number",
+          "added_snapshot_id").orderBy(col("path"))
+      case "files" =>
+        currentSnap.toSeq.flatMap(s => liveEntries(fs, s)).map { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          (d.get("file_path").toString,
+            d.get("record_count").asInstanceOf[Long],
+            d.get("file_size_in_bytes").asInstanceOf[Long],
+            e.get("status").asInstanceOf[Int])
+        }.toDF("file_path", "record_count", "file_size_in_bytes", "status")
+          .orderBy(col("file_path"))
+      case other => throw new IllegalArgumentException(
+        s"IcebergInterop: unknown metadata table '$other' — have " +
+          "snapshots, history, refs, manifests, files")
+    }
+  }
+
   // ---- refs: branches and tags (spec v2 `refs`) ----
 
   /** The metadata's `refs` map as name → (snapshot-id, type). A table

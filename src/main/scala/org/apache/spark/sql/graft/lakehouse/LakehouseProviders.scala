@@ -455,8 +455,14 @@ private[graft] class LakehouseRelation(
       }
       where.map(base.filter).getOrElse(base)
     case "iceberg" =>
-      IcebergInterop.readWhere(spark, path, where,
-        snapshotId = params.get("snapshotId").map(_.toLong))
+      params.get("metadataTable") match {
+        case Some(t) => // inspection tables: tiny, filters re-applied
+          val base = IcebergInterop.metadataTable(spark, path, t)
+          where.map(base.filter).getOrElse(base)
+        case None =>
+          IcebergInterop.readWhere(spark, path, where,
+            snapshotId = params.get("snapshotId").map(_.toLong))
+      }
   }
 
   override val schema: StructType = planned(None).schema

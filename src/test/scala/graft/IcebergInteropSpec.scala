@@ -686,6 +686,36 @@ class IcebergInteropSpec extends SparkSpec {
     assert(IcebergInterop.rewriteManifests(spark, path) == 0)
   }
 
+  test("metadata tables: snapshots/files/manifests/refs/history inspect the wire") {
+    val path = tmp("inspect")
+    val s1 = IcebergInterop.write(sample, path)
+    IcebergInterop.write(Seq((4L, "c", 40.0)).toDF("id", "cat", "v"), path)
+    IcebergInterop.createTag(spark, path, "v1.0", at = Some(s1))
+    val snaps = IcebergInterop.metadataTable(spark, path, "snapshots")
+    assert(snaps.count() == 2)
+    assert(snaps.select("operation").as[String].collect().toSet == Set("append"))
+    val files = IcebergInterop.metadataTable(spark, path, "files")
+    assert(files.count() >= 2)
+    assert(files.agg(sum(col("record_count"))).as[Long].head() == 4L)
+    val manifests = IcebergInterop.metadataTable(spark, path, "manifests")
+    assert(manifests.count() == 2, "append carries the prior manifest")
+    assert(manifests.select("content").as[Int].collect().forall(_ == 0))
+    val refs = IcebergInterop.metadataTable(spark, path, "refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.exists(_ == ("v1.0", "tag", s1)))
+    assert(refs.exists(r => r._1 == "main" && r._2 == "branch"))
+    val hist = IcebergInterop.metadataTable(spark, path, "history")
+    assert(hist.count() == 2 &&
+      hist.select("is_retained").as[Boolean].collect().forall(identity))
+    // the datasource spelling
+    val viaDs = spark.read.format("graft-iceberg").option("path", path)
+      .option("metadataTable", "files").load()
+    assert(viaDs.count() == files.count())
+    intercept[IllegalArgumentException] {
+      IcebergInterop.metadataTable(spark, path, "nope")
+    }
+  }
+
   test("mergeSchema: additive evolution, stable field-ids, old stats still prune") {
     val path = tmp("evolve")
     IcebergInterop.write(sample, path)
