@@ -458,22 +458,37 @@ object VersionedTable {
     * never data bytes); a file a concurrent writer just removed counts
     * 0 — an estimate is exactly what the planner wants here.
     */
+  private val liveBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+
   def liveBytes(spark: SparkSession, path: String,
       asOf: Option[Long]): Long = {
     val fs = fsFor(spark, path)
     val (upTo, live) = snapshot(fs, path, asOf, None)
-    val deltas = liveDeltaEntries(upTo).map(_.file)
-    val wanted = (live ++ deltas).toSet
-    wanted.groupBy(rel => rel.lastIndexOf('/') match {
-      case -1 => ""; case i => rel.substring(0, i)
-    }).iterator.map { case (dir, rels) =>
-      val d = if (dir.isEmpty) new Path(path) else new Path(s"$path/$dir")
-      val names = rels.map(r => r.substring(r.lastIndexOf('/') + 1))
-      if (!fs.exists(d)) 0L
-      else fs.listStatus(d).iterator
-        .filter(st => names.contains(st.getPath.getName))
-        .map(_.getLen).sum
-    }.sum
+    val version = upTo.last.version
+    if (liveBytesCache.size > 4096) liveBytesCache.clear() // crude bound
+    liveBytesCache.computeIfAbsent((new Path(path).toString, version), { _ =>
+      val deltas = liveDeltaEntries(upTo).map(_.file)
+      val byDir = (live ++ deltas).toSet
+        .groupBy((rel: String) => rel.lastIndexOf('/') match {
+          case -1 => ""; case i => rel.substring(0, i)
+        }).toSeq.sortBy(_._1)
+      // planner statistics gate a broadcast decision — order of magnitude
+      // is what matters, so the walk is BOUNDED: sample ≤ 64 dirs
+      // (deterministic prefix) and extrapolate. A 500-dir table costs 64
+      // listStatus calls, not 500, once per (path, version).
+      val sampled = byDir.take(64)
+      val bytes = sampled.iterator.map { case (dir, rels) =>
+        val d = if (dir.isEmpty) new Path(path) else new Path(s"$path/$dir")
+        val names = rels.map(r => r.substring(r.lastIndexOf('/') + 1))
+        if (!fs.exists(d)) 0L
+        else fs.listStatus(d).iterator
+          .filter(st => names.contains(st.getPath.getName))
+          .map(_.getLen).sum
+      }.sum
+      if (byDir.size <= sampled.size) bytes
+      else bytes * byDir.size / math.max(1, sampled.size)
+    })
   }
 
   /** Live merge-on-read delta files at a snapshot, each with its adding
