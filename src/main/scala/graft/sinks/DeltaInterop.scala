@@ -447,6 +447,37 @@ object DeltaInterop {
       versionAsOf: Option[Long] = None): Long =
     snapshot(spark, path, versionAsOf).adds.map(_.size).sum
 
+  /** Delta's INSPECTION surface, metadata-only: `detail` = DESCRIBE
+    * DETAIL (one row: id, protocol, partition columns, live file
+    * count/bytes, properties), `files` = the live add list with sizes
+    * and partition values — what retention audits and small-file
+    * monitors script against. `history()` is the commit ledger.
+    */
+  def metadataTable(spark: SparkSession, path: String, table: String): DataFrame = {
+    import spark.implicits._
+    val snap = snapshot(spark, path)
+    table match {
+      case "detail" =>
+        Seq((snap.metaData.id, snap.version,
+          snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
+          snap.metaData.partitionColumns.mkString(","),
+          snap.adds.size.toLong, snap.adds.map(_.size).sum,
+          snap.metaData.configuration.toSeq.sorted
+            .map { case (k, v) => s"$k=$v" }.mkString(";")))
+          .toDF("id", "version", "min_reader_version", "min_writer_version",
+            "partition_columns", "num_files", "size_in_bytes", "properties")
+      case "files" =>
+        snap.adds.map(a => (decodePath(a.path), a.size,
+          a.partitionValues.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=${v.getOrElse("null")}" }.mkString("/"),
+          a.deletionVector.isDefined))
+          .toDF("path", "size_in_bytes", "partition", "has_deletion_vector")
+          .orderBy(col("path"))
+      case other => throw new IllegalArgumentException(
+        s"DeltaInterop: unknown metadata table '$other' — have detail, files")
+    }
+  }
+
   /** The snapshot as a DataFrame: file groups per distinct partition
     * tuple, partition columns rebuilt from `partitionValues` casts
     * (Delta serializes them as strings), columns reordered to the

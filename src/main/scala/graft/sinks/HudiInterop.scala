@@ -209,6 +209,43 @@ object HudiInterop {
       .map(s => fs.getFileStatus(new Path(s"$path/${s.rel}")).getLen).sum
   }
 
+  /** Hudi's INSPECTION surface, metadata-only: `timeline` = every
+    * instant with its action and completion state (what
+    * `hudi-cli show timeline` prints), `files` = the live slice per
+    * file group with its committing instant — retention and
+    * small-file monitoring without a data byte.
+    */
+  def metadataTable(spark: SparkSession, path: String, table: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsFor(spark, path)
+    table match {
+      case "timeline" =>
+        val dir = new Path(s"$path/$MetaDir")
+        val names =
+          if (!fs.exists(dir)) Seq.empty[String]
+          else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        val Known = Seq(".commit.requested", ".inflight", ".commit",
+          ".clean", ".restore")
+        names.flatMap { n =>
+          Known.collectFirst {
+            case suf if n.endsWith(suf) &&
+                n.stripSuffix(suf).forall(_.isDigit) =>
+              (n.stripSuffix(suf), suf.stripPrefix("."),
+                suf == ".commit" || suf == ".clean" || suf == ".restore")
+          }
+        }.toDF("instant", "state", "completed")
+          .orderBy(col("instant"), col("state"))
+      case "files" =>
+        val live = liveSlices(spark, path, None)
+        live.map(s => (s.rel, s.dir, s.fileId, s.instant,
+          fs.getFileStatus(new Path(s"$path/${s.rel}")).getLen))
+          .toDF("path", "partition", "file_id", "instant", "size_in_bytes")
+          .orderBy(col("path"))
+      case other => throw new IllegalArgumentException(
+        s"HudiInterop: unknown metadata table '$other' — have timeline, files")
+    }
+  }
+
   private[graft] def currentDataFiles(spark: SparkSession,
       path: String): (org.apache.spark.sql.types.StructType, Seq[(String, Long)]) = {
     val fs = fsFor(spark, path)

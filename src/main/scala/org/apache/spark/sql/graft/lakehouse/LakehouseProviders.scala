@@ -444,6 +444,17 @@ private[graft] class LakehouseRelation(
     s"graft-$format read needs option(\"path\", …)"))
 
   private def planned(where: Option[Column]): DataFrame = format match {
+    case _ if params.contains("metadataTable") =>
+      // inspection tables: tiny, metadata-only, filters re-applied
+      val base = format match {
+        case "delta" => DeltaInterop.metadataTable(spark, path,
+          params("metadataTable"))
+        case "hudi" => HudiInterop.metadataTable(spark, path,
+          params("metadataTable"))
+        case "iceberg" => IcebergInterop.metadataTable(spark, path,
+          params("metadataTable"))
+      }
+      where.map(base.filter).getOrElse(base)
     case "delta" =>
       DeltaInterop.readWhere(spark, path, where,
         versionAsOf = params.get("versionAsOf").map(_.toLong))
@@ -455,14 +466,8 @@ private[graft] class LakehouseRelation(
       }
       where.map(base.filter).getOrElse(base)
     case "iceberg" =>
-      params.get("metadataTable") match {
-        case Some(t) => // inspection tables: tiny, filters re-applied
-          val base = IcebergInterop.metadataTable(spark, path, t)
-          where.map(base.filter).getOrElse(base)
-        case None =>
-          IcebergInterop.readWhere(spark, path, where,
-            snapshotId = params.get("snapshotId").map(_.toLong))
-      }
+      IcebergInterop.readWhere(spark, path, where,
+        snapshotId = params.get("snapshotId").map(_.toLong))
   }
 
   override val schema: StructType = planned(None).schema

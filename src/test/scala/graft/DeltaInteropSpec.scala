@@ -848,6 +848,30 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, path).count() == 3)
   }
 
+  test("metadata tables: detail and files inspect the wire") {
+    val path = tmp("inspect")
+    DeltaInterop.write(sample, path, partitionBy = Seq("cat"))
+    DeltaInterop.setTableProperties(spark, path, Map("graft.owner" -> "t"))
+    val detail = DeltaInterop.metadataTable(spark, path, "detail").collect().head
+    assert(detail.getAs[String]("partition_columns") == "cat")
+    assert(detail.getAs[Long]("num_files") == 2L)
+    assert(detail.getAs[Long]("size_in_bytes") ==
+      DeltaInterop.liveBytes(spark, path))
+    assert(detail.getAs[String]("properties").contains("graft.owner=t"))
+    val files = DeltaInterop.metadataTable(spark, path, "files")
+    assert(files.count() == 2)
+    assert(files.select("partition").as[String].collect().toSet ==
+      Set("cat=a", "cat=b"))
+    assert(files.select("has_deletion_vector").as[Boolean].collect()
+      .forall(!_))
+    // datasource spelling
+    assert(spark.read.format("graft-delta").option("path", path)
+      .option("metadataTable", "files").load().count() == 2)
+    intercept[IllegalArgumentException] {
+      DeltaInterop.metadataTable(spark, path, "nope")
+    }
+  }
+
   test("shallow clone: metadata-only fork, clone DML never touches the donor") {
     val path = tmp("clonesrc")
     val clone = new java.io.File(new java.io.File(path).getParent, "clonedst").getAbsolutePath

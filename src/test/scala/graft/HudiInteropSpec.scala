@@ -18,6 +18,30 @@ class HudiInteropSpec extends SparkSpec {
     (3L, "b", 30.0, 100L), (4L, "b", 40.0, 100L))
     .toDF("id", "cat", "v", "ts")
 
+  test("metadata tables: timeline and files inspect the wire") {
+    val path = tmp("inspect")
+    val i1 = HudiInterop.insert(sample, path, "id", "ts", Seq("cat"))
+    val i2 = HudiInterop.upsert(Seq((1L, "a", 99.0, 900L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    val tl = HudiInterop.metadataTable(spark, path, "timeline")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(tl.count(_._2 == "commit") == 2, "two completed commits")
+    assert(tl.exists(t => t._1 == i1 && t._2 == "commit" && t._3))
+    assert(tl.exists(t => t._1 == i2 && t._2 == "commit" && t._3))
+    val files = HudiInterop.metadataTable(spark, path, "files")
+    assert(files.count() == 2, "one live slice per partition file group")
+    // partition 'a' resolved to the UPSERT's slice, 'b' kept the insert's
+    val byPart = files.collect()
+      .map(r => r.getAs[String]("partition") -> r.getAs[String]("instant")).toMap
+    assert(byPart("cat=a") == i2 && byPart("cat=b") == i1)
+    // datasource spelling
+    assert(spark.read.format("graft-hudi").option("path", path)
+      .option("metadataTable", "files").load().count() == 2)
+    intercept[IllegalArgumentException] {
+      HudiInterop.metadataTable(spark, path, "nope")
+    }
+  }
+
   test("insert + snapshot round trip; meta columns carry the wire shapes") {
     val path = tmp("rt")
     val i = HudiInterop.insert(sample, path, "id", "ts", Seq("cat"))
