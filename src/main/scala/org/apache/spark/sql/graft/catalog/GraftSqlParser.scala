@@ -31,15 +31,17 @@ import graft.sinks.VersionedTable
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+ZORDER\s+BY\s+\(([\w,\s`]+)\))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Optimize(ident) =>
-      GraftOptimizeCommand(parseIdent(ident))
+    case Optimize(ident, zorder) =>
+      GraftOptimizeCommand(parseIdent(ident),
+        Option(zorder).toSeq.flatMap(_.split(","))
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
     case Vacuum(ident, retain) =>
       GraftVacuumCommand(parseIdent(ident),
         Option(retain).map(_.toInt).getOrElse(2))
@@ -91,16 +93,30 @@ private object GraftMaintenance {
     fields.map { case (n, t) => AttributeReference(n, t, nullable = true)() }
 }
 
-/** `OPTIMIZE graft.ns.t` → [[VersionedTable.optimize]] (bin-pack every
-  * over-fragmented partition dir; a no-op table commits nothing).
+/** `OPTIMIZE graft.ns.t [ZORDER BY (c1, c2)]` →
+  * [[VersionedTable.optimize]] (bin-pack every over-fragmented
+  * partition dir) or [[VersionedTable.clusterZOrder]] (global rewrite
+  * clustered by the interleaved key; identity partition columns come
+  * from the catalog's table metadata).
   */
-final case class GraftOptimizeCommand(ident: Seq[String])
-    extends LeafRunnableCommand {
+final case class GraftOptimizeCommand(ident: Seq[String],
+    zorderBy: Seq[String] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     GraftMaintenance.attrs("version" -> LongType)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenance.tablePath(spark, ident)
-    Seq(Row(VersionedTable.optimize(spark, path)))
+    if (zorderBy.isEmpty) Seq(Row(VersionedTable.optimize(spark, path)))
+    else {
+      val cat = spark.sessionState.catalogManager.catalog(ident.head)
+        .asInstanceOf[GraftCatalog]
+      val t = cat.loadTable(Identifier.of(ident.tail.init.toArray, ident.last))
+        .asInstanceOf[GraftTable]
+      require(t.hiddenSpec.isEmpty,
+        "OPTIMIZE ZORDER BY on a transform-partitioned table is not " +
+          "supported through SQL — use the clusterZOrder API")
+      Seq(Row(VersionedTable.clusterZOrder(spark, path, zorderBy,
+        t.identityCols)))
+    }
   }
 }
 

@@ -442,4 +442,27 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql(s"OPTIMIZE graft.$ns.absent").collect() }
     assert(rows("SELECT 1 + 1").head.getInt(0) == 2)
   }
+
+  test("OPTIMIZE ZORDER BY clusters files so range predicates prune") {
+    spark.sql(s"CREATE TABLE graft.$ns.zx (a BIGINT, b BIGINT, v DOUBLE)")
+    // shuffled landing: every file covers the full (a, b) range
+    val n = 4096
+    val rows0 = (0 until n).map(i => ((i * 2654435761L) % n, i.toLong, i * 1.0))
+    rows0.toDF("a", "b", "v").repartition(8)
+      .createOrReplaceTempView("zx_src")
+    spark.sql(s"INSERT INTO graft.$ns.zx SELECT * FROM zx_src")
+    val v = rows(s"OPTIMIZE graft.$ns.zx ZORDER BY (a, b)").head.getLong(0)
+    assert(v > 0)
+    // rows exact after the rewrite
+    assert(rows(s"SELECT count(*), sum(a) FROM graft.$ns.zx").head ==
+      Row(n.toLong, rows0.map(_._1).sum))
+    // a tight corner range now plans fewer files than exist (file-level
+    // stats pruning through the engine's own pruned-read path)
+    val path =
+      s"${spark.conf.get("spark.sql.catalog.graft.warehouse")}/$ns/zx"
+    val (_, corner, all) = VersionedTable.readPruned(spark, path,
+      col("a") < 200L && col("b") < 200L)
+    assert(all > 1, s"zorder should write several clustered files, got $all")
+    assert(corner < all, s"corner planned $corner of $all files — nothing pruned")
+  }
 }
