@@ -466,8 +466,14 @@ private[graft] class LakehouseRelation(
       }
       where.map(base.filter).getOrElse(base)
     case "iceberg" =>
-      IcebergInterop.readWhere(spark, path, where,
-        snapshotId = params.get("snapshotId").map(_.toLong))
+      // option("ref", "audit"): read AS OF a named branch/tag head
+      val asOf = params.get("ref") match {
+        case Some(name) => Some(IcebergInterop.refs(spark, path).getOrElse(name,
+          throw new IllegalArgumentException(
+            s"graft-iceberg: no ref '$name' at $path"))._1)
+        case None => params.get("snapshotId").map(_.toLong)
+      }
+      IcebergInterop.readWhere(spark, path, where, snapshotId = asOf)
   }
 
   override val schema: StructType = planned(None).schema

@@ -785,6 +785,13 @@ class IcebergInteropSpec extends SparkSpec {
     IcebergInterop.writeToBranch(
       Seq((6L, "d", 60.0)).toDF("id", "cat", "v"), path, "audit")
     assert(IcebergInterop.read(spark, path).count() == 3)
+    // the datasource spelling reads the branch pre-publish
+    assert(spark.read.format("graft-iceberg").option("path", path)
+      .option("ref", "audit").load().count() == 6)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-iceberg").option("path", path)
+        .option("ref", "nope").load().count()
+    }
     // publish: atomic metadata-only fast-forward
     val published = IcebergInterop.fastForward(spark, path, "audit")
     assert(IcebergInterop.read(spark, path).select("id").as[Long]
