@@ -72,18 +72,29 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 private object GraftMaintenance {
+  def catalogOf(spark: SparkSession, ident: Seq[String]): GraftCatalog =
+    spark.sessionState.catalogManager.catalog(ident.head) match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"'${ident.head}' is not a graft catalog (${other.getClass.getSimpleName})")
+    }
+
+  /** `catalog.[ns.]table` → Identifier, the catalog's default namespace
+    * filling a 2-part ident — the SAME resolution a SELECT gets, so the
+    * maintenance statement and the read target one table.
+    */
+  def identOf(cat: GraftCatalog, ident: Seq[String]): Identifier =
+    if (ident.size == 2) Identifier.of(cat.defaultNamespace(), ident.last)
+    else Identifier.of(ident.tail.init.toArray, ident.last)
+
   /** Resolve `catalog.ns....name` through the registered [[GraftCatalog]]
     * — the one source of truth for the ident → warehouse-path mapping.
     */
   def tablePath(spark: SparkSession, ident: Seq[String]): String = {
     require(ident.size >= 2,
       s"graft maintenance statements need catalog.[ns.]table, got ${ident.mkString(".")}")
-    val cat = spark.sessionState.catalogManager.catalog(ident.head) match {
-      case g: GraftCatalog => g
-      case other => throw new IllegalArgumentException(
-        s"'${ident.head}' is not a graft catalog (${other.getClass.getSimpleName})")
-    }
-    val id = Identifier.of(ident.tail.init.toArray, ident.last)
+    val cat = catalogOf(spark, ident)
+    val id = identOf(cat, ident)
     require(cat.tableExists(id),
       s"table ${ident.mkString(".")} does not exist")
     cat.resolvedTablePath(id)
@@ -107,9 +118,8 @@ final case class GraftOptimizeCommand(ident: Seq[String],
     val path = GraftMaintenance.tablePath(spark, ident)
     if (zorderBy.isEmpty) Seq(Row(VersionedTable.optimize(spark, path)))
     else {
-      val cat = spark.sessionState.catalogManager.catalog(ident.head)
-        .asInstanceOf[GraftCatalog]
-      val t = cat.loadTable(Identifier.of(ident.tail.init.toArray, ident.last))
+      val cat = GraftMaintenance.catalogOf(spark, ident)
+      val t = cat.loadTable(GraftMaintenance.identOf(cat, ident))
         .asInstanceOf[GraftTable]
       require(t.hiddenSpec.isEmpty,
         "OPTIMIZE ZORDER BY on a transform-partitioned table is not " +
