@@ -55,6 +55,26 @@ def main(sf, out):
             print(f"{name}: DTYPE DRIFT int-vs-float on {kind_drift} "
                   f"(driver hash would mismatch — CAST the oracle column)")
             fail += 1; continue
+        # Same class, datetimes: a tz-aware Spark dump (timestamp[us, tz=UTC])
+        # vs DuckDB's naive timestamp[us] passes assert_frame_equal with
+        # check_dtype=False but fails the driver's strict schema+hash gate
+        # (this exact drift cost round 7 six queries). Flag any column pair
+        # where one side is tz-aware and the other naive, or where only one
+        # side is a datetime at all.
+        def _tz(col):
+            return getattr(col.dtype, 'tz', None)
+        dt_drift = []
+        for c in s.columns:
+            sk, dk = s[c].dtype.kind, d[c].dtype.kind
+            s_is_dt, d_is_dt = sk == 'M', dk == 'M'
+            if s_is_dt != d_is_dt:
+                dt_drift.append((c, f'{s[c].dtype}-vs-{d[c].dtype}'))
+            elif s_is_dt and (_tz(s[c]) is None) != (_tz(d[c]) is None):
+                dt_drift.append((c, f'{s[c].dtype}-vs-{d[c].dtype}'))
+        if dt_drift:
+            print(f"{name}: DTYPE DRIFT tz-aware-vs-naive on {dt_drift} "
+                  f"(driver hash would mismatch — dump as TIMESTAMP_NTZ)")
+            fail += 1; continue
         try:
             pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=False, rtol=1e-9)
             ok += 1
