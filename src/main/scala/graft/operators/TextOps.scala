@@ -23,6 +23,32 @@ import graft.sources.Tables
   */
 object TextOps {
 
+  /** Broadcast guard for the LM model tables. The tables are
+    * n-gram-TYPE-bounded (Heaps' law), so they fit executor memory at any
+    * test scale — but at a 100 TB web corpus trigram-type tables can
+    * exceed driver/broadcast limits, and Spark's generic broadcast OOM
+    * names neither the table nor the fix. 20M (ngram, count) rows ≈
+    * low-hundreds of MB broadcast — safely under the driver heap while
+    * far above anything a test corpus produces.
+    */
+  private[graft] val MaxBroadcastModelRows: Long = 20L * 1000 * 1000
+
+  /** One cheap count over the TYPE table (bounded by vocabulary, not
+    * corpus size) decides whether the model may broadcast; past the
+    * guard the join auto-routes to the shuffle branch with a loud named
+    * message instead of dying later in Spark's broadcast machinery.
+    */
+  private[graft] def fitsBroadcast(df: DataFrame, what: String, maxRows: Long): Boolean = {
+    val n = df.agg(count(lit(1)).as("n")).head().getLong(0)
+    if (n > maxRows)
+      System.err.println(
+        s"[graft] $what: $n model rows exceed the $maxRows-row broadcast " +
+          "guard — auto-routing model joins through the shuffle branch " +
+          "(the broadcastModel=false path); AQE re-broadcasts at runtime " +
+          "only if the built side proves small")
+    n <= maxRows
+  }
+
   /** Whitespace tokens, with trim so engines agree on boundary empties. */
   private[graft] def wsTokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -249,13 +275,16 @@ object TextOps {
     *    construction.
     */
   def unigramLogProb(spark: SparkSession, dir: String,
-      broadcastVocab: Boolean = true): DataFrame = {
+      broadcastVocab: Boolean = true,
+      maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val toks = Tables.spread(Tables.documents(spark, dir))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
     val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(if (broadcastVocab) broadcast(freq) else freq, "t")
+    val bcVocab = broadcastVocab &&
+      fitsBroadcast(freq, "unigramLogProb vocabulary", maxBroadcastRows)
+    toks.join(if (bcVocab) broadcast(freq) else freq, "t")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
@@ -293,8 +322,8 @@ object TextOps {
     * the oracle).
     */
   def bigramLogProb(spark: SparkSession, dir: String,
-      broadcastModel: Boolean = true): DataFrame = {
-    def bc(df: DataFrame): DataFrame = if (broadcastModel) broadcast(df) else df
+      broadcastModel: Boolean = true,
+      maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir))
       .filter(col("text").isNotNull)
     val toks = docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
@@ -303,6 +332,11 @@ object TextOps {
     val bis = docs.select(col("doc_id"),
       explode(graft.functions.GraftFunctions.wordNgrams(col("text"), 2)).as("bg"))
     val biFreq = bis.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    // guard on the LARGEST model table only (bigram types); uniFreq and
+    // ctxFreq are order-bounded by it, so one count decides for all three
+    val useBc = broadcastModel &&
+      fitsBroadcast(biFreq, "bigramLogProb bigram-type table", maxBroadcastRows)
+    def bc(df: DataFrame): DataFrame = if (useBc) broadcast(df) else df
     val ctxFreq = biFreq
       .groupBy(substring_index(col("bg"), " ", 1).as("ctx"))
       .agg(sum(col("c2")).as("c1ctx"))
@@ -346,8 +380,8 @@ object TextOps {
     * [[bigramLogProb]] plan one order higher.
     */
   def knTrigramLogProb(spark: SparkSession, dir: String,
-      discount: Double = 0.75, broadcastModel: Boolean = true): DataFrame = {
-    def bc(df: DataFrame): DataFrame = if (broadcastModel) broadcast(df) else df
+      discount: Double = 0.75, broadcastModel: Boolean = true,
+      maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val d = lit(discount)
     val docs = Tables.spread(Tables.documents(spark, dir))
       .filter(col("text").isNotNull)
@@ -359,6 +393,11 @@ object TextOps {
         substring_index(col("tg"), " ", -1).as("w3"))
     val c3 = tris.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c3"))
+    // guard on the trigram-type table — the largest of the five model
+    // tables (ctx3/n3/mid are its aggregations; n2 is bigram-type-sized)
+    val useBc = broadcastModel &&
+      fitsBroadcast(c3, "knTrigramLogProb trigram-type table", maxBroadcastRows)
+    def bc(df: DataFrame): DataFrame = if (useBc) broadcast(df) else df
     val ctx3 = c3.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c3")).as("c2"), count(lit(1)).as("b3"))
     val n3 = c3.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("n3"))

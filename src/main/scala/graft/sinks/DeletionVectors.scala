@@ -320,7 +320,14 @@ object DeletionVectors {
     val in = new DataInputStream(fs.open(file))
     try {
       var toSkip = offset.toLong
-      while (toSkip > 0) toSkip -= in.skip(toSkip)
+      while (toSkip > 0) {
+        val skipped = in.skip(toSkip)
+        if (skipped <= 0) {
+          // skip() may legally return 0 without EOF; readByte() both
+          // makes progress and turns a truncated file into EOFException
+          in.readByte(); toSkip -= 1
+        } else toSkip -= skipped
+      }
       val len = in.readInt()
       require(len == sizeInBytes,
         s"DV length $len at offset $offset != descriptor sizeInBytes $sizeInBytes")
@@ -343,7 +350,16 @@ object DeletionVectors {
       case "i" => Z85.decode(d.pathOrInlineDv)
       case _ =>
         val p = new Path(d.filePath(tableRoot).get)
-        readDvPayload(fs, p, d.offset.getOrElse(1), d.sizeInBytes)
+        // The protocol makes `offset` optional, but an absent offset does
+        // NOT guarantee the 1-byte-version framing this reader's length+CRC
+        // check assumes — a foreign writer omitting it may store an
+        // unframed bitmap. Refuse loudly rather than misread: every DV
+        // graft writes carries an explicit offset.
+        val off = d.offset.getOrElse(throw new IllegalArgumentException(
+          s"DeletionVectors: descriptor for $p has no offset — unframed " +
+            "on-disk DVs (no length/CRC framing) are not supported; " +
+            "rewrite the table with a writer that stamps offsets"))
+        readDvPayload(fs, p, off, d.sizeInBytes)
     }
     val pos = Roaring64.deserialize(payload)
     require(pos.length == d.cardinality,

@@ -872,7 +872,12 @@ object DeltaInterop {
     staged.foreach { case (src, rel, _) =>
       require(fs.rename(src, new Path(s"$path/$rel")), s"move failed: $rel") }
     fs.delete(stagePath, true)
-    fs.delete(new Path(s"$path/$StageDir"), true)
+    // clean the SHARED stage root only when empty: a blanket recursive
+    // delete would destroy a concurrent writer's mid-stage files and
+    // abort its commit (the per-writer UUID subdir above is ours alone)
+    val stageRoot = new Path(s"$path/$StageDir")
+    try if (fs.listStatus(stageRoot).isEmpty) fs.delete(stageRoot, false)
+    catch { case _: java.io.FileNotFoundException => }
     staged.map(s => (s._2, s._3)).toSeq
   }
 
@@ -2071,6 +2076,27 @@ object DeltaInterop {
     }
   }
 
+  /** Decode one hive-escaped dir value: ONLY `%XX` pairs. Spark's
+    * partition-dir escaping (ExternalCatalogUtils.escapePathName) leaves
+    * `+` literal, so URLDecoder — which turns `+` into a space — would
+    * corrupt values like `UTC+8` into `UTC 8` in add.partitionValues,
+    * and reads would then prune against the wrong reconstructed value.
+    * Hive escaping always rewrites literal `%` to `%25`, so consuming
+    * exactly the `%XX` pairs is lossless.
+    */
+  private[sinks] def unescapeHiveDir(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length)
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def partitionValuesOf(rel: String,
       partitionBy: Seq[String]): Map[String, Option[String]] = {
     val segs = rel.split("/").dropRight(1)
@@ -2078,7 +2104,7 @@ object DeltaInterop {
       val i = s.indexOf('=')
       if (i <= 0) None
       else {
-        val raw = java.net.URLDecoder.decode(s.substring(i + 1), "UTF-8")
+        val raw = unescapeHiveDir(s.substring(i + 1))
         Some(s.substring(0, i) ->
           (if (raw == HiveNullDir) None else Some(raw)))
       }

@@ -421,6 +421,30 @@ object HudiInterop {
   /** Insert `df` as a new commit (new file slices for its partition
     * dirs). First write creates the table. Returns the instant time.
     */
+  /** `recordKey` accepts Hudi's own comma-separated composite shape
+    * (`hoodie.datasource.write.recordkey.field = "a,b"`, the
+    * ComplexKeyGenerator the reference's Hudi job configures —
+    * `jobs/S3ToHudiStreamJob.scala:82-86`): a single name keeps
+    * SimpleKeyGenerator semantics (`_hoodie_record_key` = the value), a
+    * list emits the `col1:val1,col2:val2` complex-key encoding with
+    * Hudi's `__null__`/`__empty__` placeholders.
+    */
+  private[sinks] def keyCols(recordKey: String): Seq[String] =
+    recordKey.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** The `_hoodie_record_key` string for a (possibly composite) key. */
+  private[sinks] def keyStringExpr(recordKey: String): org.apache.spark.sql.Column = {
+    val keys = keyCols(recordKey)
+    if (keys.size == 1) col(keys.head).cast("string")
+    else concat_ws(",", keys.map { k =>
+      val v = col(k).cast("string")
+      concat(lit(k + ":"),
+        when(v.isNull, lit("__null__"))
+          .when(v === "", lit("__empty__"))
+          .otherwise(v))
+    }: _*)
+  }
+
   def insert(df: DataFrame, path: String, recordKey: String,
       precombine: String, partitionBy: Seq[String] = Nil,
       tableName: String = "graft_table"): String =
@@ -438,7 +462,8 @@ object HudiInterop {
   def precombineBatch(df: DataFrame, recordKey: String,
       precombine: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(recordKey)).orderBy(col(precombine).desc)
+      .partitionBy(keyCols(recordKey).map(col): _*)
+      .orderBy(col(precombine).desc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -459,7 +484,7 @@ object HudiInterop {
       .filter(col("_hoodie_partition_path").isin(incomingDirs.toSeq: _*))
     // latest-wins: incoming beats existing at equal precombine
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(recordKey))
+      .partitionBy(keyCols(recordKey).map(col): _*)
       .orderBy(col(precombine).desc, col("__is_incoming").desc)
     val merged = affected.withColumn("__is_incoming", lit(0))
       .unionByName(df.withColumn("__is_incoming", lit(1)), allowMissingColumns = true)
@@ -474,7 +499,8 @@ object HudiInterop {
       carryOver: Option[Unit]): String = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
-    require(df.schema.fieldNames.contains(recordKey), s"missing key col $recordKey")
+    keyCols(recordKey).foreach(k => require(
+      df.schema.fieldNames.contains(k), s"missing key col $k"))
     require(df.schema.fieldNames.contains(precombine), s"missing precombine $precombine")
     ensureTable(fs, path, tableName)
     requireReadable(fs, path) // never write COW slices into a MOR/1.x table
@@ -530,7 +556,7 @@ object HudiInterop {
         .withColumn("_hoodie_commit_seqno",
           when(col("__is_incoming") === 1,
             concat_ws("_", col("__new_ct"), lit("0"),
-              pmod(xxhash64(col(recordKey).cast("string")), lit(1000000L))
+              pmod(xxhash64(keyStringExpr(recordKey)), lit(1000000L))
                 .cast("string")))
             .otherwise(col("_hoodie_commit_seqno")))
         .drop("__is_incoming")
@@ -539,9 +565,9 @@ object HudiInterop {
         .withColumn("_hoodie_commit_time", col("__new_ct"))
         .withColumn("_hoodie_commit_seqno",
           concat_ws("_", col("__new_ct"), lit("0"),
-            pmod(xxhash64(col(recordKey).cast("string")), lit(1000000L))
+            pmod(xxhash64(keyStringExpr(recordKey)), lit(1000000L))
               .cast("string"))))
-      .withColumn("_hoodie_record_key", col(recordKey).cast("string"))
+      .withColumn("_hoodie_record_key", keyStringExpr(recordKey))
       .withColumn("_hoodie_partition_path", col("__dir"))
       .withColumn("_hoodie_file_name",
         concat(col("__file_id"), lit("_0-0-0_"), col("__new_ct"),
@@ -564,8 +590,9 @@ object HudiInterop {
     val stats = scala.collection.mutable.Map[String, List[(String, String, Long)]]()
     fs.listStatus(stage).filter(_.isDirectory).foreach { dirStatus =>
       val dirName = dirStatus.getPath.getName // __dir=<escaped>
-      val raw = java.net.URLDecoder.decode(
-        dirName.stripPrefix("__dir="), "UTF-8")
+      // %XX-only unescape: Spark's partition-dir escaping leaves '+'
+      // literal, so URLDecoder would corrupt 'UTC+8' into 'UTC 8'
+      val raw = DeltaInterop.unescapeHiveDir(dirName.stripPrefix("__dir="))
       val dir = if (raw == "__HIVE_DEFAULT_PARTITION__") "" else raw
       val destDir = if (dir.isEmpty) new Path(path) else new Path(s"$path/$dir")
       fs.mkdirs(destDir)

@@ -464,15 +464,68 @@ object IcebergInterop {
   }
 
   /** The spec's partition-spec fields JSON (identity transforms,
-    * field-ids 1000+, source-id = schema field-id).
+    * field-ids from `firstFieldId`, source-id = schema field-id).
     */
   private def specFieldsJson(partFields: Seq[StructField],
-      schema: StructType): JArray =
+      schema: StructType, firstFieldId: Int = 1000): JArray =
     JArray(partFields.zipWithIndex.toList.map { case (f, i) =>
       JObject("name" -> JString(f.name), "transform" -> JString("identity"),
         "source-id" -> JInt(schema.fieldIndex(f.name) + 1),
-        "field-id" -> JInt(1000 + i))
+        "field-id" -> JInt(firstFieldId + i))
     })
+
+  /** Partition-spec LINEAGE (the schema-lineage rule applied to specs —
+    * Iceberg specs are immutable): an unchanged field set reuses the
+    * prior default spec verbatim; a changed one (overwrite with a new
+    * partitionBy) APPENDS a fresh spec-id with globally unique partition
+    * field-ids and bumps default-spec-id — older snapshots' manifests
+    * keep declaring their original spec-id, which still resolves to the
+    * field set they were written under. Returns
+    * (specs list, default-spec-id, current fields JSON, last-partition-id).
+    */
+  private def specLineage(prev: Option[JValue], partFields: Seq[StructField],
+      schema: StructType): (List[JValue], Int, JArray, Int) = {
+    val prevSpecs = prev.toSeq.flatMap(m =>
+      (m \ "partition-specs").extractOrElse[List[JValue]](Nil)).toList
+    val prevDefault = prev.flatMap(m =>
+      (m \ "default-spec-id").extractOpt[Int]).getOrElse(0)
+    val prevLastId = prev.flatMap(m =>
+      (m \ "last-partition-id").extractOpt[Int]).getOrElse(999)
+    // match on (name, transform) — NOT field/source ids: a foreign
+    // writer's ids are arbitrary, and an unchanged foreign default spec
+    // must be reused verbatim (ids intact), never re-minted
+    val newSig = partFields.map(f => (f.name, "identity"))
+    def sigOf(spec: JValue) = (spec \ "fields")
+      .extractOrElse[List[JValue]](Nil).map(f =>
+        ((f \ "name").extractOrElse[String](""),
+          (f \ "transform").extractOrElse[String]("")))
+    prevSpecs.find(s => (s \ "spec-id").extractOrElse[Int](-1) == prevDefault) match {
+      case None =>
+        val j = specFieldsJson(partFields, schema)
+        (List(JObject("spec-id" -> JInt(0), "fields" -> j)), 0, j,
+          999 + partFields.size)
+      case Some(cur) if sigOf(cur) == newSig =>
+        val fieldsJ = JArray((cur \ "fields").extractOrElse[List[JValue]](Nil))
+        (prevSpecs, prevDefault, fieldsJ, prevLastId)
+      case Some(_) =>
+        val newId = prevSpecs.flatMap(s => (s \ "spec-id").extractOpt[Int])
+          .foldLeft(-1)(_ max _) + 1
+        val j = specFieldsJson(partFields, schema, firstFieldId = prevLastId + 1)
+        (prevSpecs :+ (JObject("spec-id" -> JInt(newId), "fields" -> j): JValue),
+          newId, j, prevLastId + partFields.size)
+    }
+  }
+
+  /** Manifest header stamp for the CURRENT spec: (spec-id, fields JSON)
+    * through [[specLineage]], so the id a manifest declares always
+    * matches the spec the published metadata will resolve it to — both
+    * sides derive it from the same prior metadata.
+    */
+  private def specStamp(meta: Option[JValue], partFields: Seq[StructField],
+      schema: StructType): (String, String) = {
+    val lineage = specLineage(meta, partFields, schema)
+    (lineage._2.toString, JsonMethods.compact(JsonMethods.render(lineage._3)))
+  }
 
   /** Identity partition fields of the table's default spec, resolved
     * to Spark types via source-id (ids are 1..n by construction).
@@ -659,11 +712,11 @@ object IcebergInterop {
     val entries = buildEntries(moved, snapshotId, schema, partFields,
       statsByFile, entrySchema)
     val schemaJ = schemaJson(schema)
+    val (specId, specJson) = specStamp(prevMeta, partFields, schema)
     val manifestLen = writeAvro(fs, new Path(manifestPath), entrySchema,
       Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJ)),
-        "partition-spec" -> JsonMethods.compact(JsonMethods.render(
-          specFieldsJson(partFields, schema))),
-        "partition-spec-id" -> "0",
+        "partition-spec" -> specJson,
+        "partition-spec-id" -> specId,
         "format-version" -> prevFormat.toString),
       entries)
     val newSeq = if (prevFormat >= 2)
@@ -732,6 +785,7 @@ object IcebergInterop {
         val j = schemaJson(schema, id)
         (prevSchemaList :+ (j: JValue), id, j: JValue)
       } else (List(schemaJson(schema): JValue), 0, schemaJson(schema): JValue)
+    val specLineageTuple = specLineage(prev.map(_._2), partFields, schema)
     val prevSnapshots = prev.toSeq.flatMap(_._2 \ "snapshots" match {
       case JArray(xs) => xs
       case _ => Nil
@@ -758,12 +812,10 @@ object IcebergInterop {
       "schema" -> schemaJ,
       "schemas" -> JArray(schemasJ.toList),
       "current-schema-id" -> JInt(curSchemaId),
-      "partition-spec" -> specFieldsJson(partFields, schema),
-      "partition-specs" -> JArray(List(JObject(
-        "spec-id" -> JInt(0),
-        "fields" -> specFieldsJson(partFields, schema)))),
-      "default-spec-id" -> JInt(0),
-      "last-partition-id" -> JInt(999 + partFields.size),
+      "partition-spec" -> specLineageTuple._3,
+      "partition-specs" -> JArray(specLineageTuple._1),
+      "default-spec-id" -> JInt(specLineageTuple._2),
+      "last-partition-id" -> JInt(specLineageTuple._4),
       "sort-orders" -> JArray(List(JObject(
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
       "default-sort-order-id" -> JInt(0),
@@ -1161,12 +1213,12 @@ object IcebergInterop {
     entry.put("snapshot_id", snapshotId)
     entry.put("data_file", dfRec)
     val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-d0.avro"
+    val (specId, specJson) = specStamp(Some(meta), partFields, schema)
     val manifestLen = writeAvro(fs, new Path(manifestPath),
       DeleteManifestEntrySchema,
       Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
-        "partition-spec" -> JsonMethods.compact(JsonMethods.render(
-          specFieldsJson(partFields, schema))),
-        "partition-spec-id" -> "0",
+        "partition-spec" -> specJson,
+        "partition-spec-id" -> specId,
         "format-version" -> "2",
         "content" -> "deletes"),
       Seq(entry))
@@ -1351,11 +1403,11 @@ object IcebergInterop {
           val statsByFile = FileStats.fromFooters(spark, moved.map(_.path), schema)
           val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-m0.avro"
           val entrySchema = manifestEntrySchema(partFields)
+          val (specId, specJson) = specStamp(Some(meta), partFields, schema)
           val len = writeAvro(fs, new Path(manifestPath), entrySchema,
             Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
-              "partition-spec" -> JsonMethods.compact(JsonMethods.render(
-                specFieldsJson(partFields, schema))),
-              "partition-spec-id" -> "0",
+              "partition-spec" -> specJson,
+              "partition-spec-id" -> specId,
               "format-version" -> fmt.toString),
             buildEntries(moved, snapshotId, schema, partFields,
               statsByFile, entrySchema))
@@ -1393,12 +1445,12 @@ object IcebergInterop {
           entry.put("snapshot_id", snapshotId)
           entry.put("data_file", dfRec)
           val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-d0.avro"
+          val (dSpecId, dSpecJson) = specStamp(Some(meta), partFields, schema)
           val len = writeAvro(fs, new Path(manifestPath),
             DeleteManifestEntrySchema,
             Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
-              "partition-spec" -> JsonMethods.compact(JsonMethods.render(
-                specFieldsJson(partFields, schema))),
-              "partition-spec-id" -> "0",
+              "partition-spec" -> dSpecJson,
+              "partition-spec-id" -> dSpecId,
               "format-version" -> "2",
               "content" -> "deletes"),
             Seq(entry))
@@ -1953,11 +2005,11 @@ object IcebergInterop {
         e
       }
     val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-m0.avro"
+    val (specId, specJson) = specStamp(Some(meta), partFields, schema)
     val manifestLen = writeAvro(fs, new Path(manifestPath), entrySchema,
       Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
-        "partition-spec" -> JsonMethods.compact(JsonMethods.render(
-          specFieldsJson(partFields, schema))),
-        "partition-spec-id" -> "0", "format-version" -> prevFormat.toString),
+        "partition-spec" -> specJson,
+        "partition-spec-id" -> specId, "format-version" -> prevFormat.toString),
       newEntries)
     val listPath = s"$path/metadata/snap-$snapshotId-1-${java.util.UUID.randomUUID()}.avro"
     val listRec = listEntryRecord(manifestPath, manifestLen, snapshotId,
@@ -2102,11 +2154,11 @@ object IcebergInterop {
     }
     val fmt = (meta \ "format-version").extract[Int]
     val manifestPath = s"$path/metadata/${java.util.UUID.randomUUID()}-m0.avro"
+    val (specId, specJson) = specStamp(Some(meta), partFields, schema)
     val manifestLen = writeAvro(fs, new Path(manifestPath), entrySchema,
       Map("schema" -> JsonMethods.compact(JsonMethods.render(schemaJson(schema))),
-        "partition-spec" -> JsonMethods.compact(JsonMethods.render(
-          specFieldsJson(partFields, schema))),
-        "partition-spec-id" -> "0",
+        "partition-spec" -> specJson,
+        "partition-spec-id" -> specId,
         "format-version" -> fmt.toString),
       merged)
     val newSeq = if (fmt >= 2)

@@ -18,7 +18,7 @@ import graft.sinks.VersionedTable
   * `SparkSessionExtensions.injectParser`):
   *
   *   OPTIMIZE graft.ns.t
-  *   VACUUM graft.ns.t [RETAIN <n> VERSIONS]
+  *   VACUUM graft.ns.t [RETAIN <n> VERSIONS] [GRACE <m> MINUTES]
   *   DESCRIBE HISTORY graft.ns.t
   *
   * Anything else — including every standard statement — passes to the
@@ -33,7 +33,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.`]+?)(?:\s+ZORDER\s+BY\s+\(([\w,\s`]+)\))?\s*;?\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.`]+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+GRACE\s+(\d+)\s+MINUTES)?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
 
@@ -42,9 +42,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftOptimizeCommand(parseIdent(ident),
         Option(zorder).toSeq.flatMap(_.split(","))
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
-    case Vacuum(ident, retain) =>
+    case Vacuum(ident, retain, grace) =>
       GraftVacuumCommand(parseIdent(ident),
-        Option(retain).map(_.toInt).getOrElse(2))
+        Option(retain).map(_.toInt).getOrElse(2),
+        Option(grace).map(_.toLong * 60000L)
+          .getOrElse(GraftVacuumCommand.DefaultOrphanGraceMs))
     case History(ident) =>
       GraftHistoryCommand(parseIdent(ident))
     case _ => delegate.parsePlan(sqlText)
@@ -130,19 +132,25 @@ final case class GraftOptimizeCommand(ident: Seq[String],
   }
 }
 
-/** `VACUUM graft.ns.t [RETAIN n VERSIONS]` → [[VersionedTable.vacuum]]
-  * with a zero orphan grace (the statement is an explicit human
-  * action; the age guard protects AUTOMATED cleaners from in-flight
-  * writers, and the SQL spelling mirrors Delta's `VACUUM ... RETAIN`).
+/** `VACUUM graft.ns.t [RETAIN n VERSIONS] [GRACE m MINUTES]` →
+  * [[VersionedTable.vacuum]]. The orphan grace defaults to 10 minutes —
+  * a bare `VACUUM t` issued while another writer sits between staging
+  * and commit must not delete that writer's not-yet-referenced files
+  * (Delta's spelling keeps a 7-day default for the same reason);
+  * `GRACE 0 MINUTES` makes zero-grace an explicit opt-in.
   */
-final case class GraftVacuumCommand(ident: Seq[String], retainVersions: Int)
+object GraftVacuumCommand {
+  val DefaultOrphanGraceMs: Long = 10L * 60 * 1000
+}
+final case class GraftVacuumCommand(ident: Seq[String], retainVersions: Int,
+    orphanGraceMs: Long = GraftVacuumCommand.DefaultOrphanGraceMs)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     GraftMaintenance.attrs("deleted_files" -> LongType)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenance.tablePath(spark, ident)
     val deleted = VersionedTable.vacuum(spark, path,
-      retainVersions = retainVersions, orphanMinAgeMs = 0L)
+      retainVersions = retainVersions, orphanMinAgeMs = orphanGraceMs)
     Seq(Row(deleted.size.toLong))
   }
 }

