@@ -37,6 +37,7 @@ object Bench {
     val jobs = new AtomicLong
     val tasks = new AtomicLong
     val runMs = new AtomicLong
+    val deserMs = new AtomicLong
     val gcMs = new AtomicLong
     val shuffleWriteBytes = new AtomicLong
     val spillBytes = new AtomicLong
@@ -46,16 +47,18 @@ object Bench {
       val m = t.taskMetrics
       if (m != null) {
         runMs.addAndGet(m.executorRunTime)
+        deserMs.addAndGet(m.executorDeserializeTime)
         gcMs.addAndGet(m.jvmGCTime)
         shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spillBytes.addAndGet(m.diskBytesSpilled)
       }
     }
     def reset(): Unit =
-      Seq(jobs, tasks, runMs, gcMs, shuffleWriteBytes, spillBytes).foreach(_.set(0))
+      Seq(jobs, tasks, runMs, deserMs, gcMs, shuffleWriteBytes, spillBytes).foreach(_.set(0))
     def json: String =
       s"""{"jobs":${jobs.get},"tasks":${tasks.get},""" +
-        s""""task_sec":${runMs.get / 1e3},"gc_sec":${gcMs.get / 1e3},""" +
+        s""""task_sec":${runMs.get / 1e3},"deser_sec":${deserMs.get / 1e3},""" +
+        s""""gc_sec":${gcMs.get / 1e3},""" +
         s""""shuffle_mb":${shuffleWriteBytes.get / 1e6},"spill_mb":${spillBytes.get / 1e6}}"""
   }
 

@@ -16,9 +16,20 @@ object Scratch {
       while (f != null) { delete(f); f = registered.poll() }
     }))
 
+  // Prefer tmpfs for the throwaway tables: the round-trip queries write
+  // and immediately re-read them, and on this container's virtual disk
+  // each parquet create/fsync is ~100 ms of latency that measures the
+  // disk, not the engine (same reasoning as StreamTuning.scratchDir for
+  // checkpoints). Everything here is deleted at JVM exit.
+  private lazy val base: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
   /** Create a fresh temp directory and return its absolute path. */
   def dir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    val p = java.nio.file.Files.createTempDirectory(base, prefix)
     val f = p.toFile
     hookInstalled
     registered.add(f)

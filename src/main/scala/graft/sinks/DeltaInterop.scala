@@ -499,24 +499,19 @@ object DeltaInterop {
   def readWhere(spark: SparkSession, path: String, where: Option[Column],
       versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, versionAsOf)
-    val schema = snap.schema
-    val partCols = snap.metaData.partitionColumns
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
     val live = pruneAdds(spark, snap, where)
-    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    if (live.isEmpty)
+    if (live.isEmpty) {
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
       return where.map(empty.filter).getOrElse(empty)
-    val groups = live.groupBy(a => (a.partitionValues, a.deletionVector.isDefined))
-    val parts = groups.toSeq.map { case ((pv, _), files) =>
-      val base = scanGroup(spark, path, dataSchema, files)
-      partCols.foldLeft(base) { (df, c) =>
-        val f = schema(c)
-        val v = pv.getOrElse(physicalName(f), pv.getOrElse(c, None))
-        df.withColumn(c,
-          v.map(s => lit(s).cast(f.dataType)).getOrElse(lit(null).cast(f.dataType)))
-      }
     }
-    val out = parts.reduce(_ unionByName _).select(schema.fieldNames.map(col): _*)
+    // frameOver is the one scan builder (the DML paths read through it
+    // too): ONE file-source relation with native partition-dir inference
+    // when the layout allows (hive-style DV-free files), per-partition
+    // scan groups otherwise — a union with one arm per partition tuple
+    // made every read-back of a daily-partitioned table pay O(days)
+    // analyzer work (~1.4 s of pure driver planning at 6 partitions,
+    // measured; quadratic growth with partition count).
+    val out = frameOver(spark, path, snap, live)
     where.map(out.filter).getOrElse(out)
   }
 
@@ -856,7 +851,9 @@ object DeltaInterop {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val stagePath = new Path(s"$path/$StageDir/${java.util.UUID.randomUUID}")
-    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(stagePath.toString)
+    VersionedTable.writeCoalesced(spark) {
+      df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(stagePath.toString)
+    }
     val staged = scala.collection.mutable.ArrayBuffer[(Path, String, Long)]()
     def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
       if (st.isDirectory) walk(st.getPath)
@@ -1412,7 +1409,11 @@ object DeltaInterop {
       case FileStats.Bounds(p) => pruneAdds(spark, snap, Some(p))
     }
     val src = source.persist()
-    try {
+    // The whole merge tail runs commit-coalesced: its shuffles (detection
+    // semi-join, collapse window, full-outer join, rewrite) are bounded
+    // by the touched-file set + source batch, and parallelism-first AQE
+    // pads each one to shuffle.partitions mostly-empty reducers.
+    try VersionedTable.writeCoalesced(spark) {
       val srcKeys = src.select(on.map(col): _*).distinct()
       val touched: Seq[AddFile] =
         if (candidates.isEmpty) Nil

@@ -347,7 +347,9 @@ object IcebergInterop {
     val spark = df.sparkSession
     val stage = new Path(s"$path/metadata/stage-${java.util.UUID.randomUUID}")
     if (partitionBy.isEmpty)
-      df.write.mode("overwrite").parquet(stage.toString)
+      VersionedTable.writeCoalesced(spark) {
+        df.write.mode("overwrite").parquet(stage.toString)
+      }
     else {
       val token = concat(lit("v"), concat_ws(",", partitionBy.map(c =>
         coalesce(url_encode(col(c).cast("string")), lit(NullToken))): _*))
@@ -358,8 +360,10 @@ object IcebergInterop {
       // shape=false — its frames arrive pre-shaped (byte-targeted bins)
       // and a reshape would undo the binning.
       val tokened = df.withColumn("__pdir", token)
-      (if (shape) VersionedTable.byPartitions(tokened, Seq("__pdir")) else tokened)
-        .write.mode("overwrite").partitionBy("__pdir").parquet(stage.toString)
+      VersionedTable.writeCoalesced(spark) {
+        (if (shape) VersionedTable.byPartitions(tokened, Seq("__pdir")) else tokened)
+          .write.mode("overwrite").partitionBy("__pdir").parquet(stage.toString)
+      }
     }
     val stagedFiles: Seq[(org.apache.hadoop.fs.FileStatus, Seq[Option[String]])] =
       if (partitionBy.isEmpty)

@@ -330,7 +330,9 @@ object TableSink {
       if (partitionCols.isEmpty) resolved0
       else resolved0.repartition(partitionCols.map(col): _*)
     withDynamicOverwrite(spark) {
-      resolved.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+      VersionedTable.writeCoalesced(spark) {
+        resolved.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+      }
     }
   }
 
