@@ -851,9 +851,7 @@ object DeltaInterop {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val stagePath = new Path(s"$path/$StageDir/${java.util.UUID.randomUUID}")
-    VersionedTable.writeCoalesced(spark) {
-      df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(stagePath.toString)
-    }
+    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(stagePath.toString)
     val staged = scala.collection.mutable.ArrayBuffer[(Path, String, Long)]()
     def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
       if (st.isDirectory) walk(st.getPath)
@@ -1409,11 +1407,7 @@ object DeltaInterop {
       case FileStats.Bounds(p) => pruneAdds(spark, snap, Some(p))
     }
     val src = source.persist()
-    // The whole merge tail runs commit-coalesced: its shuffles (detection
-    // semi-join, collapse window, full-outer join, rewrite) are bounded
-    // by the touched-file set + source batch, and parallelism-first AQE
-    // pads each one to shuffle.partitions mostly-empty reducers.
-    try VersionedTable.writeCoalesced(spark) {
+    try {
       val srcKeys = src.select(on.map(col): _*).distinct()
       val touched: Seq[AddFile] =
         if (candidates.isEmpty) Nil

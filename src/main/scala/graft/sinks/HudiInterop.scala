@@ -585,10 +585,8 @@ object HudiInterop {
     // one writer per partition dir (file-group granularity), then
     // rename each part file to its Hudi slice name
     val stage = new Path(s"$path/$MetaDir/.stage-${java.util.UUID.randomUUID}")
-    VersionedTable.writeCoalesced(spark) {
-      ordered.repartition(col("__dir"))
-        .write.mode("overwrite").partitionBy("__dir").parquet(stage.toString)
-    }
+    ordered.repartition(col("__dir"))
+      .write.mode("overwrite").partitionBy("__dir").parquet(stage.toString)
     val stats = scala.collection.mutable.Map[String, List[(String, String, Long)]]()
     fs.listStatus(stage).filter(_.isDirectory).foreach { dirStatus =>
       val dirName = dirStatus.getPath.getName // __dir=<escaped>

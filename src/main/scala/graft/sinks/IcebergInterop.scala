@@ -347,9 +347,7 @@ object IcebergInterop {
     val spark = df.sparkSession
     val stage = new Path(s"$path/metadata/stage-${java.util.UUID.randomUUID}")
     if (partitionBy.isEmpty)
-      VersionedTable.writeCoalesced(spark) {
-        df.write.mode("overwrite").parquet(stage.toString)
-      }
+      df.write.mode("overwrite").parquet(stage.toString)
     else {
       val token = concat(lit("v"), concat_ws(",", partitionBy.map(c =>
         coalesce(url_encode(col(c).cast("string")), lit(NullToken))): _*))
@@ -360,10 +358,8 @@ object IcebergInterop {
       // shape=false — its frames arrive pre-shaped (byte-targeted bins)
       // and a reshape would undo the binning.
       val tokened = df.withColumn("__pdir", token)
-      VersionedTable.writeCoalesced(spark) {
-        (if (shape) VersionedTable.byPartitions(tokened, Seq("__pdir")) else tokened)
-          .write.mode("overwrite").partitionBy("__pdir").parquet(stage.toString)
-      }
+      (if (shape) VersionedTable.byPartitions(tokened, Seq("__pdir")) else tokened)
+        .write.mode("overwrite").partitionBy("__pdir").parquet(stage.toString)
     }
     val stagedFiles: Seq[(org.apache.hadoop.fs.FileStatus, Seq[Option[String]])] =
       if (partitionBy.isEmpty)

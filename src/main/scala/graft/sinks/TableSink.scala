@@ -330,9 +330,7 @@ object TableSink {
       if (partitionCols.isEmpty) resolved0
       else resolved0.repartition(partitionCols.map(col): _*)
     withDynamicOverwrite(spark) {
-      VersionedTable.writeCoalesced(spark) {
-        resolved.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
-      }
+      resolved.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
     }
   }
 

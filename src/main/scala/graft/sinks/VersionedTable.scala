@@ -1064,9 +1064,7 @@ object VersionedTable {
       partitionCols: Seq[String], allowEmpty: Boolean = false): Seq[String] = {
     val fs = fsFor(spark, path)
     val stagePath = new Path(s"$path/$StageDir/${java.util.UUID.randomUUID}")
-    writeCoalesced(spark) {
-      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stagePath.toString)
-    }
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stagePath.toString)
     collectStaged(fs, path, stagePath, allowEmpty)
   }
 
@@ -1404,40 +1402,14 @@ object VersionedTable {
     * (xxhash64 of all columns — stable under task retry, unlike
     * round-robin): N files per touched dir, written in parallel.
     */
-  /** Run `body` (a staged table write) with AQE's partition coalescing
-    * obeying the 64 MB advisory instead of parallelism-first. The write
-    * shape upstream is repartition-by-partition-columns
-    * ([[byPartitions]]), which AQE's parallelism-first default pads out
-    * to `spark.sql.shuffle.partitions` reducers to keep every core busy
-    * — for a commit-sized write that is dozens of EMPTY writer tasks,
-    * each paying task setup plus a full Hadoop-conf deserialization
-    * (measured: ~35 ms/task, 20 s across one multi-commit lifecycle
-    * query). Size-first coalescing collapses them to the occupied
-    * partitions; a hash partition holds whole dirs, so the one-file-
-    * per-dir shape is preserved. Scoped to the write: compute-heavy
-    * query shuffles keep the parallelism-first default.
-    */
-  private[sinks] def writeCoalesced[T](spark: SparkSession)(body: => T): T = {
-    // Second knob, same reasoning: commit-machinery scans read a file
-    // list that is BOUNDED by the log (touched files, staged files) but
-    // usually small — Spark's split sizing pads small inputs out to one
-    // sliver split per file to fill every core (bytesPerCore ÷
-    // defaultParallelism), and each sliver task re-pays the fixed task
-    // overhead. minPartitionNum=1 sizes splits purely by bytes
-    // (maxPartitionBytes cap unchanged), so a commit-sized scan is a
-    // handful of tasks and a 100 TB scan still splits at 128 MB exactly
-    // as before.
-    val keys = Seq(
-      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-      "spark.sql.files.minPartitionNum" -> "1")
-    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
-    keys.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+  // NOTE (r8, measured): do NOT wrap the staged writes in a
+  // size-first-AQE / minPartitionNum=1 conf scope to trim the
+  // mostly-empty reducer tasks. The empty tasks cost only parallel
+  // background CPU (~35 ms of Hadoop-conf deserialization each, spread
+  // over idle cores), while size-first coalescing at test scale merges
+  // the write into 1-2 tasks and SERIALIZES the parquet encode — an
+  // A/B on the lakehouse suite measured the scoped version 30% slower
+  // wall (33.9 s vs 25.7 s over 8 queries). Parallelism-first stays.
 
   private[sinks] def byPartitions(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
     val tasksPerPartition = df.sparkSession.conf
@@ -1706,10 +1678,9 @@ object VersionedTable {
     // same dir keep their bytes. Dir-level scoping would rewrite a whole
     // partition for one clustered row — fatal at 100 TB.
     val byBase = candidates.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
-    val affected = writeCoalesced(spark) {
-      readSet(candidates).filter(predicate)
-        .select(input_file_name()).distinct().collect()
-    }.map(r => relOf(byBase, r.getString(0))).toIndexedSeq
+    val affected = readSet(candidates).filter(predicate)
+      .select(input_file_name()).distinct().collect()
+      .map(r => relOf(byBase, r.getString(0))).toIndexedSeq
     if (affected.isEmpty) return latestVersion(spark, path) // nothing matches
     val kept = readSet(affected).filter(!coalesce(predicate, lit(false)))
     val adds = stage(spark, path, byPartitions(kept, effPartitionCols),
@@ -1751,14 +1722,13 @@ object VersionedTable {
     val candidates = prunedCandidates(spark, path, upTo, live, predicate)
     if (candidates.isEmpty) return latestVersion(spark, path) // nothing can match
     val byBase = candidates.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
-    val candidateFrame = PartitionTransforms.derive(
+    val affected = PartitionTransforms.derive(
         logReader.option("basePath", path)
           .parquet(candidates.map(f => s"$path/$f"): _*)
           .drop(tfs.map(_.name): _*), tfs)
-    val affected = writeCoalesced(spark) {
-      candidateFrame.filter(predicate)
-        .select(input_file_name()).distinct().collect()
-    }.map(r => relOf(byBase, r.getString(0))).toIndexedSeq
+      .filter(predicate)
+      .select(input_file_name()).distinct().collect()
+      .map(r => relOf(byBase, r.getString(0))).toIndexedSeq
     if (affected.isEmpty) return latestVersion(spark, path) // nothing matches
     val src = logReader
       .option("basePath", path)
@@ -1973,10 +1943,8 @@ object VersionedTable {
         strCols.flatMap(c => Seq(
           min(col(c)).as(s"__minS_$c"), max(col(c)).as(s"__maxS_$c"))) ++
         allStatCols.map(c => (count(lit(1)) - count(col(c))).as(s"__nulls_$c"))
-    val rows = writeCoalesced(spark) {
-      df.groupBy(input_file_name().as("__file"))
-        .agg(aggs.head, aggs.tail: _*).collect()
-    }
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
     val relIdx = relIndex(rels)
     Some(rows.map { r =>
       val rel = relOf(relIdx, r.getString(0))
@@ -2035,10 +2003,8 @@ object VersionedTable {
           org.apache.spark.sql.GraftShim.expression(xxhash64(col(c), lit(1))),
           colBits(c), k).toAggregateExpression()).as(s"__bloom_$c")
     }
-    val rows = writeCoalesced(spark) {
-      df.groupBy(input_file_name().as("__file"))
-        .agg(aggs.head, aggs.tail: _*).collect()
-    }
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
     val enc = java.util.Base64.getEncoder
     val relIdx = relIndex(rels)
     Some(rows.map { r =>
@@ -2540,11 +2506,9 @@ object VersionedTable {
       partitionCols: Seq[String], maxRecordsPerFile: Long): Seq[String] = {
     val fs = fsFor(spark, path)
     val stagePath = new Path(s"$path/$StageDir/${java.util.UUID.randomUUID}")
-    writeCoalesced(spark) {
-      df.write.mode("overwrite")
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy(partitionCols: _*).parquet(stagePath.toString)
-    }
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*).parquet(stagePath.toString)
     collectStaged(fs, path, stagePath, allowEmpty = false)
   }
 
