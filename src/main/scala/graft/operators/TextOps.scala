@@ -280,7 +280,11 @@ object TextOps {
     val toks = Tables.spread(Tables.documents(spark, dir))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
-    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    // the model table is consumed twice (broadcast-size guard, scoring
+    // join); persisting it caches the type-BOUNDED aggregate, never the
+    // exploded token stream — each re-use otherwise re-runs the full
+    // explode+shuffle
+    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("c")).persist()
     val total = toks.agg(count(lit(1)).as("n_total"))
     val bcVocab = broadcastVocab &&
       fitsBroadcast(freq, "unigramLogProb vocabulary", maxBroadcastRows)
@@ -331,7 +335,10 @@ object TextOps {
     val total = toks.agg(count(lit(1)).as("n_total"))
     val bis = docs.select(col("doc_id"),
       explode(graft.functions.GraftFunctions.wordNgrams(col("text"), 2)).as("bg"))
-    val biFreq = bis.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    // type-bounded model table, consumed three times (guard count,
+    // ctxFreq derivation, scoring join) — persist so the ngram
+    // explode+shuffle runs once
+    val biFreq = bis.groupBy(col("bg")).agg(count(lit(1)).as("c2")).persist()
     // guard on the LARGEST model table only (bigram types); uniFreq and
     // ctxFreq are order-bounded by it, so one count decides for all three
     val useBc = broadcastModel &&
@@ -391,8 +398,13 @@ object TextOps {
         substring_index(col("tg"), " ", 1).as("w1"),
         substring_index(substring_index(col("tg"), " ", 2), " ", -1).as("w2"),
         substring_index(col("tg"), " ", -1).as("w3"))
+    // type-bounded model table consumed FIVE times (broadcast guard,
+    // ctx3/n3 derivations — mid derives from n3 — and the scoring
+    // join): without the persist each use re-runs the trigram
+    // explode+aggregation over the whole corpus (measured: 87 CPU-s at
+    // sf0.1, the heaviest query in the suite)
     val c3 = tris.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c3"))
+      .agg(count(lit(1)).as("c3")).persist()
     // guard on the trigram-type table — the largest of the five model
     // tables (ctx3/n3/mid are its aggregations; n2 is bigram-type-sized)
     val useBc = broadcastModel &&
@@ -408,7 +420,7 @@ object TextOps {
     val bgTypes = bis.select(
         substring_index(col("bg"), " ", 1).as("bw1"),
         substring_index(col("bg"), " ", -1).as("bw2"))
-      .distinct()
+      .distinct().persist() // feeds n2 AND the type total
     val n2 = bgTypes.groupBy(col("bw2").as("w3")).agg(count(lit(1)).as("n2"))
     val nTypes = bgTypes.agg(count(lit(1)).as("n_bg_types"))
     val p1 = col("n2").cast("double") / col("n_bg_types").cast("double")
@@ -455,8 +467,12 @@ object TextOps {
       exactThresholds: Boolean = true): DataFrame = {
     require(0 < lo && lo < hi && hi < 1,
       s"perplexityBuckets: need 0 < lo < hi < 1, got ($lo, $hi)")
+    // one slim row per doc (id, token count, score), consumed twice —
+    // threshold fit and bucket assignment — so persist rather than
+    // re-run the whole scoring plan; CCNet materializes scores the
+    // same way before fitting its cutoffs
     val scored = unigramLogProb(spark, dir)
-      .withColumn("ppl", -col("avg_logprob"))
+      .withColumn("ppl", -col("avg_logprob")).persist()
     val th =
       if (exactThresholds)
         scored.agg(percentile(col("ppl"), array(lit(lo), lit(hi))).as("th"))
