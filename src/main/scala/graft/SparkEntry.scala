@@ -27,6 +27,7 @@ object SparkEntry {
       graft.sinks.CatalogOps.ops ++
       graft.sinks.DeltaInterop.ops ++
       graft.sinks.HudiInterop.ops ++
+      graft.sinks.HudiMor.ops ++
       graft.sinks.IcebergInterop.ops ++
       graft.sinks.FormatConvert.ops ++
       graft.streaming.IngestPipeline.ops ++

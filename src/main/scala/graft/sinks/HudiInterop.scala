@@ -46,8 +46,8 @@ import org.json4s.jackson.JsonMethods
   */
 object HudiInterop {
 
-  private val MetaDir = ".hoodie"
-  private val PartitionMeta = ".hoodie_partition_metadata"
+  private[sinks] val MetaDir = ".hoodie"
+  private[sinks] val PartitionMeta = ".hoodie_partition_metadata"
   val MetaCols: Seq[String] = Seq("_hoodie_commit_time", "_hoodie_commit_seqno",
     "_hoodie_record_key", "_hoodie_partition_path", "_hoodie_file_name")
 
@@ -67,7 +67,7 @@ object HudiInterop {
     * latest, making the new slice silently lose latest-slice
     * resolution.
     */
-  private def nextInstant(existing: Seq[String]): String = {
+  private[sinks] def nextInstant(existing: Seq[String]): String = {
     val now = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
       .format(new java.util.Date())
     val floor = existing.sorted.lastOption
@@ -80,7 +80,7 @@ object HudiInterop {
     if (BigInt(now) > BigInt(floor)) now else floor
   }
 
-  private def timelineInstants(fs: FileSystem, path: String,
+  private[sinks] def timelineInstants(fs: FileSystem, path: String,
       suffix: String): Seq[String] = {
     val dir = new Path(s"$path/$MetaDir")
     if (!fs.exists(dir)) Nil
@@ -93,12 +93,12 @@ object HudiInterop {
   def completedInstants(spark: SparkSession, path: String): Seq[String] =
     timelineInstants(fsFor(spark, path), path, ".commit")
 
-  private def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
+  private[sinks] def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
     val out = fs.create(p, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  private def ensureTable(fs: FileSystem, path: String, tableName: String): Unit = {
+  private[sinks] def ensureTable(fs: FileSystem, path: String, tableName: String): Unit = {
     val props = new Path(s"$path/$MetaDir/hoodie.properties")
     if (!fs.exists(props)) {
       fs.mkdirs(props.getParent)
@@ -130,22 +130,37 @@ object HudiInterop {
     }
   }
 
-  /** Refuse table shapes this COW engine cannot serve correctly:
-    * MERGE_ON_READ base files without their log files are silently
-    * stale data, and table version >= 8 (Hudi 1.x) moves the timeline
-    * under `.hoodie/timeline/`, which would read as "no commits".
-    * Absent properties (graft's own minimal fixtures) default to COW v6.
+  /** The table's declared type; absent properties (graft's own minimal
+    * fixtures) default to COPY_ON_WRITE.
     */
-  private def requireReadable(fs: FileSystem, path: String): Unit = {
-    val props = tableProps(fs, path)
-    val typ = props.getOrElse("hoodie.table.type", "COPY_ON_WRITE")
-    require(typ == "COPY_ON_WRITE",
-      s"HudiInterop: table type $typ is not supported — MERGE_ON_READ " +
-        "snapshots need log-file merging; compact the table to COW first")
-    val ver = props.get("hoodie.table.version").map(_.trim.toInt).getOrElse(6)
+  private[sinks] def tableType(fs: FileSystem, path: String): String =
+    tableProps(fs, path).getOrElse("hoodie.table.type", "COPY_ON_WRITE")
+
+  /** Refuse the 1.x timeline layout: table version >= 8 moves the
+    * timeline under `.hoodie/timeline/`, which would read here as "no
+    * commits". Absent properties default to v6.
+    */
+  private[sinks] def requireV6Timeline(fs: FileSystem, path: String): Unit = {
+    val ver = tableProps(fs, path).get("hoodie.table.version")
+      .map(_.trim.toInt).getOrElse(6)
     require(ver <= 7,
       s"HudiInterop: table version $ver uses the 1.x timeline layout " +
         "(.hoodie/timeline/) this reader does not speak")
+  }
+
+  /** Refuse MERGE_ON_READ where only COW semantics are implemented:
+    * a COW slice written into a MOR table would orphan that group's
+    * pending log records, and COW maintenance (clean/restore/convert)
+    * reasons about whole slices, not slice+log pairs. Snapshot READS of
+    * MOR route through [[HudiMor]] instead.
+    */
+  private[sinks] def requireReadable(fs: FileSystem, path: String): Unit = {
+    require(tableType(fs, path) == "COPY_ON_WRITE",
+      s"HudiInterop: table type ${tableType(fs, path)} is not supported " +
+        "on this path — MERGE_ON_READ supports snapshot reads " +
+        "(HudiMor.read), upsertMor/deleteMor writes, and compactMor; " +
+        "COW slice writes and clean/restore/convert need a compacted table")
+    requireV6Timeline(fs, path)
   }
 
   // ---- file slices ----
@@ -159,10 +174,10 @@ object HudiInterop {
   private val SliceName =
     "([0-9a-f-]{36}(?:-\\d+)?)_([0-9-]+)_(\\d{14}(?:\\d{3})?)\\.parquet".r
 
-  private final case class Slice(dir: String, fileId: String, instant: String,
+  private[sinks] final case class Slice(dir: String, fileId: String, instant: String,
       rel: String)
 
-  private def slices(fs: FileSystem, path: String): Seq[Slice] = {
+  private[sinks] def slices(fs: FileSystem, path: String): Seq[Slice] = {
     val rootQ = fs.makeQualified(new Path(path)).toString
     val out = scala.collection.mutable.ArrayBuffer[Slice]()
     def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
@@ -180,7 +195,7 @@ object HudiInterop {
   }
 
   /** Latest committed slice per file group at `asOf` (or latest). */
-  private def liveSlices(spark: SparkSession, path: String,
+  private[sinks] def liveSlices(spark: SparkSession, path: String,
       asOf: Option[String]): Seq[Slice] = {
     val fs = fsFor(spark, path)
     requireReadable(fs, path)
@@ -225,6 +240,7 @@ object HudiInterop {
           if (!fs.exists(dir)) Seq.empty[String]
           else fs.listStatus(dir).toSeq.map(_.getPath.getName)
         val Known = Seq(".commit.requested", ".inflight", ".commit",
+          ".deltacommit.requested", ".deltacommit.inflight", ".deltacommit",
           ".clean", ".restore")
         names.flatMap { n =>
           Known.collectFirst {
@@ -276,6 +292,10 @@ object HudiInterop {
     */
   def read(spark: SparkSession, path: String,
       asOf: Option[String] = None): DataFrame = {
+    // MERGE_ON_READ snapshots collapse base + log records (HudiMor);
+    // COW resolves latest committed slices directly
+    if (tableType(fsFor(spark, path), path) == "MERGE_ON_READ")
+      return HudiMor.read(spark, path, asOf)
     val live = liveSlices(spark, path, asOf)
     // explicit file list WITHOUT basePath: partition values already live
     // inside Hudi data files, and dir-based inference would duplicate
@@ -405,7 +425,7 @@ object HudiInterop {
 
   // ---- writers ----
 
-  private def hivePath(partitionBy: Seq[String]): org.apache.spark.sql.Column =
+  private[sinks] def hivePath(partitionBy: Seq[String]): org.apache.spark.sql.Column =
     if (partitionBy.isEmpty) lit("")
     else concat_ws("/", partitionBy.map(c =>
       concat_ws("=", lit(c), coalesce(col(c).cast("string"),
@@ -414,7 +434,7 @@ object HudiInterop {
   /** Deterministic fileId per partition dir (UUID-shaped from the dir
     * name) — one file group per dir, the layout's stated simplification.
     */
-  private def fileIdFor(dir: String): String =
+  private[sinks] def fileIdFor(dir: String): String =
     java.util.UUID.nameUUIDFromBytes(("graft-hudi:" + dir)
       .getBytes(StandardCharsets.UTF_8)).toString
 
@@ -494,22 +514,35 @@ object HudiInterop {
       carryOver = Some(()))
   }
 
-  private def commitSlices(df: DataFrame, path: String, recordKey: String,
+  private[sinks] def commitSlices(df: DataFrame, path: String, recordKey: String,
       precombine: String, partitionBy: Seq[String], tableName: String,
-      carryOver: Option[Unit]): String = {
+      carryOver: Option[Unit], action: String = "commit",
+      allowMor: Boolean = false): String = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     keyCols(recordKey).foreach(k => require(
       df.schema.fieldNames.contains(k), s"missing key col $k"))
     require(df.schema.fieldNames.contains(precombine), s"missing precombine $precombine")
     ensureTable(fs, path, tableName)
-    requireReadable(fs, path) // never write COW slices into a MOR/1.x table
+    if (action == "commit" && !allowMor)
+      requireReadable(fs, path) // never write COW slices into a MOR/1.x table
+    else { // MOR base slices: bootstrap deltacommit or compaction commit
+      require(tableType(fs, path) == "MERGE_ON_READ",
+        s"HudiInterop: $action slices with allowMor need a MERGE_ON_READ table")
+      requireV6Timeline(fs, path)
+    }
     val instant = nextInstant(
       timelineInstants(fs, path, ".commit") ++
-        timelineInstants(fs, path, ".commit.requested"))
-    // timeline state transitions, in Hudi's order
-    writeFile(fs, new Path(s"$path/$MetaDir/$instant.commit.requested"), "")
-    writeFile(fs, new Path(s"$path/$MetaDir/$instant.inflight"), "{}")
+        timelineInstants(fs, path, ".commit.requested") ++
+        timelineInstants(fs, path, ".deltacommit") ++
+        timelineInstants(fs, path, ".deltacommit.requested"))
+    // timeline state transitions, in Hudi's order (the commit action's
+    // inflight carries no action infix — Hudi's own legacy spelling;
+    // deltacommit spells it out)
+    val inflight = if (action == "commit") s"$instant.inflight"
+      else s"$instant.$action.inflight"
+    writeFile(fs, new Path(s"$path/$MetaDir/$instant.$action.requested"), "")
+    writeFile(fs, new Path(s"$path/$MetaDir/$inflight"), "{}")
 
     val dirCol = hivePath(partitionBy)
     // one file group per dir: REUSE the dir's existing live group id (a
@@ -518,7 +551,8 @@ object HudiInterop {
     // carried row duplicated). Fresh dirs derive a stable id from the
     // dir name; multi-group foreign partitions are out of this writer's
     // one-group contract and refuse loudly.
-    val committedSet = timelineInstants(fs, path, ".commit").toSet
+    val committedSet = (timelineInstants(fs, path, ".commit") ++
+      timelineInstants(fs, path, ".deltacommit")).toSet
     val liveGroupByDir = slices(fs, path)
       .filter(s => committedSet.contains(s.instant))
       .groupBy(_.dir).map { case (d, ss) => d -> ss.map(_.fileId).distinct }
@@ -620,10 +654,10 @@ object HudiInterop {
         }): JValue)
       }) :: ("operation" -> (JString(
         if (carryOver.isDefined) "UPSERT" else "INSERT"): JValue)) :: Nil)
-    writeFile(fs, new Path(s"$path/$MetaDir/$instant.commit"),
+    writeFile(fs, new Path(s"$path/$MetaDir/$instant.$action"),
       JsonMethods.pretty(JsonMethods.render(statsJson)))
-    fs.delete(new Path(s"$path/$MetaDir/$instant.inflight"), false)
-    fs.delete(new Path(s"$path/$MetaDir/$instant.commit.requested"), false)
+    fs.delete(new Path(s"$path/$MetaDir/$inflight"), false)
+    fs.delete(new Path(s"$path/$MetaDir/$instant.$action.requested"), false)
     instant
   }
 

@@ -1,0 +1,256 @@
+package graft
+
+import java.io.DataOutputStream
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{HudiInterop, HudiLogFormat, HudiMor}
+import graft.sinks.HudiLogFormat.LogBlock
+
+class HudiMorSpec extends SparkSpec {
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-mor-$tag").toFile.getAbsolutePath + "/t"
+
+  private def fs(path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sample = Seq(
+    (1L, "a", 10.0, 100L), (2L, "a", 20.0, 100L),
+    (3L, "b", 30.0, 100L), (4L, "b", 40.0, 100L))
+    .toDF("id", "cat", "v", "ts")
+
+  private def snap(path: String): Map[Long, Double] =
+    HudiInterop.read(spark, path).select(col("id"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("log format: blocks round-trip framing, headers, content") {
+    val path = tmp("codec")
+    val f = fs(path)
+    f.mkdirs(new Path(path))
+    val p = new Path(s"$path/block.log")
+    val b1 = LogBlock(HudiLogFormat.AvroDataBlock,
+      Map(HudiLogFormat.InstantTime -> "20240101000000000",
+        HudiLogFormat.SchemaKey -> """{"type":"record","name":"r","fields":[]}"""),
+      Array[Byte](1, 2, 3), Map(HudiLogFormat.TargetInstantTime -> "x"))
+    val b2 = LogBlock(HudiLogFormat.CommandBlock,
+      Map(HudiLogFormat.TargetInstantTime -> "20240101000000000",
+        HudiLogFormat.CommandBlockType -> "0"), Array.emptyByteArray)
+    val out = new DataOutputStream(f.create(p, true))
+    try { HudiLogFormat.writeBlock(out, b1); HudiLogFormat.writeBlock(out, b2) }
+    finally out.close()
+    val read = HudiLogFormat.readBlocks(f, p)
+    assert(read.size == 2)
+    assert(read(0).blockType == HudiLogFormat.AvroDataBlock)
+    assert(read(0).header == b1.header && read(0).footer == b1.footer)
+    assert(read(0).content.toSeq == Seq[Byte](1, 2, 3))
+    assert(read(1).blockType == HudiLogFormat.CommandBlock)
+    assert(read(1).header == b2.header)
+    // truncated trailing block refuses loudly
+    val raw = {
+      val in = f.open(p); try {
+        val all = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(all); all
+      } finally in.close()
+    }
+    val p2 = new Path(s"$path/trunc.log")
+    val o2 = f.create(p2, true); o2.write(raw.dropRight(7)); o2.close()
+    val e = intercept[Exception](HudiLogFormat.readBlocks(f, p2))
+    assert(e.getMessage.contains("trunc") || e.getMessage.contains("block length"),
+      e.getMessage)
+  }
+
+  test("MOR upsert: base bootstrap + log blocks collapse latest-wins") {
+    val path = tmp("upsert")
+    HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
+    // base slices exist, no logs yet
+    val f = fs(path)
+    assert(f.listStatus(new Path(s"$path/cat=a"))
+      .exists(_.getPath.getName.endsWith(".parquet")))
+    HudiMor.upsert(Seq((1L, "a", 99.0, 900L), (5L, "a", 50.0, 100L))
+      .toDF("id", "cat", "v", "ts"), path, "id", "ts", Seq("cat"))
+    // the update landed as a hidden log file, not a base rewrite
+    val logs = f.listStatus(new Path(s"$path/cat=a"))
+      .map(_.getPath.getName).filter(_.contains(".log."))
+    assert(logs.length == 1, logs.mkString(","))
+    assert(f.listStatus(new Path(s"$path/cat=a"))
+      .count(_.getPath.getName.endsWith(".parquet")) == 1, "no base rewrite")
+    assert(snap(path) == Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0, 5L -> 50.0))
+    // later delta commit wins over earlier for the same key
+    HudiMor.upsert(Seq((1L, "a", 7.0, 50L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    assert(snap(path)(1L) == 7.0, "later block wins (OverwriteWithLatest)")
+  }
+
+  test("MOR delete blocks tombstone keys; later upsert resurrects") {
+    val path = tmp("delete")
+    HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
+    HudiMor.delete(Seq((2L, "a"), (3L, "b")).toDF("id", "cat"),
+      path, "id", Seq("cat"))
+    assert(snap(path) == Map(1L -> 10.0, 4L -> 40.0))
+    HudiMor.upsert(Seq((2L, "a", 22.0, 900L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    assert(snap(path) == Map(1L -> 10.0, 2L -> 22.0, 4L -> 40.0))
+  }
+
+  test("time travel: asOf an instant hides later blocks") {
+    val path = tmp("asof")
+    val i1 = HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
+    HudiMor.upsert(Seq((1L, "a", 99.0, 900L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    val v1 = HudiMor.read(spark, path, asOf = Some(i1))
+      .select(col("id"), col("v")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v1(1L) == 10.0)
+    assert(snap(path)(1L) == 99.0)
+  }
+
+  test("rollback command block hides its target instant's records") {
+    val path = tmp("rollback")
+    HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
+    val i2 = HudiMor.upsert(Seq((1L, "a", 99.0, 900L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    assert(snap(path)(1L) == 99.0)
+    // append a rollback block targeting i2 into the SAME slice's next log
+    val f = fs(path)
+    val logName = f.listStatus(new Path(s"$path/cat=a"))
+      .map(_.getPath.getName).filter(_.contains(".log.")).head
+    // .<fileId>_<base>.log.<v>_<token> -> bump version
+    val parts = logName.split("\\.log\\.")
+    val next = parts(0) + ".log." + (parts(1).split("_")(0).toInt + 1) + "_0-0-0"
+    val out = new DataOutputStream(f.create(new Path(s"$path/cat=a/$next"), true))
+    try HudiLogFormat.writeBlock(out, LogBlock(HudiLogFormat.CommandBlock,
+      Map(HudiLogFormat.InstantTime -> i2,
+        HudiLogFormat.TargetInstantTime -> i2,
+        HudiLogFormat.CommandBlockType -> "0"), Array.emptyByteArray))
+    finally out.close()
+    assert(snap(path)(1L) == 10.0, "rolled-back block must not surface")
+  }
+
+  test("compaction: new base slices under a .commit, results unchanged") {
+    val path = tmp("compact")
+    HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
+    HudiMor.upsert(Seq((1L, "a", 99.0, 900L), (5L, "b", 50.0, 100L))
+      .toDF("id", "cat", "v", "ts"), path, "id", "ts", Seq("cat"))
+    HudiMor.delete(Seq((4L, "b")).toDF("id", "cat"), path, "id", Seq("cat"))
+    val before = snap(path)
+    val ci = HudiMor.compact(spark, path, Seq("cat"))
+    assert(snap(path) == before, "compaction must be invisible to results")
+    val f = fs(path)
+    assert(f.exists(new Path(s"$path/.hoodie/$ci.commit")),
+      "compaction completes a .commit instant")
+    // compaction preserved per-record commit times (incremental contract):
+    // carried rows keep their original instant, so nothing re-emits
+    val commitTimes = HudiInterop.read(spark, path)
+      .select(col("_hoodie_commit_time")).distinct().collect().map(_.getString(0))
+    assert(!commitTimes.contains(ci), "no record may carry the compaction instant")
+  }
+
+  test("COW write/clean refuse MOR; MOR writers refuse COW; round trip matches oracle") {
+    val morPath = tmp("refusals")
+    HudiMor.upsert(sample, morPath, "id", "ts", Seq("cat"))
+    val e1 = intercept[IllegalArgumentException](
+      HudiInterop.upsert(sample, morPath, "id", "ts", Seq("cat")))
+    assert(e1.getMessage.contains("MERGE_ON_READ"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      HudiInterop.clean(spark, morPath, retainCommits = 1))
+    assert(e2.getMessage.contains("MERGE_ON_READ"), e2.getMessage)
+    val cowPath = tmp("cow")
+    HudiInterop.insert(sample, cowPath, "id", "ts", Seq("cat"))
+    val e3 = intercept[IllegalArgumentException](
+      HudiMor.upsert(sample, cowPath, "id", "ts", Seq("cat")))
+    assert(e3.getMessage.contains("COPY_ON_WRITE"), e3.getMessage)
+    // the registered driver query against its own oracle algebra
+    val dir = "/root/testdata/sf0.001"
+    val got = HudiMor.hudiMorRoundTrip(spark, dir).collect()
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val expect = orders
+      .filter(!(col("o_orderkey") % 7 === 0))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows")).orderBy(col("o_orderstatus"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(expect(r.getString(0)) == r.getLong(1),
+      s"row counts must match the merge algebra: $r"))
+  }
+
+  test("foreign shapes: kryo delete blocks, hfile blocks, log-only groups refuse by name") {
+    val path = tmp("foreign")
+    HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
+    val f = fs(path)
+    val base = f.listStatus(new Path(s"$path/cat=a"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).head
+    val Array(fileId, _, instantExt) = base.split("_")
+    val baseInstant = instantExt.stripSuffix(".parquet")
+    // a realistic foreign writer spelling: 38-char fileId form is
+    // covered by the COW fixtures; here exercise token + version parse
+    def appendBlock(name: String, b: LogBlock): Unit = {
+      val out = new DataOutputStream(f.create(new Path(s"$path/cat=a/$name"), true))
+      try HudiLogFormat.writeBlock(out, b) finally out.close()
+    }
+    // kryo (content v2) delete block → named refusal
+    val kryoContent = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(bos)
+      d.writeInt(2); d.writeInt(4); d.write(Array[Byte](9, 9, 9, 9)); d.flush()
+      bos.toByteArray
+    }
+    appendBlock(s".${fileId}_$baseInstant.log.1_1-0-1",
+      LogBlock(HudiLogFormat.DeleteBlock,
+        Map(HudiLogFormat.InstantTime -> baseInstant), kryoContent))
+    val e = intercept[Exception](snap(path))
+    assert(e.getMessage != null && e.getMessage.contains("Kryo"),
+      s"${e.getMessage}")
+    f.delete(new Path(s"$path/cat=a/.${fileId}_$baseInstant.log.1_1-0-1"), false)
+    // hfile data block → named refusal
+    appendBlock(s".${fileId}_$baseInstant.log.1_0-0-0",
+      LogBlock(4, Map(HudiLogFormat.InstantTime -> baseInstant), Array[Byte](1)))
+    val e2 = intercept[Exception](snap(path))
+    assert(e2.getMessage != null && e2.getMessage.contains("block type 4"),
+      s"${e2.getMessage}")
+    f.delete(new Path(s"$path/cat=a/.${fileId}_$baseInstant.log.1_0-0-0"), false)
+    // log bound to an unknown file group (no base slice) → named refusal
+    val ghost = java.util.UUID.randomUUID().toString
+    appendBlock(s".${ghost}_$baseInstant.log.1_0-0-0",
+      LogBlock(HudiLogFormat.CommandBlock,
+        Map(HudiLogFormat.TargetInstantTime -> "x"), Array.emptyByteArray))
+    val e3 = intercept[Exception](snap(path))
+    assert(e3.getMessage != null && e3.getMessage.contains("log-only"),
+      s"${e3.getMessage}")
+  }
+
+  test("log-side schema evolution refuses by name") {
+    val path = tmp("evolve")
+    HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
+    val f = fs(path)
+    val base = f.listStatus(new Path(s"$path/cat=a"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).head
+    val Array(fileId, _, instantExt) = base.split("_")
+    val baseInstant = instantExt.stripSuffix(".parquet")
+    // a block whose schema carries a column the base never saw
+    val schemaJson =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":["null","long"],"default":null},
+        |{"name":"brand_new","type":["null","string"],"default":null}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("id", 1L); rec.put("brand_new", "x")
+    val content = HudiLogFormat.avroDataContent(
+      Seq(HudiLogFormat.encodeAvro(schema, rec)))
+    val out = new DataOutputStream(
+      f.create(new Path(s"$path/cat=a/.${fileId}_$baseInstant.log.1_0-0-0"), true))
+    try HudiLogFormat.writeBlock(out, LogBlock(HudiLogFormat.AvroDataBlock,
+      Map(HudiLogFormat.InstantTime -> baseInstant,
+        HudiLogFormat.SchemaKey -> schemaJson), content))
+    finally out.close()
+    val e = intercept[Exception](snap(path))
+    assert(e.getMessage != null && e.getMessage.contains("brand_new"),
+      s"${e.getMessage}")
+  }
+}

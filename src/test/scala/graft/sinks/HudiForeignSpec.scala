@@ -176,13 +176,20 @@ class HudiForeignSpec extends SparkSpec {
     assert(got == Seq(7L))
   }
 
-  test("MERGE_ON_READ and 1.x-layout tables refuse loudly") {
+  test("MERGE_ON_READ reads route through the collapse; COW maintenance and 1.x refuse") {
     val mor = Files.createTempDirectory("graft-hudi-mor").toFile.getAbsolutePath
     writeProps(mor, Map("hoodie.table.type" -> "MERGE_ON_READ"))
     val i = "20240101010101123"
     plantSlice(mor, "cat=a", fidA, "1-1-1", i, Seq((1L, "a", 1.0)))
     commitInstant(mor, i)
-    val e = intercept[IllegalArgumentException](HudiInterop.read(spark, mor))
+    // r8: MOR snapshot reads SERVE (HudiMor collapse — a log-less
+    // foreign MOR table is just its base slices); COW slice writes and
+    // the COW maintenance surface still refuse by name
+    val got = HudiInterop.read(spark, mor).select(col("id")).as[Long].collect().toSeq
+    assert(got == Seq(1L), got.toString)
+    val e = intercept[IllegalArgumentException](HudiInterop.upsert(
+      Seq((1L, "a", 2.0, 9L)).toDF("id", "cat", "v", "ts"),
+      mor, recordKey = "id", precombine = "ts", partitionBy = Seq("cat")))
     assert(e.getMessage.contains("MERGE_ON_READ"), e.getMessage)
     val e2 = intercept[IllegalArgumentException](
       HudiInterop.clean(spark, mor, retainCommits = 1))
