@@ -310,6 +310,44 @@ object IngestPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming→Hudi MERGE_ON_READ round trip — the reference's Hudi job
+    * with `hoodie.datasource.write.table.type=MERGE_ON_READ`
+    * (`S3ToHudiStreamJob.scala`), fed the DUPLICATE-landing feed one
+    * file per micro-batch: batch 0 bootstraps base slices under a
+    * deltacommit, each later batch appends AVRO LOG BLOCKS to the
+    * touched file groups — zero base rewrites on the hot path, the
+    * trade MOR exists for. Convergence story: re-landed events append
+    * another log block with identical values and the latest-wins
+    * collapse still yields ONE copy, so the oracle equality proves the
+    * read-side merge (base + logs across micro-batches) end to end.
+    */
+  def hudiMorStreamRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.Scratch.dir("graft-hudi-mor-stream")
+    val path = s"$work/tbl"
+    val enriched = transform(
+      source(spark, stagedDupEventsDir(spark, dir), maxFilesPerTrigger = 1))
+    val q = enriched.writeStream
+      .option("checkpointLocation", StreamTuning.scratchDir("graft-hmstream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          if (b.limit(1).count() > 0) {
+            graft.sinks.HudiMor.upsert(b, path, recordKey = "event_id",
+              precombine = "event_id", partitionBy = Seq("event_date"))
+            ()
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+    q.awaitTermination()
+    graft.sinks.HudiInterop.read(spark, path)
+      .select(
+        col("event_id"), col("event_date"), col("event_hour"),
+        col("ingest_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Streaming→Iceberg round trip through the wire format (the
     * reference's `S3ToIcebergStreamJob` without the runtime jar): one
     * snapshot per micro-batch, `graft.txn` property exactly-once,
@@ -649,6 +687,20 @@ object IngestPipeline {
         FROM events
         ORDER BY event_id""")),
     Op("q_stream_hudi", hudiStreamRoundTrip,
+      Some("""
+        SELECT event_id,
+          CAST(ts AS DATE) AS event_date,
+          CAST(EXTRACT(HOUR FROM ts) AS INT) AS event_hour,
+          concat_ws('-',
+            substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+            substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+            substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS ingest_id,
+          event_type, value
+        FROM events
+        ORDER BY event_id""")),
+    Op("q_stream_hudi_mor", hudiMorStreamRoundTrip,
       Some("""
         SELECT event_id,
           CAST(ts AS DATE) AS event_date,
