@@ -89,9 +89,18 @@ object HudiInterop {
       .map(_.stripSuffix(suffix)).sorted
   }
 
-  /** Completed instants — the only ones whose file slices readers see. */
-  def completedInstants(spark: SparkSession, path: String): Seq[String] =
-    timelineInstants(fsFor(spark, path), path, ".commit")
+  /** Completed instants — the only ones whose file slices readers see.
+    * Includes `.deltacommit` (MOR log commits): exists-probes, tail
+    * offsets, and incremental-pull windows treat a delta commit exactly
+    * like a commit — `_hoodie_commit_time` carries the deltacommit
+    * instant through the merged read, so `readIncrementalBetween`
+    * windows stay exact on MOR tables.
+    */
+  def completedInstants(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsFor(spark, path)
+    (timelineInstants(fs, path, ".commit") ++
+      timelineInstants(fs, path, ".deltacommit")).sorted
+  }
 
   private[sinks] def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
     val out = fs.create(p, true)
@@ -216,10 +225,14 @@ object HudiInterop {
     * exactly where dir pruning did.
     */
   /** Live data bytes of the current snapshot (one getFileStatus per
-    * live slice, no data IO) — the planner-statistics number.
+    * live slice, no data IO) — the planner-statistics number. MOR
+    * tables report base + log bytes (a conservative upper bound of the
+    * merged size, which is the safe direction for broadcast decisions).
     */
   def liveBytes(spark: SparkSession, path: String): Long = {
     val fs = fsFor(spark, path)
+    if (tableType(fs, path) == "MERGE_ON_READ")
+      return HudiMor.liveBytes(spark, path)
     liveSlices(spark, path, None)
       .map(s => fs.getFileStatus(new Path(s"$path/${s.rel}")).getLen).sum
   }

@@ -138,6 +138,25 @@ object HudiMor {
     case (x, _) => x
   }
 
+  /** Live bytes for planner statistics: latest committed base slices +
+    * every log file bound to them (conservative upper bound of the
+    * merged size — over-estimating can only withhold a broadcast,
+    * never mis-grant one). One FS walk, zero data IO.
+    */
+  private[sinks] def liveBytes(spark: SparkSession, path: String): Long = {
+    val fs = fsFor(spark, path)
+    val visible = completed(fs, path, None)
+    val bases = HudiInterop.slices(fs, path)
+      .filter(s => visible.contains(s.instant))
+      .groupBy(s => (s.dir, s.fileId))
+      .map { case (_, ss) => ss.maxBy(_.instant) }.toSeq
+    val baseKeys = bases.map(s => ((s.dir, s.fileId), s.instant)).toMap
+    val logs = logFiles(fs, path)
+      .filter(l => baseKeys.get((l.dir, l.fileId)).contains(l.baseInstant))
+    (bases.map(_.rel) ++ logs.map(_.rel))
+      .map(r => fs.getFileStatus(new Path(s"$path/$r")).getLen).sum
+  }
+
   // ---- snapshot read ----
 
   /** Merged snapshot (base + visible log records collapsed), meta

@@ -224,6 +224,26 @@ class HudiMorSpec extends SparkSpec {
       s"${e3.getMessage}")
   }
 
+  test("datasource API + incremental pull serve MOR tables") {
+    val path = tmp("dsv1")
+    val i1 = HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
+    HudiMor.upsert(Seq((1L, "a", 99.0, 900L), (5L, "b", 50.0, 100L))
+      .toDF("id", "cat", "v", "ts"), path, "id", "ts", Seq("cat"))
+    // relation creation computes sizeInBytes from metadata (base + log
+    // bytes) — this crashed while liveBytes refused MOR
+    val ds = spark.read.format("graft-hudi").option("path", path).load()
+    assert(ds.count() == 5)
+    assert(ds.filter(col("id") === 1L).select(col("v"))
+      .collect().head.getDouble(0) == 99.0, "merged values through the datasource")
+    // incremental window: only the second deltacommit's records
+    val incr = HudiInterop.readIncremental(spark, path, sinceInstant = i1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(incr == Set(1L, 5L), incr.toString)
+    // completedInstants now counts deltacommits (exists-probe contract)
+    assert(HudiInterop.completedInstants(spark, path).size == 2,
+      "bootstrap deltacommit + log deltacommit")
+  }
+
   test("log-side schema evolution refuses by name") {
     val path = tmp("evolve")
     HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
