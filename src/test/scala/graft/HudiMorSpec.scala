@@ -244,6 +244,37 @@ class HudiMorSpec extends SparkSpec {
       "bootstrap deltacommit + log deltacommit")
   }
 
+  test("streaming tail follows a MOR table: log commits emit, carries don't") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp("mortail")
+    val ckpt = tmp("mortail-ckpt")
+    val out = tmp("mortail-out")
+    HudiMor.upsert(Seq((1L, "a", 1.0, 100L), (2L, "a", 2.0, 100L))
+      .toDF("id", "cat", "v", "ts"), path, "id", "ts", Seq("cat"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-hudi").option("path", path)
+        .option("beginInstant", "0").load()
+        .drop(HudiInterop.MetaCols: _*)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 2, "bootstrap deltacommit emits")
+    // a LOG-block deltacommit: the window emits only the new row versions
+    // (merged read scoped by _hoodie_commit_time — carried rows keep
+    // their original instant and drop out)
+    HudiMor.upsert(Seq((1L, "a", 9.0, 200L), (3L, "a", 3.0, 100L))
+      .toDF("id", "cat", "v", "ts"), path, "id", "ts", Seq("cat"))
+    drain()
+    val got = spark.read.parquet(out).select("id", "v").as[(Long, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L) == Set(1.0, 9.0), got.toString)
+    assert(got(2L) == Set(2.0), "carried base row is NOT re-emitted")
+    assert(got(3L) == Set(3.0))
+  }
+
   test("log-side schema evolution refuses by name") {
     val path = tmp("evolve")
     HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
