@@ -265,9 +265,15 @@ object HudiInterop {
         }.toDF("instant", "state", "completed")
           .orderBy(col("instant"), col("state"))
       case "files" =>
-        val live = liveSlices(spark, path, None)
-        live.map(s => (s.rel, s.dir, s.fileId, s.instant,
-          fs.getFileStatus(new Path(s"$path/${s.rel}")).getLen))
+        // MOR: the live slice inventory is base files PLUS their bound
+        // log files (what the compactor and small-file monitors script
+        // against); COW lists the latest committed slice per group
+        val live =
+          if (tableType(fs, path) == "MERGE_ON_READ")
+            HudiMor.liveFileInventory(spark, path)
+          else liveSlices(spark, path, None).map(s => (s.rel, s.dir, s.fileId, s.instant))
+        live.map { case (rel, dir, fid, instant) => (rel, dir, fid, instant,
+          fs.getFileStatus(new Path(s"$path/$rel")).getLen) }
           .toDF("path", "partition", "file_id", "instant", "size_in_bytes")
           .orderBy(col("path"))
       case other => throw new IllegalArgumentException(

@@ -157,6 +157,26 @@ object HudiMor {
       .map(r => fs.getFileStatus(new Path(s"$path/$r")).getLen).sum
   }
 
+  /** The live file inventory for the `files` inspection table: latest
+    * committed base slice per group plus every log file bound to it
+    * (rel path, partition dir, fileId, instant — a log file reports its
+    * binding base instant).
+    */
+  private[sinks] def liveFileInventory(spark: SparkSession,
+      path: String): Seq[(String, String, String, String)] = {
+    val fs = fsFor(spark, path)
+    val visible = completed(fs, path, None)
+    val bases = HudiInterop.slices(fs, path)
+      .filter(s => visible.contains(s.instant))
+      .groupBy(s => (s.dir, s.fileId))
+      .map { case (_, ss) => ss.maxBy(_.instant) }.toSeq
+    val baseKeys = bases.map(s => ((s.dir, s.fileId), s.instant)).toMap
+    val logs = logFiles(fs, path)
+      .filter(l => baseKeys.get((l.dir, l.fileId)).contains(l.baseInstant))
+    bases.map(s => (s.rel, s.dir, s.fileId, s.instant)) ++
+      logs.map(l => (l.rel, l.dir, l.fileId, l.baseInstant))
+  }
+
   // ---- snapshot read ----
 
   /** Merged snapshot (base + visible log records collapsed), meta

@@ -242,6 +242,11 @@ class HudiMorSpec extends SparkSpec {
     // completedInstants now counts deltacommits (exists-probe contract)
     assert(HudiInterop.completedInstants(spark, path).size == 2,
       "bootstrap deltacommit + log deltacommit")
+    // the files inspection table lists base slices AND their bound logs
+    val files = HudiInterop.metadataTable(spark, path, "files")
+      .select(col("path")).collect().map(_.getString(0))
+    assert(files.count(_.endsWith(".parquet")) == 2, files.mkString(","))
+    assert(files.count(_.contains(".log.")) == 2, files.mkString(","))
   }
 
   test("streaming tail follows a MOR table: log commits emit, carries don't") {
