@@ -283,7 +283,16 @@ object TextOps {
     // the model table is consumed twice (broadcast-size guard, scoring
     // join); persisting it caches the type-BOUNDED aggregate, never the
     // exploded token stream — each re-use otherwise re-runs the full
-    // explode+shuffle
+    // explode+shuffle.
+    // NOTE (lifecycle, applies to every LM-model persist() in this
+    // file): these handles are deliberately NOT unpersisted at query
+    // end — the returned DataFrame is lazy, so an eager unpersist would
+    // evict the cache before the caller's action consumes it, and a
+    // deferred one needs a listener keyed to a plan this module no
+    // longer owns. The frames are KB-to-MB model tables in short-lived
+    // driver/bench sessions; a long-lived session relies on
+    // ContextCleaner GC once the plan handle drops, which bounds the
+    // leak to the model-table tier (never the exploded token stream).
     val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("c")).persist()
     val total = toks.agg(count(lit(1)).as("n_total"))
     val bcVocab = broadcastVocab &&

@@ -26,10 +26,14 @@ import org.json4s.jackson.JsonMethods
   * this module speaks the FORMAT.
   *
   * Core Hudi mechanics implemented (and spec-pinned):
-  *  - file groups: one fileId per partition dir here; every commit
-  *    adds a new file SLICE (same fileId, new instant) and snapshot
-  *    reads resolve the latest committed slice per group — so the
-  *    upsert write cost is O(affected partitions), never a log scan.
+  *  - file groups: N per partition dir, keys routed by
+  *    hash(record key) % N (`hoodie.bucket.index.num.buckets`, Hudi's
+  *    simple bucket index; N = 1 keeps the legacy one-group-per-dir
+  *    layout). Every commit adds a new file SLICE (same fileId, new
+  *    instant) and snapshot reads resolve the latest committed slice
+  *    per group — so the upsert write cost is O(affected file groups),
+  *    never a log scan, and a hot partition splits across N
+  *    independently-rewritable slices instead of one unbounded file.
   *  - timeline atomicity: data files land before the `.commit` instant
   *    publishes; slices whose instant never committed are INVISIBLE to
   *    readers (crash debris ignored, exactly Hudi's contract).
@@ -107,7 +111,8 @@ object HudiInterop {
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  private[sinks] def ensureTable(fs: FileSystem, path: String, tableName: String): Unit = {
+  private[sinks] def ensureTable(fs: FileSystem, path: String, tableName: String,
+      createGroups: Int = 1): Unit = {
     val props = new Path(s"$path/$MetaDir/hoodie.properties")
     if (!fs.exists(props)) {
       fs.mkdirs(props.getParent)
@@ -119,7 +124,9 @@ object HudiInterop {
            |hoodie.timeline.layout.version=1
            |hoodie.datasource.write.hive_style_partitioning=true
            |hoodie.populate.meta.fields=true
-           |""".stripMargin)
+           |""".stripMargin +
+          (if (createGroups > 1)
+            s"hoodie.bucket.index.num.buckets=$createGroups\n" else ""))
     }
   }
 
@@ -451,11 +458,62 @@ object HudiInterop {
         lit("__HIVE_DEFAULT_PARTITION__")))): _*)
 
   /** Deterministic fileId per partition dir (UUID-shaped from the dir
-    * name) — one file group per dir, the layout's stated simplification.
+    * name) — the legacy one-group-per-dir layout, kept as bucket 0 of a
+    * single-group table so pre-bucket graft tables stay routable.
     */
   private[sinks] def fileIdFor(dir: String): String =
     java.util.UUID.nameUUIDFromBytes(("graft-hudi:" + dir)
       .getBytes(StandardCharsets.UTF_8)).toString
+
+  /** File groups per partition dir — Hudi's simple-bucket-index sizing
+    * key (`hoodie.bucket.index.num.buckets`). Absent means the legacy
+    * single-group layout. Fixed at table creation: key-hash routing is
+    * only stable while N never changes, so later writes read it from
+    * the properties file and ignore caller wishes.
+    */
+  private[sinks] def numFileGroups(fs: FileSystem, path: String): Int =
+    tableProps(fs, path).get("hoodie.bucket.index.num.buckets")
+      .map(_.trim.toInt).getOrElse(1)
+
+  /** Deterministic fileId of bucket `b` in `dir` for an N-bucket table. */
+  private[sinks] def bucketFileId(dir: String, b: Int, n: Int): String =
+    if (n == 1) fileIdFor(dir)
+    else java.util.UUID.nameUUIDFromBytes(s"graft-hudi:$dir#$b"
+      .getBytes(StandardCharsets.UTF_8)).toString
+
+  /** Write-routing bucket of a record: hash(record key) % N. Hashing
+    * the SAME `_hoodie_record_key` string every writer stamps keeps the
+    * assignment stable across upserts, deletes, and compaction rewrites
+    * — the invariant that makes a key live in exactly one file group.
+    */
+  private[sinks] def bucketExpr(recordKey: String, n: Int): org.apache.spark.sql.Column =
+    if (n == 1) lit(0)
+    else pmod(xxhash64(keyStringExpr(recordKey)), lit(n.toLong)).cast("int")
+
+  /** Target fileId for (dir, bucket) given the dir's live group ids.
+    * Foreign layouts the key-hash routing cannot address refuse loudly
+    * — reads serve any group inventory, but a write that cannot tell
+    * which group holds a key would duplicate it.
+    */
+  private[sinks] def routeGroup(liveGroupsByDir: Map[String, Seq[String]],
+      n: Int, d: String, b: Int): String =
+    if (n == 1) liveGroupsByDir.getOrElse(d, Nil) match {
+      case Seq() => fileIdFor(d)
+      case Seq(one) => one
+      case many => throw new IllegalArgumentException(
+        s"HudiInterop: partition dir '$d' holds ${many.size} live file groups " +
+          "but the table declares no hoodie.bucket.index.num.buckets — this " +
+          "writer cannot route keys across a foreign multi-group layout " +
+          "(reads serve it; write with the owning engine or compact there first)")
+    } else {
+      val expected = (0 until n).map(bucketFileId(d, _, n)).toSet
+      val foreign = liveGroupsByDir.getOrElse(d, Nil).filterNot(expected.contains)
+      if (foreign.nonEmpty) throw new IllegalArgumentException(
+        s"HudiInterop: partition dir '$d' holds file group(s) " +
+          s"${foreign.take(3).mkString(", ")} outside the table's $n-bucket " +
+          "key-hash layout — writes cannot route keys into foreign groups")
+      bucketFileId(d, b, n)
+    }
 
   /** Insert `df` as a new commit (new file slices for its partition
     * dirs). First write creates the table. Returns the instant time.
@@ -486,9 +544,9 @@ object HudiInterop {
 
   def insert(df: DataFrame, path: String, recordKey: String,
       precombine: String, partitionBy: Seq[String] = Nil,
-      tableName: String = "graft_table"): String =
+      tableName: String = "graft_table", numFileGroups: Int = 1): String =
     commitSlices(df, path, recordKey, precombine, partitionBy, tableName,
-      carryOver = None)
+      carryOver = None, createGroups = numFileGroups)
 
   /** Write-time dedup of an incoming batch by (key, precombine) —
     * Hudi's `hoodie.combine.before.insert` semantic: one row per key
@@ -517,10 +575,22 @@ object HudiInterop {
       tableName: String = "graft_table"): String = {
     val spark = df.sparkSession
     val existing = read(spark, path)
-    val incomingDirs = df.select(hivePath(partitionBy).as("__dir"))
-      .distinct().collect().map(_.getString(0)).toSet
+    // rewrite only the file groups holding incoming keys: on a bucketed
+    // table the carried-row rewrite shrinks from O(affected dirs) to
+    // O(affected buckets) — the difference between rewriting a hot
+    // 100-GB partition and rewriting one of its N slices
+    val n = numFileGroups(fsFor(spark, path), path)
+    val sep = "\u0001"
+    val incomingPairs = df
+      .select(hivePath(partitionBy).as("__dir"), bucketExpr(recordKey, n).as("__b"))
+      .distinct().collect()
+      .map(r => r.getString(0) + sep + r.getInt(1)).toSet
+    val existingBucket =
+      if (n == 1) lit(0)
+      else pmod(xxhash64(col("_hoodie_record_key")), lit(n.toLong)).cast("int")
     val affected = existing
-      .filter(col("_hoodie_partition_path").isin(incomingDirs.toSeq: _*))
+      .filter(concat_ws(sep, col("_hoodie_partition_path"),
+        existingBucket.cast("string")).isin(incomingPairs.toSeq: _*))
     // latest-wins: incoming beats existing at equal precombine
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols(recordKey).map(col): _*)
@@ -536,13 +606,13 @@ object HudiInterop {
   private[sinks] def commitSlices(df: DataFrame, path: String, recordKey: String,
       precombine: String, partitionBy: Seq[String], tableName: String,
       carryOver: Option[Unit], action: String = "commit",
-      allowMor: Boolean = false): String = {
+      allowMor: Boolean = false, createGroups: Int = 1): String = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     keyCols(recordKey).foreach(k => require(
       df.schema.fieldNames.contains(k), s"missing key col $k"))
     require(df.schema.fieldNames.contains(precombine), s"missing precombine $precombine")
-    ensureTable(fs, path, tableName)
+    ensureTable(fs, path, tableName, createGroups)
     if (action == "commit" && !allowMor)
       requireReadable(fs, path) // never write COW slices into a MOR/1.x table
     else { // MOR base slices: bootstrap deltacommit or compaction commit
@@ -562,41 +632,86 @@ object HudiInterop {
       else s"$instant.$action.inflight"
     writeFile(fs, new Path(s"$path/$MetaDir/$instant.$action.requested"), "")
     writeFile(fs, new Path(s"$path/$MetaDir/$inflight"), "{}")
+    val entries = stageSlices(df, path, recordKey, precombine, partitionBy,
+      carryOver, instant)
+    // completing the instant PUBLISHES the slices; a crash before this
+    // leaves invisible debris, never a partial read
+    writeFile(fs, new Path(s"$path/$MetaDir/$instant.$action"),
+      writeStatsJson(entries, if (carryOver.isDefined) "UPSERT" else "INSERT"))
+    fs.delete(new Path(s"$path/$MetaDir/$inflight"), false)
+    fs.delete(new Path(s"$path/$MetaDir/$instant.$action.requested"), false)
+    instant
+  }
 
+  /** The commit-metadata `partitionToWriteStats` body for `entries` of
+    * (dir, fileId, relPath, bytes); bytes < 0 (log files — sizes live
+    * on disk, not in the stats) omit the byte fields.
+    */
+  private[sinks] def writeStatsJson(entries: Seq[(String, String, String, Long)],
+      operation: String): String = {
+    val statsJson = JObject("partitionToWriteStats" -> JObject(
+      entries.groupBy(_._1).toList.sortBy(_._1).map { case (dir, es) =>
+        dir -> (JArray(es.toList.sortBy(_._3).map { case (_, fid, rel, bytes) =>
+          val base = List("fileId" -> (JString(fid): JValue),
+            "path" -> (JString(rel): JValue))
+          JObject(if (bytes >= 0) base ++ List(
+            "totalWriteBytes" -> (JLong(bytes): JValue),
+            "numWrites" -> (JLong(-1L): JValue)) else base)
+        }): JValue)
+      }) :: ("operation" -> (JString(operation): JValue)) :: Nil)
+    JsonMethods.pretty(JsonMethods.render(statsJson))
+  }
+
+  /** Stage new base slices for `df`'s (dir, bucket) file groups under
+    * `instant` WITHOUT touching the timeline — the caller owns the
+    * instant lifecycle, so a MOR upsert can publish base bootstraps and
+    * log appends under ONE atomic delta commit. Returns one
+    * (dir, fileId, relPath, bytes) entry per written slice file.
+    *
+    * Group assignment: bucket = hash(record key) % N
+    * (`hoodie.bucket.index.num.buckets`, Hudi's simple bucket index),
+    * fileId deterministic per (dir, bucket) — so a hot partition splits
+    * across N independently-rewritable slices instead of one unbounded
+    * file, and updates route to their key's group without an index scan.
+    * Single-group tables (N = 1) REUSE the dir's existing live group id
+    * (a foreign writer's fileId is not graft's deterministic one, and
+    * writing a parallel group would leave the old slice live — every
+    * carried row duplicated); unroutable foreign layouts refuse loudly
+    * in [[routeGroup]].
+    */
+  private[sinks] def stageSlices(df: DataFrame, path: String, recordKey: String,
+      precombine: String, partitionBy: Seq[String],
+      carryOver: Option[Unit], instant: String): Seq[(String, String, String, Long)] = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, path)
+    val n = numFileGroups(fs, path)
     val dirCol = hivePath(partitionBy)
-    // one file group per dir: REUSE the dir's existing live group id (a
-    // foreign writer's fileId is not graft's deterministic one, and
-    // writing a parallel group would leave the old slice live — every
-    // carried row duplicated). Fresh dirs derive a stable id from the
-    // dir name; multi-group foreign partitions are out of this writer's
-    // one-group contract and refuse loudly.
     val committedSet = (timelineInstants(fs, path, ".commit") ++
       timelineInstants(fs, path, ".deltacommit")).toSet
     val liveGroupByDir = slices(fs, path)
       .filter(s => committedSet.contains(s.instant))
       .groupBy(_.dir).map { case (d, ss) => d -> ss.map(_.fileId).distinct }
-    def resolveFid(d: String): String = liveGroupByDir.getOrElse(d, Nil) match {
-      case Seq() => fileIdFor(d)
-      case Seq(one) => one
-      case many => throw new IllegalArgumentException(
-        s"HudiInterop: partition dir '$d' holds ${many.size} live file " +
-          "groups; this writer maintains one group per dir — compact " +
-          "the partition first")
-    }
+    val sep = "\u0001"
+    val fidByPair: Map[(String, Int), String] = df
+      .select(dirCol.as("__dir"), bucketExpr(recordKey, n).as("__bucket"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .map { case (d, b) => (d, b) -> routeGroup(liveGroupByDir, n, d, b) }.toMap
     val fileIdUdfFree = {
-      // fileId is a pure function of the dir; spell it as a join against
-      // the distinct dir set so the map stays codegen'd (no UDF)
-      val dirs = df.select(dirCol.as("__dir")).distinct().collect()
-        .map(_.getString(0))
-      val mapping = dirs.flatMap(d => Seq(lit(d), lit(resolveFid(d))))
+      // fileId is a pure function of (dir, bucket); spell it as a
+      // literal map over the batch's distinct pairs so the stamp stays
+      // codegen'd (no UDF)
+      val mapping = fidByPair.toSeq.flatMap { case ((d, b), fid) =>
+        Seq(lit(d + sep + b), lit(fid)) }
       if (mapping.isEmpty) lit("") else {
         import org.apache.spark.sql.Column
         val m: Column = map(mapping.toIndexedSeq: _*)
-        m(col("__dir"))
+        m(concat_ws(sep, col("__dir"), col("__bucket").cast("string")))
       }
     }
     val isCarry = carryOver.isDefined && df.schema.fieldNames.contains("__is_incoming")
     val stamped0 = df.withColumn("__dir", dirCol)
+      .withColumn("__bucket", bucketExpr(recordKey, n))
       .withColumn("__file_id", fileIdUdfFree)
       .withColumn("__new_ct", lit(instant))
     // carried-over records keep their original commit time + seqno; new
@@ -633,14 +748,14 @@ object HudiInterop {
       // must NOT reach the parquet: the wire format has exactly the five
       // meta columns + data columns (a stray engine column would leak
       // into every reader's schema, including metadata-only conversions)
-      (MetaCols.map(col) ++ dataCols.map(col) :+ col("__dir")): _*)
+      (MetaCols.map(col) ++ dataCols.map(col) :+ col("__dir") :+ col("__bucket")): _*)
 
-    // one writer per partition dir (file-group granularity), then
-    // rename each part file to its Hudi slice name
+    // one writer per file group (dir × bucket), then rename each part
+    // file to its Hudi slice name
     val stage = new Path(s"$path/$MetaDir/.stage-${java.util.UUID.randomUUID}")
-    ordered.repartition(col("__dir"))
-      .write.mode("overwrite").partitionBy("__dir").parquet(stage.toString)
-    val stats = scala.collection.mutable.Map[String, List[(String, String, Long)]]()
+    ordered.repartition(col("__dir"), col("__bucket"))
+      .write.mode("overwrite").partitionBy("__dir", "__bucket").parquet(stage.toString)
+    val entries = scala.collection.mutable.ArrayBuffer[(String, String, String, Long)]()
     fs.listStatus(stage).filter(_.isDirectory).foreach { dirStatus =>
       val dirName = dirStatus.getPath.getName // __dir=<escaped>
       // %XX-only unescape: Spark's partition-dir escaping leaves '+'
@@ -652,32 +767,21 @@ object HudiInterop {
       if (!fs.exists(new Path(destDir, PartitionMeta)))
         writeFile(fs, new Path(destDir, PartitionMeta),
           s"#partition metadata\ncommitTime=$instant\npartitionDepth=${partitionBy.size}\n")
-      val parts = fs.listStatus(dirStatus.getPath)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-      parts.zipWithIndex.foreach { case (p, i) =>
-        val name = s"${resolveFid(dir)}_$i-0-0_$instant.parquet"
-        val dst = new Path(destDir, name)
-        require(fs.rename(p.getPath, dst), s"slice move failed: $dst")
-        stats(dir) = stats.getOrElse(dir, Nil) :+
-          ((resolveFid(dir), (if (dir.isEmpty) name else s"$dir/$name"), p.getLen))
+      fs.listStatus(dirStatus.getPath).filter(_.isDirectory).foreach { bStatus =>
+        val b = bStatus.getPath.getName.stripPrefix("__bucket=").toInt
+        val fid = fidByPair((dir, b))
+        val parts = fs.listStatus(bStatus.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val name = s"${fid}_$i-0-0_$instant.parquet"
+          val dst = new Path(destDir, name)
+          require(fs.rename(p.getPath, dst), s"slice move failed: $dst")
+          entries += ((dir, fid, if (dir.isEmpty) name else s"$dir/$name", p.getLen))
+        }
       }
     }
     fs.delete(stage, true)
-    // completing the instant PUBLISHES the slices; a crash before this
-    // leaves invisible debris, never a partial read
-    val statsJson = JObject("partitionToWriteStats" -> JObject(
-      stats.toList.map { case (dir, fls) =>
-        dir -> (JArray(fls.map { case (fid, rel, bytes) =>
-          JObject("fileId" -> JString(fid), "path" -> JString(rel),
-            "totalWriteBytes" -> JLong(bytes), "numWrites" -> JLong(-1L))
-        }): JValue)
-      }) :: ("operation" -> (JString(
-        if (carryOver.isDefined) "UPSERT" else "INSERT"): JValue)) :: Nil)
-    writeFile(fs, new Path(s"$path/$MetaDir/$instant.$action"),
-      JsonMethods.pretty(JsonMethods.render(statsJson)))
-    fs.delete(new Path(s"$path/$MetaDir/$inflight"), false)
-    fs.delete(new Path(s"$path/$MetaDir/$instant.$action.requested"), false)
-    instant
+    entries.toSeq
   }
 
   /** Driver-checked round trip through the wire format: orders bulk-

@@ -37,11 +37,19 @@ import HudiLogFormat.{AvroDataBlock, CommandBlock, DeleteBlock, LogBlock}
   *  - compaction rewrites each group's merged rows as a new base slice
   *    under a `.commit` instant (Hudi's compaction action); stale log
   *    files fall off because they bind to the superseded base instant.
+  *  - N file groups per partition dir, keys routed hash(key) % N
+  *    (`hoodie.bucket.index.num.buckets`); one upsert batch — fresh
+  *    bootstraps AND log appends — publishes under ONE atomic
+  *    delta-commit instant.
+  *  - log-ONLY file groups (foreign bucket/bloom-index writers that
+  *    insert straight to logs) are READ-served, latest-wins; writes and
+  *    compaction against them refuse by name.
   *
-  * Scale: the log scan distributes one task per file slice; only dirs
-  * holding incoming keys take writes; the collapse window shuffles
-  * (partition, key) — the same MOR read tax [[VersionedTable.upsertMOR]]
-  * documents natively.
+  * Scale: the log scan distributes one task per file slice (cap sized
+  * to the session's parallelism); only file groups holding incoming
+  * keys take writes, streamed in O(block-chunk) executor heap; the
+  * collapse window shuffles (partition, key) — the same MOR read tax
+  * [[VersionedTable.upsertMOR]] documents natively.
   */
 object HudiMor {
 
@@ -138,12 +146,71 @@ object HudiMor {
     case (x, _) => x
   }
 
-  /** Live bytes for planner statistics: latest committed base slices +
-    * every log file bound to them (conservative upper bound of the
-    * merged size — over-estimating can only withhold a broadcast,
-    * never mis-grant one). One FS walk, zero data IO.
+  /** Derive a Spark schema from the avro record schema a log block's
+    * SCHEMA header carries — the inverse of [[avroSchemaJson]], needed
+    * when a table is PURE log-only (bucket-index writers that never
+    * wrote a base parquet). Only the union shapes this codec emits are
+    * mapped; anything else refuses by name.
     */
-  private[sinks] def liveBytes(spark: SparkSession, path: String): Long = {
+  private[sinks] def sparkSchemaFromAvroJson(json: String): StructType = {
+    val rec = new Schema.Parser().parse(json)
+    require(rec.getType == Schema.Type.RECORD,
+      s"HudiMor: avro log schema is a ${rec.getType}, not a record")
+    import scala.jdk.CollectionConverters._
+    StructType(rec.getFields.asScala.toSeq.map { f =>
+      val inner = f.schema().getType match {
+        case Schema.Type.UNION =>
+          val nn = f.schema().getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+          require(nn.size == 1, s"HudiMor: multi-branch avro union on " +
+            s"column ${f.name} has no Spark mapping here")
+          nn.head
+        case _ => f.schema()
+      }
+      val logical = Option(inner.getLogicalType).map(_.getName)
+        .orElse(Option(inner.getProp("logicalType")))
+      val dt: DataType = (inner.getType, logical) match {
+        case (Schema.Type.STRING, _) => StringType
+        case (Schema.Type.INT, Some("date")) => DateType
+        case (Schema.Type.INT, _) => IntegerType
+        case (Schema.Type.LONG, Some("timestamp-micros")) => TimestampType
+        case (Schema.Type.LONG, Some("local-timestamp-micros")) => TimestampNTZType
+        case (Schema.Type.LONG, _) => LongType
+        case (Schema.Type.FLOAT, _) => FloatType
+        case (Schema.Type.DOUBLE, _) => DoubleType
+        case (Schema.Type.BOOLEAN, _) => BooleanType
+        case (other, lt) => throw new IllegalArgumentException(
+          s"HudiMor: avro type $other${lt.fold("")(" (" + _ + ")")} on " +
+            s"column ${f.name} has no Spark mapping here")
+      }
+      StructField(f.name, dt, nullable = true)
+    })
+  }
+
+  /** Table schema of a base-less (pure log-only) table: the SCHEMA
+    * header of the first visible avro block. Driver-side, one small
+    * sequential read — only reachable when no base parquet exists.
+    */
+  private def schemaFromLogs(fs: FileSystem, path: String,
+      tasks: Seq[(String, Seq[String])], visible: Set[String]): StructType = {
+    val it = tasks.iterator.flatMap(_._2).flatMap { rel =>
+      HudiLogFormat.readBlocks(fs, new Path(s"$path/$rel")).iterator
+        .filter(b => b.blockType == AvroDataBlock &&
+          visible.contains(b.header.getOrElse(HudiLogFormat.InstantTime, "")))
+        .flatMap(b => b.header.get(HudiLogFormat.SchemaKey))
+    }
+    if (it.hasNext) sparkSchemaFromAvroJson(it.next())
+    else throw new IllegalArgumentException(
+      s"HudiMor: $path has no base parquet and no visible avro log " +
+        "block to derive a schema from")
+  }
+
+  /** Live file inventory shared by planner stats and the `files`
+    * inspection table: latest committed base slice per group plus every
+    * log file bound to it, AND the log files of log-only groups (no
+    * committed base ever — their logs ARE the group's data).
+    */
+  private def liveFiles(spark: SparkSession,
+      path: String): (Seq[Slice], Seq[LogFile]) = {
     val fs = fsFor(spark, path)
     val visible = completed(fs, path, None)
     val bases = HudiInterop.slices(fs, path)
@@ -151,28 +218,34 @@ object HudiMor {
       .groupBy(s => (s.dir, s.fileId))
       .map { case (_, ss) => ss.maxBy(_.instant) }.toSeq
     val baseKeys = bases.map(s => ((s.dir, s.fileId), s.instant)).toMap
-    val logs = logFiles(fs, path)
-      .filter(l => baseKeys.get((l.dir, l.fileId)).contains(l.baseInstant))
+    val logs = logFiles(fs, path).filter { l =>
+      baseKeys.get((l.dir, l.fileId)) match {
+        case Some(live) => live == l.baseInstant // bound to the live base
+        case None => true // log-only group
+      }
+    }
+    (bases, logs)
+  }
+
+  /** Live bytes for planner statistics: base + bound log + log-only
+    * bytes (conservative upper bound of the merged size —
+    * over-estimating can only withhold a broadcast, never mis-grant
+    * one). One FS walk, zero data IO.
+    */
+  private[sinks] def liveBytes(spark: SparkSession, path: String): Long = {
+    val fs = fsFor(spark, path)
+    val (bases, logs) = liveFiles(spark, path)
     (bases.map(_.rel) ++ logs.map(_.rel))
       .map(r => fs.getFileStatus(new Path(s"$path/$r")).getLen).sum
   }
 
-  /** The live file inventory for the `files` inspection table: latest
-    * committed base slice per group plus every log file bound to it
+  /** The live file inventory for the `files` inspection table:
     * (rel path, partition dir, fileId, instant — a log file reports its
     * binding base instant).
     */
   private[sinks] def liveFileInventory(spark: SparkSession,
       path: String): Seq[(String, String, String, String)] = {
-    val fs = fsFor(spark, path)
-    val visible = completed(fs, path, None)
-    val bases = HudiInterop.slices(fs, path)
-      .filter(s => visible.contains(s.instant))
-      .groupBy(s => (s.dir, s.fileId))
-      .map { case (_, ss) => ss.maxBy(_.instant) }.toSeq
-    val baseKeys = bases.map(s => ((s.dir, s.fileId), s.instant)).toMap
-    val logs = logFiles(fs, path)
-      .filter(l => baseKeys.get((l.dir, l.fileId)).contains(l.baseInstant))
+    val (bases, logs) = liveFiles(spark, path)
     bases.map(s => (s.rel, s.dir, s.fileId, s.instant)) ++
       logs.map(l => (l.rel, l.dir, l.fileId, l.baseInstant))
   }
@@ -181,6 +254,14 @@ object HudiMor {
 
   /** Merged snapshot (base + visible log records collapsed), meta
     * columns included — same surface as the COW [[HudiInterop.read]].
+    *
+    * Log-ONLY file groups (no committed base slice EVER — real writers
+    * with bucket/bloom indexes route inserts straight to logs) are
+    * SERVED: all rows come from their visible blocks, latest-wins. A
+    * group whose base committed AFTER `asOf` does not exist for that
+    * read — its logs bind to a future base, not orphans, and are
+    * ignored rather than refused (an asOf-scoped orphan check would
+    * crash a read with a well-defined answer).
     */
   def read(spark: SparkSession, path: String,
       asOf: Option[String] = None): DataFrame = {
@@ -188,41 +269,55 @@ object HudiMor {
     HudiInterop.requireV6Timeline(fs, path)
     val visible = completed(fs, path, asOf)
     require(visible.nonEmpty, s"no completed commits in $path (asOf=$asOf)")
-    val bases = HudiInterop.slices(fs, path)
+    val allSlices = HudiInterop.slices(fs, path)
+    val bases = allSlices
       .filter(s => visible.contains(s.instant))
       .groupBy(s => (s.dir, s.fileId))
       .map { case (_, ss) => ss.maxBy(_.instant) }.toSeq
     val logsByGroup = logFiles(fs, path).groupBy(l => (l.dir, l.fileId))
-    // a log-only file group (no committed base) is a writer shape this
-    // engine does not produce (inserts bootstrap base slices) and
-    // cannot order against — refuse rather than dropping its records
     val baseGroups = bases.map(s => (s.dir, s.fileId)).toSet
-    val orphans = logsByGroup.keys.filterNot(baseGroups.contains)
-    require(orphans.isEmpty,
-      s"HudiMor: log files without a committed base slice for group(s) " +
-        s"${orphans.take(3).mkString(", ")} — log-only file groups " +
-        "(index-backed inserts to logs) are not served here")
-    val baseDf = spark.read.option("mergeSchema", "true")
-      .parquet(bases.map(s => s"$path/${s.rel}"): _*)
-    val schema = baseDf.schema
-    val tasks: Seq[(String, Seq[String])] = bases.map { s =>
+    // groups with a committed base OUTSIDE this read's asOf scope:
+    // bootstrapped later, invisible now, their logs skipped wholesale
+    val committedEverGroups = allSlices
+      .filter(s => completed(fs, path, None).contains(s.instant))
+      .map(s => (s.dir, s.fileId)).toSet
+    val logOnly = logsByGroup.keys.toSeq
+      .filterNot(baseGroups.contains).filterNot(committedEverGroups.contains)
+      .sorted
+    val baseDf =
+      if (bases.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(bases.map(s => s"$path/${s.rel}"): _*))
+    // tasks: (partition dir, ordered log files of one file group)
+    val baseTasks: Seq[(String, Seq[String])] = bases.map { s =>
       val logs = logsByGroup.getOrElse((s.dir, s.fileId), Nil)
         .filter(_.baseInstant == s.instant).sortBy(_.version)
-      (s.rel, logs.map(_.rel))
+      (s.dir, logs.map(_.rel))
     }.filter(_._2.nonEmpty)
-    if (tasks.isEmpty) return baseDf
+    val logOnlyTasks: Seq[(String, Seq[String])] = logOnly.map { g =>
+      (g._1, logsByGroup(g).sortBy(l => (l.baseInstant, l.version)).map(_.rel))
+    }
+    val tasks = baseTasks ++ logOnlyTasks
+    val schema = baseDf.map(_.schema).getOrElse(
+      schemaFromLogs(fs, path, logOnlyTasks, visible))
+    if (tasks.isEmpty) return baseDf.getOrElse(throw new IllegalArgumentException(
+      s"HudiMor: no live base slices or log files in $path (asOf=$asOf)"))
 
     val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val root = path
     val visibleB = visible
     val schemaB = schema
-    // one task per slice-with-logs: parse its log files in (version,
-    // block) order, apply rollback commands, emit (row values, seq,
-    // tombstone) — distribution scales with slice count, never a
-    // driver-side byte
+    // one task per file group with logs: parse its log files in
+    // (version, block) order, apply rollback commands, emit (row
+    // values, seq, tombstone) — distribution scales with group count,
+    // never a driver-side byte. Cap sized to the session's parallelism
+    // (not a hard constant): tens of thousands of slices-with-logs at
+    // 100 TB must not serialize onto 256 tasks.
+    val par = math.min(tasks.size,
+      math.max(spark.sparkContext.defaultParallelism * 4, 256)).max(1)
     val logRows = spark.sparkContext
-      .parallelize(tasks, math.min(tasks.size, 256).max(1))
-      .flatMap { case (baseRel, logRels) =>
+      .parallelize(tasks, par)
+      .flatMap { case (groupDir, logRels) =>
         val fsx = new Path(root).getFileSystem(sconf.value)
         val blocks: Seq[(LogBlock, String)] = logRels.flatMap { rel =>
           HudiLogFormat.readBlocks(fsx, new Path(s"$root/$rel")).map(b => (b, rel))
@@ -235,7 +330,7 @@ object HudiMor {
           val t = b.header.getOrElse(HudiLogFormat.InstantTime, "")
           visibleB.contains(t) && !rolledBack.contains(t)
         }
-        val dirOfBase = baseRel.split("/").dropRight(1).mkString("/")
+        val dirOfBase = groupDir
         blocks.zipWithIndex.flatMap {
           case ((b, _), _) if b.blockType == CommandBlock => Nil
           case ((b, rel), seq) if b.blockType == AvroDataBlock && liveInstant(b) =>
@@ -279,9 +374,12 @@ object HudiMor {
     val logSchema = StructType(schema.fields :+
       StructField("__seq", LongType) :+ StructField("__del", BooleanType))
     val logDf = spark.createDataFrame(logRows, logSchema)
-    val unioned = baseDf
-      .withColumn("__seq", lit(-1L)).withColumn("__del", lit(false))
-      .unionByName(logDf)
+    val unioned = baseDf match {
+      case Some(b) => b
+        .withColumn("__seq", lit(-1L)).withColumn("__del", lit(false))
+        .unionByName(logDf)
+      case None => logDf // pure log-only table (bucket-index writers)
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_hoodie_partition_path"), col("_hoodie_record_key"))
       .orderBy(col("__seq").desc)
@@ -301,7 +399,8 @@ object HudiMor {
     HudiInterop.requireV6Timeline(fs, path)
   }
 
-  private def ensureMorTable(fs: FileSystem, path: String, tableName: String): Unit = {
+  private def ensureMorTable(fs: FileSystem, path: String, tableName: String,
+      createGroups: Int = 1): Unit = {
     val props = new Path(s"$path/$MetaDir/hoodie.properties")
     if (!fs.exists(props)) {
       fs.mkdirs(props.getParent)
@@ -313,7 +412,9 @@ object HudiMor {
            |hoodie.timeline.layout.version=1
            |hoodie.datasource.write.hive_style_partitioning=true
            |hoodie.populate.meta.fields=true
-           |""".stripMargin)
+           |""".stripMargin +
+          (if (createGroups > 1)
+            s"hoodie.bucket.index.num.buckets=$createGroups\n" else ""))
     }
   }
 
@@ -322,47 +423,86 @@ object HudiMor {
       ".clean", ".restore")
       .flatMap(HudiInterop.timelineInstants(fs, path, _))
 
-  /** Keyed MOR upsert: rows for partition dirs WITHOUT a live file
-    * group bootstrap base slices (their own deltacommit); rows for
-    * existing groups append ONE avro log block per group under a
-    * second deltacommit. Returns the last instant written. Within the
-    * batch, (key, precombine) latest-wins
-    * ([[HudiInterop.precombineBatch]]); ACROSS commits the later
-    * delta commit wins on read — Hudi's default
-    * OverwriteWithLatestAvroPayload.
+  /** Records per AVRO/DELETE block on the write path: the executor
+    * buffers at most this many rows before flushing a block into the
+    * open log file (multiple blocks per log file are spec-legal), so a
+    * large MERGE into one partition streams in O(chunk) heap instead of
+    * materializing the whole per-group update batch. Test seam —
+    * local-mode specs shrink it to pin the multi-block shape.
+    */
+  private[graft] var logBlockChunkRecords: Int = 100000
+
+  private val Sep = "\u0001"
+
+  private def pairKeyCol: org.apache.spark.sql.Column =
+    concat_ws(Sep, col("__dir"), col("__bucket").cast("string"))
+
+  /** Keyed MOR upsert under ONE atomic delta commit: rows for
+    * (dir, bucket) file groups WITHOUT a live base slice bootstrap base
+    * slices, rows for live groups append avro log blocks, and both
+    * publish together when the single `.deltacommit` instant completes
+    * — readers never observe a half-applied batch, and a crash leaves
+    * only invisible debris. Returns the instant. Within the batch,
+    * (key, precombine) latest-wins ([[HudiInterop.precombineBatch]]);
+    * ACROSS commits the later delta commit wins on read — Hudi's
+    * default OverwriteWithLatestAvroPayload.
+    *
+    * `numFileGroups` (Hudi's `hoodie.bucket.index.num.buckets`) takes
+    * effect at table CREATION only; keys route to groups by
+    * hash(key) % N forever after, so a hot partition spreads its bases
+    * and logs across N slices instead of one unbounded file.
     */
   def upsert(df: DataFrame, path: String, recordKey: String,
       precombine: String, partitionBy: Seq[String] = Nil,
-      tableName: String = "graft_table"): String = {
+      tableName: String = "graft_table", numFileGroups: Int = 1): String = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     HudiInterop.keyCols(recordKey).foreach(k => require(
       df.schema.fieldNames.contains(k), s"missing key col $k"))
     require(df.schema.fieldNames.contains(precombine), s"missing precombine $precombine")
-    ensureMorTable(fs, path, tableName)
+    ensureMorTable(fs, path, tableName, numFileGroups)
     requireMor(fs, path, "upsert")
+    val n = HudiInterop.numFileGroups(fs, path)
     val batch = HudiInterop.precombineBatch(df, recordKey, precombine)
       .withColumn("__dir", HudiInterop.hivePath(partitionBy))
+      .withColumn("__bucket", HudiInterop.bucketExpr(recordKey, n))
     val visible = completed(fs, path, None)
     val liveBase = HudiInterop.slices(fs, path)
       .filter(s => visible.contains(s.instant))
       .groupBy(s => (s.dir, s.fileId))
       .map { case (_, ss) => ss.maxBy(_.instant) }.toSeq
-    val liveDirs = liveBase.map(_.dir).toSet
-    val batchDirs = batch.select(col("__dir")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val freshDirs = batchDirs -- liveDirs
-    var last: String = null
-    if (freshDirs.nonEmpty) {
-      val fresh = batch.filter(col("__dir").isin(freshDirs.toSeq: _*)).drop("__dir")
-      last = HudiInterop.commitSlices(fresh, path, recordKey, precombine,
-        partitionBy, tableName, carryOver = None, action = "deltacommit")
+    val liveByKey = liveBase.map(s => (s.dir, s.fileId) -> s).toMap
+    val groupsByDir = liveBase.groupBy(_.dir)
+      .map { case (d, ss) => d -> ss.map(_.fileId).distinct }
+    val routed: Map[(String, Int), String] = batch
+      .select(col("__dir"), col("__bucket")).distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .map { case (d, b) => (d, b) -> HudiInterop.routeGroup(groupsByDir, n, d, b) }
+      .toMap
+    require(routed.nonEmpty, "HudiMor.upsert: empty batch")
+    val (updatePairs, freshPairs) = routed.partition {
+      case ((d, _), fid) => liveByKey.contains((d, fid))
     }
-    val updateDirs = batchDirs intersect liveDirs
-    if (updateDirs.nonEmpty) {
-      val updates = batch.filter(col("__dir").isin(updateDirs.toSeq: _*))
-      last = appendLogCommit(updates, path, recordKey, liveBase, logBlockFor = {
-        (schemaJson, rows, instant, stamped) =>
+    def pairFilter(ps: Iterable[(String, Int)]) =
+      pairKeyCol.isin(ps.map { case (d, b) => d + Sep + b }.toSeq: _*)
+    val instant = HudiInterop.nextInstant(allInstants(fs, path))
+    HudiInterop.writeFile(fs,
+      new Path(s"$path/$MetaDir/$instant.deltacommit.requested"), "")
+    HudiInterop.writeFile(fs,
+      new Path(s"$path/$MetaDir/$instant.deltacommit.inflight"), "{}")
+    var entries = Seq.empty[(String, String, String, Long)]
+    if (freshPairs.nonEmpty) {
+      val fresh = batch.filter(pairFilter(freshPairs.keys))
+        .drop("__dir", "__bucket")
+      entries ++= HudiInterop.stageSlices(fresh, path, recordKey, precombine,
+        partitionBy, carryOver = None, instant)
+    }
+    if (updatePairs.nonEmpty) {
+      val updates = batch.filter(pairFilter(updatePairs.keys))
+      val targets = updatePairs.map { case ((d, b), fid) =>
+        (d, b) -> liveByKey((d, fid)) }
+      entries ++= writeLogFiles(updates, path, recordKey, targets, instant,
+        logBlockFor = { (schemaJson, rows, inst, stamped) =>
           val schema = new Schema.Parser().parse(schemaJson)
           val recs = rows.map { r =>
             val rec = new GenericData.Record(schema)
@@ -372,85 +512,108 @@ object HudiMor {
             HudiLogFormat.encodeAvro(schema, rec)
           }
           LogBlock(AvroDataBlock,
-            Map(HudiLogFormat.InstantTime -> instant,
+            Map(HudiLogFormat.InstantTime -> inst,
               HudiLogFormat.SchemaKey -> schemaJson),
             HudiLogFormat.avroDataContent(recs))
-      })
+        }, stampMeta = true)
     }
-    require(last != null, "HudiMor.upsert: empty batch")
-    last
+    HudiInterop.writeFile(fs, new Path(s"$path/$MetaDir/$instant.deltacommit"),
+      HudiInterop.writeStatsJson(entries, "UPSERT"))
+    fs.delete(new Path(s"$path/$MetaDir/$instant.deltacommit.inflight"), false)
+    fs.delete(new Path(s"$path/$MetaDir/$instant.deltacommit.requested"), false)
+    instant
   }
 
   /** Keyed MOR delete: `keys` must carry the record-key columns (and
     * the partition columns when the table is partitioned — Hudi deletes
     * are (key, partition) pairs). Appends one DELETE block per affected
-    * file group; keys in partitions without a group are no-ops.
+    * file group; keys in partitions (or buckets) without a live group
+    * are no-ops — including the WHOLE batch, which returns the latest
+    * completed instant instead of writing an empty delta commit.
     */
   def delete(keys: DataFrame, path: String, recordKey: String,
       partitionBy: Seq[String] = Nil): String = {
     val spark = keys.sparkSession
     val fs = fsFor(spark, path)
     requireMor(fs, path, "delete")
+    val n = HudiInterop.numFileGroups(fs, path)
     val visible = completed(fs, path, None)
     val liveBase = HudiInterop.slices(fs, path)
       .filter(s => visible.contains(s.instant))
       .groupBy(s => (s.dir, s.fileId))
       .map { case (_, ss) => ss.maxBy(_.instant) }.toSeq
-    val liveDirs = liveBase.map(_.dir).toSet
+    val liveByKey = liveBase.map(s => (s.dir, s.fileId) -> s).toMap
+    val groupsByDir = liveBase.groupBy(_.dir)
+      .map { case (d, ss) => d -> ss.map(_.fileId).distinct }
     val batch = keys
       .withColumn("__dir", HudiInterop.hivePath(partitionBy))
       .withColumn("__key", HudiInterop.keyStringExpr(recordKey))
       .select(col("__dir"), col("__key")).distinct()
-      .filter(col("__dir").isin(liveDirs.toSeq: _*))
-    appendLogCommit(batch, path, recordKey, liveBase, logBlockFor = {
-      (_, rows, instant, _) =>
-        LogBlock(DeleteBlock,
-          Map(HudiLogFormat.InstantTime -> instant),
-          HudiLogFormat.deleteContent(rows.map(r =>
-            HudiLogFormat.DeleteRecord(r.getAs[String]("__key"),
-              r.getAs[String]("__dir")))))
-    }, stampMeta = false)
-  }
-
-  /** Shared delta-commit tail for [[upsert]] log blocks and [[delete]]
-    * tombstone blocks: stamps meta columns (upserts), resolves each
-    * dir's (fileId, baseInstant, next log version) on the driver, then
-    * writes ONE log file per file group from the executors — the write
-    * distributes one task per affected dir, never a driver byte.
-    */
-  private def appendLogCommit(batch: DataFrame, path: String, recordKey: String,
-      liveBase: Seq[Slice],
-      logBlockFor: (String, Seq[Row], String, StructType) => LogBlock,
-      stampMeta: Boolean = true): String = {
-    val spark = batch.sparkSession
-    val fs = fsFor(spark, path)
-    val batchDirs = batch.select(col("__dir")).distinct()
-      .collect().map(_.getString(0)).toSet
-    require(batchDirs.nonEmpty, "HudiMor: empty delta-commit batch")
+      .withColumn("__bucket",
+        if (n == 1) lit(0)
+        else pmod(xxhash64(col("__key")), lit(n.toLong)).cast("int"))
+    val targets: Map[(String, Int), Slice] = batch
+      .select(col("__dir"), col("__bucket")).distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .flatMap { case (d, b) =>
+        if (groupsByDir.getOrElse(d, Nil).isEmpty) None
+        else liveByKey.get((d, HudiInterop.routeGroup(groupsByDir, n, d, b)))
+          .map(s => (d, b) -> s)
+      }.toMap
+    if (targets.isEmpty)
+      return visible.toSeq.sorted.lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"HudiMor.delete: no completed commits in $path"))
+    val filtered = batch.filter(
+      pairKeyCol.isin(targets.keys.map { case (d, b) => d + Sep + b }.toSeq: _*))
     val instant = HudiInterop.nextInstant(allInstants(fs, path))
     HudiInterop.writeFile(fs,
       new Path(s"$path/$MetaDir/$instant.deltacommit.requested"), "")
     HudiInterop.writeFile(fs,
       new Path(s"$path/$MetaDir/$instant.deltacommit.inflight"), "{}")
-    // only the dirs the batch touches take a log file (and stats entry)
-    val groupByDir: Map[String, Slice] = liveBase
-      .filter(s => batchDirs.contains(s.dir)).groupBy(_.dir).map {
-        case (d, Seq(one)) => d -> one
-        case (d, many) => throw new IllegalArgumentException(
-          s"HudiMor: partition dir '$d' holds ${many.size} live file groups; " +
-            "this writer maintains one group per dir — compact first")
-      }
+    val entries = writeLogFiles(filtered, path, recordKey, targets, instant,
+      logBlockFor = { (_, rows, inst, _) =>
+        LogBlock(DeleteBlock,
+          Map(HudiLogFormat.InstantTime -> inst),
+          HudiLogFormat.deleteContent(rows.map(r =>
+            HudiLogFormat.DeleteRecord(r.getAs[String]("__key"),
+              r.getAs[String]("__dir")))))
+      }, stampMeta = false)
+    HudiInterop.writeFile(fs, new Path(s"$path/$MetaDir/$instant.deltacommit"),
+      HudiInterop.writeStatsJson(entries, "DELETE"))
+    fs.delete(new Path(s"$path/$MetaDir/$instant.deltacommit.inflight"), false)
+    fs.delete(new Path(s"$path/$MetaDir/$instant.deltacommit.requested"), false)
+    instant
+  }
+
+  /** Log-block write tail shared by [[upsert]] and [[delete]]: stamps
+    * meta columns (upserts), resolves each target group's next log
+    * version on the driver, then STREAMS one log file per file group
+    * from the executors — rows arrive sorted by group and flush as a
+    * block every [[logBlockChunkRecords]] rows, so the write holds
+    * O(chunk) heap regardless of how many update rows hit one
+    * partition. The caller owns the delta-commit instant lifecycle.
+    * Returns the stats entries (bytes = -1: sizes live on disk).
+    */
+  private def writeLogFiles(batch: DataFrame, path: String, recordKey: String,
+      targets: Map[(String, Int), Slice], instant: String,
+      logBlockFor: (String, Seq[Row], String, StructType) => LogBlock,
+      stampMeta: Boolean): Seq[(String, String, String, Long)] = {
+    val spark = batch.sparkSession
+    val fs = fsFor(spark, path)
     val existingLogs = logFiles(fs, path)
       .groupBy(l => (l.dir, l.fileId, l.baseInstant))
       .map { case (k, ls) => k -> ls.map(_.version).max }
-    val logNameByDir: Map[String, String] = groupByDir.map { case (d, s) =>
+    val logNameByPair: Map[(String, Int), String] = targets.map { case ((d, b), s) =>
       val v = existingLogs.getOrElse((d, s.fileId, s.instant), 0) + 1
-      d -> s".${s.fileId}_${s.instant}.log.${v}_0-0-0"
+      (d, b) -> s".${s.fileId}_${s.instant}.log.${v}_0-0-0"
     }
-    // dir -> log file name as a literal map so the stamp stays codegen'd
+    // (dir, bucket) -> log file name as a literal map so the stamp
+    // stays codegen'd
     val logNameExpr = {
-      val mapping = logNameByDir.toSeq.flatMap { case (d, n) => Seq(lit(d), lit(n)) }
-      map(mapping: _*)(col("__dir"))
+      val mapping = logNameByPair.toSeq.flatMap { case ((d, b), nm) =>
+        Seq(lit(d + Sep + b), lit(nm)) }
+      map(mapping: _*)(pairKeyCol)
     }
     val stamped =
       if (!stampMeta) batch
@@ -470,35 +633,45 @@ object HudiMor {
       if (stampMeta) avroSchemaJson(recordSchema) else ""
     val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val root = path
-    val logNames = logNameByDir
+    val names = logNameByPair.map { case ((d, b), nm) => (d + Sep + b) -> nm }
     val blockFor = logBlockFor
     val stampedSchema = recordSchema
-    stamped.repartition(col("__dir")).foreachPartition {
-      (it: Iterator[Row]) =>
-        it.toSeq.groupBy(_.getAs[String]("__dir")).foreach { case (dir, rows) =>
-          val name = logNames.getOrElse(dir, throw new IllegalStateException(
-            s"HudiMor: no live file group resolved for dir '$dir'"))
-          val fsx = new Path(root).getFileSystem(sconf.value)
-          val dirPath = if (dir.isEmpty) new Path(root) else new Path(s"$root/$dir")
-          val block = blockFor(schemaJson, rows, instant, stampedSchema)
-          // overwrite=true: a retried task rewrites the same (slice,
-          // version) file idempotently; visibility is commit-gated
-          val out = new DataOutputStream(fsx.create(new Path(dirPath, name), true))
-          try HudiLogFormat.writeBlock(out, block) finally out.close()
+    val chunk = logBlockChunkRecords
+    stamped.repartition(col("__dir"), col("__bucket"))
+      .sortWithinPartitions(col("__dir"), col("__bucket"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val fsx = new Path(root).getFileSystem(sconf.value)
+        var curKey: String = null
+        var out: DataOutputStream = null
+        val buf = scala.collection.mutable.ArrayBuffer[Row]()
+        def flush(): Unit = if (buf.nonEmpty) {
+          HudiLogFormat.writeBlock(out,
+            blockFor(schemaJson, buf.toSeq, instant, stampedSchema))
+          buf.clear()
         }
+        def closeFile(): Unit = if (out != null) { flush(); out.close(); out = null }
+        it.foreach { r =>
+          val dir = r.getAs[String]("__dir")
+          val key = dir + "\u0001" + r.getAs[Int]("__bucket")
+          if (key != curKey) {
+            closeFile()
+            val name = names.getOrElse(key, throw new IllegalStateException(
+              s"HudiMor: no live file group resolved for '$key'"))
+            val dirPath = if (dir.isEmpty) new Path(root) else new Path(s"$root/$dir")
+            // overwrite=true: a retried task rewrites the same (slice,
+            // version) file idempotently; visibility is commit-gated
+            out = new DataOutputStream(fsx.create(new Path(dirPath, name), true))
+            curKey = key
+          }
+          buf += r
+          if (buf.size >= chunk) flush()
+        }
+        closeFile()
+      }
+    targets.toSeq.map { case ((d, b), s) =>
+      val nm = logNameByPair((d, b))
+      (d, s.fileId, if (d.isEmpty) nm else s"$d/$nm", -1L)
     }
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val statsJson = JObject("partitionToWriteStats" -> JObject(
-      logNameByDir.toList.sortBy(_._1).map { case (d, n) =>
-        d -> (JArray(JObject("fileId" -> JString(groupByDir(d).fileId),
-          "path" -> JString(if (d.isEmpty) n else s"$d/$n")) :: Nil): JValue)
-      }) :: ("operation" -> (JString("UPSERT"): JValue)) :: Nil)
-    HudiInterop.writeFile(fs, new Path(s"$path/$MetaDir/$instant.deltacommit"),
-      JsonMethods.pretty(JsonMethods.render(statsJson)))
-    fs.delete(new Path(s"$path/$MetaDir/$instant.deltacommit.inflight"), false)
-    fs.delete(new Path(s"$path/$MetaDir/$instant.deltacommit.requested"), false)
-    instant
   }
 
   /** Compaction: materialize each file group's merged rows as a NEW
@@ -512,6 +685,22 @@ object HudiMor {
       partitionBy: Seq[String] = Nil): String = {
     val fs = fsFor(spark, path)
     requireMor(fs, path, "compact")
+    // identity guard: a log-only group (no base EVER — foreign
+    // bucket/bloom-index writers; graft's own upserts always bootstrap
+    // bases) has no base instant for the rewrite to rebind its stale
+    // logs against — after a key-hash-routed rewrite its old logs would
+    // still read as live and double-serve every row. Refuse by name.
+    val committedEver = completed(fs, path, None)
+    val baseGroups = HudiInterop.slices(fs, path)
+      .filter(s => committedEver.contains(s.instant))
+      .map(s => (s.dir, s.fileId)).toSet
+    val logOnly = logFiles(fs, path).groupBy(l => (l.dir, l.fileId))
+      .keys.filterNot(baseGroups.contains)
+    require(logOnly.isEmpty,
+      s"HudiMor.compact: log-only file group(s) " +
+        s"${logOnly.take(3).mkString(", ")} have no base slice for the " +
+        "compaction rewrite to supersede — compact with the owning " +
+        "writer first (reads serve them as-is)")
     val merged = read(spark, path)
       .withColumn("__is_incoming", lit(0))
     // recordKey/precombine spelled through the already-stamped meta
@@ -536,8 +725,12 @@ object HudiMor {
     val orders = graft.sources.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderdate"))
+    // 4 file groups per partition: the driver gate exercises the
+    // bucketed layout (base bootstrap, per-group log routing, merged
+    // read) — not just the legacy single-group shape
     val i1 = upsert(orders, out, recordKey = "o_orderkey",
-      precombine = "o_orderdate", partitionBy = Seq("o_orderstatus"))
+      precombine = "o_orderdate", partitionBy = Seq("o_orderstatus"),
+      numFileGroups = 4)
     upsert(orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2),
       out, recordKey = "o_orderkey", precombine = "o_orderdate",

@@ -179,7 +179,7 @@ class HudiMorSpec extends SparkSpec {
       s"row counts must match the merge algebra: $r"))
   }
 
-  test("foreign shapes: kryo delete blocks, hfile blocks, log-only groups refuse by name") {
+  test("foreign shapes: kryo delete blocks and hfile blocks refuse; log-only groups serve") {
     val path = tmp("foreign")
     HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
     val f = fs(path)
@@ -214,14 +214,52 @@ class HudiMorSpec extends SparkSpec {
     assert(e2.getMessage != null && e2.getMessage.contains("block type 4"),
       s"${e2.getMessage}")
     f.delete(new Path(s"$path/cat=a/.${fileId}_$baseInstant.log.1_0-0-0"), false)
-    // log bound to an unknown file group (no base slice) → named refusal
+    // a log-only group whose blocks carry NO visible instant (crash
+    // debris / an unbound command block) contributes nothing — and no
+    // longer refuses the whole read (r8 held refusal; r9 serves)
     val ghost = java.util.UUID.randomUUID().toString
     appendBlock(s".${ghost}_$baseInstant.log.1_0-0-0",
       LogBlock(HudiLogFormat.CommandBlock,
         Map(HudiLogFormat.TargetInstantTime -> "x"), Array.emptyByteArray))
-    val e3 = intercept[Exception](snap(path))
-    assert(e3.getMessage != null && e3.getMessage.contains("log-only"),
-      s"${e3.getMessage}")
+    assert(snap(path) == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0),
+      "command-only ghost group must be ignored, not refused")
+    // a log-only group with a VISIBLE avro block (bucket-index insert
+    // shape: committed delta commit, no base slice ever) SERVES its rows
+    val schemaJson = {
+      def f(n: String, t: String) =
+        s"""{"name":"$n","type":["null","$t"],"default":null}"""
+      Seq(f("_hoodie_commit_time", "string"), f("_hoodie_commit_seqno", "string"),
+        f("_hoodie_record_key", "string"), f("_hoodie_partition_path", "string"),
+        f("_hoodie_file_name", "string"), f("id", "long"), f("cat", "string"),
+        f("v", "double"), f("ts", "long"))
+        .mkString("""{"type":"record","name":"graft_hudi_record","namespace":"graft","fields":[""",
+          ",", "]}")
+    }
+    val avro = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val visibleInstant = baseInstant // completed bootstrap instant
+    val rec = new org.apache.avro.generic.GenericData.Record(avro)
+    rec.put("_hoodie_commit_time", visibleInstant)
+    rec.put("_hoodie_commit_seqno", s"${visibleInstant}_0_777")
+    rec.put("_hoodie_record_key", "42")
+    rec.put("_hoodie_partition_path", "cat=a")
+    rec.put("_hoodie_file_name", s".${ghost}_$baseInstant.log.2_0-0-0")
+    rec.put("id", 42L); rec.put("cat", "a"); rec.put("v", 4.2); rec.put("ts", 1L)
+    appendBlock(s".${ghost}_$baseInstant.log.2_0-0-0",
+      LogBlock(HudiLogFormat.AvroDataBlock,
+        Map(HudiLogFormat.InstantTime -> visibleInstant,
+          HudiLogFormat.SchemaKey -> schemaJson),
+        HudiLogFormat.avroDataContent(
+          Seq(HudiLogFormat.encodeAvro(avro, rec)))))
+    assert(snap(path)(42L) == 4.2, "log-only group rows must serve")
+    // the files inspection table lists the log-only group's logs
+    val inv = HudiInterop.metadataTable(spark, path, "files")
+      .select(col("path")).collect().map(_.getString(0))
+    assert(inv.exists(_.contains(ghost)), inv.mkString(","))
+    // compaction refuses BY NAME on the log-only group (identity has no
+    // base to rebind)
+    val e4 = intercept[Exception](HudiMor.compact(spark, path, Seq("cat")))
+    assert(e4.getMessage != null && e4.getMessage.contains("log-only"),
+      s"${e4.getMessage}")
   }
 
   test("datasource API + incremental pull serve MOR tables") {
@@ -278,6 +316,112 @@ class HudiMorSpec extends SparkSpec {
     assert(got(1L) == Set(1.0, 9.0), got.toString)
     assert(got(2L) == Set(2.0), "carried base row is NOT re-emitted")
     assert(got(3L) == Set(3.0))
+  }
+
+  test("bucketed layout: N file groups per dir, per-group routing, compaction keeps identity") {
+    val path = tmp("buckets")
+    val rows = (1L to 40L).map(i => (i, "a", i * 1.0, 100L))
+      .toDF("id", "cat", "v", "ts")
+    HudiMor.upsert(rows, path, "id", "ts", Seq("cat"), numFileGroups = 4)
+    val f = fs(path)
+    def baseNames = f.listStatus(new Path(s"$path/cat=a"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSeq
+    val fids = baseNames.map(_.takeWhile(_ != '_')).distinct
+    assert(fids.length >= 2 && fids.length <= 4,
+      s"40 keys must spread across the 4 buckets: $fids")
+    val nBases = baseNames.length
+    // updates route per group: logs only, no base rewrite, one instant
+    HudiMor.upsert(Seq((1L, "a", 99.0, 900L), (2L, "a", 98.0, 900L),
+      (40L, "a", 97.0, 900L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    assert(baseNames.length == nBases, "updates must not rewrite bases")
+    val s1 = snap(path)
+    assert(s1(1L) == 99.0 && s1(40L) == 97.0 && s1(3L) == 3.0)
+    // deletes route per bucket
+    HudiMor.delete(Seq((2L, "a")).toDF("id", "cat"), path, "id", Seq("cat"))
+    assert(!snap(path).contains(2L))
+    // compaction preserves group identity and results
+    val before = snap(path)
+    HudiMor.compact(spark, path, Seq("cat"))
+    assert(snap(path) == before, "compaction must be invisible to results")
+    val fidsAfter = baseNames.map(_.takeWhile(_ != '_')).distinct
+    assert(fidsAfter.toSet == fids.toSet,
+      s"compaction must rewrite the SAME groups: $fids -> $fidsAfter")
+  }
+
+  test("log-block chunking: a big group batch streams as multiple blocks in ONE log file") {
+    val path = tmp("chunk")
+    HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
+    val old = HudiMor.logBlockChunkRecords
+    HudiMor.logBlockChunkRecords = 2
+    try {
+      HudiMor.upsert((1L to 7L).map(i => (i, "a", i * 10.0, 900L))
+        .toDF("id", "cat", "v", "ts"), path, "id", "ts", Seq("cat"))
+    } finally HudiMor.logBlockChunkRecords = old
+    val f = fs(path)
+    val logs = f.listStatus(new Path(s"$path/cat=a"))
+      .map(_.getPath.getName).filter(_.contains(".log."))
+    assert(logs.length == 1, logs.mkString(","))
+    val blocks = HudiLogFormat.readBlocks(f, new Path(s"$path/cat=a/${logs.head}"))
+    assert(blocks.length == 4, s"7 rows / chunk 2 = 4 blocks, got ${blocks.length}")
+    assert(blocks.forall(_.blockType == HudiLogFormat.AvroDataBlock))
+    val s = snap(path)
+    (1L to 7L).foreach(i => assert(s(i) == i * 10.0, s"key $i: ${s.get(i)}"))
+  }
+
+  test("mixed fresh+existing upsert publishes ONE atomic delta commit") {
+    val path = tmp("atomic")
+    HudiMor.upsert(sample, path, "id", "ts", Seq("cat")) // cats a, b
+    val i2 = HudiMor.upsert(Seq((1L, "a", 99.0, 900L), (9L, "c", 90.0, 100L))
+      .toDF("id", "cat", "v", "ts"), path, "id", "ts", Seq("cat"))
+    // r8 split this into TWO delta commits (bootstrap + log append) —
+    // readers could observe the half-applied batch; r9 stages both
+    // under one instant
+    assert(HudiInterop.completedInstants(spark, path).size == 2,
+      "bootstrap+log batch must be one instant")
+    val f = fs(path)
+    val cBase = f.listStatus(new Path(s"$path/cat=c"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).head
+    assert(cBase.endsWith(s"_$i2.parquet"), cBase)
+    val aLog = f.listStatus(new Path(s"$path/cat=a"))
+      .map(_.getPath.getName).filter(_.contains(".log."))
+    assert(aLog.length == 1, aLog.mkString(","))
+    assert(snap(path) == Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0,
+      4L -> 40.0, 9L -> 90.0))
+    // incremental pull: exactly the batch's rows carry the new instant
+    val incr = HudiInterop.readIncremental(spark, path, sinceInstant = "0")
+      .filter(col("_hoodie_commit_time") === i2)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(incr == Set(1L, 9L), incr.toString)
+  }
+
+  test("delete with no matching live groups is a no-op returning the latest instant") {
+    val path = tmp("noop")
+    val i1 = HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
+    val r = HudiMor.delete(Seq((99L, "zzz")).toDF("id", "cat"),
+      path, "id", Seq("cat"))
+    assert(r == i1, s"no-op delete must return the latest instant, got $r")
+    assert(HudiInterop.completedInstants(spark, path).size == 1,
+      "no empty delta commit may land")
+    assert(snap(path).size == 4)
+  }
+
+  test("asOf read ignores groups bootstrapped after asOf, even once they take log appends") {
+    val path = tmp("asofboot")
+    val i1 = HudiMor.upsert(Seq((1L, "a", 1.0, 100L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    HudiMor.upsert(Seq((2L, "b", 2.0, 100L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    HudiMor.upsert(Seq((2L, "b", 9.0, 900L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    // r8's unscoped orphan check misclassified cat=b's log as log-only
+    // debris for the asOf=i1 read and refused; the group's base simply
+    // is not visible YET (ADVICE r8)
+    val v1 = HudiMor.read(spark, path, asOf = Some(i1))
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v1 == Map(1L -> 1.0), v1.toString)
+    assert(snap(path) == Map(1L -> 1.0, 2L -> 9.0))
   }
 
   test("log-side schema evolution refuses by name") {

@@ -200,4 +200,165 @@ class HudiForeignSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](HudiInterop.read(spark, v8))
     assert(e3.getMessage.contains("version 8"), e3.getMessage)
   }
+
+  // ---- foreign MERGE_ON_READ fixture: multi-group partition,
+  // real-writer log names, rollback block, log-only group ----
+
+  private def deltaCommitInstant(root: String, instant: String): Unit = {
+    Files.write(java.nio.file.Paths.get(
+      s"$root/.hoodie/$instant.deltacommit.requested"), Array.empty[Byte])
+    Files.write(java.nio.file.Paths.get(
+      s"$root/.hoodie/$instant.deltacommit.inflight"), "{}".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$root/.hoodie/$instant.deltacommit"),
+      """{"partitionToWriteStats":{},"operationType":"UPSERT"}""".getBytes("UTF-8"))
+  }
+
+  private val morSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("_hoodie_commit_time",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_hoodie_commit_seqno",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_hoodie_record_key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_hoodie_partition_path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_hoodie_file_name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cat",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private def plantLogBlocks(root: String, dir: String, name: String,
+      blocks: Seq[HudiLogFormat.LogBlock]): Unit = {
+    val dirFile = new java.io.File(s"$root/$dir"); dirFile.mkdirs()
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dirFile, name)))
+    try blocks.foreach(b => HudiLogFormat.writeBlock(out, b)) finally out.close()
+  }
+
+  private def avroBlock(instant: String,
+      rows: Seq[(Long, String, Double)], dir: String, fileName: String): HudiLogFormat.LogBlock = {
+    val schemaJson = HudiMor.avroSchemaJson(morSchema)
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val recs = rows.map { case (id, cat, v) =>
+      val r = new org.apache.avro.generic.GenericData.Record(schema)
+      r.put("_hoodie_commit_time", instant)
+      r.put("_hoodie_commit_seqno", s"${instant}_0_$id")
+      r.put("_hoodie_record_key", id.toString)
+      r.put("_hoodie_partition_path", dir)
+      r.put("_hoodie_file_name", fileName)
+      r.put("id", id); r.put("cat", cat); r.put("v", v)
+      HudiLogFormat.encodeAvro(schema, r)
+    }
+    HudiLogFormat.LogBlock(HudiLogFormat.AvroDataBlock,
+      Map(HudiLogFormat.InstantTime -> instant,
+        HudiLogFormat.SchemaKey -> schemaJson),
+      HudiLogFormat.avroDataContent(recs))
+  }
+
+  // two REAL-writer file groups in ONE partition (38-char fileIds) +
+  // a log-only third group — the bucket-index layout graft's own
+  // writer never produces but must read
+  private val fidM1 = "aaaaaaaa-bbbb-4ccc-8ddd-eeeeeeeeeeee-0"
+  private val fidM2 = "aaaaaaaa-bbbb-4ccc-8ddd-eeeeeeeeeeee-1"
+  private val fidM3 = "99999999-8888-4777-8666-555555555555-0"
+
+  private lazy val morTable: String = {
+    val root = Files.createTempDirectory("graft-hudi-mor-foreign")
+      .toFile.getAbsolutePath
+    writeProps(root, Map("hoodie.table.type" -> "MERGE_ON_READ"))
+    val i1 = "20240201010101111"
+    // bootstrap: group M1 (ids 1, 2) and group M2 (id 3) BOTH in cat=a
+    plantSlice(root, "cat=a", fidM1, "1-10-25", i1,
+      Seq((1L, "a", 10.0), (2L, "a", 20.0)))
+    plantSlice(root, "cat=a", fidM2, "1-11-26", i1, Seq((3L, "a", 30.0)))
+    deltaCommitInstant(root, i1)
+    // i2: avro log block updates id 2 in group M1 (real writer token)
+    val i2 = "20240202010101222"
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i1.log.1_1-0-1",
+      Seq(avroBlock(i2, Seq((2L, "a", 25.0)), "cat=a",
+        s".${fidM1}_$i1.log.1_1-0-1")))
+    deltaCommitInstant(root, i2)
+    // i3: avro block on id 1, then a ROLLBACK command block hides it
+    val i3 = "20240203010101333"
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i1.log.2_1-0-2",
+      Seq(avroBlock(i3, Seq((1L, "a", 999.0)), "cat=a",
+        s".${fidM1}_$i1.log.2_1-0-2")))
+    deltaCommitInstant(root, i3)
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i1.log.3_1-0-3",
+      Seq(HudiLogFormat.LogBlock(HudiLogFormat.CommandBlock,
+        Map(HudiLogFormat.InstantTime -> i3,
+          HudiLogFormat.TargetInstantTime -> i3,
+          HudiLogFormat.CommandBlockType -> "0"), Array.emptyByteArray)))
+    // i4: LOG-ONLY group M3 in cat=b — insert routed straight to a log
+    // (bucket-index writer shape), no base parquet ever
+    val i4 = "20240204010101444"
+    plantLogBlocks(root, "cat=b", s".${fidM3}_$i4.log.1_1-0-1",
+      Seq(avroBlock(i4, Seq((7L, "b", 70.0)), "cat=b",
+        s".${fidM3}_$i4.log.1_1-0-1")))
+    deltaCommitInstant(root, i4)
+    root
+  }
+
+  test("foreign MOR: multi-group partition + rollback block + log-only group all serve") {
+    val got = HudiInterop.read(spark, morTable)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 10.0), (2L, 25.0), (3L, 30.0), (7L, 70.0)),
+      s"rollback must hide i3, log-only group must serve: $got")
+    // time travel to i2: no log-only group yet, id 2 already updated
+    val v2 = HudiInterop.read(spark, morTable, asOf = Some("20240202010101222"))
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(v2 == Set((1L, 10.0), (2L, 25.0), (3L, 30.0)), v2.toString)
+    // incremental window (i1, i2]: exactly the i2 row versions
+    val inc = HudiInterop.readIncrementalBetween(spark, morTable,
+      "20240201010101111", "20240202010101222")
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(inc == Set((2L, 25.0)), inc.toString)
+    // the files inspection lists both groups' bases, bound logs, AND
+    // the log-only group's log
+    val inv = HudiInterop.metadataTable(spark, morTable, "files")
+      .select(col("path")).collect().map(_.getString(0))
+    assert(inv.count(_.endsWith(".parquet")) == 2, inv.mkString(","))
+    assert(inv.exists(_.contains(fidM3)), inv.mkString(","))
+  }
+
+  test("foreign MOR: writes cannot route into a multi-group dir without bucket props") {
+    val root = Files.createTempDirectory("graft-hudi-mor-w").toFile.getAbsolutePath
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(morTable), new java.io.File(root))
+    val e = intercept[IllegalArgumentException](HudiMor.upsert(
+      Seq((2L, "a", 26.0, 9L)).toDF("id", "cat", "v", "ts"),
+      root, recordKey = "id", precombine = "ts", partitionBy = Seq("cat")))
+    assert(e.getMessage.contains("route"), e.getMessage)
+    // compaction refuses on the log-only group by name
+    val e2 = intercept[IllegalArgumentException](
+      HudiMor.compact(spark, root, Seq("cat")))
+    assert(e2.getMessage.contains("log-only"), e2.getMessage)
+  }
+
+  test("foreign MOR: v2 Kryo delete payloads refuse by name") {
+    val root = Files.createTempDirectory("graft-hudi-mor-kryo").toFile.getAbsolutePath
+    writeProps(root, Map("hoodie.table.type" -> "MERGE_ON_READ"))
+    val i1 = "20240301010101111"
+    plantSlice(root, "cat=a", fidM1, "1-1-1", i1, Seq((1L, "a", 1.0)))
+    deltaCommitInstant(root, i1)
+    val i2 = "20240302010101222"
+    val kryoContent = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(bos)
+      d.writeInt(2); d.writeInt(4); d.write(Array[Byte](9, 9, 9, 9)); d.flush()
+      bos.toByteArray
+    }
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i1.log.1_1-0-1",
+      Seq(HudiLogFormat.LogBlock(HudiLogFormat.DeleteBlock,
+        Map(HudiLogFormat.InstantTime -> i2), kryoContent)))
+    deltaCommitInstant(root, i2)
+    val e = intercept[Exception](HudiInterop.read(spark, root).collect())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("Kryo"), s"$e")
+  }
 }
