@@ -681,22 +681,28 @@ object HudiInterop {
     */
   private[sinks] def stageSlices(df: DataFrame, path: String, recordKey: String,
       precombine: String, partitionBy: Seq[String],
-      carryOver: Option[Unit], instant: String): Seq[(String, String, String, Long)] = {
+      carryOver: Option[Unit], instant: String,
+      knownPairs: Option[Map[(String, Int), String]] = None): Seq[(String, String, String, Long)] = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val n = numFileGroups(fs, path)
     val dirCol = hivePath(partitionBy)
-    val committedSet = (timelineInstants(fs, path, ".commit") ++
-      timelineInstants(fs, path, ".deltacommit")).toSet
-    val liveGroupByDir = slices(fs, path)
-      .filter(s => committedSet.contains(s.instant))
-      .groupBy(_.dir).map { case (d, ss) => d -> ss.map(_.fileId).distinct }
     val sep = "\u0001"
-    val fidByPair: Map[(String, Int), String] = df
-      .select(dirCol.as("__dir"), bucketExpr(recordKey, n).as("__bucket"))
-      .distinct().collect()
-      .map(r => (r.getString(0), r.getInt(1)))
-      .map { case (d, b) => (d, b) -> routeGroup(liveGroupByDir, n, d, b) }.toMap
+    // the (dir, bucket) -> fileId routing: reuse the caller's resolved
+    // map when it already ran the distinct (a MOR upsert routes the
+    // whole batch before splitting fresh/update) — the distinct+collect
+    // is a full Spark job per call otherwise
+    val fidByPair: Map[(String, Int), String] = knownPairs.getOrElse {
+      val committedSet = (timelineInstants(fs, path, ".commit") ++
+        timelineInstants(fs, path, ".deltacommit")).toSet
+      val liveGroupByDir = slices(fs, path)
+        .filter(s => committedSet.contains(s.instant))
+        .groupBy(_.dir).map { case (d, ss) => d -> ss.map(_.fileId).distinct }
+      df.select(dirCol.as("__dir"), bucketExpr(recordKey, n).as("__bucket"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1)))
+        .map { case (d, b) => (d, b) -> routeGroup(liveGroupByDir, n, d, b) }.toMap
+    }
     val fileIdUdfFree = {
       // fileId is a pure function of (dir, bucket); spell it as a
       // literal map over the batch's distinct pairs so the stamp stays

@@ -495,7 +495,7 @@ object HudiMor {
       val fresh = batch.filter(pairFilter(freshPairs.keys))
         .drop("__dir", "__bucket")
       entries ++= HudiInterop.stageSlices(fresh, path, recordKey, precombine,
-        partitionBy, carryOver = None, instant)
+        partitionBy, carryOver = None, instant, knownPairs = Some(freshPairs))
     }
     if (updatePairs.nonEmpty) {
       val updates = batch.filter(pairFilter(updatePairs.keys))

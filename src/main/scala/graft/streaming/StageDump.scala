@@ -19,16 +19,21 @@ object StageDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val deserByStage = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+    val runByStage = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
+        if (t.taskMetrics != null) {
           deserByStage.computeIfAbsent(t.stageId, _ => new java.util.concurrent.atomic.AtomicLong())
             .addAndGet(t.taskMetrics.executorDeserializeTime)
+          runByStage.computeIfAbsent(t.stageId, _ => new java.util.concurrent.atomic.AtomicLong())
+            .addAndGet(t.taskMetrics.executorRunTime)
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
         val d = Option(deserByStage.get(i.stageId)).map(_.get()).getOrElse(0L)
+        val r = Option(runByStage.get(i.stageId)).map(_.get()).getOrElse(0L)
         if (i.numTasks > 0)
-          println(f"[sdump] stage=${i.stageId}%4d tasks=${i.numTasks}%4d deser=${d / 1e3}%6.2fs  ${i.name.takeWhile(_ != '\n').take(90)}")
+          println(f"[sdump] stage=${i.stageId}%4d tasks=${i.numTasks}%4d run=${r / 1e3}%7.2fs deser=${d / 1e3}%6.2fs  ${i.name.takeWhile(_ != '\n').take(90)}")
       }
     })
     val fn = graft.SparkEntry.queries(name)
