@@ -43,6 +43,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // the generated-class cache defaults to 100 entries; a session
+      // running many distinct plans (the 130-query gate, a multi-tenant
+      // driver) thrashes it and re-compiles ~30-50 ms classes — this is
+      // a driver-memory-for-latency trade, cheap at any scale
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // INT64-micros timestamps (not legacy INT96): the lakehouse
       // interop standard, and the only encoding whose footers carry
       // usable min/max for FileStats.fromFooters

@@ -280,4 +280,42 @@ class HudiInteropSpec extends SparkSpec {
     val latest = HudiInterop.completedInstants(spark, path).last
     assert(HudiInterop.restoreToInstant(spark, path, latest) == 0)
   }
+
+  test("bucketed COW: N groups per dir, upsert rewrites ONLY the touched bucket") {
+    val path = tmp("cowbuckets")
+    val rows = (1L to 40L).map(i => (i, "a", i * 1.0, 100L))
+      .toDF("id", "cat", "v", "ts")
+    HudiInterop.insert(rows, path, "id", "ts", Seq("cat"), numFileGroups = 4)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def slices = f.listStatus(new org.apache.hadoop.fs.Path(s"$path/cat=a"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSeq
+    val fids0 = slices.map(_.takeWhile(_ != '_')).distinct
+    assert(fids0.length >= 2 && fids0.length <= 4,
+      s"40 keys must spread across the buckets: $fids0")
+    val n0 = slices.length
+    // one-key upsert: the COW rewrite is O(touched bucket), not
+    // O(partition) — exactly ONE new slice lands, in key 7's group
+    HudiInterop.upsert(Seq((7L, "a", 777.0, 900L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    assert(slices.length == n0 + 1,
+      s"one-bucket rewrite expected: $n0 -> ${slices.length}")
+    val got = HudiInterop.read(spark, path)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toMap
+    assert(got(7L) == 777.0 && got(8L) == 8.0 && got.size == 40)
+    // untouched keys in OTHER buckets keep their original commit time
+    // (incremental pull only sees the rewritten bucket's winners)
+    val changed = HudiInterop.read(spark, path)
+      .filter(col("_hoodie_commit_time") >
+        HudiInterop.completedInstants(spark, path).head)
+      .select(col("id")).as[Long].collect().toSet
+    assert(changed == Set(7L),
+      s"only the upsert WINNER may restamp (carried bucket rows keep " +
+        s"their commit time): $changed")
+    // the cleaner reasons per group: retain 1 leaves one slice per group
+    HudiInterop.upsert(Seq((7L, "a", 778.0, 901L)).toDF("id", "cat", "v", "ts"),
+      path, "id", "ts", Seq("cat"))
+    assert(HudiInterop.clean(spark, path, retainCommits = 1) > 0)
+    assert(HudiInterop.read(spark, path).count() == 40)
+  }
 }
