@@ -84,13 +84,32 @@ object HudiInterop {
     if (BigInt(now) > BigInt(floor)) now else floor
   }
 
+  /** Where this table keeps its timeline: `.hoodie/` (table version
+    * <= 7) or `.hoodie/timeline/` (version >= 8 — the 1.x layout).
+    */
+  private[sinks] def timelineDir(fs: FileSystem, path: String): Path =
+    if (tableVersion(fs, path) >= 8) new Path(s"$path/$MetaDir/timeline")
+    else new Path(s"$path/$MetaDir")
+
+  /** Instants completed (or transitioning) under `suffix`, across BOTH
+    * timeline layouts. The 1.x layout names a COMPLETED instant
+    * `<instant>_<completionTime>.<action>` (the completion time is the
+    * 1.x concurrency protocol's commit watermark); requested/inflight
+    * keep the plain `<instant>.<action>.<state>` shape. Readers only
+    * need the begin instant — `_hoodie_commit_time` stamps it, and
+    * file-slice binding keys on it.
+    */
   private[sinks] def timelineInstants(fs: FileSystem, path: String,
       suffix: String): Seq[String] = {
-    val dir = new Path(s"$path/$MetaDir")
+    val dir = timelineDir(fs, path)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(suffix) && n.stripSuffix(suffix).forall(_.isDigit))
-      .map(_.stripSuffix(suffix)).sorted
+      .filter(_.endsWith(suffix))
+      .map(_.stripSuffix(suffix))
+      .collect {
+        case stem if stem.forall(_.isDigit) => stem
+        case stem if stem.matches("\\d+_\\d+") => stem.takeWhile(_ != '_')
+      }.sorted
   }
 
   /** Completed instants — the only ones whose file slices readers see.
@@ -152,16 +171,25 @@ object HudiInterop {
   private[sinks] def tableType(fs: FileSystem, path: String): String =
     tableProps(fs, path).getOrElse("hoodie.table.type", "COPY_ON_WRITE")
 
-  /** Refuse the 1.x timeline layout: table version >= 8 moves the
-    * timeline under `.hoodie/timeline/`, which would read here as "no
-    * commits". Absent properties default to v6.
+  /** Declared table version; absent properties default to v6. */
+  private[sinks] def tableVersion(fs: FileSystem, path: String): Int =
+    tableProps(fs, path).get("hoodie.table.version")
+      .map(_.trim.toInt).getOrElse(6)
+
+  /** WRITE gate for the 1.x (table version >= 8) layout: reads serve it
+    * ([[timelineInstants]] resolves `.hoodie/timeline/` and the
+    * `<instant>_<completionTime>.<action>` completed names), but
+    * writes/maintenance would have to speak the 1.x completion-time
+    * concurrency protocol and its LSM archived timeline — refusing is
+    * the honest boundary (a v6-shaped instant file in a 1.x timeline
+    * would be invisible to real 1.x readers' completion-time ordering).
     */
   private[sinks] def requireV6Timeline(fs: FileSystem, path: String): Unit = {
-    val ver = tableProps(fs, path).get("hoodie.table.version")
-      .map(_.trim.toInt).getOrElse(6)
+    val ver = tableVersion(fs, path)
     require(ver <= 7,
       s"HudiInterop: table version $ver uses the 1.x timeline layout " +
-        "(.hoodie/timeline/) this reader does not speak")
+        "(.hoodie/timeline/, completion-time commits) — reads serve it; " +
+        "writes and maintenance need the owning 1.x writer")
   }
 
   /** Refuse MERGE_ON_READ where only COW semantics are implemented:
@@ -170,14 +198,12 @@ object HudiInterop {
     * reasons about whole slices, not slice+log pairs. Snapshot READS of
     * MOR route through [[HudiMor]] instead.
     */
-  private[sinks] def requireReadable(fs: FileSystem, path: String): Unit = {
+  private[sinks] def requireReadable(fs: FileSystem, path: String): Unit =
     require(tableType(fs, path) == "COPY_ON_WRITE",
       s"HudiInterop: table type ${tableType(fs, path)} is not supported " +
         "on this path — MERGE_ON_READ supports snapshot reads " +
         "(HudiMor.read), upsertMor/deleteMor writes, and compactMor; " +
         "COW slice writes and clean/restore/convert need a compacted table")
-    requireV6Timeline(fs, path)
-  }
 
   // ---- file slices ----
 
@@ -255,18 +281,22 @@ object HudiInterop {
     val fs = fsFor(spark, path)
     table match {
       case "timeline" =>
-        val dir = new Path(s"$path/$MetaDir")
+        val dir = timelineDir(fs, path)
         val names =
           if (!fs.exists(dir)) Seq.empty[String]
           else fs.listStatus(dir).toSeq.map(_.getPath.getName)
         val Known = Seq(".commit.requested", ".inflight", ".commit",
           ".deltacommit.requested", ".deltacommit.inflight", ".deltacommit",
           ".clean", ".restore")
+        def stemInstant(stem: String): Option[String] =
+          if (stem.forall(_.isDigit)) Some(stem)
+          else if (stem.matches("\\d+_\\d+")) Some(stem.takeWhile(_ != '_'))
+          else None // 1.x completed names carry a completion-time suffix
         names.flatMap { n =>
           Known.collectFirst {
             case suf if n.endsWith(suf) &&
-                n.stripSuffix(suf).forall(_.isDigit) =>
-              (n.stripSuffix(suf), suf.stripPrefix("."),
+                stemInstant(n.stripSuffix(suf)).isDefined =>
+              (stemInstant(n.stripSuffix(suf)).get, suf.stripPrefix("."),
                 suf == ".commit" || suf == ".clean" || suf == ".restore")
           }
         }.toDF("instant", "state", "completed")
@@ -363,6 +393,7 @@ object HudiInterop {
     require(retainCommits >= 1, s"clean: retainCommits must be >= 1")
     val fs = fsFor(spark, path)
     requireReadable(fs, path) // a MOR table's logs still reference base files
+    requireV6Timeline(fs, path) // clean WRITES instants: 1.x refuses
     val committed = timelineInstants(fs, path, ".commit")
     if (committed.size <= retainCommits) return 0
     val horizon = committed.takeRight(retainCommits).head
@@ -409,6 +440,7 @@ object HudiInterop {
       instant: String): Int = {
     val fs = fsFor(spark, path)
     requireReadable(fs, path)
+    requireV6Timeline(fs, path) // restore WRITES instants: 1.x refuses
     val committed = timelineInstants(fs, path, ".commit")
     require(committed.contains(instant),
       s"restoreToInstant: $instant is not a completed commit " +
@@ -613,8 +645,10 @@ object HudiInterop {
       df.schema.fieldNames.contains(k), s"missing key col $k"))
     require(df.schema.fieldNames.contains(precombine), s"missing precombine $precombine")
     ensureTable(fs, path, tableName, createGroups)
-    if (action == "commit" && !allowMor)
-      requireReadable(fs, path) // never write COW slices into a MOR/1.x table
+    if (action == "commit" && !allowMor) {
+      requireReadable(fs, path) // never write COW slices into a MOR table
+      requireV6Timeline(fs, path) // nor v6-shaped instants into a 1.x timeline
+    }
     else { // MOR base slices: bootstrap deltacommit or compaction commit
       require(tableType(fs, path) == "MERGE_ON_READ",
         s"HudiInterop: $action slices with allowMor need a MERGE_ON_READ table")

@@ -266,7 +266,6 @@ object HudiMor {
   def read(spark: SparkSession, path: String,
       asOf: Option[String] = None): DataFrame = {
     val fs = fsFor(spark, path)
-    HudiInterop.requireV6Timeline(fs, path)
     val visible = completed(fs, path, asOf)
     require(visible.nonEmpty, s"no completed commits in $path (asOf=$asOf)")
     val allSlices = HudiInterop.slices(fs, path)

@@ -195,10 +195,102 @@ class HudiForeignSpec extends SparkSpec {
       HudiInterop.clean(spark, mor, retainCommits = 1))
     assert(e2.getMessage.contains("MERGE_ON_READ"), e2.getMessage)
 
+    // an EMPTY 1.x table (no timeline dir yet) reads as no commits,
+    // not as a version refusal (r9: the 1.x layout is read-served)
     val v8 = Files.createTempDirectory("graft-hudi-v8").toFile.getAbsolutePath
     writeProps(v8, Map("hoodie.table.version" -> "8"))
     val e3 = intercept[IllegalArgumentException](HudiInterop.read(spark, v8))
-    assert(e3.getMessage.contains("version 8"), e3.getMessage)
+    assert(e3.getMessage.contains("no completed commits"), e3.getMessage)
+  }
+
+  test("1.x timeline layout (table version 8) reads serve; writes and maintenance refuse") {
+    val root = Files.createTempDirectory("graft-hudi-1x").toFile.getAbsolutePath
+    writeProps(root, Map("hoodie.table.version" -> "8",
+      "hoodie.timeline.layout.version" -> "2",
+      "hoodie.timeline.path" -> "timeline"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/.hoodie/timeline"))
+    def completed1x(instant: String, completion: String, action: String): Unit = {
+      Files.write(java.nio.file.Paths.get(
+        s"$root/.hoodie/timeline/$instant.$action.requested"), Array.empty[Byte])
+      Files.write(java.nio.file.Paths.get(
+        s"$root/.hoodie/timeline/${instant}_$completion.$action"),
+        """{"partitionToWriteStats":{}}""".getBytes("UTF-8"))
+    }
+    // commit 1: both partitions; commit 2 rewrites group A (1.x names)
+    val i1 = "20250101010101111"
+    plantSlice(root, "cat=a", fidA, "1-10-25", i1,
+      Seq((1L, "a", 10.0), (2L, "a", 20.0)))
+    plantSlice(root, "cat=b", fidB, "1-11-26", i1, Seq((3L, "b", 30.0)))
+    completed1x(i1, "20250101010102000", "commit")
+    val i2 = "20250102010101222"
+    plantSlice(root, "cat=a", fidA, "2-20-30", i2,
+      Seq((1L, "a", 10.0), (2L, "a", 25.0)))
+    completed1x(i2, "20250102010102000", "commit")
+    // crash debris: a slice whose instant only has requested/inflight
+    val i3 = "20250103010101333"
+    plantSlice(root, "cat=b", fidB, "1-12-27", i3, Seq((99L, "b", 999.0)))
+    Files.write(java.nio.file.Paths.get(
+      s"$root/.hoodie/timeline/$i3.commit.requested"), Array.empty[Byte])
+    Files.write(java.nio.file.Paths.get(
+      s"$root/.hoodie/timeline/$i3.inflight"), "{}".getBytes("UTF-8"))
+
+    val got = HudiInterop.read(spark, root)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 10.0), (2L, 25.0), (3L, 30.0)),
+      s"1.x completed instants must resolve, debris must not: $got")
+    // time travel against the 1.x begin-instant ordering
+    val v1 = HudiInterop.read(spark, root, asOf = Some(i1))
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(v1 == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)), v1.toString)
+    // the timeline inspection table resolves 1.x names
+    val tl = HudiInterop.metadataTable(spark, root, "timeline")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(tl.count(t => t._2 == "commit" && t._3) == 2, tl.mkString(","))
+    assert(tl.exists(t => t._1 == i3 && t._2 == "commit.requested"), tl.mkString(","))
+    // writes and maintenance refuse BY NAME — a v6-shaped instant file
+    // would be invisible to 1.x completion-time readers
+    val e = intercept[IllegalArgumentException](HudiInterop.upsert(
+      Seq((1L, "a", 2.0, 9L)).toDF("id", "cat", "v", "ts"),
+      root, recordKey = "id", precombine = "ts", partitionBy = Seq("cat")))
+    assert(e.getMessage.contains("1.x"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      HudiInterop.clean(spark, root, retainCommits = 1))
+    assert(e2.getMessage.contains("1.x"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      HudiInterop.restoreToInstant(spark, root, i1))
+    assert(e3.getMessage.contains("1.x"), e3.getMessage)
+  }
+
+  test("1.x MERGE_ON_READ: deltacommits + log blocks serve through the collapse") {
+    val root = Files.createTempDirectory("graft-hudi-1x-mor").toFile.getAbsolutePath
+    writeProps(root, Map("hoodie.table.version" -> "8",
+      "hoodie.timeline.layout.version" -> "2",
+      "hoodie.table.type" -> "MERGE_ON_READ"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/.hoodie/timeline"))
+    def deltaCommit1x(instant: String, completion: String): Unit = {
+      Files.write(java.nio.file.Paths.get(
+        s"$root/.hoodie/timeline/$instant.deltacommit.requested"), Array.empty[Byte])
+      Files.write(java.nio.file.Paths.get(
+        s"$root/.hoodie/timeline/${instant}_$completion.deltacommit"),
+        """{"partitionToWriteStats":{}}""".getBytes("UTF-8"))
+    }
+    val i1 = "20250201010101111"
+    plantSlice(root, "cat=a", fidM1, "1-1-1", i1,
+      Seq((1L, "a", 1.0), (2L, "a", 2.0)))
+    deltaCommit1x(i1, "20250201010102000")
+    val i2 = "20250202010101222"
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i1.log.1_1-0-1",
+      Seq(avroBlock(i2, Seq((2L, "a", 9.0)), "cat=a",
+        s".${fidM1}_$i1.log.1_1-0-1")))
+    deltaCommit1x(i2, "20250202010102000")
+    val got = HudiInterop.read(spark, root)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0), (2L, 9.0)), got.toString)
+    // MOR writers refuse 1.x by name
+    val e = intercept[IllegalArgumentException](HudiMor.upsert(
+      Seq((1L, "a", 5.0, 9L)).toDF("id", "cat", "v", "ts"),
+      root, recordKey = "id", precombine = "ts", partitionBy = Seq("cat")))
+    assert(e.getMessage.contains("1.x"), e.getMessage)
   }
 
   // ---- foreign MERGE_ON_READ fixture: multi-group partition,
