@@ -522,6 +522,45 @@ object HudiInterop {
     if (n == 1) lit(0)
     else pmod(xxhash64(keyStringExpr(recordKey)), lit(n.toLong)).cast("int")
 
+  /** Pair-routing scale guard: below this many (dir, bucket) pairs the
+    * writers inline literal maps / isin lists (zero extra jobs); above
+    * it they route through a BROADCAST JOIN — a literal expression with
+    * millions of entries explodes analysis/codegen long before the data
+    * volume would hurt (10k dirs x 256 buckets is a plausible 100-TB
+    * batch), and a driver map captured in a task closure would ship the
+    * same millions per task.
+    */
+  private[sinks] val LiteralRoutingLimit = 1024
+
+  /** Keep only rows whose (__dir, __bucket) is in `pairs`. */
+  private[sinks] def semiJoinPairs(df: DataFrame,
+      pairs: Iterable[(String, Int)]): DataFrame =
+    if (pairs.size <= LiteralRoutingLimit)
+      df.filter(concat_ws("\u0001", col("__dir"), col("__bucket").cast("string"))
+        .isin(pairs.map { case (d, b) => d + "\u0001" + b }.toSeq: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(pairs.toSeq.toDF("__dir", "__bucket")),
+        Seq("__dir", "__bucket"), "left_semi")
+    }
+
+  /** Stamp `name` = mapping(__dir, __bucket) onto every row. */
+  private[sinks] def withPairColumn(df: DataFrame, name: String,
+      mapping: Map[(String, Int), String]): DataFrame =
+    if (mapping.isEmpty) df.withColumn(name, lit(""))
+    else if (mapping.size <= LiteralRoutingLimit) {
+      val kvs = mapping.toSeq.flatMap { case ((d, b), v) =>
+        Seq(lit(d + "\u0001" + b), lit(v)) }
+      df.withColumn(name, map(kvs: _*)(
+        concat_ws("\u0001", col("__dir"), col("__bucket").cast("string"))))
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(mapping.toSeq.map { case ((d, b), v) => (d, b, v) }
+        .toDF("__dir", "__bucket", name)), Seq("__dir", "__bucket"), "left")
+    }
+
   /** Target fileId for (dir, bucket) given the dir's live group ids.
     * Foreign layouts the key-hash routing cannot address refuse loudly
     * — reads serve any group inventory, but a write that cannot tell
@@ -612,17 +651,17 @@ object HudiInterop {
     // O(affected buckets) — the difference between rewriting a hot
     // 100-GB partition and rewriting one of its N slices
     val n = numFileGroups(fsFor(spark, path), path)
-    val sep = "\u0001"
     val incomingPairs = df
       .select(hivePath(partitionBy).as("__dir"), bucketExpr(recordKey, n).as("__b"))
       .distinct().collect()
-      .map(r => r.getString(0) + sep + r.getInt(1)).toSet
+      .map(r => (r.getString(0), r.getInt(1)))
     val existingBucket =
       if (n == 1) lit(0)
       else pmod(xxhash64(col("_hoodie_record_key")), lit(n.toLong)).cast("int")
-    val affected = existing
-      .filter(concat_ws(sep, col("_hoodie_partition_path"),
-        existingBucket.cast("string")).isin(incomingPairs.toSeq: _*))
+    val affected = semiJoinPairs(
+      existing.withColumn("__dir", col("_hoodie_partition_path"))
+        .withColumn("__bucket", existingBucket),
+      incomingPairs.toSeq).drop("__dir", "__bucket")
     // latest-wins: incoming beats existing at equal precombine
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols(recordKey).map(col): _*)
@@ -631,14 +670,27 @@ object HudiInterop {
       .unionByName(df.withColumn("__is_incoming", lit(1)), allowMissingColumns = true)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    // merged's (dir, bucket) pairs are exactly the incoming ones (the
+    // affected side was semi-joined by them) — route here and skip
+    // stageSlices' distinct+collect job, which would re-run the merge
+    // window a second time just to rediscover them
+    val fsw = fsFor(spark, path)
+    val committedSet = (timelineInstants(fsw, path, ".commit") ++
+      timelineInstants(fsw, path, ".deltacommit")).toSet
+    val liveGroupByDir = slices(fsw, path)
+      .filter(s => committedSet.contains(s.instant))
+      .groupBy(_.dir).map { case (d, ss) => d -> ss.map(_.fileId).distinct }
+    val routed = incomingPairs.map { case (d, b) =>
+      (d, b) -> routeGroup(liveGroupByDir, n, d, b) }.toMap
     commitSlices(merged, path, recordKey, precombine, partitionBy, tableName,
-      carryOver = Some(()))
+      carryOver = Some(()), knownPairs = Some(routed))
   }
 
   private[sinks] def commitSlices(df: DataFrame, path: String, recordKey: String,
       precombine: String, partitionBy: Seq[String], tableName: String,
       carryOver: Option[Unit], action: String = "commit",
-      allowMor: Boolean = false, createGroups: Int = 1): String = {
+      allowMor: Boolean = false, createGroups: Int = 1,
+      knownPairs: Option[Map[(String, Int), String]] = None): String = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     keyCols(recordKey).foreach(k => require(
@@ -667,7 +719,7 @@ object HudiInterop {
     writeFile(fs, new Path(s"$path/$MetaDir/$instant.$action.requested"), "")
     writeFile(fs, new Path(s"$path/$MetaDir/$inflight"), "{}")
     val entries = stageSlices(df, path, recordKey, precombine, partitionBy,
-      carryOver, instant)
+      carryOver, instant, knownPairs)
     // completing the instant PUBLISHES the slices; a crash before this
     // leaves invisible debris, never a partial read
     writeFile(fs, new Path(s"$path/$MetaDir/$instant.$action"),
@@ -737,22 +789,14 @@ object HudiInterop {
         .map(r => (r.getString(0), r.getInt(1)))
         .map { case (d, b) => (d, b) -> routeGroup(liveGroupByDir, n, d, b) }.toMap
     }
-    val fileIdUdfFree = {
-      // fileId is a pure function of (dir, bucket); spell it as a
-      // literal map over the batch's distinct pairs so the stamp stays
-      // codegen'd (no UDF)
-      val mapping = fidByPair.toSeq.flatMap { case ((d, b), fid) =>
-        Seq(lit(d + sep + b), lit(fid)) }
-      if (mapping.isEmpty) lit("") else {
-        import org.apache.spark.sql.Column
-        val m: Column = map(mapping.toIndexedSeq: _*)
-        m(concat_ws(sep, col("__dir"), col("__bucket").cast("string")))
-      }
-    }
     val isCarry = carryOver.isDefined && df.schema.fieldNames.contains("__is_incoming")
-    val stamped0 = df.withColumn("__dir", dirCol)
-      .withColumn("__bucket", bucketExpr(recordKey, n))
-      .withColumn("__file_id", fileIdUdfFree)
+    // fileId is a pure function of (dir, bucket): a literal map keeps
+    // the stamp codegen'd (no UDF); huge pair sets route through the
+    // broadcast join in withPairColumn
+    val stamped0 = withPairColumn(
+      df.withColumn("__dir", dirCol)
+        .withColumn("__bucket", bucketExpr(recordKey, n)),
+      "__file_id", fidByPair)
       .withColumn("__new_ct", lit(instant))
     // carried-over records keep their original commit time + seqno; new
     // winners get this instant (Hudi preserves meta fields on merge)

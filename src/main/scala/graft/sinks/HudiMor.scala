@@ -431,11 +431,6 @@ object HudiMor {
     */
   private[graft] var logBlockChunkRecords: Int = 100000
 
-  private val Sep = "\u0001"
-
-  private def pairKeyCol: org.apache.spark.sql.Column =
-    concat_ws(Sep, col("__dir"), col("__bucket").cast("string"))
-
   /** Keyed MOR upsert under ONE atomic delta commit: rows for
     * (dir, bucket) file groups WITHOUT a live base slice bootstrap base
     * slices, rows for live groups append avro log blocks, and both
@@ -462,9 +457,13 @@ object HudiMor {
     ensureMorTable(fs, path, tableName, numFileGroups)
     requireMor(fs, path, "upsert")
     val n = HudiInterop.numFileGroups(fs, path)
+    // persisted: consumed up to three times (pair routing, fresh-group
+    // staging, log write) — each would otherwise re-run the precombine
+    // window over the source
     val batch = HudiInterop.precombineBatch(df, recordKey, precombine)
       .withColumn("__dir", HudiInterop.hivePath(partitionBy))
       .withColumn("__bucket", HudiInterop.bucketExpr(recordKey, n))
+      .persist()
     val visible = completed(fs, path, None)
     val liveBase = HudiInterop.slices(fs, path)
       .filter(s => visible.contains(s.instant))
@@ -482,8 +481,6 @@ object HudiMor {
     val (updatePairs, freshPairs) = routed.partition {
       case ((d, _), fid) => liveByKey.contains((d, fid))
     }
-    def pairFilter(ps: Iterable[(String, Int)]) =
-      pairKeyCol.isin(ps.map { case (d, b) => d + Sep + b }.toSeq: _*)
     val instant = HudiInterop.nextInstant(allInstants(fs, path))
     HudiInterop.writeFile(fs,
       new Path(s"$path/$MetaDir/$instant.deltacommit.requested"), "")
@@ -491,13 +488,13 @@ object HudiMor {
       new Path(s"$path/$MetaDir/$instant.deltacommit.inflight"), "{}")
     var entries = Seq.empty[(String, String, String, Long)]
     if (freshPairs.nonEmpty) {
-      val fresh = batch.filter(pairFilter(freshPairs.keys))
+      val fresh = HudiInterop.semiJoinPairs(batch, freshPairs.keys)
         .drop("__dir", "__bucket")
       entries ++= HudiInterop.stageSlices(fresh, path, recordKey, precombine,
         partitionBy, carryOver = None, instant, knownPairs = Some(freshPairs))
     }
     if (updatePairs.nonEmpty) {
-      val updates = batch.filter(pairFilter(updatePairs.keys))
+      val updates = HudiInterop.semiJoinPairs(batch, updatePairs.keys)
       val targets = updatePairs.map { case ((d, b), fid) =>
         (d, b) -> liveByKey((d, fid)) }
       entries ++= writeLogFiles(updates, path, recordKey, targets, instant,
@@ -520,6 +517,7 @@ object HudiMor {
       HudiInterop.writeStatsJson(entries, "UPSERT"))
     fs.delete(new Path(s"$path/$MetaDir/$instant.deltacommit.inflight"), false)
     fs.delete(new Path(s"$path/$MetaDir/$instant.deltacommit.requested"), false)
+    batch.unpersist()
     instant
   }
 
@@ -563,8 +561,7 @@ object HudiMor {
       return visible.toSeq.sorted.lastOption.getOrElse(
         throw new IllegalArgumentException(
           s"HudiMor.delete: no completed commits in $path"))
-    val filtered = batch.filter(
-      pairKeyCol.isin(targets.keys.map { case (d, b) => d + Sep + b }.toSeq: _*))
+    val filtered = HudiInterop.semiJoinPairs(batch, targets.keys)
     val instant = HudiInterop.nextInstant(allInstants(fs, path))
     HudiInterop.writeFile(fs,
       new Path(s"$path/$MetaDir/$instant.deltacommit.requested"), "")
@@ -607,16 +604,15 @@ object HudiMor {
       val v = existingLogs.getOrElse((d, s.fileId, s.instant), 0) + 1
       (d, b) -> s".${s.fileId}_${s.instant}.log.${v}_0-0-0"
     }
-    // (dir, bucket) -> log file name as a literal map so the stamp
-    // stays codegen'd
-    val logNameExpr = {
-      val mapping = logNameByPair.toSeq.flatMap { case ((d, b), nm) =>
-        Seq(lit(d + Sep + b), lit(nm)) }
-      map(mapping: _*)(pairKeyCol)
-    }
+    // stamp each row's target log file as an engine column ("__"-
+    // prefixed: never reaches the avro record): the EXECUTOR reads it
+    // back instead of capturing the (dir, bucket) -> name map in the
+    // closure, which at bucket-index scale would ship millions of
+    // entries per task
+    val withLog = HudiInterop.withPairColumn(batch, "__log", logNameByPair)
     val stamped =
-      if (!stampMeta) batch
-      else batch
+      if (!stampMeta) withLog
+      else withLog
         .withColumn("_hoodie_commit_time", lit(instant))
         .withColumn("_hoodie_commit_seqno",
           concat_ws("_", lit(instant), lit("0"),
@@ -624,7 +620,7 @@ object HudiMor {
               .cast("string")))
         .withColumn("_hoodie_record_key", HudiInterop.keyStringExpr(recordKey))
         .withColumn("_hoodie_partition_path", col("__dir"))
-        .withColumn("_hoodie_file_name", logNameExpr)
+        .withColumn("_hoodie_file_name", col("__log"))
     val dataCols = stamped.columns.filterNot(c => c.startsWith("__"))
     val recordSchema = StructType(stamped.schema.fields
       .filter(f => dataCols.contains(f.name)))
@@ -632,7 +628,6 @@ object HudiMor {
       if (stampMeta) avroSchemaJson(recordSchema) else ""
     val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val root = path
-    val names = logNameByPair.map { case ((d, b), nm) => (d + Sep + b) -> nm }
     val blockFor = logBlockFor
     val stampedSchema = recordSchema
     val chunk = logBlockChunkRecords
@@ -654,8 +649,9 @@ object HudiMor {
           val key = dir + "\u0001" + r.getAs[Int]("__bucket")
           if (key != curKey) {
             closeFile()
-            val name = names.getOrElse(key, throw new IllegalStateException(
-              s"HudiMor: no live file group resolved for '$key'"))
+            val name = Option(r.getAs[String]("__log")).getOrElse(
+              throw new IllegalStateException(
+                s"HudiMor: no live file group resolved for '$key'"))
             val dirPath = if (dir.isEmpty) new Path(root) else new Path(s"$root/$dir")
             // overwrite=true: a retried task rewrites the same (slice,
             // version) file idempotently; visibility is commit-gated
