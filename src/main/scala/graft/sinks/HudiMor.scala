@@ -464,6 +464,13 @@ object HudiMor {
       .withColumn("__dir", HudiInterop.hivePath(partitionBy))
       .withColumn("__bucket", HudiInterop.bucketExpr(recordKey, n))
       .persist()
+    try upsertPersisted(batch, fs, path, recordKey, precombine, partitionBy, n)
+    finally { batch.unpersist(); () }
+  }
+
+  private def upsertPersisted(batch: DataFrame,
+      fs: FileSystem, path: String, recordKey: String, precombine: String,
+      partitionBy: Seq[String], n: Int): String = {
     val visible = completed(fs, path, None)
     val liveBase = HudiInterop.slices(fs, path)
       .filter(s => visible.contains(s.instant))
@@ -517,7 +524,6 @@ object HudiMor {
       HudiInterop.writeStatsJson(entries, "UPSERT"))
     fs.delete(new Path(s"$path/$MetaDir/$instant.deltacommit.inflight"), false)
     fs.delete(new Path(s"$path/$MetaDir/$instant.deltacommit.requested"), false)
-    batch.unpersist()
     instant
   }
 
