@@ -113,6 +113,20 @@ object Roaring64 {
 
   /** `positions` must be sorted ascending, distinct, non-negative. */
   def serialize(positions: Array[Long]): Array[Byte] = {
+    val res = new java.io.ByteArrayOutputStream()
+    val head = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    head.putInt(MagicNumber)
+    res.write(head.array())
+    res.write(serializePortable(positions))
+    res.toByteArray
+  }
+
+  /** The spec's BARE 64-bit portable serialization — no magic prefix:
+    * u64 LE bucket count, then per bucket u32 LE high key + standard
+    * 32-bit serialization. What Iceberg v3 `deletion-vector-v1` puffin
+    * blobs carry (Delta's RoaringBitmapArray is this plus its magic).
+    */
+  def serializePortable(positions: Array[Long]): Array[Byte] = {
     var i = 1
     while (i < positions.length) {
       require(positions(i) > positions(i - 1), "positions must be sorted distinct")
@@ -122,8 +136,8 @@ object Roaring64 {
     // group by high 32 bits; each group serializes as one 32-bit bitmap
     val byHigh = positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
     val res = new java.io.ByteArrayOutputStream()
-    val head = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-    head.putInt(MagicNumber).putLong(byHigh.size.toLong)
+    val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    head.putLong(byHigh.size.toLong)
     res.write(head.array())
     byHigh.foreach { case (hk, vals) =>
       val kb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(hk)
@@ -177,6 +191,14 @@ object Roaring64 {
     val magic = bb.getInt()
     require(magic == MagicNumber,
       s"not a portable RoaringBitmapArray (magic $magic, want $MagicNumber)")
+    deserializeBuckets(bb)
+  }
+
+  /** [[serializePortable]]'s inverse — the bare (magic-less) layout. */
+  def deserializePortable(bytes: Array[Byte]): Array[Long] =
+    deserializeBuckets(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN))
+
+  private def deserializeBuckets(bb: ByteBuffer): Array[Long] = {
     val nBitmaps = bb.getLong()
     require(nBitmaps >= 0 && nBitmaps <= Int.MaxValue, s"bitmap count $nBitmaps")
     val out = Array.newBuilder[Long]
@@ -365,5 +387,62 @@ object DeletionVectors {
     require(pos.length == d.cardinality,
       s"DV cardinality ${pos.length} != descriptor ${d.cardinality}")
     pos
+  }
+}
+
+/** Iceberg v3 `deletion-vector-v1` PUFFIN blob codec (iceberg
+  * puffin-spec): the delete manifest entry carries the blob's
+  * (content_offset, content_size_in_bytes) inside a puffin file, so a
+  * reader never parses the puffin footer — it seeks straight to the
+  * blob:
+  * {{{
+  *   u32 big-endian  length of (magic + vector)
+  *   4 bytes         magic D1 D3 33 98
+  *   vector          bare 64-bit portable RoaringBitmap
+  *                   ([[Roaring64.serializePortable]])
+  *   u32 big-endian  CRC-32C of (magic + vector)
+  * }}}
+  */
+object IcebergDv {
+
+  val Magic: Array[Byte] = Array(0xD1, 0xD3, 0x33, 0x98).map(_.toByte)
+
+  /** Blob bytes for `positions` (sorted ascending distinct). */
+  def blobBytes(positions: Array[Long]): Array[Byte] = {
+    val vector = Roaring64.serializePortable(positions)
+    val body = Magic ++ vector
+    val crc = new java.util.zip.CRC32C(); crc.update(body)
+    val bb = java.nio.ByteBuffer.allocate(4 + body.length + 4)
+    bb.putInt(body.length)
+    bb.put(body)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Deleted row positions of one blob; structural mismatches refuse
+    * with the file named — a silently misread DV resurrects or kills
+    * the wrong rows.
+    */
+  def positions(fs: org.apache.hadoop.fs.FileSystem,
+      puffinPath: String, offset: Long, size: Long): Array[Long] = {
+    require(size >= 12 && size <= Int.MaxValue,
+      s"IcebergDv: implausible blob size $size in $puffinPath")
+    val blob = new Array[Byte](size.toInt)
+    val in = fs.open(new org.apache.hadoop.fs.Path(puffinPath))
+    try { in.seek(offset); in.readFully(blob) } finally in.close()
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    val len = bb.getInt()
+    require(len == size - 8,
+      s"IcebergDv: blob length $len inconsistent with content size $size " +
+        s"in $puffinPath")
+    val body = new Array[Byte](len)
+    bb.get(body)
+    require(java.util.Arrays.equals(body.take(4), Magic),
+      s"IcebergDv: bad deletion-vector-v1 magic in $puffinPath")
+    val stored = bb.getInt()
+    val crc = new java.util.zip.CRC32C(); crc.update(body)
+    require(stored == crc.getValue.toInt,
+      s"IcebergDv: CRC mismatch in $puffinPath at offset $offset")
+    Roaring64.deserializePortable(body.drop(4))
   }
 }

@@ -113,6 +113,15 @@ object IcebergInterop {
 
   private def schemaFromJson(v: JValue): StructType = StructType(
     (v \ "fields").extract[List[JValue]].map { f =>
+      // v3 default values: a field with a non-null initial-default must
+      // surface that value for files written before the column existed
+      // — returning null instead would be silently wrong, so refuse
+      (f \ "initial-default") match {
+        case JNothing | JNull => ()
+        case d => throw new IllegalArgumentException(
+          s"IcebergInterop: column ${(f \ "name").extract[String]} carries " +
+            s"a v3 initial-default ($d) this reader does not apply")
+      }
       StructField((f \ "name").extract[String],
         sparkType((f \ "type").extract[String]),
         nullable = !(f \ "required").extract[Boolean])
@@ -752,12 +761,26 @@ object IcebergInterop {
     * snapshots): builds the new `vN.metadata.json` + version hint,
     * refusing a concurrent writer's already-claimed version.
     */
+  /** v3 WRITE gate shared by every metadata publisher: reads serve v3
+    * (deletion vectors included), but a commit from this writer would
+    * skip v3's row-lineage assignment (first_row_id / next-row-id) and
+    * real v3 readers would see corrupt lineage — refuse by name.
+    */
+  private def requireWritableFormat(meta: JValue): Unit = {
+    val pf = (meta \ "format-version").extractOrElse[Int](1)
+    require(pf <= 2,
+      s"IcebergInterop: format-version $pf table — reads serve v3 " +
+        "(deletion vectors included); writes and maintenance would " +
+        "have to assign v3 row lineage, use the owning writer")
+  }
+
   private def publishMetadata(fs: FileSystem, path: String,
       prev: Option[(Int, JValue)], schema: StructType,
       partFields: Seq[StructField], props: Map[String, String],
       formatVersion: Int, newSeq: Long, snapshotId: Long, now: Long,
       listPath: String, operation: String,
       summaryExtra: Map[String, String] = Map.empty): Long = {
+    prev.foreach(p => requireWritableFormat(p._2))
     // schema lineage: an unchanged schema carries the prior `schemas`
     // list verbatim; a changed one (additive evolution, or overwrite's
     // schema replace) APPENDS under a fresh schema-id and points
@@ -969,8 +992,9 @@ object IcebergInterop {
       throw new IllegalArgumentException(
         s"not an Iceberg table (no metadata/version-hint.text): $path"))
     val meta = readMetadata(fs, path, version)
-    require((meta \ "format-version").extract[Int] <= 2,
-      "IcebergInterop: unknown format-version")
+    require((meta \ "format-version").extract[Int] <= 3,
+      "IcebergInterop: unknown format-version " +
+        (meta \ "format-version").extract[Int])
     val target = snapshotId.getOrElse((meta \ "current-snapshot-id").extract[Long])
     val snap = (meta \ "snapshots").extract[List[JValue]]
       .find(s => (s \ "snapshot-id").extract[Long] == target)
@@ -1016,16 +1040,40 @@ object IcebergInterop {
             case a: org.apache.avro.generic.GenericData.Array[_] =>
               a.asScala.toSeq.map(x => x.asInstanceOf[Number].intValue)
           }.getOrElse(Nil)
-          (d.get("file_path").toString, entrySeqOf(e, seq), content, eqIds)
+          def optField(name: String): Option[AnyRef] =
+            if (d.getSchema.getField(name) == null) None else Option(d.get(name))
+          val fmt = Option(d.get("file_format")).map(_.toString.toUpperCase)
+            .getOrElse("PARQUET")
+          // v3 deletion vectors: a PUFFIN "file" whose manifest entry
+          // points straight at the blob (referenced data file, content
+          // offset, content size) — no footer parse needed
+          val dv =
+            if (fmt != "PUFFIN") None
+            else Some((
+              optField("referenced_data_file").map(_.toString),
+              optField("content_offset").map(_.asInstanceOf[Number].longValue),
+              optField("content_size_in_bytes").map(_.asInstanceOf[Number].longValue)))
+          (d.get("file_path").toString, entrySeqOf(e, seq), content, eqIds, dv)
       }
     }
-    delEntries.foreach { case (p2, _, c, _) =>
+    delEntries.foreach { case (p2, _, c, _, dvOpt) =>
       require(c == 1 || c == 2,
         s"IcebergInterop: unknown delete-file content kind $c ($p2) — " +
           "refusing rather than resurrecting deleted rows")
+      dvOpt.foreach { case (ref, off, len) =>
+        require(c == 1, s"IcebergInterop: puffin delete $p2 with content kind $c")
+        require(ref.isDefined && off.isDefined && len.isDefined,
+          s"IcebergInterop: deletion vector $p2 is missing " +
+            "referenced_data_file/content_offset/content_size_in_bytes — " +
+            "refusing rather than scanning the puffin footer blind")
+      }
     }
-    val posDeletes = delEntries.collect { case (p2, q, 1, _) => (p2, q) }
-    val eqDeletes = delEntries.collect { case (p2, q, 2, ids) =>
+    val posDeletes = delEntries.collect {
+      case (p2, q, 1, _, None) => (p2, q) }
+    val dvDeletes = delEntries.collect {
+      case (p2, q, 1, _, Some((Some(ref), Some(off), Some(len)))) =>
+        (p2, q, ref, off, len) }
+    val eqDeletes = delEntries.collect { case (p2, q, 2, ids, _) =>
       require(ids.nonEmpty,
         s"IcebergInterop: equality delete $p2 lists no equality_ids")
       val idMap = fieldIdToName(meta)
@@ -1033,15 +1081,34 @@ object IcebergInterop {
         throw new IllegalArgumentException(
           s"IcebergInterop: equality delete $p2 references unknown field id $id"))))
     }
+    // decode DVs on EXECUTORS (one task per vector — distributes with
+    // the delete set, the same shape as Delta's DV read)
+    val dvDf =
+      if (dvDeletes.isEmpty) None
+      else {
+        import spark.implicits._
+        val sconf = new SerializableHadoopConf(
+          spark.sparkContext.hadoopConfiguration)
+        val tasks = dvDeletes.map { case (pp, q, ref, off, len) =>
+          (pp, q, ref, off, len) }
+        Some(spark.createDataset(tasks)
+          .repartition(math.min(tasks.size, 32))
+          .flatMap { case (pp, q, ref, off, len) =>
+            val fsx = new org.apache.hadoop.fs.Path(pp)
+              .getFileSystem(sconf.value)
+            IcebergDv.positions(fsx, pp, off, len)
+              .map(pos => (normPathStr(ref), pos, q))
+          }.toDF("__del_fp", "__del_pos", "__mseq"))
+      }
     val out =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema)
-      else if (posDeletes.isEmpty && eqDeletes.isEmpty)
+      else if (posDeletes.isEmpty && eqDeletes.isEmpty && dvDf.isEmpty)
         spark.read.schema(schema).parquet(files: _*)
       else applyRowDeletes(spark, schema, files,
         files.map(f => f -> seqByPath.getOrElse(f, 0L)).toMap,
-        posDeletes, eqDeletes)
+        posDeletes, eqDeletes, dvDf)
     where.map(out.filter).getOrElse(out)
   }
 
@@ -1081,7 +1148,8 @@ object IcebergInterop {
   private def applyRowDeletes(spark: SparkSession, schema: StructType,
       files: Seq[String], dataSeqByPath: Map[String, Long],
       posDeletes: Seq[(String, Long)],
-      eqDeletes: Seq[(String, Long, Seq[String])]): DataFrame = {
+      eqDeletes: Seq[(String, Long, Seq[String])],
+      dvDeletes: Option[DataFrame] = None): DataFrame = {
     val base = spark.read.schema(schema).parquet(files: _*)
       .withColumn("__fp", normalizedFilePath)
       .withColumn("__pos", col("_metadata.row_index"))
@@ -1090,14 +1158,17 @@ object IcebergInterop {
         org.apache.spark.sql.Row(normPathStr(p), q) }.asJava,
       StructType(Seq(StructField("__fp", StringType), StructField("__dseq", LongType))))
     val seqd = base.join(broadcast(seqDf), Seq("__fp"), "left")
+    // position deletes and v3 deletion vectors share one anti-join:
+    // both name (file, row ordinal, delete sequence) tuples
+    val posFrames = posDeletes.map { case (p, q) =>
+      spark.read.schema(DeleteFileSchema).parquet(p)
+        .select(normPathCol(col("file_path")).as("__del_fp"),
+          col("pos").as("__del_pos"), lit(q).as("__mseq"))
+    } ++ dvDeletes.toSeq
     val afterPos =
-      if (posDeletes.isEmpty) seqd
+      if (posFrames.isEmpty) seqd
       else {
-        val delDf = posDeletes.map { case (p, q) =>
-          spark.read.schema(DeleteFileSchema).parquet(p)
-            .select(normPathCol(col("file_path")).as("__del_fp"),
-              col("pos").as("__del_pos"), lit(q).as("__mseq"))
-        }.reduce(_ unionByName _)
+        val delDf = posFrames.reduce(_ unionByName _)
         seqd.join(broadcast(delDf),
           col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos") &&
             coalesce(col("__dseq"), lit(0L)) <= col("__mseq"),
@@ -1752,6 +1823,7 @@ object IcebergInterop {
       meta: JValue, snapshotId: Long, listPath: String,
       operation: String, dropSnapshotIds: Set[Long] = Set.empty,
       newSeq: Option[Long] = None): Int = {
+    requireWritableFormat(meta)
     val now = System.currentTimeMillis()
     val parent = (meta \ "current-snapshot-id").extract[Long]
     val snapshot = JObject(
@@ -2035,6 +2107,7 @@ object IcebergInterop {
     val version = currentVersion(fs, path).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $path"))
     val meta = readMetadata(fs, path, version)
+    requireWritableFormat(meta)
     // foreign metadata lists snapshots in ARBITRARY order (the foreign
     // fixture pins one out of order) — "last" means newest by sequence
     // then timestamp, never list position
@@ -2262,6 +2335,7 @@ object IcebergInterop {
     val version = currentVersion(fs, path).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $path"))
     val meta = readMetadata(fs, path, version)
+    requireWritableFormat(meta)
     val ids = (meta \ "snapshots").extractOrElse[List[JValue]](Nil)
       .map(s => (s \ "snapshot-id").extract[Long])
     require(ids.contains(snapshotId),
@@ -2424,6 +2498,7 @@ object IcebergInterop {
   private def commitRefsOnly(fs: FileSystem, path: String, version: Int,
       meta: JValue, newRefs: Map[String, (Long, String)],
       alsoCurrent: Option[Long]): Int = {
+    requireWritableFormat(meta)
     val now = System.currentTimeMillis()
     val hadRefs = (meta \ "refs") != JNothing
     val logEntry = alsoCurrent.map(id => JObject(

@@ -410,17 +410,185 @@ class IcebergForeignSpec extends SparkSpec {
     assert(e2.getMessage.contains("position-delete"), e2.getMessage)
   }
 
-  test("unknown format-version refuses loudly") {
+  test("unknown format-version refuses loudly (v3 reads serve since r9; v4 refuses)") {
     val root = Files.createTempDirectory("graft-ice-v9").toFile.getAbsolutePath
     Files.createDirectories(java.nio.file.Paths.get(s"$root/metadata"))
     Files.write(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
-      """{"format-version":3,"current-snapshot-id":-1,"schemas":[
+      """{"format-version":4,"current-snapshot-id":-1,"schemas":[
         {"type":"struct","schema-id":0,"fields":[]}],"snapshots":[]}"""
         .getBytes("UTF-8"))
     Files.write(java.nio.file.Paths.get(s"$root/metadata/version-hint.text"),
       "1".getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](IcebergInterop.read(spark, root))
     assert(e.getMessage.contains("format-version"), e.getMessage)
+  }
+
+  // ---- format-version 3 fixture: deletion vectors in puffin ----
+
+  /** v3 manifest-entry schema: the v2 shape plus the DV pointer fields
+    * (referenced_data_file 143, content_offset 144,
+    * content_size_in_bytes 145).
+    */
+  private val entrySchemaV3 = new Schema.Parser().parse(
+    entrySchema.toString(false).replace(
+      """{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}""",
+      """{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140},
+        {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
+        .replaceAll("\n\\s*", "")))
+
+  private def buildV3Table(): String = {
+    val root = Files.createTempDirectory("graft-ice-v3").toFile.getAbsolutePath
+    val f1 = plantParquet(root, "00000-0-v3-a.parquet",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+    val f2 = plantParquet(root, "00001-0-v3-b.parquet",
+      Seq((5L, 50.0), (6L, 60.0), (7L, 70.0), (8L, 80.0)))
+    def uri(f: java.io.File) = "file:" + f.getAbsolutePath
+
+    val m1 = s"$root/metadata/m-v3-data.avro"
+    val m1Len = writeAvro(m1, entrySchema,
+      Map("schema" -> "{}", "partition-spec" -> "[]",
+        "partition-spec-id" -> "0", "format-version" -> "3",
+        "content" -> "data"),
+      Seq(dataEntry(301L, uri(f1), 4L, f1.length(), 1L, 4L),
+        dataEntry(301L, uri(f2), 4L, f2.length(), 5L, 8L)))
+    writeAvro(s"$root/metadata/snap-301.avro", listSchema, Map.empty,
+      Seq(listEntry("file:" + m1, m1Len, content = 0, seq = 1L, 301L, 8L)))
+
+    // ONE puffin file, TWO deletion-vector-v1 blobs: f1 loses pos 0
+    // (id 1), f2 loses pos 1 (id 6). The reader never parses the
+    // container — the manifest entry carries (offset, size) directly —
+    // so the file is magic + blobs (+ trailing magic, structurally).
+    val blob1 = IcebergDv.blobBytes(Array(0L))
+    val blob2 = IcebergDv.blobBytes(Array(1L))
+    val puffin = new java.io.File(s"$root/data/00002-0-deletes.puffin")
+    puffin.getParentFile.mkdirs()
+    val out = new java.io.FileOutputStream(puffin)
+    try {
+      out.write("PFA1".getBytes("US-ASCII"))
+      out.write(blob1); out.write(blob2)
+      out.write("PFA1".getBytes("US-ASCII"))
+    } finally out.close()
+    val off1 = 4L
+    val off2 = 4L + blob1.length
+
+    def dvEntry(refFile: java.io.File, off: Long, size: Long): GenericRecord = {
+      val e = new GenericData.Record(entrySchemaV3)
+      e.put("status", 1); e.put("snapshot_id", 302L)
+      e.put("sequence_number", null); e.put("file_sequence_number", null)
+      val d = new GenericData.Record(entrySchemaV3.getField("data_file").schema())
+      d.put("content", 1) // POSITION_DELETES
+      d.put("file_path", uri(puffin))
+      d.put("file_format", "PUFFIN")
+      d.put("partition", new GenericData.Record(
+        entrySchemaV3.getField("data_file").schema().getField("partition").schema()))
+      d.put("record_count", 1L)
+      d.put("file_size_in_bytes", puffin.length())
+      d.put("referenced_data_file", uri(refFile))
+      d.put("content_offset", off)
+      d.put("content_size_in_bytes", size)
+      d.put("sort_order_id", null)
+      e.put("data_file", d); e
+    }
+    val m2 = s"$root/metadata/m-v3-dv.avro"
+    val m2Len = writeAvro(m2, entrySchemaV3,
+      Map("schema" -> "{}", "partition-spec" -> "[]",
+        "partition-spec-id" -> "0", "format-version" -> "3",
+        "content" -> "deletes"),
+      Seq(dvEntry(f1, off1, blob1.length.toLong),
+        dvEntry(f2, off2, blob2.length.toLong)))
+    writeAvro(s"$root/metadata/snap-302.avro", listSchema, Map.empty,
+      Seq(listEntry("file:" + m2, m2Len, content = 1, seq = 2L, 302L, 0L),
+        listEntry("file:" + m1, m1Len, content = 0, seq = 1L, 301L, 8L)))
+
+    val metaJson =
+      s"""{
+        "format-version": 3,
+        "table-uuid": "0f7cbd6e-0000-4000-8000-0000000000d3",
+        "location": "file:$root",
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000002000,
+        "last-column-id": 2,
+        "next-row-id": 8,
+        "current-schema-id": 0,
+        "schemas": [
+          {"type":"struct","schema-id":0,"fields":[
+            {"id":1,"name":"id","required":false,"type":"long"},
+            {"id":2,"name":"v","required":false,"type":"double"}]}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id":0,"fields":[]}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id":0,"fields":[]}],
+        "properties": {},
+        "current-snapshot-id": 302,
+        "snapshots": [
+          {"sequence-number":1,"snapshot-id":301,"timestamp-ms":1700000001000,
+           "first-row-id":0,
+           "summary":{"operation":"append"},
+           "manifest-list":"file:$root/metadata/snap-301.avro","schema-id":0},
+          {"sequence-number":2,"snapshot-id":302,"parent-snapshot-id":301,
+           "timestamp-ms":1700000002000,"first-row-id":8,
+           "summary":{"operation":"delete"},
+           "manifest-list":"file:$root/metadata/snap-302.avro","schema-id":0}
+        ],
+        "snapshot-log": [], "metadata-log": []
+      }"""
+    Files.write(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      metaJson.getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$root/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    root
+  }
+
+  test("format-version 3: deletion vectors in puffin apply on read; travel unaffected") {
+    val root = buildV3Table()
+    val got = IcebergInterop.read(spark, root).as[(Long, Double)].collect().toSet
+    assert(got == Set((2L, 20.0), (3L, 30.0), (4L, 40.0),
+      (5L, 50.0), (7L, 70.0), (8L, 80.0)), got.toString)
+    assert(IcebergInterop.read(spark, root, snapshotId = Some(301L)).count() == 8)
+    // pruning composes with the DV merge-on-read
+    val pruned = IcebergInterop.readWhere(spark, root, Some(col("id") <= 4))
+      .as[(Long, Double)].collect().toSet
+    assert(pruned == Set((2L, 20.0), (3L, 30.0), (4L, 40.0)), pruned.toString)
+  }
+
+  test("format-version 3: writes and maintenance refuse by name; corrupt DVs refuse") {
+    val root = buildV3Table()
+    val e = intercept[IllegalArgumentException](IcebergInterop.write(
+      Seq((9L, 90.0)).toDF("id", "v"), root))
+    assert(e.getMessage.contains("row lineage"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergInterop.expireSnapshots(spark, root, keepLast = 1))
+    assert(e2.getMessage.contains("row lineage") ||
+      e2.getMessage.contains("format-version"), e2.getMessage)
+    // a truncated blob (bad CRC / length) refuses with the file named
+    val puffin = new java.io.File(s"$root/data").listFiles()
+      .find(_.getName.endsWith(".puffin")).get
+    val bytes = Files.readAllBytes(puffin.toPath)
+    bytes(8) = (bytes(8) ^ 0x7f).toByte // corrupt inside the first vector
+    Files.write(puffin.toPath, bytes)
+    val e3 = intercept[Exception](IcebergInterop.read(spark, root).collect())
+    val msg = Option(e3.getMessage).getOrElse("") +
+      Option(e3.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("CRC") || msg.contains("IcebergDv") ||
+      msg.contains("roaring") || msg.contains("cookie"), s"$e3")
+  }
+
+  test("format-version 3: a v3 initial-default column refuses by name") {
+    val root = buildV3Table()
+    val metaPath = java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json")
+    val orig = new String(Files.readAllBytes(metaPath), "UTF-8")
+    val withDefault = orig.replace(
+      """{"id":2,"name":"v","required":false,"type":"double"}""",
+      """{"id":2,"name":"v","required":false,"type":"double",
+        "initial-default":1.5,"write-default":1.5}""".replaceAll("\n\\s*", ""))
+    assert(withDefault != orig, "fixture drifted")
+    Files.write(metaPath, withDefault.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](IcebergInterop.read(spark, root))
+    assert(e.getMessage.contains("initial-default"), e.getMessage)
   }
 
   /** Separate fixture: EQUALITY deletes (Flink CDC's delete shape) with
