@@ -27,9 +27,12 @@ import org.json4s.jackson.JsonMethods
   *
   * Core Hudi mechanics implemented (and spec-pinned):
   *  - file groups: N per partition dir, keys routed by
-  *    hash(record key) % N (`hoodie.bucket.index.num.buckets`, Hudi's
-  *    simple bucket index; N = 1 keeps the legacy one-group-per-dir
-  *    layout). Every commit adds a new file SLICE (same fileId, new
+  *    hash(record key) % N (`graft.hudi.num.file.groups` — a
+  *    graft-PRIVATE properties key: advertising Hudi's own
+  *    `hoodie.bucket.index.*` would make real bucket-index engines
+  *    parse bucket ids out of graft's fileIds and mis-route; foreign
+  *    engines ignore unknown keys. N = 1 keeps the legacy
+  *    one-group-per-dir layout). Every commit adds a new file SLICE (same fileId, new
   *    instant) and snapshot reads resolve the latest committed slice
   *    per group — so the upsert write cost is O(affected file groups),
   *    never a log scan, and a hot partition splits across N
@@ -145,7 +148,7 @@ object HudiInterop {
            |hoodie.populate.meta.fields=true
            |""".stripMargin +
           (if (createGroups > 1)
-            s"hoodie.bucket.index.num.buckets=$createGroups\n" else ""))
+            s"graft.hudi.num.file.groups=$createGroups\n" else ""))
     }
   }
 
@@ -297,7 +300,8 @@ object HudiInterop {
             case suf if n.endsWith(suf) &&
                 stemInstant(n.stripSuffix(suf)).isDefined =>
               (stemInstant(n.stripSuffix(suf)).get, suf.stripPrefix("."),
-                suf == ".commit" || suf == ".clean" || suf == ".restore")
+                suf == ".commit" || suf == ".deltacommit" ||
+                  suf == ".clean" || suf == ".restore")
           }
         }.toDF("instant", "state", "completed")
           .orderBy(col("instant"), col("state"))
@@ -498,13 +502,17 @@ object HudiInterop {
       .getBytes(StandardCharsets.UTF_8)).toString
 
   /** File groups per partition dir — Hudi's simple-bucket-index sizing
-    * key (`hoodie.bucket.index.num.buckets`). Absent means the legacy
+    * key (`graft.hudi.num.file.groups` — deliberately NOT Hudi's
+    * `hoodie.bucket.index.num.buckets`: graft's fileIds/hash don't
+    * follow the bucket-index conventions a real engine would read out
+    * of that key, and a REAL bucket-index table's key must not make
+    * graft route into foreign groups). Absent means the legacy
     * single-group layout. Fixed at table creation: key-hash routing is
     * only stable while N never changes, so later writes read it from
     * the properties file and ignore caller wishes.
     */
   private[sinks] def numFileGroups(fs: FileSystem, path: String): Int =
-    tableProps(fs, path).get("hoodie.bucket.index.num.buckets")
+    tableProps(fs, path).get("graft.hudi.num.file.groups")
       .map(_.trim.toInt).getOrElse(1)
 
   /** Deterministic fileId of bucket `b` in `dir` for an N-bucket table. */
@@ -513,14 +521,22 @@ object HudiInterop {
     else java.util.UUID.nameUUIDFromBytes(s"graft-hudi:$dir#$b"
       .getBytes(StandardCharsets.UTF_8)).toString
 
-  /** Write-routing bucket of a record: hash(record key) % N. Hashing
-    * the SAME `_hoodie_record_key` string every writer stamps keeps the
-    * assignment stable across upserts, deletes, and compaction rewrites
-    * — the invariant that makes a key live in exactly one file group.
+  /** Write-routing bucket of a key-string column: hash(key) % N. THE
+    * one spelling of the routing hash — upsert, delete, COW rewrite
+    * pruning, and compaction all route through it, because the
+    * stable-routing invariant (a key lives in exactly one file group
+    * forever) dies the moment two call sites hash differently.
+    */
+  private[sinks] def bucketOfKeyString(key: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column =
+    if (n == 1) lit(0)
+    else pmod(xxhash64(key), lit(n.toLong)).cast("int")
+
+  /** [[bucketOfKeyString]] over the `_hoodie_record_key` string the
+    * writers stamp — keyed on the SAME string every consumer sees.
     */
   private[sinks] def bucketExpr(recordKey: String, n: Int): org.apache.spark.sql.Column =
-    if (n == 1) lit(0)
-    else pmod(xxhash64(keyStringExpr(recordKey)), lit(n.toLong)).cast("int")
+    bucketOfKeyString(keyStringExpr(recordKey), n)
 
   /** Pair-routing scale guard: below this many (dir, bucket) pairs the
     * writers inline literal maps / isin lists (zero extra jobs); above
@@ -530,7 +546,7 @@ object HudiInterop {
     * batch), and a driver map captured in a task closure would ship the
     * same millions per task.
     */
-  private[sinks] val LiteralRoutingLimit = 1024
+  private[graft] var LiteralRoutingLimit = 1024 // var: test seam
 
   /** Keep only rows whose (__dir, __bucket) is in `pairs`. */
   private[sinks] def semiJoinPairs(df: DataFrame,
@@ -573,7 +589,7 @@ object HudiInterop {
       case Seq(one) => one
       case many => throw new IllegalArgumentException(
         s"HudiInterop: partition dir '$d' holds ${many.size} live file groups " +
-          "but the table declares no hoodie.bucket.index.num.buckets — this " +
+          "but the table declares no graft.hudi.num.file.groups — this " +
           "writer cannot route keys across a foreign multi-group layout " +
           "(reads serve it; write with the owning engine or compact there first)")
     } else {
@@ -655,9 +671,7 @@ object HudiInterop {
       .select(hivePath(partitionBy).as("__dir"), bucketExpr(recordKey, n).as("__b"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getInt(1)))
-    val existingBucket =
-      if (n == 1) lit(0)
-      else pmod(xxhash64(col("_hoodie_record_key")), lit(n.toLong)).cast("int")
+    val existingBucket = bucketOfKeyString(col("_hoodie_record_key"), n)
     val affected = semiJoinPairs(
       existing.withColumn("__dir", col("_hoodie_partition_path"))
         .withColumn("__bucket", existingBucket),
@@ -755,7 +769,7 @@ object HudiInterop {
     * (dir, fileId, relPath, bytes) entry per written slice file.
     *
     * Group assignment: bucket = hash(record key) % N
-    * (`hoodie.bucket.index.num.buckets`, Hudi's simple bucket index),
+    * (`graft.hudi.num.file.groups`, graft's bucket-index analog),
     * fileId deterministic per (dir, bucket) — so a hot partition splits
     * across N independently-rewritable slices instead of one unbounded
     * file, and updates route to their key's group without an index scan.
@@ -773,7 +787,6 @@ object HudiInterop {
     val fs = fsFor(spark, path)
     val n = numFileGroups(fs, path)
     val dirCol = hivePath(partitionBy)
-    val sep = "\u0001"
     // the (dir, bucket) -> fileId routing: reuse the caller's resolved
     // map when it already ran the distinct (a MOR upsert routes the
     // whole batch before splitting fresh/update) — the distinct+collect

@@ -38,12 +38,16 @@ import HudiLogFormat.{AvroDataBlock, CommandBlock, DeleteBlock, LogBlock}
   *    under a `.commit` instant (Hudi's compaction action); stale log
   *    files fall off because they bind to the superseded base instant.
   *  - N file groups per partition dir, keys routed hash(key) % N
-  *    (`hoodie.bucket.index.num.buckets`); one upsert batch — fresh
+  *    (`graft.hudi.num.file.groups`); one upsert batch — fresh
   *    bootstraps AND log appends — publishes under ONE atomic
   *    delta-commit instant.
   *  - log-ONLY file groups (foreign bucket/bloom-index writers that
-  *    insert straight to logs) are READ-served, latest-wins; writes and
-  *    compaction against them refuse by name.
+  *    insert straight to logs) are READ-served, latest-wins; upsert,
+  *    delete, and compaction against partitions holding them refuse by
+  *    name (a parallel bootstrap would lose the collapse and land
+  *    invisibly). 1.x (table version >= 8) MOR tables read base-only;
+  *    log-bearing ones refuse — 1.x binds log names to the delta
+  *    commit, not the base instant.
   *
   * Scale: the log scan distributes one task per file slice (cap sized
   * to the session's parallelism); only file groups holding incoming
@@ -266,6 +270,19 @@ object HudiMor {
   def read(spark: SparkSession, path: String,
       asOf: Option[String] = None): DataFrame = {
     val fs = fsFor(spark, path)
+    // Hudi 1.x names log files with the DELTA-COMMIT instant, not the
+    // base instant this reader's slice binding keys on — "serving"
+    // them would silently drop every log record (stale rows, no
+    // error). Base-only 1.x MOR tables read fine; log-bearing ones
+    // refuse by name.
+    if (HudiInterop.tableVersion(fs, path) >= 8) {
+      val logs1x = logFiles(fs, path)
+      require(logs1x.isEmpty,
+        s"HudiMor: table version >= 8 names log files by delta-commit " +
+          s"instant (${logs1x.head.rel}, …) — the 0.x base-instant " +
+          "binding would silently drop their records; use the owning " +
+          "1.x reader for log-bearing MOR tables")
+    }
     val visible = completed(fs, path, asOf)
     require(visible.nonEmpty, s"no completed commits in $path (asOf=$asOf)")
     val allSlices = HudiInterop.slices(fs, path)
@@ -277,8 +294,9 @@ object HudiMor {
     val baseGroups = bases.map(s => (s.dir, s.fileId)).toSet
     // groups with a committed base OUTSIDE this read's asOf scope:
     // bootstrapped later, invisible now, their logs skipped wholesale
+    val committedEver = completed(fs, path, None)
     val committedEverGroups = allSlices
-      .filter(s => completed(fs, path, None).contains(s.instant))
+      .filter(s => committedEver.contains(s.instant))
       .map(s => (s.dir, s.fileId)).toSet
     val logOnly = logsByGroup.keys.toSeq
       .filterNot(baseGroups.contains).filterNot(committedEverGroups.contains)
@@ -413,7 +431,7 @@ object HudiMor {
            |hoodie.populate.meta.fields=true
            |""".stripMargin +
           (if (createGroups > 1)
-            s"hoodie.bucket.index.num.buckets=$createGroups\n" else ""))
+            s"graft.hudi.num.file.groups=$createGroups\n" else ""))
     }
   }
 
@@ -441,7 +459,7 @@ object HudiMor {
     * ACROSS commits the later delta commit wins on read — Hudi's
     * default OverwriteWithLatestAvroPayload.
     *
-    * `numFileGroups` (Hudi's `hoodie.bucket.index.num.buckets`) takes
+    * `numFileGroups` (`graft.hudi.num.file.groups`) takes
     * effect at table CREATION only; keys route to groups by
     * hash(key) % N forever after, so a hot partition spreads its bases
     * and logs across N slices instead of one unbounded file.
@@ -485,6 +503,20 @@ object HudiMor {
       .map { case (d, b) => (d, b) -> HudiInterop.routeGroup(groupsByDir, n, d, b) }
       .toMap
     require(routed.nonEmpty, "HudiMor.upsert: empty batch")
+    // log-only groups (no committed base EVER) are READ-served but not
+    // writable: bootstrapping a parallel base group would LOSE the
+    // latest-wins collapse to the old log records (base rows rank
+    // below log rows), so the write would land invisibly. Refuse by
+    // name, matching compact.
+    val touchedDirs = routed.keySet.map(_._1)
+    val logOnlyTouched = logFiles(fs, path).groupBy(l => (l.dir, l.fileId))
+      .keys.filterNot(liveByKey.contains)
+      .filter(g => touchedDirs.contains(g._1)).toSeq
+    require(logOnlyTouched.isEmpty,
+      s"HudiMor.upsert: partition(s) " +
+        s"${logOnlyTouched.map(_._1).distinct.take(3).mkString(", ")} hold " +
+        s"log-only file group(s) ${logOnlyTouched.take(3).mkString(", ")} — " +
+        "writes into them need the owning writer (reads serve them)")
     val (updatePairs, freshPairs) = routed.partition {
       case ((d, _), fid) => liveByKey.contains((d, fid))
     }
@@ -555,9 +587,20 @@ object HudiMor {
       .withColumn("__bucket",
         if (n == 1) lit(0)
         else pmod(xxhash64(col("__key")), lit(n.toLong)).cast("int"))
-    val targets: Map[(String, Int), Slice] = batch
+    val batchPairs = batch
       .select(col("__dir"), col("__bucket")).distinct().collect()
       .map(r => (r.getString(0), r.getInt(1)))
+    val touchedDirs = batchPairs.map(_._1).toSet
+    val logOnlyTouched = logFiles(fs, path).groupBy(l => (l.dir, l.fileId))
+      .keys.filterNot(liveByKey.contains)
+      .filter(g => touchedDirs.contains(g._1)).toSeq
+    require(logOnlyTouched.isEmpty,
+      s"HudiMor.delete: partition(s) " +
+        s"${logOnlyTouched.map(_._1).distinct.take(3).mkString(", ")} hold " +
+        s"log-only file group(s) ${logOnlyTouched.take(3).mkString(", ")} — " +
+        "a delete here would silently no-op while reads keep serving " +
+        "the keys; use the owning writer")
+    val targets: Map[(String, Int), Slice] = batchPairs
       .flatMap { case (d, b) =>
         if (groupsByDir.getOrElse(d, Nil).isEmpty) None
         else liveByKey.get((d, HudiInterop.routeGroup(groupsByDir, n, d, b)))

@@ -369,6 +369,35 @@ class HudiMorSpec extends SparkSpec {
     (1L to 7L).foreach(i => assert(s(i) == i * 10.0, s"key $i: ${s.get(i)}"))
   }
 
+  test("broadcast-join routing (the >limit branch) writes and reads identically") {
+    // above LiteralRoutingLimit pairs the writers swap literal isin/map
+    // expressions for broadcast joins — force that branch small and pin
+    // the full upsert/update/delete/read cycle through it
+    val path = tmp("bigroute")
+    val old = graft.sinks.HudiInterop.LiteralRoutingLimit
+    graft.sinks.HudiInterop.LiteralRoutingLimit = 2
+    try {
+      val rows = (1L to 30L).map(i => (i, "a", i * 1.0, 100L))
+        .toDF("id", "cat", "v", "ts")
+      HudiMor.upsert(rows, path, "id", "ts", Seq("cat"), numFileGroups = 4)
+      HudiMor.upsert(Seq((1L, "a", 99.0, 900L), (2L, "a", 98.0, 900L),
+        (31L, "b", 31.0, 100L)).toDF("id", "cat", "v", "ts"),
+        path, "id", "ts", Seq("cat"))
+      HudiMor.delete(Seq((3L, "a")).toDF("id", "cat"), path, "id", Seq("cat"))
+      val s = snap(path)
+      assert(s(1L) == 99.0 && s(2L) == 98.0 && s(31L) == 31.0 &&
+        !s.contains(3L) && s(4L) == 4.0 && s.size == 30, s.toString)
+      // COW side through the same branch
+      val cow = tmp("bigroute-cow")
+      HudiInterop.insert(rows, cow, "id", "ts", Seq("cat"), numFileGroups = 4)
+      HudiInterop.upsert(Seq((5L, "a", 55.0, 900L)).toDF("id", "cat", "v", "ts"),
+        cow, "id", "ts", Seq("cat"))
+      val c = HudiInterop.read(spark, cow).select(col("id"), col("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(c(5L) == 55.0 && c(6L) == 6.0 && c.size == 30, c.toString)
+    } finally graft.sinks.HudiInterop.LiteralRoutingLimit = old
+  }
+
   test("mixed fresh+existing upsert publishes ONE atomic delta commit") {
     val path = tmp("atomic")
     HudiMor.upsert(sample, path, "id", "ts", Seq("cat")) // cats a, b
