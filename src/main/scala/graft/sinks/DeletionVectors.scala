@@ -397,21 +397,25 @@ object DeletionVectors {
   * blob:
   * {{{
   *   u32 big-endian  length of (magic + vector)
-  *   4 bytes         magic D1 D3 33 98
+  *   4 bytes         magic D1 D3 39 64
   *   vector          bare 64-bit portable RoaringBitmap
   *                   ([[Roaring64.serializePortable]])
-  *   u32 big-endian  CRC-32C of (magic + vector)
+  *   u32 big-endian  CRC-32 of (magic + vector)
   * }}}
+  * The magic is the little-endian byte spelling of Delta's
+  * RoaringBitmapArray magic 1681511377 ([[Roaring64.MagicNumber]]) —
+  * Iceberg v3 adopted Delta's vector format wholesale — and the
+  * checksum is plain CRC-32 (java.util.zip.CRC32), not CRC-32C.
   */
 object IcebergDv {
 
-  val Magic: Array[Byte] = Array(0xD1, 0xD3, 0x33, 0x98).map(_.toByte)
+  val Magic: Array[Byte] = Array(0xD1, 0xD3, 0x39, 0x64).map(_.toByte)
 
   /** Blob bytes for `positions` (sorted ascending distinct). */
   def blobBytes(positions: Array[Long]): Array[Byte] = {
     val vector = Roaring64.serializePortable(positions)
     val body = Magic ++ vector
-    val crc = new java.util.zip.CRC32C(); crc.update(body)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
     val bb = java.nio.ByteBuffer.allocate(4 + body.length + 4)
     bb.putInt(body.length)
     bb.put(body)
@@ -440,7 +444,7 @@ object IcebergDv {
     require(java.util.Arrays.equals(body.take(4), Magic),
       s"IcebergDv: bad deletion-vector-v1 magic in $puffinPath")
     val stored = bb.getInt()
-    val crc = new java.util.zip.CRC32C(); crc.update(body)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
     require(stored == crc.getValue.toInt,
       s"IcebergDv: CRC mismatch in $puffinPath at offset $offset")
     Roaring64.deserializePortable(body.drop(4))

@@ -88,11 +88,18 @@ object HudiInterop {
   }
 
   /** Where this table keeps its timeline: `.hoodie/` (table version
-    * <= 7) or `.hoodie/timeline/` (version >= 8 — the 1.x layout).
+    * <= 7) or `.hoodie/<hoodie.timeline.path>/` (version >= 8 — the
+    * 1.x layout; the property defaults to `timeline` but real 1.x
+    * writers may relocate it, and ignoring it would read a populated
+    * table as "no commits" — the silent miss the version gate exists
+    * to prevent).
     */
   private[sinks] def timelineDir(fs: FileSystem, path: String): Path =
-    if (tableVersion(fs, path) >= 8) new Path(s"$path/$MetaDir/timeline")
-    else new Path(s"$path/$MetaDir")
+    if (tableVersion(fs, path) >= 8) {
+      val rel = tableProps(fs, path)
+        .getOrElse("hoodie.timeline.path", "timeline").trim
+      new Path(s"$path/$MetaDir/$rel")
+    } else new Path(s"$path/$MetaDir")
 
   /** Instants completed (or transitioning) under `suffix`, across BOTH
     * timeline layouts. The 1.x layout names a COMPLETED instant

@@ -66,6 +66,9 @@ object HudiLogFormat {
   val DeleteBlock = 1
   val CorruptBlock = 2
   val AvroDataBlock = 3
+  val HFileDataBlock = 4
+  val ParquetDataBlock = 5
+  val CdcDataBlock = 6
 
   // HeaderMetadataType ordinals
   val InstantTime = 0
@@ -133,7 +136,20 @@ object HudiLogFormat {
     * commit-gated visibility makes that unreachable for own tables,
     * and for foreign debris refusing is safer than guessing).
     */
-  def readBlocks(fs: FileSystem, file: Path): Seq[LogBlock] = {
+  def readBlocks(fs: FileSystem, file: Path): Seq[LogBlock] =
+    parseBlocks(fs, file, withContent = true)
+
+  /** Header-only pass: every block's (type, header map) with the
+    * content bytes SKIPPED, not materialized — the driver uses it for
+    * schema discovery (the SCHEMA header) without streaming data
+    * through the driver heap.
+    */
+  def readBlockHeaders(fs: FileSystem, file: Path): Seq[(Int, Map[Int, String])] =
+    parseBlocks(fs, file, withContent = false)
+      .map(b => (b.blockType, b.header))
+
+  private def parseBlocks(fs: FileSystem, file: Path,
+      withContent: Boolean): Seq[LogBlock] = {
     val len = fs.getFileStatus(file).getLen
     val in = new DataInputStream(new java.io.BufferedInputStream(fs.open(file), 1 << 16))
     try {
@@ -156,8 +172,20 @@ object HudiLogFormat {
         val contentLen = in.readLong()
         require(contentLen >= 0 && contentLen <= len,
           s"HudiLogFormat: implausible content length $contentLen in $file")
-        val content = new Array[Byte](contentLen.toInt)
-        in.readFully(content)
+        val content =
+          if (withContent) {
+            val c = new Array[Byte](contentLen.toInt)
+            in.readFully(c)
+            c
+          } else {
+            var toSkip = contentLen
+            while (toSkip > 0) {
+              val n = in.skip(toSkip)
+              if (n <= 0) throw new EOFException(s"skip stalled in $file")
+              toSkip -= n
+            }
+            Array.empty[Byte]
+          }
         val footer = readMeta(in)
         val totalLen = in.readLong()
         val bodyLen = 4 + 4 + metaLen(header) + 8 + contentLen + metaLen(footer)

@@ -45,9 +45,14 @@ import HudiLogFormat.{AvroDataBlock, CommandBlock, DeleteBlock, LogBlock}
   *    insert straight to logs) are READ-served, latest-wins; upsert,
   *    delete, and compaction against partitions holding them refuse by
   *    name (a parallel bootstrap would lose the collapse and land
-  *    invisibly). 1.x (table version >= 8) MOR tables read base-only;
-  *    log-bearing ones refuse — 1.x binds log names to the delta
-  *    commit, not the base instant.
+  *    invisibly).
+  *  - 1.x (table version >= 8) MOR tables are READ-served under the
+  *    1.x binding rule: the instant in a log file's name is the DELTA
+  *    COMMIT that wrote it (not the base instant), so logs bind to the
+  *    file group by fileId, become visible when that delta commit
+  *    completes, and fall off once a later-instant base slice compacts
+  *    them in. Writes and maintenance refuse 1.x by name
+  *    ([[HudiInterop.requireV6Timeline]]).
   *
   * Scale: the log scan distributes one task per file slice (cap sized
   * to the session's parallelism); only file groups holding incoming
@@ -57,10 +62,17 @@ import HudiLogFormat.{AvroDataBlock, CommandBlock, DeleteBlock, LogBlock}
   */
 object HudiMor {
 
-  /** Hidden log-file name: `.<fileId>_<baseInstant>.log.<version>_<token>`. */
+  /** Hidden log-file name: `.<fileId>_<instant>.log.<version>_<token>`.
+    * The instant token is the BASE instant the log amends on 0.x
+    * tables, and the DELTA-COMMIT instant that wrote the log on 1.x
+    * (table version >= 8) tables — [[read]] binds accordingly.
+    */
   private val LogName =
     "^\\.([0-9a-f-]{36}(?:-\\d+)?)_(\\d{14}(?:\\d{3})?)\\.log\\.(\\d+)_(.+)$".r
 
+  /** `baseInstant` carries the name's instant token verbatim — base
+    * instant on 0.x, delta-commit instant on 1.x.
+    */
   private final case class LogFile(dir: String, fileId: String,
       baseInstant: String, version: Int, rel: String)
 
@@ -190,22 +202,115 @@ object HudiMor {
     })
   }
 
-  /** Table schema of a base-less (pure log-only) table: the SCHEMA
-    * header of the first visible avro block. Driver-side, one small
-    * sequential read — only reachable when no base parquet exists.
+  // ---- parquet data blocks ----
+
+  /** In-memory [[org.apache.parquet.io.InputFile]] over a PARQUET_DATA
+    * block's content bytes (the content IS a complete parquet file —
+    * `HoodieParquetDataBlock` streams a parquet writer into the block).
     */
-  private def schemaFromLogs(fs: FileSystem, path: String,
-      tasks: Seq[(String, Seq[String])], visible: Set[String]): StructType = {
-    val it = tasks.iterator.flatMap(_._2).flatMap { rel =>
-      HudiLogFormat.readBlocks(fs, new Path(s"$path/$rel")).iterator
-        .filter(b => b.blockType == AvroDataBlock &&
-          visible.contains(b.header.getOrElse(HudiLogFormat.InstantTime, "")))
-        .flatMap(b => b.header.get(HudiLogFormat.SchemaKey))
-    }
-    if (it.hasNext) sparkSchemaFromAvroJson(it.next())
-    else throw new IllegalArgumentException(
-      s"HudiMor: $path has no base parquet and no visible avro log " +
-        "block to derive a schema from")
+  private final class BytesInputFile(bytes: Array[Byte])
+      extends org.apache.parquet.io.InputFile {
+    override def getLength: Long = bytes.length.toLong
+    override def newStream(): org.apache.parquet.io.SeekableInputStream =
+      new org.apache.parquet.io.SeekableInputStream {
+        private val bb = java.nio.ByteBuffer.wrap(bytes)
+        override def getPos: Long = bb.position().toLong
+        override def seek(pos: Long): Unit = bb.position(pos.toInt)
+        override def read(): Int = if (!bb.hasRemaining) -1 else bb.get() & 0xff
+        override def read(b: Array[Byte], off: Int, len: Int): Int =
+          if (!bb.hasRemaining) -1
+          else { val n = math.min(len, bb.remaining()); bb.get(b, off, n); n }
+        override def readFully(b: Array[Byte]): Unit = readFully(b, 0, b.length)
+        override def readFully(b: Array[Byte], off: Int, len: Int): Unit = {
+          require(bb.remaining() >= len, "parquet block content EOF")
+          bb.get(b, off, len)
+        }
+        override def read(buf: java.nio.ByteBuffer): Int =
+          if (!bb.hasRemaining) -1
+          else {
+            val n = math.min(buf.remaining(), bb.remaining())
+            val s = bb.slice(); s.limit(n); buf.put(s)
+            bb.position(bb.position() + n); n
+          }
+        override def readFully(buf: java.nio.ByteBuffer): Unit = {
+          val n = buf.remaining()
+          require(bb.remaining() >= n, "parquet block content EOF")
+          val s = bb.slice(); s.limit(n); buf.put(s)
+          bb.position(bb.position() + n)
+        }
+        override def close(): Unit = ()
+      }
+  }
+
+  /** Decode one PARQUET_DATA block's rows onto the table schema —
+    * parquet-hadoop's Group reader over the in-memory file, no Hudi
+    * jar (spec: the block content is a self-contained parquet file;
+    * same machinery class as base-slice reads, but per-block).
+    * Columns match BY NAME: table columns absent from the block read
+    * null; block columns absent from the table schema refuse (declare
+    * them through the SCHEMA header — [[read]]'s additive-evolution
+    * scan — instead of silently dropping data). INT96 timestamps
+    * refuse by name.
+    */
+  private def parquetBlockRows(content: Array[Byte], schema: StructType,
+      conf: org.apache.hadoop.conf.Configuration,
+      rel: String): Seq[Array[Any]] = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      new BytesInputFile(content),
+      org.apache.parquet.HadoopReadOptions.builder(conf).build())
+    try {
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      val fileFields = fileSchema.getFields.asScala.map(_.getName).toSet
+      val unknown = fileFields -- schema.fieldNames.toSet
+      require(unknown.isEmpty,
+        s"HudiMor: parquet log block in $rel carries column(s) " +
+          s"${unknown.take(3).mkString(", ")} absent from the table " +
+          "schema — log-side schema evolution is declared through the " +
+          "block SCHEMA header, not inferred from parquet footers")
+      def readField(g: org.apache.parquet.example.data.Group,
+          f: StructField): Any = f.dataType match {
+        case StringType => g.getString(f.name, 0)
+        case IntegerType => g.getInteger(f.name, 0)
+        case LongType => g.getLong(f.name, 0)
+        case FloatType => g.getFloat(f.name, 0)
+        case DoubleType => g.getDouble(f.name, 0)
+        case BooleanType => g.getBoolean(f.name, 0)
+        case DateType => java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(g.getInteger(f.name, 0).toLong))
+        case TimestampType =>
+          val prim = fileSchema.getType(fileSchema.getFieldIndex(f.name))
+            .asPrimitiveType().getPrimitiveTypeName.name()
+          require(prim == "INT64",
+            s"HudiMor: $prim timestamp in parquet log block $rel — only " +
+              "INT64 micros are served (INT96 refuses by name)")
+          fromAvro(java.lang.Long.valueOf(g.getLong(f.name, 0)), TimestampType)
+        case TimestampNTZType =>
+          fromAvro(java.lang.Long.valueOf(g.getLong(f.name, 0)), TimestampNTZType)
+        case other => throw new IllegalArgumentException(
+          s"HudiMor: column type ${other.catalogString} has no parquet " +
+            s"log-block decoding here ($rel)")
+      }
+      val io = new org.apache.parquet.io.ColumnIOFactory().getColumnIO(fileSchema)
+      val out = scala.collection.mutable.ArrayBuffer[Array[Any]]()
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val rr = io.getRecordReader(pages,
+          new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(fileSchema))
+        var i = 0L
+        while (i < pages.getRowCount) {
+          val g = rr.read()
+          out += schema.fields.map { f =>
+            if (!fileFields.contains(f.name) ||
+              g.getFieldRepetitionCount(f.name) == 0) null
+            else readField(g, f)
+          }
+          i += 1
+        }
+        pages = reader.readNextRowGroup()
+      }
+      out.toSeq
+    } finally reader.close()
   }
 
   /** Live file inventory shared by planner stats and the `files`
@@ -216,6 +321,7 @@ object HudiMor {
   private def liveFiles(spark: SparkSession,
       path: String): (Seq[Slice], Seq[LogFile]) = {
     val fs = fsFor(spark, path)
+    val is1x = HudiInterop.tableVersion(fs, path) >= 8
     val visible = completed(fs, path, None)
     val bases = HudiInterop.slices(fs, path)
       .filter(s => visible.contains(s.instant))
@@ -224,7 +330,10 @@ object HudiMor {
     val baseKeys = bases.map(s => ((s.dir, s.fileId), s.instant)).toMap
     val logs = logFiles(fs, path).filter { l =>
       baseKeys.get((l.dir, l.fileId)) match {
-        case Some(live) => live == l.baseInstant // bound to the live base
+        case Some(live) if is1x => // 1.x: visible delta commit after the base
+          visible.contains(l.baseInstant) && l.baseInstant > live
+        case Some(live) => live == l.baseInstant // 0.x: bound to the live base
+        case None if is1x => visible.contains(l.baseInstant) // log-only phase
         case None => true // log-only group
       }
     }
@@ -270,19 +379,14 @@ object HudiMor {
   def read(spark: SparkSession, path: String,
       asOf: Option[String] = None): DataFrame = {
     val fs = fsFor(spark, path)
-    // Hudi 1.x names log files with the DELTA-COMMIT instant, not the
-    // base instant this reader's slice binding keys on — "serving"
-    // them would silently drop every log record (stale rows, no
-    // error). Base-only 1.x MOR tables read fine; log-bearing ones
-    // refuse by name.
-    if (HudiInterop.tableVersion(fs, path) >= 8) {
-      val logs1x = logFiles(fs, path)
-      require(logs1x.isEmpty,
-        s"HudiMor: table version >= 8 names log files by delta-commit " +
-          s"instant (${logs1x.head.rel}, …) — the 0.x base-instant " +
-          "binding would silently drop their records; use the owning " +
-          "1.x reader for log-bearing MOR tables")
-    }
+    // Hudi 1.x (table version >= 8) names log files with the
+    // DELTA-COMMIT instant that wrote them, not the base instant 0.x
+    // binds on: a log binds to its file group by fileId alone, is
+    // visible when its name-instant's delta commit completed (which
+    // also scopes asOf), and is superseded once a base slice with a
+    // LATER instant compacts it in. 0.x keeps the base-instant-exact
+    // binding.
+    val is1x = HudiInterop.tableVersion(fs, path) >= 8
     val visible = completed(fs, path, asOf)
     require(visible.nonEmpty, s"no completed commits in $path (asOf=$asOf)")
     val allSlices = HudiInterop.slices(fs, path)
@@ -292,33 +396,81 @@ object HudiMor {
       .map { case (_, ss) => ss.maxBy(_.instant) }.toSeq
     val logsByGroup = logFiles(fs, path).groupBy(l => (l.dir, l.fileId))
     val baseGroups = bases.map(s => (s.dir, s.fileId)).toSet
-    // groups with a committed base OUTSIDE this read's asOf scope:
-    // bootstrapped later, invisible now, their logs skipped wholesale
+    // groups with no base VISIBLE at this asOf: under 1.x the visible
+    // logs are the group's data (the log-only phase before its first
+    // compaction); under 0.x a log binding to an asOf-invisible FUTURE
+    // base is skipped wholesale (it names the base it amends), and
+    // only never-committed groups serve log-only.
     val committedEver = completed(fs, path, None)
     val committedEverGroups = allSlices
       .filter(s => committedEver.contains(s.instant))
       .map(s => (s.dir, s.fileId)).toSet
     val logOnly = logsByGroup.keys.toSeq
-      .filterNot(baseGroups.contains).filterNot(committedEverGroups.contains)
+      .filterNot(baseGroups.contains)
+      .filterNot(g => !is1x && committedEverGroups.contains(g))
       .sorted
     val baseDf =
       if (bases.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true")
         .parquet(bases.map(s => s"$path/${s.rel}"): _*))
+    def boundLogs(logs: Seq[LogFile], liveBase: Option[String]): Seq[LogFile] =
+      if (is1x)
+        logs.filter(l => visible.contains(l.baseInstant) &&
+            liveBase.forall(l.baseInstant > _))
+          .sortBy(l => (l.baseInstant, l.version))
+      else liveBase match {
+        case Some(b) => logs.filter(_.baseInstant == b).sortBy(_.version)
+        case None => logs.sortBy(l => (l.baseInstant, l.version))
+      }
     // tasks: (partition dir, ordered log files of one file group)
     val baseTasks: Seq[(String, Seq[String])] = bases.map { s =>
-      val logs = logsByGroup.getOrElse((s.dir, s.fileId), Nil)
-        .filter(_.baseInstant == s.instant).sortBy(_.version)
+      val logs = boundLogs(logsByGroup.getOrElse((s.dir, s.fileId), Nil),
+        Some(s.instant))
       (s.dir, logs.map(_.rel))
     }.filter(_._2.nonEmpty)
     val logOnlyTasks: Seq[(String, Seq[String])] = logOnly.map { g =>
-      (g._1, logsByGroup(g).sortBy(l => (l.baseInstant, l.version)).map(_.rel))
-    }
+      (g._1, boundLogs(logsByGroup(g), None).map(_.rel))
+    }.filter(_._2.nonEmpty)
     val tasks = baseTasks ++ logOnlyTasks
-    val schema = baseDf.map(_.schema).getOrElse(
-      schemaFromLogs(fs, path, logOnlyTasks, visible))
     if (tasks.isEmpty) return baseDf.getOrElse(throw new IllegalArgumentException(
       s"HudiMor: no live base slices or log files in $path (asOf=$asOf)"))
+    // ---- log-side schema resolution (additive evolution) ----
+    // One HEADER-ONLY driver scan over the bound log files collects the
+    // SCHEMA headers of visible data blocks (content bytes skipped —
+    // metadata-scale IO, same class as the file listing; real Hudi
+    // resolves the table schema from commit metadata instead, which
+    // foreign fixtures need not carry). Block columns BEYOND the base
+    // schema are served additively — appended to the read schema, old
+    // rows null — exactly the rule [[VersionedTable]]/Iceberg apply;
+    // a TYPE-changing declaration refuses by name.
+    val declaredJsons: Seq[String] = tasks.flatMap(_._2).flatMap { rel =>
+      HudiLogFormat.readBlockHeaders(fs, new Path(s"$path/$rel")).collect {
+        case (bt, h) if (bt == AvroDataBlock ||
+            bt == HudiLogFormat.ParquetDataBlock) &&
+            visible.contains(h.getOrElse(HudiLogFormat.InstantTime, "")) =>
+          h.get(HudiLogFormat.SchemaKey)
+      }.flatten
+    }.distinct
+    val baseSchema = baseDf.map(_.schema).getOrElse {
+      if (declaredJsons.isEmpty) throw new IllegalArgumentException(
+        s"HudiMor: $path has no base parquet and no visible data log " +
+          "block to derive a schema from")
+      sparkSchemaFromAvroJson(declaredJsons.head)
+    }
+    var extraFields = Vector.empty[StructField]
+    declaredJsons.foreach { js =>
+      sparkSchemaFromAvroJson(js).fields.foreach { f =>
+        (baseSchema.fields ++ extraFields).find(_.name == f.name) match {
+          case Some(existing) => require(existing.dataType == f.dataType,
+            s"HudiMor: log block declares column ${f.name} as " +
+              s"${f.dataType.catalogString} but the table reads it as " +
+              s"${existing.dataType.catalogString} — type-changing " +
+              "log-side schema evolution is not served (additive-only)")
+          case None => extraFields :+= f
+        }
+      }
+    }
+    val schema = StructType(baseSchema.fields ++ extraFields)
 
     val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val root = path
@@ -379,22 +531,32 @@ object HudiMor {
               }
               Row.fromSeq(vals.toIndexedSeq :+ seq.toLong :+ true)
             }
+          case ((b, rel), seq) if b.blockType == HudiLogFormat.ParquetDataBlock &&
+              liveInstant(b) =>
+            parquetBlockRows(b.content, schemaB, sconf.value, rel).map { vals =>
+              Row.fromSeq(vals.toIndexedSeq :+ seq.toLong :+ false)
+            }
           case ((b, _), _) if !liveInstant(b) &&
-              (b.blockType == AvroDataBlock || b.blockType == DeleteBlock) => Nil
+              (b.blockType == AvroDataBlock || b.blockType == DeleteBlock ||
+                b.blockType == HudiLogFormat.ParquetDataBlock) => Nil
           case ((b, rel), _) => throw new IllegalArgumentException(
             s"HudiMor: unsupported log block type ${b.blockType} in $rel — " +
-              "only avro-data (3), delete (1), and command (0) blocks are " +
-              "served; hfile/parquet/cdc data blocks refuse rather than " +
-              "resurrect overwritten rows")
+              "only avro-data (3), parquet-data (5), delete (1), and " +
+              "command (0) blocks are served; hfile/cdc data blocks " +
+              "refuse rather than resurrect overwritten rows")
         }
       }
     val logSchema = StructType(schema.fields :+
       StructField("__seq", LongType) :+ StructField("__del", BooleanType))
     val logDf = spark.createDataFrame(logRows, logSchema)
     val unioned = baseDf match {
-      case Some(b) => b
-        .withColumn("__seq", lit(-1L)).withColumn("__del", lit(false))
-        .unionByName(logDf)
+      case Some(b) =>
+        // additively-evolved columns read null for pre-evolution rows
+        extraFields.foldLeft(b) { (d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+          .withColumn("__seq", lit(-1L)).withColumn("__del", lit(false))
+          .unionByName(logDf)
       case None => logDf // pure log-only table (bucket-index writers)
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -449,6 +611,31 @@ object HudiMor {
     */
   private[graft] var logBlockChunkRecords: Int = 100000
 
+  /** Hard ceiling on the driver-side (dir, bucket) routing map the MOR
+    * writers collect: every touched pair becomes one driver tuple plus
+    * one resolved log/base target, so an unpruned write across 10k
+    * partition dirs x 256 buckets would materialize 2.6M driver tuples
+    * before the first task launches. Past the ceiling the write fails
+    * loudly AT PLAN TIME and names the pruning knobs — the same
+    * metadata-scale contract as [[graft.operators.Dedup.EmbedAuditMaxRows]].
+    * Test seam (var).
+    */
+  private[graft] var MaxRoutedPairs: Int = 200000
+
+  private def collectRoutedPairs(batch: DataFrame,
+      what: String): Array[(String, Int)] = {
+    val rows = batch.select(col("__dir"), col("__bucket")).distinct()
+      .limit(MaxRoutedPairs + 1).collect()
+    require(rows.length <= MaxRoutedPairs,
+      s"HudiMor.$what: the batch touches more than $MaxRoutedPairs " +
+        "(partition dir, bucket) file-group pairs — the driver routing " +
+        "map is sized by touched pairs, not by data volume. Split the " +
+        "batch by partition (filter on the partition columns) or create " +
+        "the table with fewer graft.hudi.num.file.groups; the ceiling is " +
+        "HudiMor.MaxRoutedPairs")
+    rows.map(r => (r.getString(0), r.getInt(1)))
+  }
+
   /** Keyed MOR upsert under ONE atomic delta commit: rows for
     * (dir, bucket) file groups WITHOUT a live base slice bootstrap base
     * slices, rows for live groups append avro log blocks, and both
@@ -497,9 +684,7 @@ object HudiMor {
     val liveByKey = liveBase.map(s => (s.dir, s.fileId) -> s).toMap
     val groupsByDir = liveBase.groupBy(_.dir)
       .map { case (d, ss) => d -> ss.map(_.fileId).distinct }
-    val routed: Map[(String, Int), String] = batch
-      .select(col("__dir"), col("__bucket")).distinct().collect()
-      .map(r => (r.getString(0), r.getInt(1)))
+    val routed: Map[(String, Int), String] = collectRoutedPairs(batch, "upsert")
       .map { case (d, b) => (d, b) -> HudiInterop.routeGroup(groupsByDir, n, d, b) }
       .toMap
     require(routed.nonEmpty, "HudiMor.upsert: empty batch")
@@ -584,12 +769,8 @@ object HudiMor {
       .withColumn("__dir", HudiInterop.hivePath(partitionBy))
       .withColumn("__key", HudiInterop.keyStringExpr(recordKey))
       .select(col("__dir"), col("__key")).distinct()
-      .withColumn("__bucket",
-        if (n == 1) lit(0)
-        else pmod(xxhash64(col("__key")), lit(n.toLong)).cast("int"))
-    val batchPairs = batch
-      .select(col("__dir"), col("__bucket")).distinct().collect()
-      .map(r => (r.getString(0), r.getInt(1)))
+      .withColumn("__bucket", HudiInterop.bucketOfKeyString(col("__key"), n))
+    val batchPairs = collectRoutedPairs(batch, "delete")
     val touchedDirs = batchPairs.map(_._1).toSet
     val logOnlyTouched = logFiles(fs, path).groupBy(l => (l.dir, l.fileId))
       .keys.filterNot(liveByKey.contains)

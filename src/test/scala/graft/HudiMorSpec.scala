@@ -453,7 +453,7 @@ class HudiMorSpec extends SparkSpec {
     assert(snap(path) == Map(1L -> 1.0, 2L -> 9.0))
   }
 
-  test("log-side schema evolution refuses by name") {
+  test("log-side ADDITIVE schema evolution serves: new column appended, old rows null") {
     val path = tmp("evolve")
     HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
     val f = fs(path)
@@ -461,14 +461,20 @@ class HudiMorSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).head
     val Array(fileId, _, instantExt) = base.split("_")
     val baseInstant = instantExt.stripSuffix(".parquet")
-    // a block whose schema carries a column the base never saw
+    // a block whose schema carries a column the base never saw — since
+    // r10 this is SERVED additively (the brand_new column joins the
+    // read schema; rows that never wrote it read null), the same rule
+    // VersionedTable/Iceberg additive evolution applies
     val schemaJson =
       """{"type":"record","name":"r","fields":[
+        |{"name":"_hoodie_record_key","type":["null","string"],"default":null},
+        |{"name":"_hoodie_partition_path","type":["null","string"],"default":null},
         |{"name":"id","type":["null","long"],"default":null},
         |{"name":"brand_new","type":["null","string"],"default":null}]}"""
         .stripMargin.replaceAll("\n", "")
     val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
     val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("_hoodie_record_key", "1"); rec.put("_hoodie_partition_path", "cat=a")
     rec.put("id", 1L); rec.put("brand_new", "x")
     val content = HudiLogFormat.avroDataContent(
       Seq(HudiLogFormat.encodeAvro(schema, rec)))
@@ -478,8 +484,38 @@ class HudiMorSpec extends SparkSpec {
       Map(HudiLogFormat.InstantTime -> baseInstant,
         HudiLogFormat.SchemaKey -> schemaJson), content))
     finally out.close()
-    val e = intercept[Exception](snap(path))
-    assert(e.getMessage != null && e.getMessage.contains("brand_new"),
-      s"${e.getMessage}")
+    val df = HudiInterop.read(spark, path)
+    assert(df.schema.fieldNames.contains("brand_new"), df.schema.treeString)
+    val byId = df.select(col("id"), col("brand_new"), col("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getString(1))),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // the log row REPLACES key 1 wholesale (overwrite-with-latest): v
+    // reads null because the block never carried it
+    assert(byId(1L) == ((Some("x"), None)), byId.toString)
+    assert(byId(2L) == ((None, Some(20.0))), byId.toString)
+    assert(byId(3L) == ((None, Some(30.0))), byId.toString)
+  }
+
+  test("routing-map ceiling: too many touched (dir, bucket) pairs refuse at plan time") {
+    val path = tmp("ceiling")
+    val old = HudiMor.MaxRoutedPairs
+    HudiMor.MaxRoutedPairs = 1 // sample spans cat=a AND cat=b: 2 pairs
+    try {
+      val e = intercept[IllegalArgumentException](
+        HudiMor.upsert(sample, path, "id", "ts", Seq("cat")))
+      assert(e.getMessage.contains("MaxRoutedPairs"), e.getMessage)
+    } finally HudiMor.MaxRoutedPairs = old
+    // under the ceiling the same batch writes and reads back
+    HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
+    assert(snap(path) == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0))
+    // the delete path shares the ceiling
+    HudiMor.MaxRoutedPairs = 1
+    try {
+      val e2 = intercept[IllegalArgumentException](HudiMor.delete(
+        sample.select(col("id"), col("cat")), path, "id", Seq("cat")))
+      assert(e2.getMessage.contains("MaxRoutedPairs") &&
+        e2.getMessage.contains("delete"), e2.getMessage)
+    } finally HudiMor.MaxRoutedPairs = old
   }
 }

@@ -261,31 +261,87 @@ class HudiForeignSpec extends SparkSpec {
     assert(e3.getMessage.contains("1.x"), e3.getMessage)
   }
 
-  test("1.x MERGE_ON_READ: deltacommits + log blocks serve through the collapse") {
+  test("1.x non-default hoodie.timeline.path resolves (not hardcoded 'timeline')") {
+    val root = Files.createTempDirectory("graft-hudi-1x-tlpath").toFile.getAbsolutePath
+    writeProps(root, Map("hoodie.table.version" -> "8",
+      "hoodie.timeline.layout.version" -> "2",
+      "hoodie.timeline.path" -> "tl_custom"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/.hoodie/tl_custom"))
+    val i1 = "20250105010101111"
+    plantSlice(root, "cat=a", fidA, "1-1-1", i1, Seq((1L, "a", 10.0)))
+    Files.write(java.nio.file.Paths.get(
+      s"$root/.hoodie/tl_custom/$i1.commit.requested"), Array.empty[Byte])
+    Files.write(java.nio.file.Paths.get(
+      s"$root/.hoodie/tl_custom/${i1}_20250105010102000.commit"),
+      """{"partitionToWriteStats":{}}""".getBytes("UTF-8"))
+    val got = HudiInterop.read(spark, root)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 10.0)), got.toString)
+  }
+
+  test("1.x MERGE_ON_READ: delta-commit-named logs serve through the collapse") {
     val root = Files.createTempDirectory("graft-hudi-1x-mor").toFile.getAbsolutePath
     writeProps(root, Map("hoodie.table.version" -> "8",
       "hoodie.timeline.layout.version" -> "2",
       "hoodie.table.type" -> "MERGE_ON_READ"))
     Files.createDirectories(java.nio.file.Paths.get(s"$root/.hoodie/timeline"))
-    def deltaCommit1x(instant: String, completion: String): Unit = {
+    def completed1x(instant: String, completion: String, action: String): Unit = {
       Files.write(java.nio.file.Paths.get(
-        s"$root/.hoodie/timeline/$instant.deltacommit.requested"), Array.empty[Byte])
+        s"$root/.hoodie/timeline/$instant.$action.requested"), Array.empty[Byte])
       Files.write(java.nio.file.Paths.get(
-        s"$root/.hoodie/timeline/${instant}_$completion.deltacommit"),
+        s"$root/.hoodie/timeline/${instant}_$completion.$action"),
         """{"partitionToWriteStats":{}}""".getBytes("UTF-8"))
     }
+    // 1.x NAMING RULE: the instant in a log file's name is the DELTA
+    // COMMIT that wrote it — binding to the file group is by fileId.
     val i1 = "20250201010101111"
     plantSlice(root, "cat=a", fidM1, "1-1-1", i1,
       Seq((1L, "a", 1.0), (2L, "a", 2.0)))
-    deltaCommit1x(i1, "20250201010102000")
+    completed1x(i1, "20250201010102000", "deltacommit")
     val i2 = "20250202010101222"
-    plantLogBlocks(root, "cat=a", s".${fidM1}_$i1.log.1_1-0-1",
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i2.log.1_1-0-1",
       Seq(avroBlock(i2, Seq((2L, "a", 9.0)), "cat=a",
-        s".${fidM1}_$i1.log.1_1-0-1")))
-    deltaCommit1x(i2, "20250202010102000")
+        s".${fidM1}_$i2.log.1_1-0-1")))
+    completed1x(i2, "20250202010102000", "deltacommit")
+    // crash debris: a log named by an instant that never completed
+    val i3 = "20250202020202333"
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i3.log.1_1-0-1",
+      Seq(avroBlock(i3, Seq((1L, "a", 777.0)), "cat=a",
+        s".${fidM1}_$i3.log.1_1-0-1")))
+    Files.write(java.nio.file.Paths.get(
+      s"$root/.hoodie/timeline/$i3.deltacommit.requested"), Array.empty[Byte])
+    // a log-ONLY group (bucket-index writer, no base ever) in cat=b
+    plantLogBlocks(root, "cat=b", s".${fidM3}_$i2.log.1_1-0-1",
+      Seq(avroBlock(i2, Seq((7L, "b", 70.0)), "cat=b",
+        s".${fidM3}_$i2.log.1_1-0-1")))
     val got = HudiInterop.read(spark, root)
       .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
-    assert(got == Set((1L, 1.0), (2L, 9.0)), got.toString)
+    assert(got == Set((1L, 1.0), (2L, 9.0), (7L, 70.0)), got.toString)
+    // asOf the bootstrap: the i2 log is not visible yet
+    val v1 = HudiMor.read(spark, root, asOf = Some(i1))
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(v1 == Set((1L, 1.0), (2L, 2.0)), v1.toString)
+    // a foreign COMPACTION (`.commit`) at i4 rewrites the group's base;
+    // the i2 log binds BELOW it and must fall off — the planted base
+    // deliberately carries a different value for id 2 so a wrongly
+    // re-applied log would surface as 9.0
+    val i4 = "20250203010101444"
+    plantSlice(root, "cat=a", fidM1, "2-2-2", i4,
+      Seq((1L, "a", 1.0), (2L, "a", 4.0)))
+    completed1x(i4, "20250203010102000", "commit")
+    // a post-compaction delta commit logs a new change for id 1
+    val i5 = "20250204010101555"
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i5.log.1_1-0-1",
+      Seq(avroBlock(i5, Seq((1L, "a", 5.0)), "cat=a",
+        s".${fidM1}_$i5.log.1_1-0-1")))
+    completed1x(i5, "20250204010102000", "deltacommit")
+    val after = HudiInterop.read(spark, root)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(after == Set((1L, 5.0), (2L, 4.0), (7L, 70.0)), after.toString)
+    // asOf between compaction and the i5 log: base-only for the group
+    val v4 = HudiMor.read(spark, root, asOf = Some(i4))
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(v4 == Set((1L, 1.0), (2L, 4.0), (7L, 70.0)), v4.toString)
     // MOR writers refuse 1.x by name
     val e = intercept[IllegalArgumentException](HudiMor.upsert(
       Seq((1L, "a", 5.0, 9L)).toDF("id", "cat", "v", "ts"),
@@ -452,5 +508,106 @@ class HudiForeignSpec extends SparkSpec {
     val msg = Option(e.getMessage).getOrElse("") +
       Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
     assert(msg.contains("Kryo"), s"$e")
+  }
+
+  test("foreign MOR: parquet data blocks decode and merge; hfile refuses by name") {
+    val root = Files.createTempDirectory("graft-hudi-mor-pq").toFile.getAbsolutePath
+    writeProps(root, Map("hoodie.table.type" -> "MERGE_ON_READ"))
+    val i1 = "20240401010101111"
+    plantSlice(root, "cat=a", fidM1, "1-1-1", i1,
+      Seq((1L, "a", 1.0), (2L, "a", 2.0)))
+    deltaCommitInstant(root, i1)
+    // PARQUET_DATA block content = a real Spark-written (snappy) parquet
+    // file of morSchema rows — the shape HoodieParquetDataBlock streams
+    val i2 = "20240402010101222"
+    val stage = Files.createTempDirectory("graft-pq-block").toFile.getAbsolutePath
+    Seq((2L, "a", 9.0)).toDF("id", "cat", "v")
+      .withColumn("_hoodie_commit_time", lit(i2))
+      .withColumn("_hoodie_commit_seqno",
+        concat_ws("_", lit(i2), lit("0"), col("id").cast("string")))
+      .withColumn("_hoodie_record_key", col("id").cast("string"))
+      .withColumn("_hoodie_partition_path", lit("cat=a"))
+      .withColumn("_hoodie_file_name", lit("pq-block"))
+      .select(morSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val pqFile = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val content = Files.readAllBytes(pqFile.toPath)
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i1.log.1_1-0-1",
+      Seq(HudiLogFormat.LogBlock(HudiLogFormat.ParquetDataBlock,
+        Map(HudiLogFormat.InstantTime -> i2,
+          HudiLogFormat.SchemaKey -> HudiMor.avroSchemaJson(morSchema)),
+        content)))
+    deltaCommitInstant(root, i2)
+    val got = HudiInterop.read(spark, root)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0), (2L, 9.0)), got.toString)
+    // hfile data blocks still refuse by name
+    val i3 = "20240403010101333"
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i1.log.2_1-0-1",
+      Seq(HudiLogFormat.LogBlock(HudiLogFormat.HFileDataBlock,
+        Map(HudiLogFormat.InstantTime -> i3), Array[Byte](1, 2, 3))))
+    deltaCommitInstant(root, i3)
+    val e = intercept[Exception](HudiInterop.read(spark, root).collect())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("unsupported log block type 4"), s"$e")
+  }
+
+  test("foreign MOR: additive log-side schema evolution serves; type change refuses") {
+    val root = Files.createTempDirectory("graft-hudi-mor-evo").toFile.getAbsolutePath
+    writeProps(root, Map("hoodie.table.type" -> "MERGE_ON_READ"))
+    val i1 = "20240501010101111"
+    plantSlice(root, "cat=a", fidM1, "1-1-1", i1,
+      Seq((1L, "a", 1.0), (2L, "a", 2.0)))
+    deltaCommitInstant(root, i1)
+    // a log block whose schema ADDS column w (strict additive superset)
+    val i2 = "20240502010101222"
+    val evolved = org.apache.spark.sql.types.StructType(morSchema.fields :+
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.DoubleType))
+    val evoJson = HudiMor.avroSchemaJson(evolved)
+    val evoSchema = new org.apache.avro.Schema.Parser().parse(evoJson)
+    val rec = new org.apache.avro.generic.GenericData.Record(evoSchema)
+    rec.put("_hoodie_commit_time", i2)
+    rec.put("_hoodie_commit_seqno", s"${i2}_0_2")
+    rec.put("_hoodie_record_key", "2")
+    rec.put("_hoodie_partition_path", "cat=a")
+    rec.put("_hoodie_file_name", "evo-log")
+    rec.put("id", 2L); rec.put("cat", "a"); rec.put("v", 9.0); rec.put("w", 7.5)
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i1.log.1_1-0-1",
+      Seq(HudiLogFormat.LogBlock(HudiLogFormat.AvroDataBlock,
+        Map(HudiLogFormat.InstantTime -> i2, HudiLogFormat.SchemaKey -> evoJson),
+        HudiLogFormat.avroDataContent(Seq(
+          HudiLogFormat.encodeAvro(evoSchema, rec))))))
+    deltaCommitInstant(root, i2)
+    val df = HudiInterop.read(spark, root)
+    assert(df.schema.fieldNames.contains("w"), df.schema.treeString)
+    val got = df.select(col("id"), col("v"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set((1L, 1.0, None), (2L, 9.0, Some(7.5))), got.toString)
+    // a TYPE-CHANGING block schema (v: double -> string) refuses by name
+    val i3 = "20240503010101333"
+    val retyped = org.apache.spark.sql.types.StructType(morSchema.fields.map(f =>
+      if (f.name == "v") f.copy(dataType = org.apache.spark.sql.types.StringType)
+      else f))
+    val badJson = HudiMor.avroSchemaJson(retyped)
+    val badSchema = new org.apache.avro.Schema.Parser().parse(badJson)
+    val badRec = new org.apache.avro.generic.GenericData.Record(badSchema)
+    badRec.put("_hoodie_commit_time", i3)
+    badRec.put("_hoodie_commit_seqno", s"${i3}_0_1")
+    badRec.put("_hoodie_record_key", "1")
+    badRec.put("_hoodie_partition_path", "cat=a")
+    badRec.put("_hoodie_file_name", "bad-log")
+    badRec.put("id", 1L); badRec.put("cat", "a"); badRec.put("v", "oops")
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i1.log.2_1-0-1",
+      Seq(HudiLogFormat.LogBlock(HudiLogFormat.AvroDataBlock,
+        Map(HudiLogFormat.InstantTime -> i3, HudiLogFormat.SchemaKey -> badJson),
+        HudiLogFormat.avroDataContent(Seq(
+          HudiLogFormat.encodeAvro(badSchema, badRec))))))
+    deltaCommitInstant(root, i3)
+    val e = intercept[IllegalArgumentException](HudiInterop.read(spark, root))
+    assert(e.getMessage.contains("type-changing"), e.getMessage)
   }
 }

@@ -591,6 +591,33 @@ class IcebergForeignSpec extends SparkSpec {
     assert(e.getMessage.contains("initial-default"), e.getMessage)
   }
 
+  test("deletion-vector-v1 blob bytes match the puffin spec exactly (not self-round-trip)") {
+    // Hand-assembled per iceberg puffin-spec for positions {1, 3}:
+    // u32 BE length 36 | magic D1 D3 39 64 | portable Roaring64
+    // (1 bucket, high key 0, cookie 12346, 1 container, card 2,
+    // offset 16, array [1, 3]) | u32 BE CRC-32 of (magic + vector).
+    // These bytes were NOT produced by IcebergDv — they pin the codec
+    // to the spec, so a magic/CRC drift fails here even though every
+    // self-round-trip fixture would still pass.
+    val specBlob: Array[Byte] = Array(
+      0x00, 0x00, 0x00, 0x24, 0xD1, 0xD3, 0x39, 0x64,
+      0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x3A, 0x30, 0x00, 0x00,
+      0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00,
+      0x10, 0x00, 0x00, 0x00, 0x01, 0x00, 0x03, 0x00,
+      0x68, 0x34, 0x97, 0xA9).map(_.toByte)
+    assert(java.util.Arrays.equals(IcebergDv.blobBytes(Array(1L, 3L)), specBlob),
+      "writer bytes drifted from the spec blob")
+    val dir = Files.createTempDirectory("graft-dv-spec").toFile.getAbsolutePath
+    val f = java.nio.file.Paths.get(s"$dir/spec.puffin")
+    Files.write(f, "PFA1".getBytes("US-ASCII") ++ specBlob)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val got = IcebergDv.positions(fs, f.toString, offset = 4L,
+      size = specBlob.length.toLong)
+    assert(got.toSeq == Seq(1L, 3L), got.mkString(","))
+  }
+
   /** Separate fixture: EQUALITY deletes (Flink CDC's delete shape) with
     * the strict-inequality sequence rule — a re-append of the same key
     * at a HIGHER sequence must survive the older delete.
