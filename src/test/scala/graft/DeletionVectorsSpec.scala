@@ -82,6 +82,33 @@ class DeletionVectorsSpec extends SparkSpec {
     }
   }
 
+  test("DV file bytes match the Delta spec exactly (not self-round-trip)") {
+    // Hand-assembled per the Delta protocol for positions {1, 3}:
+    // 1-byte format version | u32 BE length 36 | bitmap bytes (u32 LE
+    // magic 1681511377 = D1 D3 39 64 on disk, then the portable
+    // Roaring64: 1 bucket, high key 0, cookie 12346, 1 container,
+    // card 2, offset 16, array [1, 3]) | u32 BE CRC-32 of the bitmap
+    // bytes. NOT produced by this codec — pins writer AND reader to
+    // the spec bytes, the drift a self-round-trip fixture cannot see.
+    val specFile: Array[Byte] = Array(
+      0x01,
+      0x00, 0x00, 0x00, 0x24,
+      0xD1, 0xD3, 0x39, 0x64,
+      0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x3A, 0x30, 0x00, 0x00,
+      0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00,
+      0x10, 0x00, 0x00, 0x00, 0x01, 0x00, 0x03, 0x00,
+      0x68, 0x34, 0x97, 0xA9).map(_.toByte)
+    assert(java.util.Arrays.equals(Roaring64.serialize(Array(1L, 3L)),
+      specFile.slice(5, 5 + 36)), "bitmap bytes drifted from the spec")
+    val dir = tmp("specbytes")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir).getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir), specFile)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val payload = DeletionVectors.readDvPayload(fs, new Path(dir), 1, 36)
+    assert(Roaring64.deserialize(payload).toSeq == Seq(1L, 3L))
+  }
+
   // ---- end to end on the wire format ----
 
   private def sample = Seq(

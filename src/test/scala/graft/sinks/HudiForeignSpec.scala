@@ -349,6 +349,53 @@ class HudiForeignSpec extends SparkSpec {
     assert(e.getMessage.contains("1.x"), e.getMessage)
   }
 
+  test("1.x MERGE_ON_READ: delete and rollback blocks honor the delta-commit binding") {
+    val root = Files.createTempDirectory("graft-hudi-1x-mor-db").toFile.getAbsolutePath
+    writeProps(root, Map("hoodie.table.version" -> "8",
+      "hoodie.timeline.layout.version" -> "2",
+      "hoodie.table.type" -> "MERGE_ON_READ"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/.hoodie/timeline"))
+    def dc(instant: String, completion: String): Unit = {
+      Files.write(java.nio.file.Paths.get(
+        s"$root/.hoodie/timeline/$instant.deltacommit.requested"), Array.empty[Byte])
+      Files.write(java.nio.file.Paths.get(
+        s"$root/.hoodie/timeline/${instant}_$completion.deltacommit"),
+        """{"partitionToWriteStats":{}}""".getBytes("UTF-8"))
+    }
+    val i1 = "20250301010101111"
+    plantSlice(root, "cat=a", fidM1, "1-1-1", i1,
+      Seq((1L, "a", 1.0), (2L, "a", 2.0)))
+    dc(i1, "20250301010102000")
+    // DELETE block in a log named by ITS delta commit (1.x rule)
+    val i2 = "20250302010101222"
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i2.log.1_1-0-1",
+      Seq(HudiLogFormat.LogBlock(HudiLogFormat.DeleteBlock,
+        Map(HudiLogFormat.InstantTime -> i2),
+        HudiLogFormat.deleteContent(Seq(
+          HudiLogFormat.DeleteRecord("2", "cat=a"))))))
+    dc(i2, "20250302010102000")
+    val afterDelete = HudiInterop.read(spark, root)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(afterDelete == Set((1L, 1.0)), afterDelete.toString)
+    // an upsert at i3, then a rollback COMMAND at i4 targeting i3:
+    // the rolled-back change must vanish even across log files
+    val i3 = "20250303010101333"
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i3.log.1_1-0-1",
+      Seq(avroBlock(i3, Seq((1L, "a", 9.0)), "cat=a",
+        s".${fidM1}_$i3.log.1_1-0-1")))
+    dc(i3, "20250303010102000")
+    val i4 = "20250304010101444"
+    plantLogBlocks(root, "cat=a", s".${fidM1}_$i4.log.1_1-0-1",
+      Seq(HudiLogFormat.LogBlock(HudiLogFormat.CommandBlock,
+        Map(HudiLogFormat.InstantTime -> i4,
+          HudiLogFormat.TargetInstantTime -> i3,
+          HudiLogFormat.CommandBlockType -> "0"), Array.empty[Byte])))
+    dc(i4, "20250304010102000")
+    val afterRollback = HudiInterop.read(spark, root)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(afterRollback == Set((1L, 1.0)), afterRollback.toString)
+  }
+
   // ---- foreign MERGE_ON_READ fixture: multi-group partition,
   // real-writer log names, rollback block, log-only group ----
 
