@@ -58,6 +58,18 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (64L * 1024 * 1024).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Above this many paths, InMemoryFileIndex ships file LISTING to a
+      // distributed job — one near-empty task per path, each paying
+      // Spark's gzip-wrapped-Configuration task deserialization (~40 ms,
+      // measured: a 4-statement versioned-table lifecycle spent 19 s of
+      // deser across four ~80-task listing stages with 0.00 s of run).
+      // The lakehouse readers here always pass EXPLICIT file lists that
+      // the transaction log / timeline already resolved, so the "listing"
+      // is a redundant per-file stat — driver-side stat-ing of a few
+      // thousand known paths is microseconds each on any FS and avoids
+      // the job entirely. Genuinely huge tables list from their log, not
+      // from this path-expansion fallback.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       // keep managed (bucketed) tables out of the process cwd
       .config("spark.sql.warehouse.dir",
