@@ -56,40 +56,10 @@ object Similarity {
     Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").as("v"))
 
-  // ---- fixed audit artifacts (driver memo) ----
-
-  /** Driver memo for the ANN suite's FIXED ARTIFACTS: the exact
-    * brute-force anchor (a persisted ~k·nQueries-row frame) and the
-    * trained quantizer models (sub-MB driver arrays). In a real ANN
-    * deployment the ground truth and the codebooks are computed ONCE
-    * per corpus and reused by every evaluation; without the memo each
-    * of the six recall-audit queries re-scans the corpus for a
-    * byte-identical anchor and re-trains identical codebooks (the
-    * training sample is `orderBy(vec_id).limit(n)` — deterministic by
-    * construction, so reuse cannot change any result). Keyed by
-    * (session, corpus dir, params): scale factors and test sessions
-    * never collide, and entries die with the session.
-    */
-  private val artifacts =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Any]()
-
-  private def memo[T](spark: SparkSession, key: String)(mk: => T): T =
-    artifacts.computeIfAbsent((spark, key), _ => mk).asInstanceOf[T]
-
   /** Exact top-k: broadcast the query set, one pass over the corpus,
     * rank per query by (cosine desc, vec_id) — deterministic tiebreak.
-    * The result is the audit ANCHOR every recall audit joins against —
-    * memoized per (corpus, k, nQueries) and persisted (~k·nQueries
-    * rows), so the corpus-wide ranking scan runs once per session, not
-    * once per audit query.
     */
-  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 5): DataFrame =
-    memo(spark, s"anchor:$dir:$k:$nQueries") {
-      bruteForcePlan(spark, dir, k, nQueries).persist()
-    }
-
-  private def bruteForcePlan(spark: SparkSession, dir: String, k: Int, nQueries: Int): DataFrame = {
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
     val c = corpus(spark, dir)
     // Query side reads its own pruned scan (PushedFilters: vec_id < n) —
     // building the broadcast from `c` would re-execute the corpus-wide
@@ -170,36 +140,32 @@ object Similarity {
     * identical on every run), then Lloyd-trained on the driver.
     */
   private def trainedKernel(spark: SparkSession, dir: String,
-      nLists: Int, sampleSize: Int): graft.functions.CentroidKernel =
-    memo(spark, s"ivf:$dir:$nLists:$sampleSize") {
-      val sample = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"))
-        .orderBy(col("vec_id")).limit(sampleSize)
-        .collect().map(_.getSeq[Float](1).toArray)
-      graft.functions.CentroidKernel.train(
-        sample, nLists, VectorExpressions.Dim)
-    }
+      nLists: Int, sampleSize: Int): graft.functions.CentroidKernel = {
+    val sample = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    graft.functions.CentroidKernel.train(
+      sample, nLists, VectorExpressions.Dim)
+  }
 
   /** Per-dimension affine quantization table `(mins, scales)`: one
-    * corpus min/max aggregate whose shuffle carries `dim` rows —
-    * memoized per corpus (a fixed model artifact, like the kernels).
+    * corpus min/max aggregate whose shuffle carries `dim` rows.
     */
-  private def affineTable(spark: SparkSession,
-      dir: String): (Array[Float], Array[Float]) =
-    memo(spark, s"affine:$dir") {
-      val dim = VectorExpressions.Dim
-      val stats = Tables.embeddings(spark, dir)
-        .select(posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-        .collect()
-      val mins = new Array[Float](dim)
-      val scales = new Array[Float](dim)
-      stats.foreach { r =>
-        val i = r.getInt(0)
-        if (i < dim) { mins(i) = r.getFloat(1); scales(i) = (r.getFloat(2) - mins(i)) / 255f }
-      }
-      (mins, scales)
+  private def affineTable(emb: DataFrame): (Array[Float], Array[Float]) = {
+    val dim = VectorExpressions.Dim
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    val mins = new Array[Float](dim)
+    val scales = new Array[Float](dim)
+    stats.foreach { r =>
+      val i = r.getInt(0)
+      if (i < dim) { mins(i) = r.getFloat(1); scales(i) = (r.getFloat(2) - mins(i)) / 255f }
     }
+    (mins, scales)
+  }
 
   /** Exact-cosine re-rank of a `(query_id, vec_id)` shortlist against
     * raw vectors. Both joined sides broadcast (the shortlist is
@@ -263,7 +229,7 @@ object Similarity {
       nQueries: Int = 5, shortlistFactor: Int = 4): DataFrame = {
     import org.apache.spark.sql.GraftShim
     val emb = Tables.spread(Tables.embeddings(spark, dir))
-    val (mins, scales) = affineTable(spark, dir)
+    val (mins, scales) = affineTable(emb)
     val codes = emb.select(col("vec_id"),
       GraftShim.column(graft.functions.QuantizeVec(
         GraftShim.expression(col("embedding")), mins, scales)).as("code"))
@@ -340,7 +306,7 @@ object Similarity {
     val emb = Tables.spread(Tables.embeddings(spark, dir))
     val kernel = trainedKernel(spark, dir, nLists, sampleSize)
     def lists(v: Column, p: Int): Column = GraftFunctions.nearestCentroids(v, kernel, p)
-    val (mins, scales) = affineTable(spark, dir)
+    val (mins, scales) = affineTable(emb)
     // the persisted index shape: (vec_id, list_id, 64-byte code) — raw
     // vectors appear nowhere in the candidate scan
     val index = emb.select(col("vec_id"),
@@ -391,14 +357,12 @@ object Similarity {
     import org.apache.spark.sql.GraftShim
     val emb = Tables.spread(Tables.embeddings(spark, dir))
     val dim = VectorExpressions.Dim
-    val model = memo(spark, s"pca:$dir:$nComponents") {
-      val buf = Tables.embeddings(spark, dir)
-        .agg(GraftShim.column(graft.functions.VecMomentsAgg(
-          GraftShim.expression(col("embedding")), dim)
-          .toAggregateExpression()).as("m"))
-        .collect()(0).getSeq[Double](0).toArray
-      graft.functions.Pca.fit(buf, dim, nComponents)
-    }
+    val buf = Tables.embeddings(spark, dir)
+      .agg(GraftShim.column(graft.functions.VecMomentsAgg(
+        GraftShim.expression(col("embedding")), dim)
+        .toAggregateExpression()).as("m"))
+      .collect()(0).getSeq[Double](0).toArray
+    val model = graft.functions.Pca.fit(buf, dim, nComponents)
     def proj(c: Column): Column = GraftShim.column(graft.functions.ProjectVec(
       GraftShim.expression(c), model.mean, model.components))
     val reduced = emb.select(col("vec_id"), proj(col("embedding")).as("rv"))
@@ -452,13 +416,12 @@ object Similarity {
       shortlistFactor: Int = 8): DataFrame = {
     import org.apache.spark.sql.GraftShim
     val emb = Tables.spread(Tables.embeddings(spark, dir))
-    val kernel = memo(spark, s"pq:$dir:$m:$ks:$sampleSize") {
-      val sample = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"))
-        .orderBy(col("vec_id")).limit(sampleSize)
-        .collect().map(_.getSeq[Float](1).toArray)
-      graft.functions.PqKernel.train(sample, VectorExpressions.Dim, m, ks)
-    }
+    val sample = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val kernel = graft.functions.PqKernel.train(
+      sample, VectorExpressions.Dim, m, ks)
     val codes = emb.select(col("vec_id"),
       GraftShim.column(graft.functions.PqEncode(
         GraftShim.expression(col("embedding")), kernel)).as("code"))
