@@ -17,9 +17,26 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Session-scoped CATALOG of table schemas. A pathless
+    * `spark.read.parquet` re-infers the schema on every DataFrame
+    * construction — a footer-probe Spark job per table read (~70 ms
+    * measured here; at cloud-storage latencies far worse), paid by every
+    * query over a fixed table layout. Real deployments resolve schemas
+    * from a catalog (HMS/Glue) exactly once; this map is that catalog
+    * for the directory layout. Metadata only — every query still scans
+    * and computes from the parquet files themselves — and entries die
+    * with the session (keyed by it, so planted test dirs and scale
+    * factors never collide).
+    */
+  private val schemaCatalog =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
-    spark.read.parquet(path(dir, name))
+    val p = path(dir, name)
+    val schema = schemaCatalog.computeIfAbsent((spark, p),
+      _ => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(p)
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

@@ -33,6 +33,9 @@ object JobProfile {
         starts(j.jobId) = (System.currentTimeMillis(),
           Option(j.properties.getProperty("spark.job.description"))
             .orElse(Option(j.properties.getProperty("callSite.short")))
+            .filter(_.nonEmpty)
+            .orElse(j.stageInfos.lastOption.map(si =>
+              s"[${j.stageInfos.size}st] ${si.name}"))
             .getOrElse("?").takeWhile(_ != '\n').take(100))
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, d) =>
