@@ -107,21 +107,44 @@ object CentroidKernel {
     }
     require(pts.nonEmpty, "empty centroid training sample")
     val cents = Array.tabulate(k)(i => pts(i % pts.length).clone())
-    for (_ <- 0 until iters) {
+    // while-form inner loops: same arithmetic in the same order as the
+    // Range.foreach spelling (bit-identical centroids), minus the
+    // closure-per-element overhead this 40M-op driver fit was paying on
+    // every IVF invocation.
+    val n = pts.length
+    var it = 0
+    while (it < iters) {
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Int](k)
-      pts.foreach { p =>
-        var best = 0; var bestD = Double.MaxValue
-        for (c <- 0 until k) {
+      var i = 0
+      while (i < n) {
+        val p = pts(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val cc = cents(c)
           var d = 0.0
-          for (j <- 0 until dim) { val t = p(j) - cents(c)(j); d += t * t }
+          var j = 0
+          while (j < dim) { val t = p(j) - cc(j); d += t * t; j += 1 }
           if (d < bestD) { bestD = d; best = c }
+          c += 1
         }
         counts(best) += 1
-        for (j <- 0 until dim) sums(best)(j) += p(j)
+        val sb = sums(best)
+        var j = 0
+        while (j < dim) { sb(j) += p(j); j += 1 }
+        i += 1
       }
-      for (c <- 0 until k if counts(c) > 0; j <- 0 until dim)
-        cents(c)(j) = sums(c)(j) / counts(c)
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
     }
     new CentroidKernel(cents.flatten, dim)
   }
