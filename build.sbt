@@ -27,7 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // measurement seam: ad-hoc -Dspark.* conf overrides for A/B runs
+  // (SparkSession.builder picks up spark.* system properties)
+) ++ sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
 
 // Forked run output goes straight to stdout — no "[info] " prefix, so
 // the Bench JSON line is machine-parseable by whatever captures stdout.

@@ -84,6 +84,12 @@ object GraftSession {
       // environment; real deployments talk s3a/hdfs, never this class)
       .config("spark.hadoop.fs.file.impl",
         classOf[graft.sinks.FastLocalFileSystem].getName)
+      // …and its FileContext-side twin: Structured Streaming checkpoint
+      // managers and state stores reach `file:` through FileContext,
+      // whose stock local binding forks ls/readlink per permission query
+      // and shadows every metadata file with a .crc (see FastLocalFs)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.sinks.FastLocalFs].getName)
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs. */
