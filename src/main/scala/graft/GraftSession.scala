@@ -48,6 +48,17 @@ object GraftSession {
       // driver) thrashes it and re-compiles ~30-50 ms classes — this is
       // a driver-memory-for-latency trade, cheap at any scale
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // the codegen cache is ALSO keyed by the context classloader, and
+      // Spark 4's per-session artifact isolation gives every cloned
+      // session (each streaming query clones) a fresh classloader — so
+      // byte-identical generated classes recompile per stream start,
+      // with every task of the stage serialized on the janino compile
+      // lock (measured: 51 -> 8 recompiles per streaming-merge run with
+      // isolation off). This engine registers no session-scoped
+      // artifacts (no per-session ADD JAR), so isolation buys nothing
+      // here; deployments that DO isolate session jars should flip it
+      // back and accept the per-session compile cost.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       // INT64-micros timestamps (not legacy INT96): the lakehouse
       // interop standard, and the only encoding whose footers carry
       // usable min/max for FileStats.fromFooters
@@ -91,6 +102,26 @@ object GraftSession {
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
         classOf[graft.sinks.FastLocalFs].getName)
       .config("spark.ui.enabled", "false")
+
+  /** Run a foreachBatch/addBatch sink body with AQE re-enabled on the
+    * batch's session. `ResolveWriteToStream` pins
+    * `spark.sql.adaptive.enabled=false` on the session it CLONES for a
+    * streaming query — and that clone is also the session every batch
+    * DML inside the sink body plans against, so commit machinery
+    * (precombine windows, merge joins, staged writes) silently loses
+    * runtime coalescing and runs every reduce stage at the static
+    * shuffle-partition count (measured: 32-task reducers over KB-sized
+    * micro-batch shuffles, ~400 tasks per streaming-merge query). The
+    * streaming plan itself is fully planned BEFORE the sink body runs
+    * each batch, so scoping the flag to the body leaves it untouched.
+    */
+  def withBatchAqe[T](batch: org.apache.spark.sql.DataFrame)(body: => T): T = {
+    val spark = batch.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = 4, appName: String = "graft"): SparkSession = {

@@ -592,9 +592,8 @@ object Dedup {
       // re-execute rounds 1..N-1 (and the convergence count reuses the
       // materialized result instead of a second full pass)
       val materialized = next.localCheckpoint()
-      val changed = materialized
-        .filter(col("label") =!= col("prev")).limit(1).count()
-      converged = changed == 0
+      converged = materialized
+        .filter(col("label") =!= col("prev")).isEmpty
       // release the superseded generation's blocks — without this, up to
       // maxRounds full label sets stay pinned in the block manager
       val prevGen = labels

@@ -53,7 +53,12 @@ object Enrich {
       .withColumn("event_hour", hour(col("ts")))
       .withColumn("event_second", date_trunc("second", col("ts")))
       .withColumn("ingest_id", deterministicUuid(col("event_id")))
-      .withColumn("ingest_ts", current_timestamp())
+      // ingest stamp via StableStamp, NOT current_timestamp(): the
+      // latter folds to a fresh literal per invocation/micro-batch and
+      // forces a whole-stage-codegen recompile of every stage this
+      // column flows through (see StableStamp's scaladoc)
+      .withColumn("ingest_ts", org.apache.spark.sql.GraftShim.column(
+        graft.functions.StableStamp(System.currentTimeMillis() * 1000L)))
 
   /** Oracle-facing enrichment query (deterministic columns only). The
     * iso→reparse pair exercises format+parse round-tripping the way the

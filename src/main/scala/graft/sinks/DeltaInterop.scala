@@ -645,8 +645,8 @@ object DeltaInterop {
       s"DeltaInterop: constraint $name already exists")
     if (snap.adds.nonEmpty) {
       val bad = frameOver(spark, path, snap, snap.adds)
-        .filter(!coalesce(expr(exprSql), lit(true))).limit(1).count()
-      require(bad == 0L,
+        .filter(!coalesce(expr(exprSql), lit(true)))
+      require(bad.isEmpty,
         s"DeltaInterop: existing rows violate CHECK constraint $name ($exprSql)")
     }
     val meta = snap.metaData.copy(
@@ -700,8 +700,8 @@ object DeltaInterop {
   private def enforceConstraints(snap: Snapshot, df: DataFrame): Unit =
     snap.metaData.configuration.foreach { case (k, v) =>
       if (k.startsWith(ConstraintPrefix)) {
-        val bad = df.filter(!coalesce(expr(v), lit(true))).limit(1).count()
-        require(bad == 0L, "DeltaInterop: rows violate CHECK constraint " +
+        val bad = df.filter(!coalesce(expr(v), lit(true)))
+        require(bad.isEmpty, "DeltaInterop: rows violate CHECK constraint " +
           s"${k.stripPrefix(ConstraintPrefix)} ($v)")
       }
     }
@@ -1006,11 +1006,11 @@ object DeltaInterop {
     try {
       // stats overestimated and nothing actually matches: no-op — also
       // keeps the CDF contract (a change-free commit must write no cdc)
-      if (frame.filter(hit).limit(1).count() == 0)
+      if (frame.filter(hit).isEmpty)
         return DeleteResult(snap.version, 0, snap.adds.size)
       val survivors = frame.filter(!hit)
       val adds =
-        if (survivors.limit(1).count() == 0) Nil
+        if (survivors.isEmpty) Nil
         else stageAdds(survivors, path, partCols)
       val cdc = cdcIfEnabled(snap, path, partCols)(
         frame.filter(hit).withColumn(ChangeTypeCol, lit("delete")))
@@ -1282,7 +1282,7 @@ object DeltaInterop {
       }: _*)
     try {
       // stats overestimated and nothing matches: no-op (CDF contract)
-      if (frame.filter(hit).limit(1).count() == 0)
+      if (frame.filter(hit).isEmpty)
         return DeleteResult(snap.version, 0, snap.adds.size)
       enforceConstraints(snap, applySet(frame.filter(hit), always = true))
       val adds = stageAdds(applySet(frame, always = false), path,
@@ -1320,8 +1320,8 @@ object DeltaInterop {
         df.schema.map(f => (f.name, f.dataType)),
       s"DeltaInterop replaceWhere: schema must match the table " +
         s"(table ${schema.simpleString}, batch ${df.schema.simpleString})")
-    val violations = df.filter(!coalesce(where, lit(false))).limit(1).count()
-    require(violations == 0L,
+    val violations = df.filter(!coalesce(where, lit(false)))
+    require(violations.isEmpty,
       "DeltaInterop replaceWhere: incoming rows must all satisfy the predicate")
     enforceConstraints(snap, df)
     val touched = pruneAdds(spark, snap, Some(where))
@@ -1332,7 +1332,7 @@ object DeltaInterop {
     try {
       val partCols = snap.metaData.partitionColumns
       val survivorAdds = survivors match {
-        case Some(s) if s.limit(1).count() > 0 => stageAdds(s, path, partCols)
+        case Some(s) if !s.isEmpty => stageAdds(s, path, partCols)
         case _ => Nil
       }
       val newAdds = stageAdds(df, path, partCols)
@@ -1438,7 +1438,7 @@ object DeltaInterop {
           "DeltaInterop merge")
         val resolved = j.select(mc.picked.as("__r"))
           .filter(col("__r").isNotNull).select("__r.*")
-        if (touched.isEmpty && resolved.limit(1).count() == 0)
+        if (touched.isEmpty && resolved.isEmpty)
           return DeleteResult(snap.version, 0, snap.adds.size) // full no-op
         enforceConstraints(snap, resolved)
         val adds = stageAdds(resolved, path, partCols)
@@ -1481,14 +1481,16 @@ object DeltaInterop {
   def streamBatchMerger(path: String, on: Seq[String],
       clauses: Seq[VersionedTable.MergeClause],
       appId: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val persisted = batch.persist()
-    try {
-      if (persisted.limit(1).count() > 0) {
-        merge(persisted.sparkSession, path, persisted, on, clauses,
-          txn = Some((appId, batchId)))
-        ()
-      }
-    } finally { persisted.unpersist(); () }
+    graft.GraftSession.withBatchAqe(batch) {
+      val persisted = batch.persist()
+      try {
+        if (!persisted.isEmpty) {
+          merge(persisted.sparkSession, path, persisted, on, clauses,
+            txn = Some((appId, batchId)))
+          ()
+        }
+      } finally { persisted.unpersist(); () }
+    }
   }
 
   /** One commit file's raw actions. */
@@ -2278,7 +2280,7 @@ object DeltaInterop {
       appId: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val persisted = batch.persist()
     try {
-      if (persisted.limit(1).count() > 0) {
+      if (!persisted.isEmpty) {
         commitStaged(persisted, path, partitionBy, overwrite = false,
           txn = Some((appId, batchId)), allowEmpty = true)
         ()

@@ -1454,7 +1454,7 @@ object IcebergInterop {
           .filter(col("__r").isNotNull).select("__r.*")
         val nDel = delKeys.count()
         val moved =
-          if (appendRows.limit(1).count() == 0) Nil
+          if (appendRows.isEmpty) Nil
           else stageDataFiles(appendRows, path, partFields.map(_.name), fs)
         if (nDel == 0 && moved.isEmpty) return curId // full no-op
         val prevFormat = (meta \ "format-version").extract[Int]
@@ -1555,14 +1555,16 @@ object IcebergInterop {
   def streamBatchMerger(path: String, on: Seq[String],
       clauses: Seq[VersionedTable.MergeClause],
       appId: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val persisted = batch.persist()
-    try {
-      if (persisted.limit(1).count() > 0) {
-        merge(persisted.sparkSession, path, persisted, on, clauses,
-          txn = Some((appId, batchId)))
-        ()
-      }
-    } finally { persisted.unpersist(); () }
+    graft.GraftSession.withBatchAqe(batch) {
+      val persisted = batch.persist()
+      try {
+        if (!persisted.isEmpty) {
+          merge(persisted.sparkSession, path, persisted, on, clauses,
+            txn = Some((appId, batchId)))
+          ()
+        }
+      } finally { persisted.unpersist(); () }
+    }
   }
 
   /** The data files `where` cannot prune — spec/test introspection. */

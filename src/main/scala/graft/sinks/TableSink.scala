@@ -183,14 +183,14 @@ object TableSink {
   def streamBatch(cfg: SinkConfig, appId: String): (DataFrame, Long) => Unit = {
     require(SupportedFormats.contains(cfg.format) && cfg.format != "parquet",
       s"streamBatch targets the lakehouse formats, got: ${cfg.format}")
-    cfg.format match {
+    val body: (DataFrame, Long) => Unit = cfg.format match {
       case "delta" => DeltaInterop.streamBatchWriter(cfg.path, cfg.partitionBy, appId)
       case "hudi" =>
         val (key, pre) = hudiKeys(cfg)
         (batch, _) => {
           val persisted = batch.persist()
           try {
-            if (persisted.limit(1).count() > 0) {
+            if (!persisted.isEmpty) {
               // combine-before-insert: in-batch duplicates resolve by
               // precombine even on the bootstrap commit (upsert's merge
               // window covers the existing-table case)
@@ -209,7 +209,7 @@ object TableSink {
         (batch, batchId) => {
           val persisted = batch.persist()
           try {
-            if (persisted.limit(1).count() > 0) {
+            if (!persisted.isEmpty) {
               IcebergInterop.write(persisted, cfg.path,
                 txn = Some((appId, batchId)), partitionBy = cfg.partitionBy)
               ()
@@ -217,6 +217,9 @@ object TableSink {
           } finally { persisted.unpersist(); () }
         }
     }
+    // batch DML under the stream-cloned session: restore AQE for the
+    // commit machinery (see GraftSession.withBatchAqe)
+    (batch, batchId) => graft.GraftSession.withBatchAqe(batch)(body(batch, batchId))
   }
 
   /** Read a partitioned table back (partition columns come from the

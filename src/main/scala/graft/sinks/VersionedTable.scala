@@ -1521,6 +1521,7 @@ object VersionedTable {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.GraftSession.withBatchAqe(batch) {
         // Persist across the commit's multiple actions (emptiness probe,
         // affected-partition probe, staged write) — without it each
         // action re-executes the micro-batch lineage. Bounded by the
@@ -1539,6 +1540,7 @@ object VersionedTable {
                 partitionCols, txn = Some((appId, batchId)))
           }
         } finally batch.unpersist(blocking = false)
+        }
         ()
       }
 
@@ -2724,8 +2726,7 @@ object VersionedTable {
     val all = commits(fs, path)
     require(all.nonEmpty, s"addConstraint: no versioned table at $path")
     val bad = read(spark, path).filter(coalesce(expr(sqlExpr), lit(true)) === false)
-      .limit(1).count()
-    require(bad == 0, s"addConstraint: existing rows violate $name ($sqlExpr)")
+    require(bad.isEmpty, s"addConstraint: existing rows violate $name ($sqlExpr)")
     publishWithRebase(fs, path, "add_constraint", Nil, Nil, txn = None,
       schemaOf = _ => None, allowRebase = true,
       constraints = Some(currentConstraints(all) + (name -> sqlExpr))).version
@@ -2915,9 +2916,11 @@ object VersionedTable {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          merge(batch.sparkSession, path, batch, key, partitionCols, clauses,
-            txn = Some((appId, batchId)))
+        graft.GraftSession.withBatchAqe(batch) {
+          if (!batch.isEmpty)
+            merge(batch.sparkSession, path, batch, key, partitionCols, clauses,
+              txn = Some((appId, batchId)))
+        }
         ()
       }
 }

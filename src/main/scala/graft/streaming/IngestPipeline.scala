@@ -330,14 +330,16 @@ object IngestPipeline {
       .option("checkpointLocation", StreamTuning.scratchDir("graft-hmstream-ckpt"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        try {
-          if (b.limit(1).count() > 0) {
-            graft.sinks.HudiMor.upsert(b, path, recordKey = "event_id",
-              precombine = "event_id", partitionBy = Seq("event_date"))
-            ()
-          }
-        } finally { b.unpersist(); () }
+        graft.GraftSession.withBatchAqe(batch) {
+          val b = batch.persist()
+          try {
+            if (!b.isEmpty) {
+              graft.sinks.HudiMor.upsert(b, path, recordKey = "event_id",
+                precombine = "event_id", partitionBy = Seq("event_date"))
+              ()
+            }
+          } finally { b.unpersist(); () }
+        }
       }
       .start()
     q.awaitTermination()
@@ -392,24 +394,26 @@ object IngestPipeline {
       .option("checkpointLocation", StreamTuning.scratchDir("graft-dmstream-ckpt"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.dropDuplicates("event_id").persist()
-        try {
-          if (b.limit(1).count() > 0) {
-            if (DeltaInterop.latestVersion(b.sparkSession, path) < 0)
-              DeltaInterop.write(b, path, partitionBy = Seq("event_date"),
-                txn = Some(("graft-delta-merge-stream", batchId)))
-            else {
-              val set = b.columns.filterNot(_ == "event_id").toSeq
-                .map(c => c -> col(s"s.$c")).toMap
-              DeltaInterop.merge(b.sparkSession, path, b,
-                on = Seq("event_id"),
-                clauses = Seq(VersionedTable.MatchedUpdate(set),
-                  VersionedTable.NotMatchedInsert()),
-                txn = Some(("graft-delta-merge-stream", batchId)))
+        graft.GraftSession.withBatchAqe(batch) {
+          val b = batch.dropDuplicates("event_id").persist()
+          try {
+            if (!b.isEmpty) {
+              if (DeltaInterop.latestVersion(b.sparkSession, path) < 0)
+                DeltaInterop.write(b, path, partitionBy = Seq("event_date"),
+                  txn = Some(("graft-delta-merge-stream", batchId)))
+              else {
+                val set = b.columns.filterNot(_ == "event_id").toSeq
+                  .map(c => c -> col(s"s.$c")).toMap
+                DeltaInterop.merge(b.sparkSession, path, b,
+                  on = Seq("event_id"),
+                  clauses = Seq(VersionedTable.MatchedUpdate(set),
+                    VersionedTable.NotMatchedInsert()),
+                  txn = Some(("graft-delta-merge-stream", batchId)))
+              }
+              ()
             }
-            ()
-          }
-        } finally { b.unpersist(); () }
+          } finally { b.unpersist(); () }
+        }
       }
       .start()
     q.awaitTermination()
@@ -449,7 +453,8 @@ object IngestPipeline {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val dataCols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
 
-    def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    def applyBatch(batch: DataFrame, batchId: Long): Unit =
+      graft.GraftSession.withBatchAqe(batch) {
       val sparkB = batch.sparkSession
       // a batch may span several commits touching one key: the LAST
       // change wins; preimages are bookkeeping, never state
@@ -463,7 +468,7 @@ object IngestPipeline {
           (col("_change_type") === "delete").as("__del"): _*)
         .persist()
       try {
-        if (last.limit(1).count() > 0) {
+        if (!last.isEmpty) {
           if (DeltaInterop.latestVersion(sparkB, dst) < 0) {
             DeltaInterop.write(
               last.filter(!col("__del")).select(dataCols.map(col): _*), dst,
@@ -535,24 +540,26 @@ object IngestPipeline {
       .option("checkpointLocation", StreamTuning.scratchDir("graft-imstream-ckpt"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.dropDuplicates("event_id").persist()
-        try {
-          if (b.limit(1).count() > 0) {
-            if (!IcebergInterop.tableExists(b.sparkSession, path))
-              IcebergInterop.write(b, path,
-                txn = Some(("graft-iceberg-merge-stream", batchId)))
-            else {
-              val set = b.columns.filterNot(_ == "event_id").toSeq
-                .map(c => c -> col(s"s.$c")).toMap
-              IcebergInterop.merge(b.sparkSession, path, b,
-                on = Seq("event_id"),
-                clauses = Seq(VersionedTable.MatchedUpdate(set),
-                  VersionedTable.NotMatchedInsert()),
-                txn = Some(("graft-iceberg-merge-stream", batchId)))
+        graft.GraftSession.withBatchAqe(batch) {
+          val b = batch.dropDuplicates("event_id").persist()
+          try {
+            if (!b.isEmpty) {
+              if (!IcebergInterop.tableExists(b.sparkSession, path))
+                IcebergInterop.write(b, path,
+                  txn = Some(("graft-iceberg-merge-stream", batchId)))
+              else {
+                val set = b.columns.filterNot(_ == "event_id").toSeq
+                  .map(c => c -> col(s"s.$c")).toMap
+                IcebergInterop.merge(b.sparkSession, path, b,
+                  on = Seq("event_id"),
+                  clauses = Seq(VersionedTable.MatchedUpdate(set),
+                    VersionedTable.NotMatchedInsert()),
+                  txn = Some(("graft-iceberg-merge-stream", batchId)))
+              }
+              ()
             }
-            ()
-          }
-        } finally { b.unpersist(); () }
+          } finally { b.unpersist(); () }
+        }
       }
       .start()
     q.awaitTermination()

@@ -290,6 +290,11 @@ private[table] class GraftTableSink(
     val qe = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution
     val batch = spark.internalCreateDataFrame(qe.toRdd, data.schema, isStreaming = false)
+    graft.GraftSession.withBatchAqe(batch)(runBatch(batch, batchId))
+  }
+
+  private def runBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
     // Persist for the duration of the commit: the upsert path runs
     // SEVERAL actions over the batch (emptiness probe, affected-partition
     // probe, staged write), and without a cache each one re-executes the
