@@ -124,6 +124,38 @@ object FileStats {
     } finally pool.shutdown()
   }
 
+  /** Spark schema of one parquet file, from its FOOTER on the calling
+    * thread — the building block for driver-side schema resolution
+    * where `spark.read.option("mergeSchema", …)` would ship a
+    * distributed footer job per read construction.
+    */
+  def footerSchema(conf: org.apache.hadoop.conf.Configuration,
+      file: String): StructType = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+    try new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
+      .convert(reader.getFooter.getFileMetaData.getSchema)
+    finally reader.close()
+  }
+
+  /** Footer schemas of many files on a driver thread pool. */
+  def footerSchemas(conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[String]): Seq[StructType] = {
+    if (files.isEmpty) return Nil
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(files.map { f =>
+        new java.util.concurrent.Callable[StructType] {
+          override def call(): StructType = footerSchema(conf, f)
+        }
+      }.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+  }
+
   private def readFooterStats(conf: org.apache.hadoop.conf.Configuration,
       file: String, statCols: Seq[StructField]): FileStat = {
     import org.apache.parquet.hadoop.ParquetFileReader

@@ -342,13 +342,19 @@ object HudiInterop {
     }
     // the DATA schema: meta columns stay physically in the donor files
     // but an adopting format's schema simply omits them — by-name
-    // parquet projection never reads them again. mergeSchema unions the
-    // footers of ALL live files: under additive evolution different
-    // file groups carry different column sets, and one arbitrary
-    // footer would nondeterministically drop the newer columns
+    // parquet projection never reads them again. The union of ALL live
+    // footers matters: under additive evolution different file groups
+    // carry different column sets, and one arbitrary footer would
+    // nondeterministically drop the newer columns. Footers are read on
+    // the driver (option("mergeSchema") would ship a distributed footer
+    // job); divergent footers fall back to Spark's own merge semantics.
+    val schemas = FileStats.footerSchemas(
+      spark.sparkContext.hadoopConfiguration, files.map(_._1)).distinct
+    val unioned =
+      if (schemas.size == 1) schemas.head
+      else spark.read.option("mergeSchema", "true").parquet(files.map(_._1): _*).schema
     val schema = org.apache.spark.sql.types.StructType(
-      spark.read.option("mergeSchema", "true").parquet(files.map(_._1): _*)
-        .schema.filterNot(f => MetaCols.contains(f.name)))
+      unioned.filterNot(f => MetaCols.contains(f.name)))
     (schema, files)
   }
 
@@ -556,6 +562,25 @@ object HudiInterop {
   private[graft] var LiteralRoutingLimit = 1024 // var: test seam
 
   /** Keep only rows whose (__dir, __bucket) is in `pairs`. */
+  /** Distinct (dir, bucket) pairs of a batch in ONE job: per-partition
+    * local dedup, then driver dedup. `.distinct().collect()` paid an
+    * AQE-materialized shuffle (two jobs of pure fixed latency) to dedup
+    * a handful of values. Each partition's emission is truncated at
+    * `cap + 1` AFTER its local dedup, so when the routing ceiling is
+    * about to refuse, one partition alone already proves > cap distinct
+    * pairs and the driver never materializes an unbounded map; below
+    * the ceiling the result is exact and complete.
+    */
+  private[sinks] def collectPairsLocal(df: DataFrame, dirCol: String,
+      bucketCol: String, cap: Int = Int.MaxValue): Array[(String, Int)] = {
+    val slim = df.select(col(dirCol).cast("string"), col(bucketCol).cast("int"))
+    val perPartition = slim.rdd.mapPartitions { it =>
+      val seen = it.map(r => (r.getString(0), r.getInt(1))).toSet
+      if (cap < Int.MaxValue) seen.iterator.take(cap + 1) else seen.iterator
+    }
+    perPartition.collect().distinct
+  }
+
   private[sinks] def semiJoinPairs(df: DataFrame,
       pairs: Iterable[(String, Int)]): DataFrame =
     if (pairs.size <= LiteralRoutingLimit)
@@ -674,10 +699,9 @@ object HudiInterop {
     // O(affected buckets) — the difference between rewriting a hot
     // 100-GB partition and rewriting one of its N slices
     val n = numFileGroups(fsFor(spark, path), path)
-    val incomingPairs = df
-      .select(hivePath(partitionBy).as("__dir"), bucketExpr(recordKey, n).as("__b"))
-      .distinct().collect()
-      .map(r => (r.getString(0), r.getInt(1)))
+    val incomingPairs = collectPairsLocal(
+      df.select(hivePath(partitionBy).as("__dir"), bucketExpr(recordKey, n).as("__b")),
+      "__dir", "__b")
     val existingBucket = bucketOfKeyString(col("_hoodie_record_key"), n)
     val affected = semiJoinPairs(
       existing.withColumn("__dir", col("_hoodie_partition_path"))
@@ -804,9 +828,9 @@ object HudiInterop {
       val liveGroupByDir = slices(fs, path)
         .filter(s => committedSet.contains(s.instant))
         .groupBy(_.dir).map { case (d, ss) => d -> ss.map(_.fileId).distinct }
-      df.select(dirCol.as("__dir"), bucketExpr(recordKey, n).as("__bucket"))
-        .distinct().collect()
-        .map(r => (r.getString(0), r.getInt(1)))
+      collectPairsLocal(
+          df.select(dirCol.as("__dir"), bucketExpr(recordKey, n).as("__bucket")),
+          "__dir", "__bucket")
         .map { case (d, b) => (d, b) -> routeGroup(liveGroupByDir, n, d, b) }.toMap
     }
     val isCarry = carryOver.isDefined && df.schema.fieldNames.contains("__is_incoming")

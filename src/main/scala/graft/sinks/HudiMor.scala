@@ -409,10 +409,21 @@ object HudiMor {
       .filterNot(baseGroups.contains)
       .filterNot(g => !is1x && committedEverGroups.contains(g))
       .sorted
+    // Base-slice schema resolved from FOOTERS on the driver:
+    // option("mergeSchema") ships a distributed footer job on every read
+    // construction; identical footers (the overwhelmingly common case)
+    // need no job at all, and genuinely divergent slices (additive
+    // evolution across compactions) keep Spark's merge semantics.
     val baseDf =
       if (bases.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(bases.map(s => s"$path/${s.rel}"): _*))
+      else {
+        val files = bases.map(s => s"$path/${s.rel}")
+        val schemas = FileStats.footerSchemas(
+          spark.sparkContext.hadoopConfiguration, files).distinct
+        if (schemas.size == 1)
+          Some(spark.read.schema(schemas.head).parquet(files: _*))
+        else Some(spark.read.option("mergeSchema", "true").parquet(files: _*))
+      }
     def boundLogs(logs: Seq[LogFile], liveBase: Option[String]): Seq[LogFile] =
       if (is1x)
         logs.filter(l => visible.contains(l.baseInstant) &&
@@ -624,8 +635,8 @@ object HudiMor {
 
   private def collectRoutedPairs(batch: DataFrame,
       what: String): Array[(String, Int)] = {
-    val rows = batch.select(col("__dir"), col("__bucket")).distinct()
-      .limit(MaxRoutedPairs + 1).collect()
+    val rows = HudiInterop.collectPairsLocal(batch, "__dir", "__bucket",
+      cap = MaxRoutedPairs)
     require(rows.length <= MaxRoutedPairs,
       s"HudiMor.$what: the batch touches more than $MaxRoutedPairs " +
         "(partition dir, bucket) file-group pairs — the driver routing " +
@@ -633,7 +644,7 @@ object HudiMor {
         "batch by partition (filter on the partition columns) or create " +
         "the table with fewer graft.hudi.num.file.groups; the ceiling is " +
         "HudiMor.MaxRoutedPairs")
-    rows.map(r => (r.getString(0), r.getInt(1)))
+    rows
   }
 
   /** Keyed MOR upsert under ONE atomic delta commit: rows for

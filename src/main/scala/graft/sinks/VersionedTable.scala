@@ -381,7 +381,7 @@ object VersionedTable {
     * JSON round trip stays typed (numerics compared as Double, strings
     * lexicographically — parquet's own ordering for both).
     */
-  private final case class FileStat(
+  private[graft] final case class FileStat(
       rows: Long,
       minNum: Map[String, Double], maxNum: Map[String, Double],
       minStr: Map[String, String], maxStr: Map[String, String],
@@ -1930,7 +1930,88 @@ object VersionedTable {
     * staged files — ONE scan of just the new data (never the table), the
     * same moment Delta computes its add-file stats.
     */
-  private def collectStats(spark: SparkSession, path: String,
+  /** Per-file min/max/nullCount for the commit's stats columns — the
+    * FOOTER route (guide §6; the same move [[DeltaInterop]]'s stageAdds
+    * makes): the staged writer already computed per-chunk statistics,
+    * and re-scanning the commit to recompute them cost one distributed
+    * job per commit (2-3 AQE-stage jobs of pure fixed latency at any
+    * commit size, plus a full re-read of the commit's data bytes at
+    * 100 TB). Footers are KBs per file, read on a driver thread pool.
+    *
+    * Bounds semantics are unchanged where it matters: parquet binary
+    * bounds may be truncated (min rounds DOWN, max rounds UP), and a
+    * chunk without trustworthy stats yields no bounds — both only WIDEN
+    * a file's range, and every consumer ([[morBypass]], [[mayMatch]])
+    * treats ranges conservatively. Numeric bounds are exact. Falls back
+    * to the distributed re-scan when a stats column is not present in
+    * the data file footers (e.g. a partition column, whose value lives
+    * in the directory name, or an exotic type the scan route supports).
+    */
+  private[graft] def collectStats(spark: SparkSession, path: String,
+      rels: Seq[String], statsCols: Seq[String]): Option[Map[String, FileStat]] = {
+    if (statsCols.isEmpty || rels.isEmpty) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fileSchema =
+      try FileStats.footerSchema(conf, s"$path/${rels.head}")
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          return collectStatsScan(spark, path, rels, statsCols)
+      }
+    val wanted = statsCols.distinct
+    if (!wanted.forall(fileSchema.fieldNames.contains))
+      return collectStatsScan(spark, path, rels, statsCols)
+    val fieldOf = fileSchema.fields.map(f => f.name -> f).toMap
+    // same column eligibility as the scan route: numerics as Double,
+    // strings lexicographic (parquet's unsigned byte order = Spark's
+    // UTF8String order); other types record no bounds
+    val numCols = wanted.filter(c =>
+      fieldOf(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val strCols = wanted.filter(c =>
+      fieldOf(c).dataType == org.apache.spark.sql.types.StringType)
+    val allStatCols = numCols ++ strCols
+    if (allStatCols.isEmpty) return None
+    val byFile = FileStats.fromFooters(spark, rels.map(r => s"$path/$r"),
+      org.apache.spark.sql.types.StructType(allStatCols.map(fieldOf).toArray))
+    def asDouble(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    Some(rels.map { rel =>
+      val st = byFile.getOrElse(FileStats.canon(s"$path/$rel"),
+        FileStats.FileStat(None, Map.empty))
+      def bounds(c: String): Option[(Any, Any)] = st.cols.get(c).flatMap { s =>
+        (s.min, s.max) match {
+          case (Some(a), Some(b)) => Some((a, b))
+          case _ => None
+        }
+      }
+      val numBounds = numCols.flatMap(c => bounds(c).flatMap { case (a, b) =>
+        (asDouble(a), asDouble(b)) match {
+          case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+          case _ => None
+        }
+      })
+      val strBounds = strCols.flatMap(c => bounds(c).collect {
+        case (a: org.apache.spark.unsafe.types.UTF8String,
+            b: org.apache.spark.unsafe.types.UTF8String) =>
+          c -> (a.toString, b.toString)
+      })
+      val nulls = allStatCols.flatMap(c =>
+        st.cols.get(c).flatMap(_.nullCount).map(c -> _)).toMap
+      rel -> FileStat(st.numRecords.getOrElse(0L),
+        numBounds.map { case (c, (lo, _)) => c -> lo }.toMap,
+        numBounds.map { case (c, (_, hi)) => c -> hi }.toMap,
+        strBounds.map { case (c, (lo, _)) => c -> lo }.toMap,
+        strBounds.map { case (c, (_, hi)) => c -> hi }.toMap,
+        nulls = Some(nulls))
+    }.toMap)
+  }
+
+  /** The distributed re-scan route — fallback for stats columns outside
+    * the file footers, and the spec's ground truth for the footer route.
+    */
+  private[graft] def collectStatsScan(spark: SparkSession, path: String,
       rels: Seq[String], statsCols: Seq[String]): Option[Map[String, FileStat]] = {
     if (statsCols.isEmpty || rels.isEmpty) return None
     val df = spark.read.option("basePath", path).parquet(rels.map(r => s"$path/$r"): _*)

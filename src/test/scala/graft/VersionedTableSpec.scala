@@ -30,6 +30,35 @@ class VersionedTableSpec extends SparkSpec {
     }.flatten
   }
 
+  test("footer-route stats equal the distributed scan route across the type battery") {
+    // the commit-time stats pass reads parquet FOOTERS on the driver
+    // (collectStats); the distributed re-scan (collectStatsScan) is the
+    // ground truth it must match — null counts, row counts, numeric and
+    // string min/max, null-only columns, and decimal/float/long widths
+    val base = Files.createTempDirectory("graft-vt-stats").toFile.getAbsolutePath
+    val rows = Seq(
+      (1L, "alpha", 1.5d, Some(3), BigDecimal("12.34")),
+      (7L, "omega", -2.25d, None, BigDecimal("-0.01")),
+      (-4L, "midst", 0.0d, Some(9), BigDecimal("99999.99")))
+      .toDF("k", "s", "d", "oi", "dec")
+      .withColumn("allnull", lit(null).cast("string"))
+      .withColumn("p", lit("x"))
+    rows.repartition(2).write.partitionBy("p").mode("overwrite").parquet(base)
+    val rels = new java.io.File(base, "p=x").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => s"p=x/${f.getName}").toSeq.sorted
+    val cols = Seq("k", "s", "d", "oi", "dec", "allnull")
+    val foot = VersionedTable.collectStats(spark, base, rels, cols).get
+    val scan = VersionedTable.collectStatsScan(spark, base, rels, cols).get
+    assert(foot.keySet == scan.keySet)
+    foot.keySet.foreach { rel =>
+      assert(foot(rel) == scan(rel), s"footer vs scan stats diverge for $rel")
+    }
+    // a stats column living in the DIRECTORY (partition col) falls back
+    // to the scan route and still answers
+    val both = VersionedTable.collectStats(spark, base, rels, Seq("k", "p")).get
+    assert(both.values.forall(_.minStr.get("p").contains("x")))
+  }
+
   test("write/append/upsert build a version history; every snapshot stays readable") {
     val t = table()
     val v1 = VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 1L)), Seq("p"))
