@@ -41,6 +41,19 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE coalesce the OUTPUT partitioning of cached plans too.
+      // Every streaming DML body persists its micro-batch across the
+      // commit's actions, and with this off (the default) the cache pins
+      // the pre-coalesce reducer count — a KB-sized batch is frozen into
+      // `spark.sql.shuffle.partitions` cached partitions and EVERY
+      // downstream action pays a full-width map stage over them
+      // (measured: 32-task map stages repeated per probe/stage/commit
+      // action; with coalescing the same batch caches as 1 partition).
+      // Scale-adaptive by construction: AQE sizes partitions from bytes
+      // (advisoryPartitionSizeInBytes), so large batches keep their
+      // parallelism. The conf only changes physical partitioning of the
+      // cached plan, never results.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       // the generated-class cache defaults to 100 entries; a session
@@ -101,31 +114,53 @@ object GraftSession {
       // and shadows every metadata file with a .crc (see FastLocalFs)
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
         classOf[graft.sinks.FastLocalFs].getName)
+      // Every action eagerly renders its full plan DESCRIPTION string
+      // into the SQL-execution listener events (posted even with the UI
+      // off); the big lakehouse plans make that a measurable driver tax
+      // per action (A/B on the 15-query lakehouse subset: ~4%). Bound the
+      // string everywhere — diagnostics only, zero effect on what queries
+      // compute; plan evidence comes from DumpPlan/explain, which keep
+      // full text. Lives here (not in Bench) so production sessions and
+      // the bench session run identically.
+      .config("spark.sql.maxPlanStringLength", "2048")
       .config("spark.ui.enabled", "false")
 
-  /** Run a foreachBatch/addBatch sink body with AQE re-enabled on the
-    * batch's session. `ResolveWriteToStream` pins
-    * `spark.sql.adaptive.enabled=false` on the session it CLONES for a
-    * streaming query — and that clone is also the session every batch
-    * DML inside the sink body plans against, so commit machinery
-    * (precombine windows, merge joins, staged writes) silently loses
-    * runtime coalescing and runs every reduce stage at the static
-    * shuffle-partition count (measured: 32-task reducers over KB-sized
-    * micro-batch shuffles, ~400 tasks per streaming-merge query). The
-    * streaming plan itself is fully planned BEFORE the sink body runs
-    * each batch, so scoping the flag to the body leaves it untouched.
+  /** Run a foreachBatch/addBatch sink body with AQE DISABLED on the
+    * batch's session. AQE executes a multi-shuffle plan stage by stage —
+    * every Exchange becomes its own materialization JOB, each a driver
+    * round trip of planning + scheduling fixed latency. For the commit
+    * machinery inside a streaming sink body that is pure overhead:
+    * micro-batches are bounded by trigger admission control
+    * (maxFilesPerTrigger / maxBytesPerTrigger), so there is no runtime
+    * size surprise for AQE to adapt to, and Spark itself pins AQE off
+    * for the streaming plan for exactly this latency reason. Measured
+    * (sf0.1, local[32]): a streaming MERGE micro-batch ran its key
+    * envelope as 2 jobs, touched-file probe as 3, staged write as 5
+    * with AQE on — 21 jobs/query — vs 10 jobs/query with it off
+    * (q_stream_delta_merge 3.02→2.57 s, q_stream_iceberg_merge
+    * 2.97→2.60, q_stream_hudi_mor 3.79→3.08). The non-adaptive reduce
+    * stages run at the session's static shuffle-partition count, which
+    * scales with cluster parallelism, and per-task dispatch is ~2 ms —
+    * cheap next to 0.1-0.3 s per extra AQE job at any cluster size.
+    * BATCH DML on full tables (the same operators called outside a
+    * streaming body) keeps AQE: there, inputs are unbounded and
+    * skew-splitting / coalescing are the 100 TB posture.
     */
-  def withBatchAqe[T](batch: org.apache.spark.sql.DataFrame)(body: => T): T = {
+  def withMicroBatchDml[T](batch: org.apache.spark.sql.DataFrame)(body: => T): T = {
     val spark = batch.sparkSession
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
+    spark.conf.set(key, "false")
     try body finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
     val spark = tuned(SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
+      // test/diagnostic sessions assert on FULL plan/codegen text; the
+      // tuned cap exists to bound listener-event rendering cost, which
+      // no spec measures
+      .config("spark.sql.maxPlanStringLength", (Int.MaxValue - 15).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -851,7 +851,9 @@ object DeltaInterop {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val stagePath = new Path(s"$path/$StageDir/${java.util.UUID.randomUUID}")
-    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(stagePath.toString)
+    graft.JobLabel(spark, s"delta: stage files → $prefix") {
+      df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(stagePath.toString)
+    }
     val staged = scala.collection.mutable.ArrayBuffer[(Path, String, Long)]()
     def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
       if (st.isDirectory) walk(st.getPath)
@@ -1401,7 +1403,9 @@ object DeltaInterop {
     on.foreach(c => require(source.columns.contains(c),
       s"DeltaInterop merge: ON column $c not in source"))
     val sourceCols = source.columns.toSet
-    val candidates = FileStats.keyEnvelope(source.select(on.map(col): _*), on) match {
+    val candidates = graft.JobLabel(spark, "delta.merge: key envelope") {
+      FileStats.keyEnvelope(source.select(on.map(col): _*), on)
+    } match {
       case FileStats.Unmatchable => Nil // no source key can equal anything
       case FileStats.Unbounded => snap.adds
       case FileStats.Bounds(p) => pruneAdds(spark, snap, Some(p))
@@ -1415,10 +1419,12 @@ object DeltaInterop {
           val byPath = candidates.map(a =>
             fs.makeQualified(new Path(resolveAddPath(path, a.path)))
               .toUri.getPath -> a).toMap
-          frameOver(spark, path, snap, candidates, fileCol = Some("__file"))
-            .join(srcKeys, on, "left_semi")
-            .select(col("__file")).distinct().collect()
-            .flatMap(r => byPath.get(new Path(r.getString(0)).toUri.getPath))
+          graft.JobLabel(spark, "delta.merge: touched-file probe") {
+            LocalProbe.distinctStrings(
+              frameOver(spark, path, snap, candidates, fileCol = Some("__file"))
+                .join(srcKeys, on, "left_semi")
+                .select(col("__file")))
+          }.flatMap(f => byPath.get(new Path(f).toUri.getPath))
             .toSeq
         }
       val t0 =
@@ -1481,10 +1487,12 @@ object DeltaInterop {
   def streamBatchMerger(path: String, on: Seq[String],
       clauses: Seq[VersionedTable.MergeClause],
       appId: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
-    graft.GraftSession.withBatchAqe(batch) {
+    graft.GraftSession.withMicroBatchDml(batch) {
       val persisted = batch.persist()
       try {
-        if (!persisted.isEmpty) {
+        val empty = graft.JobLabel(persisted.sparkSession,
+          "delta.stream: emptiness probe")(persisted.isEmpty)
+        if (!empty) {
           merge(persisted.sparkSession, path, persisted, on, clauses,
             txn = Some((appId, batchId)))
           ()

@@ -572,14 +572,11 @@ object HudiInterop {
     * the ceiling the result is exact and complete.
     */
   private[sinks] def collectPairsLocal(df: DataFrame, dirCol: String,
-      bucketCol: String, cap: Int = Int.MaxValue): Array[(String, Int)] = {
-    val slim = df.select(col(dirCol).cast("string"), col(bucketCol).cast("int"))
-    val perPartition = slim.rdd.mapPartitions { it =>
-      val seen = it.map(r => (r.getString(0), r.getInt(1))).toSet
-      if (cap < Int.MaxValue) seen.iterator.take(cap + 1) else seen.iterator
-    }
-    perPartition.collect().distinct
-  }
+      bucketCol: String, cap: Int = Int.MaxValue): Array[(String, Int)] =
+    graft.JobLabel(df.sparkSession, "hudi: routing-pair probe") {
+      LocalProbe.distinctRows(
+        df.select(col(dirCol).cast("string"), col(bucketCol).cast("int")), cap)
+    }.map(r => (r.getString(0), r.getInt(1)))
 
   private[sinks] def semiJoinPairs(df: DataFrame,
       pairs: Iterable[(String, Int)]): DataFrame =

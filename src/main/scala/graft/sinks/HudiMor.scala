@@ -698,7 +698,14 @@ object HudiMor {
     val routed: Map[(String, Int), String] = collectRoutedPairs(batch, "upsert")
       .map { case (d, b) => (d, b) -> HudiInterop.routeGroup(groupsByDir, n, d, b) }
       .toMap
-    require(routed.nonEmpty, "HudiMor.upsert: empty batch")
+    // The routing probe doubles as the emptiness answer: an empty batch
+    // is a no-op (no extra isEmpty action per micro-batch), unless the
+    // table holds no completed commit to report — then refuse loudly.
+    if (routed.isEmpty) {
+      val last = completed(fs, path, None).toSeq.sorted.lastOption
+      require(last.isDefined, "HudiMor.upsert: empty batch into an empty table")
+      return last.get
+    }
     // log-only groups (no committed base EVER) are READ-served but not
     // writable: bootstrapping a parallel base group would LOSE the
     // latest-wins collapse to the old log records (base rows rank

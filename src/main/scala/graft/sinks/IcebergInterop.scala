@@ -1442,7 +1442,7 @@ object IcebergInterop {
           concat_ws(",", on.map(k => col(s"s.$k").cast("string")): _*)))
           .cast("boolean")).otherwise(lit(true))
       val delKeys = j.filter(mc.matched && mc.matchTag =!= "keep" && dupGuard)
-        .select(on.map(k => col(s"t.$k").as(k)): _*).distinct().persist()
+        .select(on.map(k => col(s"t.$k").as(k)): _*).distinct()
       try {
         // append set: updated matched rows + inserted rows (the dup
         // guard is `picked`'s first branch and fires during staging)
@@ -1452,10 +1452,31 @@ object IcebergInterop {
             .when(col("t.__te").isNull, mc.notMatchedResult)
             .otherwise(lit(null).cast(StructType(schema.fields))).as("__r"))
           .filter(col("__r").isNotNull).select("__r.*")
-        val nDel = delKeys.count()
-        val moved =
-          if (appendRows.isEmpty) Nil
-          else stageDataFiles(appendRows, path, partFields.map(_.name), fs)
+        // Emptiness and the delete-key count both come from the STAGED
+        // WRITES' own parquet footers — no count()/isEmpty probe actions
+        // per micro-batch (guide §1: cut actions, not just task work).
+        // Zero-row staged files (an empty unpartitioned write still emits
+        // one) are dropped before any manifest references them.
+        val moved0 = graft.JobLabel(spark, "iceberg.merge: stage appends") {
+          stageDataFiles(appendRows, path, partFields.map(_.name), fs)
+        }
+        val (movedEmpty, moved) = moved0.partition(_.records == 0L)
+        movedEmpty.foreach(r => fs.delete(new Path(r.path), false))
+        // sorted equality-delete parquet of the ON-key rows; row count
+        // read back from its footer
+        val delStage = new Path(s"$path/metadata/eqstage-${java.util.UUID.randomUUID()}")
+        graft.JobLabel(spark, "iceberg.merge: stage eq-deletes") {
+          delKeys.coalesce(1).sortWithinPartitions(on.map(col): _*)
+            .write.parquet(delStage.toString)
+        }
+        val delPart = fs.listStatus(delStage).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            "merge eq-delete write produced no file"))
+        val nDel = FileStats.fromFooters(spark, Seq(delPart.toString),
+            StructType(Nil))
+          .headOption.flatMap(_._2.numRecords).getOrElse(0L)
+        if (nDel == 0) fs.delete(delStage, true)
         if (nDel == 0 && moved.isEmpty) return curId // full no-op
         val prevFormat = (meta \ "format-version").extract[Int]
         val fmt = if (nDel > 0) 2 else prevFormat
@@ -1486,18 +1507,10 @@ object IcebergInterop {
             content = 0, seq = newSeq)
         }
         if (nDel > 0) {
-          // sorted equality-delete parquet of the ON-key rows
-          val stage = new Path(s"$path/metadata/eqstage-${java.util.UUID.randomUUID()}")
-          delKeys.coalesce(1).sortWithinPartitions(on.map(col): _*)
-            .write.parquet(stage.toString)
-          val part = fs.listStatus(stage).map(_.getPath)
-            .find(_.getName.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(
-              "merge eq-delete write produced no file"))
           val delPath = s"$path/data/eqdelete-${java.util.UUID.randomUUID()}.parquet"
           fs.mkdirs(new Path(delPath).getParent)
-          require(fs.rename(part, new Path(delPath)), "eq-delete rename failed")
-          fs.delete(stage, true)
+          require(fs.rename(delPart, new Path(delPath)), "eq-delete rename failed")
+          fs.delete(delStage, true)
           val delLen = fs.getFileStatus(new Path(delPath)).getLen
           val dfSchema = DeleteManifestEntrySchema.getField("data_file").schema()
           val dfRec = new GenericData.Record(dfSchema)
@@ -1542,7 +1555,7 @@ object IcebergInterop {
             txn.map { case (a, v) => s"graft.txn.$a" -> v.toString },
           fmt, newSeq, snapshotId, System.currentTimeMillis(),
           listPath, "overwrite")
-      } finally { delKeys.unpersist(); j.unpersist(); () }
+      } finally { j.unpersist(); () }
     } finally { src.unpersist(); () }
   }
 
@@ -1555,7 +1568,7 @@ object IcebergInterop {
   def streamBatchMerger(path: String, on: Seq[String],
       clauses: Seq[VersionedTable.MergeClause],
       appId: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
-    graft.GraftSession.withBatchAqe(batch) {
+    graft.GraftSession.withMicroBatchDml(batch) {
       val persisted = batch.persist()
       try {
         if (!persisted.isEmpty) {

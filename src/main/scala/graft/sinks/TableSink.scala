@@ -218,8 +218,8 @@ object TableSink {
         }
     }
     // batch DML under the stream-cloned session: restore AQE for the
-    // commit machinery (see GraftSession.withBatchAqe)
-    (batch, batchId) => graft.GraftSession.withBatchAqe(batch)(body(batch, batchId))
+    // commit machinery (see GraftSession.withMicroBatchDml)
+    (batch, batchId) => graft.GraftSession.withMicroBatchDml(batch)(body(batch, batchId))
   }
 
   /** Read a partitioned table back (partition columns come from the
@@ -312,7 +312,9 @@ object TableSink {
         // billions of keys); a layout partitioned on a high-cardinality
         // key would make this collect the bottleneck — that layout is
         // wrong for upserts anyway (one dir per key).
-        val parts = updates.select(partitionCols.map(col): _*).distinct().collect()
+        val parts = graft.JobLabel(spark, "table: affected-partition probe") {
+          LocalProbe.distinctRows(updates.select(partitionCols.map(col): _*))
+        }
         require(parts.nonEmpty, "upsert: empty update set")
         val cond = parts.map { row =>
           partitionCols.zipWithIndex

@@ -830,11 +830,12 @@ object VersionedTable {
       val replay = all.find(_.txn.contains(t))
       if (replay.isDefined) return replay.get.version // idempotent retry
     }
-    // An empty batch is a no-op (staging zero rows under partitionBy
-    // produces no files — or an empty stats-less delta that would break
-    // the bypass for its whole dir).
-    if (rows.isEmpty)
-      return if (all.isEmpty) 0L else all.last.version
+    // Emptiness is derived from the STAGED WRITE itself (below), never
+    // from a separate probe action: the staging pass has to run for any
+    // non-empty batch anyway, and its footers already carry the row
+    // counts — a `rows.isEmpty` here was one extra Spark action per
+    // micro-batch (and re-executed the batch lineage for unpersisted
+    // callers).
     // Transform tables: delta files land in the DERIVED layout (same
     // routing as the COW upsert) — the merge spec records the derived
     // names, so the collapse window stays partition-scoped and reads
@@ -857,7 +858,19 @@ object VersionedTable {
       byPartitions(
         if (tombstone) effRows else enforced(effRows, enforcedSet),
         effPartitionCols),
-      effPartitionCols)
+      effPartitionCols, allowEmpty = true)
+    // Key min/max per delta file (footer route — the stats collection
+    // doubles as the emptiness answer, so an empty batch costs staging
+    // only and commits nothing, leaving no empty delta file to break the
+    // bypass for its dir).
+    val stats = collectStats(spark, path, staged,
+      (key +: activeStatsCols(all)).distinct)
+    val stagedRows = stats.map(_.values.map(_.rows).sum)
+      .getOrElse(if (staged.isEmpty) 0L else 1L)
+    if (staged.isEmpty || stagedRows == 0L) {
+      staged.foreach(rel => fs.delete(new Path(s"$path/$rel"), false))
+      return if (all.isEmpty) 0L else all.last.version
+    }
     val c = publishWithRebase(fs, path, op, Nil, Nil, token,
       // tombstones never evolve the logical schema; data rows merge
       // additively
@@ -867,15 +880,13 @@ object VersionedTable {
           .map(mergeSchemas(_, rows.schema)).getOrElse(rows.schema)),
       allowRebase = true, deltaAdds = staged,
       mor = Some(MorSpec(key, precombine, effPartitionCols)),
-      // Key min/max per delta file (one extra pass over the batch,
-      // O(batch)): lets merged reads BYPASS the collapse shuffle for
-      // base files whose key range provably misses every delta — at
-      // 100 TB almost all of a partition's base files.
+      // Key min/max per delta file: lets merged reads BYPASS the
+      // collapse shuffle for base files whose key range provably misses
+      // every delta — at 100 TB almost all of a partition's base files.
       // No blooms for delta files: nothing probes them (readPruned only
       // probes base files; the bypass uses min/max) — compactDeltas
       // re-collects blooms for the rewritten base files.
-      stats = collectStats(spark, path, staged,
-        (key +: activeStatsCols(all)).distinct),
+      stats = stats,
       enforcedConstraints = if (tombstone) None else Some(enforcedSet))
     c.version
   }
@@ -1356,9 +1367,10 @@ object VersionedTable {
     * root-dir "" entry for any non-empty `df`).
     */
   private def hitPartitionDirs(df: DataFrame, partitionCols: Seq[String]): Set[String] =
-    df.select(partitionCols.map(c =>
-        col(c).cast(org.apache.spark.sql.types.StringType)): _*)
-      .distinct().collect()
+    graft.JobLabel(df.sparkSession, "vt: affected-partition probe") {
+      LocalProbe.distinctRows(df.select(partitionCols.map(c =>
+        col(c).cast(org.apache.spark.sql.types.StringType)): _*))
+    }
       .map { row =>
         partitionCols.zipWithIndex.map { case (c, i) =>
           val seg =
@@ -1469,8 +1481,12 @@ object VersionedTable {
     val live = if (all.isEmpty) Nil else liveFiles(all)
     // Affected partition dirs from the update set's partition values —
     // a distinct over low-cardinality columns, bounded driver collect.
+    // This probe doubles as the EMPTINESS answer (empty set ⇔ empty
+    // update set, see hitPartitionDirs), so callers — the streaming
+    // writer in particular — need no separate isEmpty action per batch.
     val affectedDirs = hitPartitionDirs(effUpdates, effPartitionCols)
-    require(affectedDirs.nonEmpty, "upsert: empty update set")
+    if (affectedDirs.isEmpty) // empty update set: no-op, commit nothing
+      return if (all.isEmpty) 0L else all.last.version
     val affected = live.filter(f => inDirs(f, affectedDirs))
     val prevSchema = snapshotSchema(all)
     val base =
@@ -1521,24 +1537,23 @@ object VersionedTable {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.GraftSession.withBatchAqe(batch) {
-        // Persist across the commit's multiple actions (emptiness probe,
-        // affected-partition probe, staged write) — without it each
-        // action re-executes the micro-batch lineage. Bounded by the
-        // trigger's admission control.
+        graft.GraftSession.withMicroBatchDml(batch) {
+        // Persist across the commit's multiple actions (affected-partition
+        // probe, staged write) — without it each action re-executes the
+        // micro-batch lineage. Bounded by the trigger's admission control.
+        // No emptiness probe: both writers no-op on an empty batch from
+        // the probes/staging they run anyway.
         batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          if (!batch.isEmpty) {
-            // mergeOnRead: each micro-batch is ONE delta append — per-batch
-            // cost O(batch), not O(touched partitions). The write-heavy
-            // streaming shape Hudi MOR exists for; compact on a cadence.
-            if (mergeOnRead)
-              upsertMOR(batch.sparkSession, path, batch, key, precombine,
-                partitionCols, txn = Some((appId, batchId)))
-            else
-              upsert(batch.sparkSession, path, batch, key, precombine,
-                partitionCols, txn = Some((appId, batchId)))
-          }
+          // mergeOnRead: each micro-batch is ONE delta append — per-batch
+          // cost O(batch), not O(touched partitions). The write-heavy
+          // streaming shape Hudi MOR exists for; compact on a cadence.
+          if (mergeOnRead)
+            upsertMOR(batch.sparkSession, path, batch, key, precombine,
+              partitionCols, txn = Some((appId, batchId)))
+          else
+            upsert(batch.sparkSession, path, batch, key, precombine,
+              partitionCols, txn = Some((appId, batchId)))
         } finally batch.unpersist(blocking = false)
         }
         ()
@@ -1680,9 +1695,10 @@ object VersionedTable {
     // same dir keep their bytes. Dir-level scoping would rewrite a whole
     // partition for one clustered row — fatal at 100 TB.
     val byBase = candidates.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
-    val affected = readSet(candidates).filter(predicate)
-      .select(input_file_name()).distinct().collect()
-      .map(r => relOf(byBase, r.getString(0))).toIndexedSeq
+    val affected = graft.JobLabel(spark, "vt.delete: touched-file probe") {
+      LocalProbe.distinctStrings(
+        readSet(candidates).filter(predicate).select(input_file_name()))
+    }.map(relOf(byBase, _)).toIndexedSeq
     if (affected.isEmpty) return latestVersion(spark, path) // nothing matches
     val kept = readSet(affected).filter(!coalesce(predicate, lit(false)))
     val adds = stage(spark, path, byPartitions(kept, effPartitionCols),
@@ -1724,13 +1740,14 @@ object VersionedTable {
     val candidates = prunedCandidates(spark, path, upTo, live, predicate)
     if (candidates.isEmpty) return latestVersion(spark, path) // nothing can match
     val byBase = candidates.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
-    val affected = PartitionTransforms.derive(
-        logReader.option("basePath", path)
-          .parquet(candidates.map(f => s"$path/$f"): _*)
-          .drop(tfs.map(_.name): _*), tfs)
-      .filter(predicate)
-      .select(input_file_name()).distinct().collect()
-      .map(r => relOf(byBase, r.getString(0))).toIndexedSeq
+    val affected = graft.JobLabel(spark, "vt.update: touched-file probe") {
+      LocalProbe.distinctStrings(PartitionTransforms.derive(
+          logReader.option("basePath", path)
+            .parquet(candidates.map(f => s"$path/$f"): _*)
+            .drop(tfs.map(_.name): _*), tfs)
+        .filter(predicate)
+        .select(input_file_name()))
+    }.map(relOf(byBase, _)).toIndexedSeq
     if (affected.isEmpty) return latestVersion(spark, path) // nothing matches
     val src = logReader
       .option("basePath", path)
@@ -1951,6 +1968,12 @@ object VersionedTable {
       rels: Seq[String], statsCols: Seq[String]): Option[Map[String, FileStat]] = {
     if (statsCols.isEmpty || rels.isEmpty) return None
     val conf = spark.sparkContext.hadoopConfiguration
+    // Routing on rels.head's footer alone is sound here: every call site
+    // passes files STAGED BY ONE WRITE (a single df.write), so all files
+    // of a commit share the writer's schema. If a divergent file ever
+    // slipped in, readFooterStats degrades per file to "no bounds for
+    // the missing column" — conservative (pruning keeps the file), never
+    // wrong.
     val fileSchema =
       try FileStats.footerSchema(conf, s"$path/${rels.head}")
       catch {
@@ -2997,7 +3020,7 @@ object VersionedTable {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.GraftSession.withBatchAqe(batch) {
+        graft.GraftSession.withMicroBatchDml(batch) {
           if (!batch.isEmpty)
             merge(batch.sparkSession, path, batch, key, partitionCols, clauses,
               txn = Some((appId, batchId)))

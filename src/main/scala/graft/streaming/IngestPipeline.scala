@@ -330,14 +330,14 @@ object IngestPipeline {
       .option("checkpointLocation", StreamTuning.scratchDir("graft-hmstream-ckpt"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.GraftSession.withBatchAqe(batch) {
+        graft.GraftSession.withMicroBatchDml(batch) {
           val b = batch.persist()
+          // no emptiness probe: upsert's routing-pair collection already
+          // answers it (empty batch → no-op, no commit)
           try {
-            if (!b.isEmpty) {
-              graft.sinks.HudiMor.upsert(b, path, recordKey = "event_id",
-                precombine = "event_id", partitionBy = Seq("event_date"))
-              ()
-            }
+            graft.sinks.HudiMor.upsert(b, path, recordKey = "event_id",
+              precombine = "event_id", partitionBy = Seq("event_date"))
+            ()
           } finally { b.unpersist(); () }
         }
       }
@@ -394,24 +394,26 @@ object IngestPipeline {
       .option("checkpointLocation", StreamTuning.scratchDir("graft-dmstream-ckpt"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.GraftSession.withBatchAqe(batch) {
+        graft.GraftSession.withMicroBatchDml(batch) {
           val b = batch.dropDuplicates("event_id").persist()
           try {
-            if (!b.isEmpty) {
-              if (DeltaInterop.latestVersion(b.sparkSession, path) < 0)
+            // only the BOOTSTRAP branch probes emptiness (a v0 commit must
+            // not exist for an empty batch); merge answers it itself from
+            // the key-envelope aggregate it runs anyway
+            if (DeltaInterop.latestVersion(b.sparkSession, path) < 0) {
+              if (!b.isEmpty)
                 DeltaInterop.write(b, path, partitionBy = Seq("event_date"),
                   txn = Some(("graft-delta-merge-stream", batchId)))
-              else {
-                val set = b.columns.filterNot(_ == "event_id").toSeq
-                  .map(c => c -> col(s"s.$c")).toMap
-                DeltaInterop.merge(b.sparkSession, path, b,
-                  on = Seq("event_id"),
-                  clauses = Seq(VersionedTable.MatchedUpdate(set),
-                    VersionedTable.NotMatchedInsert()),
-                  txn = Some(("graft-delta-merge-stream", batchId)))
-              }
-              ()
+            } else {
+              val set = b.columns.filterNot(_ == "event_id").toSeq
+                .map(c => c -> col(s"s.$c")).toMap
+              DeltaInterop.merge(b.sparkSession, path, b,
+                on = Seq("event_id"),
+                clauses = Seq(VersionedTable.MatchedUpdate(set),
+                  VersionedTable.NotMatchedInsert()),
+                txn = Some(("graft-delta-merge-stream", batchId)))
             }
+            ()
           } finally { b.unpersist(); () }
         }
       }
@@ -454,7 +456,7 @@ object IngestPipeline {
     val dataCols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
 
     def applyBatch(batch: DataFrame, batchId: Long): Unit =
-      graft.GraftSession.withBatchAqe(batch) {
+      graft.GraftSession.withMicroBatchDml(batch) {
       val sparkB = batch.sparkSession
       // a batch may span several commits touching one key: the LAST
       // change wins; preimages are bookkeeping, never state
@@ -468,25 +470,27 @@ object IngestPipeline {
           (col("_change_type") === "delete").as("__del"): _*)
         .persist()
       try {
-        if (!last.isEmpty) {
-          if (DeltaInterop.latestVersion(sparkB, dst) < 0) {
+        // bootstrap branch probes emptiness (no v0 from an empty batch);
+        // the merge branch lets merge's own key envelope answer it
+        if (DeltaInterop.latestVersion(sparkB, dst) < 0) {
+          if (!last.isEmpty) {
             DeltaInterop.write(
               last.filter(!col("__del")).select(dataCols.map(col): _*), dst,
               txn = Some(("graft-delta-repl", batchId)))
             ()
-          } else {
-            val set = dataCols.filterNot(_ == "o_orderkey")
-              .map(c => c -> col(s"s.$c")).toMap
-            DeltaInterop.merge(sparkB, dst, last, on = Seq("o_orderkey"),
-              clauses = Seq(
-                VersionedTable.MatchedDelete(Some(col("s.__del"))),
-                VersionedTable.MatchedUpdate(set, Some(!col("s.__del"))),
-                VersionedTable.NotMatchedInsert(
-                  values = Some(dataCols.map(c => c -> col(s"s.$c")).toMap),
-                  cond = Some(!col("s.__del")))),
-              txn = Some(("graft-delta-repl", batchId)))
-            ()
           }
+        } else {
+          val set = dataCols.filterNot(_ == "o_orderkey")
+            .map(c => c -> col(s"s.$c")).toMap
+          DeltaInterop.merge(sparkB, dst, last, on = Seq("o_orderkey"),
+            clauses = Seq(
+              VersionedTable.MatchedDelete(Some(col("s.__del"))),
+              VersionedTable.MatchedUpdate(set, Some(!col("s.__del"))),
+              VersionedTable.NotMatchedInsert(
+                values = Some(dataCols.map(c => c -> col(s"s.$c")).toMap),
+                cond = Some(!col("s.__del")))),
+            txn = Some(("graft-delta-repl", batchId)))
+          ()
         }
       } finally { last.unpersist(); () }
     }
@@ -540,24 +544,25 @@ object IngestPipeline {
       .option("checkpointLocation", StreamTuning.scratchDir("graft-imstream-ckpt"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.GraftSession.withBatchAqe(batch) {
+        graft.GraftSession.withMicroBatchDml(batch) {
           val b = batch.dropDuplicates("event_id").persist()
           try {
-            if (!b.isEmpty) {
-              if (!IcebergInterop.tableExists(b.sparkSession, path))
+            // bootstrap branch probes emptiness (no empty-table commit);
+            // merge answers it from its own key envelope + staging
+            if (!IcebergInterop.tableExists(b.sparkSession, path)) {
+              if (!b.isEmpty)
                 IcebergInterop.write(b, path,
                   txn = Some(("graft-iceberg-merge-stream", batchId)))
-              else {
-                val set = b.columns.filterNot(_ == "event_id").toSeq
-                  .map(c => c -> col(s"s.$c")).toMap
-                IcebergInterop.merge(b.sparkSession, path, b,
-                  on = Seq("event_id"),
-                  clauses = Seq(VersionedTable.MatchedUpdate(set),
-                    VersionedTable.NotMatchedInsert()),
-                  txn = Some(("graft-iceberg-merge-stream", batchId)))
-              }
-              ()
+            } else {
+              val set = b.columns.filterNot(_ == "event_id").toSeq
+                .map(c => c -> col(s"s.$c")).toMap
+              IcebergInterop.merge(b.sparkSession, path, b,
+                on = Seq("event_id"),
+                clauses = Seq(VersionedTable.MatchedUpdate(set),
+                  VersionedTable.NotMatchedInsert()),
+                txn = Some(("graft-iceberg-merge-stream", batchId)))
             }
+            ()
           } finally { b.unpersist(); () }
         }
       }

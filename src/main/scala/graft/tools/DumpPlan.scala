@@ -29,6 +29,10 @@ object DumpPlan {
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.GraftSession.tuned(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-dumpplan"), cpus)
+      // plan EVIDENCE tool: never truncate the dumped text (the tuned
+      // session bounds plan strings because listener events render them
+      // per action; here the full string is the entire point)
+      .config("spark.sql.maxPlanStringLength", (Int.MaxValue - 15).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))

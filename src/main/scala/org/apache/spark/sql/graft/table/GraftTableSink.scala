@@ -290,7 +290,7 @@ private[table] class GraftTableSink(
     val qe = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution
     val batch = spark.internalCreateDataFrame(qe.toRdd, data.schema, isStreaming = false)
-    graft.GraftSession.withBatchAqe(batch)(runBatch(batch, batchId))
+    graft.GraftSession.withMicroBatchDml(batch)(runBatch(batch, batchId))
   }
 
   private def runBatch(batch: DataFrame, batchId: Long): Unit = {
