@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.LeafExpression
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.{LeafExpression, Nondeterministic}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, TimestampType}
 
@@ -19,29 +19,33 @@ import org.apache.spark.sql.types.{DataType, TimestampType}
   * per query invocation, per micro-batch (the streaming rule folds a
   * fresh `CurrentBatchTimestamp` literal each batch).
   *
-  * This expression carries the stamp in the plan's REFERENCES array
-  * instead (`references[i]`, the same slot mechanism the vector kernels
-  * use for their model objects): the value still varies per invocation,
-  * the source text does not, and compiled classes are reused. The stamp
-  * is fixed at expression-construction time — for a bookkeeping column
-  * excluded from every oracle surface, "when the pipeline was built"
-  * and "when the batch ran" are equally honest ingest times, and the
-  * construction-time value has the property the exactly-once specs
-  * actually exercise: a REPLAYED pipeline restamps, a within-run
-  * re-land keeps one value per pipeline.
+  * The stamp here is read from the wall clock ONCE PER TASK (partition
+  * initialization — the same mechanism as `monotonically_increasing_id`),
+  * so the generated source carries no value at all: compiled classes are
+  * reused across invocations AND each micro-batch of a long-lived
+  * pipeline stamps its own arrival time (a construction-time constant
+  * would freeze "pipeline start" into every batch, misleading lag or
+  * retention readers of `ingest_ts`). Bookkeeping column only — excluded
+  * from every oracle surface; a replayed pipeline restamps.
   */
-case class StableStamp(micros: Long) extends LeafExpression {
+case class StableStamp() extends LeafExpression with Nondeterministic {
   override def dataType: DataType = TimestampType
   override def nullable: Boolean = false
-  override def foldable: Boolean = false
   override def prettyName: String = "graft_ingest_stamp"
-  override def eval(input: InternalRow): Any = micros
+
+  @transient private var stampMicros: Long = _
+
+  override protected def initializeInternal(partitionIndex: Int): Unit =
+    stampMicros = System.currentTimeMillis() * 1000L
+
+  override protected def evalInternal(input: InternalRow): Any = stampMicros
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftStampMicros",
-      java.lang.Long.valueOf(micros), "java.lang.Long")
+    val stamp = ctx.addMutableState(CodeGenerator.JAVA_LONG, "graftStampMicros")
+    ctx.addPartitionInitializationStatement(
+      s"$stamp = System.currentTimeMillis() * 1000L;")
     ev.copy(
-      code = code"final long ${ev.value} = $ref.longValue();",
+      code = code"final long ${ev.value} = $stamp;",
       isNull = FalseLiteral)
   }
 }

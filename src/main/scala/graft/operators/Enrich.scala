@@ -56,9 +56,10 @@ object Enrich {
       // ingest stamp via StableStamp, NOT current_timestamp(): the
       // latter folds to a fresh literal per invocation/micro-batch and
       // forces a whole-stage-codegen recompile of every stage this
-      // column flows through (see StableStamp's scaladoc)
+      // column flows through (see StableStamp's scaladoc); the stamp is
+      // read per task, so each micro-batch records its own arrival time
       .withColumn("ingest_ts", org.apache.spark.sql.GraftShim.column(
-        graft.functions.StableStamp(System.currentTimeMillis() * 1000L)))
+        graft.functions.StableStamp()))
 
   /** Oracle-facing enrichment query (deterministic columns only). The
     * iso→reparse pair exercises format+parse round-tripping the way the
