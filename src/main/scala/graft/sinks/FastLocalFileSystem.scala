@@ -57,8 +57,15 @@ class FastLocalFileSystem extends LocalFileSystem(new RawLocalFileSystem {
     val ds = java.nio.file.Files.newDirectoryStream(dir)
     try {
       ds.forEach { p =>
-        out += FastLocalFileSystem.nioStatus(this,
-          new Path(f, p.getFileName.toString))
+        // skip checksum shadows: stock listing goes through
+        // ChecksumFileSystem, which hides `.<name>.crc` entries —
+        // directories written through stock local bindings before this
+        // class was installed (pre-existing checkpoints, test fixtures)
+        // still hold them, and surfacing a new entry class to every
+        // lister would change listing semantics
+        val name = p.getFileName.toString
+        if (!org.apache.hadoop.fs.ChecksumFileSystem.isChecksumFile(new Path(f, name)))
+          out += FastLocalFileSystem.nioStatus(this, new Path(f, name))
       }
     } finally ds.close()
     out.toArray

@@ -135,9 +135,31 @@ object FileStats {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
-    try new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
-      .convert(reader.getFooter.getFileMetaData.getSchema)
+    // converter from the SESSION's SQLConf (binaryAsString,
+    // int96AsTimestamp, timestampNTZ must match what spark.read would
+    // infer), and .asNullable because inference always reports nullable —
+    // a required-field footer schema would otherwise misclassify
+    // logically identical files as divergent in the schemas.distinct
+    // checks (HudiMor/HudiInterop) and flip nullability vs prior behavior
+    try asNullable(
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter(
+        org.apache.spark.sql.internal.SQLConf.get)
+      .convert(reader.getFooter.getFileMetaData.getSchema))
+      .asInstanceOf[StructType]
     finally reader.close()
+  }
+
+  /** Everything-nullable copy of a schema (what spark.read inference
+    * reports); StructType.asNullable is private[spark].
+    */
+  private def asNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case a: ArrayType => a.copy(elementType = asNullable(a.elementType),
+      containsNull = true)
+    case m: MapType => m.copy(keyType = asNullable(m.keyType),
+      valueType = asNullable(m.valueType), valueContainsNull = true)
+    case other => other
   }
 
   /** Footer schemas of many files on a driver thread pool. */
