@@ -258,3 +258,91 @@ case class ProjectVec(child: Expression, mean: Array[Double],
   override protected def withNewChildInternal(newChild: Expression): ProjectVec =
     copy(child = newChild)
 }
+
+/** One-pass per-dimension min/max over a vector column in a fixed
+  * 2·dim-float buffer — the affine-quantization table's aggregate. The
+  * explode+groupBy alternative shuffles one row per (vector, dimension)
+  * — n·dim rows — where this carries one ~0.5 KB buffer per partition;
+  * at 100 TB that is the difference between a corpus-sized shuffle and
+  * a metadata-sized one. Buffer layout: [mins(dim) | maxs(dim)], merged
+  * element-wise; comparisons are IEEE `<`/`>` — exactly what Spark's
+  * Min/Max aggregates evaluate per row, so results match the exploded
+  * route bit for bit (including keeping the first-seen value among
+  * -0.0/0.0 ties; the one divergence is an all-NaN dimension, where
+  * Spark would report NaN and the sentinel survives — no graft corpus
+  * produces NaN embeddings). Dimensions no input vector reaches stay
+  * at the (+Inf, -Inf) sentinels; consumers map them to the (0, 0)
+  * affine row the old route's sparse collect produced.
+  */
+case class VecMinMaxAgg(child: Expression, dim: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Float]] {
+  require(dim >= 1, "vector min/max needs dim >= 1")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def createAggregationBuffer(): Array[Float] = {
+    val buf = new Array[Float](2 * dim)
+    java.util.Arrays.fill(buf, 0, dim, Float.PositiveInfinity)
+    java.util.Arrays.fill(buf, dim, 2 * dim, Float.NegativeInfinity)
+    buf
+  }
+
+  private lazy val isFloat = elem == FloatType
+
+  override def update(buf: Array[Float], input: InternalRow): Array[Float] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dim)
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i)
+          else VectorExpressions.elementAt(arr, i, elem).toFloat
+        if (x < buf(i)) buf(i) = x
+        if (x > buf(dim + i)) buf(dim + i) = x
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Float], other: Array[Float]): Array[Float] = {
+    var i = 0
+    while (i < dim) {
+      if (other(i) < buf(i)) buf(i) = other(i)
+      if (other(dim + i) > buf(dim + i)) buf(dim + i) = other(dim + i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Float]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Float]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(buf.length * 4)
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < buf.length) { out.writeFloat(buf(i)); i += 1 }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Float] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Float](2 * dim)
+    var i = 0
+    while (i < buf.length) { buf(i) = in.readFloat(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecMinMaxAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecMinMaxAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): VecMinMaxAgg =
+    copy(child = c(0))
+}

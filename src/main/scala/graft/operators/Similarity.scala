@@ -149,20 +149,32 @@ object Similarity {
       sample, nLists, VectorExpressions.Dim)
   }
 
-  /** Per-dimension affine quantization table `(mins, scales)`: one
-    * corpus min/max aggregate whose shuffle carries `dim` rows.
+  /** Per-dimension affine quantization table `(mins, scales)`: ONE
+    * single-pass fixed-buffer aggregate ([[graft.functions.VecMinMaxAgg]],
+    * ~0.5 KB per partition). The previous posexplode+groupBy shape
+    * shuffled one row per (vector, dimension) — n·dim rows, a
+    * corpus-sized shuffle at 100 TB — and ran as 2-3 AQE jobs where
+    * this is one. Values are bit-identical (same float total order).
     */
   private def affineTable(emb: DataFrame): (Array[Float], Array[Float]) = {
+    import org.apache.spark.sql.GraftShim
     val dim = VectorExpressions.Dim
-    val stats = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .collect()
+    val buf = emb
+      .agg(GraftShim.column(graft.functions.VecMinMaxAgg(
+        GraftShim.expression(col("embedding")), dim)
+        .toAggregateExpression()).as("mm"))
+      .collect()(0).getSeq[Float](0).toArray
     val mins = new Array[Float](dim)
     val scales = new Array[Float](dim)
-    stats.foreach { r =>
-      val i = r.getInt(0)
-      if (i < dim) { mins(i) = r.getFloat(1); scales(i) = (r.getFloat(2) - mins(i)) / 255f }
+    var i = 0
+    while (i < dim) {
+      // dims no vector reached keep the old route's (0, 0) affine row
+      // (its sparse collect simply never wrote them)
+      if (buf(i) != Float.PositiveInfinity) {
+        mins(i) = buf(i)
+        scales(i) = (buf(dim + i) - mins(i)) / 255f
+      }
+      i += 1
     }
     (mins, scales)
   }

@@ -832,12 +832,22 @@ object DeltaInterop {
     val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
     val statsByFile =
       FileStats.fromFooters(spark, staged.map(s => s"$path/${s._1}"), dataSchema)
-    staged.map { case (rel, size) =>
+    // drop zero-row files before any log action references them: an
+    // empty unpartitioned write still emits one parquet file, and a
+    // zero-row add is protocol noise (schema lives in metaData, not in
+    // data files). Lets callers stage-first and derive emptiness from
+    // what actually landed instead of paying a pre-write probe action.
+    val fs = fsFor(spark, path)
+    staged.flatMap { case (rel, size) =>
       val st = statsByFile.get(FileStats.canon(s"$path/$rel"))
-      AddFile(encodePath(rel), partitionValuesOf(rel, partitionBy), size, now,
-        dataChange = dataChange,
-        stats = st.map(s => statsJson(s.numRecords.getOrElse(0L),
-          dataSchema.fields.toSeq.flatMap(f => s.cols.get(f.name).map(f -> _)))))
+      if (st.exists(_.numRecords.contains(0L))) {
+        fs.delete(new Path(s"$path/$rel"), false)
+        None
+      } else Some(
+        AddFile(encodePath(rel), partitionValuesOf(rel, partitionBy), size, now,
+          dataChange = dataChange,
+          stats = st.map(s => statsJson(s.numRecords.getOrElse(0L),
+            dataSchema.fields.toSeq.flatMap(f => s.cols.get(f.name).map(f -> _))))))
     }
   }
 
@@ -1004,16 +1014,34 @@ object DeltaInterop {
     if (touched.isEmpty) // no file can match: no-op, no commit
       return DeleteResult(snap.version, 0, snap.adds.size)
     val hit = coalesce(where, lit(false))
-    val frame = frameOver(spark, path, snap, touched).persist()
+    // persist only when the CDF branch will re-read the frame; the
+    // survivor staging below is otherwise the frame's single consumer
+    val frame0 = frameOver(spark, path, snap, touched)
+    val frame = if (cdfEnabled(snap)) frame0.persist() else frame0
     try {
+      // The matched-row count is ARITHMETIC, not a probe action: stage
+      // the survivors first (the write any real delete must do anyway),
+      // then matched = touched rows (log stats) − survivor rows (staged
+      // footers). The old shape paid two extra actions per DELETE
+      // (matched-emptiness, then survivor-emptiness). An observed
+      // metric cannot serve here: AQE's empty-relation propagation
+      // elides the CollectMetrics node when a full-partition delete
+      // stages zero rows. Foreign adds without numRecords fall back to
+      // one probe.
+      val adds = stageAdds(frame.filter(!hit), path, partCols)
+      val stagedRows = adds.map(a => fileStatOf(a, schema, partCols).numRecords)
+      val touchedRows = touched.map(a => fileStatOf(a, schema, partCols).numRecords)
+      val matchedNone =
+        if (stagedRows.forall(_.isDefined) && touchedRows.forall(_.isDefined))
+          touchedRows.flatten.sum == stagedRows.flatten.sum
+        else frame.filter(hit).isEmpty
       // stats overestimated and nothing actually matches: no-op — also
       // keeps the CDF contract (a change-free commit must write no cdc)
-      if (frame.filter(hit).isEmpty)
+      if (matchedNone) {
+        adds.foreach(a =>
+          fs.delete(new Path(resolveAddPath(path, a.path)), false))
         return DeleteResult(snap.version, 0, snap.adds.size)
-      val survivors = frame.filter(!hit)
-      val adds =
-        if (survivors.isEmpty) Nil
-        else stageAdds(survivors, path, partCols)
+      }
       val cdc = cdcIfEnabled(snap, path, partCols)(
         frame.filter(hit).withColumn(ChangeTypeCol, lit("delete")))
       val now = System.currentTimeMillis()
@@ -1272,7 +1300,13 @@ object DeltaInterop {
     if (touched.isEmpty)
       return DeleteResult(snap.version, 0, snap.adds.size)
     val hit = coalesce(where, lit(false))
-    val frame = frameOver(spark, path, snap, touched).persist()
+    // persist only when later passes re-read the frame (CDF staging,
+    // CHECK-constraint verification); the rewrite staging is otherwise
+    // the single consumer
+    val hasChecks = snap.metaData.configuration.keys
+      .exists(_.startsWith(ConstraintPrefix))
+    val frame0 = frameOver(spark, path, snap, touched)
+    val frame = if (cdfEnabled(snap) || hasChecks) frame0.persist() else frame0
     def applySet(df: DataFrame, always: Boolean): DataFrame = df.select(
       schema.fields.toSeq.map { f =>
         set.get(f.name) match {
@@ -1283,12 +1317,26 @@ object DeltaInterop {
         }
       }: _*)
     try {
+      if (hasChecks) // must refuse BEFORE any file lands in the table tree
+        enforceConstraints(snap, applySet(frame.filter(hit), always = true))
+      // matched-row count observed on the rewrite staging pass itself —
+      // no separate isEmpty probe action (see delete). An UPDATE rewrite
+      // carries every touched row, so the staged result is empty only
+      // when the touched files are (AQE then elides the CollectMetrics
+      // node and the observation row is absent — which is exactly the
+      // zero-matches case).
+      val obs = org.apache.spark.sql.Observation()
+      val adds = stageAdds(
+        applySet(frame.observe(obs, count(when(hit, lit(1))).as("hits")),
+          always = false),
+        path, snap.metaData.partitionColumns)
+      val hits = obs.get.get("hits").fold(0L)(_.asInstanceOf[Long])
       // stats overestimated and nothing matches: no-op (CDF contract)
-      if (frame.filter(hit).isEmpty)
+      if (hits == 0L) {
+        adds.foreach(a =>
+          fs.delete(new Path(resolveAddPath(path, a.path)), false))
         return DeleteResult(snap.version, 0, snap.adds.size)
-      enforceConstraints(snap, applySet(frame.filter(hit), always = true))
-      val adds = stageAdds(applySet(frame, always = false), path,
-        snap.metaData.partitionColumns)
+      }
       val cdc = cdcIfEnabled(snap, path, snap.metaData.partitionColumns)(
         frame.filter(hit).withColumn(ChangeTypeCol, lit("update_preimage"))
           .unionByName(applySet(frame.filter(hit), always = true)

@@ -74,7 +74,7 @@ object FileStats {
     spark.read.schema(schema).parquet(files: _*)
       .groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
+      .collect() // one row per staged file — bounded by the commit's file count
       .map { r =>
         val n = r.getAs[Long]("_nrec")
         val cols = statCols.map { f =>
@@ -460,7 +460,7 @@ object FileStats {
     val aggs = orderable.flatMap(f =>
       Seq(min(col(f.name)).as(s"__lo_${f.name}"),
         max(col(f.name)).as(s"__hi_${f.name}")))
-    val row = source.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+    val row = source.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0) // one row
     val bounds = orderable.map { f =>
       (f, row.getAs[Any](s"__lo_${f.name}"), row.getAs[Any](s"__hi_${f.name}"))
     }
