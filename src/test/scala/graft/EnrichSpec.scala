@@ -24,6 +24,19 @@ class EnrichSpec extends SparkSpec {
     assert(parsed(4).isEmpty && parsed(5).isEmpty)
   }
 
+  test("ingest stamp is read per task: later actions restamp, one plan reuses its source") {
+    val df = Seq(1L, 2L, 3L).toDF("k").coalesce(1)
+      .withColumn("ingest_ts", org.apache.spark.sql.GraftShim.column(
+        graft.functions.StableStamp()))
+    def stamps() = df.select("ingest_ts").collect().map(_.getTimestamp(0).getTime)
+    val a = stamps()
+    assert(a.distinct.length == 1, "rows of one task share one stamp")
+    Thread.sleep(5)
+    val b = stamps()
+    assert(b.head > a.head,
+      "a later action must stamp its own time, not a construction-time constant")
+  }
+
   test("deterministicUuid is stable, uuid-shaped, and key-sensitive") {
     val rows = Seq((1L, "a"), (1L, "a"), (2L, "a"), (1L, "b"))
       .toDF("k1", "k2")

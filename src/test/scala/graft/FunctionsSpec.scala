@@ -28,6 +28,29 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("VecMinMaxAgg equals the exploded min/max route bit for bit") {
+    import org.apache.spark.sql.GraftShim
+    val dim = 6
+    val vecs = Seq(
+      Array(1.5f, -2f, 0f, Float.MinValue, 7f, -0.5f),
+      Array(-3f, 4f, 0.25f, 100f, -7f, 0.5f),
+      Array(0f, 0.125f, -9f, 0f, 7.5f, 0f)).toDF("embedding")
+    val exploded = vecs
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getFloat(1), r.getFloat(2))).toMap
+    val buf = vecs.agg(GraftShim.column(graft.functions.VecMinMaxAgg(
+        GraftShim.expression(col("embedding")), dim)
+        .toAggregateExpression()).as("mm"))
+      .collect()(0).getSeq[Float](0).toArray
+    (0 until dim).foreach { i =>
+      assert(java.lang.Float.compare(buf(i), exploded(i)._1) == 0,
+        s"min mismatch at $i: ${buf(i)} vs ${exploded(i)._1}")
+      assert(java.lang.Float.compare(buf(dim + i), exploded(i)._2) == 0,
+        s"max mismatch at $i: ${buf(dim + i)} vs ${exploded(i)._2}")
+    }
+  }
+
   test("graft_cosine matches normalized HOF dot; zero vectors give 0") {
     val vecs = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.5f, 2.0f)),

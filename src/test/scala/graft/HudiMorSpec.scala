@@ -435,6 +435,24 @@ class HudiMorSpec extends SparkSpec {
     assert(snap(path).size == 4)
   }
 
+  test("empty upsert batch is a no-op returning the latest instant; empty table refuses") {
+    val path = tmp("emptyup")
+    val i1 = HudiMor.upsert(sample, path, "id", "ts", Seq("cat"))
+    // emptiness rides the routing-pair probe the upsert runs anyway (the
+    // streaming body runs no separate isEmpty action per micro-batch)
+    val r = HudiMor.upsert(sample.filter(lit(false)), path, "id", "ts", Seq("cat"))
+    assert(r == i1, s"empty upsert must return the latest completed instant, got $r")
+    assert(HudiInterop.completedInstants(spark, path).size == 1,
+      "no empty commit may land")
+    assert(snap(path).size == 4)
+    // an empty batch into an EMPTY table has no instant to report: refuse
+    val fresh = tmp("emptyfresh")
+    val e = intercept[IllegalArgumentException] {
+      HudiMor.upsert(sample.filter(lit(false)), fresh, "id", "ts", Seq("cat"))
+    }
+    assert(e.getMessage.contains("empty batch into an empty table"))
+  }
+
   test("asOf read ignores groups bootstrapped after asOf, even once they take log appends") {
     val path = tmp("asofboot")
     val i1 = HudiMor.upsert(Seq((1L, "a", 1.0, 100L)).toDF("id", "cat", "v", "ts"),

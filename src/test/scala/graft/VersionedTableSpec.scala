@@ -96,6 +96,20 @@ class VersionedTableSpec extends SparkSpec {
       "partition a was rewritten — snapshots must not share its files")
   }
 
+  test("upsert with an empty update set is a no-op, never a commit or an error") {
+    val t = table()
+    VersionedTable.write(spark, t, df((1L, "a", 1L), (2L, "b", 1L)), Seq("p"))
+    val latest = VersionedTable.latestVersion(spark, t)
+    // emptiness is answered by the affected-partition probe the upsert
+    // runs anyway — the streaming writer relies on this no-op (it runs
+    // no separate isEmpty action per micro-batch)
+    val v = VersionedTable.upsert(spark, t, df().filter(lit(false)),
+      key = "k", precombine = "v", partitionCols = Seq("p"))
+    assert(v == latest, "empty upsert must return the current version")
+    assert(VersionedTable.latestVersion(spark, t) == latest, "no commit may land")
+    assert(VersionedTable.read(spark, t).count() == 2)
+  }
+
   test("overwrite is a logical remove: previous snapshot still readable until vacuum") {
     val t = table()
     VersionedTable.write(spark, t, df((1L, "a", 1L)), Seq("p"))
