@@ -1244,7 +1244,11 @@ object IcebergInterop {
     val part = fs.listStatus(stage).map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("delete-file write produced no file"))
-    val nDeleted = spark.read.parquet(part.toString).count()
+    // row count from the staged file's own FOOTER — the old
+    // read-back count() was one extra Spark action per commit
+    val nDeleted = FileStats.fromFooters(spark, Seq(part.toString),
+        org.apache.spark.sql.types.StructType(Nil))
+      .headOption.flatMap(_._2.numRecords).getOrElse(0L)
     if (nDeleted == 0L) { fs.delete(stage, true); return curId }
     val delPath = s"$path/data/delete-${java.util.UUID.randomUUID()}.parquet"
     fs.mkdirs(new Path(delPath).getParent)
@@ -1352,7 +1356,10 @@ object IcebergInterop {
     val part = fs.listStatus(stage).map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("eq-delete write produced no file"))
-    val nKeys = spark.read.parquet(part.toString).count()
+    // footer row count — not a read-back count() action (see deletePositional)
+    val nKeys = FileStats.fromFooters(spark, Seq(part.toString),
+        org.apache.spark.sql.types.StructType(Nil))
+      .headOption.flatMap(_._2.numRecords).getOrElse(0L)
     if (nKeys == 0L) { fs.delete(stage, true); return curId }
     val delPath = s"$path/data/eqdelete-${java.util.UUID.randomUUID()}.parquet"
     fs.mkdirs(new Path(delPath).getParent)

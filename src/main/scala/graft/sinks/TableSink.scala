@@ -354,7 +354,17 @@ object TableSink {
     */
   private def targetRecordsPerFile(df: DataFrame, targetFileBytes: Long): Long = {
     val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val rows = df.count()
+    // exact row count from the input files' parquet FOOTERS (driver
+    // pool, zero Spark jobs) — this sizing helper runs once per
+    // compaction and a count() action re-scanned every victim file;
+    // non-file frames or unreadable footers fall back to the scan
+    val files = df.inputFiles.toSeq
+    val rows = scala.util.Try {
+      val counts = FileStats.fromFooters(df.sparkSession, files,
+        org.apache.spark.sql.types.StructType(Nil)).values.map(_.numRecords)
+      require(files.nonEmpty && counts.forall(_.isDefined))
+      counts.flatten.sum
+    }.getOrElse(df.count())
     val avgRow = if (rows == 0) 1L else (totalBytes / rows).toLong.max(1L)
     (targetFileBytes / avgRow).max(1L)
   }

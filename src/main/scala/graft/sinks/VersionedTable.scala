@@ -2584,7 +2584,16 @@ object VersionedTable {
     val df = spark.read.option("basePath", path)
       .parquet(victims.map(f => s"$path/$f"): _*)
     val bytes = victims.map(f => fs.getFileStatus(new Path(s"$path/$f")).getLen).sum
-    val rows = df.count()
+    // victim row count from footers (driver pool, zero Spark jobs) —
+    // the count() action re-scanned every victim file just for sizing;
+    // unreadable footers fall back to the scan
+    val rows = scala.util.Try {
+      val counts = FileStats.fromFooters(spark,
+        victims.map(f => s"$path/$f"),
+        org.apache.spark.sql.types.StructType(Nil)).values.map(_.numRecords)
+      require(victims.nonEmpty && counts.forall(_.isDefined))
+      counts.flatten.sum
+    }.getOrElse(df.count())
     val avgRow = if (rows == 0) 1L else (bytes / rows).max(1L)
     // Partition columns come from the read's hive dirs, parsed as path
     // SEGMENTS in hierarchy order — a substring match would false-hit
